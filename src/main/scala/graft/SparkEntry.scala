@@ -1,13 +1,256 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.dftly.Dftly
+
+/** Driver contract — one query per implemented operator family from
+  * SURVEY.md §2, each expressed as a dftly YAML op-map applied with
+  * `Dftly.select` (exercising the full YAML → AST → Column stack), plus a
+  * DuckDB oracle in [[SparkEntry.oracleSql]].
+  *
+  * Oracle notes: aggregate/computed columns are aliased identically on both
+  * sides (the driver sorts columns by name before hashing); integer-ish
+  * outputs are cast to int64/BIGINT on both sides so schemas line up.
+  */
 object SparkEntry {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    Dftly.select(
+      t(spark, "/root/testdata/sf0.001", "lineitem"),
+      """l_orderkey: $l_orderkey
+        |l_linenumber: $l_linenumber
+        |revenue: $l_extendedprice * (1 - $l_discount)
+        |big: "YES if $l_quantity >= 30 else NO"
+        |""".stripMargin
+    )
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_arith" -> ((s, dir) =>
+      Dftly.select(
+        t(s, dir, "lineitem"),
+        """l_orderkey: $l_orderkey
+          |l_linenumber: $l_linenumber
+          |revenue: $l_extendedprice * (1 - $l_discount)
+          |charge: $l_extendedprice * (1 - $l_discount) * (1 + $l_tax)
+          |qdiff: $l_quantity - 10
+          |half_q: $l_quantity / 2
+          |neg_disc: -$l_discount
+          |pow2: 2 ** $l_linenumber
+          |""".stripMargin
+      )),
+    "q02_logic" -> ((s, dir) =>
+      Dftly.select(
+        t(s, dir, "lineitem"),
+        """l_orderkey: $l_orderkey
+          |l_linenumber: $l_linenumber
+          |is_big: $l_quantity >= 30 and $l_discount < 0.05
+          |is_r: $l_returnflag == 'R'
+          |flag_or: $l_returnflag == 'R' or $l_linestatus == 'F'
+          |not_big: not ($l_quantity >= 30)
+          |neq: $l_returnflag != $l_linestatus
+          |minv: min($l_quantity, $l_extendedprice)
+          |maxv: max($l_quantity, $l_extendedprice)
+          |meanv: mean($l_quantity, $l_extendedprice, $l_discount)
+          |""".stripMargin
+      )),
+    "q03_conditional" -> ((s, dir) =>
+      Dftly.select(
+        t(s, dir, "orders"),
+        """o_orderkey: $o_orderkey
+          |status_desc: "'open' if $o_orderstatus == 'O' else ('final' if $o_orderstatus == 'F' else 'partial')"
+          |maybe_high: $o_totalprice if $o_totalprice > 150000
+          |high_or_zero: ($o_totalprice if $o_totalprice > 150000) ?? 0
+          |""".stripMargin
+      )),
+    "q04_strings" -> ((s, dir) =>
+      Dftly.select(
+        t(s, dir, "part"),
+        """p_partkey: $p_partkey
+          |name_len: len_chars($p_name)::int64
+          |name_start: $p_name[0:8]
+          |name_end: $p_name[-4:]
+          |brand_sz: f"{$p_brand}#{$p_size}"
+          |type_words: split($p_type, ' ')
+          |first3: $p_name[:3]
+          |""".stripMargin
+      )),
+    "q05_regex" -> ((s, dir) =>
+      Dftly.select(
+        t(s, dir, "orders"),
+        """o_orderkey: $o_orderkey
+          |prio_num: (extract group 1 of /^(\d+)-/ from $o_orderpriority)::?int
+          |is_urgent: /URGENT/ in $o_orderpriority
+          |prio_word: extract /[A-Z]+$/ from $o_orderpriority
+          |""".stripMargin
+      )),
+    "q06_cast" -> ((s, dir) =>
+      Dftly.select(
+        t(s, dir, "customer"),
+        """c_custkey: $c_custkey
+          |key_str: $c_custkey::str
+          |key_back: ($c_custkey::str)::int64
+          |seg_int_null: $c_mktsegment::?int32
+          |nation_long: $c_nationkey::int64
+          |nation_short: $c_nationkey::int16
+          |""".stripMargin
+      )),
+    "q07_datetime" -> ((s, dir) =>
+      Dftly.select(
+        t(s, dir, "orders"),
+        """o_orderkey: $o_orderkey
+          |yr: $o_orderdate::year_of_date::int64
+          |mo: $o_orderdate::month_of_year::int64
+          |dom: $o_orderdate::day_of_month::int64
+          |dow: $o_orderdate::day_of_week::int64
+          |doy: $o_orderdate::day_of_year::int64
+          |wk: $o_orderdate::week_of_year::int64
+          |qtr: $o_orderdate::quarter_of_year::int64
+          |hr: $o_orderdate::hour_of_day::int64
+          |""".stripMargin
+      )),
+    "q08_duration" -> ((s, dir) =>
+      Dftly.select(
+        t(s, dir, "lineitem"),
+        """l_orderkey: $l_orderkey
+          |l_linenumber: $l_linenumber
+          |age_secs: ($l_shipdate - 1990-01-01 00:00:00)::total_seconds
+          |age_hours: ($l_shipdate - 1990-01-01 00:00:00)::total_hours
+          |age_days: ($l_shipdate - 1990-01-01 00:00:00)::total_days
+          |plus_week: $l_shipdate + 1::weeks
+          |""".stripMargin
+      )),
+    "q09_strptime" -> ((s, dir) =>
+      Dftly.select(
+        t(s, dir, "orders"),
+        """o_orderkey: $o_orderkey
+          |date_str: $o_orderdate::str
+          |reparsed: ($o_orderdate::str)::"%Y-%m-%d %H:%M:%S"
+          |date_only: (($o_orderdate::str)[0:10])::"%Y-%m-%d"
+          |""".stripMargin
+      )),
+    "q10_settime" -> ((s, dir) =>
+      Dftly.select(
+        t(s, dir, "orders"),
+        """o_orderkey: $o_orderkey
+          |at_1130: ($o_orderdate::date) @ 11:30
+          |""".stripMargin
+      )),
+    "q11_units" -> ((s, dir) =>
+      Dftly.select(
+        t(s, dir, "lineitem"),
+        """l_orderkey: $l_orderkey
+          |l_linenumber: $l_linenumber
+          |qty_min_secs: ($l_quantity::int32)::minutes::total_seconds
+          |qty_hr_mins: ($l_quantity::int32)::hours::total_minutes
+          |ln_year: $l_linenumber::year
+          |""".stripMargin
+      )),
+    // hash bits are engine-specific (SURVEY.md §2.8.1): no SQL oracle; the
+    // driver records a rows-only check.
+    "q12_hash" -> ((s, dir) =>
+      Dftly.select(
+        t(s, dir, "customer"),
+        """c_custkey: $c_custkey
+          |h: hash($c_name)
+          |sh: signed_hash($c_name)
+          |hnull: hash($c_mktsegment::?int32)
+          |""".stripMargin
+      ))
+  )
+
+  /** DuckDB oracle per query (same parquet tables, same column names). */
+  def oracleSql: Map[String, String] = Map(
+    "q01_arith" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  l_extendedprice * (1 - l_discount) AS revenue,
+        |  l_extendedprice * (1 - l_discount) * (1 + l_tax) AS charge,
+        |  l_quantity - 10 AS qdiff,
+        |  l_quantity / 2 AS half_q,
+        |  -l_discount AS neg_disc,
+        |  power(2, l_linenumber) AS pow2
+        |FROM lineitem""".stripMargin,
+    "q02_logic" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  (l_quantity >= 30 AND l_discount < 0.05) AS is_big,
+        |  (l_returnflag = 'R') AS is_r,
+        |  (l_returnflag = 'R' OR l_linestatus = 'F') AS flag_or,
+        |  NOT (l_quantity >= 30) AS not_big,
+        |  (l_returnflag <> l_linestatus) AS neq,
+        |  least(l_quantity, l_extendedprice) AS minv,
+        |  greatest(l_quantity, l_extendedprice) AS maxv,
+        |  (l_quantity + l_extendedprice + l_discount) / 3 AS meanv
+        |FROM lineitem""".stripMargin,
+    "q03_conditional" ->
+      """SELECT o_orderkey,
+        |  CASE WHEN o_orderstatus = 'O' THEN 'open'
+        |       WHEN o_orderstatus = 'F' THEN 'final'
+        |       ELSE 'partial' END AS status_desc,
+        |  CASE WHEN o_totalprice > 150000 THEN o_totalprice END AS maybe_high,
+        |  coalesce(CASE WHEN o_totalprice > 150000 THEN o_totalprice END, 0) AS high_or_zero
+        |FROM orders""".stripMargin,
+    "q04_strings" ->
+      """SELECT p_partkey,
+        |  CAST(length(p_name) AS BIGINT) AS name_len,
+        |  substr(p_name, 1, 8) AS name_start,
+        |  right(p_name, 4) AS name_end,
+        |  p_brand || '#' || CAST(p_size AS VARCHAR) AS brand_sz,
+        |  string_split(p_type, ' ') AS type_words,
+        |  substr(p_name, 1, 3) AS first3
+        |FROM part""".stripMargin,
+    "q05_regex" ->
+      """SELECT o_orderkey,
+        |  TRY_CAST(regexp_extract(o_orderpriority, '^(\d+)-', 1) AS INTEGER) AS prio_num,
+        |  regexp_matches(o_orderpriority, 'URGENT') AS is_urgent,
+        |  CASE WHEN regexp_matches(o_orderpriority, '[A-Z]+$')
+        |       THEN regexp_extract(o_orderpriority, '[A-Z]+$') END AS prio_word
+        |FROM orders""".stripMargin,
+    "q06_cast" ->
+      """SELECT c_custkey,
+        |  CAST(c_custkey AS VARCHAR) AS key_str,
+        |  CAST(CAST(c_custkey AS VARCHAR) AS BIGINT) AS key_back,
+        |  TRY_CAST(c_mktsegment AS INTEGER) AS seg_int_null,
+        |  CAST(c_nationkey AS BIGINT) AS nation_long,
+        |  CAST(c_nationkey AS SMALLINT) AS nation_short
+        |FROM customer""".stripMargin,
+    "q07_datetime" ->
+      """SELECT o_orderkey,
+        |  CAST(year(o_orderdate) AS BIGINT) AS yr,
+        |  CAST(month(o_orderdate) AS BIGINT) AS mo,
+        |  CAST(day(o_orderdate) AS BIGINT) AS dom,
+        |  CAST(isodow(o_orderdate) AS BIGINT) AS dow,
+        |  CAST(dayofyear(o_orderdate) AS BIGINT) AS doy,
+        |  CAST(week(o_orderdate) AS BIGINT) AS wk,
+        |  CAST(quarter(o_orderdate) AS BIGINT) AS qtr,
+        |  CAST(hour(o_orderdate) AS BIGINT) AS hr
+        |FROM orders""".stripMargin,
+    "q08_duration" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  date_diff('second', TIMESTAMP '1990-01-01', l_shipdate) AS age_secs,
+        |  CAST(floor(date_diff('second', TIMESTAMP '1990-01-01', l_shipdate) / 3600.0) AS BIGINT) AS age_hours,
+        |  CAST(floor(date_diff('second', TIMESTAMP '1990-01-01', l_shipdate) / 86400.0) AS BIGINT) AS age_days,
+        |  l_shipdate + INTERVAL 7 DAY AS plus_week
+        |FROM lineitem""".stripMargin,
+    "q09_strptime" ->
+      """SELECT o_orderkey,
+        |  CAST(o_orderdate AS VARCHAR) AS date_str,
+        |  strptime(CAST(o_orderdate AS VARCHAR), '%Y-%m-%d %H:%M:%S') AS reparsed,
+        |  CAST(strptime(substr(CAST(o_orderdate AS VARCHAR), 1, 10), '%Y-%m-%d') AS DATE) AS date_only
+        |FROM orders""".stripMargin,
+    "q10_settime" ->
+      """SELECT o_orderkey,
+        |  CAST(o_orderdate AS DATE) + TIME '11:30:00' AS at_1130
+        |FROM orders""".stripMargin,
+    "q11_units" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  CAST(CAST(l_quantity AS INTEGER) * 60 AS BIGINT) AS qty_min_secs,
+        |  CAST(CAST(l_quantity AS INTEGER) * 60 AS BIGINT) AS qty_hr_mins,
+        |  make_date(l_linenumber, 1, 1) AS ln_year
+        |FROM lineitem""".stripMargin
+  )
 }

@@ -1,0 +1,62 @@
+package graft.dftly
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.types.StructType
+
+/** Public API — the Spark-native equivalent of the reference's `Parser`
+  * entry points (reference: src/dftly/parser.py:224-384).
+  *
+  *   - `toColumns(yaml)`         ≙ `Parser.to_polars(yaml)` — the main API
+  *   - `expr(s)`                 ≙ `Parser.expr_to_polars(s)`
+  *   - `parse(value)`            ≙ `Parser()(value)` — programmatic core
+  *   - `select(df, yaml)`        ≙ `df.select(**Parser.to_polars(yaml))`
+  *
+  * All three input forms are accepted everywhere: string form (parsed by the
+  * Lark-equivalent grammar), dict/YAML base form (short or resolved), and
+  * class form ([[Node]] instances pass through).
+  */
+object Dftly {
+
+  /** YAML text / pre-loaded map → ordered (outputName, Column) pairs. */
+  def toColumns(yaml: String): Seq[(String, Column)] = toColumns(yaml, None)
+
+  def toColumns(yaml: String, schema: Option[StructType]): Seq[(String, Column)] =
+    Yaml.loadExprMap(yaml).map { case (name, v) =>
+      name -> Compiler.compile(DictParser.parse(v), schema).as(name)
+    }
+
+  /** Programmatic form: an already-loaded ordered map (or any Scala Map). */
+  def toColumns(exprs: Seq[(String, Any)], schema: Option[StructType]): Seq[(String, Column)] =
+    exprs.map { case (name, v) =>
+      name -> Compiler.compile(DictParser.parse(v), schema).as(name)
+    }
+
+  /** Parse any supported form into the AST (reference: parser.py:178-222). */
+  def parse(value: Any): Node = DictParser.parse(value)
+
+  /** Single string-form expression → Column (reference: parser.py:357-384). */
+  def expr(s: String): Column = Compiler.compile(parse(s), None)
+
+  /** Compile one parsed node against an optional input schema. */
+  def compile(node: Node, schema: Option[StructType] = None): Column =
+    Compiler.compile(node, schema)
+
+  /** Apply a YAML op-map to a dataframe in a single `select` — the flagship
+    * usage (reference: README.md:80-93). The dataframe's schema drives the
+    * type-directed `+` (string concat vs numeric add) dispatch.
+    */
+  def select(df: DataFrame, yaml: String): DataFrame = {
+    val cols = toColumns(yaml, Some(df.schema))
+    df.select(cols.map(_._2): _*)
+  }
+
+  def select(df: DataFrame, exprs: Seq[(String, Any)]): DataFrame = {
+    val cols = toColumns(exprs, Some(df.schema))
+    df.select(cols.map(_._2): _*)
+  }
+
+  /** Columns referenced by an expression in any form — useful for pre-flight
+    * schema checks (reference: base.py:421-445).
+    */
+  def referencedColumns(value: Any): Set[String] = parse(value).referencedColumns
+}
