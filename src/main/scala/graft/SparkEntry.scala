@@ -1,8 +1,10 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 import graft.dftly.Dftly
+import graft.ops.{Dedup, Similarity, TextStats}
 
 /** Driver contract — one query per implemented operator family from
   * SURVEY.md §2, each expressed as a dftly YAML op-map applied with
@@ -161,8 +163,57 @@ object SparkEntry {
           |sh: signed_hash($c_name)
           |hnull: hash($c_mktsegment::?int32)
           |""".stripMargin
-      ))
+      )),
+
+    // ---- beyond-reference pipeline operators (graft.ops) ----
+    "q13_dedup_exact" -> ((s, dir) =>
+      Dedup.markExactDuplicates(t(s, dir, "documents"), "doc_id", Seq("text"))
+        .select(col("doc_id"), col("is_dup"))),
+    "q14_textstats" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      d.select(
+        col("doc_id"),
+        TextStats.tokenCountWs(col("text")).cast("long").as("tok_ws"),
+        TextStats.tokenCountBpe(col("text")).cast("long").as("tok_bpe"),
+        round(TextStats.punctRatio(col("text")), 6).as("punct_ratio"),
+        round(TextStats.stopwordRatio(col("text"), TextStats.EnglishStopwords), 6)
+          .as("stop_ratio"),
+        TextStats.langId(col("text")).as("lang_id"),
+        round(TextStats.qualityScore(col("text"), col("n_chars")), 6).as("quality")
+      )
+    }),
+    "q15_ann_scores" -> ((s, dir) =>
+      Similarity.scoreAgainst(t(s, dir, "embeddings"), "embedding", AnnQueryVec)
+        .select(col("vec_id"), round(col("score"), 6).as("score"))),
+    "q16_ann_topk" -> ((s, dir) =>
+      Similarity.bruteForceTopK(t(s, dir, "embeddings"), "vec_id", "embedding", AnnQueryVec, 20)
+        .select(col("vec_id"), round(col("score"), 6).as("score"))),
+    // LSH candidate generation uses xxhash64 banding — engine-specific →
+    // rows-only driver check; recall is covered by OpsSpec's planted-dup test.
+    "q17_minhash_pairs" -> ((s, dir) =>
+      Dedup.nearDuplicatePairs(t(s, dir, "documents"), "doc_id", "text", threshold = 0.5)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))),
+    "q18_fingerprint" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), TextStats.fingerprint(col("text")).as("fp"))),
+    "q19_cosine_neardup" -> ((s, dir) =>
+      Similarity.cosineNearDuplicatePairs(
+        t(s, dir, "embeddings"), "vec_id", "embedding", threshold = 0.95, dim = 64)
+        .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine")))
   )
+
+  /** Fixed deterministic query vector for the ANN queries (inlined into the
+    * DuckDB oracle below).
+    */
+  val AnnQueryVec: Seq[Float] = (0 until 64).map(i => ((i % 7) - 3) / 10.0f)
+
+  private def annVecSql: String =
+    AnnQueryVec.map(f => f.toString).mkString("[", ", ", "]")
+
+  private val langMarkerSql: Map[String, String] =
+    (TextStats.LangMarkers :+ ("stop" -> TextStats.EnglishStopwords)).map {
+      case (lang, words) => lang -> words.map(w => s"'$w'").mkString("[", ", ", "]")
+    }.toMap
 
   /** DuckDB oracle per query (same parquet tables, same column names). */
   def oracleSql: Map[String, String] = Map(
@@ -251,6 +302,52 @@ object SparkEntry {
         |  CAST(CAST(l_quantity AS INTEGER) * 60 AS BIGINT) AS qty_min_secs,
         |  CAST(CAST(l_quantity AS INTEGER) * 60 AS BIGINT) AS qty_hr_mins,
         |  make_date(l_linenumber, 1, 1) AS ln_year
-        |FROM lineitem""".stripMargin
+        |FROM lineitem""".stripMargin,
+    "q13_dedup_exact" ->
+      """SELECT doc_id,
+        |  doc_id <> min(doc_id) OVER (PARTITION BY text) AS is_dup
+        |FROM documents""".stripMargin,
+    "q14_textstats" ->
+      s"""SELECT doc_id,
+         |  CAST(length(string_split(text, ' ')) AS BIGINT) AS tok_ws,
+         |  CAST(length(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS tok_bpe,
+         |  round(CASE WHEN length(text) = 0 THEN 0.0
+         |        ELSE CAST(length(regexp_extract_all(text, '[^\\w\\s]')) AS DOUBLE) / length(text) END, 6) AS punct_ratio,
+         |  round(CASE WHEN length(string_split(text, ' ')) = 0 THEN 0.0
+         |        ELSE CAST(length(list_intersect(string_split(text, ' '), ${langMarkerSql("stop")})) AS DOUBLE)
+         |             / length(string_split(text, ' ')) END, 6) AS stop_ratio,
+         |  CASE
+         |    WHEN s_en = best AND best > 0 THEN 'en'
+         |    WHEN s_es = best AND best > 0 THEN 'es'
+         |    WHEN s_de = best AND best > 0 THEN 'de'
+         |    WHEN s_fr = best AND best > 0 THEN 'fr'
+         |    ELSE 'und' END AS lang_id,
+         |  round(least(1.0, n_chars / 500.0) * 0.4
+         |      + least(1.0, (CASE WHEN length(string_split(text, ' ')) = 0 THEN 0.0
+         |          ELSE CAST(length(list_intersect(string_split(text, ' '), ${langMarkerSql("stop")})) AS DOUBLE)
+         |               / length(string_split(text, ' ')) END) * 4.0) * 0.4
+         |      + greatest(0.0, 1.0 - (CASE WHEN length(text) = 0 THEN 0.0
+         |          ELSE CAST(length(regexp_extract_all(text, '[^\\w\\s]')) AS DOUBLE) / length(text) END) * 5.0) * 0.2, 6) AS quality
+         |FROM (
+         |  SELECT *,
+         |    length(list_intersect(string_split(text, ' '), ${langMarkerSql("en")})) AS s_en,
+         |    length(list_intersect(string_split(text, ' '), ${langMarkerSql("es")})) AS s_es,
+         |    length(list_intersect(string_split(text, ' '), ${langMarkerSql("de")})) AS s_de,
+         |    length(list_intersect(string_split(text, ' '), ${langMarkerSql("fr")})) AS s_fr,
+         |    greatest(s_en, s_es, s_de, s_fr) AS best
+         |  FROM documents
+         |)""".stripMargin,
+    "q15_ann_scores" ->
+      s"""SELECT vec_id,
+         |  round(CASE WHEN list_sum(list_apply(embedding, x -> CAST(x AS DOUBLE) * x)) = 0
+         |             THEN 0.0
+         |             ELSE list_cosine_similarity(embedding::DOUBLE[], $annVecSql::DOUBLE[]) END, 6) AS score
+         |FROM embeddings""".stripMargin,
+    "q16_ann_topk" ->
+      s"""SELECT vec_id,
+         |  round(list_cosine_similarity(embedding::DOUBLE[], $annVecSql::DOUBLE[]), 6) AS score
+         |FROM embeddings
+         |ORDER BY list_cosine_similarity(embedding::DOUBLE[], $annVecSql::DOUBLE[]) DESC, vec_id
+         |LIMIT 20""".stripMargin
   )
 }

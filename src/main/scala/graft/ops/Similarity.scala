@@ -1,0 +1,152 @@
+package graft.ops
+
+import scala.util.Random
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Similarity search over an embedding column (`array<float>`).
+  *
+  *   - dot / norm / cosine are built-in higher-order-function expressions
+  *     (`zip_with` + `aggregate`), accumulated in double — no UDFs.
+  *   - brute-force top-k against a literal query vector compiles to
+  *     `TakeOrderedAndProject`: each partition keeps only its local top-k,
+  *     the driver merges k·p rows — no global sort, no full shuffle. This is
+  *     the correct baseline at any scale where k ≪ n.
+  *   - the scale path is random-hyperplane LSH: sign-bit signatures bucket
+  *     the vectors; candidate generation joins within buckets only. Plane
+  *     coefficients come from a fixed seed so results are deterministic.
+  */
+object Similarity {
+
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
+      lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column =
+    sqrt(aggregate(a, lit(0.0), (acc, v) => acc + v.cast(DoubleType) * v.cast(DoubleType)))
+
+  def cosine(a: Column, b: Column): Column = {
+    val d = norm(a) * norm(b)
+    when(d === 0, lit(0.0)).otherwise(dot(a, b) / d)
+  }
+
+  /** Cosine of every row against a fixed query vector. */
+  def scoreAgainst(df: DataFrame, vecCol: String, query: Seq[Float]): DataFrame = {
+    val q = lit(query.toArray)
+    df.withColumn("score", cosine(col(vecCol), q))
+  }
+
+  /** Brute-force top-k by cosine against a literal query. `orderBy.limit`
+    * lowers to TakeOrderedAndProject (per-partition top-k + driver merge).
+    */
+  def bruteForceTopK(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      query: Seq[Float],
+      k: Int
+  ): DataFrame =
+    scoreAgainst(df, vecCol, query)
+      .select(col(idCol), col("score"))
+      .orderBy(col("score").desc, col(idCol))
+      .limit(k)
+
+  /** Deterministic pseudo-random hyperplanes (fixed seed). */
+  private[ops] def hyperplanes(numPlanes: Int, dim: Int, seed: Long = 42L): Array[Array[Double]] = {
+    val rnd = new Random(seed)
+    Array.fill(numPlanes)(Array.fill(dim)(rnd.nextGaussian()))
+  }
+
+  /** Sign-bit LSH signature: bit `i` is set when `v · plane_i > 0`. Packed
+    * into a Long (numPlanes ≤ 63).
+    */
+  def signBitSignature(vec: Column, planes: Array[Array[Double]]): Column =
+    planes.zipWithIndex.map { case (p, i) =>
+      when(dot(vec, lit(p)) > 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** Candidate pairs from shared sign-bit buckets, verified by exact cosine ≥
+    * `threshold`. Multi-probe: `numTables` independent plane sets, a pair
+    * qualifies by matching in any table — the standard recall/bucket-size
+    * trade.
+    */
+  def cosineNearDuplicatePairs(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double,
+      dim: Int,
+      planesPerTable: Int = 12,
+      numTables: Int = 4,
+      maxBucketSize: Int = 2000
+  ): DataFrame = {
+    val tables = (0 until numTables).map { t =>
+      struct(lit(t).as("table"),
+        signBitSignature(col(vecCol), hyperplanes(planesPerTable, dim, seed = 42L + t)).as("sig"))
+    }
+    val buckets = df
+      .select(col(idCol).as("id"), explode(array(tables: _*)).as("ts"))
+      .select(col("id"), col("ts.table"), col("ts.sig"))
+    val sized = buckets
+      .withColumn("bucket_n",
+        count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("table"), col("sig"))))
+      .filter(col("bucket_n") <= maxBucketSize)
+      .drop("bucket_n")
+    val cands = sized.as("a")
+      .join(sized.as("b"),
+        col("a.table") === col("b.table") && col("a.sig") === col("b.sig") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    val vecs = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+    cands
+      .join(vecs.withColumnRenamed("id", "id_a").withColumnRenamed("v", "v_a"), "id_a")
+      .join(vecs.withColumnRenamed("id", "id_b").withColumnRenamed("v", "v_b"), "id_b")
+      .withColumn("cosine", cosine(col("v_a"), col("v_b")))
+      .filter(col("cosine") >= threshold)
+      .select("id_a", "id_b", "cosine")
+  }
+
+  /** IVF-style bucketed top-k: assign every vector to its nearest of
+    * `centroids`, probe only the query's `nProbe` nearest cells. Centroids
+    * are caller-provided (e.g. sampled + refined offline); assignment is a
+    * per-row argmax over a literal array — broadcast-free, shuffle-free.
+    */
+  def ivfTopK(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      centroids: Array[Array[Double]],
+      query: Seq[Float],
+      k: Int,
+      nProbe: Int = 2
+  ): DataFrame = {
+    def nearestCell(vec: Column): Column = {
+      val dists = centroids.zipWithIndex.map { case (c, i) =>
+        struct(
+          aggregate(zip_with(vec, lit(c), (x, y) => {
+            val d = x.cast(DoubleType) - y
+            d * d
+          }), lit(0.0), (acc, v) => acc + v).as("dist"),
+          lit(i).as("cell"))
+      }
+      array_min(array(dists: _*)).getField("cell")
+    }
+    val qArr = query.map(_.toDouble).toArray
+    val probeCells = centroids.zipWithIndex
+      .map { case (c, i) =>
+        (i, c.zip(qArr).map { case (x, y) => (x - y) * (x - y) }.sum)
+      }
+      .sortBy(_._2)
+      .take(nProbe)
+      .map(_._1)
+    scoreAgainst(df.withColumn("__cell", nearestCell(col(vecCol))), vecCol, query)
+      .filter(col("__cell").isin(probeCells: _*))
+      .select(col(idCol), col("score"))
+      .orderBy(col("score").desc, col(idCol))
+      .limit(k)
+  }
+}

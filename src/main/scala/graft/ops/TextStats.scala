@@ -1,0 +1,123 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Text-analysis operators for large-scale training-data pipelines: token
+  * counting, quality scoring, language ID, document fingerprinting.
+  *
+  * Everything is a pure `Column` expression over built-in functions
+  * (higher-order functions where per-token work is needed) — no UDFs, fully
+  * distributed, no shuffle: these are per-row map operations that scale
+  * linearly with partitions at any data size.
+  */
+object TextStats {
+
+  /** Whitespace tokens. */
+  def tokens(text: Column): Column = split(text, "\\s+")
+
+  /** Whitespace token count. */
+  def tokenCountWs(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish token count: word pieces + standalone punctuation, the usual
+    * pre-tokenizer regex shape.
+    */
+  def tokenCountBpe(text: Column): Column =
+    size(regexp_extract_all(text, lit("""[A-Za-z0-9]+|[^A-Za-z0-9\s]"""), lit(0)))
+
+  /** Characters of punctuation / total characters (0 for empty). */
+  def punctRatio(text: Column): Column = {
+    val n = length(text)
+    when(n === 0, lit(0.0))
+      .otherwise(size(regexp_extract_all(text, lit("""[^\w\s]"""), lit(0))).cast(DoubleType) / n)
+  }
+
+  /** Fraction of tokens that are (deduplicated) stopwords — the classic
+    * quality heuristic: natural language has a stable stopword density,
+    * boilerplate and word salad don't.
+    */
+  def stopwordRatio(text: Column, stopwords: Seq[String]): Column = {
+    val toks = tokens(text)
+    when(size(toks) === 0, lit(0.0)).otherwise(
+      size(array_intersect(toks, lit(stopwords.toArray))).cast(DoubleType) / size(toks)
+    )
+  }
+
+  /** Mean token length — crude signal for tokenizer-hostile content. */
+  def meanTokenLength(text: Column): Column = {
+    val toks = tokens(text)
+    when(size(toks) === 0, lit(0.0)).otherwise(
+      aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast(DoubleType) / size(toks)
+    )
+  }
+
+  /** English stopword list used by [[qualityScore]]'s default. */
+  val EnglishStopwords: Seq[String] = Seq(
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+    "that", "for", "on", "with", "as", "at", "by", "be", "this", "are"
+  )
+
+  /** Composite quality score in [0,1]: length saturation, stopword presence,
+    * penalty for extreme punctuation density. Weights are fixed so the score
+    * is deterministic and oracle-checkable.
+    */
+  def qualityScore(text: Column, nChars: Column): Column = {
+    val lengthScore = least(lit(1.0), nChars.cast(DoubleType) / 500.0)
+    val stopScore = least(lit(1.0), stopwordRatio(text, EnglishStopwords) * 4.0)
+    val punctPenalty = greatest(lit(0.0), lit(1.0) - punctRatio(text) * 5.0)
+    round(lengthScore * 0.4 + stopScore * 0.4 + punctPenalty * 0.2, 6)
+  }
+
+  /** Tiny per-language marker-word lists for the n-gram/stopword language-ID
+    * heuristic. Deliberately small and fixed: the score is
+    * `|tokens ∩ markers|`, argmax over languages, `und` on an all-zero tie.
+    */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "that", "for", "with", "it"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "los", "por", "con"),
+    "de" -> Seq("der", "die", "und", "das", "ist", "von", "mit", "den", "ein", "nicht"),
+    "fr" -> Seq("le", "la", "de", "et", "les", "des", "est", "un", "une", "dans")
+  )
+
+  /** Language ID: highest marker overlap wins; ties break in [[LangMarkers]]
+    * order; no overlap at all → "und".
+    */
+  def langId(text: Column): Column = {
+    val toks = tokens(text)
+    val scores = LangMarkers.map { case (lang, words) =>
+      lang -> size(array_intersect(toks, lit(words.toArray)))
+    }
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    scores.foldRight(lit("und"): Column) { case ((lang, score), fallback) =>
+      when(score === best && best > 0, lit(lang)).otherwise(fallback)
+    }
+  }
+
+  /** Order-sensitive rolling-hash fingerprint of the token stream, mod a
+    * 31-bit prime so the polynomial accumulation never overflows Long under
+    * ANSI arithmetic. Deterministic across runs and partitionings (pure
+    * per-row fold).
+    */
+  def fingerprint(text: Column): Column = {
+    val p = 1000000007L
+    aggregate(
+      tokens(text),
+      lit(0L),
+      (acc, t) => (acc * 1000003L + pmod(xxhash64(t), lit(p))) % p
+    )
+  }
+
+  /** All stats in one pass (single projection — one scan at any scale). */
+  def withTextStats(df: DataFrame, textCol: String): DataFrame =
+    df.select(
+      df.columns.map(col) ++ Seq(
+        tokenCountWs(col(textCol)).as("token_count_ws"),
+        tokenCountBpe(col(textCol)).as("token_count_bpe"),
+        punctRatio(col(textCol)).as("punct_ratio"),
+        stopwordRatio(col(textCol), EnglishStopwords).as("stopword_ratio"),
+        langId(col(textCol)).as("lang_id"),
+        fingerprint(col(textCol)).as("fingerprint")
+      ): _*
+    )
+}
