@@ -199,7 +199,10 @@ object SparkEntry {
     "q19_cosine_neardup" -> ((s, dir) =>
       Similarity.cosineNearDuplicatePairs(
         t(s, dir, "embeddings"), "vec_id", "embedding", threshold = 0.95, dim = 64)
-        .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine")))
+        .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))),
+    "q20_simhash_pairs" -> ((s, dir) =>
+      Dedup.simhashNearDuplicatePairs(t(s, dir, "documents"), "doc_id", "text", maxHamming = 8)
+        .select(col("id_a"), col("id_b"), col("hamming")))
   )
 
   /** Fixed deterministic query vector for the ANN queries (inlined into the

@@ -128,14 +128,14 @@ object Dedup {
   ): DataFrame = {
     val rowsPerBand = numHashes / bands
     require(bands * rowsPerBand == numHashes, "bands must divide numHashes")
-    // Staged projections: each intermediate is materialized once per row.
-    // Folding these into one expression tree re-evaluates every inner stage
-    // per outer reference (HOFs are interpreted, no CSE) — measured 300×
-    // slower on sf0.01 before staging.
+    // Staged projections: each intermediate is materialized once per row
+    // (folding them into one tree re-evaluates every inner stage per outer
+    // reference — HOFs are interpreted, no CSE; measured 300× slower). The
+    // signature itself uses the fused native expression (codegen'd one-pass
+    // kernel, ~k·n multiply-adds; see graft.ops.expr.MinHashSignature).
     val buckets = df
       .select(col(idCol).as("id"), shingles(col(textCol), shingleN).as("sh"))
-      .select(col("id"), shingleHashes(col("sh")).as("hs"))
-      .select(col("id"), minhashSignature(col("hs"), numHashes).as("sig"))
+      .select(col("id"), graft.ops.expr.NativeSig.minhashSignature(col("sh"), numHashes).as("sig"))
       .select(col("id"), explode(lshBandHashes(col("sig"), bands, rowsPerBand)).as("bb"))
       .select(col("id"), col("bb.band"), col("bb.band_hash"))
     val sized = buckets
@@ -182,6 +182,55 @@ object Dedup {
       .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
+  }
+
+  // ------------------------------------------------------------------
+  // SimHash
+  // ------------------------------------------------------------------
+
+  /** SimHash near-duplicate pairs. 64-bit signatures via the native codegen
+    * expression; candidate generation uses the pigeonhole banding: with the
+    * signature cut into `maxHamming + 1` chunks, any pair within `maxHamming`
+    * bit flips shares at least one exact chunk. Verification is
+    * `bit_count(a ^ b) <= maxHamming` — cheap enough to run on every
+    * candidate. Same skew cap as MinHash LSH.
+    */
+  def simhashNearDuplicatePairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxHamming: Int = 3,
+      maxBucketSize: Int = 1000
+  ): DataFrame = {
+    val nChunks = maxHamming + 1
+    val chunkBits = 64 / nChunks
+    val sigs = df
+      .select(col(idCol).as("id"), split(col(textCol), "\\s+").as("toks"))
+      .select(col("id"), graft.ops.expr.NativeSig.simhash64(col("toks")).as("sig"))
+    val chunks = sigs.select(
+      col("id"), col("sig"),
+      explode(array((0 until nChunks).map { c =>
+        struct(
+          lit(c).as("chunk"),
+          shiftrightunsigned(col("sig"), c * chunkBits)
+            .bitwiseAND(lit((1L << chunkBits) - 1)).as("chunk_val"))
+      }: _*)).as("cc"))
+      .select(col("id"), col("sig"), col("cc.chunk"), col("cc.chunk_val"))
+    val sized = chunks
+      .withColumn("bucket_n", count(lit(1)).over(
+        Window.partitionBy(col("chunk"), col("chunk_val"))))
+      .filter(col("bucket_n") <= maxBucketSize)
+      .drop("bucket_n")
+    sized.as("a")
+      .join(sized.as("b"),
+        col("a.chunk") === col("b.chunk") &&
+          col("a.chunk_val") === col("b.chunk_val") &&
+          col("a.id") < col("b.id"))
+      .select(
+        col("a.id").as("id_a"), col("b.id").as("id_b"),
+        bit_count(col("a.sig").bitwiseXOR(col("b.sig"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
   }
 
   /** Brute-force all-pairs n-gram Jaccard (reference implementation for

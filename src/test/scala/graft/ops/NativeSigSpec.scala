@@ -1,0 +1,80 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.dftly.SparkTestBase
+import graft.ops.expr.NativeSig
+
+class NativeSigSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  private lazy val docs = spark.read
+    .parquet("/root/testdata/sf0.001/documents.parquet")
+
+  test("native minhash == HOF minhash on real documents") {
+    val staged = docs
+      .select($"doc_id", Dedup.shingles($"text", 3).as("sh"))
+      .select($"doc_id", Dedup.shingleHashes($"sh").as("hs"), $"sh")
+      .select(
+        $"doc_id",
+        Dedup.minhashSignature($"hs", 16).as("hof"),
+        NativeSig.minhashSignature($"sh", 16).as("native")
+      )
+    val bad = staged.filter(!($"hof" === $"native")).count()
+    assert(bad == 0)
+  }
+
+  test("native minhash stays inside whole-stage codegen") {
+    val q = docs
+      .select(Dedup.shingles($"text", 3).as("sh"))
+      .select(NativeSig.minhashSignature($"sh", 64).as("sig"))
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("*(1)"), s"expected codegen:\n$plan")
+    assert(q.count() == docs.count())
+  }
+
+  test("simhash: identical tokens → identical sig; one word changed → small hamming") {
+    val df = Seq(
+      ("a", "the quick brown fox jumps over the lazy dog again and again today"),
+      ("b", "the quick brown fox jumps over the lazy dog again and again today"),
+      ("c", "the quick brown fox jumps over the lazy dog again and again tonight"),
+      ("d", "completely different words about spark query engines and columnar io")
+    ).toDF("id", "text")
+      .select($"id", NativeSig.simhash64(split($"text", "\\s+")).as("sig"))
+    val m = df.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(m("a") == m("b"))
+    def hamming(x: Long, y: Long) = java.lang.Long.bitCount(x ^ y)
+    assert(hamming(m("a"), m("c")) < 20)
+    assert(hamming(m("a"), m("c")) > 0)
+    assert(hamming(m("a"), m("d")) > hamming(m("a"), m("c")))
+  }
+
+  test("simhash near-dup pipeline finds planted duplicates, none spurious") {
+    val base = docs.limit(100).select($"doc_id", $"text")
+    // mutate one word in the middle — hamming stays small
+    val mutated = docs.limit(8).select(
+      ($"doc_id" + 100000L).as("doc_id"),
+      regexp_replace($"text", "^(\\S+ \\S+ \\S+) \\S+", "$1 zzzz").as("text"))
+    val all = base.union(mutated).cache()
+    try {
+      val pairs = Dedup.simhashNearDuplicatePairs(all, "doc_id", "text", maxHamming = 12)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      val planted = (0 until 8).map(i => (i.toLong, i + 100000L)).toSet
+      assert(planted.subsetOf(pairs), s"missed: ${planted -- pairs}")
+      // verify every reported pair really is within the hamming budget
+      val sigs = all.select($"doc_id",
+        NativeSig.simhash64(split($"text", "\\s+")).as("sig"))
+        .as[(Long, Long)].collect().toMap
+      pairs.foreach { case (x, y) =>
+        assert(java.lang.Long.bitCount(sigs(x) ^ sigs(y)) <= 12)
+      }
+    } finally all.unpersist()
+  }
+
+  test("type check rejects non-array input") {
+    val df = Seq("abc").toDF("s")
+    val e = intercept[Exception](df.select(NativeSig.simhash64($"s")).collect())
+    assert(e.getMessage.contains("simhash64") || e.getMessage.toLowerCase.contains("type"))
+  }
+}
