@@ -127,7 +127,19 @@ object Compiler {
         else cs.reduce(_ + _)
       case Subtract(l, r) => lower(l) - lower(r)
       case Multiply(args) => args.map(lower).reduce(_ * _)
-      case Divide(l, r)   => lower(l) / lower(r)
+      case Divide(l, r) =>
+        // Polars truediv follows IEEE-754: x/0 → ±Infinity, 0/0 → NaN
+        // (reference: arithmetic.py:353, pl.Expr.truediv). Spark 4's ANSI
+        // mode raises DIVIDE_BY_ZERO instead, so guard the zero-divisor case
+        // explicitly — CaseWhen branches evaluate lazily, the division never
+        // sees a zero divisor.
+        val ld = lower(l)
+        val rd = lower(r)
+        when(rd === 0,
+          when(ld > 0, lit(Double.PositiveInfinity))
+            .when(ld < 0, lit(Double.NegativeInfinity))
+            .when(ld === 0, lit(Double.NaN))
+        ).otherwise(ld / rd)
       case Power(b, e)    => pow(lower(b), lower(e))
       case Mean(args) =>
         // Horizontal null-skipping mean (pl.mean_horizontal): sum the non-null

@@ -117,8 +117,13 @@ object StrParser {
 
     private def advance(operandPos: Boolean): Unit = advanceAt(tok.end, operandPos)
 
+    /** Consume `sym`. The closers `)` and `]` put the parser in infix
+      * position — lexing the next token at operand position would read a
+      * following `/` as a regex-literal start (`($a / $b) / $c` must divide;
+      * lark's contextual lexer gets this from the parser state).
+      */
     private def expectOp(sym: String): Unit = tok match {
-      case TOp(`sym`, _, _) => advance(operandPos = true)
+      case TOp(`sym`, _, _) => advance(operandPos = sym != ")" && sym != "]")
       case other => throw new ParseError(s"expected '$sym' but found $other")
     }
 

@@ -32,6 +32,15 @@ class CompilerSpec extends SparkTestBase {
     assert(evalLit("1 + 2 - 3 * 4 / 8") == 1.5)
   }
 
+  test("division by zero follows Polars/IEEE: inf, -inf, NaN; null propagates") {
+    assert(evalLit("1 / 0") == Double.PositiveInfinity)
+    assert(evalLit("-1 / 0") == Double.NegativeInfinity)
+    assert(evalLit("0 / 0").asInstanceOf[Double].isNaN)
+    val df = Seq((None: Option[Double], Some(0.0))).toDF("a", "b")
+    assert(eval1("$a / $b", df) == null)
+    assert(eval1("$b / $a", df) == null)
+  }
+
   test("string + concatenates when operands are strings (schema-directed)") {
     val df = Seq(("ICD", "250.2")).toDF("prefix", "code")
     assert(eval1("$prefix + '//' + $code", df) == "ICD//250.2")
