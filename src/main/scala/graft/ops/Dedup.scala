@@ -23,6 +23,16 @@ import org.apache.spark.sql.types._
   */
 object Dedup {
 
+  /** CPU-dense per-row stages (signatures, shingling) need enough tasks even
+    * when the input is a few fat row-groups — a 1-row-group parquet file
+    * can't split, so a cluster would otherwise run the whole stage on one
+    * core. No-op when the scan already has enough splits.
+    */
+  private[ops] def ensureParallelism(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+
   // ------------------------------------------------------------------
   // Exact dedup
   // ------------------------------------------------------------------
@@ -111,6 +121,38 @@ object Dedup {
       )
     }: _*)
 
+  /** Distinct candidate pairs from a (id, key...) bucket table.
+    *
+    * Shape, chosen for 100 TB survival:
+    *   1. ONE groupBy shuffle (map-side partial collect_set) sizes every
+    *      bucket and applies the skew cap — boilerplate black-hole buckets
+    *      (quadratic pair blowup) are dropped before any pair exists;
+    *   2. surviving members re-explode linearly and self-join on the bucket
+    *      key — a codegen'd, spillable join that *streams* large buckets
+    *      instead of materializing B²/2-element arrays per bucket (measured
+    *      3× slower via in-bucket HOF pair expansion on collision-heavy
+    *      data), and the two sides reuse the same exchange.
+    * A window-count formulation would add a per-bucket sort for nothing.
+    */
+  private[ops] def bucketCandidatePairs(
+      buckets: DataFrame,
+      keyCols: Seq[String],
+      maxBucketSize: Int
+  ): DataFrame = {
+    val keys = keyCols.map(col)
+    val members = buckets
+      .groupBy(keys: _*)
+      .agg(collect_set(col("id")).as("ids"))
+      .filter(size(col("ids")).between(2, maxBucketSize))
+      .select(keys :+ explode(col("ids")).as("id"): _*)
+    members.as("a")
+      .join(members.as("b"),
+        keyCols.map(k => col(s"a.$k") === col(s"b.$k")).reduce(_ && _) &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+  }
+
   /** Candidate near-duplicate pairs (idA < idB) that share at least one LSH
     * band bucket.
     *
@@ -133,23 +175,12 @@ object Dedup {
     // reference — HOFs are interpreted, no CSE; measured 300× slower). The
     // signature itself uses the fused native expression (codegen'd one-pass
     // kernel, ~k·n multiply-adds; see graft.ops.expr.MinHashSignature).
-    val buckets = df
+    val buckets = ensureParallelism(df)
       .select(col(idCol).as("id"), shingles(col(textCol), shingleN).as("sh"))
       .select(col("id"), graft.ops.expr.NativeSig.minhashSignature(col("sh"), numHashes).as("sig"))
       .select(col("id"), explode(lshBandHashes(col("sig"), bands, rowsPerBand)).as("bb"))
       .select(col("id"), col("bb.band"), col("bb.band_hash"))
-    val sized = buckets
-      .withColumn("bucket_n", count(lit(1)).over(
-        Window.partitionBy(col("band"), col("band_hash"))))
-      .filter(col("bucket_n") <= maxBucketSize)
-      .drop("bucket_n")
-    sized.as("a")
-      .join(sized.as("b"),
-        col("a.band") === col("b.band") &&
-          col("a.band_hash") === col("b.band_hash") &&
-          col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .distinct()
+    bucketCandidatePairs(buckets, Seq("band", "band_hash"), maxBucketSize)
   }
 
   /** Exact n-gram Jaccard similarity between two shingle-set columns. */
@@ -175,7 +206,8 @@ object Dedup {
       maxBucketSize: Int = 1000
   ): DataFrame = {
     val cands = lshCandidatePairs(df, idCol, textCol, shingleN, numHashes, bands, maxBucketSize)
-    val sh = df.select(col(idCol).as("id"), shingles(col(textCol), shingleN).as("sh"))
+    val sh = ensureParallelism(df)
+      .select(col(idCol).as("id"), shingles(col(textCol), shingleN).as("sh"))
     cands
       .join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
       .join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
@@ -204,7 +236,7 @@ object Dedup {
   ): DataFrame = {
     val nChunks = maxHamming + 1
     val chunkBits = 64 / nChunks
-    val sigs = df
+    val sigs = ensureParallelism(df)
       .select(col(idCol).as("id"), split(col(textCol), "\\s+").as("toks"))
       .select(col("id"), graft.ops.expr.NativeSig.simhash64(col("toks")).as("sig"))
     val chunks = sigs.select(
@@ -216,21 +248,24 @@ object Dedup {
             .bitwiseAND(lit((1L << chunkBits) - 1)).as("chunk_val"))
       }: _*)).as("cc"))
       .select(col("id"), col("sig"), col("cc.chunk"), col("cc.chunk_val"))
-    val sized = chunks
-      .withColumn("bucket_n", count(lit(1)).over(
-        Window.partitionBy(col("chunk"), col("chunk_val"))))
-      .filter(col("bucket_n") <= maxBucketSize)
-      .drop("bucket_n")
-    sized.as("a")
-      .join(sized.as("b"),
+    // Skew-capped bucket membership in one groupBy; signatures (16 bytes)
+    // ride along so the hamming check is inline after the streaming
+    // self-join — no join-back stage (same shape as bucketCandidatePairs).
+    val members = chunks
+      .groupBy(col("chunk"), col("chunk_val"))
+      .agg(collect_set(struct(col("id"), col("sig"))).as("ms"))
+      .filter(size(col("ms")).between(2, maxBucketSize))
+      .select(col("chunk"), col("chunk_val"), explode(col("ms")).as("m"))
+    members.as("a")
+      .join(members.as("b"),
         col("a.chunk") === col("b.chunk") &&
           col("a.chunk_val") === col("b.chunk_val") &&
-          col("a.id") < col("b.id"))
+          col("a.m.id") < col("b.m.id"))
       .select(
-        col("a.id").as("id_a"), col("b.id").as("id_b"),
-        bit_count(col("a.sig").bitwiseXOR(col("b.sig"))).as("hamming"))
-      .distinct()
+        col("a.m.id").as("id_a"), col("b.m.id").as("id_b"),
+        bit_count(col("a.m.sig").bitwiseXOR(col("b.m.sig"))).as("hamming"))
       .filter(col("hamming") <= maxHamming)
+      .distinct()
   }
 
   /** Brute-force all-pairs n-gram Jaccard (reference implementation for

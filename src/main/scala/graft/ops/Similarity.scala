@@ -86,21 +86,13 @@ object Similarity {
       struct(lit(t).as("table"),
         signBitSignature(col(vecCol), hyperplanes(planesPerTable, dim, seed = 42L + t)).as("sig"))
     }
-    val buckets = df
+    val buckets = Dedup.ensureParallelism(df)
       .select(col(idCol).as("id"), explode(array(tables: _*)).as("ts"))
       .select(col("id"), col("ts.table"), col("ts.sig"))
-    val sized = buckets
-      .withColumn("bucket_n",
-        count(lit(1)).over(
-          org.apache.spark.sql.expressions.Window.partitionBy(col("table"), col("sig"))))
-      .filter(col("bucket_n") <= maxBucketSize)
-      .drop("bucket_n")
-    val cands = sized.as("a")
-      .join(sized.as("b"),
-        col("a.table") === col("b.table") && col("a.sig") === col("b.sig") &&
-          col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .distinct()
+    // Single-shuffle candidate generation with the in-bucket pair expansion
+    // (see Dedup.bucketCandidatePairs); vectors stay out of the shuffle and
+    // rejoin by id only for the cosine check.
+    val cands = Dedup.bucketCandidatePairs(buckets, Seq("table", "sig"), maxBucketSize)
     val vecs = df.select(col(idCol).as("id"), col(vecCol).as("v"))
     cands
       .join(vecs.withColumnRenamed("id", "id_a").withColumnRenamed("v", "v_a"), "id_a")
