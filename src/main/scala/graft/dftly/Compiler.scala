@@ -124,7 +124,15 @@ object Compiler {
       case add @ Add(args) =>
         val cs = args.map(lower)
         if (inferType(add, schema).contains(StringType) && args.size > 1) concat(cs: _*)
-        else cs.reduce(_ + _)
+        else {
+          val ts = args.map(inferType(_, schema))
+          val hasDate = ts.exists(_.contains(DateType))
+          val hasInterval = ts.exists(_.exists(_.isInstanceOf[DayTimeIntervalType]))
+          val sum = cs.reduce(_ + _)
+          // Polars Date + Duration stays a Date (reference README.md:118-131
+          // `days_later` is dtype date); Spark widens to timestamp — cast back.
+          if (hasDate && hasInterval) sum.cast(DateType) else sum
+        }
       case Subtract(l, r) => lower(l) - lower(r)
       case Multiply(args) => args.map(lower).reduce(_ * _)
       case Divide(l, r) =>
@@ -277,7 +285,10 @@ object Compiler {
         if (Types.DURATION_UNIT_SECONDS.contains(name)) {
           // numeric → duration via exact decimal seconds-per-unit
           // (reference: types.py:53-64; months/years approximations verbatim).
-          val perUnit = new java.math.BigDecimal(Types.DURATION_UNIT_SECONDS(name))
+          // valueOf uses the canonical decimal rendering — the BigDecimal
+          // double constructor would capture the exact binary expansion of
+          // 0.001 (~50 digits) and blow past decimal(38).
+          val perUnit = java.math.BigDecimal.valueOf(Types.DURATION_UNIT_SECONDS(name))
             .stripTrailingZeros()
           make_dt_interval(lit(0), lit(0), lit(0), src.cast(DecimalType(28, 9)) * lit(perUnit))
         } else if (Types.DATE_UNITS.contains(name)) {
