@@ -202,7 +202,42 @@ object SparkEntry {
         .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))),
     "q20_simhash_pairs" -> ((s, dir) =>
       Dedup.simhashNearDuplicatePairs(t(s, dir, "documents"), "doc_id", "text", maxHamming = 8)
-        .select(col("id_a"), col("id_b"), col("hamming")))
+        .select(col("id_a"), col("id_b"), col("hamming"))),
+    "q21_events" -> ((s, dir) => {
+      // events.ts is TIMESTAMP(NANOS) parquet, which Spark rejects outright
+      // (PARQUET_TYPE_ILLEGAL); read the raw nanos and truncate to µs — the
+      // same truncation DuckDB applies implicitly.
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val raw = t(s, dir, "events")
+      // `ts div 1000`: Long integer division — `/` would go through double,
+      // which cannot represent nanosecond epochs (> 2^53) exactly.
+      val ev = raw.withColumn("ts",
+        timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz"))
+      Dftly.select(
+        ev,
+        """event_id: $event_id
+          |k_val: '(extract group 1 of /"k": (\d+)/ from $props)::?int'
+          |is_err: $event_type == 'error'
+          |ev_hour: $ts::hour_of_day::int64
+          |ev_us: ($ts - 2024-01-01 00:00:00)::total_microseconds
+          |""".stripMargin
+      )
+    }),
+    // Config-driven relational pipeline (graft.pipeline): join + groupBy +
+    // aggregation verbs around the dftly expression core. Aggregates chosen
+    // to be FP-exact (integral sums, count, max) so the oracle hash-matches.
+    "q22_pipeline" -> ((s, dir) =>
+      graft.pipeline.Pipeline.runOnDir(s,
+        """source: lineitem
+          |steps:
+          |  - join: {table: orders, on: {l_orderkey: o_orderkey}, how: inner}
+          |  - filter: $o_orderstatus == 'F'
+          |  - groupBy: [l_returnflag]
+          |    agg:
+          |      total_qty: {sum: $l_quantity}
+          |      n: {count: "*"}
+          |      max_price: {max: $l_extendedprice}
+          |""".stripMargin, dir))
   )
 
   /** Fixed deterministic query vector for the ANN queries (inlined into the
@@ -351,6 +386,21 @@ object SparkEntry {
          |  round(list_cosine_similarity(embedding::DOUBLE[], $annVecSql::DOUBLE[]), 6) AS score
          |FROM embeddings
          |ORDER BY list_cosine_similarity(embedding::DOUBLE[], $annVecSql::DOUBLE[]) DESC, vec_id
-         |LIMIT 20""".stripMargin
+         |LIMIT 20""".stripMargin,
+    "q21_events" ->
+      """SELECT event_id,
+        |  TRY_CAST(regexp_extract(props, '"k": (\d+)', 1) AS INTEGER) AS k_val,
+        |  (event_type = 'error') AS is_err,
+        |  CAST(hour(ts) AS BIGINT) AS ev_hour,
+        |  date_diff('microsecond', TIMESTAMP '2024-01-01', ts) AS ev_us
+        |FROM events""".stripMargin,
+    "q22_pipeline" ->
+      """SELECT l_returnflag,
+        |  sum(l_quantity) AS total_qty,
+        |  count(*) AS n,
+        |  max(l_extendedprice) AS max_price
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderstatus = 'F'
+        |GROUP BY l_returnflag""".stripMargin
   )
 }

