@@ -134,6 +134,7 @@ case class SimHash64(child: Expression) extends UnaryExpression {
 }
 
 object NativeSig {
+  import org.apache.spark.sql.SparkSession
   import org.apache.spark.sql.graft.ColumnBridge
 
   /** Column API for [[MinHashSignature]]. */
@@ -143,4 +144,25 @@ object NativeSig {
   /** Column API for [[SimHash64]]. */
   def simhash64(tokens: Column): Column =
     ColumnBridge.column(SimHash64(ColumnBridge.expression(tokens)))
+
+  /** Register both as SQL functions: `simhash64(toks)`,
+    * `minhash_signature(toks, k)` (k must be a literal int).
+    */
+  def register(spark: SparkSession): Unit = {
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "simhash64", exprs => SimHash64(exprs.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "minhash_signature",
+      exprs => {
+        require(exprs.length == 2, "minhash_signature(tokens, numHashes)")
+        val k = exprs(1).eval() match {
+          case i: Int  => i
+          case l: Long => l.toInt
+          case other   => throw new IllegalArgumentException(
+            s"numHashes must be a literal integer; got $other")
+        }
+        MinHashSignature(exprs.head, k)
+      },
+      "built-in")
+  }
 }

@@ -1,0 +1,116 @@
+package graft.dftly
+
+import java.time.{LocalDate, LocalDateTime, LocalTime}
+
+import org.apache.spark.sql.Row
+
+/** Golden tests for the reference README's feature sections
+  * (reference: README.md:228-520): chaining casts, non-strict conversion,
+  * regex capture groups, f-string contents, position-based string ops,
+  * null-coalescing, literal columns.
+  */
+class GoldenReadme2Spec extends SparkTestBase {
+
+  import spark.implicits._
+
+  test("chaining casts: extract → int → year → datetime") {
+    val years = Seq("2003-2004", "2010-2011").toDF("admissionyeargroup")
+    val out = Dftly.select(years,
+      "admit_year: '(extract /2003|2010/ from $admissionyeargroup)::int::year::datetime'\n")
+    assert(out.collect().map(_.get(0)).toSeq == Seq(
+      LocalDateTime.of(2003, 1, 1, 0, 0), LocalDateTime.of(2010, 1, 1, 0, 0)))
+  }
+
+  test("non-strict conversion: ::?float64 and ::?strptime null out bad rows") {
+    val messy = Seq(
+      ("25", "2020-06-20"), ("1000 MG", "not a date"),
+      ("1.5E-3", "2021-01-05"), ("", "2019-12-31")
+    ).toDF("dose", "dod")
+    val out = Dftly.select(messy,
+      """numeric_value: $dose::?float64
+        |death_date: '$dod::?"%Y-%m-%d"'
+        |""".stripMargin).collect()
+    assert(out(0) == Row(25.0, java.sql.Date.valueOf("2020-06-20")))
+    assert(out(1) == Row(null, null))
+    assert(out(2) == Row(0.0015, java.sql.Date.valueOf("2021-01-05")))
+    assert(out(3) == Row(null, java.sql.Date.valueOf("2019-12-31")))
+  }
+
+  test("regex capture groups, chained and interpolated") {
+    val bands = Seq("40-49", "80+").toDF("agegroup")
+    val out = Dftly.select(bands,
+      """whole_match: extract /^[0-9]{2}/ from $agegroup
+        |age_lo: extract group 1 of /^([0-9]{2})/ from $agegroup
+        |age_hi: (extract group 1 of /([0-9]{2}).?$/ from $agegroup)::int
+        |span: 'f"{extract group 1 of /^([0-9]{2})/ from $agegroup} to {extract group 1 of /([0-9]{2}).?$/ from $agegroup}"'
+        |""".stripMargin).collect()
+    assert(out(0) == Row("40", "40", 49, "40 to 49"))
+    assert(out(1) == Row("80", "80", 80, "80 to 80"))
+  }
+
+  test("f-string field contents: casts, regex braces, ??, literal braces") {
+    val df = Seq((3.7, "12345", None: Option[String])).toDF("dose", "icd", "unit")
+    val out = Dftly.select(df,
+      """rounded: 'f"dose={$dose::int}"'
+        |dotted: 'f"{extract group 1 of /^([0-9]{3})/ from $icd}.{$icd[3:]}"'
+        |guarded: "f\"{$icd}//{$unit ?? 'UNK'}\""
+        |braced: 'f"{{{$icd}}}"'
+        |""".stripMargin).head
+    assert(out == Row("dose=3", "123.45", "12345//UNK", "{12345}"))
+  }
+
+  test("position-based string operations incl. the ICD dot pattern") {
+    val codes = Seq("12345", "1", "A420").toDF("code")
+    val out = Dftly.select(codes,
+      """length: len_chars($code)
+        |first_three: $code[0:3]
+        |trailing: $code[3:]
+        |last_two: $code[-2:]
+        |dotted: 'f"{$code[0:3]}.{$code[3:]}" if len_chars($code) > 3 else $code'
+        |""".stripMargin).collect()
+    assert(out(0) == Row(5, "123", "45", "45", "123.45"))
+    assert(out(1) == Row(1, "1", "", "1", "1"))
+    assert(out(2) == Row(4, "A42", "0", "20", "A42.0"))
+  }
+
+  test("?? null-coalescing table") {
+    val df = Seq(
+      (Some("x"), None: Option[String], None: Option[Int]),
+      (None, Some("y"), Some(5))
+    ).toDF("a", "b", "n")
+    val out = Dftly.select(df,
+      """filled: $a ?? 'UNK'
+        |count: $n ?? 0
+        |first_present: $a ?? $b ?? 'UNK'
+        |joined: "f\"{$a ?? 'UNK'}//{$b ?? 'UNK'}\""
+        |""".stripMargin).collect()
+    assert(out(0) == Row("x", 0, "x", "x//UNK"))
+    assert(out(1) == Row("UNK", 5, "y", "UNK//y"))
+  }
+
+  test("literal columns of every literal kind") {
+    val df = Seq(1).toDF("x")
+    val out = Dftly.select(df,
+      """str: '"hello"'
+        |int: '42'
+        |float: '3.14'
+        |bool: 'true'
+        |time: '11:30 a.m.'
+        |date: '2024-01-01'
+        |datetime: '2024-01-01 11:30 a.m.'
+        |""".stripMargin).head
+    assert(out.get(0) == "hello")
+    assert(out.get(1) == 42)
+    assert(out.get(2) == 3.14)
+    assert(out.get(3) == true)
+    assert(out.get(4) == LocalTime.of(11, 30))
+    assert(out.get(5) == java.sql.Date.valueOf("2024-01-01"))
+    assert(out.get(6) == LocalDateTime.of(2024, 1, 1, 11, 30))
+  }
+
+  test("backtick-quoted column names") {
+    val df = Seq(("mg", 5.0)).toDF("Unit Name", "v")
+    val out = Dftly.select(df, "u: $`Unit Name`\n")
+    assert(out.head.getString(0) == "mg")
+  }
+}

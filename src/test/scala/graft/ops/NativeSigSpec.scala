@@ -72,6 +72,18 @@ class NativeSigSpec extends SparkTestBase {
     } finally all.unpersist()
   }
 
+  test("SQL registration: functions usable from spark.sql") {
+    NativeSig.register(spark)
+    spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .createOrReplaceTempView("docs_sql")
+    val r = spark.sql(
+      """SELECT simhash64(split(text, '\\s+')) AS sh,
+        |       minhash_signature(split(text, '\\s+'), 8) AS mh
+        |FROM docs_sql LIMIT 3""".stripMargin).collect()
+    assert(r.length == 3)
+    assert(r.forall(row => row.getSeq[Long](1).length == 8))
+  }
+
   test("type check rejects non-array input") {
     val df = Seq("abc").toDF("s")
     val e = intercept[Exception](df.select(NativeSig.simhash64($"s")).collect())
