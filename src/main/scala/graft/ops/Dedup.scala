@@ -44,12 +44,20 @@ object Dedup {
     * kept.
     */
   def markExactDuplicates(df: DataFrame, idCol: String, keyCols: Seq[String]): DataFrame = {
-    val keeper = df
-      .groupBy(keyCols.map(col): _*)
+    // Group on a 128-bit content digest, not the content: at corpus scale the
+    // key columns are the documents themselves, and shuffling ~32-byte
+    // digests instead of full texts is the difference between shuffling
+    // hashes and shuffling the corpus. to_json(struct(...)) gives an
+    // unambiguous, null-distinguishing serialization of multi-column keys;
+    // md5 collisions at 2^64 rows are ~1e-20 — far below any storage BER.
+    val contentKey = md5(to_binary(to_json(struct(keyCols.map(col): _*)), lit("utf-8")))
+    val withKey = df.withColumn("__content_key", contentKey)
+    val keeper = withKey
+      .groupBy(col("__content_key"))
       .agg(min(col(idCol)).as("__keep_id"))
-    df.join(keeper, keyCols)
+    withKey.join(keeper, "__content_key")
       .withColumn("is_dup", col(idCol) =!= col("__keep_id"))
-      .drop("__keep_id")
+      .drop("__keep_id", "__content_key")
   }
 
   /** Exact dedup that keeps the first (min-id) row per distinct content. */
