@@ -219,7 +219,10 @@ object SparkEntry {
           |k_val: '(extract group 1 of /"k": (\d+)/ from $props)::?int'
           |is_err: $event_type == 'error'
           |ev_hour: $ts::hour_of_day::int64
+          |ev_min: $ts::minute_of_hour::int64
+          |ev_sec: $ts::second_of_minute::int64
           |ev_us: ($ts - 2024-01-01 00:00:00)::total_microseconds
+          |ev_ms: ($ts - 2024-01-01 00:00:00)::total_milliseconds
           |""".stripMargin
       )
     }),
@@ -392,7 +395,10 @@ object SparkEntry {
         |  TRY_CAST(regexp_extract(props, '"k": (\d+)', 1) AS INTEGER) AS k_val,
         |  (event_type = 'error') AS is_err,
         |  CAST(hour(ts) AS BIGINT) AS ev_hour,
-        |  date_diff('microsecond', TIMESTAMP '2024-01-01', ts) AS ev_us
+        |  CAST(minute(ts) AS BIGINT) AS ev_min,
+        |  CAST(second(ts) AS BIGINT) AS ev_sec,
+        |  date_diff('microsecond', TIMESTAMP '2024-01-01', ts) AS ev_us,
+        |  CAST(floor(date_diff('microsecond', TIMESTAMP '2024-01-01', ts) / 1000.0) AS BIGINT) AS ev_ms
         |FROM events""".stripMargin,
     "q22_pipeline" ->
       """SELECT l_returnflag,
