@@ -9,8 +9,8 @@ import org.apache.spark.sql.types._
   * verification — the standard near-dup stack for web-scale corpus cleaning.
   *
   * Scale design (the point of this engine):
-  *   - exact dedup is ONE shuffle, keyed on a 64-bit content hash, with
-  *     map-side partial aggregation; the raw content never shuffles.
+  *   - exact dedup shuffles a 128-bit content digest, never the content,
+  *     with map-side partial aggregation.
   *   - MinHash signatures are computed per-row with higher-order functions
   *     (no UDFs, no state); only (id, band, bandHash) triples — 24 bytes a
   *     row — enter the LSH shuffle, never the shingle sets.
@@ -213,12 +213,35 @@ object Dedup {
       shingleN: Int = 3,
       numHashes: Int = 64,
       bands: Int = 16,
-      maxBucketSize: Int = 1000
+      maxBucketSize: Int = 1000,
+      estimateMargin: Option[Double] = None
   ): DataFrame = {
     val cands = lshCandidatePairs(df, idCol, textCol, shingleN, numHashes, bands, maxBucketSize)
+    // OPTIONAL signature-estimate pre-filter: E[matching components / k] =
+    // Jaccard, σ ≈ √(j(1−j)/k) ≈ 0.06 at k=64, so `threshold − margin`
+    // discards banding false positives before the shingle-set join. Enable
+    // (margin ≈ 0.1) only when candidates are dominated by banding FPs —
+    // e.g. aggressive banding or boilerplate-heavy corpora; when most
+    // candidates are real (or few), the two extra signature joins cost more
+    // than they save (measured 4× slower on the sf0.1 corpus, where LSH
+    // yields only ~3.6k candidates).
+    val estFiltered = estimateMargin match {
+      case Some(margin) =>
+        val sigs = ensureParallelism(df)
+          .select(col(idCol).as("id"), shingles(col(textCol), shingleN).as("sh"))
+          .select(col("id"), graft.ops.expr.NativeSig.minhashSignature(col("sh"), numHashes).as("sig"))
+        val est = size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y),
+          b => b)).cast(DoubleType) / numHashes
+        cands
+          .join(sigs.withColumnRenamed("id", "id_a").withColumnRenamed("sig", "sig_a"), "id_a")
+          .join(sigs.withColumnRenamed("id", "id_b").withColumnRenamed("sig", "sig_b"), "id_b")
+          .filter(est >= threshold - margin)
+          .select("id_a", "id_b")
+      case None => cands
+    }
     val sh = ensureParallelism(df)
       .select(col(idCol).as("id"), shingles(col(textCol), shingleN).as("sh"))
-    cands
+    estFiltered
       .join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
       .join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
       .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))

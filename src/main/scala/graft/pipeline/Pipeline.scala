@@ -79,15 +79,42 @@ object Pipeline {
     case other => throw new IllegalArgumentException(s"$what must be a mapping; got $other")
   }
 
-  /** Run a pipeline over `resolve`-provided tables. */
+  /** Run a pipeline over `resolve`-provided tables. The `source` is a table
+    * name for `resolve`, or an inline reader spec
+    * `{format: csv|json|parquet|orc, path: ..., options: {...}}`.
+    */
   def run(spark: SparkSession, yaml: String, resolve: String => DataFrame): DataFrame = {
     val cfg = asMap(Yaml.load(yaml), "pipeline")
-    val src = cfg.getOrElse("source",
-      throw new IllegalArgumentException("pipeline needs a 'source'")).toString
+    val srcDf = cfg.getOrElse("source",
+      throw new IllegalArgumentException("pipeline needs a 'source'")) match {
+      case m: scala.collection.Map[_, _] =>
+        val sm = asMap(m, "source")
+        val reader = spark.read.format(sm.getOrElse("format", "parquet").toString)
+        val withOpts = sm.get("options") match {
+          case Some(o) => asMap(o, "options").foldLeft(reader) {
+            case (r, (k, v)) => r.option(k, v.toString)
+          }
+          case None => reader
+        }
+        withOpts.load(sm.getOrElse("path",
+          throw new IllegalArgumentException("inline source needs a 'path'")).toString)
+      case name => resolve(name.toString)
+    }
     val steps = asSeq(cfg.getOrElse("steps", Seq.empty))
-    steps.foldLeft(resolve(src)) { (df, rawStep) =>
+    val out = steps.foldLeft(srcDf) { (df, rawStep) =>
       applyStep(df, asMap(rawStep, "step"), resolve)
     }
+    // optional sink: {path, format: parquet, mode: overwrite, partitionBy: [...]}
+    cfg.get("sink").foreach { s =>
+      val sm = asMap(s, "sink")
+      var w = out.write
+        .format(sm.getOrElse("format", "parquet").toString)
+        .mode(sm.getOrElse("mode", "overwrite").toString)
+      sm.get("partitionBy").foreach(p => w = w.partitionBy(asSeq(p).map(_.toString): _*))
+      w.save(sm.getOrElse("path",
+        throw new IllegalArgumentException("sink needs a 'path'")).toString)
+    }
+    out
   }
 
   /** Convenience: tables resolved as `dir/<name>.parquet`. */

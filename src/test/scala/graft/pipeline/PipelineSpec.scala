@@ -82,6 +82,24 @@ class PipelineSpec extends SparkTestBase {
         .select("o_orderstatus").distinct().count())
   }
 
+  test("inline csv source and parquet sink round-trip") {
+    val tmp = java.nio.file.Files.createTempDirectory("pipe")
+    java.nio.file.Files.writeString(tmp.resolve("in.csv"), "id,v\n1,10\n2,20\n3,30\n")
+    val outPath = tmp.resolve("out").toString
+    Pipeline.run(spark,
+      s"""source: {format: csv, path: "$tmp/in.csv", options: {header: "true", inferSchema: "true"}}
+         |steps:
+         |  - withColumns:
+         |      doubled: $$v * 2
+         |  - filter: $$doubled > 20
+         |sink: {path: "$outPath", format: parquet, mode: overwrite}
+         |""".stripMargin,
+      n => throw new IllegalArgumentException(s"no table $n"))
+    val back = spark.read.parquet(outPath)
+    assert(back.count() == 2)
+    assert(back.select(org.apache.spark.sql.functions.sum("doubled")).head.getLong(0) == 100)
+  }
+
   test("unknown verb / missing source give clear errors") {
     val e1 = intercept[IllegalArgumentException](
       Pipeline.runOnDir(spark, "source: lineitem\nsteps:\n  - frobnicate: 1\n", dir))
