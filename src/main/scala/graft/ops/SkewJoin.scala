@@ -1,0 +1,44 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Manual key-salting for joins whose key distribution is too skewed even for
+  * AQE's skew-join splitting (AQE splits oversized *partitions*; a single
+  * hot key inside one partition can still pin one task).
+  *
+  * `left` (the big, skewed side) gets a deterministic salt in [0, factor)
+  * derived from a uniformly-distributed row attribute; `right` is replicated
+  * `factor`× so every (key, salt) pair finds its match. The join key becomes
+  * (key, salt) — the hot key's rows spread over `factor` tasks.
+  *
+  * Deterministic by construction (salt = xxhash64 of the carried columns),
+  * so results are reproducible run-to-run — important for verification
+  * pipelines. Cost: `factor`× duplication of the (small) right side; use for
+  * big-fact ⨝ medium-dim joins where the dim is too big to broadcast and the
+  * fact has hot keys.
+  */
+object SkewJoin {
+
+  def saltedEquiJoin(
+      left: DataFrame,
+      right: DataFrame,
+      leftKey: String,
+      rightKey: String,
+      factor: Int,
+      joinType: String = "inner"
+  ): DataFrame = {
+    require(factor >= 1, "salt factor must be >= 1")
+    // Salt from the hash of the whole left row: uniform, deterministic, and
+    // independent of the join key (salting BY the key would keep the hot key
+    // in one bucket).
+    val saltedLeft = left.withColumn(
+      "__salt", pmod(xxhash64(struct(left.columns.map(col): _*)), lit(factor)).cast("int"))
+    val saltedRight = right
+      .withColumn("__salt", explode(lit((0 until factor).toArray)))
+    val cond = saltedLeft(leftKey) === saltedRight(rightKey) &&
+      saltedLeft("__salt") === saltedRight("__salt")
+    saltedLeft.join(saltedRight, cond, joinType)
+      .drop(saltedLeft("__salt")).drop(saltedRight("__salt"))
+  }
+}

@@ -108,6 +108,48 @@ class GoldenReadme2Spec extends SparkTestBase {
     assert(out.get(6) == LocalDateTime.of(2024, 1, 1, 11, 30))
   }
 
+  test("cast strictness matrix (reference types.py doctests)") {
+    // ["25","1000 MG","","1.5E-3","+5","inf"] ::?float64
+    val df = Seq("25", "1000 MG", "", "1.5E-3", "+5", "inf").toDF("dose")
+    val got = Dftly.select(df, "v: $dose::?float64\n").collect().map(_.get(0))
+    assert(got(0) == 25.0 && got(1) == null && got(2) == null)
+    assert(got(3) == 0.0015 && got(4) == 5.0)
+    assert(got(5) == Double.PositiveInfinity)
+  }
+
+  test("duration construction matrix: strings, sub-second, fractional months/years") {
+    def secs(e: String): Any = {
+      val df = Seq(1).toDF("x")
+      Dftly.select(df, s"v: ($e)::total_seconds\n").head.get(0)
+    }
+    def micros(e: String): Any = {
+      val df = Seq(1).toDF("x")
+      Dftly.select(df, s"v: ($e)::total_microseconds\n").head.get(0)
+    }
+    assert(secs("3::days") == 3L * 86400)
+    assert(secs("3::minutes") == 180L)
+    assert(secs("'4'::weeks") == 28L * 86400) // string → duration
+    assert(micros("1500::milliseconds") == 1500000L)
+    assert(micros("1500::microseconds") == 1500L)
+    assert(micros("1500000::nanoseconds") == 1500L) // µs-precision (SURVEY §2.8.2)
+    // months/years approximations, fractional inputs, exact to the reference
+    assert(secs("1.5::years") == (1.5 * 365.25 * 86400).toLong)
+    assert(secs("-0.1::months") == -262980L)
+  }
+
+  test("cast construction errors match the reference") {
+    val e1 = intercept[Exception](Dftly.parse(Map("cast" -> Seq(Map("literal" -> "3")))))
+    assert(e1.getMessage.contains("exactly two positional arguments"))
+    val e2 = intercept[Exception](
+      Dftly.parse(Map("cast" -> Map("source" -> 3, "type" -> "int", "strict" -> "yes"))))
+    assert(e2.getMessage.contains("strict argument must be a boolean"))
+    val e3 = intercept[Exception](Dftly.parse("$x::notatype"))
+    assert(e3.getMessage.contains("Unsupported type: notatype"))
+    val e4 = intercept[Exception](
+      Dftly.parse(Map("cast" -> Map("source" -> 3, "type" -> "minutes", "strict" -> false))))
+    assert(e4.getMessage.contains("Non-strict casting is not supported for unit 'minutes'"))
+  }
+
   test("backtick-quoted column names") {
     val df = Seq(("mg", 5.0)).toDF("Unit Name", "v")
     val out = Dftly.select(df, "u: $`Unit Name`\n")

@@ -52,6 +52,20 @@ class Ops2Spec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("salted join matches the plain join and spreads a hot key") {
+    // 10k rows on ONE hot key + a tail, joined to a 100-row dim
+    val fact = ((1 to 10000).map(i => (1L, s"row$i")) ++
+      (1 to 500).map(i => ((i % 100).toLong, s"tail$i"))).toDF("k", "payload")
+    val dim = (0L until 100L).map(k => (k, s"dim$k")).toDF("dk", "attr")
+    val plain = fact.join(dim, fact("k") === dim("dk")).count()
+    val salted = SkewJoin.saltedEquiJoin(fact, dim, "k", "dk", factor = 8)
+    assert(salted.count() == plain)
+    // deterministic across runs
+    assert(SkewJoin.saltedEquiJoin(fact, dim, "k", "dk", 8).count() == plain)
+    // salt column does not leak into the output
+    assert(!salted.columns.contains("__salt"))
+  }
+
   test("warning parity: nested bare word and unindexed capture group warn on stderr") {
     val err = new ByteArrayOutputStream()
     Console.withErr(err) {
