@@ -226,6 +226,20 @@ object SparkEntry {
           |""".stripMargin
       )
     }),
+    // Multimodal plumbing: binary payloads (synthesized deterministically
+    // from document text) → typed per-partition batch decode (stub) →
+    // feature rows. Decode is engine-specific → rows-only driver check.
+    "q23_multimodal" -> ((s, dir) => {
+      import s.implicits._
+      val media = t(s, dir, "documents")
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+        .map { case (id, text) =>
+          graft.ops.MediaRow(id,
+            graft.ops.MediaMeta("image", "stub", 100, 80, 0, 0L),
+            text.getBytes("UTF-8"))
+        }
+      graft.ops.Multimodal.imageFeatures(media).toDF()
+    }),
     // Config-driven relational pipeline (graft.pipeline): join + groupBy +
     // aggregation verbs around the dftly expression core. Aggregates chosen
     // to be FP-exact (integral sums, count, max) so the oracle hash-matches.
