@@ -59,4 +59,18 @@ object Dftly {
     * schema checks (reference: base.py:421-445).
     */
   def referencedColumns(value: Any): Set[String] = parse(value).referencedColumns
+
+  /** Pre-flight validation: parse every expression and report referenced
+    * columns missing from the schema, per output name. Empty result = the
+    * op-map will resolve. (The reference validates nothing before execution;
+    * this is deliberate beyond-reference UX — at 100 TB you want the name
+    * typo before the cluster spins up, not an hour in.)
+    */
+  def missingColumns(schema: StructType, yaml: String): Map[String, Set[String]] = {
+    val have = schema.fields.map(_.name).toSet
+    Yaml.loadExprMap(yaml).flatMap { case (name, v) =>
+      val missing = parse(v).referencedColumns -- have
+      if (missing.isEmpty) None else Some(name -> missing)
+    }.toMap
+  }
 }

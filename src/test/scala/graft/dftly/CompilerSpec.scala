@@ -259,6 +259,22 @@ class CompilerSpec extends SparkTestBase {
       .schema.head.dataType == DecimalType(38, 0))
   }
 
+  test("and/or are Kleene three-valued (matching Polars horizontal ops)") {
+    val df = Seq((None: Option[Boolean], Some(false), Some(true))).toDF("n", "f", "t")
+    assert(eval1("$n and $f", df) == false) // null AND false = false
+    assert(eval1("$n and $t", df) == null)
+    assert(eval1("$n or $t", df) == true)   // null OR true = true
+    assert(eval1("$n or $f", df) == null)
+  }
+
+  test("missingColumns pre-flight validation") {
+    val df = Seq((1, 2)).toDF("a", "b")
+    val yaml = "ok: $a + $b\nbad: $a + $nope * $alsono\n"
+    val missing = Dftly.missingColumns(df.schema, yaml)
+    assert(missing == Map("bad" -> Set("nope", "alsono")))
+    assert(Dftly.missingColumns(df.schema, "x: $a\n").isEmpty)
+  }
+
   test("no UDFs: plans stay in whole-stage codegen") {
     // A range-based frame so ConvertToLocalRelation can't fold the project away.
     val df = spark.range(100).selectExpr("cast(id as double) as price", "0.1d as discount")
