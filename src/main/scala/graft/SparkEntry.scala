@@ -240,6 +240,20 @@ object SparkEntry {
         }
       graft.ops.Multimodal.imageFeatures(media).toDF()
     }),
+    // As-of join (single-shuffle union+window formulation) vs DuckDB's
+    // native ASOF JOIN: for each purchase, the latest prior signup per user.
+    "q24_asof" -> ((s, dir) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val ev = t(s, dir, "events")
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val signups = ev.filter(col("event_type") === "signup")
+        .select(col("user_id"), col("ts").as("sts"), col("event_id").as("signup_id"))
+      graft.ops.TemporalJoin.asOfJoin(
+        purchases, signups, Seq("user_id"), "ts", "sts", Seq("signup_id"))
+        .select(col("event_id"), col("signup_id"))
+    }),
     // Config-driven relational pipeline (graft.pipeline): join + groupBy +
     // aggregation verbs around the dftly expression core. Aggregates chosen
     // to be FP-exact (integral sums, count, max) so the oracle hash-matches.
@@ -414,6 +428,15 @@ object SparkEntry {
         |  date_diff('microsecond', TIMESTAMP '2024-01-01', ts) AS ev_us,
         |  CAST(floor(date_diff('microsecond', TIMESTAMP '2024-01-01', ts) / 1000.0) AS BIGINT) AS ev_ms
         |FROM events""".stripMargin,
+    "q24_asof" ->
+      """WITH purchases AS (
+        |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+        |), signups AS (
+        |  SELECT event_id AS signup_id, user_id, ts FROM events WHERE event_type = 'signup'
+        |)
+        |SELECT p.event_id, s.signup_id
+        |FROM purchases p ASOF LEFT JOIN signups s
+        |  ON p.user_id = s.user_id AND p.ts >= s.ts""".stripMargin,
     "q22_pipeline" ->
       """SELECT l_returnflag,
         |  sum(l_quantity) AS total_qty,
