@@ -254,6 +254,23 @@ object SparkEntry {
         purchases, signups, Seq("user_id"), "ts", "sts", Seq("signup_id"))
         .select(col("event_id"), col("signup_id"))
     }),
+    // Range join (bucketized interval containment) vs a plain DuckDB
+    // inequality join: purchases within 2 days after any signup, per user.
+    "q25_range" -> ((s, dir) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val ev = t(s, dir, "events")
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val windows = ev.filter(col("event_type") === "signup")
+        .select(col("user_id"), col("ts").as("w_start"),
+          (col("ts") + expr("INTERVAL 2 DAYS")).as("w_end"),
+          col("event_id").as("signup_id"))
+      graft.ops.TemporalJoin.rangeJoin(
+        purchases, windows, Seq("user_id"), "ts", "w_start", "w_end",
+        bucketMicros = 6L * 3600 * 1000000)
+        .select(col("event_id"), col("signup_id"))
+    }),
     // Config-driven relational pipeline (graft.pipeline): join + groupBy +
     // aggregation verbs around the dftly expression core. Aggregates chosen
     // to be FP-exact (integral sums, count, max) so the oracle hash-matches.
@@ -428,6 +445,17 @@ object SparkEntry {
         |  date_diff('microsecond', TIMESTAMP '2024-01-01', ts) AS ev_us,
         |  CAST(floor(date_diff('microsecond', TIMESTAMP '2024-01-01', ts) / 1000.0) AS BIGINT) AS ev_ms
         |FROM events""".stripMargin,
+    "q25_range" ->
+      """WITH purchases AS (
+        |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+        |), wins AS (
+        |  SELECT event_id AS signup_id, user_id, ts AS w_start,
+        |         ts + INTERVAL 2 DAY AS w_end
+        |  FROM events WHERE event_type = 'signup'
+        |)
+        |SELECT p.event_id, w.signup_id
+        |FROM purchases p JOIN wins w
+        |  ON p.user_id = w.user_id AND p.ts >= w.w_start AND p.ts <= w.w_end""".stripMargin,
     "q24_asof" ->
       """WITH purchases AS (
         |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'

@@ -83,4 +83,49 @@ object TemporalJoin {
     val rightOut = rightCols.map(c => col(s"__match.$c").as(c))
     out.select(leftOut ++ rightOut: _*)
   }
+
+  /** Range (interval-containment) join: all (left, right) pairs with
+    * `right.start <= left.ts <= right.end`, per key.
+    *
+    * The naive inequality join degenerates to a nested loop; this bucketizes
+    * time into `bucketMicros`-wide cells — each left row lands in one cell,
+    * each right interval explodes into the cells it covers — and equi-joins
+    * on (key, cell) before the exact containment filter. Cost scales with
+    * interval-length / bucket width (capped by `maxCellsPerInterval`:
+    * pathological unbounded intervals are dropped rather than exploding the
+    * job; pick `bucketMicros` near the typical interval length).
+    */
+  def rangeJoin(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      leftTs: String,
+      rightStart: String,
+      rightEnd: String,
+      bucketMicros: Long,
+      maxCellsPerInterval: Int = 10000
+  ): DataFrame = {
+    def cellOf(df: DataFrame, colName: String): Column = {
+      val micros = df.schema(colName).dataType match {
+        case org.apache.spark.sql.types.LongType => col(colName)
+        case _ => unix_micros(col(colName).cast("timestamp"))
+      }
+      floor(micros.cast("double") / bucketMicros.toDouble).cast("long")
+    }
+    val leftCelled = left.withColumn("__cell", cellOf(left, leftTs))
+    val rightCelled = right
+      .withColumn("__c0", cellOf(right, rightStart))
+      .withColumn("__c1", cellOf(right, rightEnd))
+      .filter(col("__c1") >= col("__c0") &&
+        (col("__c1") - col("__c0")) < maxCellsPerInterval)
+      .withColumn("__cell", explode(sequence(col("__c0"), col("__c1"))))
+      .drop("__c0", "__c1")
+    val joinCond = keys.map(k => leftCelled(k) === rightCelled(k)).reduce(_ && _) &&
+      leftCelled("__cell") === rightCelled("__cell") &&
+      leftCelled(leftTs) >= rightCelled(rightStart) &&
+      leftCelled(leftTs) <= rightCelled(rightEnd)
+    val joined = leftCelled.join(rightCelled, joinCond)
+      .drop(leftCelled("__cell")).drop(rightCelled("__cell"))
+    keys.foldLeft(joined)((df, k) => df.drop(rightCelled(k)))
+  }
 }

@@ -61,6 +61,39 @@ class TemporalJoinSpec extends SparkTestBase {
     assert(tol == Map("L1" -> Some("R1"), "L2" -> None)) // 2.5h old > 1h lookback
   }
 
+  test("rangeJoin matches brute-force containment join on real events") {
+    val purchases = events.filter($"event_type" === "purchase")
+      .select($"event_id", $"user_id", $"ts")
+    // window per signup: [ts, ts + 2 days]
+    val windows = events.filter($"event_type" === "signup")
+      .select($"user_id", $"ts".as("w_start"),
+        ($"ts" + expr("INTERVAL 2 DAYS")).as("w_end"),
+        $"event_id".as("signup_id"))
+    val ranged = TemporalJoin.rangeJoin(
+      purchases, windows, Seq("user_id"), "ts", "w_start", "w_end",
+      bucketMicros = 6L * 3600 * 1000000 // 6-hour cells
+    ).select($"event_id", $"signup_id").as[(Long, Long)].collect().toSet
+    val brute = purchases.as("p").join(windows.as("w"),
+      $"p.user_id" === $"w.user_id" && $"p.ts" >= $"w.w_start" && $"p.ts" <= $"w.w_end")
+      .select($"event_id", $"signup_id").as[(Long, Long)].collect().toSet
+    assert(brute.nonEmpty)
+    assert(ranged == brute, s"diff: ${(ranged -- brute).take(3)} / ${(brute -- ranged).take(3)}")
+    // no duplicate pairs from the cell explode
+    val rangedList = TemporalJoin.rangeJoin(
+      purchases, windows, Seq("user_id"), "ts", "w_start", "w_end",
+      bucketMicros = 6L * 3600 * 1000000
+    ).select($"event_id", $"signup_id").count()
+    assert(rangedList == ranged.size)
+  }
+
+  test("rangeJoin drops pathologically long intervals instead of exploding") {
+    val left = Seq((1L, 100L)).toDF("k", "ts")
+    val right = Seq((1L, 0L, 10000000000L, "huge")).toDF("k", "s", "e", "tag")
+    val out = TemporalJoin.rangeJoin(left, right, Seq("k"), "ts", "s", "e",
+      bucketMicros = 10, maxCellsPerInterval = 100)
+    assert(out.count() == 0) // interval spans 1e9 cells > cap → dropped
+  }
+
   test("single shuffle: exactly one exchange in the plan") {
     val left = Seq((1L, 10L, "a")).toDF("k", "ts", "x")
     val right = Seq((1L, 5L, "r")).toDF("k", "rts", "y")
