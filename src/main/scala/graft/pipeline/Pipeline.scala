@@ -207,6 +207,23 @@ object Pipeline {
         Dedup.dropExactDuplicates(df,
           d("id").toString, asSeq(d("keys")).map(_.toString))
 
+      case "asOfJoin" =>
+        val j = asMap(step("asOfJoin"), "asOfJoin")
+        graft.ops.TemporalJoin.asOfJoin(
+          df, resolve(j("table").toString),
+          asSeq(j("keys")).map(_.toString),
+          j("leftTs").toString, j("rightTs").toString,
+          asSeq(j("rightCols")).map(_.toString),
+          j.get("tolerance").map(t => org.apache.spark.sql.functions.expr(t.toString)))
+
+      case "rangeJoin" =>
+        val j = asMap(step("rangeJoin"), "rangeJoin")
+        graft.ops.TemporalJoin.rangeJoin(
+          df, resolve(j("table").toString),
+          asSeq(j("keys")).map(_.toString),
+          j("leftTs").toString, j("rightStart").toString, j("rightEnd").toString,
+          j("bucketMicros").toString.toLong)
+
       case other =>
         throw new IllegalArgumentException(s"Unknown pipeline verb: $other")
     }

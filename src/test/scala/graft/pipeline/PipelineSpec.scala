@@ -100,6 +100,23 @@ class PipelineSpec extends SparkTestBase {
     assert(back.select(org.apache.spark.sql.functions.sum("doubled")).head.getLong(0) == 100)
   }
 
+  test("asOfJoin verb wires TemporalJoin through yaml") {
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 10:00:00")
+    val t1 = java.sql.Timestamp.valueOf("2024-01-01 11:00:00")
+    val t2 = java.sql.Timestamp.valueOf("2024-01-01 09:00:00")
+    val facts = Seq((1L, t0, "f0"), (1L, t1, "f1")).toDF("k", "ts", "f")
+    val dims = Seq((1L, t2, "d0")).toDF("k", "rts", "d")
+    facts.createOrReplaceTempView("__facts_unused")
+    val out = Pipeline.run(spark,
+      """source: facts
+        |steps:
+        |  - asOfJoin: {table: dims, keys: [k], leftTs: ts, rightTs: rts, rightCols: [d]}
+        |""".stripMargin,
+      { case "facts" => facts; case "dims" => dims })
+    assert(out.select("f", "d").as[(String, String)].collect().toSet ==
+      Set(("f0", "d0"), ("f1", "d0")))
+  }
+
   test("unknown verb / missing source give clear errors") {
     val e1 = intercept[IllegalArgumentException](
       Pipeline.runOnDir(spark, "source: lineitem\nsteps:\n  - frobnicate: 1\n", dir))
