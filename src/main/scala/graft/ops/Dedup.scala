@@ -301,6 +301,28 @@ object Dedup {
       .distinct()
   }
 
+  /** Near-dup REMOVAL: drops every row that appears as the higher id of a
+    * verified near-duplicate pair (the "keep first, drop later copies"
+    * policy — greedy, one pass; a doc surviving one pair can still be
+    * dropped by another, which is the standard corpus-cleaning behavior).
+    * One left-anti join against the pair table's id_b column.
+    */
+  def dropNearDuplicates(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double = 0.8,
+      shingleN: Int = 3,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      maxBucketSize: Int = 1000
+  ): DataFrame = {
+    val drops = nearDuplicatePairs(df, idCol, textCol, threshold, shingleN,
+      numHashes, bands, maxBucketSize)
+      .select(col("id_b").as("__drop_id")).distinct()
+    df.join(drops, df(idCol) === col("__drop_id"), "left_anti")
+  }
+
   /** Brute-force all-pairs n-gram Jaccard (reference implementation for
     * recall tests and small frames — O(n²), never for production scale).
     */

@@ -207,6 +207,15 @@ object Pipeline {
         Dedup.dropExactDuplicates(df,
           d("id").toString, asSeq(d("keys")).map(_.toString))
 
+      case "textStats" =>
+        graft.ops.TextStats.withTextStats(df, step("textStats").toString)
+
+      case "dropNearDuplicates" =>
+        val d = asMap(step("dropNearDuplicates"), "dropNearDuplicates")
+        Dedup.dropNearDuplicates(df,
+          d("id").toString, d("text").toString,
+          threshold = d.get("threshold").map(_.toString.toDouble).getOrElse(0.8))
+
       case "asOfJoin" =>
         val j = asMap(step("asOfJoin"), "asOfJoin")
         graft.ops.TemporalJoin.asOfJoin(

@@ -117,6 +117,43 @@ class PipelineSpec extends SparkTestBase {
       Set(("f0", "d0"), ("f1", "d0")))
   }
 
+  test("end-to-end corpus cleaning pipeline in one YAML config") {
+    // real docs + planted exact dup + planted near-dup + junk doc
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select($"doc_id", $"text", $"n_chars").limit(100)
+    val exactDup = docs.limit(1)
+      .select(($"doc_id" + 5000L).as("doc_id"), $"text", $"n_chars")
+    val nearDup = docs.limit(1).select(
+      ($"doc_id" + 6000L).as("doc_id"),
+      concat(substring($"text", 1, 250),
+        regexp_replace(substring($"text", 251, 100000), "[a-z]+$", "qqq")).as("text"),
+      $"n_chars")
+    val junk = Seq((7000L, "!!! ??? !!!", 11L)).toDF("doc_id", "text", "n_chars")
+    val corpus = docs.union(exactDup).union(nearDup).union(junk)
+    corpus.createOrReplaceTempView("corpus")
+
+    val cleaned = Pipeline.run(spark,
+      """source: corpus
+        |steps:
+        |  - textStats: text
+        |  - filter: $punct_ratio < 0.5
+        |  - dedupExact: {id: doc_id, keys: [text]}
+        |  - dropNearDuplicates: {id: doc_id, text: text, threshold: 0.7}
+        |""".stripMargin,
+      { case "corpus" => spark.table("corpus") })
+    val ids = cleaned.select("doc_id").as[Long].collect().toSet
+    assert(!ids.contains(7000L), "junk doc should fail the quality filter")
+    assert(!ids.contains(5000L), "exact dup should be dropped")
+    assert(!ids.contains(6000L), "near dup should be dropped")
+    // the real corpus has its own near-dups at this threshold — the exact
+    // expected survivor set is originals minus brute-force id_b drops
+    val realDrops = graft.ops.Dedup
+      .bruteForceNearDuplicatePairs(docs, "doc_id", "text", 0.7)
+      .select("id_b").as[Long].collect().toSet
+    assert(ids == (0L until 100L).toSet -- realDrops,
+      s"unexpected survivor set; spurious=${ids -- ((0L until 100L).toSet -- realDrops)}")
+  }
+
   test("unknown verb / missing source give clear errors") {
     val e1 = intercept[IllegalArgumentException](
       Pipeline.runOnDir(spark, "source: lineitem\nsteps:\n  - frobnicate: 1\n", dir))
