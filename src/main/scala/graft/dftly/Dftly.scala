@@ -60,6 +60,26 @@ object Dftly {
     */
   def referencedColumns(value: Any): Set[String] = parse(value).referencedColumns
 
+  /** Register the string form as a SQL function: `dftly('<expr>')` embeds a
+    * dftly expression anywhere Spark SQL accepts one —
+    * `SELECT dftly('$price * (1 - $discount)') AS rev FROM t`. The argument
+    * must be a literal; column references inside compile to unresolved
+    * attributes that the analyzer then resolves against the enclosing query.
+    */
+  def registerSql(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "dftly",
+      exprs => {
+        require(exprs.length == 1, "dftly(<expression string literal>) takes one argument")
+        val s = exprs.head.eval() match {
+          case u: org.apache.spark.unsafe.types.UTF8String => u.toString
+          case other => throw new IllegalArgumentException(
+            s"dftly() needs a literal string; got $other")
+        }
+        org.apache.spark.sql.graft.ColumnBridge.convertedExpression(expr(s))
+      },
+      "built-in")
+
   /** Pre-flight validation: parse every expression and report referenced
     * columns missing from the schema, per output name. Empty result = the
     * op-map will resolve. (The reference validates nothing before execution;

@@ -150,6 +150,39 @@ class GoldenReadme2Spec extends SparkTestBase {
     assert(e4.getMessage.contains("Non-strict casting is not supported for unit 'minutes'"))
   }
 
+  test("dftly() SQL function embeds string-form expressions in spark.sql") {
+    Dftly.registerSql(spark)
+    Seq((10.0, 0.1, "AB-12"), (200.0, 0.25, "CD-34")).toDF("price", "discount", "code")
+      .createOrReplaceTempView("sqlreg_t")
+    val rows = spark.sql(
+      """SELECT dftly('$price * (1 - $discount)') AS rev,
+        |       dftly('$code[0:2]') AS prefix,
+        |       dftly('"HIGH" if $price > 100 else "LOW"') AS flag
+        |FROM sqlreg_t ORDER BY rev""".stripMargin).collect()
+    assert(rows(0) == Row(9.0, "AB", "LOW"))
+    assert(rows(1) == Row(150.0, "CD", "HIGH"))
+  }
+
+  test("hash doctests: null fallback via coalesce (reference arithmetic.py)") {
+    val df = Seq(Some("a"), Some("b"), None, None, Some("a"))
+      .toDF("mrn")
+    val hashed = Dftly.select(df,
+      """h: hash($mrn)
+        |h_filled: hash($mrn ?? 'UNKNOWN')
+        |""".stripMargin).collect()
+    // null → null for plain hash; filled never null; equal inputs hash equal
+    assert(hashed(2).get(0) == null && hashed(3).get(0) == null)
+    assert(hashed.forall(_.get(1) != null))
+    assert(hashed(0).get(0) == hashed(4).get(0))
+    assert(hashed(2).get(1) == hashed(3).get(1))
+  }
+
+  test("power doctest: the streaming-stddev formula (reference arithmetic.py:420-426)") {
+    val df = Seq((10.0, 60.0, 2L)).toDF("sum", "sum_sqd", "n")
+    val out = Dftly.select(df, "stddev: ($sum_sqd/$n - ($sum/$n)**2)**0.5\n").head
+    assert(math.abs(out.getDouble(0) - math.sqrt(60.0 / 2 - 25.0)) < 1e-12)
+  }
+
   test("backtick-quoted column names") {
     val df = Seq(("mg", 5.0)).toDF("Unit Name", "v")
     val out = Dftly.select(df, "u: $`Unit Name`\n")
