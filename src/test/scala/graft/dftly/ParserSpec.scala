@@ -206,6 +206,22 @@ class ParserSpec extends AnyFunSuite {
       Conditional(Gt(Col("price"), Lit(100)), Lit("HIGH"), Some(Lit("LOW"))))
   }
 
+  test("as chains left-assoc like ::, and the two spellings mix") {
+    assert(p("$col as int as year") ==
+      Cast(Cast(Col("col"), Lit("int"), None), Lit("year"), None))
+    assert(p("$col::int as year") ==
+      Cast(Cast(Col("col"), Lit("int"), None), Lit("year"), None))
+    // :: binds tighter than arithmetic, as binds looser
+    assert(p("$a::int + 1") == Add(Seq(Cast(Col("a"), Lit("int"), None), Lit(1))))
+    assert(p("$a + 1 as int") == Cast(Add(Seq(Col("a"), Lit(1))), Lit("int"), None))
+  }
+
+  test("variadic nodes accept a single argument") {
+    assert(p("coalesce($a)") == Coalesce(Seq(Col("a"))))
+    assert(p("max($a)") == Max(Seq(Col("a"))))
+    assert(p("add($a)") == Add(Seq(Col("a"))))
+  }
+
   test("unsupported cast type errors at parse time") {
     val e = intercept[Exception](p("$x::notatype"))
     assert(e.getMessage.contains("Unsupported type"))
