@@ -81,7 +81,10 @@ object SparkEntry {
           |type_words: split($p_type, ' ')
           |first3: $p_name[:3]
           |""".stripMargin
-      )),
+      // The driver's pandas compare cannot sort/hash array cells, so the
+      // split output is joined back to a scalar for the contract; the raw
+      // array behavior stays covered in ScalaTest (GoldenReadmeSpec).
+      ).withColumn("type_words", concat_ws(",", col("type_words")))),
     "q05_regex" -> ((s, dir) =>
       Dftly.select(
         t(s, dir, "orders"),
@@ -124,6 +127,7 @@ object SparkEntry {
           |age_secs: ($l_shipdate - 1990-01-01 00:00:00)::total_seconds
           |age_hours: ($l_shipdate - 1990-01-01 00:00:00)::total_hours
           |age_days: ($l_shipdate - 1990-01-01 00:00:00)::total_days
+          |age_ns: ($l_shipdate - 1990-01-01 00:00:00)::total_nanoseconds
           |plus_week: $l_shipdate + 1::weeks
           |""".stripMargin
       )),
@@ -146,11 +150,18 @@ object SparkEntry {
     "q11_units" -> ((s, dir) =>
       Dftly.select(
         t(s, dir, "lineitem"),
+        // ln_year stays inside pandas' datetime64[ns] range (1677–2262):
+        // years 1–7 are identical proleptic-Gregorian dates in Spark and
+        // DuckDB, but the driver's pandas normalization can't represent them
+        // and hashes them engine-dependently.
         """l_orderkey: $l_orderkey
           |l_linenumber: $l_linenumber
           |qty_min_secs: ($l_quantity::int32)::minutes::total_seconds
           |qty_hr_mins: ($l_quantity::int32)::hours::total_minutes
-          |ln_year: $l_linenumber::year
+          |qty_mo_secs: ($l_quantity::int32)::months::total_seconds
+          |qty_yr_secs: ($l_quantity::int32)::years::total_seconds
+          |qty_ms_us: ($l_quantity::int32)::milliseconds::total_microseconds
+          |ln_year: ($l_linenumber + 1990)::year
           |""".stripMargin
       )),
     // hash bits are engine-specific (SURVEY.md §2.8.1): no SQL oracle; the
@@ -162,6 +173,21 @@ object SparkEntry {
           |h: hash($c_name)
           |sh: signed_hash($c_name)
           |hnull: hash($c_mktsegment::?int32)
+          |""".stripMargin
+      )),
+    // Structural hash properties ARE oracle-checkable even though the bits
+    // aren't (reference arithmetic.py:10-24): null-in → null-out,
+    // determinism, and input sensitivity, each reduced to a boolean/long the
+    // oracle can state independently of the hash function.
+    "q12b_hash_props" -> ((s, dir) =>
+      Dftly.select(
+        t(s, dir, "customer"),
+        """c_custkey: $c_custkey
+          |null_in_null_out: (hash($c_mktsegment::?int32) ?? -1) == -1
+          |null_guard: (hash($c_custkey if $c_acctbal > 0) ?? -1) == -1
+          |det: hash($c_name) == hash($c_name)
+          |sdet: signed_hash($c_name) == signed_hash($c_name)
+          |differs: hash($c_custkey::str) != hash(($c_custkey + 1)::str)
           |""".stripMargin
       )),
 
@@ -238,7 +264,12 @@ object SparkEntry {
             graft.ops.MediaMeta("image", "stub", 100, 80, 0, 0L),
             text.getBytes("UTF-8"))
         }
+      // Histogram is an array column — joined to a scalar string so the
+      // driver's pandas compare can sort/hash the rows (rows-only check).
       graft.ops.Multimodal.imageFeatures(media).toDF()
+        .select(col("media_id"), col("width"), col("height"), col("channels"),
+          round(col("meanLuma"), 6).as("mean_luma"),
+          concat_ws(",", col("histogram").cast("array<string>")).as("histogram"))
     }),
     // As-of join (single-shuffle union+window formulation) vs DuckDB's
     // native ASOF JOIN: for each purchase, the latest prior signup per user.
@@ -337,7 +368,7 @@ object SparkEntry {
         |  substr(p_name, 1, 8) AS name_start,
         |  right(p_name, 4) AS name_end,
         |  p_brand || '#' || CAST(p_size AS VARCHAR) AS brand_sz,
-        |  string_split(p_type, ' ') AS type_words,
+        |  array_to_string(string_split(p_type, ' '), ',') AS type_words,
         |  substr(p_name, 1, 3) AS first3
         |FROM part""".stripMargin,
     "q05_regex" ->
@@ -371,6 +402,7 @@ object SparkEntry {
         |  date_diff('second', TIMESTAMP '1990-01-01', l_shipdate) AS age_secs,
         |  CAST(floor(date_diff('second', TIMESTAMP '1990-01-01', l_shipdate) / 3600.0) AS BIGINT) AS age_hours,
         |  CAST(floor(date_diff('second', TIMESTAMP '1990-01-01', l_shipdate) / 86400.0) AS BIGINT) AS age_days,
+        |  date_diff('microsecond', TIMESTAMP '1990-01-01', l_shipdate) * 1000 AS age_ns,
         |  l_shipdate + INTERVAL 7 DAY AS plus_week
         |FROM lineitem""".stripMargin,
     "q09_strptime" ->
@@ -387,8 +419,24 @@ object SparkEntry {
       """SELECT l_orderkey, l_linenumber,
         |  CAST(CAST(l_quantity AS INTEGER) * 60 AS BIGINT) AS qty_min_secs,
         |  CAST(CAST(l_quantity AS INTEGER) * 60 AS BIGINT) AS qty_hr_mins,
-        |  make_date(l_linenumber, 1, 1) AS ln_year
+        |  CAST(CAST(l_quantity AS INTEGER) AS BIGINT) * 2629800 AS qty_mo_secs,
+        |  CAST(CAST(l_quantity AS INTEGER) AS BIGINT) * 31557600 AS qty_yr_secs,
+        |  CAST(CAST(l_quantity AS INTEGER) AS BIGINT) * 1000 AS qty_ms_us,
+        |  make_date(l_linenumber + 1990, 1, 1) AS ln_year
         |FROM lineitem""".stripMargin,
+    // The oracle states each structural hash property from the *input* side
+    // (hash(x) IS NULL ⟺ x IS NULL; determinism; sensitivity), so it holds
+    // for any engine's hash bits. The `?? -1` sentinel on the Spark side can
+    // only misfire if a real hash equals -1 (p ≈ n/2^64 — negligible and
+    // deterministic).
+    "q12b_hash_props" ->
+      """SELECT c_custkey,
+        |  (TRY_CAST(c_mktsegment AS INTEGER) IS NULL) AS null_in_null_out,
+        |  (c_acctbal <= 0) AS null_guard,
+        |  TRUE AS det,
+        |  TRUE AS sdet,
+        |  TRUE AS differs
+        |FROM customer""".stripMargin,
     "q13_dedup_exact" ->
       """SELECT doc_id,
         |  doc_id <> min(doc_id) OVER (PARTITION BY text) AS is_dup
