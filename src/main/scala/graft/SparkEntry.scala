@@ -443,13 +443,13 @@ object SparkEntry {
         |FROM documents""".stripMargin,
     "q14_textstats" ->
       s"""SELECT doc_id,
-         |  CAST(length(string_split(text, ' ')) AS BIGINT) AS tok_ws,
+         |  CAST(length(list_filter(string_split_regex(text, '\\s+'), t -> t <> '')) AS BIGINT) AS tok_ws,
          |  CAST(length(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS tok_bpe,
          |  round(CASE WHEN length(text) = 0 THEN 0.0
          |        ELSE CAST(length(regexp_extract_all(text, '[^\\w\\s]')) AS DOUBLE) / length(text) END, 6) AS punct_ratio,
-         |  round(CASE WHEN length(string_split(text, ' ')) = 0 THEN 0.0
-         |        ELSE CAST(length(list_intersect(string_split(text, ' '), ${langMarkerSql("stop")})) AS DOUBLE)
-         |             / length(string_split(text, ' ')) END, 6) AS stop_ratio,
+         |  round(CASE WHEN length(list_filter(string_split_regex(text, '\\s+'), t -> t <> '')) = 0 THEN 0.0
+         |        ELSE CAST(length(list_intersect(list_filter(string_split_regex(text, '\\s+'), t -> t <> ''), ${langMarkerSql("stop")})) AS DOUBLE)
+         |             / length(list_filter(string_split_regex(text, '\\s+'), t -> t <> '')) END, 6) AS stop_ratio,
          |  CASE
          |    WHEN s_en = best AND best > 0 THEN 'en'
          |    WHEN s_es = best AND best > 0 THEN 'es'
@@ -457,17 +457,17 @@ object SparkEntry {
          |    WHEN s_fr = best AND best > 0 THEN 'fr'
          |    ELSE 'und' END AS lang_id,
          |  round(least(1.0, n_chars / 500.0) * 0.4
-         |      + least(1.0, (CASE WHEN length(string_split(text, ' ')) = 0 THEN 0.0
-         |          ELSE CAST(length(list_intersect(string_split(text, ' '), ${langMarkerSql("stop")})) AS DOUBLE)
-         |               / length(string_split(text, ' ')) END) * 4.0) * 0.4
+         |      + least(1.0, (CASE WHEN length(list_filter(string_split_regex(text, '\\s+'), t -> t <> '')) = 0 THEN 0.0
+         |          ELSE CAST(length(list_intersect(list_filter(string_split_regex(text, '\\s+'), t -> t <> ''), ${langMarkerSql("stop")})) AS DOUBLE)
+         |               / length(list_filter(string_split_regex(text, '\\s+'), t -> t <> '')) END) * 4.0) * 0.4
          |      + greatest(0.0, 1.0 - (CASE WHEN length(text) = 0 THEN 0.0
          |          ELSE CAST(length(regexp_extract_all(text, '[^\\w\\s]')) AS DOUBLE) / length(text) END) * 5.0) * 0.2, 6) AS quality
          |FROM (
          |  SELECT *,
-         |    length(list_intersect(string_split(text, ' '), ${langMarkerSql("en")})) AS s_en,
-         |    length(list_intersect(string_split(text, ' '), ${langMarkerSql("es")})) AS s_es,
-         |    length(list_intersect(string_split(text, ' '), ${langMarkerSql("de")})) AS s_de,
-         |    length(list_intersect(string_split(text, ' '), ${langMarkerSql("fr")})) AS s_fr,
+         |    length(list_intersect(list_filter(string_split_regex(text, '\\s+'), t -> t <> ''), ${langMarkerSql("en")})) AS s_en,
+         |    length(list_intersect(list_filter(string_split_regex(text, '\\s+'), t -> t <> ''), ${langMarkerSql("es")})) AS s_es,
+         |    length(list_intersect(list_filter(string_split_regex(text, '\\s+'), t -> t <> ''), ${langMarkerSql("de")})) AS s_de,
+         |    length(list_intersect(list_filter(string_split_regex(text, '\\s+'), t -> t <> ''), ${langMarkerSql("fr")})) AS s_fr,
          |    greatest(s_en, s_es, s_de, s_fr) AS best
          |  FROM documents
          |)""".stripMargin,

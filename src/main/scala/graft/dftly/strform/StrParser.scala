@@ -32,6 +32,12 @@ object StrParser {
         case e: ParseError => throw new ParseError(s"Failed to parse expression '$s': ${e.getMessage}")
         case e: IllegalArgumentException =>
           throw new ParseError(s"Failed to parse expression '$s': ${e.getMessage}")
+        // LocalDate/LocalDateTime.parse reject lexically-valid but impossible
+        // dates (2024-13-45) with DateTimeParseException, which is NOT an
+        // IllegalArgumentException — wrap it too so Interp's ParseError
+        // handling and the standard message prefix apply.
+        case e: java.time.DateTimeException =>
+          throw new ParseError(s"Failed to parse expression '$s': ${e.getMessage}")
       }
     node match {
       case BareWordNode(w) =>
@@ -59,6 +65,9 @@ object StrParser {
       // `}`). The field splitter reports the boundary; the bad field text
       // fails later when re-parsed on its own.
       case e: ParseError if p.lexStop.isDefined => p.lexStop
+      case e: java.time.DateTimeException =>
+        if (p.lexStop.isDefined) p.lexStop
+        else throw new ParseError(e.getMessage)
     }
   }
 

@@ -73,10 +73,14 @@ object Dedup {
     * collide with identical short texts.
     */
   def shingles(text: Column, n: Int): Column = {
-    val toks = split(text, "\\s+")
+    // Blank/whitespace-only text must yield NO shingles (not [""]) so the
+    // null-signature guard excludes it from banding — exact dedup owns
+    // identical-empty documents.
+    val toks = array_remove(split(text, "\\s+"), "")
     val k = size(toks)
     array_distinct(
-      when(k <= n, array(concat_ws(" ", toks)))
+      when(k === 0, array().cast("array<string>"))
+        .when(k <= n, array(concat_ws(" ", toks)))
         .otherwise(
           transform(
             sequence(lit(0), k - n),

@@ -29,6 +29,14 @@ object SkewJoin {
       joinType: String = "inner"
   ): DataFrame = {
     require(factor >= 1, "salt factor must be >= 1")
+    // The factor-fold replication of the right side makes right/full outer
+    // joins wrong (unmatched right rows would surface `factor` times); semi/
+    // anti are safe because every (key, salt) pair sees the full right side.
+    val normalized = joinType.toLowerCase.replace("_", "")
+    require(
+      Set("inner", "left", "leftouter", "leftsemi", "leftanti").contains(normalized),
+      s"saltedEquiJoin supports inner/left/left_semi/left_anti joins; got '$joinType' " +
+        "(right/full outer would duplicate unmatched right rows)")
     // Salt from the hash of the whole left row: uniform, deterministic, and
     // independent of the join key (salting BY the key would keep the hot key
     // in one bucket).

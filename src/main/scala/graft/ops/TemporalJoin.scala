@@ -54,7 +54,11 @@ object TemporalJoin {
         lit(1).as("__side")
       ): _*
     )
-    val rightTagged = right.select(
+    // Null right timestamps sort first (asc = nulls first) and would be
+    // carried forward as spurious "prior" matches; DuckDB ASOF (the oracle
+    // semantics) never matches a null timestamp — drop them up front.
+    val rightNonNull = right.filter(col(rightTs).isNotNull)
+    val rightTagged = rightNonNull.select(
       keys.map(col) ++ Seq(
         col(rightTs).as("__ts"),
         struct((col(rightTs).as("__rts") +: rightCols.map(col)): _*).as("__payload"),

@@ -14,8 +14,11 @@ import org.apache.spark.sql.types._
   */
 object TextStats {
 
-  /** Whitespace tokens. */
-  def tokens(text: Column): Column = split(text, "\\s+")
+  /** Whitespace tokens. Leading/trailing whitespace and empty text would
+    * yield empty-string tokens from the bare regex split (so blank text
+    * counted 1 token); the remove keeps only real tokens.
+    */
+  def tokens(text: Column): Column = array_remove(split(text, "\\s+"), "")
 
   /** Whitespace token count. */
   def tokenCountWs(text: Column): Column = size(tokens(text))

@@ -98,14 +98,28 @@ case class MinHashSignature(child: Expression, numHashes: Int)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "minhash_signature"
 
-  override protected def nullSafeEval(input: Any): Any =
-    SigKernels.minhash(input.asInstanceOf[ArrayData], aCoeffs, bCoeffs, prime)
+  // Empty token arrays yield null, matching the HOF Dedup.minhashSignature
+  // size guard — a Long.MaxValue sentinel signature would band-match every
+  // other empty document.
+  override def nullable: Boolean = true
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val tokens = input.asInstanceOf[ArrayData]
+    if (tokens.numElements() == 0) null
+    else SigKernels.minhash(tokens, aCoeffs, bCoeffs, prime)
+  }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val aRef = ctx.addReferenceObj("aCoeffs", aCoeffs, "long[]")
     val bRef = ctx.addReferenceObj("bCoeffs", bCoeffs, "long[]")
-    defineCodeGen(ctx, ev, c =>
-      s"graft.ops.expr.SigKernels.minhash($c, $aRef, $bRef, ${prime}L)")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""
+         |if ($c.numElements() == 0) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = graft.ops.expr.SigKernels.minhash($c, $aRef, $bRef, ${prime}L);
+         |}
+       """.stripMargin)
   }
 
   override protected def withNewChildInternal(newChild: Expression): MinHashSignature =

@@ -230,4 +230,13 @@ class ParserSpec extends AnyFunSuite {
   test("referencedColumns") {
     assert(Dftly.referencedColumns("$a + $b * coalesce($c, 1)") == Set("a", "b", "c"))
   }
+
+  test("impossible date literals raise ParseError with the standard prefix") {
+    val e = intercept[Exception](p("$d > 2024-13-45"))
+    assert(e.isInstanceOf[IllegalArgumentException], e.getClass.toString)
+    assert(e.getMessage.startsWith("Failed to parse expression"), e.getMessage)
+    val e2 = intercept[Exception](p("$d > 2024-02-30 10:00:00"))
+    assert(e2.getMessage.startsWith("Failed to parse expression"), e2.getMessage)
+  }
+
 }

@@ -89,4 +89,17 @@ class NativeSigSpec extends SparkTestBase {
     val e = intercept[Exception](df.select(NativeSig.simhash64($"s")).collect())
     assert(e.getMessage.contains("simhash64") || e.getMessage.toLowerCase.contains("type"))
   }
+
+  test("native minhash of an empty token array is null, like the HOF guard") {
+    val df = Seq(Seq.empty[String], Seq("a", "b")).toDF("toks")
+    val out = df.select(NativeSig.minhashSignature($"toks", 8).as("sig"))
+      .select($"sig".isNull).as[Boolean].collect().toSeq
+    assert(out == Seq(true, false))
+    // two empty docs must NOT band-match on sentinel signatures downstream
+    val docs = Seq((1L, ""), (2L, ""), (3L, "real text here to shingle on"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.nearDuplicatePairs(docs, "doc_id", "text", threshold = 0.1)
+    assert(pairs.filter($"id_a" === 1L && $"id_b" === 2L).count() == 0)
+  }
+
 }

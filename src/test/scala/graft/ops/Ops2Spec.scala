@@ -92,4 +92,34 @@ class Ops2Spec extends SparkTestBase {
     } finally System.setErr(old)
     assert(err.toString.isEmpty, err.toString)
   }
+
+  test("saltedEquiJoin: right/full outer rejected, left_anti stays correct") {
+    val fact = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "payload")
+    val dim = Seq((1L, "d1"), (9L, "d9")).toDF("dk", "attr")
+    val e = intercept[IllegalArgumentException] {
+      SkewJoin.saltedEquiJoin(fact, dim, "k", "dk", 4, "right_outer")
+    }
+    assert(e.getMessage.contains("saltedEquiJoin"))
+    intercept[IllegalArgumentException] {
+      SkewJoin.saltedEquiJoin(fact, dim, "k", "dk", 4, "full_outer")
+    }
+    // anti is safe under replication: every (key, salt) sees the full right
+    val anti = SkewJoin.saltedEquiJoin(fact, dim, "k", "dk", 4, "left_anti")
+      .select("k").as[Long].collect().sorted
+    assert(anti.toSeq == Seq(2L, 3L))
+    val semi = SkewJoin.saltedEquiJoin(fact, dim, "k", "dk", 4, "left_semi")
+      .select("k").as[Long].collect().sorted
+    assert(semi.toSeq == Seq(1L))
+  }
+
+  test("blank/whitespace text counts zero tokens, not one") {
+    val df = Seq("", "   ", "  a  b ", "x").toDF("text")
+    val got = df.select(TextStats.tokenCountWs($"text")).as[Int].collect().toSeq
+    assert(got == Seq(0, 0, 2, 1))
+    // blank text contributes no spurious "" token to stopword stats either
+    val ratios = df.select(TextStats.stopwordRatio($"text", TextStats.EnglishStopwords))
+      .as[Double].collect().toSeq
+    assert(ratios.forall(r => r >= 0.0 && r <= 1.0) && ratios.take(2) == Seq(0.0, 0.0))
+  }
+
 }

@@ -102,4 +102,19 @@ class TemporalJoinSpec extends SparkTestBase {
     val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
     assert(exchanges == 1, s"expected 1 exchange, got $exchanges:\n$plan")
   }
+
+  test("null right timestamps never match (DuckDB ASOF semantics)") {
+    val left = Seq((1L, 10L, "L1")).toDF("k", "ts", "name")
+    val right = Seq((1L, Option.empty[Long], "RNULL"), (1L, Option(5L), "R1"))
+      .toDF("k", "rts", "rname")
+    val out = TemporalJoin.asOfJoin(left, right, Seq("k"), "ts", "rts", Seq("rname"))
+      .select("name", "rname").as[(String, Option[String])].collect().toMap
+    assert(out == Map("L1" -> Some("R1")))
+
+    val onlyNull = right.filter($"rts".isNull)
+    val none = TemporalJoin.asOfJoin(left, onlyNull, Seq("k"), "ts", "rts", Seq("rname"))
+      .select("name", "rname").as[(String, Option[String])].collect().toMap
+    assert(none == Map("L1" -> None))
+  }
+
 }
