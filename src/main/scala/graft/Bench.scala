@@ -26,14 +26,24 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
     val names = SparkEntry.queries.keys.toSeq.sorted
-    names.foreach(once) // warm-up: JIT + codegen + parquet footer caches
+    // cold pass doubles as warm-up: JIT + codegen + parquet footer caches
+    val cold = names.map(n => n -> once(n))
     // best-of-2 timed runs: single-JVM local mode has multi-second GC/JIT
     // jitter that would swamp real plan differences
     val results = names.map(n => n -> math.min(once(n), once(n)))
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val coldTotal = cold.map(_._2).sum
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","cold_total":$coldTotal}"""
+    // stdout (own line; run/outputStrategy passes it through unprefixed) AND
+    // a file, so the harness can parse per-query numbers either way.
+    println(json)
+    try {
+      val p = java.nio.file.Paths.get("bench_out.json")
+      java.nio.file.Files.write(p, (json + "\n").getBytes("UTF-8"))
+    } catch { case e: Throwable => System.err.println(s"[bench] file write: $e") }
     spark.stop()
   }
 }

@@ -185,8 +185,8 @@ object SparkEntry {
         """c_custkey: $c_custkey
           |null_in_null_out: (hash($c_mktsegment::?int32) ?? -1) == -1
           |null_guard: (hash($c_custkey if $c_acctbal > 0) ?? -1) == -1
-          |det: hash($c_name) == hash($c_name)
-          |sdet: signed_hash($c_name) == signed_hash($c_name)
+          |det: hash($c_name) - hash($c_name) == 0
+          |sdet: signed_hash($c_name) - signed_hash($c_name) == 0
           |differs: hash($c_custkey::str) != hash(($c_custkey + 1)::str)
           |""".stripMargin
       )),
@@ -222,9 +222,23 @@ object SparkEntry {
     "q18_fingerprint" -> ((s, dir) =>
       t(s, dir, "documents")
         .select(col("doc_id"), TextStats.fingerprint(col("text")).as("fp"))),
+    // Exact all-pairs baseline, fully oracle-checked (DuckDB does the same
+    // 125k-pair cosine sweep). Threshold 0.40 yields 59 pairs on this data;
+    // nearest pair cosine is >1e-4 from the threshold, so cross-engine FP
+    // noise cannot flip membership.
     "q19_cosine_neardup" -> ((s, dir) =>
+      Similarity.bruteForceCosinePairs(
+        t(s, dir, "embeddings"), "vec_id", "embedding", threshold = 0.40)
+        .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))),
+    // Hyperplane-LSH scale path (native sign-bit kernel). Bucket collisions
+    // are hash-layout-specific → rows-only driver check; recall against the
+    // brute-force baseline is asserted in ScalaTest. Params chosen so the
+    // output is non-empty on random sf embeddings (6 planes × 8 tables ≈
+    // 35% per-pair recall at cosine 0.35 — this check can fail).
+    "q19b_cosine_lsh" -> ((s, dir) =>
       Similarity.cosineNearDuplicatePairs(
-        t(s, dir, "embeddings"), "vec_id", "embedding", threshold = 0.95, dim = 64)
+        t(s, dir, "embeddings"), "vec_id", "embedding", threshold = 0.35,
+        dim = 64, planesPerTable = 6, numTables = 8)
         .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))),
     "q20_simhash_pairs" -> ((s, dir) =>
       Dedup.simhashNearDuplicatePairs(t(s, dir, "documents"), "doc_id", "text", maxHamming = 8)
@@ -483,6 +497,11 @@ object SparkEntry {
          |FROM embeddings
          |ORDER BY list_cosine_similarity(embedding::DOUBLE[], $annVecSql::DOUBLE[]) DESC, vec_id
          |LIMIT 20""".stripMargin,
+    "q19_cosine_neardup" ->
+      """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cosine
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.40""".stripMargin,
     "q21_events" ->
       """SELECT event_id,
         |  TRY_CAST(regexp_extract(props, '"k": (\d+)', 1) AS INTEGER) AS k_val,

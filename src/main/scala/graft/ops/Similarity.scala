@@ -27,7 +27,18 @@ object Similarity {
   def norm(a: Column): Column =
     sqrt(aggregate(a, lit(0.0), (acc, v) => acc + v.cast(DoubleType) * v.cast(DoubleType)))
 
-  def cosine(a: Column, b: Column): Column = {
+  /** Cosine similarity — native fused expression (one codegen'd pass computes
+    * dot + both norms). The HOF formulation ([[hofCosine]]) is three
+    * interpreted aggregate trees per pair; on all-pairs sweeps that was the
+    * entire cost.
+    */
+  def cosine(a: Column, b: Column): Column =
+    graft.ops.expr.NativeSig.cosineSim(a, b)
+
+  /** Reference HOF formulation of [[cosine]] — kept as the independent
+    * oracle for the native kernel's tests.
+    */
+  private[ops] def hofCosine(a: Column, b: Column): Column = {
     val d = norm(a) * norm(b)
     when(d === 0, lit(0.0)).otherwise(dot(a, b) / d)
   }
@@ -60,12 +71,39 @@ object Similarity {
   }
 
   /** Sign-bit LSH signature: bit `i` is set when `v · plane_i > 0`. Packed
-    * into a Long (numPlanes ≤ 63).
+    * into a Long (numPlanes ≤ 63). Native codegen'd expression — the HOF
+    * formulation ([[hofSignBitSignature]]) is `numPlanes` interpreted
+    * `aggregate(zip_with(...))` dot products per row with no CSE, and was
+    * the dominant cost of LSH candidate generation.
     */
   def signBitSignature(vec: Column, planes: Array[Array[Double]]): Column =
+    graft.ops.expr.NativeSig.signBitSignature(vec, planes)
+
+  /** Reference HOF formulation of [[signBitSignature]] — kept only as the
+    * independent oracle for the native kernel's tests.
+    */
+  private[ops] def hofSignBitSignature(vec: Column, planes: Array[Array[Double]]): Column =
     planes.zipWithIndex.map { case (p, i) =>
       when(dot(vec, lit(p)) > 0, lit(1L << i)).otherwise(lit(0L))
     }.reduce(_ + _)
+
+  /** Brute-force all-pairs cosine near-duplicates (id_a < id_b, cosine ≥
+    * `threshold`) — O(n²): the exact baseline for recall tests and small/
+    * sampled frames; [[cosineNearDuplicatePairs]] is the scale path.
+    */
+  def bruteForceCosinePairs(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double
+  ): DataFrame = {
+    val a = df.select(col(idCol).as("id_a"), col(vecCol).as("v_a"))
+    val b = df.select(col(idCol).as("id_b"), col(vecCol).as("v_b"))
+    a.join(b, col("id_a") < col("id_b"))
+      .withColumn("cosine", cosine(col("v_a"), col("v_b")))
+      .filter(col("cosine") >= threshold)
+      .select("id_a", "id_b", "cosine")
+  }
 
   /** Candidate pairs from shared sign-bit buckets, verified by exact cosine ≥
     * `threshold`. Multi-probe: `numTables` independent plane sets, a pair

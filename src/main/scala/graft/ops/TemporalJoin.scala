@@ -116,7 +116,11 @@ object TemporalJoin {
       }
       floor(micros.cast("double") / bucketMicros.toDouble).cast("long")
     }
-    val leftCelled = left.withColumn("__cell", cellOf(left, leftTs))
+    // Explicit side aliases: the two inputs often derive from the same source
+    // frame (e.g. one events scan filtered two ways), and dataframe-identity
+    // column references on such self-joins are fragile (Spark warns
+    // "trivially true equals predicate" and guesses the disambiguation).
+    val leftCelled = left.withColumn("__cell", cellOf(left, leftTs)).alias("__gl")
     val rightCelled = right
       .withColumn("__c0", cellOf(right, rightStart))
       .withColumn("__c1", cellOf(right, rightEnd))
@@ -124,12 +128,14 @@ object TemporalJoin {
         (col("__c1") - col("__c0")) < maxCellsPerInterval)
       .withColumn("__cell", explode(sequence(col("__c0"), col("__c1"))))
       .drop("__c0", "__c1")
-    val joinCond = keys.map(k => leftCelled(k) === rightCelled(k)).reduce(_ && _) &&
-      leftCelled("__cell") === rightCelled("__cell") &&
-      leftCelled(leftTs) >= rightCelled(rightStart) &&
-      leftCelled(leftTs) <= rightCelled(rightEnd)
-    val joined = leftCelled.join(rightCelled, joinCond)
-      .drop(leftCelled("__cell")).drop(rightCelled("__cell"))
-    keys.foldLeft(joined)((df, k) => df.drop(rightCelled(k)))
+      .alias("__gr")
+    val joinCond = keys.map(k => col(s"__gl.$k") === col(s"__gr.$k")).reduce(_ && _) &&
+      col("__gl.__cell") === col("__gr.__cell") &&
+      col(s"__gl.$leftTs") >= col(s"__gr.$rightStart") &&
+      col(s"__gl.$leftTs") <= col(s"__gr.$rightEnd")
+    val leftOut = left.columns.map(c => col(s"__gl.$c"))
+    val rightOut = right.columns.filterNot(keys.contains).map(c => col(s"__gr.$c"))
+    leftCelled.join(rightCelled, joinCond)
+      .select((leftOut ++ rightOut).toIndexedSeq: _*)
   }
 }

@@ -3,7 +3,7 @@ package graft.ops.expr
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, XXH64}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
@@ -41,6 +41,57 @@ object SigKernels {
       i += 1
     }
     new GenericArrayData(mins)
+  }
+
+  /** Packed sign-bit LSH signature: bit `p` set when `vec · plane_p > 0`.
+    * Planes are flattened row-major (`numPlanes × dim`); one fused pass over
+    * the vector per plane in a JIT-friendly loop. The HOF equivalent is
+    * `numPlanes` interpreted `aggregate(zip_with(...))` trees per row with no
+    * CSE — measured as the dominant cost of hyperplane-LSH candidate gen.
+    * Vector elements are assumed non-null (dense embeddings).
+    */
+  def signBits(vec: ArrayData, planes: Array[Double], numPlanes: Int, isFloat: Boolean): Long = {
+    val dim = planes.length / numPlanes
+    val n = math.min(dim, vec.numElements())
+    var out = 0L
+    var p = 0
+    while (p < numPlanes) {
+      val off = p * dim
+      var d = 0.0
+      var i = 0
+      if (isFloat) {
+        while (i < n) { d += vec.getFloat(i) * planes(off + i); i += 1 }
+      } else {
+        while (i < n) { d += vec.getDouble(i) * planes(off + i); i += 1 }
+      }
+      if (d > 0) out |= (1L << p)
+      p += 1
+    }
+    out
+  }
+
+  /** Fused cosine similarity: dot product and both norms in ONE pass over
+    * the pair, bit-identical to the staged HOF formulation (sequential
+    * double accumulation, `0.0` on a zero norm). The HOF tree is three
+    * interpreted aggregate passes per pair — the dominant cost of all-pairs
+    * similarity sweeps.
+    */
+  def cosine(a: ArrayData, b: ArrayData, aFloat: Boolean, bFloat: Boolean): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0.0
+    var na = 0.0
+    var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = if (aFloat) a.getFloat(i).toDouble else a.getDouble(i)
+      val y = if (bFloat) b.getFloat(i).toDouble else b.getDouble(i)
+      dot += x * y
+      na += x * x
+      nb += y * y
+      i += 1
+    }
+    val d = math.sqrt(na) * math.sqrt(nb)
+    if (d == 0) 0.0 else dot / d
   }
 
   /** 64-bit SimHash over a token array: per bit, sum +1/−1 by the bit of each
@@ -126,6 +177,85 @@ case class MinHashSignature(child: Expression, numHashes: Int)
     copy(child = newChild)
 }
 
+/** Native fused cosine similarity of two `array<float>` / `array<double>`
+  * vectors — one pass computes dot and both norms; contract-identical to the
+  * HOF formulation ([[graft.ops.Similarity.hofCosine]]): double
+  * accumulation in element order, 0.0 when either norm is zero.
+  */
+case class CosineSim(left: Expression, right: Expression) extends BinaryExpression {
+
+  private def vecOk(dt: DataType) = dt match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
+    case _                                                  => false
+  }
+  private lazy val aFloat = left.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _                       => false
+  }
+  private lazy val bFloat = right.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _                       => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (vecOk(left.dataType) && vecOk(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"cosine_sim needs two array<float|double>, got ${left.dataType}, ${right.dataType}")
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "cosine_sim"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    SigKernels.cosine(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData], aFloat, bFloat)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.ops.expr.SigKernels.cosine($a, $b, $aFloat, $bFloat)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CosineSim =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Native packed sign-bit hyperplane-LSH signature of an `array<float>` /
+  * `array<double>` embedding column. `planes` is flattened row-major
+  * (`numPlanes × dim`, numPlanes ≤ 63); same bit layout as the staged HOF
+  * formulation it replaces (bit p ⟺ dot(vec, plane_p) > 0).
+  */
+case class SignBitSignature(child: Expression, planes: Array[Double], numPlanes: Int)
+    extends UnaryExpression {
+
+  require(numPlanes >= 1 && numPlanes <= 63, "numPlanes must be in [1, 63]")
+  require(planes.length % numPlanes == 0, "planes length must be numPlanes * dim")
+
+  private lazy val isFloat = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _                       => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case other =>
+      TypeCheckResult.TypeCheckFailure(
+        s"signbit_signature needs array<float> or array<double>, got $other")
+  }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "signbit_signature"
+
+  override protected def nullSafeEval(input: Any): Any =
+    SigKernels.signBits(input.asInstanceOf[ArrayData], planes, numPlanes, isFloat)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val pRef = ctx.addReferenceObj("planes", planes, "double[]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.ops.expr.SigKernels.signBits($c, $pRef, $numPlanes, $isFloat)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SignBitSignature =
+    copy(child = newChild)
+}
+
 /** Native 64-bit SimHash of an `array<string>` token column. */
 case class SimHash64(child: Expression) extends UnaryExpression {
 
@@ -158,6 +288,15 @@ object NativeSig {
   /** Column API for [[SimHash64]]. */
   def simhash64(tokens: Column): Column =
     ColumnBridge.column(SimHash64(ColumnBridge.expression(tokens)))
+
+  /** Column API for [[CosineSim]]. */
+  def cosineSim(a: Column, b: Column): Column =
+    ColumnBridge.column(CosineSim(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** Column API for [[SignBitSignature]]; `planes` as (numPlanes × dim). */
+  def signBitSignature(vec: Column, planes: Array[Array[Double]]): Column =
+    ColumnBridge.column(
+      SignBitSignature(ColumnBridge.expression(vec), planes.flatten, planes.length))
 
   /** Register both as SQL functions: `simhash64(toks)`,
     * `minhash_signature(toks, k)` (k must be a literal int).

@@ -102,4 +102,46 @@ class NativeSigSpec extends SparkTestBase {
     assert(pairs.filter($"id_a" === 1L && $"id_b" === 2L).count() == 0)
   }
 
+
+  test("native signbit signature == HOF formulation on real embeddings") {
+    val embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val planes = Similarity.hyperplanes(12, 64, seed = 7L)
+    val both = embs.select(
+      NativeSig.signBitSignature($"embedding", planes).as("native"),
+      Similarity.hofSignBitSignature($"embedding", planes).as("hof"))
+    assert(both.filter($"native" =!= $"hof").count() == 0)
+    // signatures actually vary across rows (not a constant)
+    assert(both.select("native").distinct().count() > 1)
+  }
+
+  test("native signbit stays inside whole-stage codegen") {
+    val embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val planes = Similarity.hyperplanes(24, 64)
+    val q = embs.select(NativeSig.signBitSignature($"embedding", planes).as("sig"))
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("*(1)"), s"expected codegen:\n$plan")
+    assert(q.count() == embs.count())
+  }
+
+
+  test("native cosine == HOF cosine bit-exactly on real embeddings, inside codegen") {
+    val embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val a = embs.select($"vec_id".as("id_a"), $"embedding".as("va")).limit(50)
+    val b = embs.select($"vec_id".as("id_b"), $"embedding".as("vb")).limit(50)
+    val pairs = a.crossJoin(b)
+    val both = pairs.select(
+      NativeSig.cosineSim($"va", $"vb").as("native"),
+      Similarity.hofCosine($"va", $"vb").as("hof"))
+    // bit-exact: same accumulation order, same zero-norm guard
+    assert(both.filter($"native" =!= $"hof").count() == 0)
+    val zero = Seq((Array(0f, 0f), Array(1f, 2f))).toDF("za", "zb")
+      .select(NativeSig.cosineSim($"za", $"zb")).as[Double].head
+    assert(zero == 0.0)
+    // codegen check on a map-only projection (join operators sit outside
+    // whole-stage codegen regardless of the expression)
+    val q = embs.select(NativeSig.cosineSim($"embedding", $"embedding").as("c"))
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("*(1)"), s"expected codegen:\n$plan")
+  }
+
 }
