@@ -222,6 +222,23 @@ final case class DtTotalHours(arg: Node) extends DtTotal
 final case class DtTotalDays(arg: Node) extends DtTotal
 
 // ---------------------------------------------------------------------------
+// User extensions
+// ---------------------------------------------------------------------------
+
+/** A user-registered node (built by a custom [[NodeSpec]] — the analogue of
+  * the reference's `Parser(registered_nodes=...)` extension point,
+  * parser.py:154-176). Carries its own Column lowering, so [[Compiler]] needs
+  * no knowledge of user node types.
+  */
+final case class Extension(
+    name: String,
+    args: Seq[Node],
+    lower: Seq[org.apache.spark.sql.Column] => org.apache.spark.sql.Column
+) extends Node {
+  def children: Seq[Node] = args
+}
+
+// ---------------------------------------------------------------------------
 // Parse-time-only marker
 // ---------------------------------------------------------------------------
 

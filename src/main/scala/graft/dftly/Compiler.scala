@@ -347,6 +347,8 @@ object Compiler {
       // DayTimeIntervalType is µs-precision; sub-µs is always 0 (SURVEY §2.8.2).
       case DtTotalNanoseconds(a)  => totalMicros(lower(a)) * lit(1000L)
 
+      case Extension(_, args, lowerFn) => lowerFn(args.map(lower))
+
       case BareWordNode(w) =>
         throw new IllegalArgumentException(
           s"Internal error: bare word '$w' escaped parsing; it should have become a literal."

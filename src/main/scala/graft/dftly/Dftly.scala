@@ -34,6 +34,25 @@ object Dftly {
   /** Parse any supported form into the AST (reference: parser.py:178-222). */
   def parse(value: Any): Node = DictParser.parse(value)
 
+  /** Parse with a custom registry (reference `Parser(registered_nodes=...)`,
+    * parser.py:154-176): `DftlyParser.withDefaults("clamp" -> spec)`.
+    */
+  def parse(value: Any, parser: DftlyParser): Node = parser.parse(value)
+
+  /** [[toColumns]] under a custom node registry. */
+  def toColumns(yaml: String, schema: Option[StructType], parser: DftlyParser): Seq[(String, Column)] =
+    Yaml.loadExprMap(yaml).map { case (name, v) =>
+      name -> Compiler.compile(parser.parse(v), schema).as(name)
+    }
+
+  /** [[select]] under a custom node registry — custom nodes work in both the
+    * YAML dict form and string-form function calls.
+    */
+  def select(df: DataFrame, yaml: String, parser: DftlyParser): DataFrame = {
+    val cols = toColumns(yaml, Some(df.schema), parser)
+    df.select(cols.map(_._2): _*)
+  }
+
   /** Single string-form expression → Column (reference: parser.py:357-384). */
   def expr(s: String): Column = Compiler.compile(parse(s), None)
 

@@ -13,8 +13,13 @@ import java.time.{Instant, LocalDate, LocalDateTime, LocalTime}
   */
 object DictParser {
 
-  def parse(value: Any): Node = parse0(value, nested = false)
+  def parse(value: Any): Node = DftlyParser.active.value.parse(value)
 
+  /** Recursion entry: non-map forms resolve directly; map forms go through
+    * the ACTIVE registry's try-all matching loop (reference:
+    * parser.py:178-222), which aggregates per-node failure causes and
+    * detects ambiguous matches.
+    */
   private[dftly] def parse0(value: Any, nested: Boolean): Node = value match {
     case BareWordNode(word) => bareWord(word, nested)
     case n: Node            => n
@@ -24,22 +29,8 @@ object DictParser {
       val map = m.asInstanceOf[collection.Map[String, Any]]
       if (map.size == 1 && map.contains("bare_word"))
         bareWord(map("bare_word").toString, nested)
-      else if (map.size == 1 && map.contains("expression")) {
-        map("expression") match {
-          case inner: collection.Map[_, _] =>
-            val im = inner.asInstanceOf[collection.Map[String, Any]]
-            val key = im.getOrElse(
-              "type",
-              throw fail(value, Map("expression" -> "resolved form needs a 'type' key"))
-            )
-            build(key.toString, im.get("arguments").orNull, value, nested)
-          case _ => throw fail(value, Map.empty)
-        }
-      } else if (map.size == 1) {
-        val (key, raw) = map.head
-        build(key, raw, value, nested)
-      } else throw fail(value, Map.empty)
-    case _ => throw fail(value, Map.empty)
+      else DftlyParser.active.value.tryAll(map, nested)
+    case _ => throw fail(value, Nil)
   }
 
   private def bareWord(word: String, nested: Boolean): Node = {
@@ -75,13 +66,51 @@ object DictParser {
     case other => other
   }
 
-  private def fail(value: Any, causes: Map[String, String]): IllegalArgumentException = {
+  /** The reference's aggregated no-match error (parser.py:212-219): every
+    * node that matched but failed to build contributes a cause line.
+    */
+  private[dftly] def fail(value: Any, causes: Seq[(String, Throwable)]): IllegalArgumentException = {
     val lines = Seq(s"No matching node found for value: $value.") ++
       (if (causes.nonEmpty)
-         Seq("Errors from attempted matches:") ++ causes.map { case (k, v) => s"- $k: $v" }
+         Seq("Errors from attempted matches:") ++
+           causes.map { case (k, e) => s"- $k: ${e.getMessage}" }
        else Nil)
     new IllegalArgumentException(lines.mkString("\n"))
   }
+
+  /** Built-in node keys, reference registration order
+    * (nodes/__init__.py:60-113).
+    */
+  private[dftly] val builtinKeys: Seq[String] = Seq(
+    "literal", "column",
+    "hash", "signed_hash", "not", "negate", "len_chars",
+    "and", "or", "add", "multiply", "mean", "min", "max", "coalesce",
+    "subtract", "divide", "power", "set_time",
+    "greater_than", "less_than", "equal", "not_equal",
+    "greater_than_or_equal", "less_than_or_equal",
+    "conditional", "string_interpolate",
+    "regex_extract", "regex_match", "strptime", "substring", "split", "cast",
+    "dt_year", "dt_month_of_year", "dt_day_of_month", "dt_day_of_week",
+    "dt_day_of_year", "dt_hour_of_day", "dt_minute_of_hour",
+    "dt_second_of_minute", "dt_week_of_year", "dt_quarter_of_year",
+    "dt_total_seconds", "dt_total_milliseconds", "dt_total_microseconds",
+    "dt_total_nanoseconds", "dt_total_minutes", "dt_total_hours",
+    "dt_total_days"
+  )
+
+  private[dftly] def isBuiltinKey(k: String): Boolean = builtinKeys.contains(k)
+
+  /** The default registry: one [[NodeSpec]] per built-in node, delegating to
+    * [[buildBuiltin]].
+    */
+  private[dftly] lazy val builtinSpecs: Seq[(String, NodeSpec)] =
+    builtinKeys.map { k =>
+      k -> new NodeSpec {
+        val key: String = k
+        def build(value: Any, ctx: NodeSpec.Ctx): Node =
+          buildBuiltin(k, ctx.rawArgs(k, value), value, ctx.nested)
+      }
+    }
 
   /** Split raw short-form/resolved-form arguments into positional + keyword
     * (reference: base.py:230-291).
@@ -113,7 +142,7 @@ object DictParser {
     kwargs.map { case (k, v) => k -> parse0(v, nested = true) }
   }
 
-  private[dftly] def build(key: String, raw: Any, whole: Any, nested: Boolean): Node = {
+  private[dftly] def buildBuiltin(key: String, raw: Any, whole: Any, nested: Boolean): Node = {
     val (args, kwargs) = splitArgs(raw)
 
     def children: Seq[Node] = {
@@ -285,7 +314,7 @@ object DictParser {
       case "dt_total_hours"        => unary(DtTotalHours)
       case "dt_total_days"         => unary(DtTotalDays)
 
-      case other => throw fail(whole, Map.empty)
+      case other => throw fail(whole, Nil)
     }
   }
 

@@ -106,6 +106,17 @@ object FnCalls {
     case other =>
       // Positional-args nodes (arith/logical/comparison/dt families) share
       // DictParser's arity checks; parsed nodes pass through parse0 untouched.
-      DictParser.build(other, args, Map(other -> args), nested = true)
+      if (DictParser.isBuiltinKey(other))
+        DictParser.buildBuiltin(other, args, Map(other -> args), nested = true)
+      else
+        // Custom registered nodes are callable from the string form too:
+        // `clamp($x, 0, 10)` resolves against the ACTIVE parser's registry
+        // (reference: str_form/parser.py:377-386, NODES[name].from_lark).
+        DftlyParser.active.value.specForKey(other) match {
+          case Some(spec) =>
+            spec.build(Map(other -> args), new NodeSpec.Ctx(nested = true))
+          case None =>
+            throw DictParser.fail(Map(other -> args), Nil)
+        }
   }
 }
