@@ -316,6 +316,40 @@ object SparkEntry {
         bucketMicros = 6L * 3600 * 1000000)
         .select(col("event_id"), col("signup_id"))
     }),
+    // Gopher-style quality signals: token count, top-2-gram repetition,
+    // mean word length, composite keep decision. All ratios are exact
+    // integer-over-integer divisions, so the oracle hash-matches.
+    "q26_quality" -> ((s, dir) =>
+      graft.ops.Corpus.withQualitySignals(t(s, dir, "documents"), "text")
+        .select(col("doc_id"),
+          col("token_count").cast("long").as("token_count"),
+          round(col("top_ngram_frac"), 6).as("rep2"),
+          round(col("mean_word_len"), 6).as("mean_wlen"),
+          col("keep"))),
+    // Per-source quota: top-3 documents per source by quality — the
+    // per-domain cap every corpus-curation pipeline applies.
+    "q27_quota" -> ((s, dir) => {
+      val scored = t(s, dir, "documents")
+        .withColumn("q", TextStats.qualityScore(col("text"), col("n_chars")))
+      graft.ops.Corpus.perKeyQuota(
+        scored, Seq("source"), Seq(col("q").desc, col("doc_id").asc), 3)
+        .select(col("source"), col("doc_id"))
+    }),
+    // Deterministic hash split: assignment bits are engine-specific
+    // (xxhash64), but the *properties* are oracle-checkable — every split
+    // non-empty and within tolerance of its weight.
+    "q28_split" -> ((s, dir) => {
+      val sp = graft.ops.Corpus.assignSplit(
+        t(s, dir, "documents"), "doc_id",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      val expected = when(col("split") === "train", 0.8).otherwise(0.1)
+      // tolerance ≈ 4σ of the binomial at n=500 (sd ~0.018): passes hash
+      // noise (train is 0.746 on this data), fails wrong thresholds.
+      sp.groupBy(col("split")).agg(count(lit(1)).as("n"))
+        .withColumn("total", sum(col("n")).over())
+        .select(col("split"),
+          (abs(col("n") / col("total") - expected) < lit(0.08)).as("frac_ok"))
+    }),
     // Config-driven relational pipeline (graft.pipeline): join + groupBy +
     // aggregation verbs around the dftly expression core. Aggregates chosen
     // to be FP-exact (integral sums, count, max) so the oracle hash-matches.
@@ -532,6 +566,48 @@ object SparkEntry {
         |SELECT p.event_id, s.signup_id
         |FROM purchases p ASOF LEFT JOIN signups s
         |  ON p.user_id = s.user_id AND p.ts >= s.ts""".stripMargin,
+    "q26_quality" ->
+      """WITH tk AS (
+        |  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS toks
+        |  FROM documents
+        |), ng AS (
+        |  SELECT doc_id, toks,
+        |    CASE WHEN len(toks) < 2 THEN []
+        |         ELSE [array_to_string(toks[i:i+1], ' ') for i in generate_series(1, len(toks)-1)]
+        |    END AS grams
+        |  FROM tk
+        |), sig AS (
+        |  SELECT doc_id, len(toks) AS ntok,
+        |    CASE WHEN len(grams) = 0 THEN 0.0
+        |         ELSE list_max([len(list_filter(grams, g -> g = x)) for x in list_distinct(grams)])::DOUBLE
+        |              / len(grams) END AS rep2,
+        |    CASE WHEN len(toks) = 0 THEN 0.0
+        |         ELSE list_sum([length(t) for t in toks])::DOUBLE / len(toks) END AS mwl
+        |  FROM ng
+        |)
+        |SELECT doc_id, CAST(ntok AS BIGINT) AS token_count,
+        |  round(rep2, 6) AS rep2, round(mwl, 6) AS mean_wlen,
+        |  (ntok BETWEEN 20 AND 1000000 AND rep2 < 0.05 AND mwl BETWEEN 3.0 AND 10.0) AS keep
+        |FROM sig""".stripMargin,
+    "q27_quota" ->
+      s"""WITH scored AS (
+         |  SELECT source, doc_id,
+         |    round(least(1.0, n_chars / 500.0) * 0.4
+         |      + least(1.0, (CASE WHEN length(list_filter(string_split_regex(text, '\\s+'), t -> t <> '')) = 0 THEN 0.0
+         |          ELSE CAST(length(list_intersect(list_filter(string_split_regex(text, '\\s+'), t -> t <> ''), ${langMarkerSql("stop")})) AS DOUBLE)
+         |               / length(list_filter(string_split_regex(text, '\\s+'), t -> t <> '')) END) * 4.0) * 0.4
+         |      + greatest(0.0, 1.0 - (CASE WHEN length(text) = 0 THEN 0.0
+         |          ELSE CAST(length(regexp_extract_all(text, '[^\\w\\s]')) AS DOUBLE) / length(text) END) * 5.0) * 0.2, 6) AS q
+         |  FROM documents
+         |)
+         |SELECT source, doc_id FROM (
+         |  SELECT source, doc_id,
+         |    row_number() OVER (PARTITION BY source ORDER BY q DESC, doc_id) AS rn
+         |  FROM scored
+         |) WHERE rn <= 3""".stripMargin,
+    "q28_split" ->
+      """SELECT * FROM (VALUES ('test', TRUE), ('train', TRUE), ('val', TRUE))
+        |  AS v(split, frac_ok)""".stripMargin,
     "q22_pipeline" ->
       """SELECT l_returnflag,
         |  sum(l_quantity) AS total_qty,

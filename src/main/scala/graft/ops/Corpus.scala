@@ -1,0 +1,146 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Corpus-curation operators: Gopher-style repetition/quality rules, per-key
+  * quotas, and deterministic dataset splits — the filtering layer a
+  * training-data pipeline runs between dedup and tokenization.
+  *
+  * Everything here is either a pure per-row `Column` expression (map-only,
+  * embarrassingly parallel at any scale) or a single well-shaped shuffle
+  * (window for quotas), so the plans survive a 100× scale-up unchanged.
+  */
+object Corpus {
+
+  /** Non-distinct word n-grams ([[Dedup.shingles]] is the *distinct* variant
+    * for set-similarity; repetition stats need multiplicity).
+    */
+  def ngrams(text: Column, n: Int): Column = {
+    val toks = TextStats.tokens(text)
+    when(size(toks) < n, array().cast("array<string>"))
+      .otherwise(
+        transform(
+          sequence(lit(0), size(toks) - n),
+          i => concat_ws(" ", slice(toks, i + 1, lit(n)))
+        )
+      )
+  }
+
+  /** Fraction of n-gram occurrences taken by the most frequent n-gram — the
+    * classic repetition signal (high = boilerplate / word salad). Computed
+    * per row with sort + longest-equal-run fold; pass a *materialized* n-gram
+    * column (higher-order functions re-evaluate nested expressions).
+    */
+  def topNgramFraction(ngramsCol: Column): Column = {
+    val sorted = array_sort(ngramsCol)
+    val best = aggregate(
+      sorted,
+      struct(lit("").as("prev"), lit(0).as("run"), lit(0).as("best")),
+      (acc, x) => {
+        val run = when(x === acc.getField("prev"), acc.getField("run") + 1).otherwise(lit(1))
+        struct(
+          x.as("prev"),
+          run.as("run"),
+          greatest(acc.getField("best"), run).as("best")
+        )
+      },
+      acc => acc.getField("best")
+    )
+    when(size(ngramsCol) === 0, lit(0.0))
+      .otherwise(best.cast(DoubleType) / size(ngramsCol))
+  }
+
+  /** Fraction of lines that exactly duplicate an earlier line. */
+  def duplicateLineFraction(text: Column): Column = {
+    val lines = split(text, "\n")
+    when(size(lines) === 0, lit(0.0))
+      .otherwise((size(lines) - size(array_distinct(lines))).cast(DoubleType) / size(lines))
+  }
+
+  /** Symbol marks (#, …, ...) per word — boilerplate/navigation signal. */
+  def symbolToWordRatio(text: Column): Column = {
+    val syms = size(regexp_extract_all(text, lit("""#|…|\.\.\."""), lit(0)))
+    val toks = size(TextStats.tokens(text))
+    when(toks === 0, lit(0.0)).otherwise(syms.cast(DoubleType) / toks)
+  }
+
+  /** Gopher-style keep decision from pre-computed signals: token count in
+    * range, bounded repetition, plausible mean word length. Thresholds are
+    * parameters — corpora differ; these defaults suit prose-like text.
+    */
+  def gopherKeep(
+      tokenCount: Column,
+      topNgramFrac: Column,
+      meanWordLen: Column,
+      minTokens: Int = 20,
+      maxTokens: Int = 1000000,
+      maxRepetition: Double = 0.05,
+      minMeanWordLen: Double = 3.0,
+      maxMeanWordLen: Double = 10.0
+  ): Column =
+    tokenCount.between(minTokens, maxTokens) &&
+      topNgramFrac < maxRepetition &&
+      meanWordLen.between(minMeanWordLen, maxMeanWordLen)
+
+  /** Registrable host/domain from a URL — per-domain quotas and dedup keys. */
+  def domainOf(url: Column): Column =
+    lower(regexp_extract(url, "^(?:[a-zA-Z][a-zA-Z0-9+.-]*://)?(?:[^/@]*@)?([^/:?#]+)", 1))
+
+  /** Keep at most `k` rows per key, by `ordering` — per-domain/source caps.
+    * One hash shuffle on the key + per-partition sort (the same shape as any
+    * windowed top-k); a hot key costs one task its sort, never a cross-node
+    * blowup, because rank is evaluated streaming per partition.
+    */
+  def perKeyQuota(df: DataFrame, keyCols: Seq[String], ordering: Seq[Column], k: Int): DataFrame = {
+    require(k >= 1, "quota must be >= 1")
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(ordering: _*)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .drop("__rn")
+  }
+
+  /** Deterministic weighted split assignment (train/val/test) from a stable
+    * id hash: bucket = xxhash64(id, seed) mod `buckets`, cumulative-weight
+    * thresholds pick the split. Pure map-side, reproducible run-to-run and
+    * partition-independent — the properties a 100 TB split must have (a
+    * `rand()` split is neither).
+    */
+  def assignSplit(
+      df: DataFrame,
+      idCol: String,
+      weights: Seq[(String, Double)],
+      seed: Long = 0L,
+      buckets: Int = 10000,
+      splitCol: String = "split"
+  ): DataFrame = {
+    require(weights.nonEmpty && weights.forall(_._2 > 0), "weights must be positive")
+    require(math.abs(weights.map(_._2).sum - 1.0) < 1e-9, "weights must sum to 1")
+    val bucket = pmod(xxhash64(col(idCol), lit(seed)), lit(buckets))
+    val thresholds = weights.scanLeft(0.0) { case (acc, (_, w)) => acc + w }.tail
+    val expr = weights.zip(thresholds).init.foldRight(lit(weights.last._1): Column) {
+      case (((name, _), cum), rest) =>
+        when(bucket < math.round(cum * buckets), lit(name)).otherwise(rest)
+    }
+    df.withColumn(splitCol, expr)
+  }
+
+  /** All repetition/quality signals in one staged pass (n-grams materialized
+    * once — higher-order functions get no common-subexpression elimination).
+    */
+  def withQualitySignals(df: DataFrame, textCol: String, ngramN: Int = 2): DataFrame = {
+    val staged = df.withColumn("__ng", ngrams(col(textCol), ngramN))
+    val toks = TextStats.tokens(col(textCol))
+    staged
+      .withColumn("token_count", size(toks))
+      .withColumn("top_ngram_frac", topNgramFraction(col("__ng")))
+      .withColumn("mean_word_len", TextStats.meanTokenLength(col(textCol)))
+      .withColumn("dup_line_frac", duplicateLineFraction(col(textCol)))
+      .withColumn("symbol_ratio", symbolToWordRatio(col(textCol)))
+      .withColumn("keep",
+        gopherKeep(col("token_count"), col("top_ngram_frac"), col("mean_word_len")))
+      .drop("__ng")
+  }
+}

@@ -30,7 +30,13 @@ object Dedup {
     */
   private[ops] def ensureParallelism(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+    // The probe must see Spark's actual split count (file-size heuristics
+    // undercount exactly the case this guards: unsplittable row groups).
+    // `queryExecution.toRdd` plans the query once on the driver without the
+    // external-Row conversion layer of `df.rdd` and without running a job —
+    // milliseconds, vs the CPU-dense stage it protects.
+    if (df.queryExecution.toRdd.getNumPartitions < target) df.repartition(target)
+    else df
   }
 
   // ------------------------------------------------------------------

@@ -1,0 +1,86 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.dftly.SparkTestBase
+
+class CorpusSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  test("topNgramFraction: hand-checked repetition values") {
+    val df = Seq(
+      "a a a b",       // 2-grams: [a a, a a, a b] -> 2/3
+      "w x y z",       // all distinct -> 1/4... (3 grams, max 1) -> 1/3
+      "solo",          // < 2 tokens -> no grams -> 0.0
+      ""               // blank -> 0.0
+    ).toDF("text")
+    val got = df
+      .withColumn("ng", Corpus.ngrams($"text", 2))
+      .select(round(Corpus.topNgramFraction($"ng"), 6)).as[Double].collect().toSeq
+    assert(got == Seq(0.666667, 0.333333, 0.0, 0.0))
+  }
+
+  test("duplicate lines, symbol ratio, and the keep decision") {
+    assert(Seq("x\ny\nx\nz").toDF("t")
+      .select(Corpus.duplicateLineFraction($"t")).as[Double].head == 0.25)
+    assert(Seq("# a … b ... c").toDF("t")
+      .select(Corpus.symbolToWordRatio($"t")).as[Double].head == 3.0 / 6.0)
+    val keep = (0 until 30).map(i => s"word$i").mkString(" ") // distinct words: low repetition
+    val reps = Seq.fill(60)("spam spam").mkString(" ")
+    val got = Seq(keep, reps, "too short").toDF("text")
+      .transform(Corpus.withQualitySignals(_, "text"))
+      .select($"keep").as[Boolean].collect().toSeq
+    assert(got == Seq(true, false, false))
+  }
+
+  test("domainOf extracts registrable hosts from messy URLs") {
+    val got = Seq(
+      "https://Sub.Example.com/path?x=1",
+      "example.com/x",
+      "ftp://user@host.org:8080/f",
+      "http://127.0.0.1/x"
+    ).toDF("u").select(Corpus.domainOf($"u")).as[String].collect().toSeq
+    assert(got == Seq("sub.example.com", "example.com", "host.org", "127.0.0.1"))
+  }
+
+  test("perKeyQuota keeps exactly k per key with deterministic ordering") {
+    val df = Seq(
+      ("a", 1L, 0.9), ("a", 2L, 0.8), ("a", 3L, 0.8), ("a", 4L, 0.1),
+      ("b", 5L, 0.5)
+    ).toDF("k", "id", "score")
+    val got = Corpus.perKeyQuota(df, Seq("k"), Seq($"score".desc, $"id".asc), 2)
+      .select($"id").as[Long].collect().toSet
+    assert(got == Set(1L, 2L, 5L)) // tie at 0.8 broken by id
+    assert(!Corpus.perKeyQuota(df, Seq("k"), Seq($"score".desc, $"id".asc), 2)
+      .columns.contains("__rn"))
+  }
+
+  test("assignSplit: deterministic, partition-independent, weight-accurate") {
+    val df = (0L until 2000L).toDF("id")
+    val w = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val s1 = Corpus.assignSplit(df, "id", w).select($"id", $"split")
+      .as[(Long, String)].collect().toMap
+    val s2 = Corpus.assignSplit(df.repartition(7), "id", w).select($"id", $"split")
+      .as[(Long, String)].collect().toMap
+    assert(s1 == s2) // partitioning must not change assignment
+    val fracs = s1.values.groupBy(identity).view.mapValues(_.size / 2000.0).toMap
+    assert(math.abs(fracs("train") - 0.8) < 0.03, fracs.toString)
+    assert(math.abs(fracs("val") - 0.1) < 0.03, fracs.toString)
+    assert(math.abs(fracs("test") - 0.1) < 0.03, fracs.toString)
+    // different seed -> different assignment (not vacuously constant)
+    val s3 = Corpus.assignSplit(df, "id", w, seed = 1L).select($"id", $"split")
+      .as[(Long, String)].collect().toMap
+    assert(s1 != s3)
+  }
+
+  test("invalid weights are rejected") {
+    val df = Seq(1L).toDF("id")
+    intercept[IllegalArgumentException] {
+      Corpus.assignSplit(df, "id", Seq("a" -> 0.5, "b" -> 0.4))
+    }
+    intercept[IllegalArgumentException] {
+      Corpus.assignSplit(df, "id", Seq("a" -> 1.5, "b" -> -0.5))
+    }
+  }
+}
