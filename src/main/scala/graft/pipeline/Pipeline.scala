@@ -225,6 +225,34 @@ object Pipeline {
           asSeq(j("rightCols")).map(_.toString),
           j.get("tolerance").map(t => org.apache.spark.sql.functions.expr(t.toString)))
 
+      case "qualitySignals" =>
+        graft.ops.Corpus.withQualitySignals(df, step("qualitySignals").toString)
+
+      case "quota" =>
+        val q = asMap(step("quota"), "quota")
+        graft.ops.Corpus.perKeyQuota(df,
+          asSeq(q("keys")).map(_.toString),
+          asSeq(q("orderBy")).map(_.toString).map { s =>
+            // same "-col" descending convention as the orderBy verb
+            if (s.startsWith("-")) col(s.drop(1)).desc else col(s).asc
+          },
+          q("k").toString.toInt)
+
+      case "split" =>
+        val sp = asMap(step("split"), "split")
+        // ordered: weight order defines the bucket-threshold layout
+        val weights = orderedEntries(sp("weights"), "split.weights")
+          .map { case (k, v) => k -> v.toString.toDouble }
+        graft.ops.Corpus.assignSplit(df, sp("id").toString, weights,
+          seed = sp.get("seed").map(_.toString.toLong).getOrElse(0L))
+
+      case "sessionize" =>
+        val sz = asMap(step("sessionize"), "sessionize")
+        graft.ops.StreamingOps.sessionize(df,
+          asSeq(sz("keys")).map(_.toString),
+          sz("ts").toString, sz("gap").toString,
+          sz.getOrElse("delay", "0 seconds").toString)
+
       case "rangeJoin" =>
         val j = asMap(step("rangeJoin"), "rangeJoin")
         graft.ops.TemporalJoin.rangeJoin(

@@ -60,4 +60,45 @@ class StreamingSpec extends SparkTestBase {
       assert(got.map(_.getLong(2)).sum == 5) // 2 + 3 tokens, same window+prefix
     } finally q.stop()
   }
+
+  test("sessionize: inactivity gap splits sessions, complete mode emits counts") {
+    import graft.ops.StreamingOps
+    val input = MemoryStream[(java.sql.Timestamp, Long)](spark)
+    val df = input.toDF().toDF("ts", "user_id")
+    val sessions = StreamingOps.sessionize(df, Seq("user_id"), "ts", "5 minutes", "1 minute")
+    val q = sessions.writeStream.format("memory").queryName("sessions")
+      .outputMode("append").start()
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    try {
+      // user 1: two bursts separated by > 5 min; user 2: one event
+      input.addData(
+        (t("2026-01-01 00:00:00"), 1L), (t("2026-01-01 00:02:00"), 1L),
+        (t("2026-01-01 00:20:00"), 1L),
+        (t("2026-01-01 00:01:00"), 2L))
+      q.processAllAvailable()
+      // advance the watermark far past all session ends so they emit
+      input.addData((t("2026-01-01 01:00:00"), 99L))
+      q.processAllAvailable()
+      input.addData((t("2026-01-01 02:00:00"), 99L))
+      q.processAllAvailable()
+      val got = spark.table("sessions")
+        .select($"user_id", $"n_events").as[(Long, Long)].collect().toSeq
+        .filter(_._1 != 99L).sorted
+      assert(got == Seq((1L, 2L), (1L, 1L), (2L, 1L)).sorted, got.toString)
+    } finally q.stop()
+  }
+
+  test("sessionize works identically on a batch frame") {
+    import graft.ops.StreamingOps
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val df = Seq(
+      (t("2026-01-01 00:00:00"), 1L), (t("2026-01-01 00:02:00"), 1L),
+      (t("2026-01-01 00:20:00"), 1L), (t("2026-01-01 00:01:00"), 2L)
+    ).toDF("ts", "user_id")
+    val got = StreamingOps.sessionize(df, Seq("user_id"), "ts", "5 minutes", "1 minute")
+      .select($"user_id", $"n_events", $"session_start")
+      .as[(Long, Long, java.sql.Timestamp)].collect().toSeq.sortBy(r => (r._1, r._3.getTime))
+    assert(got.map(r => (r._1, r._2)) == Seq((1L, 2L), (1L, 1L), (2L, 1L)))
+  }
+
 }

@@ -162,4 +162,45 @@ class PipelineSpec extends SparkTestBase {
       Pipeline.runOnDir(spark, "steps: []\n", dir))
     assert(e2.getMessage.contains("source"))
   }
+
+  test("curation verbs: qualitySignals -> quota -> split in one config") {
+    val out = Pipeline.runOnDir(spark,
+      """source: documents
+        |steps:
+        |  - qualitySignals: text
+        |  - quota: {keys: [source], orderBy: [-mean_word_len, doc_id], k: 2}
+        |  - split: {id: doc_id, weights: {train: 0.8, val: 0.1, test: 0.1}}
+        |  - select:
+        |      doc_id: $doc_id
+        |      source: $source
+        |      split: $split
+        |""".stripMargin, "/root/testdata/sf0.001")
+    val rows = out.as[(Long, String, String)].collect().toSeq
+    assert(rows.nonEmpty)
+    assert(rows.groupBy(_._2).values.forall(_.size <= 2), "quota k=2 violated")
+    assert(rows.map(_._3).toSet.subsetOf(Set("train", "val", "test")))
+  }
+
+  test("sessionize verb over the events table (batch)") {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val out = Pipeline.run(spark,
+      """source: events
+        |steps:
+        |  - sessionize: {keys: [user_id], ts: ts, gap: 30 minutes}
+        |""".stripMargin,
+      { case "events" =>
+          spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+            .withColumn("ts",
+              org.apache.spark.sql.functions.timestamp_micros(
+                org.apache.spark.sql.functions.expr("ts div 1000")))
+      })
+    assert(out.columns.toSeq == Seq("user_id", "session_start", "session_end",
+      "n_events", "first_event", "last_event"))
+    assert(out.count() > 0)
+    // session bounds are consistent
+    import org.apache.spark.sql.functions._
+    assert(out.filter(col("first_event") > col("last_event")).count() == 0)
+    assert(out.filter(col("n_events") < 1).count() == 0)
+  }
+
 }
