@@ -350,6 +350,19 @@ object SparkEntry {
         .select(col("split"),
           (abs(col("n") / col("total") - expected) < lit(0.08)).as("frac_ok"))
     }),
+    // Exact n-gram Jaccard near-dup pairs via prefix filtering (equi-join on
+    // rare prefix shingles — the brute-force formulation is O(n²)-dead past
+    // a few thousand docs). Fully oracle-checked: DuckDB computes the same
+    // exact output with an all-pairs sweep; nearest pair is 0.4 from the
+    // threshold. Cross-checks q17 (MinHash+LSH finds the same pairs).
+    "q29_jaccard_pairs" -> ((s, dir) =>
+      Dedup.jaccardPairs(
+        t(s, dir, "documents"), "doc_id", "text", threshold = 0.5)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))),
+    // Global vocabulary top-k — the canonical corpus word count.
+    "q30_vocab" -> ((s, dir) =>
+      graft.ops.Corpus.topTokens(t(s, dir, "documents"), "text", 20)
+        .select(col("token"), col("n"))),
     // Config-driven relational pipeline (graft.pipeline): join + groupBy +
     // aggregation verbs around the dftly expression core. Aggregates chosen
     // to be FP-exact (integral sums, count, max) so the oracle hash-matches.
@@ -608,6 +621,32 @@ object SparkEntry {
     "q28_split" ->
       """SELECT * FROM (VALUES ('test', TRUE), ('train', TRUE), ('val', TRUE))
         |  AS v(split, frac_ok)""".stripMargin,
+    "q29_jaccard_pairs" ->
+      """WITH sh AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(toks) = 0 THEN []
+        |         WHEN len(toks) <= 3 THEN [array_to_string(toks, ' ')]
+        |         ELSE list_distinct([array_to_string(toks[i:i+2], ' ')
+        |                             for i in generate_series(1, len(toks)-2)])
+        |    END AS grams
+        |  FROM (SELECT doc_id,
+        |          list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS toks
+        |        FROM documents)
+        |)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  round(len(list_intersect(a.grams, b.grams))::DOUBLE
+        |        / len(list_distinct(list_concat(a.grams, b.grams))), 6) AS jaccard
+        |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |WHERE len(list_distinct(list_concat(a.grams, b.grams))) > 0
+        |  AND len(list_intersect(a.grams, b.grams))::DOUBLE
+        |      / len(list_distinct(list_concat(a.grams, b.grams))) >= 0.5""".stripMargin,
+    "q30_vocab" ->
+      """SELECT token, count(*) AS n
+        |FROM (SELECT unnest(list_filter(string_split_regex(text, '\s+'), t -> t <> '')) AS token
+        |      FROM documents)
+        |GROUP BY token
+        |ORDER BY n DESC, token
+        |LIMIT 20""".stripMargin,
     "q22_pipeline" ->
       """SELECT l_returnflag,
         |  sum(l_quantity) AS total_qty,

@@ -127,20 +127,40 @@ object Corpus {
     df.withColumn(splitCol, expr)
   }
 
+  /** Global token frequencies — the canonical corpus word count: explode +
+    * one hash-partitioned aggregation with map-side partial counts, so the
+    * shuffle carries (token, partial-count), never document text.
+    */
+  def tokenFrequencies(df: DataFrame, textCol: String): DataFrame =
+    df.select(explode(TextStats.tokens(col(textCol))).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("n"))
+
+  /** Top-k vocabulary by frequency (ties broken by token) — lowers to
+    * TakeOrderedAndProject after the aggregation: per-partition top-k, no
+    * global sort.
+    */
+  def topTokens(df: DataFrame, textCol: String, k: Int): DataFrame =
+    tokenFrequencies(df, textCol)
+      .orderBy(col("n").desc, col("token").asc)
+      .limit(k)
+
   /** All repetition/quality signals in one staged pass (n-grams materialized
     * once — higher-order functions get no common-subexpression elimination).
     */
   def withQualitySignals(df: DataFrame, textCol: String, ngramN: Int = 2): DataFrame = {
-    val staged = df.withColumn("__ng", ngrams(col(textCol), ngramN))
     val toks = TextStats.tokens(col(textCol))
-    staged
+    df
       .withColumn("token_count", size(toks))
-      .withColumn("top_ngram_frac", topNgramFraction(col("__ng")))
+      // fused native kernel — the HOF formulation ([[topNgramFraction]] over
+      // [[ngrams]]) sorts and folds interpreted per row and dominated the
+      // whole signal pass; values are identical (exact integer ratios)
+      .withColumn("top_ngram_frac",
+        graft.ops.expr.NativeSig.topNgramFraction(col(textCol), ngramN))
       .withColumn("mean_word_len", TextStats.meanTokenLength(col(textCol)))
       .withColumn("dup_line_frac", duplicateLineFraction(col(textCol)))
       .withColumn("symbol_ratio", symbolToWordRatio(col(textCol)))
       .withColumn("keep",
         gopherKeep(col("token_count"), col("top_ngram_frac"), col("mean_word_len")))
-      .drop("__ng")
   }
 }

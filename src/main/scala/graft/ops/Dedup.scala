@@ -78,10 +78,19 @@ object Dedup {
     * contribute their whole token sequence as one shingle so they can still
     * collide with identical short texts.
     */
-  def shingles(text: Column, n: Int): Column = {
-    // Blank/whitespace-only text must yield NO shingles (not [""]) so the
-    // null-signature guard excludes it from banding — exact dedup owns
+  def shingles(text: Column, n: Int): Column =
+    // Native one-pass kernel: the HOF formulation ([[hofShingles]]) is
+    // re-evaluated wherever the plan branches (no CSE for interpreted
+    // higher-order functions) and was the dominant cost of every near-dup
+    // pipeline. Blank/whitespace-only text yields NO shingles (not [""]) so
+    // the null-signature guard excludes it from banding — exact dedup owns
     // identical-empty documents.
+    graft.ops.expr.NativeSig.wordShingles(text, n)
+
+  /** Reference HOF formulation of [[shingles]] — kept as the independent
+    * oracle for the native kernel's tests.
+    */
+  private[ops] def hofShingles(text: Column, n: Int): Column = {
     val toks = array_remove(split(text, "\\s+"), "")
     val k = size(toks)
     array_distinct(
@@ -336,6 +345,73 @@ object Dedup {
   /** Brute-force all-pairs n-gram Jaccard (reference implementation for
     * recall tests and small frames — O(n²), never for production scale).
     */
+  /** EXACT-threshold Jaccard self-join via prefix filtering (the
+    * AllPairs/PPJoin family): if J(A,B) ≥ t, the rarest-first prefixes of
+    * length `|X| − ⌈t·|X|⌉ + 1` (under one global shingle order) must share
+    * a shingle — so candidate generation is an equi-join on *rare prefix
+    * shingles*, never an all-pairs loop. Same output contract as
+    * [[bruteForceNearDuplicatePairs]] at any scale where that is O(n²)-dead.
+    *
+    * Shape: explode → global shingle frequencies (one agg) → per-doc
+    * rarest-first rank (window by id) → prefix filter → bucketed candidate
+    * pairs → exact Jaccard verification with arrays rejoined by id.
+    *
+    * @param maxBucketSize skew guard on prefix-shingle buckets. Unlike LSH,
+    *   dropping a bucket here sacrifices exactness — the default is high;
+    *   lower it only when survival beats completeness.
+    */
+  def jaccardPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double,
+      shingleN: Int = 3,
+      maxBucketSize: Int = 100000
+  ): DataFrame = {
+    require(threshold > 0 && threshold <= 1, "threshold must be in (0, 1]")
+    val sh = ensureParallelism(df)
+      .select(col(idCol).as("id"), shingles(col(textCol), shingleN).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val inst = sh.select(col("id"), size(col("sh")).as("len"), explode(col("sh")).as("g"))
+    // Document frequency via a window over the SAME exploded instances — a
+    // groupBy+join-back would re-shingle and re-explode the whole input a
+    // second time (plan branches don't share work across shuffles).
+    val ranked = inst
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("g"))))
+      .withColumn("rn",
+        row_number().over(
+          Window.partitionBy(col("id")).orderBy(col("df"), col("g"))))
+    val prefix = ranked
+      .filter(col("rn") <= col("len") - ceil(col("len") * lit(threshold)) + 1)
+      .select(col("id"), col("len"), col("g"))
+    // Candidate gen with the LENGTH filter folded into the self-join:
+    // J ≥ t ⟹ t·|A| ≤ |B| ≤ |A|/t, so size-incompatible pairs never
+    // materialize (same single-shuffle shape as bucketCandidatePairs).
+    val members = prefix
+      .groupBy(col("g"))
+      .agg(collect_list(struct(col("id"), col("len"))).as("ms"))
+      .filter(size(col("ms")).between(2, maxBucketSize))
+      .select(col("g"), explode(col("ms")).as("m"))
+      .select(col("g"), col("m.id").as("id"), col("m.len").as("len"))
+    val cands = members.as("a")
+      .join(members.as("b"),
+        col("a.g") === col("b.g") && col("a.id") < col("b.id") &&
+          col("b.len") >= ceil(col("a.len") * lit(threshold)) &&
+          col("a.len") >= ceil(col("b.len") * lit(threshold)))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    // Verification: arrays pre-sorted once per document, then a native
+    // merge-intersection kernel per pair — no per-pair hash sets.
+    val sorted = sh.select(col("id"), sort_array(col("sh")).as("ss"))
+    cands
+      .join(sorted.select(col("id").as("id_a"), col("ss").as("sh_a")), "id_a")
+      .join(sorted.select(col("id").as("id_b"), col("ss").as("sh_b")), "id_b")
+      .withColumn("jaccard",
+        graft.ops.expr.NativeSig.jaccardSorted(col("sh_a"), col("sh_b")))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
   def bruteForceNearDuplicatePairs(
       df: DataFrame,
       idCol: String,

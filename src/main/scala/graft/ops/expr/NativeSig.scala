@@ -70,6 +70,64 @@ object SigKernels {
     out
   }
 
+  /** Distinct word n-gram shingles in one pass: whitespace tokenization
+    * (Java regex `\s` class: space, \t, \n, \x0B, \f, \r — matching
+    * `split(text, "\\s+")`), n-token windows joined by single spaces,
+    * first-occurrence-order dedup. Contract-identical to the staged HOF
+    * formulation (`array_distinct` over `transform`+`slice`+`concat_ws`),
+    * which re-evaluates its interpreted tree wherever the plan branches —
+    * shingling was the dominant cost of every near-dup pipeline.
+    */
+  def wordShingles(text: UTF8String, n: Int): ArrayData = {
+    val s = text.toString
+    val len = s.length
+    def isWs(c: Char): Boolean =
+      c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
+    // tokenize: (start, end) slices of non-whitespace runs
+    val starts = new java.util.ArrayList[Int]()
+    val ends = new java.util.ArrayList[Int]()
+    var i = 0
+    while (i < len) {
+      while (i < len && isWs(s.charAt(i))) i += 1
+      if (i < len) {
+        starts.add(i)
+        while (i < len && !isWs(s.charAt(i))) i += 1
+        ends.add(i)
+      }
+    }
+    val k = starts.size()
+    if (k == 0) return new GenericArrayData(Array.empty[Any])
+    val out = new java.util.LinkedHashSet[String]()
+    val sb = new java.lang.StringBuilder()
+    if (k <= n) {
+      var j = 0
+      while (j < k) {
+        if (j > 0) sb.append(' ')
+        sb.append(s, starts.get(j), ends.get(j))
+        j += 1
+      }
+      out.add(sb.toString)
+    } else {
+      var st = 0
+      while (st <= k - n) {
+        sb.setLength(0)
+        var j = st
+        while (j < st + n) {
+          if (j > st) sb.append(' ')
+          sb.append(s, starts.get(j), ends.get(j))
+          j += 1
+        }
+        out.add(sb.toString)
+        st += 1
+      }
+    }
+    val arr = new Array[Any](out.size())
+    val it = out.iterator()
+    var p = 0
+    while (it.hasNext) { arr(p) = UTF8String.fromString(it.next()); p += 1 }
+    new GenericArrayData(arr)
+  }
+
   /** Fused cosine similarity: dot product and both norms in ONE pass over
     * the pair, bit-identical to the staged HOF formulation (sequential
     * double accumulation, `0.0` on a zero norm). The HOF tree is three
@@ -92,6 +150,73 @@ object SigKernels {
     }
     val d = math.sqrt(na) * math.sqrt(nb)
     if (d == 0) 0.0 else dot / d
+  }
+
+  /** Fraction of n-gram occurrences taken by the most frequent n-gram,
+    * fused from the raw text in one pass (tokenize → count n-gram multiset
+    * in a hash map → max/total). Same values as the staged HOF formulation
+    * (`Corpus.topNgramFraction` over `Corpus.ngrams`): exact
+    * integer-over-integer division, 0.0 when fewer than `n` tokens.
+    */
+  def topNgramFraction(text: UTF8String, n: Int): Double = {
+    val s = text.toString
+    val len = s.length
+    def isWs(c: Char): Boolean =
+      c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
+    val starts = new java.util.ArrayList[Int]()
+    val ends = new java.util.ArrayList[Int]()
+    var i = 0
+    while (i < len) {
+      while (i < len && isWs(s.charAt(i))) i += 1
+      if (i < len) {
+        starts.add(i)
+        while (i < len && !isWs(s.charAt(i))) i += 1
+        ends.add(i)
+      }
+    }
+    val k = starts.size()
+    if (k < n) return 0.0
+    val total = k - n + 1
+    val counts = new java.util.HashMap[String, Int](total * 2)
+    val sb = new java.lang.StringBuilder()
+    var best = 0
+    var st = 0
+    while (st < total) {
+      sb.setLength(0)
+      var j = st
+      while (j < st + n) {
+        if (j > st) sb.append(' ')
+        sb.append(s, starts.get(j), ends.get(j))
+        j += 1
+      }
+      val g = sb.toString
+      val c = counts.merge(g, 1, Integer.sum)
+      if (c > best) best = c
+      st += 1
+    }
+    best.toDouble / total
+  }
+
+  /** Exact Jaccard of two SORTED distinct string arrays via linear merge
+    * intersection — no per-pair hash sets. Caller must pre-sort each side
+    * once (`sort_array`, binary UTF8 order — the same `compareTo` used
+    * here); verification sweeps evaluate this per candidate pair, so the
+    * per-pair cost is what near-dup wall time is made of.
+    */
+  def jaccardSorted(a: ArrayData, b: ArrayData): Double = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    if (na == 0 && nb == 0) return 0.0
+    var i = 0
+    var j = 0
+    var inter = 0
+    while (i < na && j < nb) {
+      val c = a.getUTF8String(i).compareTo(b.getUTF8String(j))
+      if (c == 0) { inter += 1; i += 1; j += 1 }
+      else if (c < 0) i += 1
+      else j += 1
+    }
+    inter.toDouble / (na + nb - inter)
   }
 
   /** 64-bit SimHash over a token array: per bit, sum +1/−1 by the bit of each
@@ -174,6 +299,85 @@ case class MinHashSignature(child: Expression, numHashes: Int)
   }
 
   override protected def withNewChildInternal(newChild: Expression): MinHashSignature =
+    copy(child = newChild)
+}
+
+/** Native fused top-n-gram repetition fraction of a string column — see
+  * [[SigKernels.topNgramFraction]].
+  */
+case class TopNgramFraction(child: Expression, n: Int) extends UnaryExpression {
+
+  require(n >= 1, "n-gram size must be >= 1")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other =>
+      TypeCheckResult.TypeCheckFailure(s"top_ngram_fraction needs a string column, got $other")
+  }
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "top_ngram_fraction"
+
+  override protected def nullSafeEval(input: Any): Any =
+    SigKernels.topNgramFraction(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.ops.expr.SigKernels.topNgramFraction($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): TopNgramFraction =
+    copy(child = newChild)
+}
+
+/** Native merge-intersection Jaccard of two sorted `array<string>` columns —
+  * see [[SigKernels.jaccardSorted]].
+  */
+case class JaccardSorted(left: Expression, right: Expression) extends BinaryExpression {
+
+  private def ok(dt: DataType) = dt match {
+    case ArrayType(StringType, _) => true
+    case _                        => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"jaccard_sorted needs two array<string>, got ${left.dataType}, ${right.dataType}")
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "jaccard_sorted"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    SigKernels.jaccardSorted(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.ops.expr.SigKernels.jaccardSorted($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): JaccardSorted =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Native one-pass word-shingling of a string column — see
+  * [[SigKernels.wordShingles]].
+  */
+case class WordShingles(child: Expression, n: Int) extends UnaryExpression {
+
+  require(n >= 1, "shingle size must be >= 1")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other =>
+      TypeCheckResult.TypeCheckFailure(s"word_shingles needs a string column, got $other")
+  }
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "word_shingles"
+
+  override protected def nullSafeEval(input: Any): Any =
+    SigKernels.wordShingles(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.ops.expr.SigKernels.wordShingles($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): WordShingles =
     copy(child = newChild)
 }
 
@@ -288,6 +492,18 @@ object NativeSig {
   /** Column API for [[SimHash64]]. */
   def simhash64(tokens: Column): Column =
     ColumnBridge.column(SimHash64(ColumnBridge.expression(tokens)))
+
+  /** Column API for [[TopNgramFraction]]. */
+  def topNgramFraction(text: Column, n: Int): Column =
+    ColumnBridge.column(TopNgramFraction(ColumnBridge.expression(text), n))
+
+  /** Column API for [[JaccardSorted]] — both arrays must be pre-sorted. */
+  def jaccardSorted(a: Column, b: Column): Column =
+    ColumnBridge.column(JaccardSorted(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** Column API for [[WordShingles]]. */
+  def wordShingles(text: Column, n: Int): Column =
+    ColumnBridge.column(WordShingles(ColumnBridge.expression(text), n))
 
   /** Column API for [[CosineSim]]. */
   def cosineSim(a: Column, b: Column): Column =

@@ -83,4 +83,42 @@ class CorpusSpec extends SparkTestBase {
       Corpus.assignSplit(df, "id", Seq("a" -> 1.5, "b" -> -0.5))
     }
   }
+
+  test("prefix-filtered jaccardPairs == brute force at several thresholds") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    for (t <- Seq(0.3, 0.5, 0.8)) {
+      val fast = Dedup.jaccardPairs(docs, "doc_id", "text", t)
+        .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+      val brute = Dedup.bruteForceNearDuplicatePairs(docs, "doc_id", "text", t)
+        .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+      assert(fast == brute,
+        s"t=$t missing=${(brute -- fast).take(5)} spurious=${(fast -- brute).take(5)}")
+      assert(brute.nonEmpty || t > 0.5) // non-vacuous at the lower thresholds
+    }
+  }
+
+  test("topTokens lowers to TakeOrderedAndProject after the aggregation") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val q = Corpus.topTokens(docs, "text", 10)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(q.count() == 10)
+  }
+
+
+  test("native topNgramFraction == HOF formulation on real documents") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"text")
+      .union(Seq("", "solo", "a a a b", "x y x y x y").toDF("text"))
+    for (n <- Seq(1, 2, 3)) {
+      val both = docs
+        .withColumn("ng", Corpus.ngrams($"text", n))
+        .select(
+          graft.ops.expr.NativeSig.topNgramFraction($"text", n).as("native"),
+          Corpus.topNgramFraction($"ng").as("hof"))
+      val bad = both.filter(!($"native" <=> $"hof")).collect()
+      assert(bad.isEmpty, s"n=$n first=${bad.headOption}")
+    }
+  }
+
 }

@@ -144,4 +144,21 @@ class NativeSigSpec extends SparkTestBase {
     assert(plan.contains("*(1)"), s"expected codegen:\n$plan")
   }
 
+
+  test("native word shingles == HOF shingles on real documents + edge cases") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"text")
+      .union(Seq("", "   ", "one", "a b", "a\tb\nc  d", "x y x y x y").toDF("text"))
+    for (n <- Seq(1, 3, 5)) {
+      val both = docs.select(
+        Dedup.shingles($"text", n).as("native"),
+        Dedup.hofShingles($"text", n).as("hof"))
+      val bad = both.filter(!($"native" <=> $"hof")).collect()
+      assert(bad.isEmpty, s"n=$n first=${bad.headOption}")
+    }
+    val plan = docs.select(Dedup.shingles($"text", 3))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("word_shingles"), plan)
+  }
+
 }
