@@ -363,6 +363,26 @@ object SparkEntry {
     "q30_vocab" -> ((s, dir) =>
       graft.ops.Corpus.topTokens(t(s, dir, "documents"), "text", 20)
         .select(col("token"), col("n"))),
+    // IVF with every cell probed IS exact top-k (same oracle as q16) — this
+    // verifies the centroid training + assignment + probe machinery
+    // end-to-end; the nProbe<k scale path is covered in OpsSpec.
+    "q31_ivf" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val cents = Similarity.trainCentroids(e, "embedding", k = 8, iters = 3)
+      Similarity.ivfTopK(e, "vec_id", "embedding", cents, AnnQueryVec, 20, nProbe = 8)
+        .select(col("vec_id"), round(col("score"), 6).as("score"))
+    }),
+    // Schema'd JSON property extraction — from_json (typed struct) and
+    // get_json_object (path) against DuckDB's json_extract.
+    "q32_json" -> ((s, dir) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      t(s, dir, "events").select(
+        col("event_id"),
+        from_json(col("props"), org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("k",
+            org.apache.spark.sql.types.IntegerType)))).getField("k").as("k_json"),
+        get_json_object(col("props"), "$.k").cast("int").as("k_path"))
+    }),
     // Config-driven relational pipeline (graft.pipeline): join + groupBy +
     // aggregation verbs around the dftly expression core. Aggregates chosen
     // to be FP-exact (integral sums, count, max) so the oracle hash-matches.
@@ -640,6 +660,17 @@ object SparkEntry {
         |WHERE len(list_distinct(list_concat(a.grams, b.grams))) > 0
         |  AND len(list_intersect(a.grams, b.grams))::DOUBLE
         |      / len(list_distinct(list_concat(a.grams, b.grams))) >= 0.5""".stripMargin,
+    "q31_ivf" ->
+      s"""SELECT vec_id,
+         |  round(list_cosine_similarity(embedding::DOUBLE[], $annVecSql::DOUBLE[]), 6) AS score
+         |FROM embeddings
+         |ORDER BY list_cosine_similarity(embedding::DOUBLE[], $annVecSql::DOUBLE[]) DESC, vec_id
+         |LIMIT 20""".stripMargin,
+    "q32_json" ->
+      """SELECT event_id,
+        |  json_extract(props, '$.k')::INTEGER AS k_json,
+        |  json_extract(props, '$.k')::INTEGER AS k_path
+        |FROM events""".stripMargin,
     "q30_vocab" ->
       """SELECT token, count(*) AS n
         |FROM (SELECT unnest(list_filter(string_split_regex(text, '\s+'), t -> t <> '')) AS token
