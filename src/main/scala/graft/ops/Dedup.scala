@@ -258,12 +258,16 @@ object Dedup {
           .select("id_a", "id_b")
       case None => cands
     }
+    // Verification: arrays pre-sorted once per document, native
+    // merge-intersection per candidate pair (the per-pair hash-set set ops
+    // were the dominant cost on collision-heavy corpora).
     val sh = ensureParallelism(df)
-      .select(col(idCol).as("id"), shingles(col(textCol), shingleN).as("sh"))
+      .select(col(idCol).as("id"), sort_array(shingles(col(textCol), shingleN)).as("sh"))
     estFiltered
       .join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
       .join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
-      .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
+      .withColumn("jaccard",
+        graft.ops.expr.NativeSig.jaccardSorted(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
   }
