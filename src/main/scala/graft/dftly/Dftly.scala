@@ -74,6 +74,16 @@ object Dftly {
     df.select(cols.map(_._2): _*)
   }
 
+  /** Serialize an AST back to the dict/YAML form (total; round-trips through
+    * [[parse]]). Beyond-reference: enables programmatic pipeline builders.
+    */
+  def renderDict(node: Node): Any = Render.toDict(node)
+
+  /** Serialize an AST to the string form where the grammar can express it
+    * (throws [[RenderError]] otherwise); round-trips through [[parse]].
+    */
+  def renderExpr(node: Node): String = Render.toExprString(node)
+
   /** Columns referenced by an expression in any form — useful for pre-flight
     * schema checks (reference: base.py:421-445).
     */
