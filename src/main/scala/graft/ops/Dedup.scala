@@ -267,7 +267,7 @@ object Dedup {
       .join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
       .join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
       .withColumn("jaccard",
-        graft.ops.expr.NativeSig.jaccardSorted(col("sh_a"), col("sh_b")))
+        graft.ops.expr.NativeSig.jaccardSorted(col("sh_a"), col("sh_b"), minJ = threshold))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
   }
@@ -411,7 +411,7 @@ object Dedup {
       .join(sorted.select(col("id").as("id_a"), col("ss").as("sh_a")), "id_a")
       .join(sorted.select(col("id").as("id_b"), col("ss").as("sh_b")), "id_b")
       .withColumn("jaccard",
-        graft.ops.expr.NativeSig.jaccardSorted(col("sh_a"), col("sh_b")))
+        graft.ops.expr.NativeSig.jaccardSorted(col("sh_a"), col("sh_b"), minJ = threshold))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
   }

@@ -203,7 +203,16 @@ object SigKernels {
     * here); verification sweeps evaluate this per candidate pair, so the
     * per-pair cost is what near-dup wall time is made of.
     */
-  def jaccardSorted(a: ArrayData, b: ArrayData): Double = {
+  def jaccardSorted(a: ArrayData, b: ArrayData): Double = jaccardSortedMin(a, b, 0.0)
+
+  /** As [[jaccardSorted]], with a threshold-aware EARLY EXIT: once the
+    * best-possible Jaccard (all remaining elements matching) falls below
+    * `minJ`, returns 0.0 — exact under a `jaccard >= minJ` filter, since the
+    * pair cannot pass and 0.0 < minJ. Survivors compute the exact value.
+    * Near-miss candidates (most of what banding/prefix filters emit) exit
+    * within a few merge steps.
+    */
+  def jaccardSortedMin(a: ArrayData, b: ArrayData, minJ: Double): Double = {
     val na = a.numElements()
     val nb = b.numElements()
     if (na == 0 && nb == 0) return 0.0
@@ -211,6 +220,8 @@ object SigKernels {
     var j = 0
     var inter = 0
     while (i < na && j < nb) {
+      val maxInter = inter + math.min(na - i, nb - j)
+      if (maxInter < minJ * (na + nb - maxInter)) return 0.0
       val c = a.getUTF8String(i).compareTo(b.getUTF8String(j))
       if (c == 0) { inter += 1; i += 1; j += 1 }
       else if (c < 0) i += 1
@@ -330,7 +341,8 @@ case class TopNgramFraction(child: Expression, n: Int) extends UnaryExpression {
 /** Native merge-intersection Jaccard of two sorted `array<string>` columns —
   * see [[SigKernels.jaccardSorted]].
   */
-case class JaccardSorted(left: Expression, right: Expression) extends BinaryExpression {
+case class JaccardSorted(left: Expression, right: Expression, minJ: Double = 0.0)
+    extends BinaryExpression {
 
   private def ok(dt: DataType) = dt match {
     case ArrayType(StringType, _) => true
@@ -346,10 +358,11 @@ case class JaccardSorted(left: Expression, right: Expression) extends BinaryExpr
   override def prettyName: String = "jaccard_sorted"
 
   override protected def nullSafeEval(a: Any, b: Any): Any =
-    SigKernels.jaccardSorted(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    SigKernels.jaccardSortedMin(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData], minJ)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, (a, b) => s"graft.ops.expr.SigKernels.jaccardSorted($a, $b)")
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.ops.expr.SigKernels.jaccardSortedMin($a, $b, $minJ)")
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): JaccardSorted =
@@ -497,9 +510,12 @@ object NativeSig {
   def topNgramFraction(text: Column, n: Int): Column =
     ColumnBridge.column(TopNgramFraction(ColumnBridge.expression(text), n))
 
-  /** Column API for [[JaccardSorted]] — both arrays must be pre-sorted. */
-  def jaccardSorted(a: Column, b: Column): Column =
-    ColumnBridge.column(JaccardSorted(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+  /** Column API for [[JaccardSorted]] — both arrays must be pre-sorted.
+    * `minJ` > 0 enables the exact early exit for `>= minJ` filters.
+    */
+  def jaccardSorted(a: Column, b: Column, minJ: Double = 0.0): Column =
+    ColumnBridge.column(
+      JaccardSorted(ColumnBridge.expression(a), ColumnBridge.expression(b), minJ))
 
   /** Column API for [[WordShingles]]. */
   def wordShingles(text: Column, n: Int): Column =

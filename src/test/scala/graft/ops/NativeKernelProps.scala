@@ -75,6 +75,17 @@ object NativeKernelProps extends Properties("NativeKernels") {
       got == expected
     }
 
+  property("jaccardSortedMin: exact above threshold, never passes below") =
+    Prop.forAll(sortedDistinct, sortedDistinct, Gen.choose(1, 10)) { (a, b, t10) =>
+      val t = t10 / 10.0
+      def arr(xs: Seq[String]) =
+        new GenericArrayData(xs.map(x => UTF8String.fromString(x): Any).toArray)
+      val exact = SigKernels.jaccardSorted(arr(a), arr(b))
+      val bounded = SigKernels.jaccardSortedMin(arr(a), arr(b), t)
+      if (exact >= t) bounded == exact // survivors are exact
+      else bounded < t                 // early exit stays below the filter
+    }
+
   property("cosine == reference sequential fold (bit-exact)") =
     Prop.forAll(Gen.listOf(Gen.chooseNum(-10f, 10f)), Gen.listOf(Gen.chooseNum(-10f, 10f))) {
       (a0, b0) =>
