@@ -363,6 +363,15 @@ object SparkEntry {
     "q30_vocab" -> ((s, dir) =>
       graft.ops.Corpus.topTokens(t(s, dir, "documents"), "text", 20)
         .select(col("token"), col("n"))),
+    // Batched retrieval: exact top-10 per query for a 3-query broadcast
+    // table — one windowed-rank shuffle of (qid, id, score) triples.
+    "q33_ann_batch" -> ((s, dir) => {
+      import s.implicits._
+      val queries = AnnQueryVecs.toDF("qid", "qvec")
+      Similarity.topKPerQuery(
+        t(s, dir, "embeddings"), "vec_id", "embedding", queries, "qid", "qvec", 10)
+        .select(col("qid"), col("vec_id"), round(col("score"), 6).as("score"))
+    }),
     // IVF with every cell probed IS exact top-k (same oracle as q16) — this
     // verifies the centroid training + assignment + probe machinery
     // end-to-end; the nProbe<k scale path is covered in OpsSpec.
@@ -405,8 +414,24 @@ object SparkEntry {
     */
   val AnnQueryVec: Seq[Float] = (0 until 64).map(i => ((i % 7) - 3) / 10.0f)
 
+  /** Three deterministic query vectors for the batched-retrieval query. */
+  val AnnQueryVecs: Seq[(Long, Seq[Float])] =
+    (0 until 3).map(q => (q.toLong, (0 until 64).map(i => (((i + q) % 7) - 3) / 10.0f)))
+
   private def annVecSql: String =
     AnnQueryVec.map(f => f.toString).mkString("[", ", ", "]")
+
+  private def annBatchSql: String =
+    AnnQueryVecs.map { case (qid, vec) =>
+      val v = vec.map(_.toString).mkString("[", ", ", "]")
+      s"""SELECT qid, vec_id, score FROM (
+         |  SELECT CAST($qid AS BIGINT) AS qid, vec_id,
+         |    round(list_cosine_similarity(embedding::DOUBLE[], $v::DOUBLE[]), 6) AS score,
+         |    row_number() OVER (
+         |      ORDER BY list_cosine_similarity(embedding::DOUBLE[], $v::DOUBLE[]) DESC, vec_id) AS rn
+         |  FROM embeddings
+         |) WHERE rn <= 10""".stripMargin
+    }.mkString("\n", "\nUNION ALL\n", "")
 
   private val langMarkerSql: Map[String, String] =
     (TextStats.LangMarkers :+ ("stop" -> TextStats.EnglishStopwords)).map {
@@ -660,6 +685,7 @@ object SparkEntry {
         |WHERE len(list_distinct(list_concat(a.grams, b.grams))) > 0
         |  AND len(list_intersect(a.grams, b.grams))::DOUBLE
         |      / len(list_distinct(list_concat(a.grams, b.grams))) >= 0.5""".stripMargin,
+    "q33_ann_batch" -> annBatchSql,
     "q31_ivf" ->
       s"""SELECT vec_id,
          |  round(list_cosine_similarity(embedding::DOUBLE[], $annVecSql::DOUBLE[]), 6) AS score

@@ -64,6 +64,38 @@ object Similarity {
       .orderBy(col("score").desc, col(idCol))
       .limit(k)
 
+  /** Batched retrieval: exact top-k per query for a whole query TABLE
+    * (`(qidCol, qvecCol)`), not one literal vector. The query side is
+    * broadcast (queries ≪ corpus — the retrieval-pipeline invariant), scores
+    * are a map-only native-cosine projection over `corpus × queries`, and
+    * per-query top-k is a windowed rank partitioned by query id: one shuffle
+    * of (qid, id, score) triples — the vectors never ride the shuffle.
+    */
+  def topKPerQuery(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      queries: DataFrame,
+      qidCol: String,
+      qvecCol: String,
+      k: Int
+  ): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val scored = corpus
+      .crossJoin(broadcast(queries.select(col(qidCol), col(qvecCol).as("__qv"))))
+      .select(
+        col(qidCol),
+        col(idCol),
+        cosine(col(vecCol), col("__qv")).as("score"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(qidCol))
+      .orderBy(col("score").desc, col(idCol))
+    scored
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .drop("__rn")
+  }
+
   /** Deterministic pseudo-random hyperplanes (fixed seed). */
   private[ops] def hyperplanes(numPlanes: Int, dim: Int, seed: Long = 42L): Array[Array[Double]] = {
     val rnd = new Random(seed)
