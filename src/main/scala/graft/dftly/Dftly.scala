@@ -122,4 +122,9 @@ object Dftly {
       if (missing.isEmpty) None else Some(name -> missing)
     }.toMap
   }
+
+  /** [[missingColumns]] under a custom node registry. */
+  def missingColumns(
+      schema: StructType, yaml: String, parser: DftlyParser): Map[String, Set[String]] =
+    parser.withActive(missingColumns(schema, yaml))
 }

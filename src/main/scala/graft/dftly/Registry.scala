@@ -138,7 +138,13 @@ final class DftlyParser(val registeredNodes: Seq[(String, NodeSpec)]) {
     * nodes too).
     */
   def parse(value: Any): Node =
-    DftlyParser.active.withValue(this)(DictParser.parse0(value, nested = false))
+    withActive(DictParser.parse0(value, nested = false))
+
+  /** Run `body` with THIS registry as the active parser — every
+    * `Dftly.parse`/`DictParser.parse` in scope (e.g. a whole
+    * `Pipeline.run`) resolves custom nodes.
+    */
+  def withActive[A](body: => A): A = DftlyParser.active.withValue(this)(body)
 
   /** Reference `Parser.__call__` matching loop (parser.py:178-222). */
   private[dftly] def tryAll(value: Any, nested: Boolean): Node = {

@@ -121,6 +121,17 @@ object Pipeline {
   def runOnDir(spark: SparkSession, yaml: String, dir: String): DataFrame =
     run(spark, yaml, name => spark.read.parquet(s"$dir/$name.parquet"))
 
+  /** Run under a custom node registry: every dftly expression in the config
+    * (filter/select/agg/...) can use nodes registered on `parser`.
+    */
+  def run(
+      spark: SparkSession,
+      yaml: String,
+      resolve: String => DataFrame,
+      parser: graft.dftly.DftlyParser
+  ): DataFrame =
+    parser.withActive(run(spark, yaml, resolve))
+
   private def applyStep(
       df: DataFrame,
       step: Map[String, Any],

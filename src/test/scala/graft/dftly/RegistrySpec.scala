@@ -105,4 +105,23 @@ class RegistrySpec extends SparkTestBase {
     val e = intercept[Exception](Dftly.parse("frobnicate($a)"))
     assert(e.getMessage.contains("No matching node found"), e.getMessage)
   }
+
+  test("custom nodes flow through Pipeline configs and missingColumns") {
+    val parser = DftlyParser.withDefaults("clamp" -> clamp)
+    val df = Seq((1L, -5.0), (2L, 3.0), (3L, 42.0)).toDF("id", "x")
+    df.createOrReplaceTempView("clamp_in")
+    val out = graft.pipeline.Pipeline.run(spark,
+      """source: clamp_in
+        |steps:
+        |  - withColumns:
+        |      c: clamp($x, 0, 10)
+        |  - filter: $c > 0
+        |""".stripMargin,
+      { case "clamp_in" => spark.table("clamp_in") }, parser)
+    assert(out.select("id").as[Long].collect().toSet == Set(2L, 3L))
+
+    val missing = Dftly.missingColumns(df.schema, "c: clamp($y, 0, 10)\n", parser)
+    assert(missing == Map("c" -> Set("y")))
+  }
+
 }
