@@ -96,6 +96,12 @@ object Dftly {
     * attributes that the analyzer then resolves against the enclosing query.
     */
   def registerSql(spark: org.apache.spark.sql.SparkSession): Unit =
+    registerSql(spark, DftlyParser.default)
+
+  /** [[registerSql]] bound to a custom registry: `dftly('clamp($x, 0, 10)')`
+    * resolves nodes registered on `parser` (captured at registration time).
+    */
+  def registerSql(spark: org.apache.spark.sql.SparkSession, parser: DftlyParser): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "dftly",
       exprs => {
@@ -105,7 +111,8 @@ object Dftly {
           case other => throw new IllegalArgumentException(
             s"dftly() needs a literal string; got $other")
         }
-        org.apache.spark.sql.graft.ColumnBridge.convertedExpression(expr(s))
+        org.apache.spark.sql.graft.ColumnBridge.convertedExpression(
+          Compiler.compile(parser.parse(s), None))
       },
       "built-in")
 

@@ -124,4 +124,15 @@ class RegistrySpec extends SparkTestBase {
     assert(missing == Map("c" -> Set("y")))
   }
 
+
+  test("dftly() SQL function resolves custom nodes when bound to a registry") {
+    val parser = DftlyParser.withDefaults("clamp" -> clamp)
+    Dftly.registerSql(spark, parser)
+    Seq(-5.0, 3.0, 42.0).toDF("x").createOrReplaceTempView("clamp_sql_in")
+    val got = spark.sql("SELECT dftly('clamp($x, 0, 10)') AS c FROM clamp_sql_in")
+      .as[Double].collect().toSeq
+    assert(got == Seq(0.0, 3.0, 10.0))
+    Dftly.registerSql(spark) // restore the default binding for other tests
+  }
+
 }
