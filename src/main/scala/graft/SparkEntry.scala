@@ -285,6 +285,30 @@ object SparkEntry {
           round(col("meanLuma"), 6).as("mean_luma"),
           concat_ws(",", col("histogram").cast("array<string>")).as("histogram"))
     }),
+    // Audio decode (stub) + video frame sampling over the same payload
+    // plumbing as q23 — rows-only (decode is engine-specific), scalar
+    // columns only.
+    "q23b_multimodal_av" -> ((s, dir) => {
+      import s.implicits._
+      val media = t(s, dir, "documents")
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+        .map { case (id, text) =>
+          val bytes = text.getBytes("UTF-8")
+          val mt = if (id % 2 == 0) "audio" else "video"
+          graft.ops.MediaRow(id,
+            graft.ops.MediaMeta(mt, "stub", 0, 0, 16000, bytes.length.toLong),
+            bytes)
+        }
+      val audio = graft.ops.Multimodal.audioFeatures(media).toDF()
+        .select(col("media_id"), lit("audio").as("kind"),
+          col("nFrames").as("n"), round(col("rms"), 6).as("metric"))
+      val frames = graft.ops.Multimodal.sampleFrames(media, everyN = 4).toDF()
+        .groupBy(col("media_id"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("media_id"), lit("video").as("kind"), col("n"),
+          lit(0.0).as("metric"))
+      audio.unionByName(frames)
+    }),
     // As-of join (single-shuffle union+window formulation) vs DuckDB's
     // native ASOF JOIN: for each purchase, the latest prior signup per user.
     "q24_asof" -> ((s, dir) => {

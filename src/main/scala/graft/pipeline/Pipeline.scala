@@ -236,6 +236,49 @@ object Pipeline {
           asSeq(j("rightCols")).map(_.toString),
           j.get("tolerance").map(t => org.apache.spark.sql.functions.expr(t.toString)))
 
+      case "window" =>
+        // windowed analytics: {partitionBy: [...], orderBy: [...: "-col" desc],
+        // cols: {out: row_number|rank|dense_rank|lag:<expr>|lead:<expr>|
+        //        sum:<expr>|...}}
+        val wspec = asMap(step("window"), "window")
+        val w0 = org.apache.spark.sql.expressions.Window
+          .partitionBy(asSeq(wspec.getOrElse("partitionBy", Seq.empty))
+            .map(s => col(s.toString)): _*)
+        val w = wspec.get("orderBy") match {
+          case Some(o) => w0.orderBy(asSeq(o).map(_.toString).map { s =>
+            if (s.startsWith("-")) col(s.drop(1)).desc else col(s).asc
+          }: _*)
+          case None => w0
+        }
+        orderedEntries(wspec.getOrElse("cols",
+          throw new IllegalArgumentException("window needs 'cols'")), "window.cols")
+          .foldLeft(df) { case (d, (name, spec)) =>
+            val c = spec match {
+              case "row_number" => row_number()
+              case "rank"       => rank()
+              case "dense_rank" => dense_rank()
+              case m: scala.collection.Map[_, _] =>
+                val fm = asMap(m, s"window col '$name'")
+                require(fm.size == 1, s"window col '$name' needs one {fn: expr}")
+                val (fn, rawExpr) = fm.head
+                val e = compileExpr(rawExpr, d)
+                fn match {
+                  case "sum"   => sum(e)
+                  case "avg"   => avg(e)
+                  case "min"   => min(e)
+                  case "max"   => max(e)
+                  case "count" => count(e)
+                  case "lag"   => lag(e, 1)
+                  case "lead"  => lead(e, 1)
+                  case other =>
+                    throw new IllegalArgumentException(s"Unknown window fn: $other")
+                }
+              case other =>
+                throw new IllegalArgumentException(s"bad window col '$name': $other")
+            }
+            d.withColumn(name, c.over(w))
+          }
+
       case "qualitySignals" =>
         graft.ops.Corpus.withQualitySignals(df, step("qualitySignals").toString)
 

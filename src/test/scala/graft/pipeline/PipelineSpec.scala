@@ -203,4 +203,28 @@ class PipelineSpec extends SparkTestBase {
     assert(out.filter(col("n_events") < 1).count() == 0)
   }
 
+
+  test("window verb: rank within groups and lag over an ordered timeline") {
+    val out = Pipeline.runOnDir(spark,
+      """source: orders
+        |steps:
+        |  - window:
+        |      partitionBy: [o_custkey]
+        |      orderBy: [-o_totalprice, o_orderkey]
+        |      cols:
+        |        rk: row_number
+        |        prev_price: {lag: $o_totalprice}
+        |  - filter: $rk == 1
+        |  - select:
+        |      o_custkey: $o_custkey
+        |      o_orderkey: $o_orderkey
+        |      prev_price: $prev_price ?? -1
+        |""".stripMargin, "/root/testdata/sf0.001")
+    import org.apache.spark.sql.functions._
+    // rk == 1 => one row per customer, and lag of the first row is null -> -1
+    assert(out.groupBy("o_custkey").count().filter($"count" > 1).count() == 0)
+    assert(out.filter($"prev_price" =!= -1.0).count() == 0)
+    assert(out.count() > 0)
+  }
+
 }
