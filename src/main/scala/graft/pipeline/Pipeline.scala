@@ -105,14 +105,35 @@ object Pipeline {
       applyStep(df, asMap(rawStep, "step"), resolve)
     }
     // optional sink: {path, format: parquet, mode: overwrite, partitionBy: [...]}
+    // or a bucketed TABLE sink: {table: name, bucketBy: {n: 8, cols: [...]},
+    // sortBy: [...]} — bucketing pre-shuffles once at write time so every
+    // later equi-join/aggregation on the bucket columns runs exchange-free
+    // (the co-located-join setup for repeatedly-joined 100 TB tables;
+    // requires saveAsTable, Spark's bucket metadata lives in the catalog).
     cfg.get("sink").foreach { s =>
       val sm = asMap(s, "sink")
       var w = out.write
         .format(sm.getOrElse("format", "parquet").toString)
         .mode(sm.getOrElse("mode", "overwrite").toString)
       sm.get("partitionBy").foreach(p => w = w.partitionBy(asSeq(p).map(_.toString): _*))
-      w.save(sm.getOrElse("path",
-        throw new IllegalArgumentException("sink needs a 'path'")).toString)
+      sm.get("bucketBy").foreach { b =>
+        val bm = asMap(b, "bucketBy")
+        val cols = asSeq(bm("cols")).map(_.toString)
+        w = w.bucketBy(bm("n").toString.toInt, cols.head, cols.tail: _*)
+        sm.get("sortBy").foreach { sb =>
+          val scols = asSeq(sb).map(_.toString)
+          w = w.sortBy(scols.head, scols.tail: _*)
+        }
+      }
+      (sm.get("table"), sm.get("path")) match {
+        case (Some(t), _) => w.saveAsTable(t.toString)
+        case (None, Some(p)) =>
+          require(sm.get("bucketBy").isEmpty,
+            "bucketBy requires a 'table' sink (bucket metadata lives in the catalog)")
+          w.save(p.toString)
+        case (None, None) =>
+          throw new IllegalArgumentException("sink needs a 'path' or a 'table'")
+      }
     }
     out
   }
