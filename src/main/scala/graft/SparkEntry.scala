@@ -419,6 +419,33 @@ object SparkEntry {
     // Config-driven relational pipeline (graft.pipeline): join + groupBy +
     // aggregation verbs around the dftly expression core. Aggregates chosen
     // to be FP-exact (integral sums, count, max) so the oracle hash-matches.
+    // Pipeline window verb under the oracle gate: latest order per customer
+    // with the previous price alongside (rank + lag over one window spec).
+    "q34_pipeline_window" -> ((s, dir) =>
+      graft.pipeline.Pipeline.runOnDir(s,
+        """source: orders
+          |steps:
+          |  - window:
+          |      partitionBy: [o_custkey]
+          |      orderBy: [-o_orderdate, o_orderkey]
+          |      cols:
+          |        rk: row_number
+          |        prev_price: {lag: $o_totalprice}
+          |  - filter: $rk == 1
+          |  - select:
+          |      o_custkey: $o_custkey
+          |      o_orderkey: $o_orderkey
+          |      prev_price: $prev_price ?? -1.0
+          |""".stripMargin, dir)),
+    // Salted skew join under the oracle gate: the salt must not change the
+    // join result — the oracle is the PLAIN join.
+    "q35_salted_join" -> ((s, dir) => {
+      val lineitem = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"))
+      val orders = t(s, dir, "orders").select(col("o_orderkey"), col("o_orderstatus"))
+      graft.ops.SkewJoin.saltedEquiJoin(lineitem, orders, "l_orderkey", "o_orderkey", factor = 8)
+        .select(col("l_orderkey"), col("l_linenumber"), col("o_orderstatus"))
+    }),
     "q22_pipeline" -> ((s, dir) =>
       graft.pipeline.Pipeline.runOnDir(s,
         """source: lineitem
@@ -728,6 +755,18 @@ object SparkEntry {
         |GROUP BY token
         |ORDER BY n DESC, token
         |LIMIT 20""".stripMargin,
+    "q34_pipeline_window" ->
+      """SELECT o_custkey, o_orderkey, coalesce(prev_price, -1.0) AS prev_price
+        |FROM (
+        |  SELECT o_custkey, o_orderkey,
+        |    row_number() OVER w AS rk,
+        |    lag(o_totalprice) OVER w AS prev_price
+        |  FROM orders
+        |  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey)
+        |) WHERE rk = 1""".stripMargin,
+    "q35_salted_join" ->
+      """SELECT l_orderkey, l_linenumber, o_orderstatus
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey""".stripMargin,
     "q22_pipeline" ->
       """SELECT l_returnflag,
         |  sum(l_quantity) AS total_qty,
