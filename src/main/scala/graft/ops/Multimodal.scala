@@ -57,7 +57,7 @@ object Multimodal {
     * binary media skews badly if partitioned by row count alone.
     */
   def repartitionBySize(df: DataFrame, payloadCol: String, targetBytes: Long): DataFrame = {
-    val stats = df.select(sum(length(col(payloadCol)))).head
+    val stats = df.select(sum(length(col(payloadCol)))).head()
     val total = if (stats.isNullAt(0)) 0L else stats.getLong(0)
     val parts = math.max(1, math.min(100000, (total / math.max(1L, targetBytes)).toInt))
     df.repartition(parts)

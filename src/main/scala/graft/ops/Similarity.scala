@@ -252,7 +252,7 @@ object Similarity {
       .take(nProbe)
       .map(_._1)
     scoreAgainst(df.withColumn("__cell", nearestCell(col(vecCol))), vecCol, query)
-      .filter(col("__cell").isin(probeCells: _*))
+      .filter(col("__cell").isin(probeCells.toIndexedSeq: _*))
       .select(col(idCol), col("score"))
       .orderBy(col("score").desc, col(idCol))
       .limit(k)

@@ -41,7 +41,7 @@ object SkewJoin {
     // independent of the join key (salting BY the key would keep the hot key
     // in one bucket).
     val saltedLeft = left.withColumn(
-      "__salt", pmod(xxhash64(struct(left.columns.map(col): _*)), lit(factor)).cast("int"))
+      "__salt", pmod(xxhash64(struct(left.columns.toIndexedSeq.map(col): _*)), lit(factor)).cast("int"))
     val saltedRight = right
       .withColumn("__salt", explode(lit((0 until factor).toArray)))
     val cond = saltedLeft(leftKey) === saltedRight(rightKey) &&

@@ -114,7 +114,7 @@ object TextStats {
   /** All stats in one pass (single projection — one scan at any scale). */
   def withTextStats(df: DataFrame, textCol: String): DataFrame =
     df.select(
-      df.columns.map(col) ++ Seq(
+      df.columns.toIndexedSeq.map(col) ++ Seq(
         tokenCountWs(col(textCol)).as("token_count_ws"),
         tokenCountBpe(col(textCol)).as("token_count_bpe"),
         punctRatio(col(textCol)).as("punct_ratio"),
