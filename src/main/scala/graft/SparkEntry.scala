@@ -387,6 +387,12 @@ object SparkEntry {
     "q30_vocab" -> ((s, dir) =>
       graft.ops.Corpus.topTokens(t(s, dir, "documents"), "text", 20)
         .select(col("token"), col("n"))),
+    // TF-IDF per (doc, token) — raw tf, un-smoothed idf; ln on both engines
+    // is IEEE double, rounded to 6 to absorb last-ulp libm differences.
+    "q36_tfidf" -> ((s, dir) =>
+      graft.ops.Corpus.tfIdf(t(s, dir, "documents"), "doc_id", "text")
+        .select(col("doc_id"), col("token"), col("tf"),
+          round(col("tf_idf"), 6).as("tf_idf"))),
     // Batched retrieval: exact top-10 per query for a 3-query broadcast
     // table — one windowed-rank shuffle of (qid, id, score) triples.
     "q33_ann_batch" -> ((s, dir) => {
@@ -748,6 +754,20 @@ object SparkEntry {
         |  json_extract(props, '$.k')::INTEGER AS k_json,
         |  json_extract(props, '$.k')::INTEGER AS k_path
         |FROM events""".stripMargin,
+    "q36_tfidf" ->
+      """WITH pairs AS (
+        |  SELECT doc_id, unnest(list_filter(string_split_regex(text, '\s+'), t -> t <> '')) AS token
+        |  FROM documents
+        |), tf AS (
+        |  SELECT doc_id, token, count(*) AS tf FROM pairs GROUP BY doc_id, token
+        |), dfreq AS (
+        |  SELECT token, count(*) AS df FROM tf GROUP BY token
+        |), n AS (
+        |  SELECT count(DISTINCT doc_id) AS n FROM documents
+        |)
+        |SELECT tf.doc_id, tf.token, tf.tf,
+        |  round(tf.tf * ln(n.n::DOUBLE / dfreq.df), 6) AS tf_idf
+        |FROM tf JOIN dfreq USING (token) CROSS JOIN n""".stripMargin,
     "q30_vocab" ->
       """SELECT token, count(*) AS n
         |FROM (SELECT unnest(list_filter(string_split_regex(text, '\s+'), t -> t <> '')) AS token

@@ -145,6 +145,25 @@ object Corpus {
       .orderBy(col("n").desc, col("token").asc)
       .limit(k)
 
+  /** TF-IDF weights per (document, token): `tf · ln(N / df)` with raw term
+    * counts and un-smoothed idf (idf = 0 for a token in every document).
+    * Shape: one explode + two aggregations + a token-keyed join — the
+    * exploded (id, token) pairs carry ~16 bytes into each shuffle, never
+    * text; the corpus size `N` joins in as a broadcast 1-row aggregate so
+    * everything stays one lazy plan (no driver-side count).
+    */
+  def tfIdf(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val pairs = df
+      .select(col(idCol).as("id"), explode(TextStats.tokens(col(textCol))).as("token"))
+    val tf = pairs.groupBy(col("id"), col("token")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val n = df.select(countDistinct(col(idCol)).as("n"))
+    tf.join(dfreq, "token")
+      .crossJoin(broadcast(n))
+      .withColumn("tf_idf", col("tf") * log(col("n").cast(DoubleType) / col("df")))
+      .select(col("id").as(idCol), col("token"), col("tf"), col("tf_idf"))
+  }
+
   /** All repetition/quality signals in one staged pass (n-grams materialized
     * once — higher-order functions get no common-subexpression elimination).
     */

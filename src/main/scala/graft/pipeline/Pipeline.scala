@@ -49,6 +49,10 @@ object Pipeline {
       case "max"            => max(e)
       case "count"          => if (rawExpr == "*") count(lit(1)) else count(e)
       case "count_distinct" => count_distinct(e)
+      // HyperLogLog++ sketch: constant memory per group at any cardinality —
+      // at 100 TB this is the difference between a sketch merge and a
+      // full distinct shuffle (bits are engine-specific: test-only checks)
+      case "approx_count_distinct" => approx_count_distinct(e)
       case "first"          => first(e, ignoreNulls = true)
       case "collect_set"    => collect_set(e)
       case "stddev"         => stddev(e)
@@ -312,6 +316,23 @@ object Pipeline {
             if (s.startsWith("-")) col(s.drop(1)).desc else col(s).asc
           },
           q("k").toString.toInt)
+
+      case "sample" =>
+        // {fraction: 0.1, seed: 42} or stratified {fraction: {..per-key..},
+        // by: col, seed}: seeded => deterministic and reproducible run-to-run
+        val sp = asMap(step("sample"), "sample")
+        val seed = sp.getOrElse("seed", 42).toString.toLong
+        sp("fraction") match {
+          case m: scala.collection.Map[_, _] =>
+            val by = sp.getOrElse("by",
+              throw new IllegalArgumentException("stratified sample needs 'by'")).toString
+            // materialize to a plain immutable Map — the YAML-backed mapping
+            // is not serializable and sampleBy ships the fractions to tasks
+            val fracs: Map[String, Double] = asMap(m, "sample.fraction").toSeq
+              .map { case (k, v) => k -> v.toString.toDouble }.toMap
+            df.stat.sampleBy(by, fracs, seed)
+          case f => df.sample(withReplacement = false, f.toString.toDouble, seed)
+        }
 
       case "split" =>
         val sp = asMap(step("split"), "split")

@@ -227,4 +227,43 @@ class PipelineSpec extends SparkTestBase {
     assert(out.count() > 0)
   }
 
+
+  test("sample verb: seeded determinism, plain and stratified") {
+    val cfg =
+      """source: documents
+        |steps:
+        |  - sample: {fraction: 0.3, seed: 7}
+        |""".stripMargin
+    val a = Pipeline.runOnDir(spark, cfg, "/root/testdata/sf0.001")
+      .select("doc_id").as[Long].collect().toSet
+    val b = Pipeline.runOnDir(spark, cfg, "/root/testdata/sf0.001")
+      .select("doc_id").as[Long].collect().toSet
+    assert(a == b, "seeded sample must be reproducible")
+    assert(a.nonEmpty && a.size < 500)
+
+    val strat = Pipeline.runOnDir(spark,
+      """source: documents
+        |steps:
+        |  - sample: {fraction: {src0: 1.0, src1: 0.0}, by: source, seed: 7}
+        |""".stripMargin, "/root/testdata/sf0.001")
+    import org.apache.spark.sql.functions._
+    assert(strat.filter(col("source") === "src1").count() == 0)
+    assert(strat.filter(col("source") === "src0").count() > 0)
+  }
+
+  test("approx_count_distinct aggregate verb is within HLL tolerance") {
+    val out = Pipeline.runOnDir(spark,
+      """source: lineitem
+        |steps:
+        |  - groupBy: [l_returnflag]
+        |    agg:
+        |      approx_orders: {approx_count_distinct: $l_orderkey}
+        |      exact_orders: {count_distinct: $l_orderkey}
+        |""".stripMargin, "/root/testdata/sf0.001")
+    import org.apache.spark.sql.functions._
+    val bad = out.filter(
+      abs(col("approx_orders") - col("exact_orders")) > col("exact_orders") * 0.1)
+    assert(bad.count() == 0)
+  }
+
 }
