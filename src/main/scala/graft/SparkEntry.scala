@@ -387,6 +387,14 @@ object SparkEntry {
     "q30_vocab" -> ((s, dir) =>
       graft.ops.Corpus.topTokens(t(s, dir, "documents"), "text", 20)
         .select(col("token"), col("n"))),
+    // Text normalization + normalized-exact dedup: case/punctuation/
+    // whitespace variants collapse to one hash key.
+    "q37_normalize" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+        .withColumn("norm", graft.ops.Corpus.normalizeText(col("text")))
+      Dedup.markExactDuplicates(d, "doc_id", Seq("norm"))
+        .select(col("doc_id"), col("norm"), col("is_dup"))
+    }),
     // TF-IDF per (doc, token) — raw tf, un-smoothed idf; ln on both engines
     // is IEEE double, rounded to 6 to absorb last-ulp libm differences.
     "q36_tfidf" -> ((s, dir) =>
@@ -754,6 +762,15 @@ object SparkEntry {
         |  json_extract(props, '$.k')::INTEGER AS k_json,
         |  json_extract(props, '$.k')::INTEGER AS k_path
         |FROM events""".stripMargin,
+    "q37_normalize" ->
+      """WITH n AS (
+        |  SELECT doc_id,
+        |    trim(regexp_replace(regexp_replace(lower(text), '[^\w\s]', '', 'g'), '\s+', ' ', 'g')) AS norm
+        |  FROM documents
+        |)
+        |SELECT doc_id, norm,
+        |  doc_id <> min(doc_id) OVER (PARTITION BY norm) AS is_dup
+        |FROM n""".stripMargin,
     "q36_tfidf" ->
       """WITH pairs AS (
         |  SELECT doc_id, unnest(list_filter(string_split_regex(text, '\s+'), t -> t <> '')) AS token

@@ -145,6 +145,18 @@ object Corpus {
       .orderBy(col("n").desc, col("token").asc)
       .limit(k)
 
+  /** Canonical text normalization — the step before exact dedup, so that
+    * case/whitespace/punctuation variants hash identically: lowercase,
+    * optionally strip punctuation, collapse whitespace runs, trim. Pure
+    * codegen'd builtins; compose with [[Dedup.markExactDuplicates]] on the
+    * normalized column for "normalized-exact" dedup.
+    */
+  def normalizeText(text: Column, stripPunct: Boolean = true): Column = {
+    val lowered = lower(text)
+    val depunct = if (stripPunct) regexp_replace(lowered, """[^\w\s]""", "") else lowered
+    trim(regexp_replace(depunct, """\s+""", " "))
+  }
+
   /** TF-IDF weights per (document, token): `tf · ln(N / df)` with raw term
     * counts and un-smoothed idf (idf = 0 for a token in every document).
     * Shape: one explode + two aggregations + a token-keyed join — the
