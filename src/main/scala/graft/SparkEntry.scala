@@ -762,10 +762,12 @@ object SparkEntry {
         |  json_extract(props, '$.k')::INTEGER AS k_json,
         |  json_extract(props, '$.k')::INTEGER AS k_path
         |FROM events""".stripMargin,
+    // explicit whitespace class on both sides: Java \s includes \x0B, RE2's
+    // does not — the spelled-out class removes the dialect divergence
     "q37_normalize" ->
       """WITH n AS (
         |  SELECT doc_id,
-        |    trim(regexp_replace(regexp_replace(lower(text), '[^\w\s]', '', 'g'), '\s+', ' ', 'g')) AS norm
+        |    trim(regexp_replace(regexp_replace(lower(text), '[^\w \t\n\x0B\f\r]', '', 'g'), '[ \t\n\x0B\f\r]+', ' ', 'g')) AS norm
         |  FROM documents
         |)
         |SELECT doc_id, norm,

@@ -104,13 +104,19 @@ object Render {
 
     // infix only at arity 2 — the grammar folds chains pairwise, so a flat
     // 3-arg Add has no infix spelling; the function form covers any arity
+    // EXCEPT and/or, whose names are grammar keywords (not callable) — a
+    // non-binary And/Or has no string form at all.
     case And(Seq(l, r))      => s"(${toExprString(l)} and ${toExprString(r)})"
     case Or(Seq(l, r))       => s"(${toExprString(l)} or ${toExprString(r)})"
     case Add(Seq(l, r))      => s"(${toExprString(l)} + ${toExprString(r)})"
     case Multiply(Seq(l, r)) => s"(${toExprString(l)} * ${toExprString(r)})"
     case Coalesce(Seq(l, r)) => s"(${toExprString(l)} ?? ${toExprString(r)})"
-    case And(as)      => fnCall("and", as)
-    case Or(as)       => fnCall("or", as)
+    case And(as) =>
+      throw new RenderError(
+        s"and of arity ${as.size} has no string form ('and' is a keyword, not callable); use toDict")
+    case Or(as) =>
+      throw new RenderError(
+        s"or of arity ${as.size} has no string form ('or' is a keyword, not callable); use toDict")
     case Add(as)      => fnCall("add", as)
     case Multiply(as) => fnCall("multiply", as)
     case Coalesce(as) => fnCall("coalesce", as)
@@ -191,10 +197,15 @@ object Render {
 
   // NB: negative numeric literals have NO string form — the grammar always
   // parses `-x` as Negate(Lit(x)); a faithful round-trip must refuse.
+  // Likewise Lit(Long) within Int range: the lexer produces Int for such
+  // digits, so "5" would silently reparse as Lit(5: Int) != Lit(5L).
   private def litStr(v: Any): String = v match {
-    case i: Int if i >= 0  => i.toString
-    case l: Long if l >= 0 => l.toString
-    case b: Boolean        => b.toString
+    case i: Int if i >= 0 => i.toString
+    case l: Long if l > Int.MaxValue => l.toString // reparses as Long
+    case l: Long if l >= 0 =>
+      throw new RenderError(
+        s"Lit(${l}L) would reparse as Int (the lexer yields Int in Int range); use Lit(Int) or toDict")
+    case b: Boolean => b.toString
     case d: Double =>
       val s = d.toString
       if (PlainNumber.matches(s)) s

@@ -152,9 +152,13 @@ object Corpus {
     * normalized column for "normalized-exact" dedup.
     */
   def normalizeText(text: Column, stripPunct: Boolean = true): Column = {
+    // explicit whitespace class, not \s: Java's \s includes \x0B but RE2's
+    // (DuckDB, Go) does not — spelled out, every engine agrees
+    val ws = """ \t\n\x0B\f\r"""
     val lowered = lower(text)
-    val depunct = if (stripPunct) regexp_replace(lowered, """[^\w\s]""", "") else lowered
-    trim(regexp_replace(depunct, """\s+""", " "))
+    val depunct =
+      if (stripPunct) regexp_replace(lowered, s"[^\\w$ws]", "") else lowered
+    trim(regexp_replace(depunct, s"[$ws]+", " "))
   }
 
   /** TF-IDF weights per (document, token): `tf · ln(N / df)` with raw term

@@ -129,8 +129,13 @@ object Pipeline {
           w = w.sortBy(scols.head, scols.tail: _*)
         }
       }
+      require(sm.get("sortBy").isEmpty || sm.get("bucketBy").nonEmpty,
+        "sink sortBy requires bucketBy (Spark only sorts within buckets)")
       (sm.get("table"), sm.get("path")) match {
-        case (Some(t), _) => w.saveAsTable(t.toString)
+        case (Some(_), Some(_)) =>
+          throw new IllegalArgumentException(
+            "sink takes 'table' OR 'path', not both (a table's location is catalog-managed)")
+        case (Some(t), None) => w.saveAsTable(t.toString)
         case (None, Some(p)) =>
           require(sm.get("bucketBy").isEmpty,
             "bucketBy requires a 'table' sink (bucket metadata lives in the catalog)")
@@ -327,10 +332,15 @@ object Pipeline {
             val by = sp.getOrElse("by",
               throw new IllegalArgumentException("stratified sample needs 'by'")).toString
             // materialize to a plain immutable Map — the YAML-backed mapping
-            // is not serializable and sampleBy ships the fractions to tasks
+            // is not serializable and sampleBy ships the fractions to tasks.
+            // YAML keys are strings, so stratify on the column CAST to
+            // string: sampleBy silently drops any stratum whose value isn't
+            // a key (an Integer column would otherwise sample zero rows).
             val fracs: Map[String, Double] = asMap(m, "sample.fraction").toSeq
               .map { case (k, v) => k -> v.toString.toDouble }.toMap
-            df.stat.sampleBy(by, fracs, seed)
+            df.withColumn("__stratum", col(by).cast("string"))
+              .stat.sampleBy("__stratum", fracs, seed)
+              .drop("__stratum")
           case f => df.sample(withReplacement = false, f.toString.toDouble, seed)
         }
 

@@ -21,6 +21,8 @@ object RenderProps extends Properties("Render") {
     // non-negative only: the grammar parses `-x` as Negate(Lit(x)), so a
     // negative Lit has no string form (Render refuses; Negate covers it)
     Gen.choose(0, 999).map(i => Lit(i)),
+    Gen.choose(0L, 99L).map(l => Lit(l)),            // no string form (reparses as Int)
+    Gen.const(Lit(Int.MaxValue.toLong + 7L)),        // HAS a string form (lexes as Long)
     Gen.choose(0, 9999).map(i => Lit(i / 100.0)),
     Gen.oneOf(true, false).map(Lit(_)),
     Gen.oneOf("plain", "two words", "semi;colon").map(Lit(_)),
@@ -53,6 +55,8 @@ object RenderProps extends Properties("Render") {
         Gen.listOfN(3, sub).map(Mean(_)),
         Gen.zip(sub, sub).map { case (a, b) => And(Seq(a, b)) },
         Gen.zip(sub, sub).map { case (a, b) => Or(Seq(a, b)) },
+        Gen.listOfN(3, sub).map(And(_)),   // no string form ('and' is a keyword)
+        Gen.listOfN(3, sub).map(Or(_)),    // ditto
         Gen.zip(sub, sub).map { case (a, b) => Gt(a, b) },
         Gen.zip(sub, sub).map { case (a, b) => Lte(a, b) },
         Gen.zip(sub, sub, Gen.option(sub)).map { case (w, t, o) => Conditional(w, t, o) },
@@ -66,7 +70,7 @@ object RenderProps extends Properties("Render") {
         Gen.zip(sub, Gen.choose(0, 23), Gen.choose(0, 59)).map { case (d, h, m) =>
           SetTime(d, Lit(LocalTime.of(h, m, 0)))
         },
-        Gen.zip(sub, sub).map { case (p, s) => RegexMatch(Lit("ab+c"), s) }
+        sub.map(s => RegexMatch(Lit("ab+c"), s))
       )
     }
 
@@ -76,11 +80,16 @@ object RenderProps extends Properties("Render") {
     DictParser.parse(Render.toDict(n)) == n
   }
 
-  property("Dftly.parse(toExprString(n)) == n") = Prop.forAll(ast) { n =>
-    val s = Render.toExprString(n)
-    val back = Dftly.parse(s)
-    (back == n) :| s"rendered: $s\nreparsed: $back"
-  }
+  property("toExprString round-trips exactly or refuses with RenderError") =
+    Prop.forAll(ast) { n =>
+      try {
+        val s = Render.toExprString(n)
+        val back = Dftly.parse(s)
+        (back == n) :| s"rendered: $s\nreparsed: $back"
+      } catch {
+        case _: RenderError => Prop.passed // refusal is part of the contract
+      }
+    }
 
   property("toDict handles array literals and interpolation (no string form)") =
     Prop.forAll(Gen.listOf(Gen.choose(0, 9))) { xs =>
