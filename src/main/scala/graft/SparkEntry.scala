@@ -614,13 +614,13 @@ object SparkEntry {
         |FROM documents""".stripMargin,
     "q14_textstats" ->
       s"""SELECT doc_id,
-         |  CAST(length(list_filter(string_split_regex(text, '\\s+'), t -> t <> '')) AS BIGINT) AS tok_ws,
-         |  CAST(length(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS tok_bpe,
+         |  CAST(length(list_filter(string_split_regex(text, '[ \\t\\n\\x0B\\f\\r]+'), t -> t <> '')) AS BIGINT) AS tok_ws,
+         |  CAST(length(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9 \\t\\n\\x0B\\f\\r]')) AS BIGINT) AS tok_bpe,
          |  round(CASE WHEN length(text) = 0 THEN 0.0
-         |        ELSE CAST(length(regexp_extract_all(text, '[^\\w\\s]')) AS DOUBLE) / length(text) END, 6) AS punct_ratio,
-         |  round(CASE WHEN length(list_filter(string_split_regex(text, '\\s+'), t -> t <> '')) = 0 THEN 0.0
-         |        ELSE CAST(length(list_intersect(list_filter(string_split_regex(text, '\\s+'), t -> t <> ''), ${langMarkerSql("stop")})) AS DOUBLE)
-         |             / length(list_filter(string_split_regex(text, '\\s+'), t -> t <> '')) END, 6) AS stop_ratio,
+         |        ELSE CAST(length(regexp_extract_all(text, '[^\\w \\t\\n\\x0B\\f\\r]')) AS DOUBLE) / length(text) END, 6) AS punct_ratio,
+         |  round(CASE WHEN length(list_filter(string_split_regex(text, '[ \\t\\n\\x0B\\f\\r]+'), t -> t <> '')) = 0 THEN 0.0
+         |        ELSE CAST(length(list_intersect(list_filter(string_split_regex(text, '[ \\t\\n\\x0B\\f\\r]+'), t -> t <> ''), ${langMarkerSql("stop")})) AS DOUBLE)
+         |             / length(list_filter(string_split_regex(text, '[ \\t\\n\\x0B\\f\\r]+'), t -> t <> '')) END, 6) AS stop_ratio,
          |  CASE
          |    WHEN s_en = best AND best > 0 THEN 'en'
          |    WHEN s_es = best AND best > 0 THEN 'es'
@@ -628,17 +628,17 @@ object SparkEntry {
          |    WHEN s_fr = best AND best > 0 THEN 'fr'
          |    ELSE 'und' END AS lang_id,
          |  round(least(1.0, n_chars / 500.0) * 0.4
-         |      + least(1.0, (CASE WHEN length(list_filter(string_split_regex(text, '\\s+'), t -> t <> '')) = 0 THEN 0.0
-         |          ELSE CAST(length(list_intersect(list_filter(string_split_regex(text, '\\s+'), t -> t <> ''), ${langMarkerSql("stop")})) AS DOUBLE)
-         |               / length(list_filter(string_split_regex(text, '\\s+'), t -> t <> '')) END) * 4.0) * 0.4
+         |      + least(1.0, (CASE WHEN length(list_filter(string_split_regex(text, '[ \\t\\n\\x0B\\f\\r]+'), t -> t <> '')) = 0 THEN 0.0
+         |          ELSE CAST(length(list_intersect(list_filter(string_split_regex(text, '[ \\t\\n\\x0B\\f\\r]+'), t -> t <> ''), ${langMarkerSql("stop")})) AS DOUBLE)
+         |               / length(list_filter(string_split_regex(text, '[ \\t\\n\\x0B\\f\\r]+'), t -> t <> '')) END) * 4.0) * 0.4
          |      + greatest(0.0, 1.0 - (CASE WHEN length(text) = 0 THEN 0.0
-         |          ELSE CAST(length(regexp_extract_all(text, '[^\\w\\s]')) AS DOUBLE) / length(text) END) * 5.0) * 0.2, 6) AS quality
+         |          ELSE CAST(length(regexp_extract_all(text, '[^\\w \\t\\n\\x0B\\f\\r]')) AS DOUBLE) / length(text) END) * 5.0) * 0.2, 6) AS quality
          |FROM (
          |  SELECT *,
-         |    length(list_intersect(list_filter(string_split_regex(text, '\\s+'), t -> t <> ''), ${langMarkerSql("en")})) AS s_en,
-         |    length(list_intersect(list_filter(string_split_regex(text, '\\s+'), t -> t <> ''), ${langMarkerSql("es")})) AS s_es,
-         |    length(list_intersect(list_filter(string_split_regex(text, '\\s+'), t -> t <> ''), ${langMarkerSql("de")})) AS s_de,
-         |    length(list_intersect(list_filter(string_split_regex(text, '\\s+'), t -> t <> ''), ${langMarkerSql("fr")})) AS s_fr,
+         |    length(list_intersect(list_filter(string_split_regex(text, '[ \\t\\n\\x0B\\f\\r]+'), t -> t <> ''), ${langMarkerSql("en")})) AS s_en,
+         |    length(list_intersect(list_filter(string_split_regex(text, '[ \\t\\n\\x0B\\f\\r]+'), t -> t <> ''), ${langMarkerSql("es")})) AS s_es,
+         |    length(list_intersect(list_filter(string_split_regex(text, '[ \\t\\n\\x0B\\f\\r]+'), t -> t <> ''), ${langMarkerSql("de")})) AS s_de,
+         |    length(list_intersect(list_filter(string_split_regex(text, '[ \\t\\n\\x0B\\f\\r]+'), t -> t <> ''), ${langMarkerSql("fr")})) AS s_fr,
          |    greatest(s_en, s_es, s_de, s_fr) AS best
          |  FROM documents
          |)""".stripMargin,
@@ -691,7 +691,7 @@ object SparkEntry {
         |  ON p.user_id = s.user_id AND p.ts >= s.ts""".stripMargin,
     "q26_quality" ->
       """WITH tk AS (
-        |  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS toks
+        |  SELECT doc_id, list_filter(string_split_regex(text, '[ \t\n\x0B\f\r]+'), t -> t <> '') AS toks
         |  FROM documents
         |), ng AS (
         |  SELECT doc_id, toks,
@@ -716,11 +716,11 @@ object SparkEntry {
       s"""WITH scored AS (
          |  SELECT source, doc_id,
          |    round(least(1.0, n_chars / 500.0) * 0.4
-         |      + least(1.0, (CASE WHEN length(list_filter(string_split_regex(text, '\\s+'), t -> t <> '')) = 0 THEN 0.0
-         |          ELSE CAST(length(list_intersect(list_filter(string_split_regex(text, '\\s+'), t -> t <> ''), ${langMarkerSql("stop")})) AS DOUBLE)
-         |               / length(list_filter(string_split_regex(text, '\\s+'), t -> t <> '')) END) * 4.0) * 0.4
+         |      + least(1.0, (CASE WHEN length(list_filter(string_split_regex(text, '[ \\t\\n\\x0B\\f\\r]+'), t -> t <> '')) = 0 THEN 0.0
+         |          ELSE CAST(length(list_intersect(list_filter(string_split_regex(text, '[ \\t\\n\\x0B\\f\\r]+'), t -> t <> ''), ${langMarkerSql("stop")})) AS DOUBLE)
+         |               / length(list_filter(string_split_regex(text, '[ \\t\\n\\x0B\\f\\r]+'), t -> t <> '')) END) * 4.0) * 0.4
          |      + greatest(0.0, 1.0 - (CASE WHEN length(text) = 0 THEN 0.0
-         |          ELSE CAST(length(regexp_extract_all(text, '[^\\w\\s]')) AS DOUBLE) / length(text) END) * 5.0) * 0.2, 6) AS q
+         |          ELSE CAST(length(regexp_extract_all(text, '[^\\w \\t\\n\\x0B\\f\\r]')) AS DOUBLE) / length(text) END) * 5.0) * 0.2, 6) AS q
          |  FROM documents
          |)
          |SELECT source, doc_id FROM (
@@ -740,7 +740,7 @@ object SparkEntry {
         |                             for i in generate_series(1, len(toks)-2)])
         |    END AS grams
         |  FROM (SELECT doc_id,
-        |          list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS toks
+        |          list_filter(string_split_regex(text, '[ \t\n\x0B\f\r]+'), t -> t <> '') AS toks
         |        FROM documents)
         |)
         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
@@ -775,7 +775,7 @@ object SparkEntry {
         |FROM n""".stripMargin,
     "q36_tfidf" ->
       """WITH pairs AS (
-        |  SELECT doc_id, unnest(list_filter(string_split_regex(text, '\s+'), t -> t <> '')) AS token
+        |  SELECT doc_id, unnest(list_filter(string_split_regex(text, '[ \t\n\x0B\f\r]+'), t -> t <> '')) AS token
         |  FROM documents
         |), tf AS (
         |  SELECT doc_id, token, count(*) AS tf FROM pairs GROUP BY doc_id, token
@@ -789,7 +789,7 @@ object SparkEntry {
         |FROM tf JOIN dfreq USING (token) CROSS JOIN n""".stripMargin,
     "q30_vocab" ->
       """SELECT token, count(*) AS n
-        |FROM (SELECT unnest(list_filter(string_split_regex(text, '\s+'), t -> t <> '')) AS token
+        |FROM (SELECT unnest(list_filter(string_split_regex(text, '[ \t\n\x0B\f\r]+'), t -> t <> '')) AS token
         |      FROM documents)
         |GROUP BY token
         |ORDER BY n DESC, token

@@ -21,9 +21,9 @@ object Dftly {
   def toColumns(yaml: String): Seq[(String, Column)] = toColumns(yaml, None)
 
   def toColumns(yaml: String, schema: Option[StructType]): Seq[(String, Column)] =
-    Yaml.loadExprMap(yaml).map { case (name, v) =>
-      name -> Compiler.compile(DictParser.parse(v), schema).as(name)
-    }
+    // the ACTIVE parser, not `default`: inside `parser.withActive { ... }`
+    // this overload must keep resolving custom nodes
+    toColumns(yaml, schema, DftlyParser.active.value)
 
   /** Programmatic form: an already-loaded ordered map (or any Scala Map). */
   def toColumns(exprs: Seq[(String, Any)], schema: Option[StructType]): Seq[(String, Column)] =

@@ -29,7 +29,19 @@ object DictParser {
       val map = m.asInstanceOf[collection.Map[String, Any]]
       if (map.size == 1 && map.contains("bare_word"))
         bareWord(map("bare_word").toString, nested)
-      else DftlyParser.active.value.tryAll(map, nested)
+      else {
+        // A typeless resolved form matches no node by construction; add the
+        // actionable cause instead of a bare no-match (beyond-reference UX).
+        map.get("expression") match {
+          case Some(inner: collection.Map[_, _])
+              if map.size == 1 &&
+                !inner.asInstanceOf[collection.Map[String, Any]].contains("type") =>
+            throw fail(value, Seq("expression" ->
+              new IllegalArgumentException("resolved form needs a 'type' key")))
+          case _ => ()
+        }
+        DftlyParser.active.value.tryAll(map, nested)
+      }
     case _ => throw fail(value, Nil)
   }
 

@@ -104,19 +104,17 @@ object FnCalls {
           throw new ParseError(s"$name() takes one literal argument")
       }
     case other =>
-      // Positional-args nodes (arith/logical/comparison/dt families) share
-      // DictParser's arity checks; parsed nodes pass through parse0 untouched.
-      if (DictParser.isBuiltinKey(other))
-        DictParser.buildBuiltin(other, args, Map(other -> args), nested = true)
-      else
-        // Custom registered nodes are callable from the string form too:
-        // `clamp($x, 0, 10)` resolves against the ACTIVE parser's registry
-        // (reference: str_form/parser.py:377-386, NODES[name].from_lark).
-        DftlyParser.active.value.specForKey(other) match {
-          case Some(spec) =>
-            spec.build(Map(other -> args), new NodeSpec.Ctx(nested = true))
-          case None =>
-            throw DictParser.fail(Map(other -> args), Nil)
-        }
+      // Resolve through the ACTIVE registry, builtins included (the default
+      // registry's specs delegate to DictParser's arity checks) — so the
+      // string form and the dict form always agree on what exists: a
+      // restricted registry that excludes `add` rejects `add(1, 2)` too,
+      // and custom nodes are callable (reference: str_form/parser.py:377-386,
+      // NODES[name].from_lark).
+      DftlyParser.active.value.specForKey(other) match {
+        case Some(spec) =>
+          spec.build(Map(other -> args), new NodeSpec.Ctx(nested = true))
+        case None =>
+          throw DictParser.fail(Map(other -> args), Nil)
+      }
   }
 }

@@ -96,10 +96,15 @@ object Corpus {
     */
   def perKeyQuota(df: DataFrame, keyCols: Seq[String], ordering: Seq[Column], k: Int): DataFrame = {
     require(k >= 1, "quota must be >= 1")
+    // collision-safe temp name: withColumn would silently REPLACE a
+    // pre-existing column of the same name, and the final drop would then
+    // delete the caller's data
+    val rn = Iterator.from(0).map(i => if (i == 0) "__rn" else s"__rn$i")
+      .find(n => !df.columns.contains(n)).get
     val w = Window.partitionBy(keyCols.map(col): _*).orderBy(ordering: _*)
-    df.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") <= k)
-      .drop("__rn")
+    df.withColumn(rn, row_number().over(w))
+      .filter(col(rn) <= k)
+      .drop(rn)
   }
 
   /** Deterministic weighted split assignment (train/val/test) from a stable

@@ -370,12 +370,22 @@ object Dedup {
       textCol: String,
       threshold: Double,
       shingleN: Int = 3,
-      maxBucketSize: Int = 100000
+      maxBucketSize: Int = 100000,
+      cacheShingles: Boolean = true
   ): DataFrame = {
     require(threshold > 0 && threshold <= 1, "threshold must be in (0, 1]")
-    val sh = ensureParallelism(df)
+    val shBase = ensureParallelism(df)
       .select(col(idCol).as("id"), shingles(col(textCol), shingleN).as("sh"))
       .filter(size(col("sh")) > 0)
+    // The ranking path and the verification path are separate plan branches
+    // over the shingled frame, and branches recompute everything below them
+    // — persisting pays the shingling map cost once instead of twice
+    // (MEMORY_AND_DISK, evicted LRU; disable when memory is tighter than
+    // recompute).
+    val sh =
+      if (cacheShingles)
+        shBase.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else shBase
     val inst = sh.select(col("id"), size(col("sh")).as("len"), explode(col("sh")).as("g"))
     // Document frequency via a window over the SAME exploded instances — a
     // groupBy+join-back would re-shingle and re-explode the whole input a
@@ -385,8 +395,14 @@ object Dedup {
       .withColumn("rn",
         row_number().over(
           Window.partitionBy(col("id")).orderBy(col("df"), col("g"))))
+    // ceil guards subtract 1e-9 first: IEEE products overshoot exact
+    // integer values (25 * 0.28 = 7.000000000000001 -> ceil 8 would drop a
+    // boundary-exact J = 7/25 = 0.28 pair). The epsilon only ever LENGTHENS
+    // the prefix / LOOSENS the length filter — extra candidates, never lost
+    // pairs; verification stays exact.
+    def ceilT(x: Column): Column = ceil(x * lit(threshold) - lit(1e-9))
     val prefix = ranked
-      .filter(col("rn") <= col("len") - ceil(col("len") * lit(threshold)) + 1)
+      .filter(col("rn") <= col("len") - ceilT(col("len")) + 1)
       .select(col("id"), col("len"), col("g"))
     // Candidate gen with the LENGTH filter folded into the self-join:
     // J ≥ t ⟹ t·|A| ≤ |B| ≤ |A|/t, so size-incompatible pairs never
@@ -400,8 +416,8 @@ object Dedup {
     val cands = members.as("a")
       .join(members.as("b"),
         col("a.g") === col("b.g") && col("a.id") < col("b.id") &&
-          col("b.len") >= ceil(col("a.len") * lit(threshold)) &&
-          col("a.len") >= ceil(col("b.len") * lit(threshold)))
+          col("b.len") >= ceilT(col("a.len")) &&
+          col("a.len") >= ceilT(col("b.len")))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
     // Verification: arrays pre-sorted once per document, then a native

@@ -135,4 +135,31 @@ class RegistrySpec extends SparkTestBase {
     Dftly.registerSql(spark) // restore the default binding for other tests
   }
 
+
+  test("a restricted registry rejects absent builtins in BOTH forms") {
+    val restricted = new DftlyParser(Seq("clamp" -> clamp,
+      "literal" -> DftlyParser.defaultSpecs.toMap.apply("literal"),
+      "column" -> DftlyParser.defaultSpecs.toMap.apply("column")))
+    // dict form: add is not registered
+    val e1 = intercept[IllegalArgumentException] {
+      restricted.parse(Map("add" -> Seq(1, 2)))
+    }
+    assert(e1.getMessage.contains("No matching node found"), e1.getMessage)
+    // string form must agree (function calls resolve through the registry)
+    val e2 = intercept[Exception] {
+      restricted.parse("add(1, 2)")
+    }
+    assert(e2.getMessage.contains("No matching node found"), e2.getMessage)
+    // while the registered custom node still works in both
+    assert(restricted.parse(Map("clamp" -> Seq(1, 2, 3))).isInstanceOf[Extension])
+    assert(restricted.parse("clamp(1, 2, 3)").isInstanceOf[Extension])
+  }
+
+  test("typeless resolved form reports the actionable cause") {
+    val e = intercept[IllegalArgumentException] {
+      Dftly.parse(Map("expression" -> Map("arguments" -> Seq(1, 2))))
+    }
+    assert(e.getMessage.contains("resolved form needs a 'type' key"), e.getMessage)
+  }
+
 }

@@ -121,4 +121,27 @@ class CorpusSpec extends SparkTestBase {
     }
   }
 
+
+  test("boundary-exact jaccard pairs survive the FP ceil guard") {
+    // J = 7/25 = 0.28 exactly; 25 * 0.28 = 7.000000000000001 in doubles, so
+    // a naive ceil demands overlap 8 and drops the pair
+    val wordsA = (0 until 25).map(i => s"word$i")
+    val df = Seq((1L, wordsA.mkString(" ")), (2L, wordsA.take(7).mkString(" ")))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.jaccardPairs(df, "doc_id", "text", threshold = 0.28, shingleN = 1)
+      .select($"id_a", $"id_b", $"jaccard").collect()
+    assert(pairs.length == 1, pairs.mkString(","))
+    assert(pairs.head.getDouble(2) == 0.28)
+    val brute = Dedup.bruteForceNearDuplicatePairs(df, "doc_id", "text", 0.28, shingleN = 1)
+    assert(brute.count() == 1)
+  }
+
+  test("perKeyQuota leaves a caller-owned __rn column untouched") {
+    val df = Seq(("a", 1L, 0.9, 77L), ("a", 2L, 0.8, 88L), ("b", 3L, 0.5, 99L))
+      .toDF("k", "id", "score", "__rn")
+    val out = Corpus.perKeyQuota(df, Seq("k"), Seq($"score".desc), 1)
+    assert(out.columns.contains("__rn"))
+    assert(out.select($"__rn").as[Long].collect().toSet == Set(77L, 99L))
+  }
+
 }
