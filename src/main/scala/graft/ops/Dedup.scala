@@ -371,17 +371,18 @@ object Dedup {
       threshold: Double,
       shingleN: Int = 3,
       maxBucketSize: Int = 100000,
-      cacheShingles: Boolean = true
+      cacheShingles: Boolean = false
   ): DataFrame = {
     require(threshold > 0 && threshold <= 1, "threshold must be in (0, 1]")
     val shBase = ensureParallelism(df)
       .select(col(idCol).as("id"), shingles(col(textCol), shingleN).as("sh"))
       .filter(size(col("sh")) > 0)
     // The ranking path and the verification path are separate plan branches
-    // over the shingled frame, and branches recompute everything below them
-    // — persisting pays the shingling map cost once instead of twice
-    // (MEMORY_AND_DISK, evicted LRU; disable when memory is tighter than
-    // recompute).
+    // over the shingled frame, and branches recompute everything below them.
+    // Opt-in persistence pays the shingling map cost once instead of twice —
+    // but Spark offers no safe place to unpersist a frame a lazy result
+    // still depends on, so the cache entry lives until the context evicts
+    // it (LRU): enable only when you own the session lifecycle.
     val sh =
       if (cacheShingles)
         shBase.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -400,7 +401,8 @@ object Dedup {
     // boundary-exact J = 7/25 = 0.28 pair). The epsilon only ever LENGTHENS
     // the prefix / LOOSENS the length filter — extra candidates, never lost
     // pairs; verification stays exact.
-    def ceilT(x: Column): Column = ceil(x * lit(threshold) - lit(1e-9))
+    def ceilT(x: Column): Column =
+      ceil(x * lit(threshold * (1 - 1e-12)) - lit(1e-9))
     val prefix = ranked
       .filter(col("rn") <= col("len") - ceilT(col("len")) + 1)
       .select(col("id"), col("len"), col("g"))

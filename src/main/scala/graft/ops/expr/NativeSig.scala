@@ -223,8 +223,9 @@ object SigKernels {
       val maxInter = inter + math.min(na - i, nb - j)
       // conservative bound: IEEE products overshoot exact integer values
       // (0.28 * 25 = 7.000000000000001), which would falsely exit on a
-      // boundary-exact pair — the epsilon only ever keeps merging longer
-      if (maxInter < minJ * (na + nb - maxInter) - 1e-9) return 0.0
+      // boundary-exact pair — relative+absolute epsilon covers any
+      // magnitude and only ever keeps merging longer
+      if (maxInter < minJ * (na + nb - maxInter) * (1 - 1e-12) - 1e-9) return 0.0
       val c = a.getUTF8String(i).compareTo(b.getUTF8String(j))
       if (c == 0) { inter += 1; i += 1; j += 1 }
       else if (c < 0) i += 1

@@ -331,16 +331,27 @@ object Pipeline {
           case m: scala.collection.Map[_, _] =>
             val by = sp.getOrElse("by",
               throw new IllegalArgumentException("stratified sample needs 'by'")).toString
+            // Stratify on the column CAST to string (YAML keys are strings;
+            // sampleBy silently drops any stratum whose value isn't a key).
+            // Only string/integral columns cast to strings that can equal a
+            // YAML key textually — a DOUBLE renders "1.0" vs key "1" and
+            // would silently sample zero rows, so reject those up front.
+            import org.apache.spark.sql.types._
+            df.schema(by).dataType match {
+              case StringType | ByteType | ShortType | IntegerType | LongType | BooleanType => ()
+              case other => throw new IllegalArgumentException(
+                s"stratified sample 'by' column must be string/integral/boolean " +
+                  s"(YAML keys are strings; $other values never equal them textually) — cast upstream")
+            }
             // materialize to a plain immutable Map — the YAML-backed mapping
-            // is not serializable and sampleBy ships the fractions to tasks.
-            // YAML keys are strings, so stratify on the column CAST to
-            // string: sampleBy silently drops any stratum whose value isn't
-            // a key (an Integer column would otherwise sample zero rows).
+            // is not serializable and sampleBy ships the fractions to tasks
             val fracs: Map[String, Double] = asMap(m, "sample.fraction").toSeq
               .map { case (k, v) => k -> v.toString.toDouble }.toMap
-            df.withColumn("__stratum", col(by).cast("string"))
-              .stat.sampleBy("__stratum", fracs, seed)
-              .drop("__stratum")
+            val stratum = Iterator.from(0).map(i => s"__stratum$i")
+              .find(n => !df.columns.contains(n)).get
+            df.withColumn(stratum, col(by).cast("string"))
+              .stat.sampleBy(stratum, fracs, seed)
+              .drop(stratum)
           case f => df.sample(withReplacement = false, f.toString.toDouble, seed)
         }
 

@@ -21,7 +21,6 @@ object RenderProps extends Properties("Render") {
     // non-negative only: the grammar parses `-x` as Negate(Lit(x)), so a
     // negative Lit has no string form (Render refuses; Negate covers it)
     Gen.choose(0, 999).map(i => Lit(i)),
-    Gen.choose(0L, 99L).map(l => Lit(l)),            // no string form (reparses as Int)
     Gen.const(Lit(Int.MaxValue.toLong + 7L)),        // HAS a string form (lexes as Long)
     Gen.choose(0, 9999).map(i => Lit(i / 100.0)),
     Gen.oneOf(true, false).map(Lit(_)),
@@ -55,8 +54,6 @@ object RenderProps extends Properties("Render") {
         Gen.listOfN(3, sub).map(Mean(_)),
         Gen.zip(sub, sub).map { case (a, b) => And(Seq(a, b)) },
         Gen.zip(sub, sub).map { case (a, b) => Or(Seq(a, b)) },
-        Gen.listOfN(3, sub).map(And(_)),   // no string form ('and' is a keyword)
-        Gen.listOfN(3, sub).map(Or(_)),    // ditto
         Gen.zip(sub, sub).map { case (a, b) => Gt(a, b) },
         Gen.zip(sub, sub).map { case (a, b) => Lte(a, b) },
         Gen.zip(sub, sub, Gen.option(sub)).map { case (w, t, o) => Conditional(w, t, o) },
@@ -74,21 +71,37 @@ object RenderProps extends Properties("Render") {
       )
     }
 
+  // every shape above IS string-renderable, so the round-trip property
+  // stays STRICT (a renderable node that starts refusing is a regression);
+  // the refusing shapes get targeted assertions below and extra toDict
+  // coverage via `withRefusals`
   private val ast: Gen[Node] = Gen.choose(0, 3).flatMap(node)
 
-  property("DictParser.parse(toDict(n)) == n") = Prop.forAll(ast) { n =>
+  private val withRefusals: Gen[Node] = Gen.oneOf(
+    ast,
+    Gen.choose(0, 3).flatMap(d => Gen.listOfN(3, Gen.lzy(node(d))).map(And(_))),
+    Gen.choose(0, 3).flatMap(d => Gen.listOfN(3, Gen.lzy(node(d))).map(Or(_))),
+    Gen.choose(0L, 99L).map(l => Lit(l))
+  )
+
+  property("DictParser.parse(toDict(n)) == n") = Prop.forAll(withRefusals) { n =>
     DictParser.parse(Render.toDict(n)) == n
   }
 
-  property("toExprString round-trips exactly or refuses with RenderError") =
+  property("toExprString round-trips every renderable node exactly") =
     Prop.forAll(ast) { n =>
-      try {
-        val s = Render.toExprString(n)
-        val back = Dftly.parse(s)
-        (back == n) :| s"rendered: $s\nreparsed: $back"
-      } catch {
-        case _: RenderError => Prop.passed // refusal is part of the contract
-      }
+      val s = Render.toExprString(n)
+      val back = Dftly.parse(s)
+      (back == n) :| s"rendered: $s\nreparsed: $back"
+    }
+
+  property("unrenderable shapes refuse with RenderError (and only those)") =
+    Prop.forAll(Gen.choose(0, 2).flatMap(d => Gen.listOfN(3, Gen.lzy(node(d))))) { subs =>
+      def refuses(n: Node): Boolean =
+        try { Render.toExprString(n); false }
+        catch { case _: RenderError => true }
+      refuses(And(subs)) && refuses(Or(subs)) &&
+        refuses(Lit(5L)) && refuses(Lit(-3)) && refuses(Lit(Seq(1, 2)))
     }
 
   property("toDict handles array literals and interpolation (no string form)") =
