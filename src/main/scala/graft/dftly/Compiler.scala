@@ -133,21 +133,38 @@ object Compiler {
           // `days_later` is dtype date); Spark widens to timestamp — cast back.
           if (hasDate && hasInterval) sum.cast(DateType) else sum
         }
-      case Subtract(l, r) => lower(l) - lower(r)
+      case Subtract(l, r) =>
+        val res = lower(l) - lower(r)
+        // Polars Date − Duration stays a Date (symmetric with the Add case);
+        // Spark widens to timestamp — cast back.
+        val lDate = inferType(l, schema).contains(DateType)
+        val rInterval = inferType(r, schema).exists(_.isInstanceOf[DayTimeIntervalType])
+        if (lDate && rInterval) res.cast(DateType) else res
       case Multiply(args) => args.map(lower).reduce(_ * _)
       case Divide(l, r) =>
-        // Polars truediv follows IEEE-754: x/0 → ±Infinity, 0/0 → NaN
-        // (reference: arithmetic.py:353, pl.Expr.truediv). Spark 4's ANSI
-        // mode raises DIVIDE_BY_ZERO instead, so guard the zero-divisor case
-        // explicitly — CaseWhen branches evaluate lazily, the division never
-        // sees a zero divisor.
         val ld = lower(l)
         val rd = lower(r)
-        when(rd === 0,
-          when(ld > 0, lit(Double.PositiveInfinity))
-            .when(ld < 0, lit(Double.NegativeInfinity))
-            .when(ld === 0, lit(Double.NaN))
-        ).otherwise(ld / rd)
+        if (inferType(l, schema).exists(_.isInstanceOf[DayTimeIntervalType]))
+          // Duration / number is native in both engines; the IEEE guard
+          // below would not even analyze (`interval > 0` is ill-typed).
+          ld / rd
+        else {
+          // Polars truediv follows IEEE-754: x/0 → ±Infinity, ±0/0 and
+          // NaN/0 → NaN, sign follows BOTH operands incl. −0.0 divisors
+          // (reference: arithmetic.py:353, pl.Expr.truediv). Spark 4's ANSI
+          // mode raises DIVIDE_BY_ZERO instead, so guard the zero-divisor
+          // case explicitly — CaseWhen branches evaluate lazily, the
+          // division never sees a zero divisor. −0.0 detection goes through
+          // the string form ("-0.0"): Spark's `===` follows SQL equality,
+          // under which −0.0 equals 0.0.
+          val negDivisor = rd.cast(StringType).startsWith("-")
+          when(rd === 0,
+            when(ld.isNull, lit(null).cast(DoubleType)) // null numerator propagates
+              .when(isnan(ld.cast(DoubleType)) || ld === 0, lit(Double.NaN))
+              .when((ld > 0) =!= negDivisor, lit(Double.PositiveInfinity))
+              .otherwise(lit(Double.NegativeInfinity)))
+            .otherwise(ld / rd)
+        }
       case Power(b, e)    => pow(lower(b), lower(e))
       case Mean(args) =>
         // Horizontal null-skipping mean (pl.mean_horizontal): sum the non-null
@@ -230,9 +247,13 @@ object Compiler {
           )
         }
         val src = lower(source)
-        // Spark regexp_extract returns "" on no-match; the reference returns
-        // null — guard with regexp_like (SURVEY.md §2.5).
-        when(regexp_like(src, lit(pat)), regexp_extract(src, pat, idx))
+        // Native expression for the reference's null contract (SURVEY §2.5):
+        // null on no-match AND on a non-participating group — Spark's
+        // builtin returns "" for both, and the old regexp_like guard only
+        // caught the first. Also one regex evaluation per row, not two.
+        org.apache.spark.sql.graft.ColumnBridge.column(
+          RegexExtractNull(
+            org.apache.spark.sql.graft.ColumnBridge.expression(src), pat, idx))
 
       case RegexMatch(pattern, source) =>
         regexp_like(lower(source), lower(pattern))
@@ -404,9 +425,13 @@ object Compiler {
           else src.try_cast(LongType)
         return timestamp_seconds(secs).cast(TimestampNTZType)
       }
+      if (fmt.contains("%s"))
+        throw new IllegalArgumentException(
+          s"%s (unix epoch) is only supported as the ENTIRE format; embedded in '$fmt' it has " +
+            "no Spark datetime-pattern equivalent (SURVEY.md §2.8.4)")
 
       val jfmt = Strftime.toJavaPattern(fmt)
-      kind match {
+      val parsed = kind match {
         case "date" =>
           if (strict) to_date(src, jfmt) else try_to_date(src, jfmt)
         case "time" =>
@@ -418,6 +443,17 @@ object Compiler {
             // (same format-success condition) and emit the NTZ parse lazily.
             when(try_to_timestamp(src, lit(jfmt)).isNotNull, to_timestamp_ntz(src, lit(jfmt)))
       }
+      // chrono/POSIX two-digit-year pivot: 00-68 → 20xx, 69-99 → 19xx.
+      // Java's `yy` puts everything in 2000-2099, so a %y-parsed year ≥ 2069
+      // must shift back a century ("01/02/75" is 1975, not 2075 — the
+      // birth-date case the reference targets).
+      if (Strftime.usesTwoDigitYear(fmt) && kind != "time") {
+        val shifted = kind match {
+          case "date" => add_months(parsed, -1200)
+          case _      => parsed - make_ym_interval(lit(100), lit(0))
+        }
+        when(year(parsed) >= 2069, shifted).otherwise(parsed)
+      } else parsed
     }
 
     private def litOf(v: Any): Column = v match {
@@ -432,7 +468,13 @@ object Compiler {
       case s: Short           => lit(s)
       case bd: BigDecimal     => lit(bd)
       case bd: java.math.BigDecimal => lit(BigDecimal(bd))
-      case bi: BigInt         => lit(bi.toLong)
+      case bi: BigInt =>
+        // the reference raises OverflowError when the Python int exceeds
+        // Int64; silent Long wrap-around would corrupt the constant
+        if (!bi.isValidLong)
+          throw new IllegalArgumentException(
+            s"Integer literal $bi overflows the 64-bit range")
+        lit(bi.toLong)
       case d: LocalDate       => lit(d)
       case t: LocalTime       => lit(t)
       case dt: LocalDateTime  => lit(dt)

@@ -72,8 +72,29 @@ object Strftime {
   private val UNSUPPORTED: Set[String] =
     Set("C", "G", "g", "w", "u", "U", "W", "V", "x", "X", "c", "s")
 
+  /** True when the format's year comes from a TWO-digit directive (%y, or
+    * %D = %m/%d/%y): chrono uses the POSIX pivot (00-68 → 20xx, 69-99 →
+    * 19xx) while Java's `yy` maps everything to 20xx — the compiler
+    * century-shifts parsed years ≥ 2069 to match.
+    */
+  def usesTwoDigitYear(fmt: String): Boolean = {
+    var i = 0
+    while (i < fmt.length - 1) {
+      if (fmt.charAt(i) == '%') {
+        val d = fmt.charAt(i + 1)
+        if (d == 'y' || d == 'D') return true
+        i += 2 // skip the directive char (multi-char dirs never start y/D)
+      } else i += 1
+    }
+    false
+  }
+
   /** Translate a chrono format to a Spark datetime pattern. `%s` (unix epoch)
     * is handled specially by the compiler before calling this.
+    *
+    * Documented delta (SURVEY §2.8.4): %e/%k/%l translate to unpadded
+    * `d`/`H`/`h`, which parse "5" but not chrono's space-padded " 5" —
+    * Spark's pattern dialect has no pad modifier.
     */
   def toJavaPattern(fmt: String): String = {
     val out = new StringBuilder

@@ -4,6 +4,7 @@ import java.time.LocalDateTime
 
 import org.apache.spark.SparkException
 import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions.{to_date, to_timestamp_ntz}
 import org.apache.spark.sql.types._
 
 /** End-to-end evaluation tests: parse (any form) → compile → run on a local
@@ -283,4 +284,82 @@ class CompilerSpec extends SparkTestBase {
     // `*(n)` marks a WholeStageCodegen span in the compact plan string.
     assert(plan.contains("*(1) Project"), s"expected codegen in plan:\n$plan")
   }
+
+  // --- round-2 parity fixes (found by adversarial review of the core) ----
+
+  test("duration / number divides natively and keeps the duration type") {
+    val df = Seq(("2024-01-01 00:00:10", "2024-01-01 00:00:00")).toDF("e", "s")
+      .select(to_timestamp_ntz($"e").as("e"), to_timestamp_ntz($"s").as("s"))
+    val out = df.select(Dftly.compile(
+      Dftly.parse(Map("divide" -> Seq("$e - $s", 2))), Some(df.schema)).as("half"))
+    assert(out.schema.head.dataType.isInstanceOf[
+      org.apache.spark.sql.types.DayTimeIntervalType])
+    assert(out.head.get(0) == java.time.Duration.ofSeconds(5))
+  }
+
+  test("date - duration stays a date, like date + duration") {
+    val df = Seq("2020-01-10").toDF("d").select(to_date($"d").as("d"))
+    val out = df.select(Dftly.compile(
+      Dftly.parse("$d - 1::days"), Some(df.schema)).as("earlier"))
+    assert(out.schema.head.dataType == org.apache.spark.sql.types.DateType)
+    assert(out.as[java.sql.Date].head.toString == "2020-01-09")
+  }
+
+  test("IEEE division specials: NaN/0 is NaN, x / -0.0 flips the sign") {
+    val df = Seq((Double.NaN, 0.0, 1.0, -0.0)).toDF("nan", "zero", "one", "negzero")
+    val out = df.select(
+      Dftly.compile(Dftly.parse("$nan / $zero"), Some(df.schema)).as("a"),
+      Dftly.compile(Dftly.parse("$one / $negzero"), Some(df.schema)).as("b"),
+      Dftly.compile(Dftly.parse("$one / $zero"), Some(df.schema)).as("c"))
+      .head
+    assert(out.getDouble(0).isNaN)
+    assert(out.getDouble(1) == Double.NegativeInfinity)
+    assert(out.getDouble(2) == Double.PositiveInfinity)
+  }
+
+  test("two-digit years pivot at 69 like chrono, not Java's 2000-2099") {
+    val df = Seq(("01/02/75", "01/02/24")).toDF("old", "recent")
+    val out = df.select(
+      Dftly.compile(Dftly.parse("$old :: \"%m/%d/%y\""), Some(df.schema)).as("o"),
+      Dftly.compile(Dftly.parse("$recent :: \"%m/%d/%y\""), Some(df.schema)).as("r"))
+      .head
+    assert(out.get(0).toString == "1975-01-02", out.get(0).toString)
+    assert(out.get(1).toString == "2024-01-02", out.get(1).toString)
+    // %D expands to %m/%d/%y and pivots identically; datetime kind too
+    val dt = df.select(Dftly.compile(
+      Dftly.parse("$old :: \"%D %H:%M\""), Some(df.schema)).as("x"))
+    // (no time in the input -> strict parse fails; use a combined input)
+    val df2 = Seq("01/02/75 10:30").toDF("s")
+    val got = df2.select(Dftly.compile(
+      Dftly.parse("$s :: \"%D %H:%M\""), Some(df2.schema)).as("ts")).head.get(0)
+    assert(got.toString == "1975-01-02T10:30", got.toString)
+  }
+
+  test("regex extract: non-participating group is null, not empty string") {
+    val df = Seq("a").toDF("s")
+    val out = df.select(Dftly.compile(
+      Dftly.parse("extract group 2 of /(a)|(b)/ from $s"), Some(df.schema)).as("g"))
+    assert(out.head.isNullAt(0), out.head.toString)
+    // participating-but-empty group still yields the empty string
+    val out2 = Seq("xb").toDF("s")
+    val got2 = out2.select(Dftly.compile(
+      Dftly.parse("extract group 1 of /(a*)b/ from $s"), Some(out2.schema)).as("g")).head
+    assert(!got2.isNullAt(0) && got2.getString(0) == "")
+  }
+
+  test("out-of-range integer literals error instead of wrapping") {
+    val e = intercept[IllegalArgumentException] {
+      Dftly.compile(Dftly.parse(Map("literal" -> BigInt("18446744073709551616"))), None)
+    }
+    assert(e.getMessage.contains("overflows"), e.getMessage)
+  }
+
+  test("embedded %s reports the standalone-only restriction") {
+    val df = Seq("ts:123").toDF("s")
+    val e = intercept[IllegalArgumentException] {
+      df.select(Dftly.compile(Dftly.parse("$s :: \"ts:%s\""), Some(df.schema)))
+    }
+    assert(e.getMessage.contains("ENTIRE format"), e.getMessage)
+  }
+
 }
