@@ -7,14 +7,14 @@ sealed trait Tok { def pos: Int; def end: Int }
 final case class TNum(value: Any, pos: Int, end: Int) extends Tok // Int or Double
 final case class TStr(s: String, pos: Int, end: Int) extends Tok // quotes stripped, escapes verbatim
 final case class TFStr(s: String, pos: Int, end: Int) extends Tok // f-string content, quotes stripped
-final case class TBool(b: Boolean, pos: Int, end: Int) extends Tok
+final case class TBool(b: Boolean, raw: String, pos: Int, end: Int) extends Tok
 final case class TTime(raw: String, pos: Int, end: Int) extends Tok
 final case class TDate(raw: String, pos: Int, end: Int) extends Tok
 final case class TDateTime(raw: String, pos: Int, end: Int) extends Tok
 final case class TRegex(pattern: String, pos: Int, end: Int) extends Tok
 final case class TName(s: String, pos: Int, end: Int) extends Tok
 final case class TBacktick(s: String, pos: Int, end: Int) extends Tok
-final case class TKw(kw: String, pos: Int, end: Int) extends Tok // lowercased keyword
+final case class TKw(kw: String, raw: String, pos: Int, end: Int) extends Tok // kw lowercased; raw as written
 final case class TOp(sym: String, pos: Int, end: Int) extends Tok
 final case class TEnd(pos: Int) extends Tok { def end: Int = pos }
 
@@ -49,8 +49,12 @@ final class Lexer(input: String, prefixMode: Boolean) {
   private val MULTI_OPS = Seq("**", "??", "::", "==", "!=", ">=", "<=", "&&", "||")
   private val SINGLE_OPS = "+-*/$@><!?[]:(),".toSet
 
-  private def matchAt(r: Regex, p: Int): Option[String] =
-    r.findPrefixOf(input.substring(p))
+  private def matchAt(r: Regex, p: Int): Option[String] = {
+    // region + lookingAt: no per-token substring copies (lexing stays O(n))
+    val m = r.pattern.matcher(input)
+    m.region(p, input.length)
+    if (m.lookingAt()) Some(m.group()) else None
+  }
 
   def lex(p0: Int, operandPos: Boolean): Tok = {
     var p = p0
@@ -66,8 +70,13 @@ final class Lexer(input: String, prefixMode: Boolean) {
         matchAt(TIME, p).map(s => TTime(s, p, p + s.length)),
         matchAt(NUMBER, p).map { s =>
           val v: Any = if (s.contains('.')) s.toDouble else {
-            // ints that overflow Int become Long
-            try Integer.parseInt(s) catch { case _: NumberFormatException => s.toLong }
+            // ints that overflow Int become Long; past Long, BigInt — the
+            // reference parses arbitrary-precision ints and lets the engine
+            // reject them (the compiler raises on >64-bit literals)
+            try Integer.parseInt(s) catch {
+              case _: NumberFormatException =>
+                try s.toLong catch { case _: NumberFormatException => BigInt(s) }
+            }
           }
           TNum(v, p, p + s.length)
         }
@@ -95,7 +104,9 @@ final class Lexer(input: String, prefixMode: Boolean) {
 
     if (c == '`') {
       val close = input.indexOf('`', p + 1)
-      if (close < 0 || close == p + 1)
+      // reference BACKTICK_NAME is /`[^`\n]+`/ — no newlines inside
+      if (close < 0 || close == p + 1 ||
+        input.substring(p + 1, close).contains('\n'))
         return fail(p, s"No terminal matches '`' at position $p")
       return TBacktick(input.substring(p + 1, close), p, close + 1)
     }
@@ -104,8 +115,8 @@ final class Lexer(input: String, prefixMode: Boolean) {
       val s = matchAt(NAME, p).get
       val lower = s.toLowerCase
       if (lower == "true" || lower == "false")
-        return TBool(lower == "true", p, p + s.length)
-      if (KEYWORDS.contains(lower)) return TKw(lower, p, p + s.length)
+        return TBool(lower == "true", s, p, p + s.length)
+      if (KEYWORDS.contains(lower)) return TKw(lower, s, p, p + s.length)
       return TName(s, p, p + s.length)
     }
 

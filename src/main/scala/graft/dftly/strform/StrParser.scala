@@ -26,8 +26,15 @@ object StrParser {
   def parseValue(s: String, nested: Boolean): Node = {
     val p = new P(s, prefixMode = false)
     val node =
-      try p.parseRoot()
-      catch {
+      try {
+        val n = p.parseRoot()
+        // the reference's LALR parser rejects trailing tokens ("1 < 2 < 3"
+        // is an error — comparison is non-chaining); silently dropping the
+        // tail would return a wrong expression
+        if (!p.atEnd)
+          throw new ParseError(s"unexpected token at position ${p.currentPos}")
+        n
+      } catch {
         case e: LexError   => throw new ParseError(s"Failed to parse expression '$s': ${e.getMessage}")
         case e: ParseError => throw new ParseError(s"Failed to parse expression '$s': ${e.getMessage}")
         case e: IllegalArgumentException =>
@@ -65,6 +72,10 @@ object StrParser {
       // `}`). The field splitter reports the boundary; the bad field text
       // fails later when re-parsed on its own.
       case e: ParseError if p.lexStop.isDefined => p.lexStop
+      // the token stream ran out mid-expression with nothing unlexable: the
+      // field is UNTERMINATED (reference: parse_interactive exhausts tokens
+      // without UnexpectedCharacters) — not an invalid expression
+      case e: ParseError if p.atEnd => None
       case e: java.time.DateTimeException =>
         if (p.lexStop.isDefined) p.lexStop
         else throw new ParseError(e.getMessage)
@@ -144,16 +155,40 @@ object StrParser {
       case x               => x
     }
 
-    def parseRoot(): Node = parseGlobalCast()
+    def parseRoot(): Node = parseConditional()
 
-    // 1. global cast: `as type` / `as "%fmt"` / `@ TIME` — loosest, left-assoc
+    // 1. conditional: THEN if WHEN [else OTHERWISE] — loosest. The THEN part
+    // is the cast level ("1 as int if 2" = Conditional(Cast(1), 2)); WHEN
+    // and OTHERWISE recurse at conditional level, so "1 if 2 as int" puts
+    // the cast inside the when and "a if b if c" nests the when — the
+    // shapes verified against the reference Lark grammar.
+    private def parseConditional(): Node = {
+      val t = parseGlobalCast()
+      relex(operandPos = false)
+      tok match {
+        case TKw("if", _, _, _) =>
+          advance(operandPos = true)
+          val w = parseConditional()
+          relex(operandPos = false)
+          val o = tok match {
+            case TKw("else", _, _, _) =>
+              advance(operandPos = true)
+              Some(operand(parseConditional()))
+            case _ => None
+          }
+          Conditional(operand(w), operand(t), o)
+        case _ => t
+      }
+    }
+
+    // 2. cast level: `as type` / `as "%fmt"` / `@ TIME` — left-assoc over ??
     private def parseGlobalCast(): Node = {
-      var left = parseConditional()
+      var left = parseCoalesce()
       var continue = true
       while (continue) {
         relex(operandPos = false)
         tok match {
-          case TKw("as", _, _) =>
+          case TKw("as", _, _, _) =>
             advance(operandPos = true)
             left = parseCastRhs(operand(left))
           case TOp("@", _, _) =>
@@ -169,26 +204,6 @@ object StrParser {
         }
       }
       left
-    }
-
-    // 2. conditional: THEN if WHEN [else OTHERWISE]
-    private def parseConditional(): Node = {
-      val t = parseCoalesce()
-      relex(operandPos = false)
-      tok match {
-        case TKw("if", _, _) =>
-          advance(operandPos = true)
-          val w = parseCoalesce()
-          relex(operandPos = false)
-          val o = tok match {
-            case TKw("else", _, _) =>
-              advance(operandPos = true)
-              Some(operand(parseConditional()))
-            case _ => None
-          }
-          Conditional(operand(w), operand(t), o)
-        case _ => t
-      }
     }
 
     // 3. `??` — left-assoc, desugars to nested coalesce (grammar.lark:107-108)
@@ -215,7 +230,7 @@ object StrParser {
       while (continue) {
         relex(operandPos = false)
         tok match {
-          case TKw("or", _, _) | TOp("||", _, _) =>
+          case TKw("or", _, _, _) | TOp("||", _, _) =>
             advance(operandPos = true)
             left = Or(Seq(operand(left), operand(parseBoolAnd())))
           case _ => continue = false
@@ -231,7 +246,7 @@ object StrParser {
       while (continue) {
         relex(operandPos = false)
         tok match {
-          case TKw("and", _, _) | TOp("&&", _, _) =>
+          case TKw("and", _, _, _) | TOp("&&", _, _) =>
             advance(operandPos = true)
             left = And(Seq(operand(left), operand(parseComparison())))
           case _ => continue = false
@@ -365,7 +380,7 @@ object StrParser {
     private def parseUnary(): Node = {
       relex(operandPos = true)
       tok match {
-        case TKw("not", _, _) | TOp("!", _, _) =>
+        case TKw("not", _, _, _) | TOp("!", _, _) =>
           advance(operandPos = true)
           Not(operand(parseUnary()))
         case TOp("-", _, _) =>
@@ -443,23 +458,23 @@ object StrParser {
     }
 
     /** Full-expression parse for parenthesized/function/slice contexts. */
-    private def parseRootInner(): Node = parseGlobalCast()
+    private def parseRootInner(): Node = parseConditional()
 
     // 13. primary
     private def parsePrimary(): Node = {
       relex(operandPos = true)
       tok match {
-        case TKw("extract", _, _) =>
+        case TKw("extract", _, _, _) =>
           advance(operandPos = true)
           val group = tok match {
-            case TKw("group", _, _) =>
+            case TKw("group", _, _, _) =>
               advance(operandPos = true)
               val g = tok match {
                 case TNum(i: Int, _, _) => advance(operandPos = false); i
                 case other => throw new ParseError(s"expected an integer group index; found $other")
               }
               tok match {
-                case TKw("of", _, _) => advance(operandPos = true)
+                case TKw("of", _, _, _) => advance(operandPos = true)
                 case other           => throw new ParseError(s"expected 'of' after group index; found $other")
               }
               Some(g)
@@ -470,7 +485,7 @@ object StrParser {
             case other           => throw new ParseError(s"expected a /regex/ literal; found $other")
           }
           tok match {
-            case TKw("from", _, _) => advance(operandPos = true)
+            case TKw("from", _, _, _) => advance(operandPos = true)
             case other             => throw new ParseError(s"expected 'from'; found $other")
           }
           val src = operand(parseAdditive())
@@ -479,7 +494,7 @@ object StrParser {
         case TRegex(pat, _, _) =>
           advance(operandPos = false)
           tok match {
-            case TKw("in", _, _) =>
+            case TKw("in", _, _, _) =>
               advance(operandPos = true)
               RegexMatch(Lit(pat), operand(parseAdditive()))
             case other =>
@@ -491,8 +506,8 @@ object StrParser {
           tok match {
             case TName(n, _, _)     => advance(operandPos = false); Col(n)
             case TBacktick(n, _, _) => advance(operandPos = false); Col(n)
-            case TKw(kw, _, _)      => advance(operandPos = false); Col(kw)
-            case TBool(b, _, _)     => advance(operandPos = false); Col(b.toString)
+            case TKw(_, raw, _, _)  => advance(operandPos = false); Col(raw)
+            case TBool(_, raw, _, _)   => advance(operandPos = false); Col(raw)
             case other => throw new ParseError(s"expected a column name after '$$'; found $other")
           }
 
@@ -506,6 +521,12 @@ object StrParser {
             )
           val fields = fieldTexts.map(t => parseValue(t, nested = true))
           StringInterpolate(Lit(pattern), fields)
+
+        // The reference's FORMAT_PFX terminal wins the tie against NAME, so
+        // a bare `f` (its f-string quote not directly attached) is always a
+        // parse error there — never a name, bare word, or function.
+        case TName("f", _, _) =>
+          throw new ParseError("expected a string literal directly after 'f'")
 
         case TName(name, _, _) =>
           advance(operandPos = false)
@@ -539,7 +560,7 @@ object StrParser {
         case TDate(raw, _, _)     => advance(operandPos = false); Lit(LocalDate.parse(raw))
         case TDateTime(raw, _, _) => advance(operandPos = false); Lit(parseDateTime(raw))
         case TNum(v, _, _)        => advance(operandPos = false); Lit(v)
-        case TBool(b, _, _)       => advance(operandPos = false); Lit(b)
+        case TBool(b, _, _, _)       => advance(operandPos = false); Lit(b)
         case TStr(s, _, _)        => advance(operandPos = false); Lit(s)
 
         case TOp("(", _, _) =>
@@ -547,6 +568,15 @@ object StrParser {
           val inner = parseRootInner() // bare words survive parens un-warned
           expectOp(")")
           inner
+
+        // Keywords in OPERAND position lex as plain names in the reference
+        // (contextual lexer: the keyword terminal isn't acceptable there),
+        // so `sentinel: from` or `min($a, of)` yield bare words. `extract`
+        // starts the extract-form and is handled above; `not` never reaches
+        // primary (consumed by unary).
+        case TKw(_, raw, _, _) =>
+          advance(operandPos = false)
+          BareWordNode(raw)
 
         case other => throw new ParseError(s"unexpected token: $other")
       }
@@ -563,11 +593,12 @@ object StrParser {
         var h = h0.toInt
         val sec = Option(s0).map(_.toInt).getOrElse(0)
         if (mer != null) {
-          if (h < 1 || h > 12)
+          // dateutil accepts 0 <= h <= 12 with a meridiem: 0:30 AM = 00:30,
+          // 0:30 PM = 12:30 (0 and 12 behave identically)
+          if (h > 12)
             throw new ParseError(s"Failed to parse literal $raw")
           val pm = mer.equalsIgnoreCase("p")
-          if (pm && h != 12) h += 12
-          if (!pm && h == 12) h = 0
+          h = if (pm) { if (h % 12 == 0) 12 else h + 12 } else h % 12
         } else if (h > 23) {
           throw new ParseError(s"Failed to parse literal $raw")
         }

@@ -239,4 +239,77 @@ class ParserSpec extends AnyFunSuite {
     assert(e2.getMessage.startsWith("Failed to parse expression"), e2.getMessage)
   }
 
+
+  // --- round-2 grammar parity fixes (verified against the reference Lark
+  // grammar by the review pass) ---------------------------------------
+
+  test("trailing tokens are rejected, not silently dropped") {
+    for (bad <- Seq("1 < 2 < 3", "1 2", "$a ? 1 : 2", "$a extra"))
+      assert(intercept[Exception](p(bad)).getMessage
+        .startsWith("Failed to parse expression"), bad)
+  }
+
+  test("conditional vs cast precedence matches the reference") {
+    // cast binds the THEN part: '1 as int if 2'
+    assert(p("1 as int if 2") ==
+      Conditional(Lit(2), Cast(Lit(1), Lit("int"), None), None))
+    // when extends to cast level: '1 if 2 as int'
+    assert(p("1 if 2 as int") ==
+      Conditional(Cast(Lit(2), Lit("int"), None), Lit(1), None))
+    // else extends to cast level
+    assert(p("1 if 2 else 3 as int") ==
+      Conditional(Lit(2), Lit(1), Some(Cast(Lit(3), Lit("int"), None))))
+    // right-recursive when
+    assert(p("$a if $b if $c") ==
+      Conditional(Conditional(Col("c"), Col("b"), None), Col("a"), None))
+    // parens still let a cast wrap a whole conditional
+    assert(p("(1 if 2) as int") ==
+      Cast(Conditional(Lit(2), Lit(1), None), Lit("int"), None))
+  }
+
+  test("keywords in operand position are bare words, case preserved") {
+    assert(p("from") == Lit("from"))
+    assert(p("From") == Lit("From"))
+    assert(p("group") == Lit("group"))
+    assert(p("and") == Lit("and"))
+    // nested: becomes a literal (with the usual bare-word warning)
+    assert(p("min($a, of)") == Min(Seq(Col("a"), Lit("of"))))
+  }
+
+  test("column names that look like keywords/booleans keep their spelling") {
+    assert(p("$AND") == Col("AND"))
+    assert(p("$True") == Col("True"))
+    assert(p("$From") == Col("From"))
+  }
+
+  test("hour 0 with a meridiem parses like dateutil") {
+    assert(p("$d @ 0:30") ==
+      SetTime(Col("d"), Lit(java.time.LocalTime.of(0, 30))))
+    assert(p("$d @ 0:30 PM") ==
+      SetTime(Col("d"), Lit(java.time.LocalTime.of(12, 30))))
+    assert(p("$d @ 0:30 AM") ==
+      SetTime(Col("d"), Lit(java.time.LocalTime.of(0, 30))))
+  }
+
+  test("bare 'f' is rejected (FORMAT_PFX wins over NAME in the reference)") {
+    assert(intercept[Exception](p("f")).getMessage.contains("after 'f'"))
+    assert(intercept[Exception](p("min($a, f)")).getMessage.contains("after 'f'"))
+  }
+
+  test("backtick names cannot span newlines") {
+    intercept[Exception](p("$`a\nb`"))
+  }
+
+  test("past-Long integers parse as BigInt and fail only at compile") {
+    assert(p("99999999999999999999") == Lit(BigInt("99999999999999999999")))
+    val e = intercept[IllegalArgumentException](
+      Dftly.compile(p("99999999999999999999"), None))
+    assert(e.getMessage.contains("overflows"))
+  }
+
+  test("unterminated f-string fields report the unterminated contract") {
+    val e = intercept[Exception](p("f\"{$a +\""))
+    assert(e.getMessage.contains("Unterminated interpolation field"), e.getMessage)
+  }
+
 }
