@@ -35,16 +35,42 @@ object ConstEval {
       else {
         val values = vs.map(_.get)
         if (values.forall(_.isInstanceOf[String])) Some(values.mkString)
-        else if (values.forall(isNumeric)) Some(values.map(toD).sum)
-        else None
+        else numFold(values)(_ + _, _ + _)
       }
     case Multiply(args) =>
-      val vs = args.map(eval)
-      if (vs.exists(_.isEmpty) || !vs.forall(v => isNumeric(v.get))) None
-      else Some(vs.map(v => toD(v.get)).product)
+      eval2(args)(numFold(_)(_ * _, _ * _))
+    case Subtract(l, r) => eval2(Seq(l, r))(numFold(_)(_ - _, _ - _))
+    case Divide(l, r) =>
+      // true division: always double, like the engine (int/int → float)
+      eval2(Seq(l, r)) { vs =>
+        if (vs.forall(isNumeric)) Some(toD(vs.head) / toD(vs(1))) else None
+      }
+    case Power(b, e) =>
+      eval2(Seq(b, e)) { vs =>
+        if (vs.forall(isNumeric)) Some(math.pow(toD(vs.head), toD(vs(1)))) else None
+      }
+    case Min(args)  => eval2(args)(numFold(_)(_ min _, _ min _))
+    case Max(args)  => eval2(args)(numFold(_)(_ max _, _ max _))
+    case Mean(args) =>
+      eval2(args) { vs =>
+        if (vs.nonEmpty && vs.forall(isNumeric)) Some(vs.map(toD).sum / vs.size)
+        else None
+      }
     case Coalesce(args) =>
-      args.iterator.map(eval).collectFirst { case Some(v) if v != null => v }
-        .orElse(Some(null))
+      // Short-circuit like the engine, but a NON-constant argument reached
+      // before a non-null constant makes the WHOLE expression non-constant —
+      // skipping it (the old behavior) silently compiled the wrong constant
+      // where the reference raises.
+      def go(rest: Seq[Node]): Option[Any] = rest match {
+        case Seq() => Some(null)
+        case head +: tail =>
+          eval(head) match {
+            case None       => None
+            case Some(null) => go(tail)
+            case some       => some
+          }
+      }
+      go(args)
     case Conditional(w, t, o) =>
       evalBool(w).flatMap { b =>
         if (b) eval(t) else o.map(eval).getOrElse(Some(null))
@@ -68,6 +94,28 @@ object ConstEval {
   def evalInt(node: Node): Option[Int] = eval(node).collect {
     case i: Int                         => i
     case l: Long if l.isValidInt        => l.toInt
+  }
+
+  private def eval2(args: Seq[Node])(f: Seq[Any] => Option[Any]): Option[Any] = {
+    val vs = args.map(eval)
+    if (vs.exists(_.isEmpty)) None else f(vs.map(_.get))
+  }
+
+  /** Integer-preserving numeric fold: all-integral input stays Long (so
+    * `{add: [1, 1]}` is a valid group index, like the engine's int+int),
+    * anything fractional goes through Double.
+    */
+  private def numFold(values: Seq[Any])(fl: (Long, Long) => Long, fd: (Double, Double) => Double): Option[Any] = {
+    if (values.isEmpty || !values.forall(isNumeric)) None
+    else if (values.forall(v => v.isInstanceOf[Int] || v.isInstanceOf[Long]))
+      Some(values.map(toL).reduce(fl))
+    else Some(values.map(toD).reduce(fd))
+  }
+
+  private def toL(v: Any): Long = v match {
+    case i: Int  => i.toLong
+    case l: Long => l
+    case _       => throw new IllegalArgumentException(s"not integral: $v")
   }
 
   private def isNumeric(v: Any): Boolean = v match {

@@ -39,11 +39,20 @@ object Dftly {
     */
   def parse(value: Any, parser: DftlyParser): Node = parser.parse(value)
 
-  /** [[toColumns]] under a custom node registry. */
-  def toColumns(yaml: String, schema: Option[StructType], parser: DftlyParser): Seq[(String, Column)] =
-    Yaml.loadExprMap(yaml).map { case (name, v) =>
+  /** [[toColumns]] under a custom node registry. Like the reference's
+    * `Parser.to_polars` (parser.py:329-334), a string that names an existing
+    * file is read and parsed as that file's YAML.
+    */
+  def toColumns(yaml: String, schema: Option[StructType], parser: DftlyParser): Seq[(String, Column)] = {
+    val text =
+      if (yaml.length < 4096 && !yaml.contains('\n') &&
+        java.nio.file.Files.isRegularFile(java.nio.file.Paths.get(yaml)))
+        java.nio.file.Files.readString(java.nio.file.Paths.get(yaml))
+      else yaml
+    Yaml.loadExprMap(text).map { case (name, v) =>
       name -> Compiler.compile(parser.parse(v), schema).as(name)
     }
+  }
 
   /** [[select]] under a custom node registry — custom nodes work in both the
     * YAML dict form and string-form function calls.

@@ -71,10 +71,13 @@ object DictParser {
   private def normalizePod(v: Any): Any = v match {
     case bi: java.math.BigInteger => BigInt(bi)
     case d: java.util.Date =>
-      LocalDateTime.ofInstant(d.toInstant, java.time.ZoneOffset.UTC) match {
-        case ldt if ldt.toLocalTime == LocalTime.MIDNIGHT => ldt.toLocalDate
-        case ldt                                          => ldt
-      }
+      // always a datetime: PyYAML gives the reference datetime objects and
+      // `x: 2024-01-01 00:00:00` stays Datetime-typed there — a
+      // midnight→date heuristic silently changed the output schema.
+      // (SnakeYAML cannot distinguish YAML dates from midnight datetimes;
+      // accepting bare dates as midnight datetimes is our one leniency —
+      // the reference rejects bare date literals outright.)
+      LocalDateTime.ofInstant(d.toInstant, java.time.ZoneOffset.UTC)
     case other => other
   }
 
@@ -187,9 +190,11 @@ object DictParser {
 
     key match {
       case "literal" =>
-        if (kwargs.nonEmpty || args.size != 1)
-          throw new IllegalArgumentException(s"literal takes exactly one value; got $raw")
-        Lit(args.head match {
+        // the WHOLE payload is the one argument (reference
+        // Literal.args_from_value, base.py:836-845): {"literal": [1,2,3]}
+        // is the LIST literal [1,2,3], {"literal": null} is Literal(None) —
+        // generic positional splitting would splat the list into three args
+        Lit(raw match {
           case v if isPod(v)        => normalizePod(v)
           case s: Seq[_]            => s
           case l: java.util.List[_] =>
@@ -245,12 +250,31 @@ object DictParser {
             "StringInterpolate requires more than one argument; it takes both the pattern " +
               "string (first) and the fields to interpolate into the pattern (subsequent)."
           )
+        // parse-time validation, like the reference's __post_init__
+        // (str.py:135-149): the pattern must const-evaluate to a string
+        if (ConstEval.evalString(cs.head).isEmpty)
+          throw new IllegalArgumentException(
+            "The pattern argument must be a string, Literal, or Literal-evaluatable instance.")
         StringInterpolate(cs.head, cs.tail)
 
       case "regex_extract" =>
         if (args.nonEmpty)
           throw new IllegalArgumentException("regex_extract only accepts keyword arguments")
         val kw = kwargsNode(key, kwargs, Set("pattern", "source"), Set("group_index"), nested)
+        // parse-time validation like the reference __post_init__
+        // (str.py:345-356): pattern const-evaluates to a string, group_index
+        // to a non-negative int
+        if (ConstEval.evalString(kw("pattern")).isEmpty)
+          throw new IllegalArgumentException(
+            "The pattern argument of regex_extract must evaluate to a string literal.")
+        kw.get("group_index").foreach { g =>
+          val i = ConstEval.evalInt(g).getOrElse(
+            throw new IllegalArgumentException(
+              "The group_index argument of regex_extract must evaluate to a non-negative integer."))
+          if (i < 0)
+            throw new IllegalArgumentException(
+              s"The group_index argument of regex_extract must be non-negative; got $i")
+        }
         RegexExtract(kw("pattern"), kw("source"), kw.get("group_index"))
 
       case "regex_match" =>

@@ -22,7 +22,7 @@ object Render {
 
   def toDict(n: Node): Any = n match {
     case Lit(s: String) => Map("literal" -> s) // a bare string would re-parse as string form
-    case Lit(xs: Seq[_]) => Map("literal" -> Seq(xs))  // guard the splitArgs Seq unwrap
+    case Lit(xs: Seq[_]) => Map("literal" -> xs) // the whole payload IS the value
     case Lit(v)         => v
     case Col(name)      => Map("column" -> name)
 

@@ -58,7 +58,10 @@ final class Lexer(input: String, prefixMode: Boolean) {
 
   def lex(p0: Int, operandPos: Boolean): Tok = {
     var p = p0
-    while (p < input.length && input.charAt(p).isWhitespace) p += 1
+    // lark common.WS is /[ \t\f\r\n]+/ — Unicode spaces (\u3000, \u2028,
+    // \x0B...) are NOT skippable in the reference and must fail to lex
+    def isWs(c: Char) = c == ' ' || c == '\t' || c == '\f' || c == '\r' || c == '\n'
+    while (p < input.length && isWs(input.charAt(p))) p += 1
     if (p >= input.length) return TEnd(p)
     val c = input.charAt(p)
 

@@ -312,4 +312,49 @@ class ParserSpec extends AnyFunSuite {
     assert(e.getMessage.contains("Unterminated interpolation field"), e.getMessage)
   }
 
+
+  test("literal short form takes the whole payload as ONE value") {
+    assert(Dftly.parse(Map("literal" -> Seq(1, 2, 3))) == Lit(Seq(1, 2, 3)))
+    assert(Dftly.parse(Map("literal" -> null)) == Lit(null))
+    assert(Dftly.parse(Map("literal" -> "s")) == Lit("s"))
+    // round-trip via the renderer agrees
+    assert(DictParser.parse(Render.toDict(Lit(Seq(1, 2)))) == Lit(Seq(1, 2)))
+  }
+
+  test("const-eval: coalesce with a non-constant arg is NOT a constant") {
+    // {coalesce: [$t, 'int']} must not silently become 'int'
+    val e = intercept[Exception](Dftly.parse(
+      Map("cast" -> Map("source" -> "$y",
+        "type" -> Map("coalesce" -> Seq("$t", Map("literal" -> "int")))))))
+    assert(e.getMessage.contains("string literal"), e.getMessage)
+    // but a genuinely constant coalesce works
+    val ok = Dftly.parse(Map("cast" -> Map("source" -> "$y",
+      "type" -> Map("coalesce" -> Seq(Map("literal" -> null), Map("literal" -> "int"))))))
+    assert(ok.isInstanceOf[Cast])
+  }
+
+  test("const-eval: integer arithmetic stays integral for group indexes") {
+    val n = Dftly.parse(Map("regex_extract" -> Map(
+      "pattern" -> Map("literal" -> "(a)(b)"), "source" -> "$s",
+      "group_index" -> Map("add" -> Seq(1, 1)))))
+    assert(n.isInstanceOf[RegexExtract])
+    // subtract/min/max also const-evaluate now
+    assert(ConstEval.evalInt(Dftly.parse(Map("subtract" -> Seq(3, 1)))).contains(2))
+    assert(ConstEval.evalInt(Dftly.parse(Map("min" -> Seq(5, 2)))).contains(2))
+  }
+
+  test("parse-time validation: bad interpolate/extract args fail at parse") {
+    val e1 = intercept[Exception](Dftly.parse(
+      Map("string_interpolate" -> Seq(Map("column" -> "x"), Map("column" -> "y")))))
+    assert(e1.getMessage.contains("pattern argument"), e1.getMessage)
+    val e2 = intercept[Exception](Dftly.parse(
+      Map("regex_extract" -> Map("pattern" -> "$p", "source" -> "$s"))))
+    assert(e2.getMessage.contains("pattern"), e2.getMessage)
+  }
+
+  test("unicode whitespace does not silently separate tokens") {
+    intercept[Exception](p("1\u3000+ 2")) // ideographic space: reference rejects
+    assert(p("1 + 2") == Add(Seq(Lit(1), Lit(2))))
+  }
+
 }
