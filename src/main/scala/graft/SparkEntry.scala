@@ -369,8 +369,12 @@ object SparkEntry {
       val expected = when(col("split") === "train", 0.8).otherwise(0.1)
       // tolerance ≈ 4σ of the binomial at n=500 (sd ~0.018): passes hash
       // noise (train is 0.746 on this data), fails wrong thresholds.
-      sp.groupBy(col("split")).agg(count(lit(1)).as("n"))
-        .withColumn("total", sum(col("n")).over())
+      // total via a broadcast 1-row cross join, not a global window — an
+      // unpartitioned window funnels everything to one task (and WARNs);
+      // the grouped frame re-aggregates for the total, which AQE broadcasts.
+      val grouped = sp.groupBy(col("split")).agg(count(lit(1)).as("n"))
+      grouped
+        .crossJoin(broadcast(grouped.groupBy().agg(sum(col("n")).as("total"))))
         .select(col("split"),
           (abs(col("n") / col("total") - expected) < lit(0.08)).as("frac_ok"))
     }),
@@ -383,6 +387,57 @@ object SparkEntry {
       Dedup.jaccardPairs(
         t(s, dir, "documents"), "doc_id", "text", threshold = 0.5)
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))),
+    // Dup-FAMILY clustering: connected components over the exact-Jaccard
+    // pair graph (distributed min-label propagation with pointer jumping);
+    // members get the family min id, singletons keep their own id, and the
+    // min-id representative of each family is the keeper.
+    "q38_cluster" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", threshold = 0.5)
+      graft.ops.Cluster.assignClusters(docs, "doc_id", pairs)
+        .select(col("doc_id"), col("cluster"),
+          (col("doc_id") === col("cluster")).as("keep"))
+    }),
+    // MinHash signature ESTIMATES vs exact Jaccard, on the exactly-known
+    // pair set: |estimate − exact| ≤ 0.25 (4σ at k=64) for every pair. The
+    // signatures are deterministic (fixed coefficients), so this either
+    // always passes or catches a real estimator/kernel regression — it
+    // upgrades q17's rows-only status to an oracle-checked claim about
+    // MinHash itself.
+    "q17b_minhash_est" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", threshold = 0.5)
+      val sigs = docs
+        .select(col("doc_id").as("id"), Dedup.shingles(col("text"), 3).as("sh"))
+        .select(col("id"), graft.ops.expr.NativeSig.minhashSignature(col("sh"), 64).as("sig"))
+      val est = size(filter(zip_with(col("sig_a"), col("sig_b"),
+        (x, y) => x === y), b => b)).cast("double") / 64
+      pairs
+        .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a")), "id_a")
+        .join(sigs.select(col("id").as("id_b"), col("sig").as("sig_b")), "id_b")
+        .select(col("id_a"), col("id_b"),
+          (abs(est - col("jaccard")) <= 0.25).as("est_ok"))
+    }),
+    // Fixed-size overlapping token-window chunks (64 tokens, 16 overlap) —
+    // map-side explode, no shuffle.
+    "q39_chunks" -> ((s, dir) =>
+      graft.ops.Corpus.chunkDocuments(
+        t(s, dir, "documents"), "doc_id", "text", chunkTokens = 64, overlapTokens = 16)),
+    // Okapi BM25 for one tokenized query: map-side isin filter before any
+    // shuffle, broadcast df/N/avgdl constants.
+    "q40_bm25" -> ((s, dir) =>
+      graft.ops.Retrieval.bm25(
+        t(s, dir, "documents"), "doc_id", "text", Seq("the", "data", "model"))
+        .select(col("doc_id"), round(col("bm25"), 6).as("bm25"))),
+    // One-scan numeric profile with EXACT quartiles (DuckDB quantile_cont
+    // and Spark percentile share the linear-interpolation definition).
+    "q41_profile" -> ((s, dir) =>
+      graft.ops.Corpus.profile(
+        t(s, dir, "lineitem"), Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
+        .select(col("column"), col("n"), col("nulls"),
+          round(col("mean"), 6).as("mean"), col("min"), col("max"),
+          round(col("p25"), 6).as("p25"), round(col("p50"), 6).as("p50"),
+          round(col("p75"), 6).as("p75"))),
     // Global vocabulary top-k — the canonical corpus word count.
     "q30_vocab" -> ((s, dir) =>
       graft.ops.Corpus.topTokens(t(s, dir, "documents"), "text", 20)
@@ -502,6 +557,22 @@ object SparkEntry {
     (TextStats.LangMarkers :+ ("stop" -> TextStats.EnglishStopwords)).map {
       case (lang, words) => lang -> words.map(w => s"'$w'").mkString("[", ", ", "]")
     }.toMap
+
+  /** Shared CTE: distinct word-3-gram shingles per document — the oracle
+    * counterpart of [[Dedup.shingles]] (used by q29 and q38).
+    */
+  private val shingleCteSql: String =
+    """sh AS (
+      |  SELECT doc_id,
+      |    CASE WHEN len(toks) = 0 THEN []
+      |         WHEN len(toks) <= 3 THEN [array_to_string(toks, ' ')]
+      |         ELSE list_distinct([array_to_string(toks[i:i+2], ' ')
+      |                             for i in generate_series(1, len(toks)-2)])
+      |    END AS grams
+      |  FROM (SELECT doc_id,
+      |          list_filter(string_split_regex(text, '[ \t\n\x0B\f\r]+'), t -> t <> '') AS toks
+      |        FROM documents)
+      |)""".stripMargin
 
   /** DuckDB oracle per query (same parquet tables, same column names). */
   def oracleSql: Map[String, String] = Map(
@@ -732,24 +803,96 @@ object SparkEntry {
       """SELECT * FROM (VALUES ('test', TRUE), ('train', TRUE), ('val', TRUE))
         |  AS v(split, frac_ok)""".stripMargin,
     "q29_jaccard_pairs" ->
-      """WITH sh AS (
+      s"""WITH $shingleCteSql
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  round(len(list_intersect(a.grams, b.grams))::DOUBLE
+         |        / len(list_distinct(list_concat(a.grams, b.grams))), 6) AS jaccard
+         |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |WHERE len(list_distinct(list_concat(a.grams, b.grams))) > 0
+         |  AND len(list_intersect(a.grams, b.grams))::DOUBLE
+         |      / len(list_distinct(list_concat(a.grams, b.grams))) >= 0.5""".stripMargin,
+    // The oracle asserts TRUE for exactly the q29 pair set: the estimate
+    // bound is the Spark-side claim, the pair membership is DuckDB's.
+    "q17b_minhash_est" ->
+      s"""WITH $shingleCteSql
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b, TRUE AS est_ok
+         |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |WHERE len(list_distinct(list_concat(a.grams, b.grams))) > 0
+         |  AND len(list_intersect(a.grams, b.grams))::DOUBLE
+         |      / len(list_distinct(list_concat(a.grams, b.grams))) >= 0.5""".stripMargin,
+    "q39_chunks" ->
+      """WITH t AS (
         |  SELECT doc_id,
-        |    CASE WHEN len(toks) = 0 THEN []
-        |         WHEN len(toks) <= 3 THEN [array_to_string(toks, ' ')]
-        |         ELSE list_distinct([array_to_string(toks[i:i+2], ' ')
-        |                             for i in generate_series(1, len(toks)-2)])
-        |    END AS grams
-        |  FROM (SELECT doc_id,
-        |          list_filter(string_split_regex(text, '[ \t\n\x0B\f\r]+'), t -> t <> '') AS toks
-        |        FROM documents)
+        |    list_filter(string_split_regex(text, '[ \t\n\x0B\f\r]+'), x -> x <> '') AS toks
+        |  FROM documents
+        |), c AS (
+        |  SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) > 0
         |)
-        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-        |  round(len(list_intersect(a.grams, b.grams))::DOUBLE
-        |        / len(list_distinct(list_concat(a.grams, b.grams))), 6) AS jaccard
-        |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-        |WHERE len(list_distinct(list_concat(a.grams, b.grams))) > 0
-        |  AND len(list_intersect(a.grams, b.grams))::DOUBLE
-        |      / len(list_distinct(list_concat(a.grams, b.grams))) >= 0.5""".stripMargin,
+        |SELECT doc_id, unnest([{
+        |    'chunk_idx': i,
+        |    'chunk': array_to_string(toks[(i*48+1):(i*48+64)], ' '),
+        |    'n_tokens': least(64, n - i*48)::BIGINT
+        |  } for i in generate_series(0, greatest(0, ceil((n - 64)/48.0))::BIGINT)],
+        |  recursive := true)
+        |FROM c""".stripMargin,
+    "q40_bm25" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    unnest(list_filter(string_split_regex(text, '[ \t\n\x0B\f\r]+'), x -> x <> '')) AS token
+        |  FROM documents
+        |), lens AS (
+        |  SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id
+        |), tf AS (
+        |  SELECT doc_id, token, count(*) AS tf FROM toks
+        |  WHERE token IN ('the', 'data', 'model') GROUP BY doc_id, token
+        |), dfreq AS (
+        |  SELECT token, count(*) AS df FROM tf GROUP BY token
+        |), stats AS (
+        |  SELECT count(*) AS n,
+        |    avg(len(list_filter(string_split_regex(text, '[ \t\n\x0B\f\r]+'), x -> x <> ''))) AS avgdl
+        |  FROM documents
+        |)
+        |SELECT tf.doc_id,
+        |  round(sum(ln(1 + (stats.n - dfreq.df + 0.5)/(dfreq.df + 0.5))
+        |      * tf.tf * 2.2 / (tf.tf + 1.2 * (0.25 + 0.75 * lens.dl / stats.avgdl))), 6) AS bm25
+        |FROM tf JOIN dfreq USING (token) JOIN lens USING (doc_id) CROSS JOIN stats
+        |GROUP BY tf.doc_id""".stripMargin,
+    "q41_profile" -> Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      .map(c =>
+        s"""SELECT '$c' AS "column", count($c) AS n,
+           |  sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END)::BIGINT AS nulls,
+           |  round(avg($c), 6) AS mean,
+           |  min($c)::DOUBLE AS min, max($c)::DOUBLE AS max,
+           |  round(quantile_cont($c, 0.25), 6) AS p25,
+           |  round(quantile_cont($c, 0.5), 6) AS p50,
+           |  round(quantile_cont($c, 0.75), 6) AS p75
+           |FROM lineitem""".stripMargin)
+      .mkString("\nUNION ALL\n"),
+    // Transitive closure by recursive CTE (UNION dedup = fixpoint): exactly
+    // the semantics the distributed pointer-jumping loop must reproduce.
+    "q38_cluster" ->
+      s"""WITH RECURSIVE $shingleCteSql, pairs AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |  WHERE len(list_distinct(list_concat(a.grams, b.grams))) > 0
+         |    AND len(list_intersect(a.grams, b.grams))::DOUBLE
+         |        / len(list_distinct(list_concat(a.grams, b.grams))) >= 0.5
+         |), edges AS (
+         |  SELECT id_a AS u, id_b AS v FROM pairs
+         |  UNION
+         |  SELECT id_b AS u, id_a AS v FROM pairs
+         |), reach AS (
+         |  SELECT u AS v, u AS r FROM edges
+         |  UNION
+         |  SELECT u AS v, v AS r FROM edges
+         |  UNION
+         |  SELECT reach.v AS v, e.v AS r FROM reach JOIN edges e ON e.u = reach.r
+         |), comp AS (
+         |  SELECT v, min(r) AS comp FROM reach GROUP BY v
+         |)
+         |SELECT d.doc_id, coalesce(c.comp, d.doc_id) AS cluster,
+         |  d.doc_id = coalesce(c.comp, d.doc_id) AS keep
+         |FROM documents d LEFT JOIN comp c ON d.doc_id = c.v""".stripMargin,
     "q33_ann_batch" -> annBatchSql,
     "q31_ivf" ->
       s"""SELECT vec_id,

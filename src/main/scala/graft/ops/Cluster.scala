@@ -1,0 +1,140 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Duplicate-cluster resolution: turn a near-duplicate PAIR table (the output
+  * of [[Dedup.jaccardPairs]], [[Dedup.nearDuplicatePairs]],
+  * [[Dedup.simhashNearDuplicatePairs]] or
+  * [[Similarity.cosineNearDuplicatePairs]]) into connected components, so a
+  * whole transitive duplicate family keeps exactly ONE representative. Pair
+  * lists alone over-keep: with pairs (A,B) and (B,C) the drop-id_b policy
+  * keeps A and drops B and C, but with pairs (A,B),(C,D),(B,C) arriving from
+  * different LSH tables a pairwise policy can disagree with the transitive
+  * family — components are the principled contract (and what the standard
+  * corpus-dedup pipelines compute).
+  *
+  * Scale design: min-label propagation **with pointer jumping** — per round
+  * every node takes the min of (its label, its label's label, its neighbors'
+  * labels). Plain neighbor propagation needs O(diameter) rounds (a path
+  * graph of n nodes needs n rounds); the label-of-label join halves pointer
+  * chains every round, giving O(log n) worst-case rounds with the same
+  * per-round cost: two hash joins + one aggregation, all on (long, long)
+  * pairs — no payload ever enters the shuffles. Near-dup families in real
+  * corpora are near-cliques (diameter ≤ 3), so convergence is typically 2-3
+  * rounds. Convergence detection is free: labels only ever decrease, so the
+  * label sum is strictly decreasing until the fixpoint — one scalar action
+  * per round, no change-count join.
+  */
+object Cluster {
+
+  /** Connected components of the undirected graph given as a pair table.
+    * Returns `(id, component)` for every id that appears in `pairs`, where
+    * `component` is the smallest id reachable from it. Ids must be
+    * non-null; any orderable id type works (components are mins).
+    *
+    * @param maxIter hard cap on pointer-jumping rounds (log₂ of the longest
+    *   chain; 40 covers any graph that fits in storage)
+    */
+  def connectedComponents(
+      pairs: DataFrame,
+      idACol: String = "id_a",
+      idBCol: String = "id_b",
+      maxIter: Int = 40
+  ): DataFrame = {
+    // Symmetric edge list, deduplicated once: every later round joins it.
+    val edges = pairs
+      .select(col(idACol).as("u"), col(idBCol).as("v"))
+      .union(pairs.select(col(idBCol).as("u"), col(idACol).as("v")))
+      .filter(col("u").isNotNull && col("v").isNotNull && col("u") =!= col("v"))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // Iterative plans MUST truncate lineage each round: labels feeds three
+    // plan branches per iteration, so the logical plan grows 3^rounds
+    // without it (persist alone caches data but keeps the logical tree —
+    // measured: plan-string OOM by round ~10). localCheckpoint materializes
+    // to the block manager and cuts the plan; on a real cluster with flaky
+    // executors, spark.checkpoint (reliable storage) is the durable option.
+    var labels = edges
+      .select(col("u").as("id"))
+      .distinct()
+      .withColumn("label", col("id"))
+      .localCheckpoint(true)
+
+    // Fixpoint test that works for any id type: sum of per-row label
+    // digests. Labels only change by strictly decreasing, so an unchanged
+    // sum means fixpoint up to digest-sum collision (p ≈ 2⁻⁶⁴ per round —
+    // the same order as a memory bit flip; a plain label sum would be exact
+    // but only exists for numeric ids and can overflow).
+    def labelDigest(df: DataFrame): String =
+      // decimal(38,0) accumulator: a Long sum would overflow under ANSI
+      String.valueOf(df.agg(
+        sum(xxhash64(col("id"), col("label")).cast("decimal(38,0)"))).head.get(0))
+
+    var prevDigest = labelDigest(labels)
+    var converged = false
+    var round = 0
+    while (!converged && round < maxIter) {
+      // min label among my neighbors (one shuffle on v, map-side partial min)
+      val nbrMin = edges
+        .join(labels.withColumnRenamed("id", "v").withColumnRenamed("label", "nl"), "v")
+        .groupBy(col("u").as("id"))
+        .agg(min(col("nl")).as("nmin"))
+      // label-of-label (pointer jump): labels is both sides of a self-join
+      val ptr = labels
+        .join(
+          labels.select(col("id").as("label"), col("label").as("pl")),
+          Seq("label"), "left")
+      val next = ptr
+        .join(nbrMin, Seq("id"), "left")
+        .select(
+          col("id"),
+          least(
+            col("label"),
+            coalesce(col("pl"), col("label")),
+            coalesce(col("nmin"), col("label"))).as("label"))
+        .localCheckpoint(true)
+      val digest = labelDigest(next)
+      labels = next
+      converged = digest == prevDigest
+      prevDigest = digest
+      round += 1
+    }
+    edges.unpersist(blocking = false)
+    labels.withColumnRenamed("label", "component")
+  }
+
+  /** Attach a `cluster` column to `df`: the component representative (min
+    * reachable id) for ids in a duplicate family, the row's own id for
+    * singletons. One left join against the component table — `pairs` is
+    * usually tiny next to the corpus, so AQE broadcasts it.
+    */
+  def assignClusters(
+      df: DataFrame,
+      idCol: String,
+      pairs: DataFrame,
+      idACol: String = "id_a",
+      idBCol: String = "id_b"
+  ): DataFrame = {
+    val cc = connectedComponents(pairs, idACol, idBCol)
+      .withColumnRenamed("id", "__cc_id")
+    df.join(cc, df(idCol) === col("__cc_id"), "left")
+      .withColumn("cluster", coalesce(col("component"), df(idCol)))
+      .drop("__cc_id", "component")
+  }
+
+  /** Keep exactly one row (the min-id representative) per duplicate family —
+    * the end-to-end "dedup the corpus" verb: pairs → components → filter.
+    */
+  def keepClusterRepresentatives(
+      df: DataFrame,
+      idCol: String,
+      pairs: DataFrame,
+      idACol: String = "id_a",
+      idBCol: String = "id_b"
+  ): DataFrame =
+    assignClusters(df, idCol, pairs, idACol, idBCol)
+      .filter(col(idCol) === col("cluster"))
+      .drop("cluster")
+}

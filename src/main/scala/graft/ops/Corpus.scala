@@ -185,6 +185,83 @@ object Corpus {
       .select(col("id").as(idCol), col("token"), col("tf"), col("tf_idf"))
   }
 
+  /** Fixed-size overlapping token-window chunks — the step between curation
+    * and embedding/tokenization in a RAG or pretraining pipeline. Chunk `i`
+    * covers tokens `[i·stride, i·stride + chunkTokens)` with
+    * `stride = chunkTokens − overlapTokens`; the last chunk may be short;
+    * blank documents yield no chunks. Map-side only (tokens staged once —
+    * higher-order functions get no CSE — then one `explode`): no shuffle,
+    * output rows ≈ input tokens / stride at any scale.
+    */
+  def chunkDocuments(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      chunkTokens: Int,
+      overlapTokens: Int = 0
+  ): DataFrame = {
+    require(chunkTokens >= 1, "chunkTokens must be >= 1")
+    require(overlapTokens >= 0 && overlapTokens < chunkTokens,
+      "overlapTokens must be in [0, chunkTokens)")
+    val stride = chunkTokens - overlapTokens
+    // number of chunks = 1 + ceil((n − chunk) / stride) for n > chunk; the
+    // double division is exact for any plausible token count (< 2^52)
+    val nChunks = lit(1) + greatest(lit(0),
+      ceil((col("__n") - chunkTokens).cast(DoubleType) / stride).cast(IntegerType))
+    df.select(col(idCol), TextStats.tokens(col(textCol)).as("__toks"))
+      .withColumn("__n", size(col("__toks")))
+      .filter(col("__n") > 0)
+      .select(col(idCol), col("__toks"), col("__n"),
+        explode(sequence(lit(0), nChunks - 1)).as("chunk_idx"))
+      .select(
+        col(idCol),
+        col("chunk_idx").cast(LongType).as("chunk_idx"),
+        concat_ws(" ",
+          slice(col("__toks"), col("chunk_idx") * stride + 1, lit(chunkTokens))).as("chunk"),
+        least(lit(chunkTokens), col("__n") - col("chunk_idx") * stride)
+          .cast(LongType).as("n_tokens"))
+  }
+
+  /** One-scan numeric column profile: count / nulls / mean / min / max /
+    * exact quartiles per column, one output row per column. All statistics
+    * for all columns aggregate in a SINGLE pass over the data (one partial
+    * agg tree, no per-column scans), then pivot to long form driver-side-free
+    * via an `explode` of one literal-struct array.
+    *
+    * The quartiles use Spark's exact `percentile`, whose state is a map of
+    * distinct values — right for profiling runs and bounded-cardinality
+    * columns. For unbounded high-cardinality columns at extreme scale,
+    * substitute `approx_percentile` (t-digest, constant memory): same code
+    * shape, looser contract.
+    */
+  def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "profile needs at least one column")
+    val aggs = cols.flatMap { c =>
+      Seq(
+        count(col(c)).as(s"__n_$c"),
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__nulls_$c"),
+        avg(col(c)).as(s"__mean_$c"),
+        min(col(c)).cast(DoubleType).as(s"__min_$c"),
+        max(col(c)).cast(DoubleType).as(s"__max_$c"),
+        expr(s"percentile($c, array(0.25D, 0.5D, 0.75D))").as(s"__pct_$c"))
+    }
+    val structs = cols.map { c =>
+      struct(
+        lit(c).as("column"),
+        col(s"__n_$c").as("n"),
+        col(s"__nulls_$c").as("nulls"),
+        col(s"__mean_$c").as("mean"),
+        col(s"__min_$c").as("min"),
+        col(s"__max_$c").as("max"),
+        col(s"__pct_$c").getItem(0).as("p25"),
+        col(s"__pct_$c").getItem(1).as("p50"),
+        col(s"__pct_$c").getItem(2).as("p75"))
+    }
+    df.agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(structs: _*)).as("s"))
+      .select(col("s.*"))
+  }
+
   /** All repetition/quality signals in one staged pass (n-grams materialized
     * once — higher-order functions get no common-subexpression elimination).
     */

@@ -1,0 +1,103 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.dftly.SparkTestBase
+
+class ClusterSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  /** Brute-force union-find on the driver — the independent oracle. */
+  private def bruteComponents(pairs: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x
+      else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    parent.keys.map(k => k -> find(k)).toMap
+  }
+
+  private def ccMap(pairs: Seq[(Long, Long)]): Map[Long, Long] =
+    Cluster.connectedComponents(pairs.toDF("id_a", "id_b"))
+      .as[(Long, Long)].collect().toMap
+
+  test("two separate components resolve to their min ids") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L))
+    assert(ccMap(pairs) == bruteComponents(pairs))
+    assert(ccMap(pairs) == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
+  test("long path graph converges via pointer jumping (log rounds, not n)") {
+    // a 200-node path: plain neighbor propagation would need 200 rounds —
+    // far beyond the maxIter cap — so this only passes if pointer jumping
+    // actually doubles the chains.
+    val pairs = (1L until 200L).map(i => (i, i + 1))
+    val got = ccMap(pairs)
+    assert(got.size == 200)
+    assert(got.values.forall(_ == 1L))
+  }
+
+  test("randomized graphs match union-find") {
+    val rnd = new scala.util.Random(7)
+    for (_ <- 1 to 3) {
+      val n = 80
+      val pairs = Seq.fill(60)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+      assert(ccMap(pairs) == bruteComponents(pairs))
+    }
+  }
+
+  test("reversed/duplicated edges and either column order don't matter") {
+    val pairs = Seq((2L, 1L), (1L, 2L), (2L, 3L), (3L, 2L))
+    assert(ccMap(pairs) == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
+
+  test("string ids cluster by lexicographic min") {
+    val got = Cluster.connectedComponents(
+      Seq(("b", "c"), ("a", "b"), ("x", "y")).toDF("id_a", "id_b"))
+      .as[(String, String)].collect().toMap
+    assert(got == Map("a" -> "a", "b" -> "a", "c" -> "a", "x" -> "x", "y" -> "x"))
+  }
+
+  test("assignClusters: members get the family min, singletons keep their id") {
+    val df = Seq((1L, "a"), (2L, "b"), (3L, "c"), (9L, "z")).toDF("id", "t")
+    val pairs = Seq((2L, 3L)).toDF("id_a", "id_b")
+    val got = Cluster.assignClusters(df, "id", pairs)
+      .select($"id", $"cluster").as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 2L, 3L -> 2L, 9L -> 9L))
+  }
+
+  test("keepClusterRepresentatives keeps one row per family") {
+    val df = Seq((1L, "a"), (2L, "b"), (3L, "c"), (9L, "z")).toDF("id", "t")
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+    val kept = Cluster.keepClusterRepresentatives(df, "id", pairs)
+      .select($"id").as[Long].collect().sorted
+    assert(kept.toSeq == Seq(1L, 9L))
+    assert(kept.toSeq == Seq(1L, 9L))
+  }
+
+  test("empty pair table: everything is a singleton") {
+    val df = Seq((1L, "a"), (2L, "b")).toDF("id", "t")
+    val pairs = spark.emptyDataset[(Long, Long)].toDF("id_a", "id_b")
+    val got = Cluster.assignClusters(df, "id", pairs)
+      .select($"id", $"cluster").as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 2L))
+  }
+
+  test("end-to-end on documents: clusters from exact-jaccard pairs") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", threshold = 0.5)
+    val assigned = Cluster.assignClusters(docs, "doc_id", pairs)
+    assert(assigned.count() == docs.count())
+    // every cluster representative is a real doc id and ≤ its members
+    val bad = assigned.filter($"cluster" > $"doc_id").count()
+    assert(bad == 0)
+  }
+}
