@@ -44,9 +44,14 @@ object Cluster {
       maxIter: Int = 40
   ): DataFrame = {
     // Symmetric edge list, deduplicated once: every later round joins it.
+    // One explode, NOT union(pairs, pairs.swapped): a union makes two plan
+    // branches that each recompute the whole upstream pair pipeline (LSH /
+    // prefix-filter joins — plan branches share no work).
     val edges = pairs
-      .select(col(idACol).as("u"), col(idBCol).as("v"))
-      .union(pairs.select(col(idBCol).as("u"), col(idACol).as("v")))
+      .select(explode(array(
+        struct(col(idACol).as("u"), col(idBCol).as("v")),
+        struct(col(idBCol).as("u"), col(idACol).as("v")))).as("e"))
+      .select(col("e.u").as("u"), col("e.v").as("v"))
       .filter(col("u").isNotNull && col("v").isNotNull && col("u") =!= col("v"))
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)

@@ -173,9 +173,18 @@ object Similarity {
   }
 
   /** Index of the nearest centroid (squared-L2) for each vector — a per-row
-    * argmax over literal arrays: broadcast-free, shuffle-free.
+    * argmin over a literal centroid table: broadcast-free, shuffle-free.
+    * Native fused kernel; the HOF formulation ([[hofNearestCentroid]]) is
+    * `k` interpreted `aggregate(zip_with(...))` trees per row with no CSE —
+    * the dominant cost of every k-means assignment sweep.
     */
-  def nearestCentroid(vec: Column, centroids: Array[Array[Double]]): Column = {
+  def nearestCentroid(vec: Column, centroids: Array[Array[Double]]): Column =
+    graft.ops.expr.NativeSig.nearestCentroid(vec, centroids)
+
+  /** Reference HOF formulation of [[nearestCentroid]] — kept as the
+    * independent oracle for the native kernel's tests.
+    */
+  private[ops] def hofNearestCentroid(vec: Column, centroids: Array[Array[Double]]): Column = {
     val dists = centroids.zipWithIndex.map { case (c, i) =>
       struct(
         aggregate(zip_with(vec, lit(c), (x, y) => {
@@ -202,7 +211,12 @@ object Similarity {
   ): Array[Array[Double]] = {
     val spark = df.sparkSession
     import spark.implicits._
-    val cents: Array[Array[Double]] = df
+    // every iteration re-reads the vectors (assignment + two aggs), so pin
+    // them for the duration of training; all actions complete inside this
+    // method, making this one of the few safe persist/unpersist scopes
+    val vecs = df.select(col(vecCol))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cents: Array[Array[Double]] = vecs
       .select(col(vecCol).as("v"))
       .withColumn("__h", xxhash64(col("v")))
       .orderBy("__h")
@@ -214,7 +228,7 @@ object Similarity {
       // assignment staged before the posexplode select: resolving a
       // generator alongside other expressions strips the struct-field
       // aliases inside nearestCentroid (FIELD_NOT_FOUND on `cell`)
-      val updated = df
+      val updated = vecs
         .withColumn("__cell", nearestCentroid(col(vecCol), cents))
         .select(col("__cell"), posexplode(col(vecCol)).as(Seq("pos", "x")))
         .groupBy(col("__cell"), col("pos"))
@@ -225,6 +239,7 @@ object Similarity {
         .as[(Int, Seq[Double])].collect()
       updated.foreach { case (cell, vs) => cents(cell) = vs.toArray }
     }
+    vecs.unpersist(blocking = false)
     cents
   }
 

@@ -234,6 +234,33 @@ object SigKernels {
     inter.toDouble / (na + nb - inter)
   }
 
+  /** Index of the nearest centroid by squared L2, centroids flattened
+    * row-major (`k × dim`); ties keep the smaller index (matching the HOF
+    * `array_min` over (dist, cell) structs). One fused pass per row — the
+    * HOF formulation is `k` interpreted `aggregate(zip_with(...))` trees
+    * with no CSE, and dominates every k-means assignment sweep.
+    */
+  def nearestCentroid(vec: ArrayData, cents: Array[Double], k: Int, isFloat: Boolean): Int = {
+    val dim = cents.length / k
+    val n = math.min(dim, vec.numElements())
+    var best = 0
+    var bestD = Double.MaxValue
+    var c = 0
+    while (c < k) {
+      val off = c * dim
+      var d = 0.0
+      var i = 0
+      if (isFloat) {
+        while (i < n) { val t = vec.getFloat(i) - cents(off + i); d += t * t; i += 1 }
+      } else {
+        while (i < n) { val t = vec.getDouble(i) - cents(off + i); d += t * t; i += 1 }
+      }
+      if (d < bestD) { bestD = d; best = c }
+      c += 1
+    }
+    best
+  }
+
   /** 64-bit SimHash over a token array: per bit, sum +1/−1 by the bit of each
     * token's hash; the result packs the signs. Near-identical token multisets
     * differ in few bits (compare with `bit_count(a ^ b)`).
@@ -477,6 +504,44 @@ case class SignBitSignature(child: Expression, planes: Array[Double], numPlanes:
     copy(child = newChild)
 }
 
+/** Native nearest-centroid assignment for an `array<float>`/`array<double>`
+  * vector column; `centroids` flattened row-major (`k × dim`). Same result
+  * as the HOF argmin ([[graft.ops.Similarity.hofNearestCentroid]]): squared
+  * L2, ties to the smaller index.
+  */
+case class NearestCentroid(child: Expression, centroids: Array[Double], k: Int)
+    extends UnaryExpression {
+
+  require(k >= 1 && centroids.length % k == 0, "centroids length must be k * dim")
+
+  private lazy val isFloat = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _                       => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case other =>
+      TypeCheckResult.TypeCheckFailure(
+        s"nearest_centroid needs array<float> or array<double>, got $other")
+  }
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "nearest_centroid"
+
+  override protected def nullSafeEval(input: Any): Any =
+    SigKernels.nearestCentroid(input.asInstanceOf[ArrayData], centroids, k, isFloat)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cRef = ctx.addReferenceObj("centroids", centroids, "double[]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.ops.expr.SigKernels.nearestCentroid($c, $cRef, $k, $isFloat)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): NearestCentroid =
+    copy(child = newChild)
+}
+
 /** Native 64-bit SimHash of an `array<string>` token column. */
 case class SimHash64(child: Expression) extends UnaryExpression {
 
@@ -528,6 +593,11 @@ object NativeSig {
   /** Column API for [[CosineSim]]. */
   def cosineSim(a: Column, b: Column): Column =
     ColumnBridge.column(CosineSim(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** Column API for [[NearestCentroid]]; `centroids` as (k × dim). */
+  def nearestCentroid(vec: Column, centroids: Array[Array[Double]]): Column =
+    ColumnBridge.column(
+      NearestCentroid(ColumnBridge.expression(vec), centroids.flatten, centroids.length))
 
   /** Column API for [[SignBitSignature]]; `planes` as (numPlanes × dim). */
   def signBitSignature(vec: Column, planes: Array[Array[Double]]): Column =

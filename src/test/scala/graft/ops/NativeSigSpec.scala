@@ -145,6 +145,27 @@ class NativeSigSpec extends SparkTestBase {
   }
 
 
+  test("native nearest-centroid == HOF argmin on real embeddings, ties to smaller index") {
+    val embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val cents = Similarity.trainCentroids(embs.limit(100), "embedding", k = 4, iters = 1)
+    val both = embs.select(
+      NativeSig.nearestCentroid($"embedding", cents).as("native"),
+      Similarity.hofNearestCentroid($"embedding", cents).as("hof"))
+    assert(both.filter($"native" =!= $"hof").count() == 0)
+    assert(both.select("native").distinct().count() > 1)
+    // exact tie: duplicated centroid → both formulations pick index 0
+    val dupCents = Array(Array(1.0, 0.0), Array(1.0, 0.0))
+    val tie = Seq(Array(1f, 0f)).toDF("v").select(
+      NativeSig.nearestCentroid($"v", dupCents).as("native"),
+      Similarity.hofNearestCentroid($"v", dupCents).as("hof"))
+      .as[(Int, Int)].head()
+    assert(tie == ((0, 0)))
+    // codegen check
+    val plan = embs.select(NativeSig.nearestCentroid($"embedding", cents))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("*(1)"), s"expected codegen:\n$plan")
+  }
+
   test("native word shingles == HOF shingles on real documents + edge cases") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .select($"text")
