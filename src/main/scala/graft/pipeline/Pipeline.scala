@@ -378,6 +378,42 @@ object Pipeline {
           j("leftTs").toString, j("rightStart").toString, j("rightEnd").toString,
           j("bucketMicros").toString.toLong)
 
+      case "chunk" =>
+        val c = asMap(step("chunk"), "chunk")
+        graft.ops.Corpus.chunkDocuments(df,
+          c("id").toString, c("text").toString,
+          c("chunkTokens").toString.toInt,
+          c.get("overlapTokens").map(_.toString.toInt).getOrElse(0))
+
+      case "bm25" =>
+        // {id:, text:, query: [tokens], k: optional top-k}
+        val b = asMap(step("bm25"), "bm25")
+        val query = asSeq(b("query")).map(_.toString)
+        b.get("k") match {
+          case Some(k) => graft.ops.Retrieval.bm25TopK(df,
+            b("id").toString, b("text").toString, query, k.toString.toInt)
+          case None => graft.ops.Retrieval.bm25(df,
+            b("id").toString, b("text").toString, query)
+        }
+
+      case "clusterDuplicates" =>
+        // transitive near-dup families from exact-Jaccard pairs;
+        // mode: keep (default — one representative per family) | assign
+        // (adds a `cluster` column)
+        val c = asMap(step("clusterDuplicates"), "clusterDuplicates")
+        val id = c("id").toString
+        val pairs = Dedup.jaccardPairs(df, id, c("text").toString,
+          threshold = c.get("threshold").map(_.toString.toDouble).getOrElse(0.8))
+        c.getOrElse("mode", "keep").toString match {
+          case "keep"   => graft.ops.Cluster.keepClusterRepresentatives(df, id, pairs)
+          case "assign" => graft.ops.Cluster.assignClusters(df, id, pairs)
+          case other => throw new IllegalArgumentException(
+            s"clusterDuplicates mode must be keep|assign, got $other")
+        }
+
+      case "profile" =>
+        graft.ops.Corpus.profile(df, asSeq(step("profile")).map(_.toString))
+
       case other =>
         throw new IllegalArgumentException(s"Unknown pipeline verb: $other")
     }

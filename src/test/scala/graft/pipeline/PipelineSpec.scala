@@ -10,6 +10,44 @@ class PipelineSpec extends SparkTestBase {
 
   private val dir = "/root/testdata/sf0.001"
 
+  test("chunk / bm25 / clusterDuplicates / profile verbs") {
+    val chunks = Pipeline.runOnDir(spark,
+      """source: documents
+        |steps:
+        |  - chunk: {id: doc_id, text: text, chunkTokens: 64, overlapTokens: 16}
+        |""".stripMargin, dir)
+    assert(chunks.columns.toSeq == Seq("doc_id", "chunk_idx", "chunk", "n_tokens"))
+    assert(chunks.count() > 500)
+
+    val top = Pipeline.runOnDir(spark,
+      """source: documents
+        |steps:
+        |  - bm25: {id: doc_id, text: text, query: [the, data], k: 5}
+        |""".stripMargin, dir)
+    assert(top.count() == 5)
+
+    val kept = Pipeline.runOnDir(spark,
+      """source: documents
+        |steps:
+        |  - clusterDuplicates: {id: doc_id, text: text, threshold: 0.5}
+        |""".stripMargin, dir)
+    val assigned = Pipeline.runOnDir(spark,
+      """source: documents
+        |steps:
+        |  - clusterDuplicates: {id: doc_id, text: text, threshold: 0.5, mode: assign}
+        |""".stripMargin, dir)
+    assert(assigned.columns.contains("cluster"))
+    val families = assigned.select(countDistinct($"cluster")).as[Long].head()
+    assert(kept.count() == families)
+
+    val prof = Pipeline.runOnDir(spark,
+      """source: documents
+        |steps:
+        |  - profile: [n_chars]
+        |""".stripMargin, dir)
+    assert(prof.count() == 1 && prof.columns.contains("p50"))
+  }
+
   test("select / withColumns / filter / orderBy / limit") {
     val out = Pipeline.runOnDir(spark,
       """source: lineitem
