@@ -101,6 +101,9 @@ object Cluster {
             coalesce(col("nmin"), col("label"))).as("label"))
         .localCheckpoint(true)
       val digest = labelDigest(next)
+      // free the superseded round's checkpoint blocks now — waiting for the
+      // ContextCleaner would hold rounds × |V| cached copies alive at once
+      labels.unpersist(blocking = false)
       labels = next
       converged = digest == prevDigest
       prevDigest = digest
@@ -122,11 +125,16 @@ object Cluster {
       idACol: String = "id_a",
       idBCol: String = "id_b"
   ): DataFrame = {
+    // the output column is part of the contract — refuse to clobber one the
+    // caller already has; internals stay under __cc_ so a caller's
+    // 'component' column survives untouched
+    require(!df.columns.contains("cluster"),
+      "assignClusters adds a 'cluster' column but df already has one")
     val cc = connectedComponents(pairs, idACol, idBCol)
-      .withColumnRenamed("id", "__cc_id")
+      .select(col("id").as("__cc_id"), col("component").as("__cc_comp"))
     df.join(cc, df(idCol) === col("__cc_id"), "left")
-      .withColumn("cluster", coalesce(col("component"), df(idCol)))
-      .drop("__cc_id", "component")
+      .withColumn("cluster", coalesce(col("__cc_comp"), df(idCol)))
+      .drop("__cc_id", "__cc_comp")
   }
 
   /** Keep exactly one row (the min-id representative) per duplicate family —

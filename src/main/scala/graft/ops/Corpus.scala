@@ -237,13 +237,17 @@ object Corpus {
   def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "profile needs at least one column")
     val aggs = cols.flatMap { c =>
+      // backtick-quote the SQL-string path so non-identifier column names
+      // work like they do through col(c); count(when(...)) (not sum) keeps
+      // nulls = 0 instead of NULL on a zero-row input
+      val quoted = "`" + c.replace("`", "``") + "`"
       Seq(
         count(col(c)).as(s"__n_$c"),
-        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__nulls_$c"),
+        count(when(col(c).isNull, lit(1))).as(s"__nulls_$c"),
         avg(col(c)).as(s"__mean_$c"),
         min(col(c)).cast(DoubleType).as(s"__min_$c"),
         max(col(c)).cast(DoubleType).as(s"__max_$c"),
-        expr(s"percentile($c, array(0.25D, 0.5D, 0.75D))").as(s"__pct_$c"))
+        expr(s"percentile($quoted, array(0.25D, 0.5D, 0.75D))").as(s"__pct_$c"))
     }
     val structs = cols.map { c =>
       struct(

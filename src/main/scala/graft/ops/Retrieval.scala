@@ -7,14 +7,15 @@ import org.apache.spark.sql.types._
 /** Sparse (lexical) retrieval over a document corpus — the BM25 side of a
   * hybrid retrieval stack ([[Similarity]] is the dense side).
   *
-  * Scale shape: one explode of (id, token) pairs filtered to the query's
-  * tokens *before* any shuffle (the filter is a map-side `isin` over a
-  * handful of literals, so the aggregations only ever see rows for query
-  * terms — at 100 TB that's the difference between shuffling the corpus
-  * vocabulary and shuffling a few million hits); corpus-level constants
-  * (N, avgdl) ride in as broadcast 1-row aggregates; per-term document
-  * frequencies are a broadcast join (≤ |query| rows). No UDFs, no driver
-  * materialization.
+  * Scale shape: the query's term frequencies are computed ROW-LOCALLY (one
+  * small column per query token — queries are a handful of literals), so no
+  * (id, token) instance ever enters a shuffle and there is no per-term
+  * aggregation at all. The only shuffle in the whole query is the 1-row
+  * corpus-stats aggregate (N, avgdl, and every per-term document frequency,
+  * folded into the same pass), which broadcasts back; scoring is then a
+  * pure map-side expression. Two scans of the text column total — against
+  * the classic explode→groupBy formulation, that removes both the instance
+  * shuffle and the tf aggregation, which at 100 TB are the whole cost.
   */
 object Retrieval {
 
@@ -36,31 +37,30 @@ object Retrieval {
   ): DataFrame = {
     require(queryTokens.nonEmpty, "query must have at least one token")
     val q = queryTokens.distinct
-    val lens = df.select(
-      col(idCol).as("id"),
-      size(TextStats.tokens(col(textCol))).as("dl"))
-    // (id, token) instances for QUERY tokens only — the isin filter runs
-    // map-side before the explode output reaches any shuffle
-    val hits = df
-      .select(col(idCol).as("id"), explode(TextStats.tokens(col(textCol))).as("token"))
-      .filter(col("token").isin(q: _*))
-    val tf = hits.groupBy(col("id"), col("token")).agg(count(lit(1)).as("tf"))
-    val dfreq = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
-    val stats = lens.agg(
-      count(lit(1)).as("n"),
-      avg(col("dl")).as("avgdl"))
-    val idf = log(lit(1.0) +
-      (col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
-    val tfTerm = (col("tf") * (k1 + 1)) /
-      (col("tf") + lit(k1) * (lit(1.0) - b + lit(b) * col("dl") / col("avgdl")))
-    tf
-      .join(broadcast(dfreq), "token")
-      .join(lens, "id")
-      .crossJoin(broadcast(stats))
-      .withColumn("__term", idf * tfTerm)
-      .groupBy(col("id"))
-      .agg(sum(col("__term")).as("bm25"))
-      .select(col("id").as(idCol), col("bm25"))
+    // per-doc length + one tf column per query token, all from ONE staged
+    // token array (materialized first — higher-order functions get no CSE)
+    val perDoc = df
+      .select(col(idCol).as("id"), TextStats.tokens(col(textCol)).as("__toks"))
+      .select(Seq(col("id"), size(col("__toks")).as("dl")) ++
+        q.zipWithIndex.map { case (t, i) =>
+          size(filter(col("__toks"), x => x === lit(t))).as(s"__tf_$i")
+        }: _*)
+    // N, avgdl, and every per-term document frequency in one aggregation
+    val statAggs = Seq(count(lit(1)).as("n"), avg(col("dl")).as("avgdl")) ++
+      q.indices.map(i => sum((col(s"__tf_$i") > 0).cast("long")).as(s"__df_$i"))
+    val stats = perDoc.agg(statAggs.head, statAggs.tail: _*)
+    val scored = perDoc.crossJoin(broadcast(stats))
+    val termScores = q.indices.map { i =>
+      val tf = col(s"__tf_$i").cast(DoubleType)
+      val dfq = col(s"__df_$i").cast(DoubleType)
+      val idf = log(lit(1.0) + (col("n") - dfq + lit(0.5)) / (dfq + lit(0.5)))
+      val tfTerm = (tf * (k1 + 1)) /
+        (tf + lit(k1) * (lit(1.0) - b + lit(b) * col("dl") / col("avgdl")))
+      when(col(s"__tf_$i") > 0, idf * tfTerm).otherwise(lit(0.0))
+    }
+    scored
+      .filter(q.indices.map(i => col(s"__tf_$i") > 0).reduce(_ || _))
+      .select(col("id").as(idCol), termScores.reduce(_ + _).as("bm25"))
   }
 
   /** BM25 top-k: scores via [[bm25]], then `orderBy.limit` —

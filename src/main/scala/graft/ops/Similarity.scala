@@ -216,31 +216,32 @@ object Similarity {
     // method, making this one of the few safe persist/unpersist scopes
     val vecs = df.select(col(vecCol))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val cents: Array[Array[Double]] = vecs
-      .select(col(vecCol).as("v"))
-      .withColumn("__h", xxhash64(col("v")))
-      .orderBy("__h")
-      .limit(k)
-      .select("v").as[Array[Float]].collect()
-      .map(_.map(_.toDouble))
-    require(cents.length == k, s"not enough rows to seed $k centroids")
-    for (_ <- 0 until iters) {
+    try {
+      val cents: Array[Array[Double]] = vecs
+        .select(col(vecCol).as("v"))
+        .withColumn("__h", xxhash64(col("v")))
+        .orderBy("__h")
+        .limit(k)
+        .select("v").as[Array[Float]].collect()
+        .map(_.map(_.toDouble))
+      require(cents.length == k, s"not enough rows to seed $k centroids")
+      for (_ <- 0 until iters) {
       // assignment staged before the posexplode select: resolving a
       // generator alongside other expressions strips the struct-field
       // aliases inside nearestCentroid (FIELD_NOT_FOUND on `cell`)
-      val updated = vecs
-        .withColumn("__cell", nearestCentroid(col(vecCol), cents))
-        .select(col("__cell"), posexplode(col(vecCol)).as(Seq("pos", "x")))
-        .groupBy(col("__cell"), col("pos"))
-        .agg(avg(col("x")).as("m"))
-        .groupBy(col("__cell"))
-        .agg(sort_array(collect_list(struct(col("pos"), col("m")))).as("ps"))
-        .select(col("__cell"), col("ps").getField("m").as("c"))
-        .as[(Int, Seq[Double])].collect()
-      updated.foreach { case (cell, vs) => cents(cell) = vs.toArray }
-    }
-    vecs.unpersist(blocking = false)
-    cents
+        val updated = vecs
+          .withColumn("__cell", nearestCentroid(col(vecCol), cents))
+          .select(col("__cell"), posexplode(col(vecCol)).as(Seq("pos", "x")))
+          .groupBy(col("__cell"), col("pos"))
+          .agg(avg(col("x")).as("m"))
+          .groupBy(col("__cell"))
+          .agg(sort_array(collect_list(struct(col("pos"), col("m")))).as("ps"))
+          .select(col("__cell"), col("ps").getField("m").as("c"))
+          .as[(Int, Seq[Double])].collect()
+        updated.foreach { case (cell, vs) => cents(cell) = vs.toArray }
+      }
+      cents
+    } finally vecs.unpersist(blocking = false)
   }
 
   /** IVF-style bucketed top-k: assign every vector to its nearest of

@@ -242,7 +242,13 @@ object SigKernels {
     */
   def nearestCentroid(vec: ArrayData, cents: Array[Double], k: Int, isFloat: Boolean): Int = {
     val dim = cents.length / k
-    val n = math.min(dim, vec.numElements())
+    // fail loud on a dimension mismatch: silently scoring a prefix would
+    // mask a mis-wired centroid table (and the HOF formulation degenerates
+    // to index 0 via null-padding — neither answer is meaningful)
+    if (vec.numElements() != dim)
+      throw new IllegalArgumentException(
+        s"nearest_centroid: vector has ${vec.numElements()} dims, centroids have $dim")
+    val n = dim
     var best = 0
     var bestD = Double.MaxValue
     var c = 0

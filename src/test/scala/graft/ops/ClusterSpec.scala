@@ -77,10 +77,27 @@ class ClusterSpec extends SparkTestBase {
   test("keepClusterRepresentatives keeps one row per family") {
     val df = Seq((1L, "a"), (2L, "b"), (3L, "c"), (9L, "z")).toDF("id", "t")
     val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
-    val kept = Cluster.keepClusterRepresentatives(df, "id", pairs)
-      .select($"id").as[Long].collect().sorted
+    val full = Cluster.keepClusterRepresentatives(df, "id", pairs)
+    assert(!full.columns.contains("cluster"))
+    val kept = full.select($"id").as[Long].collect().sorted
     assert(kept.toSeq == Seq(1L, 9L))
-    assert(kept.toSeq == Seq(1L, 9L))
+  }
+
+  test("assignClusters refuses to clobber an existing 'cluster' column") {
+    val df = Seq((1L, "a")).toDF("id", "cluster")
+    val pairs = spark.emptyDataset[(Long, Long)].toDF("id_a", "id_b")
+    intercept[IllegalArgumentException] {
+      Cluster.assignClusters(df, "id", pairs)
+    }
+  }
+
+  test("assignClusters leaves a caller's 'component' column untouched") {
+    val df = Seq((1L, "x"), (2L, "y")).toDF("id", "component")
+    val pairs = Seq((1L, 2L)).toDF("id_a", "id_b")
+    val got = Cluster.assignClusters(df, "id", pairs)
+      .select($"id", $"component", $"cluster").as[(Long, String, Long)]
+      .collect().toSet
+    assert(got == Set((1L, "x", 1L), (2L, "y", 1L)))
   }
 
   test("empty pair table: everything is a singleton") {

@@ -164,6 +164,12 @@ class NativeSigSpec extends SparkTestBase {
     val plan = embs.select(NativeSig.nearestCentroid($"embedding", cents))
       .queryExecution.executedPlan.toString
     assert(plan.contains("*(1)"), s"expected codegen:\n$plan")
+    // dimension mismatch fails loud instead of scoring a prefix
+    val e = intercept[Exception] {
+      Seq(Array(1f, 2f, 3f)).toDF("v")
+        .select(NativeSig.nearestCentroid($"v", dupCents)).collect()
+    }
+    assert(e.getMessage != null)
   }
 
   test("native word shingles == HOF shingles on real documents + edge cases") {

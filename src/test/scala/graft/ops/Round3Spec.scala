@@ -101,6 +101,16 @@ class Round3Spec extends SparkTestBase {
   // profile
   // ------------------------------------------------------------------
 
+  test("profile: zero-row input yields n=0, nulls=0 (not NULL)") {
+    val df = Seq((1.0, 2.0)).toDF("x", "odd name").filter(lit(false))
+    val r = Corpus.profile(df, Seq("x", "odd name")).collect()
+    assert(r.length == 2)
+    r.foreach { row =>
+      assert(row.getLong(1) == 0 && row.getLong(2) == 0)
+      assert(row.isNullAt(3)) // mean of nothing is NULL
+    }
+  }
+
   test("profile: exact quartiles, null accounting, one row per column") {
     val df = Seq[(java.lang.Double, java.lang.Long)](
       (1.0, 10L), (2.0, 20L), (3.0, null), (4.0, 40L)
