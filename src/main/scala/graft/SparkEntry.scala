@@ -438,6 +438,39 @@ object SparkEntry {
           round(col("mean"), 6).as("mean"), col("min"), col("max"),
           round(col("p25"), 6).as("p25"), round(col("p50"), 6).as("p50"),
           round(col("p75"), 6).as("p75"))),
+    // SemDeDup-style semantic dedup: transitive duplicate FAMILIES in
+    // embedding space (exact cosine pairs → connected components → keep the
+    // min-id representative). Fully oracle-checked: recursive-CTE closure
+    // over DuckDB's own exact cosine pair set.
+    "q42_semantic_dedup" -> ((s, dir) => {
+      val embs = t(s, dir, "embeddings")
+      val pairs = Similarity.bruteForceCosinePairs(
+        embs, "vec_id", "embedding", threshold = 0.40)
+      graft.ops.Cluster.assignClusters(embs.select(col("vec_id")), "vec_id", pairs)
+        .select(col("vec_id"), col("cluster"),
+          (col("vec_id") === col("cluster")).as("keep"))
+    }),
+    // Rollup aggregation through the pipeline verb — subtotal rows per
+    // returnflag and a grand total, aggregates integral-valued so the
+    // oracle hash-matches exactly.
+    "q43_rollup" -> ((s, dir) =>
+      graft.pipeline.Pipeline.runOnDir(s,
+        """source: lineitem
+          |steps:
+          |  - groupBy: {cols: [l_returnflag, l_linestatus], mode: rollup}
+          |    agg:
+          |      total_qty: {sum: $l_quantity}
+          |      n: {count: "*"}
+          |""".stripMargin, dir)),
+    // Multiset set-ops through the pipeline verb: order keys with no
+    // lineitem rows (EXCEPT ALL == anti-join here since keys are unique).
+    "q44_setops" -> ((s, dir) =>
+      graft.pipeline.Pipeline.runOnDir(s,
+        """source: orders
+          |steps:
+          |  - select: {o_orderkey: $o_orderkey}
+          |  - except: {table: lineitem, cols: [l_orderkey], all: true}
+          |""".stripMargin, dir)),
     // Global vocabulary top-k — the canonical corpus word count.
     "q30_vocab" -> ((s, dir) =>
       graft.ops.Corpus.topTokens(t(s, dir, "documents"), "text", 20)
@@ -868,6 +901,36 @@ object SparkEntry {
            |  round(quantile_cont($c, 0.75), 6) AS p75
            |FROM lineitem""".stripMargin)
       .mkString("\nUNION ALL\n"),
+    "q42_semantic_dedup" ->
+      """WITH RECURSIVE pairs AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |  WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.40
+        |), edges AS (
+        |  SELECT id_a AS u, id_b AS v FROM pairs
+        |  UNION
+        |  SELECT id_b AS u, id_a AS v FROM pairs
+        |), reach AS (
+        |  SELECT u AS v, u AS r FROM edges
+        |  UNION
+        |  SELECT u AS v, v AS r FROM edges
+        |  UNION
+        |  SELECT reach.v AS v, e.v AS r FROM reach JOIN edges e ON e.u = reach.r
+        |), comp AS (
+        |  SELECT v, min(r) AS comp FROM reach GROUP BY v
+        |)
+        |SELECT e.vec_id, coalesce(c.comp, e.vec_id) AS cluster,
+        |  e.vec_id = coalesce(c.comp, e.vec_id) AS keep
+        |FROM embeddings e LEFT JOIN comp c ON e.vec_id = c.v""".stripMargin,
+    "q43_rollup" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  sum(l_quantity) AS total_qty, count(*) AS n
+        |FROM lineitem
+        |GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+    "q44_setops" ->
+      """SELECT o_orderkey FROM orders
+        |EXCEPT ALL
+        |SELECT l_orderkey FROM lineitem""".stripMargin,
     // Transitive closure by recursive CTE (UNION dedup = fixpoint): exactly
     // the semantics the distributed pointer-jumping loop must reproduce.
     "q38_cluster" ->

@@ -207,11 +207,44 @@ object Pipeline {
         }
 
       case "groupBy" =>
-        val keys = asSeq(step("groupBy")).map(_.toString)
+        // plain list of keys, or {cols: [...], mode: group|rollup|cube} —
+        // rollup/cube emit subtotal grouping sets (NULL key = subtotal row)
+        val (keys, mode) = step("groupBy") match {
+          case m: scala.collection.Map[_, _] =>
+            val gm = asMap(m, "groupBy")
+            (asSeq(gm.getOrElse("cols",
+              throw new IllegalArgumentException("groupBy map needs 'cols'"))).map(_.toString),
+              gm.getOrElse("mode", "group").toString)
+          case other => (asSeq(other).map(_.toString), "group")
+        }
         val aggs = orderedEntries(step.getOrElse("agg",
           throw new IllegalArgumentException("groupBy needs 'agg'")), "agg")
           .map { case (name, spec) => aggColumn(name, spec, df) }
-        df.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
+        val grouped = mode match {
+          case "group"  => df.groupBy(keys.map(col): _*)
+          case "rollup" => df.rollup(keys.map(col): _*)
+          case "cube"   => df.cube(keys.map(col): _*)
+          case other => throw new IllegalArgumentException(
+            s"groupBy mode must be group|rollup|cube, got $other")
+        }
+        grouped.agg(aggs.head, aggs.tail: _*)
+
+      case "except" | "intersect" =>
+        // multiset semantics with `all: true` (EXCEPT ALL / INTERSECT ALL),
+        // set semantics otherwise; `cols` projects the right table first so
+        // the sides line up positionally
+        val verb = verbs.head
+        val s = asMap(step(verb), verb)
+        var right = resolve(s("table").toString)
+        s.get("cols").foreach(c =>
+          right = right.select(asSeq(c).map(x => col(x.toString)): _*))
+        val all = s.get("all").exists(_ == true)
+        (verb, all) match {
+          case ("except", true)     => df.exceptAll(right)
+          case ("except", false)    => df.except(right)
+          case ("intersect", true)  => df.intersectAll(right)
+          case (_, _)               => df.intersect(right)
+        }
 
       case "orderBy" =>
         val cols = asSeq(step("orderBy")).map(_.toString).map { s =>

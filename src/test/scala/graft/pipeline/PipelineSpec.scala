@@ -48,6 +48,53 @@ class PipelineSpec extends SparkTestBase {
     assert(prof.count() == 1 && prof.columns.contains("p50"))
   }
 
+  test("groupBy rollup/cube modes and except/intersect verbs") {
+    val roll = Pipeline.runOnDir(spark,
+      """source: lineitem
+        |steps:
+        |  - groupBy: {cols: [l_returnflag, l_linestatus], mode: rollup}
+        |    agg:
+        |      n: {count: "*"}
+        |""".stripMargin, dir)
+    val rows = roll.collect()
+    // grand total row (both keys null) present, equal to table size
+    val total = rows.filter(r => r.isNullAt(0) && r.isNullAt(1))
+    assert(total.length == 1)
+    assert(total.head.getLong(2) ==
+      spark.read.parquet(s"$dir/lineitem.parquet").count())
+    // cube adds the per-linestatus-only sets rollup lacks
+    val cube = Pipeline.runOnDir(spark,
+      """source: lineitem
+        |steps:
+        |  - groupBy: {cols: [l_returnflag, l_linestatus], mode: cube}
+        |    agg:
+        |      n: {count: "*"}
+        |""".stripMargin, dir)
+    assert(cube.count() > roll.count())
+
+    val except = Pipeline.runOnDir(spark,
+      """source: orders
+        |steps:
+        |  - select: {o_orderkey: $o_orderkey}
+        |  - except: {table: lineitem, cols: [l_orderkey], all: true}
+        |""".stripMargin, dir)
+    val expected = {
+      val o = spark.read.parquet(s"$dir/orders.parquet")
+      val l = spark.read.parquet(s"$dir/lineitem.parquet")
+      o.select($"o_orderkey").join(l, $"o_orderkey" === $"l_orderkey", "left_anti").count()
+    }
+    assert(except.count() == expected)
+
+    val inter = Pipeline.runOnDir(spark,
+      """source: orders
+        |steps:
+        |  - select: {o_orderkey: $o_orderkey}
+        |  - intersect: {table: lineitem, cols: [l_orderkey]}
+        |""".stripMargin, dir)
+    assert(inter.count() + except.count() ==
+      spark.read.parquet(s"$dir/orders.parquet").count())
+  }
+
   test("select / withColumns / filter / orderBy / limit") {
     val out = Pipeline.runOnDir(spark,
       """source: lineitem
