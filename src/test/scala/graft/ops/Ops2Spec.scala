@@ -52,6 +52,29 @@ class Ops2Spec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("stateless curation ops run unchanged under Structured Streaming") {
+    // quality scoring + chunking are pure per-row expressions, so the exact
+    // batch operators apply to a stream with zero changes — the claim
+    // SURVEY.md makes for the whole scalar layer, demonstrated on the ops a
+    // streaming ingest pipeline would actually run
+    val input = MemoryStream[(Long, String)](spark)
+    val df = input.toDF().toDF("doc_id", "text")
+    val cleaned = Corpus.chunkDocuments(
+      df.withColumn("q", TextStats.qualityScore(col("text"), length(col("text"))))
+        .filter(col("q") >= 0.0),
+      "doc_id", "text", chunkTokens = 3, overlapTokens = 1)
+    val q = cleaned.writeStream.format("memory").queryName("stream_chunks")
+      .outputMode("append").start()
+    try {
+      input.addData((1L, "a b c d e"), (2L, ""))
+      q.processAllAvailable()
+      val got = spark.table("stream_chunks")
+        .select("doc_id", "chunk_idx", "chunk").as[(Long, Long, String)]
+        .collect().sortBy(r => (r._1, r._2))
+      assert(got.toSeq == Seq((1L, 0L, "a b c"), (1L, 1L, "c d e")))
+    } finally q.stop()
+  }
+
   test("salted join matches the plain join and spreads a hot key") {
     // 10k rows on ONE hot key + a tail, joined to a 100-row dim
     val fact = ((1 to 10000).map(i => (1L, s"row$i")) ++
