@@ -58,14 +58,27 @@ object Cluster {
     // Iterative plans MUST truncate lineage each round: labels feeds three
     // plan branches per iteration, so the logical plan grows 3^rounds
     // without it (persist alone caches data but keeps the logical tree —
-    // measured: plan-string OOM by round ~10). localCheckpoint materializes
-    // to the block manager and cuts the plan; on a real cluster with flaky
-    // executors, spark.checkpoint (reliable storage) is the durable option.
-    var labels = edges
-      .select(col("u").as("id"))
-      .distinct()
-      .withColumn("label", col("id"))
-      .localCheckpoint(true)
+    // measured: plan-string OOM by round ~10). Truncation here = persist +
+    // materialize + rebuild a fresh frame from the cached RDD: unlike
+    // localCheckpoint (whose blocks Dataset.unpersist can NOT release —
+    // it never registers with the CacheManager — and whose eviction is
+    // data LOSS), this keeps every superseded round explicitly freeable
+    // and degrades to recompute, not failure, under memory pressure.
+    // `backing` is the persisted frame behind the current `labels`.
+    // No explicit materialize action here: every truncate is immediately
+    // followed by the digest aggregation over `backing`, whose full scan
+    // populates the cache.
+    var backing: DataFrame = null
+    def truncate(df: DataFrame): DataFrame = {
+      val p = df.persist(StorageLevel.MEMORY_AND_DISK)
+      backing = p
+      p.sparkSession.createDataFrame(p.rdd, p.schema)
+    }
+    var labels = truncate(
+      edges
+        .select(col("u").as("id"))
+        .distinct()
+        .withColumn("label", col("id")))
 
     // Fixpoint test that works for any id type: sum of per-row label
     // digests. Labels only change by strictly decreasing, so an unchanged
@@ -77,10 +90,11 @@ object Cluster {
       String.valueOf(df.agg(
         sum(xxhash64(col("id"), col("label")).cast("decimal(38,0)"))).head.get(0))
 
-    var prevDigest = labelDigest(labels)
+    var prevDigest = labelDigest(backing)
     var converged = false
     var round = 0
     while (!converged && round < maxIter) {
+      val prevBacking = backing
       // min label among my neighbors (one shuffle on v, map-side partial min)
       val nbrMin = edges
         .join(labels.withColumnRenamed("id", "v").withColumnRenamed("label", "nl"), "v")
@@ -91,25 +105,26 @@ object Cluster {
         .join(
           labels.select(col("id").as("label"), col("label").as("pl")),
           Seq("label"), "left")
-      val next = ptr
+      val next = truncate(ptr
         .join(nbrMin, Seq("id"), "left")
         .select(
           col("id"),
           least(
             col("label"),
             coalesce(col("pl"), col("label")),
-            coalesce(col("nmin"), col("label"))).as("label"))
-        .localCheckpoint(true)
-      val digest = labelDigest(next)
-      // free the superseded round's checkpoint blocks now — waiting for the
-      // ContextCleaner would hold rounds × |V| cached copies alive at once
-      labels.unpersist(blocking = false)
+            coalesce(col("nmin"), col("label"))).as("label")))
+      val digest = labelDigest(backing)
+      // free the superseded round NOW (next is materialized) — waiting for
+      // the ContextCleaner would hold rounds × |V| cached copies at once
+      prevBacking.unpersist(blocking = false)
       labels = next
       converged = digest == prevDigest
       prevDigest = digest
       round += 1
     }
     edges.unpersist(blocking = false)
+    // the final round's backing frame stays cached until the caller's
+    // context evicts it (LRU) — the result must stay materialized-cheap
     labels.withColumnRenamed("label", "component")
   }
 
@@ -146,8 +161,14 @@ object Cluster {
       pairs: DataFrame,
       idACol: String = "id_a",
       idBCol: String = "id_b"
-  ): DataFrame =
-    assignClusters(df, idCol, pairs, idACol, idBCol)
-      .filter(col(idCol) === col("cluster"))
-      .drop("cluster")
+  ): DataFrame = {
+    // purely internal columns — unlike assignClusters, this adds nothing to
+    // the output schema, so a caller-owned 'cluster' column is none of our
+    // business here
+    val cc = connectedComponents(pairs, idACol, idBCol)
+      .select(col("id").as("__cc_id"), col("component").as("__cc_comp"))
+    df.join(cc, df(idCol) === col("__cc_id"), "left")
+      .filter(col("__cc_comp").isNull || df(idCol) === col("__cc_comp"))
+      .drop("__cc_id", "__cc_comp")
+  }
 }

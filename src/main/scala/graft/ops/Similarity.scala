@@ -259,6 +259,8 @@ object Similarity {
       nProbe: Int = 2
   ): DataFrame = {
     def nearestCell(vec: Column): Column = nearestCentroid(vec, centroids)
+    require(centroids.forall(_.length == query.length),
+      s"ivfTopK: query has ${query.length} dims, centroids have ${centroids.head.length}")
     val qArr = query.map(_.toDouble).toArray
     val probeCells = centroids.zipWithIndex
       .map { case (c, i) =>

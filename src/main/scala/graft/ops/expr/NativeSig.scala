@@ -52,7 +52,10 @@ object SigKernels {
     */
   def signBits(vec: ArrayData, planes: Array[Double], numPlanes: Int, isFloat: Boolean): Long = {
     val dim = planes.length / numPlanes
-    val n = math.min(dim, vec.numElements())
+    if (vec.numElements() != dim)
+      throw new IllegalArgumentException(
+        s"signbit_signature: vector has ${vec.numElements()} dims, planes have $dim")
+    val n = dim
     var out = 0L
     var p = 0
     while (p < numPlanes) {
@@ -135,7 +138,12 @@ object SigKernels {
     * similarity sweeps.
     */
   def cosine(a: ArrayData, b: ArrayData, aFloat: Boolean, bFloat: Boolean): Double = {
-    val n = math.min(a.numElements(), b.numElements())
+    // embeddings are fixed-dim: a length mismatch is a mis-wired column or
+    // query, and silently scoring the common prefix would mask it
+    if (a.numElements() != b.numElements())
+      throw new IllegalArgumentException(
+        s"cosine_sim: vectors have ${a.numElements()} vs ${b.numElements()} dims")
+    val n = a.numElements()
     var dot = 0.0
     var na = 0.0
     var nb = 0.0

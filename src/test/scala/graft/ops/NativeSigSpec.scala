@@ -164,12 +164,24 @@ class NativeSigSpec extends SparkTestBase {
     val plan = embs.select(NativeSig.nearestCentroid($"embedding", cents))
       .queryExecution.executedPlan.toString
     assert(plan.contains("*(1)"), s"expected codegen:\n$plan")
-    // dimension mismatch fails loud instead of scoring a prefix
+    // dimension mismatch fails loud instead of scoring a prefix — pin the
+    // actual message (unwrapping whatever execution layer wraps it in)
+    def rootMessage(t: Throwable): String = {
+      var cur = t
+      while (cur.getCause != null && (cur.getCause ne cur)) cur = cur.getCause
+      String.valueOf(cur.getMessage)
+    }
     val e = intercept[Exception] {
       Seq(Array(1f, 2f, 3f)).toDF("v")
         .select(NativeSig.nearestCentroid($"v", dupCents)).collect()
     }
-    assert(e.getMessage != null)
+    assert(rootMessage(e).contains("nearest_centroid") && rootMessage(e).contains("dims"),
+      rootMessage(e))
+    val e2 = intercept[Exception] {
+      Seq((Array(1f, 2f, 3f), Array(1f, 2f))).toDF("a", "b")
+        .select(NativeSig.cosineSim($"a", $"b")).collect()
+    }
+    assert(rootMessage(e2).contains("cosine_sim"), rootMessage(e2))
   }
 
   test("native word shingles == HOF shingles on real documents + edge cases") {
