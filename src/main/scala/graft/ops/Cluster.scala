@@ -34,6 +34,22 @@ object Cluster {
     * `component` is the smallest id reachable from it. Ids must be
     * non-null; any orderable id type works (components are mins).
     *
+    * Three regimes, chosen by measured graph size:
+    *   - `|E| ≤ localSolveMaxEdges`: ONE driver round-trip — collect the
+    *     deduplicated edge list, union-find with path compression, ship the
+    *     `(id, component)` map back as a distributed frame. This is not a
+    *     concession on distribution: the iterative path below must broadcast
+    *     the full label table through the driver EVERY round, so for any
+    *     graph small enough to broadcast, a single collect moves strictly
+    *     less data through the driver than O(rounds) label broadcasts. The
+    *     cap bounds driver memory exactly like the k·dim collect contract
+    *     in [[Similarity.trainCentroids]].
+    *   - `|V| ≤ broadcastMaxLabelRows`: iterative min-label propagation with
+    *     multi-hop pointer jumping; label frames ride broadcast joins, one
+    *     shuffle (the neighbor-min aggregation) per round.
+    *   - larger: same iteration with shuffle joins — nothing is ever
+    *     collected or broadcast, the 100 TB path.
+    *
     * @param maxIter hard cap on pointer-jumping rounds (log₂ of the longest
     *   chain; 40 covers any graph that fits in storage)
     */
@@ -41,7 +57,9 @@ object Cluster {
       pairs: DataFrame,
       idACol: String = "id_a",
       idBCol: String = "id_b",
-      maxIter: Int = 40
+      maxIter: Int = 40,
+      broadcastMaxLabelRows: Long = 250000L,
+      localSolveMaxEdges: Long = 100000L
   ): DataFrame = {
     // Symmetric edge list, deduplicated once: every later round joins it.
     // One explode, NOT union(pairs, pairs.swapped): a union makes two plan
@@ -55,11 +73,20 @@ object Cluster {
       .filter(col("u").isNotNull && col("v").isNotNull && col("u") =!= col("v"))
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // this count doubles as the cache materialization for whichever
+    // regime runs next
+    val nEdges = edges.count()
+    if (nEdges <= localSolveMaxEdges) {
+      val out = localUnionFind(edges)
+      edges.unpersist(blocking = false)
+      return out
+    }
     // Iterative plans MUST truncate lineage each round: labels feeds three
     // plan branches per iteration, so the logical plan grows 3^rounds
     // without it (persist alone caches data but keeps the logical tree —
     // measured: plan-string OOM by round ~10). Truncation here = persist +
-    // materialize + rebuild a fresh frame from the cached RDD: unlike
+    // re-root over the cached plan's InternalRow RDD
+    // (ColumnBridge.truncateLineage — no row codec round-trip): unlike
     // localCheckpoint (whose blocks Dataset.unpersist can NOT release —
     // it never registers with the CacheManager — and whose eviction is
     // data LOSS), this keeps every superseded round explicitly freeable
@@ -72,47 +99,74 @@ object Cluster {
     def truncate(df: DataFrame): DataFrame = {
       val p = df.persist(StorageLevel.MEMORY_AND_DISK)
       backing = p
-      p.sparkSession.createDataFrame(p.rdd, p.schema)
+      org.apache.spark.sql.graft.ColumnBridge.truncateLineage(p)
     }
+    // Initial label = min(own id, min neighbor id): the same single shuffle
+    // a plain `select(u).distinct()` would cost, but it fast-forwards one
+    // whole propagation round — every diameter ≤ 2 family (near-dup
+    // families are near-cliques) converges after ONE loop iteration.
     var labels = truncate(
       edges
-        .select(col("u").as("id"))
-        .distinct()
-        .withColumn("label", col("id")))
+        .groupBy(col("u"))
+        .agg(min(col("v")).as("nmin"))
+        .select(col("u").as("id"), least(col("u"), col("nmin")).as("label")))
 
     // Fixpoint test that works for any id type: sum of per-row label
     // digests. Labels only change by strictly decreasing, so an unchanged
     // sum means fixpoint up to digest-sum collision (p ≈ 2⁻⁶⁴ per round —
     // the same order as a memory bit flip; a plain label sum would be exact
     // but only exists for numeric ids and can overflow).
+    // The count comes along in the same scan (it also materializes the
+    // cache): the id set is round-invariant, so it's measured once.
+    val init = backing.agg(
+      sum(xxhash64(col("id"), col("label")).cast("decimal(38,0)")).as("digest"),
+      count(lit(1)).as("n")).head
     def labelDigest(df: DataFrame): String =
       // decimal(38,0) accumulator: a Long sum would overflow under ANSI
       String.valueOf(df.agg(
         sum(xxhash64(col("id"), col("label")).cast("decimal(38,0)"))).head.get(0))
 
-    var prevDigest = labelDigest(backing)
+    // The label frames are (id, label) pairs — tiny next to the corpus the
+    // pair table came from. Under the row cap, hint them broadcast: every
+    // join in the round becomes map-side and the whole iteration runs ONE
+    // shuffle (the neighbor-min partial aggregation). The rebuilt frames
+    // carry no stats, so without the hint Spark would never choose this.
+    val smallGraph = init.getLong(1) <= broadcastMaxLabelRows
+    def bc(df: DataFrame): DataFrame = if (smallGraph) broadcast(df) else df
+    // Pointer hops per round: in the broadcast regime each extra hop is one
+    // more map-side hash probe against the SAME broadcast label table (no
+    // extra shuffle, no extra stage), and k hops compress pointer chains
+    // 2^k× per round — sparse high-diameter graphs converge in
+    // log_{2^k}(diameter) rounds instead of log₂. In the shuffle regime an
+    // extra hop is a full self-join shuffle, so stay at one.
+    val hops = if (smallGraph) 4 else 1
+
+    var prevDigest = String.valueOf(init.get(0))
     var converged = false
     var round = 0
     while (!converged && round < maxIter) {
       val prevBacking = backing
       // min label among my neighbors (one shuffle on v, map-side partial min)
       val nbrMin = edges
-        .join(labels.withColumnRenamed("id", "v").withColumnRenamed("label", "nl"), "v")
+        .join(bc(labels.withColumnRenamed("id", "v").withColumnRenamed("label", "nl")), "v")
         .groupBy(col("u").as("id"))
         .agg(min(col("nl")).as("nmin"))
-      // label-of-label (pointer jump): labels is both sides of a self-join
-      val ptr = labels
-        .join(
-          labels.select(col("id").as("label"), col("label").as("pl")),
-          Seq("label"), "left")
+      // pointer chase: reach = L[L[…L[label]…]] via chained left joins; every
+      // label value is itself a node id (labels start as min(id, neighbor)
+      // and only ever take other nodes' labels), so each hop resolves — the
+      // left join + coalesce is belt-and-braces, not a semantic branch
+      var ptr = labels
+      var reach = col("label")
+      for (h <- 1 to hops) {
+        val hop = labels.select(col("id").as(s"__l$h"), col("label").as(s"__p$h"))
+        ptr = ptr.join(bc(hop), reach === col(s"__l$h"), "left")
+        reach = least(reach, coalesce(col(s"__p$h"), reach))
+      }
       val next = truncate(ptr
-        .join(nbrMin, Seq("id"), "left")
+        .join(bc(nbrMin), Seq("id"), "left")
         .select(
           col("id"),
-          least(
-            col("label"),
-            coalesce(col("pl"), col("label")),
-            coalesce(col("nmin"), col("label"))).as("label")))
+          least(reach, coalesce(col("nmin"), col("label"))).as("label")))
       val digest = labelDigest(backing)
       // free the superseded round NOW (next is materialized) — waiting for
       // the ContextCleaner would hold rounds × |V| cached copies at once
@@ -126,6 +180,79 @@ object Cluster {
     // the final round's backing frame stays cached until the caller's
     // context evicts it (LRU) — the result must stay materialized-cheap
     labels.withColumnRenamed("label", "component")
+  }
+
+  /** Driver-side union-find over a collected symmetric edge list — the
+    * small-graph fast path of [[connectedComponents]]. Representative = min
+    * id per component, so links always point from the larger root to the
+    * smaller; path compression keeps find amortized near-constant.
+    *
+    * Ordering parity with the distributed path: Spark's `least` on strings
+    * compares UTF-8 bytes, so string ids are compared the same way here
+    * (JVM `String.compareTo` is UTF-16 order, which disagrees above the
+    * basic multilingual plane).
+    */
+  private def localUnionFind(edges: DataFrame): DataFrame = {
+    def lt(a: Any, b: Any): Boolean = (a, b) match {
+      case (x: String, y: String) =>
+        val (xb, yb) = (x.getBytes("UTF-8"), y.getBytes("UTF-8"))
+        val n = math.min(xb.length, yb.length)
+        var i = 0
+        while (i < n && xb(i) == yb(i)) i += 1
+        if (i < n) (xb(i) & 0xff) < (yb(i) & 0xff) else xb.length < yb.length
+      case (x, y) => x.asInstanceOf[Comparable[Any]].compareTo(y) < 0
+    }
+    val parent = new java.util.HashMap[Any, Any]()
+    def find(x: Any): Any = {
+      var root = x
+      while (parent.getOrDefault(root, root) != root) root = parent.get(root)
+      var cur = x // path compression
+      while (cur != root) { val nxt = parent.get(cur); parent.put(cur, root); cur = nxt }
+      root
+    }
+    val rows = edges.select(col("u"), col("v")).collect()
+    rows.foreach { r =>
+      val (ru, rv) = (find(r.get(0)), find(r.get(1)))
+      if (ru != rv) {
+        if (lt(ru, rv)) parent.put(rv, ru) else parent.put(ru, rv)
+      }
+    }
+    val ids = new java.util.HashSet[Any]()
+    rows.foreach { r => ids.add(r.get(0)); ids.add(r.get(1)) }
+    val spark = edges.sparkSession
+    val idType = edges.schema("u").dataType
+    import org.apache.spark.sql.types.{LongType, StringType}
+    // encoder-specialized ship-back for the realistic id types: eager
+    // tungsten encoding beats the generic Row + JavaSerializer route
+    idType match {
+      case LongType =>
+        val out = new Array[(Long, Long)](ids.size())
+        var i = 0
+        ids.forEach { id =>
+          out(i) = (id.asInstanceOf[Long], find(id).asInstanceOf[Long]); i += 1
+        }
+        import spark.implicits._
+        spark.createDataset(out.toIndexedSeq).toDF("id", "component")
+      case StringType =>
+        val out = new Array[(String, String)](ids.size())
+        var i = 0
+        ids.forEach { id =>
+          out(i) = (id.asInstanceOf[String], find(id).asInstanceOf[String]); i += 1
+        }
+        import spark.implicits._
+        spark.createDataset(out.toIndexedSeq).toDF("id", "component")
+      case _ =>
+        val outSchema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("id", idType),
+          org.apache.spark.sql.types.StructField("component", idType)))
+        val outRows = new java.util.ArrayList[org.apache.spark.sql.Row](ids.size())
+        ids.forEach { id => outRows.add(org.apache.spark.sql.Row(id, find(id))) }
+        spark.createDataFrame(
+          spark.sparkContext.parallelize(
+            outRows.toArray(Array.empty[org.apache.spark.sql.Row]).toIndexedSeq,
+            spark.sparkContext.defaultParallelism),
+          outSchema)
+    }
   }
 
   /** Attach a `cluster` column to `df`: the component representative (min

@@ -19,4 +19,21 @@ object ColumnBridge {
     */
   def convertedExpression(c: Column): Expression =
     org.apache.spark.sql.classic.ColumnNodeToExpressionConverter.apply(c.node)
+
+  /** Lineage truncation without a row codec round-trip: re-root `df` as a
+    * fresh frame over its executed plan's `InternalRow` RDD
+    * (`internalCreateDataFrame`, the same mechanism `Dataset.checkpoint`
+    * uses internally). Unlike the public `createDataFrame(df.rdd, schema)`
+    * route this skips the InternalRow→Row→InternalRow encoder pass, which
+    * dominates per-round cost in iterative algorithms on wide frames.
+    *
+    * The caller owns the cache contract: persist `df` BEFORE calling this,
+    * or every downstream use of the result recomputes the full upstream
+    * plan (the returned frame shares `df`'s physical RDD, cached or not).
+    */
+  def truncateLineage(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val ds = df.asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
+    ds.sparkSession.internalCreateDataFrame(
+      ds.queryExecution.toRdd, ds.schema, isStreaming = false)
+  }
 }

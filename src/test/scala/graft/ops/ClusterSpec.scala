@@ -24,46 +24,60 @@ class ClusterSpec extends SparkTestBase {
     parent.keys.map(k => k -> find(k)).toMap
   }
 
-  private def ccMap(pairs: Seq[(Long, Long)]): Map[Long, Long] =
-    Cluster.connectedComponents(pairs.toDF("id_a", "id_b"))
+  /** Regimes: (localSolveMaxEdges, broadcastMaxLabelRows) — the driver
+    * union-find fast path, the broadcast-iterative path, and the pure
+    * shuffle path. Every graph-shape test runs all three.
+    */
+  private val regimes = Seq(
+    "local" -> (1000000L, 1000000L),
+    "broadcast-iterative" -> (0L, 1000000L),
+    "shuffle-iterative" -> (0L, 0L))
+
+  private def ccMap(pairs: Seq[(Long, Long)], regime: (Long, Long)): Map[Long, Long] =
+    Cluster.connectedComponents(pairs.toDF("id_a", "id_b"),
+      localSolveMaxEdges = regime._1, broadcastMaxLabelRows = regime._2)
       .as[(Long, Long)].collect().toMap
 
-  test("two separate components resolve to their min ids") {
-    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L))
-    assert(ccMap(pairs) == bruteComponents(pairs))
-    assert(ccMap(pairs) == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
-  }
-
-  test("long path graph converges via pointer jumping (log rounds, not n)") {
-    // a 200-node path: plain neighbor propagation would need 200 rounds —
-    // far beyond the maxIter cap — so this only passes if pointer jumping
-    // actually doubles the chains.
-    val pairs = (1L until 200L).map(i => (i, i + 1))
-    val got = ccMap(pairs)
-    assert(got.size == 200)
-    assert(got.values.forall(_ == 1L))
-  }
-
-  test("randomized graphs match union-find") {
-    val rnd = new scala.util.Random(7)
-    for (_ <- 1 to 3) {
-      val n = 80
-      val pairs = Seq.fill(60)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
-        .filter { case (a, b) => a != b }
-      assert(ccMap(pairs) == bruteComponents(pairs))
+  for ((name, regime) <- regimes) {
+    test(s"[$name] two separate components resolve to their min ids") {
+      val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L))
+      assert(ccMap(pairs, regime) == bruteComponents(pairs))
+      assert(ccMap(pairs, regime) ==
+        Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
     }
-  }
 
-  test("reversed/duplicated edges and either column order don't matter") {
-    val pairs = Seq((2L, 1L), (1L, 2L), (2L, 3L), (3L, 2L))
-    assert(ccMap(pairs) == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
-  }
+    test(s"[$name] long path graph converges (pointer jumping: log rounds, not n)") {
+      // a 200-node path: plain neighbor propagation would need 200 rounds —
+      // far beyond the maxIter cap — so the iterative regimes only pass if
+      // pointer jumping actually compresses the chains.
+      val pairs = (1L until 200L).map(i => (i, i + 1))
+      val got = ccMap(pairs, regime)
+      assert(got.size == 200)
+      assert(got.values.forall(_ == 1L))
+    }
 
-  test("string ids cluster by lexicographic min") {
-    val got = Cluster.connectedComponents(
-      Seq(("b", "c"), ("a", "b"), ("x", "y")).toDF("id_a", "id_b"))
-      .as[(String, String)].collect().toMap
-    assert(got == Map("a" -> "a", "b" -> "a", "c" -> "a", "x" -> "x", "y" -> "x"))
+    test(s"[$name] randomized graphs match union-find") {
+      val rnd = new scala.util.Random(7)
+      for (_ <- 1 to 3) {
+        val n = 80
+        val pairs = Seq.fill(60)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+          .filter { case (a, b) => a != b }
+        assert(ccMap(pairs, regime) == bruteComponents(pairs))
+      }
+    }
+
+    test(s"[$name] reversed/duplicated edges and either column order don't matter") {
+      val pairs = Seq((2L, 1L), (1L, 2L), (2L, 3L), (3L, 2L))
+      assert(ccMap(pairs, regime) == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+    }
+
+    test(s"[$name] string ids cluster by lexicographic min") {
+      val got = Cluster.connectedComponents(
+        Seq(("b", "c"), ("a", "b"), ("x", "y")).toDF("id_a", "id_b"),
+        localSolveMaxEdges = regime._1, broadcastMaxLabelRows = regime._2)
+        .as[(String, String)].collect().toMap
+      assert(got == Map("a" -> "a", "b" -> "a", "c" -> "a", "x" -> "x", "y" -> "x"))
+    }
   }
 
   test("assignClusters: members get the family min, singletons keep their id") {
