@@ -76,10 +76,9 @@ object Cluster {
     // this count doubles as the cache materialization for whichever
     // regime runs next
     val nEdges = edges.count()
-    if (nEdges <= localSolveMaxEdges) {
-      val out = localUnionFind(edges)
-      edges.unpersist(blocking = false)
-      return out
+    if (nEdges <= localSolveMaxEdges && locallyOrderable(pairs.schema(idACol).dataType)) {
+      try return localUnionFind(edges)
+      finally edges.unpersist(blocking = false)
     }
     // Iterative plans MUST truncate lineage each round: labels feeds three
     // plan branches per iteration, so the logical plan grows 3^rounds
@@ -154,19 +153,25 @@ object Cluster {
       // pointer chase: reach = L[L[…L[label]…]] via chained left joins; every
       // label value is itself a node id (labels start as min(id, neighbor)
       // and only ever take other nodes' labels), so each hop resolves — the
-      // left join + coalesce is belt-and-braces, not a semantic branch
+      // left join + coalesce is belt-and-braces, not a semantic branch.
+      // All hops probe ONE hop table with identical column names: alias
+      // names survive plan canonicalization, so per-hop names (__p1…__p4)
+      // would make each BroadcastExchange distinct and defeat ReuseExchange
+      // — same names let all hops share a single broadcast.
+      val hop = labels.select(col("id").as("__hl"), col("label").as("__hp"))
       var ptr = labels
-      var reach = col("label")
-      for (h <- 1 to hops) {
-        val hop = labels.select(col("id").as(s"__l$h"), col("label").as(s"__p$h"))
-        ptr = ptr.join(bc(hop), reach === col(s"__l$h"), "left")
-        reach = least(reach, coalesce(col(s"__p$h"), reach))
+      for (_ <- 1 to hops) {
+        ptr = ptr
+          .join(bc(hop), col("label") === col("__hl"), "left")
+          .select(
+            col("id"),
+            least(col("label"), coalesce(col("__hp"), col("label"))).as("label"))
       }
       val next = truncate(ptr
         .join(bc(nbrMin), Seq("id"), "left")
         .select(
           col("id"),
-          least(reach, coalesce(col("nmin"), col("label"))).as("label")))
+          least(col("label"), coalesce(col("nmin"), col("label"))).as("label")))
       val digest = labelDigest(backing)
       // free the superseded round NOW (next is materialized) — waiting for
       // the ContextCleaner would hold rounds × |V| cached copies at once
@@ -182,24 +187,37 @@ object Cluster {
     labels.withColumnRenamed("label", "component")
   }
 
+  /** Id types the driver-side union-find can order and hash correctly: the
+    * collected JVM form must have value-based equals/hashCode (HashMap keys)
+    * and an ordering that agrees with Spark's `least`. Binary, array, struct
+    * and float ids fail one or the other (identity-hashed arrays; JVM
+    * -0.0 < 0.0 vs Spark's -0.0 == 0.0) and take the distributed path.
+    */
+  private def locallyOrderable(dt: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case ByteType | ShortType | IntegerType | LongType | StringType |
+          BooleanType | DateType | TimestampType | TimestampNTZType => true
+      case _: DecimalType => true
+      case _ => false
+    }
+  }
+
   /** Driver-side union-find over a collected symmetric edge list — the
     * small-graph fast path of [[connectedComponents]]. Representative = min
     * id per component, so links always point from the larger root to the
     * smaller; path compression keeps find amortized near-constant.
     *
     * Ordering parity with the distributed path: Spark's `least` on strings
-    * compares UTF-8 bytes, so string ids are compared the same way here
-    * (JVM `String.compareTo` is UTF-16 order, which disagrees above the
-    * basic multilingual plane).
+    * compares UTF-8 bytes ([[org.apache.spark.unsafe.types.UTF8String]]
+    * order), NOT JVM `String.compareTo` (UTF-16 order, which disagrees
+    * above the basic multilingual plane).
     */
   private def localUnionFind(edges: DataFrame): DataFrame = {
+    import org.apache.spark.unsafe.types.UTF8String
     def lt(a: Any, b: Any): Boolean = (a, b) match {
       case (x: String, y: String) =>
-        val (xb, yb) = (x.getBytes("UTF-8"), y.getBytes("UTF-8"))
-        val n = math.min(xb.length, yb.length)
-        var i = 0
-        while (i < n && xb(i) == yb(i)) i += 1
-        if (i < n) (xb(i) & 0xff) < (yb(i) & 0xff) else xb.length < yb.length
+        UTF8String.fromString(x).compareTo(UTF8String.fromString(y)) < 0
       case (x, y) => x.asInstanceOf[Comparable[Any]].compareTo(y) < 0
     }
     val parent = new java.util.HashMap[Any, Any]()
@@ -210,15 +228,18 @@ object Cluster {
       while (cur != root) { val nxt = parent.get(cur); parent.put(cur, root); cur = nxt }
       root
     }
-    val rows = edges.select(col("u"), col("v")).collect()
+    // the edge list is symmetric, so u < v keeps each undirected edge once
+    // (and still carries both endpoints) — half the driver transfer
+    val rows = edges.filter(col("u") < col("v")).collect()
+    val ids = new java.util.HashSet[Any]()
     rows.foreach { r =>
-      val (ru, rv) = (find(r.get(0)), find(r.get(1)))
+      val (u, v) = (r.get(0), r.get(1))
+      ids.add(u); ids.add(v)
+      val (ru, rv) = (find(u), find(v))
       if (ru != rv) {
         if (lt(ru, rv)) parent.put(rv, ru) else parent.put(ru, rv)
       }
     }
-    val ids = new java.util.HashSet[Any]()
-    rows.foreach { r => ids.add(r.get(0)); ids.add(r.get(1)) }
     val spark = edges.sparkSession
     val idType = edges.schema("u").dataType
     import org.apache.spark.sql.types.{LongType, StringType}
@@ -265,14 +286,18 @@ object Cluster {
       idCol: String,
       pairs: DataFrame,
       idACol: String = "id_a",
-      idBCol: String = "id_b"
+      idBCol: String = "id_b",
+      broadcastMaxLabelRows: Long = 250000L,
+      localSolveMaxEdges: Long = 100000L
   ): DataFrame = {
     // the output column is part of the contract — refuse to clobber one the
     // caller already has; internals stay under __cc_ so a caller's
     // 'component' column survives untouched
     require(!df.columns.contains("cluster"),
       "assignClusters adds a 'cluster' column but df already has one")
-    val cc = connectedComponents(pairs, idACol, idBCol)
+    val cc = connectedComponents(pairs, idACol, idBCol,
+        broadcastMaxLabelRows = broadcastMaxLabelRows,
+        localSolveMaxEdges = localSolveMaxEdges)
       .select(col("id").as("__cc_id"), col("component").as("__cc_comp"))
     df.join(cc, df(idCol) === col("__cc_id"), "left")
       .withColumn("cluster", coalesce(col("__cc_comp"), df(idCol)))
@@ -287,12 +312,16 @@ object Cluster {
       idCol: String,
       pairs: DataFrame,
       idACol: String = "id_a",
-      idBCol: String = "id_b"
+      idBCol: String = "id_b",
+      broadcastMaxLabelRows: Long = 250000L,
+      localSolveMaxEdges: Long = 100000L
   ): DataFrame = {
     // purely internal columns — unlike assignClusters, this adds nothing to
     // the output schema, so a caller-owned 'cluster' column is none of our
     // business here
-    val cc = connectedComponents(pairs, idACol, idBCol)
+    val cc = connectedComponents(pairs, idACol, idBCol,
+        broadcastMaxLabelRows = broadcastMaxLabelRows,
+        localSolveMaxEdges = localSolveMaxEdges)
       .select(col("id").as("__cc_id"), col("component").as("__cc_comp"))
     df.join(cc, df(idCol) === col("__cc_id"), "left")
       .filter(col("__cc_comp").isNull || df(idCol) === col("__cc_comp"))

@@ -80,6 +80,45 @@ class ClusterSpec extends SparkTestBase {
     }
   }
 
+  for ((name, regime) <- regimes) {
+    test(s"[$name] int ids take the generic ship-back branch correctly") {
+      val got = Cluster.connectedComponents(
+        Seq((5, 3), (3, 7), (20, 21)).toDF("id_a", "id_b"),
+        localSolveMaxEdges = regime._1, broadcastMaxLabelRows = regime._2)
+        .as[(Int, Int)].collect().toMap
+      assert(got == Map(3 -> 3, 5 -> 3, 7 -> 3, 20 -> 20, 21 -> 20))
+    }
+  }
+
+  test("binary ids never take the local regime (identity-hashed keys) and still resolve") {
+    // Array[Byte] is neither Comparable nor value-hashed on the JVM: the
+    // local union-find would crash or mis-group, so the type gate must route
+    // binary ids to the distributed path even under the local edge cap.
+    def b(s: String): Array[Byte] = s.getBytes("UTF-8")
+    val pairs = Seq((b("bb"), b("cc")), (b("aa"), b("bb")), (b("xx"), b("yy")))
+      .toDF("id_a", "id_b")
+    val got = Cluster.connectedComponents(pairs, localSolveMaxEdges = 1000000L)
+      .as[(Array[Byte], Array[Byte])].collect()
+      .map { case (id, comp) => (new String(id, "UTF-8"), new String(comp, "UTF-8")) }
+      .toMap
+    assert(got == Map("aa" -> "aa", "bb" -> "aa", "cc" -> "aa",
+      "xx" -> "xx", "yy" -> "xx"))
+  }
+
+  test("non-BMP string ids: local regime agrees with Spark's UTF-8 ordering") {
+    // U+FF21 (ＡFULLWIDTH A, 3 UTF-8 bytes efbca1) vs U+10400 (𐐀, 4 bytes
+    // f0909080): UTF-16 order says 𐐀 < Ａ (surrogate D801 < FF21) but UTF-8
+    // byte order says Ａ < 𐐀 — Spark's least() uses UTF-8 order, so the
+    // component representative must be Ａ.
+    val hi = "𐐀" // 𐐀
+    val fw = "Ａ" // Ａ
+    assert(fw.compareTo(hi) > 0, "precondition: UTF-16 order disagrees")
+    val got = Cluster.connectedComponents(
+      Seq((hi, fw)).toDF("id_a", "id_b"), localSolveMaxEdges = 1000000L)
+      .as[(String, String)].collect().toMap
+    assert(got == Map(hi -> fw, fw -> fw))
+  }
+
   test("assignClusters: members get the family min, singletons keep their id") {
     val df = Seq((1L, "a"), (2L, "b"), (3L, "c"), (9L, "z")).toDF("id", "t")
     val pairs = Seq((2L, 3L)).toDF("id_a", "id_b")
