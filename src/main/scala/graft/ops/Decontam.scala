@@ -1,0 +1,94 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Benchmark decontamination: flag or drop training documents that share
+  * word n-grams with an evaluation set, so test questions never leak into
+  * the training corpus (the standard n-gram-overlap decontamination used by
+  * the major LM training pipelines, typically with n between 8 and 13).
+  *
+  * Scale shape: the eval set is small by definition (thousands of
+  * documents), so its distinct n-gram table is BROADCAST — the training
+  * corpus is scanned exactly once, map-side: explode its n-grams, probe the
+  * broadcast hash set, and only the matching (train id, eval id) pairs —
+  * never document text — enter any shuffle. At 100 TB the plan is one pass
+  * over the corpus plus a distinct over the (tiny) match table.
+  *
+  * N-gram semantics follow [[Dedup.shingles]]: distinct word n-grams;
+  * documents with ≤ n tokens contribute their whole token sequence as one
+  * gram (so a short eval prompt can still match an identical short training
+  * doc — but not a containing longer one; pick n below your shortest eval
+  * text when that matters).
+  */
+object Decontam {
+
+  /** All (train id, eval id) pairs sharing at least one word n-gram —
+    * the audit table behind [[markContaminated]]/[[removeContaminated]].
+    */
+  def contaminationMatches(
+      train: DataFrame,
+      trainIdCol: String,
+      trainTextCol: String,
+      eval: DataFrame,
+      evalIdCol: String,
+      evalTextCol: String,
+      n: Int = 8,
+      broadcastEval: Boolean = true
+  ): DataFrame = {
+    val evalGrams0 = eval
+      .select(col(evalIdCol).as("eval_id"),
+        explode(Dedup.shingles(col(evalTextCol), n)).as("__g"))
+    val evalGrams = if (broadcastEval) broadcast(evalGrams0) else evalGrams0
+    Dedup.ensureParallelism(train)
+      .select(col(trainIdCol).as("train_id"),
+        explode(Dedup.shingles(col(trainTextCol), n)).as("__g"))
+      .join(evalGrams, "__g")
+      .select(col("train_id"), col("eval_id"))
+      .distinct()
+  }
+
+  /** Adds a boolean `contaminated` column to the training frame: true iff
+    * the document shares at least one word n-gram with any eval document.
+    */
+  def markContaminated(
+      train: DataFrame,
+      trainIdCol: String,
+      trainTextCol: String,
+      eval: DataFrame,
+      evalIdCol: String,
+      evalTextCol: String,
+      n: Int = 8,
+      broadcastEval: Boolean = true
+  ): DataFrame = {
+    require(!train.columns.contains("contaminated"),
+      "markContaminated adds a 'contaminated' column but train already has one")
+    // contaminated ids are at most |eval matches| — small — so the join
+    // back to the corpus broadcasts and the corpus itself never shuffles
+    val hits = contaminationMatches(train, trainIdCol, trainTextCol,
+      eval, evalIdCol, evalTextCol, n, broadcastEval)
+      .select(col("train_id").as("__hit_id")).distinct()
+    train
+      .join(broadcast(hits), train(trainIdCol) === col("__hit_id"), "left")
+      .withColumn("contaminated", col("__hit_id").isNotNull)
+      .drop("__hit_id")
+  }
+
+  /** Drops contaminated training documents — one broadcast anti-join. */
+  def removeContaminated(
+      train: DataFrame,
+      trainIdCol: String,
+      trainTextCol: String,
+      eval: DataFrame,
+      evalIdCol: String,
+      evalTextCol: String,
+      n: Int = 8,
+      broadcastEval: Boolean = true
+  ): DataFrame = {
+    val hits = contaminationMatches(train, trainIdCol, trainTextCol,
+      eval, evalIdCol, evalTextCol, n, broadcastEval)
+      .select(col("train_id").as("__hit_id")).distinct()
+    train.join(broadcast(hits),
+      train(trainIdCol) === col("__hit_id"), "left_anti")
+  }
+}
