@@ -74,7 +74,7 @@ object Packing {
   ): DataFrame = {
     require(!df.columns.contains(indexCol),
       s"withGlobalIndex adds '$indexCol' but df already has it")
-    val (pid, off) = tempNames(df, "pid", "off")
+    val Seq(pid, off) = tempNames(df, "pid", "off")
     val w = Window.partitionBy(col(pid)).orderBy(orderCols: _*)
     withPartitionOffsets(df, orderCols, lit(1L), pid, off)
       .withColumn(indexCol, col(off) + row_number().over(w) - 1)
