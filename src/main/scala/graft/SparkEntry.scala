@@ -471,6 +471,29 @@ object SparkEntry {
           |  - select: {o_orderkey: $o_orderkey}
           |  - except: {table: lineitem, cols: [l_orderkey], all: true}
           |""".stripMargin, dir)),
+    // Contiguous global row index — the scale-safe ORDER BY row_number:
+    // range exchange + per-partition window + broadcast per-partition
+    // offsets, never a single-partition window.
+    "q45_global_index" -> ((s, dir) =>
+      graft.ops.Packing.withGlobalIndex(
+        t(s, dir, "documents"), Seq(col("doc_id").asc), "pos")
+        .select(col("doc_id"), col("pos"))),
+    // Concat-and-cut sequence packing: whitespace token counts laid
+    // end-to-end in doc_id order, cut every 128 slots; one fragment row per
+    // (document × overlapped sequence).
+    "q46_packing" -> ((s, dir) =>
+      graft.ops.Packing.packSequencesByText(
+        t(s, dir, "documents"), "doc_id", "text", seqTokens = 128)),
+    // Benchmark decontamination: training docs sharing a word 8-gram with
+    // the eval subset (doc_id % 7 == 0 — every eval doc is its own train
+    // hit, plus any true cross-document overlaps).
+    "q47_decontam" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.ops.Decontam.markContaminated(
+        docs, "doc_id", "text",
+        docs.filter(col("doc_id") % 7 === 0), "text", n = 8)
+        .select(col("doc_id"), col("contaminated"))
+    }),
     // Global vocabulary top-k — the canonical corpus word count.
     "q30_vocab" -> ((s, dir) =>
       graft.ops.Corpus.topTokens(t(s, dir, "documents"), "text", 20)
@@ -591,21 +614,28 @@ object SparkEntry {
       case (lang, words) => lang -> words.map(w => s"'$w'").mkString("[", ", ", "]")
     }.toMap
 
-  /** Shared CTE: distinct word-3-gram shingles per document — the oracle
-    * counterpart of [[Dedup.shingles]] (used by q29 and q38).
+  /** The explicit whitespace class (Java `\s`) — plain triple-quote so the
+    * backslashes stay literal for DuckDB's regex engine.
     */
-  private val shingleCteSql: String =
-    """sh AS (
-      |  SELECT doc_id,
-      |    CASE WHEN len(toks) = 0 THEN []
-      |         WHEN len(toks) <= 3 THEN [array_to_string(toks, ' ')]
-      |         ELSE list_distinct([array_to_string(toks[i:i+2], ' ')
-      |                             for i in generate_series(1, len(toks)-2)])
-      |    END AS grams
-      |  FROM (SELECT doc_id,
-      |          list_filter(string_split_regex(text, '[ \t\n\x0B\f\r]+'), t -> t <> '') AS toks
-      |        FROM documents)
-      |)""".stripMargin
+  private val wsClassSql: String = """[ \t\n\x0B\f\r]+"""
+
+  /** CTE: distinct word-n-gram shingles per document — the oracle
+    * counterpart of [[Dedup.shingles]] (used by q29, q38, q47).
+    */
+  private def shingleCteSqlN(n: Int, name: String): String =
+    s"""$name AS (
+       |  SELECT doc_id,
+       |    CASE WHEN len(toks) = 0 THEN []
+       |         WHEN len(toks) <= $n THEN [array_to_string(toks, ' ')]
+       |         ELSE list_distinct([array_to_string(toks[i:i+${n - 1}], ' ')
+       |                             for i in generate_series(1, len(toks)-${n - 1})])
+       |    END AS grams
+       |  FROM (SELECT doc_id,
+       |          list_filter(string_split_regex(text, '$wsClassSql'), t -> t <> '') AS toks
+       |        FROM documents)
+       |)""".stripMargin
+
+  private val shingleCteSql: String = shingleCteSqlN(3, "sh")
 
   /** DuckDB oracle per query (same parquet tables, same column names). */
   def oracleSql: Map[String, String] = Map(
@@ -922,6 +952,38 @@ object SparkEntry {
         |SELECT e.vec_id, coalesce(c.comp, e.vec_id) AS cluster,
         |  e.vec_id = coalesce(c.comp, e.vec_id) AS keep
         |FROM embeddings e LEFT JOIN comp c ON e.vec_id = c.v""".stripMargin,
+    "q45_global_index" ->
+      """SELECT doc_id, row_number() OVER (ORDER BY doc_id) - 1 AS pos
+        |FROM documents""".stripMargin,
+    // The packing definition computed relationally: token counts in doc_id
+    // order, exclusive running sum = each doc's first global token slot,
+    // one fragment per overlapped 128-token sequence.
+    "q46_packing" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    len(list_filter(string_split_regex(text, '[ \t\n\x0B\f\r]+'), x -> x <> ''))::BIGINT AS n
+        |  FROM documents
+        |), nz AS (
+        |  SELECT doc_id, n,
+        |    (sum(n) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n)::BIGINT AS cum
+        |  FROM t WHERE n > 0
+        |), f AS (
+        |  SELECT doc_id, n, cum,
+        |    unnest(generate_series(cum // 128, (cum + n - 1) // 128)) AS seq_id
+        |  FROM nz
+        |)
+        |SELECT doc_id, seq_id,
+        |  (greatest(cum, seq_id * 128) - seq_id * 128)::BIGINT AS seq_offset,
+        |  (greatest(cum, seq_id * 128) - cum)::BIGINT AS doc_offset,
+        |  (least(cum + n, (seq_id + 1) * 128) - greatest(cum, seq_id * 128))::BIGINT AS n_tokens
+        |FROM f""".stripMargin,
+    "q47_decontam" ->
+      s"""WITH ${shingleCteSqlN(8, "sh8")},
+         |tg AS (SELECT doc_id, unnest(grams) AS g FROM sh8),
+         |eg AS (SELECT DISTINCT unnest(grams) AS g FROM sh8 WHERE doc_id % 7 = 0),
+         |hits AS (SELECT DISTINCT tg.doc_id FROM tg JOIN eg USING (g))
+         |SELECT d.doc_id, (h.doc_id IS NOT NULL) AS contaminated
+         |FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id""".stripMargin,
     "q43_rollup" ->
       """SELECT l_returnflag, l_linestatus,
         |  sum(l_quantity) AS total_qty, count(*) AS n

@@ -48,6 +48,35 @@ object Decontam {
       .distinct()
   }
 
+  /** Distinct contaminated train ids — the cheap semi-join shape behind
+    * [[markContaminated]]/[[removeContaminated]]: the eval side is reduced
+    * to a DISTINCT gram set before broadcast (no eval ids ride along), the
+    * map-side probe keeps only matching train ids, and the one shuffle is
+    * the final `distinct` over those (few) ids. Unlike
+    * [[contaminationMatches]], no (train, eval) pair table is ever built —
+    * use that only when the per-eval audit is actually wanted.
+    */
+  private def contaminatedIds(
+      train: DataFrame,
+      trainIdCol: String,
+      trainTextCol: String,
+      eval: DataFrame,
+      evalTextCol: String,
+      n: Int,
+      broadcastEval: Boolean
+  ): DataFrame = {
+    val evalGrams0 = eval
+      .select(explode(Dedup.shingles(col(evalTextCol), n)).as("__g"))
+      .distinct()
+    val evalGrams = if (broadcastEval) broadcast(evalGrams0) else evalGrams0
+    Dedup.ensureParallelism(train)
+      .select(col(trainIdCol).as("__hit_id"),
+        explode(Dedup.shingles(col(trainTextCol), n)).as("__g"))
+      .join(evalGrams, Seq("__g"), "left_semi")
+      .select("__hit_id")
+      .distinct()
+  }
+
   /** Adds a boolean `contaminated` column to the training frame: true iff
     * the document shares at least one word n-gram with any eval document.
     */
@@ -56,18 +85,16 @@ object Decontam {
       trainIdCol: String,
       trainTextCol: String,
       eval: DataFrame,
-      evalIdCol: String,
       evalTextCol: String,
       n: Int = 8,
       broadcastEval: Boolean = true
   ): DataFrame = {
     require(!train.columns.contains("contaminated"),
       "markContaminated adds a 'contaminated' column but train already has one")
-    // contaminated ids are at most |eval matches| — small — so the join
+    // contaminated ids are at most |train matches| — small — so the join
     // back to the corpus broadcasts and the corpus itself never shuffles
-    val hits = contaminationMatches(train, trainIdCol, trainTextCol,
-      eval, evalIdCol, evalTextCol, n, broadcastEval)
-      .select(col("train_id").as("__hit_id")).distinct()
+    val hits = contaminatedIds(train, trainIdCol, trainTextCol,
+      eval, evalTextCol, n, broadcastEval)
     train
       .join(broadcast(hits), train(trainIdCol) === col("__hit_id"), "left")
       .withColumn("contaminated", col("__hit_id").isNotNull)
@@ -80,14 +107,12 @@ object Decontam {
       trainIdCol: String,
       trainTextCol: String,
       eval: DataFrame,
-      evalIdCol: String,
       evalTextCol: String,
       n: Int = 8,
       broadcastEval: Boolean = true
   ): DataFrame = {
-    val hits = contaminationMatches(train, trainIdCol, trainTextCol,
-      eval, evalIdCol, evalTextCol, n, broadcastEval)
-      .select(col("train_id").as("__hit_id")).distinct()
+    val hits = contaminatedIds(train, trainIdCol, trainTextCol,
+      eval, evalTextCol, n, broadcastEval)
     train.join(broadcast(hits),
       train(trainIdCol) === col("__hit_id"), "left_anti")
   }

@@ -14,17 +14,35 @@ import org.apache.spark.sql.types.LongType
   * any real scale. The scale-safe shape used here is the classic two-phase
   * construction: range-repartition on the order key (a distributed sort,
   * exactly what `ORDER BY` lowers to), compute per-partition counts/sums (a
-  * handful of longs — one tiny driver action), broadcast the exclusive
-  * per-partition offsets back, and finish map-side or with a per-partition
-  * window. Nothing wider than the order keys ever moves twice.
+  * handful of longs), broadcast the exclusive per-partition offsets back,
+  * and finish map-side or with a per-partition window. Nothing wider than
+  * the order keys ever moves twice, and no step ever collects data rows to
+  * the driver.
   */
 object Packing {
 
   /** Per-partition (exclusive) offsets of an aggregate over range-partitioned
     * data: returns the input re-partitioned+sorted with two extra columns —
     * `pidCol` (the physical partition index) and `offCol` (the sum of
-    * `perRow` over all earlier partitions). The driver action collects ONE
-    * row per partition.
+    * `perRow` over all earlier partitions).
+    *
+    * Fully lazy — building the frame launches no jobs; the offsets sub-plan
+    * (per-partition totals → one #partitions-row exclusive prefix sum)
+    * executes as the broadcast side of the final join. The range exchange is
+    * evaluated once per side, but column pruning reaches below the offsets
+    * side's exchange, so that pass shuffles only the order keys + `perRow` —
+    * at corpus scale that beats persisting the full post-exchange rows to
+    * storage just to save a narrow second pass.
+    *
+    * Both sides agree on every row's partition: `repartitionByRange` draws
+    * its range bounds by reservoir sampling seeded per input-partition index
+    * (deterministic for a fixed input), so the pruned and unpruned
+    * executions compute identical bounds and identical row→partition
+    * assignment — per-partition totals therefore match the data side
+    * exactly. Intra-partition order of tied keys is NOT stable across
+    * executions (shuffle fetch order); per-partition counts don't depend on
+    * it, so only tie-breaking among equal keys varies — see the
+    * [[withGlobalIndex]] contract.
     */
   private def withPartitionOffsets(
       df: DataFrame,
@@ -33,30 +51,25 @@ object Packing {
       pidCol: String,
       offCol: String
   ): DataFrame = {
-    val spark = df.sparkSession
-    val n = spark.sparkContext.defaultParallelism
+    val n = df.sparkSession.sparkContext.defaultParallelism
     val ordered = df
       .repartitionByRange(n, orderCols: _*)
       .sortWithinPartitions(orderCols: _*)
       .withColumn(pidCol, spark_partition_id())
-    // one tiny job: per-partition totals (#partitions rows on the driver).
-    // Column pruning reaches below the range exchange, so this pass shuffles
-    // only the order keys, not the full rows.
-    val totals = ordered
+    val offsets = ordered
       .groupBy(col(pidCol))
-      .agg(sum(perRow).cast(LongType).as("__total"))
-      .collect()
-      .map(r => r.getInt(0) -> (if (r.isNullAt(1)) 0L else r.getLong(1)))
-      .sortBy(_._1)
-    val offsets = totals
-      .scanLeft((0, 0L)) { case ((_, acc), (pid, tot)) => (pid, acc + tot) }
-      .init // last scan element is the grand total, keyed off-by-one
-      .zip(totals)
-      .map { case ((_, off), (pid, _)) => (pid, off) }
-    val offDf = spark.createDataFrame(offsets.toIndexedSeq)
-      .toDF(pidCol, offCol)
-    // broadcast join on the partition id: map-side, no re-shuffle of data
-    ordered.join(broadcast(offDf), pidCol)
+      .agg(coalesce(sum(perRow).cast(LongType), lit(0L)).as("__total"))
+      .withColumn(offCol,
+        coalesce(
+          sum(col("__total")).over(
+            Window.orderBy(col(pidCol))
+              .rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .select(col(pidCol), col(offCol))
+    // broadcast join on the partition id: map-side, no re-shuffle of data.
+    // The unpartitioned window above is safe: its input is one row per
+    // partition (≤ a few thousand), never data-sized.
+    ordered.join(broadcast(offsets), pidCol)
   }
 
   /** Contiguous 0-based global row index in the total order of `orderCols`,

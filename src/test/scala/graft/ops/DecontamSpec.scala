@@ -1,0 +1,84 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.dftly.SparkTestBase
+
+class DecontamSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  // word-bigram (n=2) corpus with hand-checked overlaps
+  private def train = Seq(
+    (1L, "the cat sat on the mat"), // shares "sat on" with eval 101
+    (2L, "dogs bark loudly"),
+    (3L, "quantum flux capacitor"),
+    (4L, "hello"),                  // ≤ n tokens: whole text is the one gram
+    (5L, ""),                       // no grams at all
+    (6L, "hello world")             // contains eval 102's text but as a
+                                    // different (longer) gram — NOT a match
+  ).toDF("id", "text")
+
+  private def evalSet = Seq(
+    (101L, "sat on a bench"),
+    (102L, "hello"),
+    (103L, "xyz")
+  ).toDF("eid", "etext")
+
+  test("markContaminated: n-gram overlaps flagged, including the short-doc whole-text gram") {
+    val got = Decontam.markContaminated(train, "id", "text", evalSet, "etext", n = 2)
+      .select("id", "contaminated").as[(Long, Boolean)].collect().toMap
+    assert(got == Map(1L -> true, 2L -> false, 3L -> false,
+      4L -> true, 5L -> false, 6L -> false))
+  }
+
+  test("markContaminated: a longer doc does NOT match a short eval text it merely contains") {
+    // id=6 "hello world" vs eval "hello": documented shingle semantics —
+    // the ≤n-token eval contributes its whole token sequence as one gram,
+    // which only an identical short doc can share.
+    val got = Decontam.markContaminated(train, "id", "text", evalSet, "etext", n = 2)
+      .filter(col("id") === 6L).select("contaminated").as[Boolean].head()
+    assert(!got)
+  }
+
+  test("removeContaminated: drops exactly the marked ids") {
+    val kept = Decontam.removeContaminated(train, "id", "text", evalSet, "etext", n = 2)
+      .select("id").as[Long].collect().toSet
+    assert(kept == Set(2L, 3L, 5L, 6L))
+  }
+
+  test("contaminationMatches: the per-(train, eval) audit pairs") {
+    val got = Decontam.contaminationMatches(
+      train, "id", "text", evalSet, "eid", "etext", n = 2)
+      .as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 101L), (4L, 102L)))
+  }
+
+  test("broadcastEval=false gives identical results") {
+    val a = Decontam.markContaminated(train, "id", "text", evalSet, "etext",
+      n = 2, broadcastEval = false)
+      .select("id", "contaminated").as[(Long, Boolean)].collect().toSet
+    val b = Decontam.markContaminated(train, "id", "text", evalSet, "etext", n = 2)
+      .select("id", "contaminated").as[(Long, Boolean)].collect().toSet
+    assert(a == b)
+  }
+
+  test("markContaminated refuses an existing 'contaminated' column") {
+    intercept[IllegalArgumentException] {
+      Decontam.markContaminated(train.withColumn("contaminated", lit(false)),
+        "id", "text", evalSet, "etext")
+    }
+  }
+
+  test("default n=8: only long-enough exact spans match") {
+    val t8 = Seq(
+      (1L, "one two three four five six seven eight nine ten"),
+      (2L, "totally unrelated words here without any overlap at all")
+    ).toDF("id", "text")
+    val e8 = Seq((9L, "two three four five six seven eight nine"))
+      .toDF("eid", "etext") // exactly 8 tokens — one gram, present in id=1
+    val got = Decontam.markContaminated(t8, "id", "text", e8, "etext")
+      .select("id", "contaminated").as[(Long, Boolean)].collect().toMap
+    assert(got == Map(1L -> true, 2L -> false))
+  }
+}

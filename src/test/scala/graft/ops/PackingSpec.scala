@@ -1,0 +1,179 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.dftly.SparkTestBase
+
+class PackingSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  // ---------------------------------------------------------------- index
+
+  test("withGlobalIndex: contiguous 0..N-1 in sorted order") {
+    val df = Seq(30L, 10L, 50L, 20L, 40L).toDF("id")
+    val got = Packing.withGlobalIndex(df, Seq(col("id").asc), "pos")
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(10L -> 0L, 20L -> 1L, 30L -> 2L, 40L -> 3L, 50L -> 4L))
+  }
+
+  test("withGlobalIndex: descending and multi-column orders") {
+    val df = Seq((1L, "b"), (2L, "a"), (3L, "b"), (4L, "a")).toDF("id", "k")
+    val got = Packing
+      .withGlobalIndex(df, Seq(col("k").asc, col("id").desc), "pos")
+      .select("id", "pos").as[(Long, Long)].collect().toMap
+    // k=a: ids 4,2 then k=b: ids 3,1
+    assert(got == Map(4L -> 0L, 2L -> 1L, 3L -> 2L, 1L -> 3L))
+  }
+
+  test("withGlobalIndex: large input spanning many partitions stays a permutation") {
+    val n = 10000
+    val df = spark.range(n).select((col("id") * 2654435761L % 1000003L).as("k"),
+      col("id"))
+    val got = Packing.withGlobalIndex(df, Seq(col("k").asc, col("id").asc), "pos")
+      .select("pos").as[Long].collect().sorted
+    assert(got.toSeq == (0L until n.toLong))
+  }
+
+  test("withGlobalIndex: skewed tied keys — each tie-group owns exactly its contiguous index range, every run") {
+    // one dominant key (ties) plus sparse others: the per-partition counts
+    // must agree between the offsets pass and the data pass even though the
+    // range sampling sees a heavily skewed distribution.
+    val rows = (0 until 5000).map(i => (if (i % 10 == 0) i.toLong else 7L, i.toLong))
+    val df = rows.toDF("k", "id")
+    val expectRanges: Map[Long, Set[Long]] = {
+      val sortedKeys = rows.map(_._1).sorted
+      sortedKeys.zipWithIndex.groupBy(_._1)
+        .map { case (k, xs) => k -> xs.map(_._2.toLong).toSet }
+    }
+    for (_ <- 1 to 2) { // re-run: index ranges per key must be identical
+      val got = Packing.withGlobalIndex(df, Seq(col("k").asc), "pos")
+        .select("k", "pos").as[(Long, Long)].collect()
+        .groupBy(_._1).map { case (k, xs) => k -> xs.map(_._2).toSet }
+      assert(got == expectRanges)
+    }
+  }
+
+  test("withGlobalIndex: refuses to clobber an existing column") {
+    val df = Seq(1L).toDF("pos")
+    intercept[IllegalArgumentException] {
+      Packing.withGlobalIndex(df, Seq(col("pos").asc))
+    }
+  }
+
+  test("withGlobalIndex: caller columns named like internals survive") {
+    val df = Seq((2L, "x"), (1L, "y")).toDF("id", "__pid")
+    val got = Packing.withGlobalIndex(df, Seq(col("id").asc), "pos")
+    assert(got.columns.sorted.toSeq == Seq("__pid", "id", "pos"))
+    assert(got.select("id", "pos").as[(Long, Long)].collect().toMap ==
+      Map(1L -> 0L, 2L -> 1L))
+  }
+
+  // -------------------------------------------------------------- shuffle
+
+  test("deterministicShuffle: permutation, reproducible per seed, seed-sensitive") {
+    val df = spark.range(500).toDF("id")
+    def run(seed: Long): Map[Long, Long] =
+      Packing.deterministicShuffle(df, "id", seed)
+        .select("id", "pos").as[(Long, Long)].collect().toMap
+    val a1 = run(1L); val a2 = run(1L); val b = run(2L)
+    assert(a1 == a2, "same seed must give the identical permutation")
+    assert(a1.values.toSeq.sorted == (0L until 500L), "positions are a permutation")
+    assert(a1 != b, "different seeds give different permutations")
+    assert(a1.keySet == b.keySet)
+  }
+
+  test("deterministicShuffle: actually permutes (not identity) and keeps other columns") {
+    val df = (0L until 100L).map(i => (i, s"doc$i")).toDF("id", "text")
+    val got = Packing.deterministicShuffle(df, "id", seed = 42L)
+    assert(got.columns.sorted.toSeq == Seq("id", "pos", "text"))
+    val m = got.select("id", "pos").as[(Long, Long)].collect().toMap
+    assert(m.count { case (id, pos) => id != pos } > 50,
+      "hash order should scatter most rows away from their input order")
+    val texts = got.select("id", "text").as[(Long, String)].collect().toMap
+    assert((0L until 100L).forall(i => texts(i) == s"doc$i"))
+  }
+
+  // -------------------------------------------------------------- packing
+
+  /** Driver-side oracle: lay token counts end-to-end in id order and cut
+    * every L tokens — the definition, computed imperatively.
+    */
+  private def packOracle(
+      docs: Seq[(Long, Long)], // (id, nTokens), to be packed in id order
+      L: Long
+  ): Seq[(Long, Long, Long, Long, Long)] = { // (id, seq, seqOff, docOff, n)
+    var cum = 0L
+    docs.sortBy(_._1).filter(_._2 > 0).flatMap { case (id, n) =>
+      val frags = (cum / L to (cum + n - 1) / L).map { seq =>
+        val begin = math.max(cum, seq * L)
+        val end = math.min(cum + n, (seq + 1) * L)
+        (id, seq, begin - seq * L, begin - cum, end - begin)
+      }
+      cum += n
+      frags
+    }
+  }
+
+  private def runPack(docs: Seq[(Long, Long)], L: Int) =
+    Packing.packSequences(
+      docs.toDF("id", "n_toks"), "id", col("n_toks"), L, Seq(col("id").asc))
+      .select("id", "seq_id", "seq_offset", "doc_offset", "n_tokens")
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+
+  test("packSequences: matches the imperative oracle, incl. docs straddling many cuts") {
+    val docs = Seq((1L, 5L), (2L, 0L), (3L, 23L), (4L, 8L), (5L, 1L), (6L, 64L))
+    assert(runPack(docs, 8) == packOracle(docs, 8).toSet)
+    assert(runPack(docs, 1) == packOracle(docs, 1).toSet)
+    assert(runPack(docs, 1000) == packOracle(docs, 1000).toSet)
+  }
+
+  test("packSequences: every sequence except the tail is slot-exact, fragments tile each doc") {
+    val rnd = new scala.util.Random(11)
+    val docs = (1L to 300L).map(i => (i, rnd.nextInt(40).toLong))
+    val L = 32
+    val frags = runPack(docs, L).toSeq
+    val totalTokens = docs.map(_._2).sum
+
+    // per-sequence slot exactness
+    val bySeq = frags.groupBy(_._2)
+    val lastSeq = bySeq.keys.max
+    for ((seq, fs) <- bySeq) {
+      val filled = fs.map(_._5).sum
+      if (seq < lastSeq) assert(filled == L, s"seq $seq holds $filled of $L slots")
+      else assert(filled == totalTokens - lastSeq * L)
+      // fragments within a sequence tile [0, filled) without gaps/overlap
+      assert(fs.map(f => (f._3, f._3 + f._5)).sortBy(_._1)
+        .foldLeft(0L) { case (at, (b, e)) => assert(b == at); e } == filled)
+    }
+    assert(bySeq.keys.toSeq.sorted == (0L to lastSeq), "sequence ids are contiguous")
+
+    // fragments reconstruct each document: doc_offsets tile [0, n)
+    val byDoc = frags.groupBy(_._1)
+    for ((id, n) <- docs if n > 0) {
+      val fs = byDoc(id).sortBy(_._4)
+      assert(fs.map(f => (f._4, f._4 + f._5))
+        .foldLeft(0L) { case (at, (b, e)) => assert(b == at); e } == n)
+    }
+    assert(docs.filter(_._2 == 0).forall(d => !byDoc.contains(d._1)),
+      "zero-token docs occupy no slots")
+  }
+
+  test("packSequencesByText: whitespace tokens, ordered by id") {
+    val df = Seq(
+      (1L, "a b c"), (2L, ""), (3L, "d e"), (4L, "   "), (5L, "f g h i j"))
+      .toDF("doc_id", "text")
+    val got = Packing.packSequencesByText(df, "doc_id", "text", seqTokens = 4)
+      .select("doc_id", "seq_id", "seq_offset", "doc_offset", "n_tokens")
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    val oracle = packOracle(Seq((1L, 3L), (2L, 0L), (3L, 2L), (4L, 0L), (5L, 5L)), 4L)
+    assert(got == oracle.toSet)
+  }
+
+  test("packSequences: rejects nonpositive seqTokens") {
+    intercept[IllegalArgumentException] {
+      Packing.packSequences(Seq((1L, 1L)).toDF("id", "n"), "id", col("n"), 0,
+        Seq(col("id").asc))
+    }
+  }
+}
