@@ -223,31 +223,45 @@ object Corpus {
   }
 
   /** One-scan numeric column profile: count / nulls / mean / min / max /
-    * exact quartiles per column, one output row per column. All statistics
-    * for all columns aggregate in a SINGLE pass over the data (one partial
-    * agg tree, no per-column scans), then pivot to long form driver-side-free
+    * quartiles per column, one output row per column. All statistics for
+    * all columns aggregate in a SINGLE pass over the data (one partial agg
+    * tree, no per-column scans), then pivot to long form driver-side-free
     * via an `explode` of one literal-struct array.
     *
-    * The quartiles use Spark's exact `percentile`, whose state is a map of
-    * distinct values — right for profiling runs and bounded-cardinality
-    * columns. For unbounded high-cardinality columns at extreme scale,
-    * substitute `approx_percentile` (t-digest, constant memory): same code
-    * shape, looser contract.
+    * `approx = true` (RECOMMENDED at scale) computes the quartiles with
+    * `approx_percentile` — bounded sketch state per column regardless of
+    * cardinality. The default `approx = false` uses Spark's exact
+    * `percentile`, whose aggregation state is a map of DISTINCT VALUES: the
+    * right contract for oracle checks and bounded-cardinality columns, but
+    * an executor-OOM waiting to happen on a continuous column at corpus
+    * scale — flip to approx there.
+    *
+    * `accuracy` is `approx_percentile`'s inverse-error knob (relative rank
+    * error ≤ 1/accuracy); ignored when `approx = false`.
     */
-  def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
+  def profile(
+      df: DataFrame,
+      cols: Seq[String],
+      approx: Boolean = false,
+      accuracy: Int = 10000
+  ): DataFrame = {
     require(cols.nonEmpty, "profile needs at least one column")
     val aggs = cols.flatMap { c =>
       // backtick-quote the SQL-string path so non-identifier column names
       // work like they do through col(c); count(when(...)) (not sum) keeps
       // nulls = 0 instead of NULL on a zero-row input
       val quoted = "`" + c.replace("`", "``") + "`"
+      val pct =
+        if (approx)
+          expr(s"cast(approx_percentile($quoted, array(0.25D, 0.5D, 0.75D), $accuracy) as array<double>)")
+        else expr(s"percentile($quoted, array(0.25D, 0.5D, 0.75D))")
       Seq(
         count(col(c)).as(s"__n_$c"),
         count(when(col(c).isNull, lit(1))).as(s"__nulls_$c"),
         avg(col(c)).as(s"__mean_$c"),
         min(col(c)).cast(DoubleType).as(s"__min_$c"),
         max(col(c)).cast(DoubleType).as(s"__max_$c"),
-        expr(s"percentile($quoted, array(0.25D, 0.5D, 0.75D))").as(s"__pct_$c"))
+        pct.as(s"__pct_$c"))
     }
     val structs = cols.map { c =>
       struct(

@@ -126,4 +126,22 @@ class Round3Spec extends SparkTestBase {
     assert(y.getLong(1) == 3 && y.getLong(2) == 1)
     assert(y.getDouble(7) == 20.0) // median of 10,20,40
   }
+
+  test("profile: approx path — same schema, sketch-bounded quartiles near exact") {
+    val df = spark.range(10001).select(col("id").cast("double").as("x"), col("id").as("y"))
+    val exact = Corpus.profile(df, Seq("x", "y"))
+    val approx = Corpus.profile(df, Seq("x", "y"), approx = true)
+    assert(approx.schema == exact.schema,
+      "approx and exact profiles must be drop-in interchangeable")
+    val a = approx.collect().map(r => r.getString(0) -> r).toMap
+    val e = exact.collect().map(r => r.getString(0) -> r).toMap
+    for (c <- Seq("x", "y"); i <- 6 to 8) {
+      // relative rank error ≤ 1/accuracy = 1e-4 → ±1 rank on 10001 rows
+      assert(math.abs(a(c).getDouble(i) - e(c).getDouble(i)) <= 2.0,
+        s"$c quantile $i: approx ${a(c).getDouble(i)} vs exact ${e(c).getDouble(i)}")
+      // non-quantile stats identical on both paths
+      assert(a(c).getLong(1) == e(c).getLong(1))
+      assert(a(c).getDouble(3) == e(c).getDouble(3))
+    }
+  }
 }
