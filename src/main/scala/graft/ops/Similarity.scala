@@ -131,9 +131,15 @@ object Similarity {
   ): DataFrame = {
     val a = df.select(col(idCol).as("id_a"), col(vecCol).as("v_a"))
     val b = df.select(col(idCol).as("id_b"), col(vecCol).as("v_b"))
-    a.join(b, col("id_a") < col("id_b"))
+    // Both predicates INLINE in the join condition, cheap one first: a
+    // `.filter` after the join gets pushed in FRONT of the original
+    // condition, making the nested-loop join score all n² ordered pairs;
+    // written this way the id comparison short-circuits half of them before
+    // any cosine runs. The projection recomputes the cosine only for the
+    // (few) surviving pairs.
+    a.join(b, col("id_a") < col("id_b") &&
+        cosine(col("v_a"), col("v_b")) >= threshold)
       .withColumn("cosine", cosine(col("v_a"), col("v_b")))
-      .filter(col("cosine") >= threshold)
       .select("id_a", "id_b", "cosine")
   }
 
