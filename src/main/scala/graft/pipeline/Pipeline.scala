@@ -445,10 +445,82 @@ object Pipeline {
         }
 
       case "profile" =>
-        graft.ops.Corpus.profile(df, asSeq(step("profile")).map(_.toString))
+        // list of columns, or {cols: [...], approx: true, accuracy: N} —
+        // approx switches the quartiles to approx_percentile (bounded
+        // sketch state; the scale-safe default for continuous columns)
+        step("profile") match {
+          case m: scala.collection.Map[_, _] =>
+            val pm = asMap(m, "profile")
+            graft.ops.Corpus.profile(df,
+              asSeq(pm.getOrElse("cols",
+                throw new IllegalArgumentException("profile map needs 'cols'")))
+                .map(_.toString),
+              approx = pm.get("approx").exists(_ == true),
+              accuracy = pm.get("accuracy").map(_.toString.toInt).getOrElse(10000))
+          case cols => graft.ops.Corpus.profile(df, asSeq(cols).map(_.toString))
+        }
+
+      case "globalIndex" =>
+        // {orderBy: [...("-col" desc)], as: pos} — contiguous 0-based index
+        // in the total order (range exchange + broadcast offsets, never a
+        // single-partition window)
+        val g = asMap(step("globalIndex"), "globalIndex")
+        graft.ops.Packing.withGlobalIndex(df,
+          sortCols(asSeq(g.getOrElse("orderBy",
+            throw new IllegalArgumentException("globalIndex needs 'orderBy'")))),
+          g.getOrElse("as", "pos").toString)
+
+      case "shuffle" =>
+        // {id: uniqueCol, seed: N, as: pos} — reproducible global permutation
+        // (same data+seed => same order on any cluster size; new epoch = new
+        // seed)
+        val sh = asMap(step("shuffle"), "shuffle")
+        graft.ops.Packing.deterministicShuffle(df, sh("id").toString,
+          sh.getOrElse("seed", 0).toString.toLong,
+          sh.getOrElse("as", "pos").toString)
+
+      case "pack" =>
+        // {id:, text: col | tokens: expr, seqTokens: L, orderBy: [...]} —
+        // concat-and-cut fragments; default order is by id (shuffle first
+        // and order by its pos column to pack a shuffled epoch)
+        val p = asMap(step("pack"), "pack")
+        val id = p("id").toString
+        val nToks = (p.get("tokens"), p.get("text")) match {
+          case (Some(e), None) => compileExpr(e, df)
+          case (None, Some(t)) => size(graft.ops.TextStats.tokens(col(t.toString)))
+          case _ => throw new IllegalArgumentException(
+            "pack needs exactly one of 'text' (column) or 'tokens' (expression)")
+        }
+        val orderCols = p.get("orderBy").map(o => sortCols(asSeq(o)))
+          .getOrElse(Seq(col(id).asc))
+        graft.ops.Packing.packSequences(df, id, nToks,
+          p("seqTokens").toString.toInt, orderCols)
+
+      case "decontaminate" =>
+        // {table: evalSet, id:, text:, evalText: (defaults to text), n: 8,
+        //  mode: mark|remove}
+        val d = asMap(step("decontaminate"), "decontaminate")
+        val eval = resolve(d.getOrElse("table",
+          throw new IllegalArgumentException("decontaminate needs 'table'")).toString)
+        val evalText = d.getOrElse("evalText", d("text")).toString
+        val n = d.get("n").map(_.toString.toInt).getOrElse(8)
+        d.getOrElse("mode", "mark").toString match {
+          case "mark" => graft.ops.Decontam.markContaminated(
+            df, d("id").toString, d("text").toString, eval, evalText, n)
+          case "remove" => graft.ops.Decontam.removeContaminated(
+            df, d("id").toString, d("text").toString, eval, evalText, n)
+          case other => throw new IllegalArgumentException(
+            s"decontaminate mode must be mark|remove, got $other")
+        }
 
       case other =>
         throw new IllegalArgumentException(s"Unknown pipeline verb: $other")
     }
   }
+
+  /** The "-col" descending convention shared by orderBy-style verb args. */
+  private def sortCols(specs: Seq[Any]): Seq[Column] =
+    specs.map(_.toString).map { s =>
+      if (s.startsWith("-")) col(s.drop(1)).desc else col(s).asc
+    }
 }

@@ -351,4 +351,64 @@ class PipelineSpec extends SparkTestBase {
     assert(bad.count() == 0)
   }
 
+  test("globalIndex / shuffle / pack verbs") {
+    val idx = Pipeline.runOnDir(spark,
+      """source: documents
+        |steps:
+        |  - globalIndex: {orderBy: [doc_id], as: idx}
+        |""".stripMargin, dir)
+    val n = idx.count()
+    assert(idx.select("idx").as[Long].collect().sorted.toSeq == (0L until n))
+
+    val shuffled = Pipeline.runOnDir(spark,
+      """source: documents
+        |steps:
+        |  - shuffle: {id: doc_id, seed: 3}
+        |""".stripMargin, dir)
+    assert(shuffled.select("pos").as[Long].collect().sorted.toSeq == (0L until n))
+
+    // shuffle then pack the shuffled epoch order
+    val packed = Pipeline.runOnDir(spark,
+      """source: documents
+        |steps:
+        |  - shuffle: {id: doc_id, seed: 3}
+        |  - pack: {id: doc_id, text: text, seqTokens: 64, orderBy: [pos]}
+        |""".stripMargin, dir)
+    assert(packed.columns.toSeq ==
+      Seq("doc_id", "seq_id", "seq_offset", "doc_offset", "n_tokens"))
+    val perSeq = packed.groupBy("seq_id").agg(sum("n_tokens").as("filled"))
+    val lastSeq = packed.agg(max("seq_id")).as[Long].head()
+    assert(perSeq.filter(col("seq_id") < lastSeq && col("filled") =!= 64).count() == 0,
+      "every non-tail sequence is slot-exact")
+  }
+
+  test("decontaminate verb: mark and remove against an eval table") {
+    def run(mode: String) = Pipeline.run(spark,
+      s"""source: train
+         |steps:
+         |  - decontaminate: {table: eval, id: id, text: text, evalText: etext,
+         |                    n: 2, mode: $mode}
+         |""".stripMargin,
+      {
+        case "train" => Seq((1L, "the cat sat on the mat"), (2L, "dogs bark loudly"))
+          .toDF("id", "text")
+        case "eval" => Seq((9L, "cat sat down")).toDF("eid", "etext")
+      })
+    val marked = run("mark").select("id", "contaminated")
+      .as[(Long, Boolean)].collect().toMap
+    assert(marked == Map(1L -> true, 2L -> false))
+    assert(run("remove").select("id").as[Long].collect().toSeq == Seq(2L))
+  }
+
+  test("profile verb: map form with approx quartiles") {
+    val out = Pipeline.runOnDir(spark,
+      """source: lineitem
+        |steps:
+        |  - profile: {cols: [l_quantity], approx: true}
+        |""".stripMargin, dir)
+    val r = out.collect()
+    assert(r.length == 1 && r.head.getString(0) == "l_quantity")
+    assert(!r.head.isNullAt(7), "approx p50 present")
+  }
+
 }
