@@ -494,6 +494,20 @@ object SparkEntry {
         docs.filter(col("doc_id") % 7 === 0), "text", n = 8)
         .select(col("doc_id"), col("contaminated"))
     }),
+    // Connected-components SHUFFLE-regime stress pin: a synthetic 50k-node
+    // path-block graph (chains of 16 — pointer jumping needs ~5 rounds)
+    // forced past both fast paths (localSolveMaxEdges=0,
+    // broadcastMaxLabelRows=0), so the 100 TB code path stays under the
+    // oracle gate and the bench. Components are closed-form:
+    // component(id) = (id div 16) * 16.
+    "q48_cluster_shuffle" -> ((s, dir) => {
+      val n = 50000L
+      val k = 16L
+      val edges = s.range(n - 1).filter((col("id") + 1) % k =!= 0)
+        .select(col("id").as("id_a"), (col("id") + 1).as("id_b"))
+      graft.ops.Cluster.connectedComponents(edges,
+        broadcastMaxLabelRows = 0L, localSolveMaxEdges = 0L)
+    }),
     // Global vocabulary top-k — the canonical corpus word count.
     "q30_vocab" -> ((s, dir) =>
       graft.ops.Corpus.topTokens(t(s, dir, "documents"), "text", 20)
@@ -955,6 +969,9 @@ object SparkEntry {
     "q45_global_index" ->
       """SELECT doc_id, row_number() OVER (ORDER BY doc_id) - 1 AS pos
         |FROM documents""".stripMargin,
+    "q48_cluster_shuffle" ->
+      """SELECT g AS id, (g // 16) * 16 AS component
+        |FROM generate_series(0, 49999) t(g)""".stripMargin,
     // The packing definition computed relationally: token counts in doc_id
     // order, exclusive running sum = each doc's first global token slot,
     // one fragment per overlapped 128-token sequence.

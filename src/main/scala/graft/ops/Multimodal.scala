@@ -36,14 +36,76 @@ case class AudioFeatures(
 
 case class VideoFrame(media_id: Long, frameIndex: Int, payload: Array[Byte])
 
-/** Multimodal column operators: decode, feature-extract, resize, frame-sample.
+/** The codec boundary: everything the operators in [[Multimodal]] need from
+  * a real media stack. A deployment slots in an implementation backed by
+  * libjpeg / libsndfile / ffmpeg WITHOUT touching the operators — the
+  * Spark-side plumbing (typed schemas, per-partition batching, size-aware
+  * repartitioning) is codec-agnostic.
   *
-  * The *decode* step is a clearly-marked deterministic STUB (no image/audio
-  * codecs in this environment); everything Spark-side is real and load-bearing:
-  * typed schemas via case-class Encoders, per-partition batch processing with
-  * one decoder context per partition (`mapPartitions` — the Scala analogue of
-  * `mapInPandas` batching), and size-aware repartitioning so big payloads
-  * don't skew executors.
+  * Contract: implementations are `Serializable` (constructed on the driver,
+  * shipped once per task) and must treat heavyweight native contexts as
+  * lazy/transient so they initialize per executor, not per row — the
+  * operators call through `mapPartitions`, so per-partition amortization is
+  * already in place.
+  */
+trait MediaDecoder extends Serializable {
+
+  /** Decode an image payload → (width, height, channels, luma stream). */
+  def decodeImage(payload: Array[Byte]): (Int, Int, Int, Iterator[Int])
+
+  /** Decode an audio payload → PCM samples in [-1, 1]. */
+  def decodeAudio(payload: Array[Byte]): Iterator[Double]
+
+  /** Re-encode an image payload at a new size. */
+  def resizeImage(
+      payload: Array[Byte],
+      width: Int, height: Int,
+      newWidth: Int, newHeight: Int): Array[Byte]
+
+  /** Split a video payload into encoded frames, in order. */
+  def videoFrames(payload: Array[Byte]): Iterator[Array[Byte]]
+}
+
+/** STUB decoder — the deterministic fake used in this codec-less
+  * environment (no libjpeg/ffmpeg in the sandbox). Every output is a pure
+  * function of the payload bytes, so operator behavior is testable
+  * end-to-end; a real deployment replaces this object, nothing else.
+  */
+case class StubDecoder(frameBytes: Int = 256) extends MediaDecoder {
+
+  def decodeImage(payload: Array[Byte]): (Int, Int, Int, Iterator[Int]) = {
+    val w = 16 + (math.abs(java.util.Arrays.hashCode(payload)) % 64)
+    val h = 16 + (math.abs(java.util.Arrays.hashCode(payload) / 64) % 64)
+    val lumas = Iterator.tabulate(w * h) { i =>
+      java.lang.Byte.toUnsignedInt(payload(i % math.max(1, payload.length)))
+    }
+    (w, h, 3, lumas)
+  }
+
+  def decodeAudio(payload: Array[Byte]): Iterator[Double] =
+    payload.iterator.map(b => b.toDouble / 128.0)
+
+  def resizeImage(
+      payload: Array[Byte],
+      width: Int, height: Int,
+      newWidth: Int, newHeight: Int): Array[Byte] = {
+    // STUB: truncates bytes proportionally to the pixel-count change so
+    // downstream size accounting stays realistic.
+    val scaleSq = (newWidth.toDouble * newHeight) / math.max(1, width * height)
+    payload.take(math.max(1, (payload.length * scaleSq).toInt))
+  }
+
+  def videoFrames(payload: Array[Byte]): Iterator[Array[Byte]] =
+    // STUB: fixed-size chunks standing in for codec frame parsing
+    payload.grouped(frameBytes)
+}
+
+/** Multimodal column operators: decode, feature-extract, resize,
+  * frame-sample — all parameterized by a [[MediaDecoder]] (default:
+  * [[StubDecoder]]). The Spark side is real and load-bearing: typed schemas
+  * via case-class Encoders, per-partition batch processing (`mapPartitions`
+  * — the Scala analogue of `mapInPandas` batching), and size-aware
+  * repartitioning so big payloads don't skew executors.
   */
 object Multimodal {
 
@@ -63,38 +125,19 @@ object Multimodal {
     df.repartition(parts)
   }
 
-  // ---------------------------------------------------------------------
-  // STUB decoders. A real deployment replaces the bodies with libjpeg /
-  // libsndfile / ffmpeg calls; signatures, batching and schemas are final.
-  // The fakes are pure functions of the payload bytes → deterministic,
-  // testable end-to-end.
-  // ---------------------------------------------------------------------
-
-  /** STUB: pretend-decode an image payload to (width, height, channels,
-    * pixel-luma iterator). Deterministic fake derived from the bytes.
-    */
-  private[ops] def stubDecodeImage(payload: Array[Byte]): (Int, Int, Int, Iterator[Int]) = {
-    val w = 16 + (math.abs(java.util.Arrays.hashCode(payload)) % 64)
-    val h = 16 + (math.abs(java.util.Arrays.hashCode(payload) / 64) % 64)
-    val lumas = Iterator.tabulate(w * h) { i =>
-      java.lang.Byte.toUnsignedInt(payload(i % math.max(1, payload.length)))
-    }
-    (w, h, 3, lumas)
-  }
-
-  /** STUB: pretend-decode audio to PCM samples in [-1, 1]. */
-  private[ops] def stubDecodeAudio(payload: Array[Byte]): Iterator[Double] =
-    payload.iterator.map(b => b.toDouble / 128.0)
-
   /** Decode + feature-extract images, one decoder context per partition.
     * Output: typed [[ImageFeatures]] rows.
     */
-  def imageFeatures(media: Dataset[MediaRow]): Dataset[ImageFeatures] = {
+  def imageFeatures(
+      media: Dataset[MediaRow],
+      decoder: MediaDecoder = StubDecoder()
+  ): Dataset[ImageFeatures] = {
     import media.sparkSession.implicits._
     media.filter(_.meta.mediaType == "image").mapPartitions { rows =>
-      // one (stub) decoder init per partition — amortized like mapInPandas
+      // the decoder deserializes once per task; heavyweight native state
+      // belongs in its lazy/transient fields (see MediaDecoder contract)
       rows.map { r =>
-        val (w, h, c, lumas) = stubDecodeImage(r.payload)
+        val (w, h, c, lumas) = decoder.decodeImage(r.payload)
         val hist = new Array[Long](16)
         var sumLuma = 0.0
         var n = 0L
@@ -109,23 +152,30 @@ object Multimodal {
   }
 
   /** Decode + feature-extract audio: sample count and RMS level. */
-  def audioFeatures(media: Dataset[MediaRow]): Dataset[AudioFeatures] = {
+  def audioFeatures(
+      media: Dataset[MediaRow],
+      decoder: MediaDecoder = StubDecoder()
+  ): Dataset[AudioFeatures] = {
     import media.sparkSession.implicits._
     media.filter(_.meta.mediaType == "audio").mapPartitions { rows =>
       rows.map { r =>
         var sumSq = 0.0
         var n = 0L
-        stubDecodeAudio(r.payload).foreach { s => sumSq += s * s; n += 1 }
+        decoder.decodeAudio(r.payload).foreach { s => sumSq += s * s; n += 1 }
         AudioFeatures(r.media_id, r.meta.sampleRateHz, n,
           if (n == 0) 0.0 else math.sqrt(sumSq / n))
       }
     }
   }
 
-  /** STUB resize: keeps the byte payload opaque, rewrites the metadata the
-    * way a real resizer would; payload transform is a marked fake.
+  /** Resize images over `maxDim` (aspect preserved); metadata rewritten,
+    * payload re-encoded by the decoder. Non-images pass through untouched.
     */
-  def resizeImages(media: Dataset[MediaRow], maxDim: Int): Dataset[MediaRow] = {
+  def resizeImages(
+      media: Dataset[MediaRow],
+      maxDim: Int,
+      decoder: MediaDecoder = StubDecoder()
+  ): Dataset[MediaRow] = {
     import media.sparkSession.implicits._
     media.map { r =>
       if (r.meta.mediaType != "image" || math.max(r.meta.width, r.meta.height) <= maxDim) r
@@ -133,26 +183,34 @@ object Multimodal {
         val scale = maxDim.toDouble / math.max(r.meta.width, r.meta.height)
         val nw = math.max(1, (r.meta.width * scale).toInt)
         val nh = math.max(1, (r.meta.height * scale).toInt)
-        // STUB: real implementation re-encodes pixels; fake truncates bytes
-        // proportionally so downstream size accounting stays realistic.
-        val newLen = math.max(1, (r.payload.length * scale * scale).toInt)
         r.copy(
           meta = r.meta.copy(width = nw, height = nh),
-          payload = r.payload.take(newLen))
+          payload = decoder.resizeImage(r.payload, r.meta.width, r.meta.height, nw, nh))
       }
     }
   }
 
-  /** Sample every `everyN`-th frame of each video payload. Frame boundaries
-    * are a STUB (fixed-size chunks standing in for codec frame parsing); the
-    * explode-shaped output and ordering contract are real.
+  /** Sample every `everyN`-th frame of each video payload; explode-shaped
+    * output with per-video ordered frame indices.
     */
-  def sampleFrames(media: Dataset[MediaRow], everyN: Int, frameBytes: Int = 256): Dataset[VideoFrame] = {
+  def sampleFrames(
+      media: Dataset[MediaRow],
+      everyN: Int,
+      decoder: MediaDecoder
+  ): Dataset[VideoFrame] = {
     import media.sparkSession.implicits._
     media.filter(_.meta.mediaType == "video").flatMap { r =>
-      r.payload.grouped(frameBytes).zipWithIndex.collect {
+      decoder.videoFrames(r.payload).zipWithIndex.collect {
         case (chunk, idx) if idx % everyN == 0 => VideoFrame(r.media_id, idx, chunk)
       }
     }
   }
+
+  /** [[sampleFrames]] with the stub's fixed-size chunking. */
+  def sampleFrames(
+      media: Dataset[MediaRow],
+      everyN: Int,
+      frameBytes: Int = 256
+  ): Dataset[VideoFrame] =
+    sampleFrames(media, everyN, StubDecoder(frameBytes))
 }

@@ -111,4 +111,28 @@ class MultimodalSpec extends SparkTestBase {
     assert(rows.length == 2)
     assert(df.schema("content").dataType == BinaryType)
   }
+
+  test("a custom MediaDecoder plugs in without touching the operators") {
+    // a fixed-everything decoder: proves the operators call through the
+    // trait (and that a real libjpeg/ffmpeg impl only needs this surface)
+    object FixedDecoder extends MediaDecoder {
+      def decodeImage(p: Array[Byte]) = (8, 4, 1, Iterator.fill(32)(160))
+      def decodeAudio(p: Array[Byte]) = Iterator.fill(10)(0.5)
+      def resizeImage(p: Array[Byte], w: Int, h: Int, nw: Int, nh: Int) =
+        Array[Byte](9, 9)
+      def videoFrames(p: Array[Byte]) = Iterator(p)
+    }
+    val img = Multimodal.imageFeatures(media, FixedDecoder).collect()
+    assert(img.nonEmpty && img.forall(f =>
+      f.width == 8 && f.height == 4 && f.channels == 1 && f.meanLuma == 160.0
+        && f.histogram(10) == 32))
+    val aud = Multimodal.audioFeatures(media, FixedDecoder).collect()
+    assert(aud.nonEmpty && aud.forall(f => f.nFrames == 10 && f.rms == 0.5))
+    val rez = Multimodal.resizeImages(media, maxDim = 10, FixedDecoder)
+      .filter(_.meta.mediaType == "image").collect()
+    assert(rez.forall(r => r.payload.sameElements(Array[Byte](9, 9))))
+    val frames = Multimodal.sampleFrames(media, everyN = 1, FixedDecoder).collect()
+    val vids = media.filter(_.meta.mediaType == "video").count()
+    assert(frames.length == vids && frames.forall(_.frameIndex == 0))
+  }
 }
