@@ -11,28 +11,62 @@ import org.apache.spark.sql.types.LongType
   *
   * All three need a GLOBAL total order, which naively is
   * `Window.orderBy(...)` with no partition — a single-task sort that dies at
-  * any real scale. The scale-safe shape used here is the classic two-phase
-  * construction: range-repartition on the order key (a distributed sort,
-  * exactly what `ORDER BY` lowers to), compute per-partition counts/sums (a
-  * handful of longs), broadcast the exclusive per-partition offsets back,
-  * and finish map-side or with a per-partition window. Nothing wider than
-  * the order keys ever moves twice, and no step ever collects data rows to
-  * the driver.
+  * any real scale. The scale-safe shape used here:
+  *
+  *   1. range-repartition on the order key and sort within partitions (a
+  *      distributed sort — exactly what `ORDER BY` lowers to), then stamp
+  *      rows with `monotonically_increasing_id`, whose layout (physical
+  *      partition index in the high bits, a 0-based per-partition counter in
+  *      the low 33) turns the within-partition ROW NUMBER into two bit-ops —
+  *      map-side, no window, no second shuffle;
+  *   2. aggregate per-partition counts/sums (a handful of longs) and prefix-
+  *      sum them into exclusive partition offsets — a sub-plan that runs as
+  *      the broadcast side of a map-side join, never a driver action.
+  *
+  * `withGlobalIndex` (and so `deterministicShuffle`) pays exactly ONE
+  * data-sized shuffle — the range exchange; `packSequences` adds one more
+  * for its within-partition running sum, but over rows narrowed to
+  * (order keys, id, token count) first — never the document text. No step
+  * collects data rows to the driver.
   */
 object Packing {
 
-  /** Per-partition (exclusive) offsets of an aggregate over range-partitioned
-    * data: returns the input re-partitioned+sorted with two extra columns —
-    * `pidCol` (the physical partition index) and `offCol` (the sum of
-    * `perRow` over all earlier partitions).
+  /** `monotonically_increasing_id` bit layout (fixed by Spark): partition
+    * index above bit 33, per-partition insertion counter below. Evaluated
+    * above a partition-local sort, the counter IS the within-partition row
+    * number in the total order.
+    */
+  private val RowBits = 33
+  private val RowMask = (1L << RowBits) - 1
+
+  private def pidOf(mid: Column): Column = shiftright(mid, RowBits)
+  private def rowOf(mid: Column): Column = mid.bitwiseAND(lit(RowMask))
+
+  /** The one data-sized shuffle: distributed sort by `orderCols`, each row
+    * stamped with `monotonically_increasing_id` as `midCol`.
+    */
+  private def rangeSorted(
+      df: DataFrame,
+      orderCols: Seq[Column],
+      midCol: String
+  ): DataFrame = {
+    val n = df.sparkSession.sparkContext.defaultParallelism
+    df.repartitionByRange(n, orderCols: _*)
+      .sortWithinPartitions(orderCols: _*)
+      .withColumn(midCol, monotonically_increasing_id())
+  }
+
+  /** Adds `pidCol` (physical partition index) and `offCol` (exclusive sum of
+    * `perRow` over all earlier partitions) to a [[rangeSorted]] frame.
     *
-    * Fully lazy — building the frame launches no jobs; the offsets sub-plan
-    * (per-partition totals → one #partitions-row exclusive prefix sum)
-    * executes as the broadcast side of the final join. The range exchange is
-    * evaluated once per side, but column pruning reaches below the offsets
-    * side's exchange, so that pass shuffles only the order keys + `perRow` —
-    * at corpus scale that beats persisting the full post-exchange rows to
-    * storage just to save a narrow second pass.
+    * Fully lazy — the offsets sub-plan (per-partition totals → one
+    * #partitions-row exclusive prefix sum; the unpartitioned window is over
+    * ONE ROW PER PARTITION, never data) executes as the broadcast side of
+    * the final join. The range exchange is evaluated once per side, but
+    * column pruning reaches below the offsets side's exchange, so that pass
+    * shuffles only the order keys + `perRow` inputs — at corpus scale that
+    * beats persisting the full post-exchange rows to storage just to save a
+    * narrow second pass.
     *
     * Both sides agree on every row's partition: `repartitionByRange` draws
     * its range bounds by reservoir sampling seeded per input-partition index
@@ -45,18 +79,14 @@ object Packing {
     * [[withGlobalIndex]] contract.
     */
   private def withPartitionOffsets(
-      df: DataFrame,
-      orderCols: Seq[Column],
+      ordered: DataFrame,
+      midCol: String,
       perRow: Column,
       pidCol: String,
       offCol: String
   ): DataFrame = {
-    val n = df.sparkSession.sparkContext.defaultParallelism
-    val ordered = df
-      .repartitionByRange(n, orderCols: _*)
-      .sortWithinPartitions(orderCols: _*)
-      .withColumn(pidCol, spark_partition_id())
-    val offsets = ordered
+    val withPid = ordered.withColumn(pidCol, pidOf(col(midCol)))
+    val offsets = withPid
       .groupBy(col(pidCol))
       .agg(coalesce(sum(perRow).cast(LongType), lit(0L)).as("__total"))
       .withColumn(offCol,
@@ -66,10 +96,8 @@ object Packing {
               .rowsBetween(Window.unboundedPreceding, -1)),
           lit(0L)))
       .select(col(pidCol), col(offCol))
-    // broadcast join on the partition id: map-side, no re-shuffle of data.
-    // The unpartitioned window above is safe: its input is one row per
-    // partition (≤ a few thousand), never data-sized.
-    ordered.join(broadcast(offsets), pidCol)
+    // broadcast join on the partition id: map-side, no re-shuffle of data
+    withPid.join(broadcast(offsets), pidCol)
   }
 
   /** Contiguous 0-based global row index in the total order of `orderCols`,
@@ -77,8 +105,10 @@ object Packing {
     * deterministic-per-input order — pass a unique key (or include one as
     * the last order column) for full run-to-run reproducibility.
     *
-    * Shape: range shuffle (the distributed sort) + per-partition
-    * `row_number` + broadcast offsets — never a single-partition window.
+    * Shape: ONE range exchange (the distributed sort); the index is
+    * `broadcast partition offset + the row counter already inside
+    * monotonically_increasing_id` — both map-side. No window over data, no
+    * second shuffle, no driver action.
     */
   def withGlobalIndex(
       df: DataFrame,
@@ -87,11 +117,10 @@ object Packing {
   ): DataFrame = {
     require(!df.columns.contains(indexCol),
       s"withGlobalIndex adds '$indexCol' but df already has it")
-    val Seq(pid, off) = tempNames(df, "pid", "off")
-    val w = Window.partitionBy(col(pid)).orderBy(orderCols: _*)
-    withPartitionOffsets(df, orderCols, lit(1L), pid, off)
-      .withColumn(indexCol, col(off) + row_number().over(w) - 1)
-      .drop(pid, off)
+    val Seq(mid, pid, off) = tempNames(df, "mid", "pid", "off")
+    withPartitionOffsets(rangeSorted(df, orderCols, mid), mid, lit(1L), pid, off)
+      .withColumn(indexCol, col(off) + rowOf(col(mid)))
+      .drop(mid, pid, off)
   }
 
   /** Reproducible global shuffle: permutes rows into the order of
@@ -132,9 +161,12 @@ object Packing {
     *   - `n_tokens`: fragment length
     * Documents with zero tokens are dropped (they occupy no slots).
     *
-    * Shape: one range sort on `orderCols`, one per-partition window cumsum
-    * with broadcast partition offsets, then a map-side `explode` over each
-    * document's overlapped sequence range. No single-partition stage.
+    * Shape: the frame is first NARROWED to (sort-key inputs, id, token
+    * count) so the range exchange never carries document text; the
+    * within-partition running sum is the one remaining window, and its
+    * exchange moves only those narrow rows. The fragment rows come from a
+    * map-side `explode` over each document's overlapped sequence range. No
+    * single-partition stage, no driver action.
     */
   def packSequences(
       df: DataFrame,
@@ -144,15 +176,24 @@ object Packing {
       orderCols: Seq[Column]
   ): DataFrame = {
     require(seqTokens >= 1, "seqTokens must be >= 1")
-    val Seq(pid, off, n, cum) = tempNames(df, "pid", "off", "n", "cum")
+    val Seq(mid, pid, off, n, cum) = tempNames(df, "mid", "pid", "off", "n", "cum")
     val withN = df
       .withColumn(n, nTokens.cast(LongType))
       .filter(col(n) > 0)
-    val w = Window.partitionBy(col(pid)).orderBy(orderCols: _*)
-    // exclusive cumsum = this document's first token slot in the stream
-    val begin = col(off) + sum(col(n)).over(w) - col(n)
-    val staged = withPartitionOffsets(withN, orderCols, col(n), pid, off)
-      .withColumn(cum, begin)
+    // project BEFORE the exchange: Catalyst prunes unreferenced columns but
+    // does not push the token-count COMPUTATION below a repartition, so
+    // without this the text column would ride the range shuffle
+    val keep = (orderCols.flatMap(c =>
+      org.apache.spark.sql.graft.ColumnBridge.convertedExpression(c)
+        .references.iterator.map(_.name).toSeq)
+      ++ Seq(idCol, n)).distinct
+    val narrow = withN.select(keep.map(col): _*)
+    val staged0 = withPartitionOffsets(
+      rangeSorted(narrow, orderCols, mid), mid, col(n), pid, off)
+    // exclusive cumsum = this document's first token slot in the stream;
+    // ordering by the id-stamp reuses the already-sorted order
+    val w = Window.partitionBy(col(pid)).orderBy(col(mid))
+    val staged = staged0.withColumn(cum, col(off) + sum(col(n)).over(w) - col(n))
     val L = lit(seqTokens.toLong)
     val firstSeq = floor(col(cum) / L)
     val lastSeq = floor((col(cum) + col(n) - 1) / L)

@@ -1,0 +1,74 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.plans.LeftSemi
+import org.apache.spark.sql.catalyst.plans.physical.RangePartitioning
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+import org.apache.spark.sql.execution.window.WindowExec
+import org.apache.spark.sql.functions._
+
+import graft.dftly.SparkTestBase
+
+/** Plan-shape audits for the ops layer — the 100 TB claims in the
+  * scaladocs, pinned as assertions over the physical plan so a regression
+  * (an operator quietly re-shuffling the payload, a window landing on data,
+  * text riding an exchange) fails a test instead of an executor at scale.
+  */
+class PlanShapeSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  private def shuffles(df: DataFrame): Seq[ShuffleExchangeExec] =
+    df.queryExecution.sparkPlan.collect { case s: ShuffleExchangeExec => s }
+
+  private def windows(df: DataFrame): Seq[WindowExec] =
+    df.queryExecution.sparkPlan.collect { case w: WindowExec => w }
+
+  test("withGlobalIndex: the payload rides exactly one (range) shuffle and no window") {
+    val df = (1L to 100L).map(i => (i, "x" * 50)).toDF("id", "payload")
+    val q = Packing.withGlobalIndex(df, Seq(col("id").asc))
+    val carrying = shuffles(q).filter(_.output.exists(_.name == "payload"))
+    assert(carrying.size == 1,
+      s"payload must ride exactly the range exchange, found ${carrying.size}")
+    assert(carrying.head.outputPartitioning.isInstanceOf[RangePartitioning],
+      "the one payload shuffle is the distributed sort")
+    assert(!windows(q).exists(_.output.exists(_.name == "payload")),
+      "no window function runs over data rows (offsets window sees one row per partition)")
+  }
+
+  test("packSequences: document text never rides any shuffle") {
+    val df = (1L to 50L).map(i => (i, Seq.fill(20)("tok").mkString(" "))).toDF("id", "text")
+    val q = Packing.packSequences(df, "id",
+      size(TextStats.tokens(col("text"))), 64, Seq(col("id").asc))
+    assert(shuffles(q).nonEmpty)
+    assert(!shuffles(q).exists(_.output.exists(_.name == "text")),
+      "the token count is computed below the exchange; text stays map-side")
+  }
+
+  test("deterministicShuffle: payload shuffles once, by the hash sort") {
+    val df = (1L to 100L).map(i => (i, "y" * 50)).toDF("id", "payload")
+    val q = Packing.deterministicShuffle(df, "id", seed = 1L)
+    val carrying = shuffles(q).filter(_.output.exists(_.name == "payload"))
+    assert(carrying.size == 1 &&
+      carrying.head.outputPartitioning.isInstanceOf[RangePartitioning])
+  }
+
+  test("decontamination: corpus text never shuffles; the gram probe is a broadcast semi-join") {
+    val train = (1L to 50L).map(i => (i, s"alpha beta gamma $i")).toDF("id", "text")
+    val eval = Seq((1L, "alpha beta gamma 7")).toDF("eid", "etext")
+    val q = Decontam.markContaminated(train, "id", "text", eval, "etext", n = 2)
+    assert(!shuffles(q).exists(_.output.exists(a => a.name == "text" || a.name == "etext")),
+      "only matched ids and eval grams may enter an exchange")
+    val semi = q.queryExecution.sparkPlan.collect {
+      case j: BroadcastHashJoinExec if j.joinType == LeftSemi => j
+    }
+    assert(semi.nonEmpty, "gram probe must be a broadcast LeftSemi hash join")
+  }
+
+  test("bm25: corpus text never shuffles (stats fold into a 1-row broadcast)") {
+    val df = (1L to 50L).map(i => (i, s"the data model $i")).toDF("id", "text")
+    val q = Retrieval.bm25(df, "id", "text", Seq("the", "data"))
+    assert(!shuffles(q).exists(_.output.exists(_.name == "text")))
+  }
+}
