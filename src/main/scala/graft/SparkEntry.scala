@@ -508,6 +508,20 @@ object SparkEntry {
       graft.ops.Cluster.connectedComponents(edges,
         broadcastMaxLabelRows = 0L, localSolveMaxEdges = 0L)
     }),
+    // PII redaction: emails/IPv4s/phones → typed tokens, map-side chained
+    // regexp_replace. The synthetic corpus has no PII, so deterministic PII
+    // is injected from doc_id on BOTH sides — every row redacts
+    // non-vacuously and the patterns are replayed verbatim by DuckDB
+    // (written in the Java∩RE2 regex subset).
+    "q49_redact" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"),
+        concat(col("text"),
+          lit(" contact user"), col("doc_id").cast("string"),
+          lit("@example.com via 10.0."), (col("doc_id") % 250).cast("string"),
+          lit(".17 or 555-123-4567")).as("text"))
+      graft.ops.Corpus.redactPii(docs, "text", "clean")
+        .select(col("doc_id"), col("clean"))
+    }),
     // Global vocabulary top-k — the canonical corpus word count.
     "q30_vocab" -> ((s, dir) =>
       graft.ops.Corpus.topTokens(t(s, dir, "documents"), "text", 20)
@@ -972,6 +986,14 @@ object SparkEntry {
     "q48_cluster_shuffle" ->
       """SELECT g AS id, (g // 16) * 16 AS component
         |FROM generate_series(0, 49999) t(g)""".stripMargin,
+    "q49_redact" -> {
+      val injected = "text || ' contact user' || doc_id || '@example.com via 10.0.' " +
+        "|| (doc_id % 250) || '.17 or 555-123-4567'"
+      val redacted = graft.ops.Corpus.PiiPatterns.foldLeft(s"($injected)") {
+        case (e, (pattern, token)) => s"regexp_replace($e, '$pattern', '$token', 'g')"
+      }
+      s"SELECT doc_id, $redacted AS clean FROM documents"
+    },
     // The packing definition computed relationally: token counts in doc_id
     // order, exclusive running sum = each doc's first global token slot,
     // one fragment per overlapped 128-token sequence.

@@ -166,6 +166,34 @@ object Corpus {
     trim(regexp_replace(depunct, s"[$ws]+", " "))
   }
 
+  /** PII patterns shared with redaction oracles: (regex, replacement
+    * token), applied in order. Written in the regex subset where Java
+    * (Spark) and RE2 (DuckDB/Go) agree — explicit classes, `\b`, `(?:)`,
+    * bounded repeats — so an external validator can replay the exact same
+    * redaction.
+    */
+  val PiiPatterns: Seq[(String, String)] = Seq(
+    ("""[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}""", "<EMAIL>"),
+    ("""\b(?:\d{1,3}\.){3}\d{1,3}\b""", "<IP>"),
+    ("""\b\d{3}[-. ]\d{3}[-. ]\d{4}\b""", "<PHONE>"))
+
+  /** Redact personally identifying substrings (emails, IPv4 addresses,
+    * phone numbers) to typed placeholder tokens — the standard scrub before
+    * web text enters a training corpus. Pure chained `regexp_replace`
+    * builtins: map-side, codegen'd, shuffle-free at any scale.
+    */
+  def redactPii(text: Column): Column =
+    PiiPatterns.foldLeft(text) { case (c, (pattern, token)) =>
+      regexp_replace(c, pattern, token)
+    }
+
+  /** [[redactPii]] as a frame op: adds `outCol` with the scrubbed text. */
+  def redactPii(df: DataFrame, textCol: String, outCol: String): DataFrame = {
+    require(!df.columns.contains(outCol),
+      s"redactPii adds '$outCol' but df already has it")
+    df.withColumn(outCol, redactPii(col(textCol)))
+  }
+
   /** TF-IDF weights per (document, token): `tf · ln(N / df)` with raw term
     * counts and un-smoothed idf (idf = 0 for a token in every document).
     * Shape: one explode + two aggregations + a token-keyed join — the

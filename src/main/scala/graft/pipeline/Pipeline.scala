@@ -496,6 +496,12 @@ object Pipeline {
         graft.ops.Packing.packSequences(df, id, nToks,
           p("seqTokens").toString.toInt, orderCols)
 
+      case "redact" =>
+        // {text: col, as: out (default 'redacted')} — PII → typed tokens
+        val r = asMap(step("redact"), "redact")
+        graft.ops.Corpus.redactPii(df, r("text").toString,
+          r.getOrElse("as", "redacted").toString)
+
       case "decontaminate" =>
         // {table: evalSet, id:, text:, evalText: (defaults to text), n: 8,
         //  mode: mark|remove}

@@ -8,6 +8,25 @@ class CorpusSpec extends SparkTestBase {
 
   import spark.implicits._
 
+  test("redactPii: emails, IPs, phones → typed tokens; near-misses untouched") {
+    val df = Seq(
+      (1L, "mail a.b+c@foo-bar.org now"),
+      (2L, "ip 192.168.0.1 phone 555-123-4567 or 555 123 4567"),
+      (3L, "no pii: v1.2 x@y 1.2.3 12345-678"),
+      (4L, "")
+    ).toDF("id", "text")
+    val got = Corpus.redactPii(df, "text", "clean")
+      .select("id", "clean").as[(Long, String)].collect().toMap
+    assert(got(1L) == "mail <EMAIL> now")
+    assert(got(2L) == "ip <IP> phone <PHONE> or <PHONE>")
+    assert(got(3L) == "no pii: v1.2 x@y 1.2.3 12345-678",
+      "bare host emails, 3-octet dots, short digit runs stay")
+    assert(got(4L) == "")
+    intercept[IllegalArgumentException] {
+      Corpus.redactPii(df.withColumn("clean", lit("")), "text", "clean")
+    }
+  }
+
   test("topNgramFraction: hand-checked repetition values") {
     val df = Seq(
       "a a a b",       // 2-grams: [a a, a a, a b] -> 2/3

@@ -83,6 +83,18 @@ class PackingSpec extends SparkTestBase {
     assert(a1.keySet == b.keySet)
   }
 
+  test("deterministicShuffle: permutation independent of input partition layout") {
+    // pos is the rank of the unique key (xxhash64(id, seed), id) in its
+    // total order — where the range boundaries land cannot change ranks,
+    // so any input partitioning (1 partition, 7, a cluster) agrees. This is
+    // the "same permutation at any cluster size" contract.
+    val df = spark.range(400).toDF("id")
+    def run(parts: Int): Map[Long, Long] =
+      Packing.deterministicShuffle(df.repartition(parts), "id", seed = 5L)
+        .select("id", "pos").as[(Long, Long)].collect().toMap
+    assert(run(1) == run(7))
+  }
+
   test("deterministicShuffle: actually permutes (not identity) and keeps other columns") {
     val df = (0L until 100L).map(i => (i, s"doc$i")).toDF("id", "text")
     val got = Packing.deterministicShuffle(df, "id", seed = 42L)

@@ -400,6 +400,16 @@ class PipelineSpec extends SparkTestBase {
     assert(run("remove").select("id").as[Long].collect().toSeq == Seq(2L))
   }
 
+  test("redact verb scrubs PII into typed tokens") {
+    val out = Pipeline.run(spark,
+      """source: t
+        |steps:
+        |  - redact: {text: text, as: clean}
+        |""".stripMargin,
+      _ => Seq((1L, "mail me@here.org at 10.1.2.3")).toDF("id", "text"))
+    assert(out.select("clean").as[String].head() == "mail <EMAIL> at <IP>")
+  }
+
   test("profile verb: map form with approx quartiles") {
     val out = Pipeline.runOnDir(spark,
       """source: lineitem
