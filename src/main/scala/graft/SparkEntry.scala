@@ -222,6 +222,21 @@ object SparkEntry {
     "q18_fingerprint" -> ((s, dir) =>
       t(s, dir, "documents")
         .select(col("doc_id"), TextStats.fingerprint(col("text")).as("fp"))),
+    // Fingerprint PROPERTY oracle (bits are engine-specific → q18 stays
+    // rows-only; this states the structure): the fingerprint is exactly a
+    // function of the token sequence — equal token sequences share one
+    // fingerprint, and no two distinct sequences collide on this corpus.
+    // Linear shape (two aggregations), no pair table.
+    "q18b_fingerprint_props" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"),
+        TextStats.fingerprint(col("text")).as("fp"),
+        TextStats.tokens(col("text")).as("toks"))
+      val byToks = d.groupBy(col("toks")).agg(count_distinct(col("fp")).as("nfp"))
+      val byFp = d.groupBy(col("fp")).agg(count_distinct(col("toks")).as("ntk"))
+      d.join(byToks, "toks").join(byFp, "fp")
+        .select(col("doc_id"),
+          ((col("nfp") === 1) && (col("ntk") === 1)).as("ok"))
+    }),
     // Exact all-pairs baseline, fully oracle-checked (DuckDB does the same
     // 125k-pair cosine sweep). Threshold 0.40 yields 59 pairs on this data;
     // nearest pair cosine is >1e-4 from the threshold, so cross-engine FP
@@ -243,6 +258,24 @@ object SparkEntry {
     "q20_simhash_pairs" -> ((s, dir) =>
       Dedup.simhashNearDuplicatePairs(t(s, dir, "documents"), "doc_id", "text", maxHamming = 8)
         .select(col("id_a"), col("id_b"), col("hamming"))),
+    // SimHash PROPERTY oracle (bucket layout is hash-specific → q20 stays
+    // rows-only; this states a recall floor): every text-identical pair
+    // MUST be reported — identical text ⇒ identical signature ⇒ hamming 0 ⇒
+    // pigeonhole banding cannot miss it. The corpus is unioned with an
+    // id-shifted copy of itself on BOTH sides so the guaranteed pair set is
+    // non-vacuous (≥ one pair per document).
+    "q20b_simhash_props" -> ((s, dir) => {
+      val d0 = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val dd = d0.unionByName(
+        d0.select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      val found = Dedup.simhashNearDuplicatePairs(dd, "doc_id", "text", maxHamming = 8)
+        .select(col("id_a"), col("id_b"), lit(1).as("__f"))
+      dd.as("x").join(dd.as("y"),
+        col("x.text") === col("y.text") && col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
+        .join(found, Seq("id_a", "id_b"), "left")
+        .select(col("id_a"), col("id_b"), col("__f").isNotNull.as("ok"))
+    }),
     "q21_events" -> ((s, dir) => {
       // events.ts is TIMESTAMP(NANOS) parquet, which Spark rejects outright
       // (PARQUET_TYPE_ILLEGAL); read the raw nanos and truncate to µs — the
@@ -986,6 +1019,16 @@ object SparkEntry {
     "q48_cluster_shuffle" ->
       """SELECT g AS id, (g // 16) * 16 AS component
         |FROM generate_series(0, 49999) t(g)""".stripMargin,
+    "q18b_fingerprint_props" ->
+      "SELECT doc_id, TRUE AS ok FROM documents",
+    "q20b_simhash_props" ->
+      """WITH dd AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text FROM documents
+        |)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b, TRUE AS ok
+        |FROM dd a JOIN dd b ON a.text = b.text AND a.doc_id < b.doc_id""".stripMargin,
     "q49_redact" -> {
       val injected = "text || ' contact user' || doc_id || '@example.com via 10.0.' " +
         "|| (doc_id % 250) || '.17 or 555-123-4567'"
