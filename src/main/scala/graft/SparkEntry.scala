@@ -555,6 +555,22 @@ object SparkEntry {
       graft.ops.Corpus.redactPii(docs, "text", "clean")
         .select(col("doc_id"), col("clean"))
     }),
+    // END-TO-END curation showcase: the whole training-data pipeline in one
+    // YAML config — quality signals → filter → exact dedup → PII redaction
+    // → seeded global shuffle → sequence packing of the shuffled epoch.
+    // Shuffle order is engine-specific (xxhash64) → rows-only driver check;
+    // every verb is individually oracle-checked elsewhere.
+    "q50_e2e_curation" -> ((s, dir) =>
+      graft.pipeline.Pipeline.runOnDir(s,
+        """source: documents
+          |steps:
+          |  - qualitySignals: text
+          |  - filter: $token_count >= 5
+          |  - dedupExact: {id: doc_id, keys: [text]}
+          |  - redact: {text: text, as: clean}
+          |  - shuffle: {id: doc_id, seed: 13}
+          |  - pack: {id: doc_id, text: clean, seqTokens: 128, orderBy: [pos]}
+          |""".stripMargin, dir)),
     // Global vocabulary top-k — the canonical corpus word count.
     "q30_vocab" -> ((s, dir) =>
       graft.ops.Corpus.topTokens(t(s, dir, "documents"), "text", 20)

@@ -77,6 +77,41 @@ object Decontam {
       .distinct()
   }
 
+  /** Fully map-side [[markContaminated]]: the eval gram set folds into ONE
+    * 1-row broadcast aggregate and the check is a per-row `arrays_overlap`
+    * — zero shuffles on the corpus side, so it runs UNCHANGED under
+    * Structured Streaming (stream–static join; the distinct-based shapes
+    * need a streaming aggregation and do not). Same answer as
+    * [[markContaminated]]; prefer this on streams, and on batch when the
+    * probe-side shuffle savings beat the per-row set scan.
+    */
+  def markContaminatedMapSide(
+      train: DataFrame,
+      trainTextCol: String,
+      eval: DataFrame,
+      evalTextCol: String,
+      n: Int = 8
+  ): DataFrame = {
+    require(!train.columns.contains("contaminated"),
+      "markContaminatedMapSide adds a 'contaminated' column but train already has one")
+    val Seq(gs) = tempNames(train, "gs")
+    val grams = eval
+      .select(explode(Dedup.shingles(col(evalTextCol), n)).as("__g"))
+      .agg(collect_set(col("__g")).as(gs))
+    train.crossJoin(broadcast(grams))
+      .withColumn("contaminated",
+        arrays_overlap(Dedup.shingles(col(trainTextCol), n), col(gs)))
+      .drop(gs)
+  }
+
+  /** Collision-free temp column names (withColumn silently replaces). */
+  private def tempNames(df: DataFrame, bases: String*): Seq[String] =
+    bases.map { b =>
+      Iterator.from(0)
+        .map(i => if (i == 0) s"__$b" else s"__$b$i")
+        .find(n => !df.columns.contains(n)).get
+    }
+
   /** Adds a boolean `contaminated` column to the training frame: true iff
     * the document shares at least one word n-gram with any eval document.
     */

@@ -88,6 +88,29 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("decontamination + PII redaction run unchanged on a stream (map-side broadcast probe)") {
+    import graft.ops.{Corpus, Decontam}
+    val input = MemoryStream[(Long, String)](spark)
+    val train = input.toDF().toDF("id", "text")
+    val evalSet = Seq((1L, "the secret answer")).toDF("eid", "etext")
+    val out = Decontam.markContaminatedMapSide(train, "text", evalSet, "etext", n = 2)
+      .withColumn("clean", Corpus.redactPii(col("text")))
+    val q = out.writeStream.format("memory").queryName("decontam_stream")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        (10L, "this has the secret answer inside"),
+        (11L, "mail me@x.org instead"))
+      q.processAllAvailable()
+      val got = spark.table("decontam_stream")
+        .select($"id", $"contaminated", $"clean")
+        .as[(Long, Boolean, String)].collect().sortBy(_._1)
+      assert(got.toSeq == Seq(
+        (10L, true, "this has the secret answer inside"),
+        (11L, false, "mail <EMAIL> instead")))
+    } finally q.stop()
+  }
+
   test("sessionize works identically on a batch frame") {
     import graft.ops.StreamingOps
     def t(s: String) = java.sql.Timestamp.valueOf(s)

@@ -70,6 +70,14 @@ class DecontamSpec extends SparkTestBase {
     }
   }
 
+  test("markContaminatedMapSide agrees with the distinct-based shape") {
+    val a = Decontam.markContaminated(train, "id", "text", evalSet, "etext", n = 2)
+      .select("id", "contaminated").as[(Long, Boolean)].collect().toSet
+    val b = Decontam.markContaminatedMapSide(train, "text", evalSet, "etext", n = 2)
+      .select("id", "contaminated").as[(Long, Boolean)].collect().toSet
+    assert(a == b)
+  }
+
   test("default n=8: only long-enough exact spans match") {
     val t8 = Seq(
       (1L, "one two three four five six seven eight nine ten"),
