@@ -94,23 +94,20 @@ object Decontam {
   ): DataFrame = {
     require(!train.columns.contains("contaminated"),
       "markContaminatedMapSide adds a 'contaminated' column but train already has one")
-    val Seq(gs) = tempNames(train, "gs")
+    val Seq(gs) = OpsUtil.tempNames(train, "gs")
     val grams = eval
       .select(explode(Dedup.shingles(col(evalTextCol), n)).as("__g"))
       .agg(collect_set(col("__g")).as(gs))
     train.crossJoin(broadcast(grams))
+      // coalesce: NULL text has no grams → arrays_overlap is NULL, but the
+      // contract (matching markContaminated) is false, not NULL — a
+      // !contaminated filter must keep those rows
       .withColumn("contaminated",
-        arrays_overlap(Dedup.shingles(col(trainTextCol), n), col(gs)))
+        coalesce(
+          arrays_overlap(Dedup.shingles(col(trainTextCol), n), col(gs)),
+          lit(false)))
       .drop(gs)
   }
-
-  /** Collision-free temp column names (withColumn silently replaces). */
-  private def tempNames(df: DataFrame, bases: String*): Seq[String] =
-    bases.map { b =>
-      Iterator.from(0)
-        .map(i => if (i == 0) s"__$b" else s"__$b$i")
-        .find(n => !df.columns.contains(n)).get
-    }
 
   /** Adds a boolean `contaminated` column to the training frame: true iff
     * the document shares at least one word n-gram with any eval document.

@@ -76,9 +76,13 @@ case class StubDecoder(frameBytes: Int = 256) extends MediaDecoder {
   def decodeImage(payload: Array[Byte]): (Int, Int, Int, Iterator[Int]) = {
     val w = 16 + (math.abs(java.util.Arrays.hashCode(payload)) % 64)
     val h = 16 + (math.abs(java.util.Arrays.hashCode(payload) / 64) % 64)
-    val lumas = Iterator.tabulate(w * h) { i =>
-      java.lang.Byte.toUnsignedInt(payload(i % math.max(1, payload.length)))
-    }
+    // zero-byte payloads (truncated/corrupt files are routine in scraped
+    // corpora) decode to all-black rather than killing the task
+    val lumas =
+      if (payload.isEmpty) Iterator.fill(w * h)(0)
+      else Iterator.tabulate(w * h) { i =>
+        java.lang.Byte.toUnsignedInt(payload(i % payload.length))
+      }
     (w, h, 3, lumas)
   }
 

@@ -1,9 +1,10 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.catalyst.expressions.{GenericInternalRow, JoinedRow}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.graft.ColumnBridge
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
 
 /** Ordering-dependent corpus operators: contiguous global row indices,
   * reproducible global shuffles, and fixed-length sequence packing — the
@@ -11,104 +12,93 @@ import org.apache.spark.sql.types.LongType
   *
   * All three need a GLOBAL total order, which naively is
   * `Window.orderBy(...)` with no partition — a single-task sort that dies at
-  * any real scale. The scale-safe shape used here:
+  * any real scale. The scale-safe shape used here is `RDD.zipWithIndex`'s,
+  * lifted to DataFrames: range-repartition + sort on the order key (the
+  * distributed sort `ORDER BY` lowers to), plan that exchange ONCE via its
+  * physical RDD, run one tiny job that sums each partition (#partitions
+  * longs to the driver), then stream the rows once more adding the running
+  * value map-side from the per-partition offsets.
   *
-  *   1. range-repartition on the order key and sort within partitions (a
-  *      distributed sort — exactly what `ORDER BY` lowers to), then stamp
-  *      rows with `monotonically_increasing_id`, whose layout (physical
-  *      partition index in the high bits, a 0-based per-partition counter in
-  *      the low 33) turns the within-partition ROW NUMBER into two bit-ops —
-  *      map-side, no window, no second shuffle;
-  *   2. aggregate per-partition counts/sums (a handful of longs) and prefix-
-  *      sum them into exclusive partition offsets — a sub-plan that runs as
-  *      the broadcast side of a map-side join, never a driver action.
+  * Planning the exchange once is what makes this correct at scale:
+  * `RangePartitioner` seeds its bound-sampling with the RDD id, so two
+  * separately-planned executions of the "same" range exchange can draw
+  * DIFFERENT partition bounds once partitions outgrow the reservoir — a
+  * broadcast-offsets formulation built from a second execution would then
+  * count rows against partitions they don't land in. Against one physical
+  * RDD the bounds are sampled once, the shuffle's map outputs are reused
+  * across the two jobs, and per-partition recomputation replays the same
+  * lineage.
   *
-  * `withGlobalIndex` (and so `deterministicShuffle`) pays exactly ONE
-  * data-sized shuffle — the range exchange; `packSequences` adds one more
-  * for its within-partition running sum, but over rows narrowed to
-  * (order keys, id, token count) first — never the document text. No step
-  * collects data rows to the driver.
+  * The cost model: ONE data-sized shuffle (the sort), one counting pass
+  * over its output, no second shuffle, no window over data, and #partitions
+  * longs on the driver. The result frame is rooted at that RDD (a plan
+  * barrier — push filters/projections BELOW these operators; nothing can be
+  * pushed through a materialized global order anyway).
   */
 object Packing {
 
-  /** `monotonically_increasing_id` bit layout (fixed by Spark): partition
-    * index above bit 33, per-partition insertion counter below. Evaluated
-    * above a partition-local sort, the counter IS the within-partition row
-    * number in the total order.
+  /** Range-sort `df` by `orderCols` and append `outName`: the exclusive
+    * global prefix sum of `valueAt`'s long column (1 per row when None —
+    * i.e. the global row index). See the object doc for why both passes
+    * must share one physical RDD. Ties in `orderCols` get an arbitrary
+    * order within their run; every other property is deterministic.
     */
-  private val RowBits = 33
-  private val RowMask = (1L << RowBits) - 1
-
-  private def pidOf(mid: Column): Column = shiftright(mid, RowBits)
-  private def rowOf(mid: Column): Column = mid.bitwiseAND(lit(RowMask))
-
-  /** The one data-sized shuffle: distributed sort by `orderCols`, each row
-    * stamped with `monotonically_increasing_id` as `midCol`.
-    */
-  private def rangeSorted(
+  private def withExclusivePrefix(
       df: DataFrame,
       orderCols: Seq[Column],
-      midCol: String
+      valueAt: Option[String],
+      outName: String
   ): DataFrame = {
-    val n = df.sparkSession.sparkContext.defaultParallelism
-    df.repartitionByRange(n, orderCols: _*)
+    val spark = df.sparkSession
+    val parts = spark.sparkContext.defaultParallelism
+    val ordered = df
+      .repartitionByRange(parts, orderCols: _*)
       .sortWithinPartitions(orderCols: _*)
-      .withColumn(midCol, monotonically_increasing_id())
-  }
-
-  /** Adds `pidCol` (physical partition index) and `offCol` (exclusive sum of
-    * `perRow` over all earlier partitions) to a [[rangeSorted]] frame.
-    *
-    * Fully lazy — the offsets sub-plan (per-partition totals → one
-    * #partitions-row exclusive prefix sum; the unpartitioned window is over
-    * ONE ROW PER PARTITION, never data) executes as the broadcast side of
-    * the final join. The range exchange is evaluated once per side, but
-    * column pruning reaches below the offsets side's exchange, so that pass
-    * shuffles only the order keys + `perRow` inputs — at corpus scale that
-    * beats persisting the full post-exchange rows to storage just to save a
-    * narrow second pass.
-    *
-    * Both sides agree on every row's partition: `repartitionByRange` draws
-    * its range bounds by reservoir sampling seeded per input-partition index
-    * (deterministic for a fixed input), so the pruned and unpruned
-    * executions compute identical bounds and identical row→partition
-    * assignment — per-partition totals therefore match the data side
-    * exactly. Intra-partition order of tied keys is NOT stable across
-    * executions (shuffle fetch order); per-partition counts don't depend on
-    * it, so only tie-breaking among equal keys varies — see the
-    * [[withGlobalIndex]] contract.
-    */
-  private def withPartitionOffsets(
-      ordered: DataFrame,
-      midCol: String,
-      perRow: Column,
-      pidCol: String,
-      offCol: String
-  ): DataFrame = {
-    val withPid = ordered.withColumn(pidCol, pidOf(col(midCol)))
-    val offsets = withPid
-      .groupBy(col(pidCol))
-      .agg(coalesce(sum(perRow).cast(LongType), lit(0L)).as("__total"))
-      .withColumn(offCol,
-        coalesce(
-          sum(col("__total")).over(
-            Window.orderBy(col(pidCol))
-              .rowsBetween(Window.unboundedPreceding, -1)),
-          lit(0L)))
-      .select(col(pidCol), col(offCol))
-    // broadcast join on the partition id: map-side, no re-shuffle of data
-    withPid.join(broadcast(offsets), pidCol)
+    val schema = ordered.schema
+    val valueOrdinal = valueAt.map(schema.fieldIndex)
+    val rdd = ColumnBridge.internalRowRdd(ordered)
+    // job 1: per-partition totals — #partitions longs to the driver
+    val totals = rdd
+      .mapPartitionsWithIndex { (i, it) =>
+        var s = 0L
+        valueOrdinal match {
+          case Some(o) => it.foreach(r => s += r.getLong(o))
+          case None    => it.foreach(_ => s += 1L)
+        }
+        Iterator((i, s))
+      }
+      .collect().sortBy(_._1).map(_._2)
+    val offsets = totals.scanLeft(0L)(_ + _) // offsets(i) = sum of earlier partitions
+    // job 2 (lazy, shuffle map outputs reused): stream rows adding the
+    // running value; GenericInternalRow + JoinedRow are the standard
+    // reused-per-partition internal-row idiom (downstream scan projection
+    // materializes each row before any buffering)
+    val out = rdd.mapPartitionsWithIndex { (i, it) =>
+      var acc = offsets(i)
+      val extra = new GenericInternalRow(1)
+      val joined = new JoinedRow
+      it.map { row =>
+        extra.update(0, acc)
+        valueOrdinal match {
+          case Some(o) => acc += row.getLong(o)
+          case None    => acc += 1L
+        }
+        joined(row, extra): org.apache.spark.sql.catalyst.InternalRow
+      }
+    }
+    ColumnBridge.dataFrameFromInternalRows(spark, out,
+      StructType(schema.fields :+ StructField(outName, LongType, nullable = false)))
   }
 
   /** Contiguous 0-based global row index in the total order of `orderCols`,
     * added as `indexCol`. Ties in `orderCols` get an arbitrary but
-    * deterministic-per-input order — pass a unique key (or include one as
-    * the last order column) for full run-to-run reproducibility.
+    * per-run-consistent order — pass a unique key (or include one as the
+    * last order column) for full run-to-run reproducibility of WHICH row
+    * gets WHICH index; the index set of each tie-group is stable always.
     *
-    * Shape: ONE range exchange (the distributed sort); the index is
-    * `broadcast partition offset + the row counter already inside
-    * monotonically_increasing_id` — both map-side. No window over data, no
-    * second shuffle, no driver action.
+    * Shape: one range exchange + one per-partition counting job; the index
+    * itself is attached map-side. Eager (the counting job runs at call
+    * time), like `RDD.zipWithIndex`.
     */
   def withGlobalIndex(
       df: DataFrame,
@@ -117,17 +107,16 @@ object Packing {
   ): DataFrame = {
     require(!df.columns.contains(indexCol),
       s"withGlobalIndex adds '$indexCol' but df already has it")
-    val Seq(mid, pid, off) = tempNames(df, "mid", "pid", "off")
-    withPartitionOffsets(rangeSorted(df, orderCols, mid), mid, lit(1L), pid, off)
-      .withColumn(indexCol, col(off) + rowOf(col(mid)))
-      .drop(mid, pid, off)
+    withExclusivePrefix(df, orderCols, None, indexCol)
   }
 
   /** Reproducible global shuffle: permutes rows into the order of
     * `xxhash64(id, seed)` (ties broken by id) and records each row's
     * shuffled position in `posCol`. Same (data, seed) → same permutation on
-    * every run, any cluster size — the property training-data order needs
-    * and a `rand()` sort does not have. Different seeds give independent
+    * every run, any cluster size or input partitioning — the position is
+    * the RANK of the unique key (hash, id) in its total order, and ranks
+    * don't depend on where partition boundaries fall. A `rand()` sort has
+    * none of these properties. Different seeds give independent
     * permutations (new epoch = new seed).
     *
     * `idCol` must be unique per row; the hash is the sort key, so this is
@@ -139,7 +128,7 @@ object Packing {
       seed: Long,
       posCol: String = "pos"
   ): DataFrame = {
-    val Seq(hcol) = tempNames(df, "h")
+    val Seq(hcol) = OpsUtil.tempNames(df, "h")
     withGlobalIndex(
       df.withColumn(hcol, xxhash64(col(idCol), lit(seed))),
       Seq(col(hcol).asc, col(idCol).asc),
@@ -162,11 +151,11 @@ object Packing {
     * Documents with zero tokens are dropped (they occupy no slots).
     *
     * Shape: the frame is first NARROWED to (sort-key inputs, id, token
-    * count) so the range exchange never carries document text; the
-    * within-partition running sum is the one remaining window, and its
-    * exchange moves only those narrow rows. The fragment rows come from a
-    * map-side `explode` over each document's overlapped sequence range. No
-    * single-partition stage, no driver action.
+    * count) — document text never reaches the exchange; the global token
+    * cumsum is the same one-exchange prefix construction as
+    * [[withGlobalIndex]]; the fragment rows come from a map-side `explode`
+    * over each document's overlapped sequence range. No single-partition
+    * stage, no window over data.
     */
   def packSequences(
       df: DataFrame,
@@ -176,7 +165,7 @@ object Packing {
       orderCols: Seq[Column]
   ): DataFrame = {
     require(seqTokens >= 1, "seqTokens must be >= 1")
-    val Seq(mid, pid, off, n, cum) = tempNames(df, "mid", "pid", "off", "n", "cum")
+    val Seq(n, cum) = OpsUtil.tempNames(df, "n", "cum")
     val withN = df
       .withColumn(n, nTokens.cast(LongType))
       .filter(col(n) > 0)
@@ -184,16 +173,10 @@ object Packing {
     // does not push the token-count COMPUTATION below a repartition, so
     // without this the text column would ride the range shuffle
     val keep = (orderCols.flatMap(c =>
-      org.apache.spark.sql.graft.ColumnBridge.convertedExpression(c)
-        .references.iterator.map(_.name).toSeq)
+      ColumnBridge.convertedExpression(c).references.iterator.map(_.name).toSeq)
       ++ Seq(idCol, n)).distinct
     val narrow = withN.select(keep.map(col): _*)
-    val staged0 = withPartitionOffsets(
-      rangeSorted(narrow, orderCols, mid), mid, col(n), pid, off)
-    // exclusive cumsum = this document's first token slot in the stream;
-    // ordering by the id-stamp reuses the already-sorted order
-    val w = Window.partitionBy(col(pid)).orderBy(col(mid))
-    val staged = staged0.withColumn(cum, col(off) + sum(col(n)).over(w) - col(n))
+    val staged = withExclusivePrefix(narrow, orderCols, Some(n), cum)
     val L = lit(seqTokens.toLong)
     val firstSeq = floor(col(cum) / L)
     val lastSeq = floor((col(cum) + col(n) - 1) / L)
@@ -226,14 +209,4 @@ object Packing {
   ): DataFrame =
     packSequences(df, idCol, size(TextStats.tokens(col(textCol))), seqTokens,
       Seq(col(idCol).asc))
-
-  /** Collision-free temp column names (withColumn silently replaces — a
-    * caller column named like an internal would be destroyed otherwise).
-    */
-  private def tempNames(df: DataFrame, bases: String*): Seq[String] =
-    bases.map { b =>
-      Iterator.from(0)
-        .map(i => if (i == 0) s"__$b" else s"__$b$i")
-        .find(n => !df.columns.contains(n)).get
-    }
 }

@@ -247,10 +247,7 @@ object Pipeline {
         }
 
       case "orderBy" =>
-        val cols = asSeq(step("orderBy")).map(_.toString).map { s =>
-          if (s.startsWith("-")) col(s.drop(1)).desc else col(s).asc
-        }
-        df.orderBy(cols: _*)
+        df.orderBy(sortCols(asSeq(step("orderBy"))): _*)
 
       case "limit" =>
         df.limit(step("limit").toString.toInt)
@@ -308,10 +305,8 @@ object Pipeline {
           .partitionBy(asSeq(wspec.getOrElse("partitionBy", Seq.empty))
             .map(s => col(s.toString)): _*)
         val w = wspec.get("orderBy") match {
-          case Some(o) => w0.orderBy(asSeq(o).map(_.toString).map { s =>
-            if (s.startsWith("-")) col(s.drop(1)).desc else col(s).asc
-          }: _*)
-          case None => w0
+          case Some(o) => w0.orderBy(sortCols(asSeq(o)): _*)
+          case None    => w0
         }
         orderedEntries(wspec.getOrElse("cols",
           throw new IllegalArgumentException("window needs 'cols'")), "window.cols")
@@ -349,10 +344,7 @@ object Pipeline {
         val q = asMap(step("quota"), "quota")
         graft.ops.Corpus.perKeyQuota(df,
           asSeq(q("keys")).map(_.toString),
-          asSeq(q("orderBy")).map(_.toString).map { s =>
-            // same "-col" descending convention as the orderBy verb
-            if (s.startsWith("-")) col(s.drop(1)).desc else col(s).asc
-          },
+          sortCols(asSeq(q("orderBy"))),
           q("k").toString.toInt)
 
       case "sample" =>

@@ -36,4 +36,28 @@ object ColumnBridge {
     ds.sparkSession.internalCreateDataFrame(
       ds.queryExecution.toRdd, ds.schema, isStreaming = false)
   }
+
+  /** The ONE physical `InternalRow` RDD behind `df`'s plan. Running several
+    * jobs against this same RDD object is the `RDD.zipWithIndex` consistency
+    * idiom: any shuffle inside is planned (and its range bounds sampled)
+    * exactly once, its map outputs are reused across the jobs, and per-
+    * partition recomputation replays the same lineage — unlike executing
+    * two separately-planned DataFrame actions over the same logical plan,
+    * where each execution samples its own range bounds (`RangePartitioner`
+    * seeds on `rdd.id`).
+    */
+  def internalRowRdd(df: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow] =
+    df.asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
+      .queryExecution.toRdd
+
+  /** Wrap an `InternalRow` RDD (e.g. a transformation of
+    * [[internalRowRdd]]'s result) back into a DataFrame.
+    */
+  def dataFrameFromInternalRows(
+      spark: org.apache.spark.sql.SparkSession,
+      rdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow],
+      schema: org.apache.spark.sql.types.StructType): org.apache.spark.sql.DataFrame =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .internalCreateDataFrame(rdd, schema, isStreaming = false)
 }

@@ -70,12 +70,15 @@ class DecontamSpec extends SparkTestBase {
     }
   }
 
-  test("markContaminatedMapSide agrees with the distinct-based shape") {
-    val a = Decontam.markContaminated(train, "id", "text", evalSet, "etext", n = 2)
+  test("markContaminatedMapSide agrees with the distinct-based shape, incl. NULL text") {
+    val withNull = train.unionByName(
+      Seq((99L, null: String)).toDF("id", "text"))
+    val a = Decontam.markContaminated(withNull, "id", "text", evalSet, "etext", n = 2)
       .select("id", "contaminated").as[(Long, Boolean)].collect().toSet
-    val b = Decontam.markContaminatedMapSide(train, "text", evalSet, "etext", n = 2)
+    val b = Decontam.markContaminatedMapSide(withNull, "text", evalSet, "etext", n = 2)
       .select("id", "contaminated").as[(Long, Boolean)].collect().toSet
     assert(a == b)
+    assert(a.contains((99L, false)), "NULL text is false, never NULL")
   }
 
   test("default n=8: only long-enough exact spans match") {

@@ -112,6 +112,13 @@ class MultimodalSpec extends SparkTestBase {
     assert(df.schema("content").dataType == BinaryType)
   }
 
+  test("zero-byte image payloads decode to all-black instead of killing the task") {
+    val m = Seq(MediaRow(7L, MediaMeta("image", "stub", 10, 10, 0, 0L), Array.empty[Byte]))
+      .toDS()
+    val f = Multimodal.imageFeatures(m).collect()
+    assert(f.length == 1 && f.head.meanLuma == 0.0 && f.head.histogram(0) > 0)
+  }
+
   test("a custom MediaDecoder plugs in without touching the operators") {
     // a fixed-everything decoder: proves the operators call through the
     // trait (and that a real libjpeg/ffmpeg impl only needs this surface)

@@ -2,7 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.catalyst.plans.LeftSemi
-import org.apache.spark.sql.catalyst.plans.physical.RangePartitioning
+import org.apache.spark.sql.execution.RDDScanExec
 import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
 import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
 import org.apache.spark.sql.execution.window.WindowExec
@@ -25,33 +25,34 @@ class PlanShapeSpec extends SparkTestBase {
   private def windows(df: DataFrame): Seq[WindowExec] =
     df.queryExecution.sparkPlan.collect { case w: WindowExec => w }
 
-  test("withGlobalIndex: the payload rides exactly one (range) shuffle and no window") {
+  test("withGlobalIndex: index attaches map-side over the one pre-planned sort (no further shuffle/window)") {
+    // the global order is materialized inside ONE physical RDD (the
+    // zipWithIndex consistency idiom — see Packing's object doc); above
+    // that barrier nothing may move or sort again
     val df = (1L to 100L).map(i => (i, "x" * 50)).toDF("id", "payload")
     val q = Packing.withGlobalIndex(df, Seq(col("id").asc))
-    val carrying = shuffles(q).filter(_.output.exists(_.name == "payload"))
-    assert(carrying.size == 1,
-      s"payload must ride exactly the range exchange, found ${carrying.size}")
-    assert(carrying.head.outputPartitioning.isInstanceOf[RangePartitioning],
-      "the one payload shuffle is the distributed sort")
-    assert(!windows(q).exists(_.output.exists(_.name == "payload")),
-      "no window function runs over data rows (offsets window sees one row per partition)")
+    assert(q.columns.toSeq == Seq("id", "payload", "pos"))
+    assert(shuffles(q).isEmpty && windows(q).isEmpty,
+      "no exchange or window above the materialized order")
+    assert(q.queryExecution.sparkPlan.collect { case r: RDDScanExec => r }.nonEmpty)
   }
 
-  test("packSequences: document text never rides any shuffle") {
+  test("packSequences: document text never reaches the exchange (narrowed below the barrier)") {
     val df = (1L to 50L).map(i => (i, Seq.fill(20)("tok").mkString(" "))).toDF("id", "text")
     val q = Packing.packSequences(df, "id",
       size(TextStats.tokens(col("text"))), 64, Seq(col("id").asc))
-    assert(shuffles(q).nonEmpty)
-    assert(!shuffles(q).exists(_.output.exists(_.name == "text")),
-      "the token count is computed below the exchange; text stays map-side")
+    assert(shuffles(q).isEmpty && windows(q).isEmpty)
+    val scans = q.queryExecution.sparkPlan.collect { case r: RDDScanExec => r }
+    assert(scans.nonEmpty &&
+      !scans.exists(_.output.exists(_.name == "text")),
+      "the sorted RDD carries only (order keys, id, token count) — never text")
   }
 
-  test("deterministicShuffle: payload shuffles once, by the hash sort") {
+  test("deterministicShuffle: no shuffle or window above the materialized permutation") {
     val df = (1L to 100L).map(i => (i, "y" * 50)).toDF("id", "payload")
     val q = Packing.deterministicShuffle(df, "id", seed = 1L)
-    val carrying = shuffles(q).filter(_.output.exists(_.name == "payload"))
-    assert(carrying.size == 1 &&
-      carrying.head.outputPartitioning.isInstanceOf[RangePartitioning])
+    assert(q.columns.toSeq == Seq("id", "payload", "pos"))
+    assert(shuffles(q).isEmpty && windows(q).isEmpty)
   }
 
   test("decontamination: corpus text never shuffles; the gram probe is a broadcast semi-join") {
