@@ -182,6 +182,25 @@ class PackingSpec extends SparkTestBase {
     assert(got == oracle.toSet)
   }
 
+  test("packSequences: randomized sweep vs the imperative oracle") {
+    val rnd = new scala.util.Random(97)
+    for (trial <- 1 to 8) {
+      val nDocs = 1 + rnd.nextInt(120)
+      val L = 1 + rnd.nextInt(200)
+      // ~1 in 6 docs empty; token counts skew small with occasional giants
+      val docs = (1L to nDocs.toLong).map { i =>
+        val n = rnd.nextInt(6) match {
+          case 0 => 0L
+          case 5 => rnd.nextInt(1000).toLong
+          case _ => rnd.nextInt(30).toLong
+        }
+        (i, n)
+      }
+      assert(runPack(docs, L) == packOracle(docs, L).toSet,
+        s"trial $trial: nDocs=$nDocs L=$L")
+    }
+  }
+
   test("packSequences: rejects nonpositive seqTokens") {
     intercept[IllegalArgumentException] {
       Packing.packSequences(Seq((1L, 1L)).toDF("id", "n"), "id", col("n"), 0,
