@@ -255,6 +255,25 @@ object SparkEntry {
         t(s, dir, "embeddings"), "vec_id", "embedding", threshold = 0.35,
         dim = 64, planesPerTable = 6, numTables = 8)
         .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))),
+    // Hyperplane-LSH PROPERTY oracle (bucket layout is hash-specific → q19b
+    // stays rows-only; this states a recall floor): identical embeddings
+    // get identical sign-bit signatures in EVERY table, must share a bucket,
+    // and score cosine 1.0 ≥ threshold — so every identical-vector pair is
+    // guaranteed reported. Corpus unioned with an id-shifted copy so the
+    // guaranteed set is non-vacuous.
+    "q19c_cosine_lsh_props" -> ((s, dir) => {
+      val e0 = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val ee = e0.unionByName(
+        e0.select((col("vec_id") + 1000000L).as("vec_id"), col("embedding")))
+      val found = Similarity.cosineNearDuplicatePairs(ee, "vec_id", "embedding",
+        threshold = 0.35, dim = 64, planesPerTable = 6, numTables = 8)
+        .select(col("id_a"), col("id_b"), lit(1).as("__f"))
+      ee.as("x").join(ee.as("y"),
+        col("x.embedding") === col("y.embedding") && col("x.vec_id") < col("y.vec_id"))
+        .select(col("x.vec_id").as("id_a"), col("y.vec_id").as("id_b"))
+        .join(found, Seq("id_a", "id_b"), "left")
+        .select(col("id_a"), col("id_b"), col("__f").isNotNull.as("ok"))
+    }),
     "q20_simhash_pairs" -> ((s, dir) =>
       Dedup.simhashNearDuplicatePairs(t(s, dir, "documents"), "doc_id", "text", maxHamming = 8)
         .select(col("id_a"), col("id_b"), col("hamming"))),
@@ -317,6 +336,28 @@ object SparkEntry {
         .select(col("media_id"), col("width"), col("height"), col("channels"),
           round(col("meanLuma"), 6).as("mean_luma"),
           concat_ws(",", col("histogram").cast("array<string>")).as("histogram"))
+    }),
+    // Multimodal PROPERTY oracle (stub decode bits are engine-specific →
+    // q23 stays rows-only; this states the feature-extraction invariants):
+    // dims within the stub's declared range, 3 channels, 16 histogram bins
+    // summing to exactly width × height pixels, mean luma within [0, 255].
+    "q23c_multimodal_props" -> ((s, dir) => {
+      import s.implicits._
+      val media = t(s, dir, "documents")
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+        .map { case (id, text) =>
+          graft.ops.MediaRow(id,
+            graft.ops.MediaMeta("image", "stub", 100, 80, 0, 0L),
+            text.getBytes("UTF-8"))
+        }
+      graft.ops.Multimodal.imageFeatures(media).toDF()
+        .select(col("media_id"),
+          (col("width").between(16, 79) && col("height").between(16, 79) &&
+            col("channels") === 3 &&
+            col("meanLuma").between(0.0, 255.0) &&
+            (size(col("histogram")) === 16) &&
+            (aggregate(col("histogram"), lit(0L), (a, x) => a + x)
+              === col("width").cast("long") * col("height"))).as("ok"))
     }),
     // Audio decode (stub) + video frame sampling over the same payload
     // plumbing as q23 — rows-only (decode is engine-specific), scalar
@@ -1037,6 +1078,16 @@ object SparkEntry {
         |FROM generate_series(0, 49999) t(g)""".stripMargin,
     "q18b_fingerprint_props" ->
       "SELECT doc_id, TRUE AS ok FROM documents",
+    "q19c_cosine_lsh_props" ->
+      """WITH ee AS (
+        |  SELECT vec_id, embedding FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 1000000, embedding FROM embeddings
+        |)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b, TRUE AS ok
+        |FROM ee a JOIN ee b ON a.embedding = b.embedding AND a.vec_id < b.vec_id""".stripMargin,
+    "q23c_multimodal_props" ->
+      "SELECT doc_id AS media_id, TRUE AS ok FROM documents",
     "q20b_simhash_props" ->
       """WITH dd AS (
         |  SELECT doc_id, text FROM documents
