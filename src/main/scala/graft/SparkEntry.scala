@@ -359,6 +359,40 @@ object SparkEntry {
             (aggregate(col("histogram"), lit(0L), (a, x) => a + x)
               === col("width").cast("long") * col("height"))).as("ok"))
     }),
+    // Audio/video PROPERTY oracle: one PCM sample per payload byte (so
+    // nFrames == octet length of the text), RMS within [0, 1], and the
+    // every-4th-of-256-byte-chunks frame sampler yields exactly
+    // ceil(ceil(olen/256)/4) frames — including ZERO for empty payloads
+    // (left join keeps frame-less videos).
+    "q23d_av_props" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val media = docs.as[(Long, String)].map { case (id, text) =>
+        val bytes = text.getBytes("UTF-8")
+        val mt = if (id % 2 == 0) "audio" else "video"
+        graft.ops.MediaRow(id,
+          graft.ops.MediaMeta(mt, "stub", 0, 0, 16000, bytes.length.toLong), bytes)
+      }
+      val audio = graft.ops.Multimodal.audioFeatures(media).toDF()
+        .select(col("media_id"), col("rms"), col("nFrames"))
+      val vframes = graft.ops.Multimodal.sampleFrames(media, everyN = 4).toDF()
+        .groupBy(col("media_id"))
+        .agg(count(lit(1)).as("nf"), max(col("frameIndex")).as("maxIdx"))
+      val base = docs.select(col("doc_id"),
+        octet_length(col("text")).cast("long").as("olen"))
+      val audioOk = base.filter(col("doc_id") % 2 === 0)
+        .join(audio, base("doc_id") === audio("media_id"), "left")
+        .select(col("doc_id").as("media_id"),
+          (col("nFrames") === col("olen") && col("rms").between(0.0, 1.0)).as("ok"))
+      val chunks = ceil(col("olen") / 256.0).cast("long")
+      val expFrames = ceil(chunks / 4.0).cast("long")
+      val videoOk = base.filter(col("doc_id") % 2 === 1)
+        .join(vframes, base("doc_id") === vframes("media_id"), "left")
+        .select(col("doc_id").as("media_id"),
+          ((coalesce(col("nf"), lit(0L)) === expFrames) &&
+            (coalesce(col("maxIdx"), lit(0)) % 4 === 0)).as("ok"))
+      audioOk.unionByName(videoOk)
+    }),
     // Audio decode (stub) + video frame sampling over the same payload
     // plumbing as q23 — rows-only (decode is engine-specific), scalar
     // columns only.
@@ -1087,6 +1121,8 @@ object SparkEntry {
         |SELECT a.vec_id AS id_a, b.vec_id AS id_b, TRUE AS ok
         |FROM ee a JOIN ee b ON a.embedding = b.embedding AND a.vec_id < b.vec_id""".stripMargin,
     "q23c_multimodal_props" ->
+      "SELECT doc_id AS media_id, TRUE AS ok FROM documents",
+    "q23d_av_props" ->
       "SELECT doc_id AS media_id, TRUE AS ok FROM documents",
     "q20b_simhash_props" ->
       """WITH dd AS (
