@@ -511,10 +511,34 @@ object Pipeline {
             s"decontaminate mode must be mark|remove, got $other")
         }
 
+      case "mediaFeatures" =>
+        // {kind: image|audio} over a MediaRow-schema frame
+        // (media_id, meta struct, payload binary)
+        asMap(step("mediaFeatures"), "mediaFeatures")("kind").toString match {
+          case "image" => graft.ops.Multimodal.imageFeatures(asMedia(df)).toDF()
+          case "audio" => graft.ops.Multimodal.audioFeatures(asMedia(df)).toDF()
+          case other => throw new IllegalArgumentException(
+            s"mediaFeatures kind must be image|audio, got $other")
+        }
+
+      case "resizeImages" =>
+        val r = asMap(step("resizeImages"), "resizeImages")
+        graft.ops.Multimodal.resizeImages(asMedia(df),
+          r("maxDim").toString.toInt).toDF()
+
+      case "sampleFrames" =>
+        val r = asMap(step("sampleFrames"), "sampleFrames")
+        graft.ops.Multimodal.sampleFrames(asMedia(df),
+          r("everyN").toString.toInt,
+          r.get("frameBytes").map(_.toString.toInt).getOrElse(256)).toDF()
+
       case other =>
         throw new IllegalArgumentException(s"Unknown pipeline verb: $other")
     }
   }
+
+  private def asMedia(df: DataFrame) =
+    df.as(org.apache.spark.sql.Encoders.product[graft.ops.MediaRow])
 
   /** The "-col" descending convention shared by orderBy-style verb args. */
   private def sortCols(specs: Seq[Any]): Seq[Column] =

@@ -400,6 +400,24 @@ class PipelineSpec extends SparkTestBase {
     assert(run("remove").select("id").as[Long].collect().toSeq == Seq(2L))
   }
 
+  test("multimodal verbs: mediaFeatures / resizeImages / sampleFrames over a MediaRow frame") {
+    import graft.ops.{MediaMeta, MediaRow}
+    def media = Seq(
+      MediaRow(1L, MediaMeta("image", "stub", 100, 80, 0, 0L), "img-bytes-payload".getBytes),
+      MediaRow(2L, MediaMeta("audio", "stub", 0, 0, 16000, 1000L), "audio-bytes".getBytes),
+      MediaRow(3L, MediaMeta("video", "stub", 0, 0, 0, 1000L), ("v" * 600).getBytes)
+    ).toDF()
+    def run(yaml: String) = Pipeline.run(spark, yaml, _ => media)
+    val img = run("source: m\nsteps:\n  - mediaFeatures: {kind: image}\n")
+    assert(img.columns.contains("meanLuma") && img.count() == 1)
+    val aud = run("source: m\nsteps:\n  - mediaFeatures: {kind: audio}\n")
+    assert(aud.select("nFrames").as[Long].head() == "audio-bytes".length)
+    val rez = run("source: m\nsteps:\n  - resizeImages: {maxDim: 50}\n")
+    assert(rez.count() == 3) // non-images pass through
+    val frames = run("source: m\nsteps:\n  - sampleFrames: {everyN: 2, frameBytes: 100}\n")
+    assert(frames.count() == 3) // 600 bytes / 100 = 6 frames, every 2nd
+  }
+
   test("redact verb scrubs PII into typed tokens") {
     val out = Pipeline.run(spark,
       """source: t
