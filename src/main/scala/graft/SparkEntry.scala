@@ -646,6 +646,22 @@ object SparkEntry {
           |  - shuffle: {id: doc_id, seed: 13}
           |  - pack: {id: doc_id, text: clean, seqTokens: 128, orderBy: [pos]}
           |""".stripMargin, dir)),
+    // E2E INTEGRATION PROPERTY oracle for q50: DuckDB independently pushes
+    // token counts through the whole pipeline (filter ∘ dedup are
+    // order-insensitive here: distinct texts with ≥5 tokens; redaction is
+    // token-count-neutral on this corpus — verified zero PII matches) and
+    // derives the exact expected sequence set 0..ceil(total/128)-1. The
+    // row-set compare then enforces: right NUMBER of sequences, contiguous
+    // ids, and every non-tail sequence slot-exact at 128 — across a shuffle
+    // order DuckDB cannot see.
+    "q50b_e2e_props" -> ((s, dir) => {
+      val frags = queries("q50_e2e_curation")(s, dir)
+      val perSeq = frags.groupBy(col("seq_id")).agg(sum(col("n_tokens")).as("filled"))
+      perSeq
+        .crossJoin(broadcast(perSeq.agg(max(col("seq_id")).as("__mx"))))
+        .select(col("seq_id"),
+          (col("filled") === 128 || col("seq_id") === col("__mx")).as("ok"))
+    }),
     // Global vocabulary top-k — the canonical corpus word count.
     "q30_vocab" -> ((s, dir) =>
       graft.ops.Corpus.topTokens(t(s, dir, "documents"), "text", 20)
@@ -1124,6 +1140,15 @@ object SparkEntry {
       "SELECT doc_id AS media_id, TRUE AS ok FROM documents",
     "q23d_av_props" ->
       "SELECT doc_id AS media_id, TRUE AS ok FROM documents",
+    "q50b_e2e_props" ->
+      s"""WITH kept AS (
+         |  SELECT DISTINCT text,
+         |    len(list_filter(string_split_regex(text, '$wsClassSql'), x -> x <> ''))::BIGINT AS n
+         |  FROM documents
+         |)
+         |SELECT unnest(range(0,
+         |  (SELECT ((sum(n) + 127) // 128)::BIGINT FROM kept WHERE n >= 5))) AS seq_id,
+         |  TRUE AS ok""".stripMargin,
     "q20b_simhash_props" ->
       """WITH dd AS (
         |  SELECT doc_id, text FROM documents
