@@ -54,6 +54,24 @@ class PackingSpec extends SparkTestBase {
     }
   }
 
+  test("withGlobalIndex: empty frames and frames smaller than the partition count") {
+    val empty = spark.range(0).toDF("id")
+    assert(Packing.withGlobalIndex(empty, Seq(col("id").asc)).count() == 0)
+    // 3 rows over local[4] default parallelism: most partitions are empty
+    val tiny = Seq(5L, 1L, 9L).toDF("id")
+    val got = Packing.withGlobalIndex(tiny, Seq(col("id").asc), "pos")
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 0L, 5L -> 1L, 9L -> 2L))
+  }
+
+  test("packSequences: empty input and all-zero token counts yield no fragments") {
+    val docs = Seq((1L, 0L), (2L, 0L)).toDF("id", "n")
+    assert(Packing.packSequences(docs, "id", col("n"), 16, Seq(col("id").asc))
+      .count() == 0)
+    assert(Packing.packSequences(docs.filter(lit(false)), "id", col("n"), 16,
+      Seq(col("id").asc)).count() == 0)
+  }
+
   test("withGlobalIndex: refuses to clobber an existing column") {
     val df = Seq(1L).toDF("pos")
     intercept[IllegalArgumentException] {
