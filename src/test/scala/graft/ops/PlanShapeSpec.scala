@@ -72,4 +72,23 @@ class PlanShapeSpec extends SparkTestBase {
     val q = Retrieval.bm25(df, "id", "text", Seq("the", "data"))
     assert(!shuffles(q).exists(_.output.exists(_.name == "text")))
   }
+
+  test("top-k operators lower to TakeOrderedAndProject, never a global sort") {
+    import org.apache.spark.sql.execution.{SortExec, TakeOrderedAndProjectExec}
+    val vecs = (1L to 60L)
+      .map(i => (i, Array.tabulate(8)(d => ((i + d) % 5).toFloat)))
+      .toDF("id", "vec")
+    val docs = (1L to 60L).map(i => (i, s"the data model $i")).toDF("id", "text")
+    val qv = (0 until 8).map(_.toFloat)
+    val plans = Seq(
+      Similarity.bruteForceTopK(vecs, "id", "vec", qv, 5),
+      Retrieval.bm25TopK(docs, "id", "text", Seq("the", "data"), 5))
+    for (q <- plans) {
+      val p = q.queryExecution.sparkPlan
+      assert(p.collect { case t: TakeOrderedAndProjectExec => t }.nonEmpty,
+        s"expected TakeOrderedAndProject:\n$p")
+      assert(p.collect { case s: SortExec if s.global => s }.isEmpty,
+        "no global sort for a top-k")
+    }
+  }
 }
