@@ -662,6 +662,18 @@ object SparkEntry {
         .select(col("seq_id"),
           (col("filled") === 128 || col("seq_id") === col("__mx")).as("ok"))
     }),
+    // Token-budget selection: the longest prefix of the corpus in
+    // (token_count DESC, doc_id) order whose running token total fits a
+    // 10k budget — whole docs, no back-fill. Exact BIGINT oracle via a
+    // DuckDB running-sum window.
+    "q51_token_budget" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"),
+          size(graft.ops.TextStats.tokens(col("text"))).cast("long").as("tc"))
+      graft.ops.Packing.takeTokenBudget(d, col("tc"), 10000L,
+        Seq(col("tc").desc, col("doc_id").asc))
+        .select(col("doc_id"), col("tc"))
+    }),
     // Global vocabulary top-k — the canonical corpus word count.
     "q30_vocab" -> ((s, dir) =>
       graft.ops.Corpus.topTokens(t(s, dir, "documents"), "text", 20)
@@ -1140,6 +1152,18 @@ object SparkEntry {
       "SELECT doc_id AS media_id, TRUE AS ok FROM documents",
     "q23d_av_props" ->
       "SELECT doc_id AS media_id, TRUE AS ok FROM documents",
+    "q51_token_budget" ->
+      s"""WITH t AS (
+         |  SELECT doc_id,
+         |    len(list_filter(string_split_regex(text, '$wsClassSql'), x -> x <> ''))::BIGINT AS tc
+         |  FROM documents
+         |), c AS (
+         |  SELECT doc_id, tc,
+         |    sum(tc) OVER (ORDER BY tc DESC, doc_id
+         |                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS runsum
+         |  FROM t
+         |)
+         |SELECT doc_id, tc FROM c WHERE runsum <= 10000""".stripMargin,
     "q50b_e2e_props" ->
       s"""WITH kept AS (
          |  SELECT DISTINCT text,

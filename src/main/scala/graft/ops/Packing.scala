@@ -196,6 +196,32 @@ object Packing {
           .cast(LongType).as("n_tokens"))
   }
 
+  /** Keep whole documents in the total order of `orderCols` until
+    * `budgetTokens` fills: the kept set is the longest PREFIX of the
+    * ordered stream whose running token total stays within the budget —
+    * the first over-budget document and everything after it drop (no
+    * splitting, no greedy back-fill of later smaller docs; a strict prefix
+    * is what makes the selection reproducible and order-auditable). The
+    * standard "fill an N-token training mix by quality order" step. NULL
+    * token counts occupy zero budget.
+    *
+    * Same one-exchange prefix construction as [[withGlobalIndex]]; the
+    * budget test is a map-side filter on the running total.
+    */
+  def takeTokenBudget(
+      df: DataFrame,
+      nTokens: Column,
+      budgetTokens: Long,
+      orderCols: Seq[Column]
+  ): DataFrame = {
+    require(budgetTokens >= 0, "budgetTokens must be >= 0")
+    val Seq(n, cum) = OpsUtil.tempNames(df, "n", "cum")
+    val withN = df.withColumn(n, coalesce(nTokens.cast(LongType), lit(0L)))
+    withExclusivePrefix(withN, orderCols, Some(n), cum)
+      .filter(col(cum) + col(n) <= budgetTokens)
+      .drop(n, cum)
+  }
+
   /** Convenience: pack by whitespace token count of a text column, ordered
     * by the id (the deterministic default — compose with
     * [[deterministicShuffle]] first and order by `pos` to pack a shuffled

@@ -494,6 +494,21 @@ object Pipeline {
         graft.ops.Corpus.redactPii(df, r("text").toString,
           r.getOrElse("as", "redacted").toString)
 
+      case "tokenBudget" =>
+        // {text: col | tokens: expr, budget: N, orderBy: [...]} — longest
+        // in-budget prefix of the ordered stream, whole docs
+        val b = asMap(step("tokenBudget"), "tokenBudget")
+        val tokens = (b.get("tokens"), b.get("text")) match {
+          case (Some(e), None) => compileExpr(e, df)
+          case (None, Some(t)) => size(graft.ops.TextStats.tokens(col(t.toString)))
+          case _ => throw new IllegalArgumentException(
+            "tokenBudget needs exactly one of 'text' (column) or 'tokens' (expression)")
+        }
+        graft.ops.Packing.takeTokenBudget(df, tokens,
+          b("budget").toString.toLong,
+          sortCols(asSeq(b.getOrElse("orderBy",
+            throw new IllegalArgumentException("tokenBudget needs 'orderBy'")))))
+
       case "decontaminate" =>
         // {table: evalSet, id:, text:, evalText: (defaults to text), n: 8,
         //  mode: mark|remove}

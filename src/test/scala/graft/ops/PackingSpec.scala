@@ -219,6 +219,39 @@ class PackingSpec extends SparkTestBase {
     }
   }
 
+  // --------------------------------------------------------- token budget
+
+  test("takeTokenBudget: longest in-budget prefix, no back-fill, nulls free") {
+    val docs = Seq(
+      (1L, java.lang.Long.valueOf(6L)),
+      (2L, java.lang.Long.valueOf(7L)),  // overflows a 10-budget → cut here
+      (3L, java.lang.Long.valueOf(2L)),  // would fit greedily — must NOT back-fill
+      (4L, null.asInstanceOf[java.lang.Long])
+    ).toDF("id", "n")
+    def kept(budget: Long): Set[Long] =
+      Packing.takeTokenBudget(docs, col("n"), budget, Seq(col("id").asc))
+        .select("id").as[Long].collect().toSet
+    assert(kept(10) == Set(1L))
+    assert(kept(15) == Set(1L, 2L, 3L, 4L), "null counts occupy zero budget")
+    assert(kept(13) == Set(1L, 2L), "exact fit at the boundary is kept")
+    assert(kept(5) == Set.empty, "first doc bigger than the budget → nothing")
+    assert(kept(0) == Set.empty)
+    // null-at-front occupies nothing and survives any budget ≥ 0
+    val nullFirst = Seq(
+      (1L, null.asInstanceOf[java.lang.Long]), (2L, java.lang.Long.valueOf(3L)))
+      .toDF("id", "n")
+    assert(Packing.takeTokenBudget(nullFirst, col("n"), 0L, Seq(col("id").asc))
+      .select("id").as[Long].collect().toSet == Set(1L))
+  }
+
+  test("takeTokenBudget: priority order decides who fits") {
+    val docs = Seq((1L, 50L), (2L, 5L), (3L, 30L), (4L, 10L)).toDF("id", "n")
+    // by ascending size: 5 + 10 + 30 ≤ 50, then 50 overflows
+    val got = Packing.takeTokenBudget(docs, col("n"), 50L,
+      Seq(col("n").asc, col("id").asc)).select("id").as[Long].collect().toSet
+    assert(got == Set(2L, 3L, 4L))
+  }
+
   test("packSequences: rejects nonpositive seqTokens") {
     intercept[IllegalArgumentException] {
       Packing.packSequences(Seq((1L, 1L)).toDF("id", "n"), "id", col("n"), 0,
