@@ -418,6 +418,17 @@ class PipelineSpec extends SparkTestBase {
     assert(frames.count() == 3) // 600 bytes / 100 = 6 frames, every 2nd
   }
 
+  test("tokenBudget verb keeps the in-budget prefix in the given order") {
+    val out = Pipeline.run(spark,
+      """source: t
+        |steps:
+        |  - tokenBudget: {tokens: $n, budget: 12, orderBy: [-n, id]}
+        |""".stripMargin,
+      _ => Seq((1L, 8L), (2L, 4L), (3L, 3L)).toDF("id", "n"))
+    // order by n desc: 8 + 4 = 12 fits exactly; 3 overflows
+    assert(out.select("id").as[Long].collect().toSet == Set(1L, 2L))
+  }
+
   test("redact verb scrubs PII into typed tokens") {
     val out = Pipeline.run(spark,
       """source: t
