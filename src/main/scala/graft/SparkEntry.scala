@@ -260,13 +260,21 @@ object SparkEntry {
     // get identical sign-bit signatures in EVERY table, must share a bucket,
     // and score cosine 1.0 ≥ threshold — so every identical-vector pair is
     // guaranteed reported. Corpus unioned with an id-shifted copy so the
-    // guaranteed set is non-vacuous.
+    // guaranteed set is non-vacuous. Two conditions make the guarantee
+    // unconditional here: the skew cap is lifted (maxBucketSize would drop
+    // an overfull bucket from ALL tables at once, taking the pair with it)
+    // and zero-norm vectors are excluded on BOTH sides (cosine defines
+    // 0-vector similarity as 0 < threshold).
     "q19c_cosine_lsh_props" -> ((s, dir) => {
-      val e0 = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val e0 = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"))
+        .filter(aggregate(col("embedding"), lit(0.0),
+          (a, x) => a + x.cast("double") * x.cast("double")) > 0)
       val ee = e0.unionByName(
         e0.select((col("vec_id") + 1000000L).as("vec_id"), col("embedding")))
       val found = Similarity.cosineNearDuplicatePairs(ee, "vec_id", "embedding",
-        threshold = 0.35, dim = 64, planesPerTable = 6, numTables = 8)
+        threshold = 0.35, dim = 64, planesPerTable = 6, numTables = 8,
+        maxBucketSize = Int.MaxValue)
         .select(col("id_a"), col("id_b"), lit(1).as("__f"))
       ee.as("x").join(ee.as("y"),
         col("x.embedding") === col("y.embedding") && col("x.vec_id") < col("y.vec_id"))
@@ -669,7 +677,7 @@ object SparkEntry {
     "q51_token_budget" -> ((s, dir) => {
       val d = t(s, dir, "documents")
         .select(col("doc_id"),
-          size(graft.ops.TextStats.tokens(col("text"))).cast("long").as("tc"))
+          graft.ops.TextStats.tokenCountWs(col("text")).cast("long").as("tc"))
       graft.ops.Packing.takeTokenBudget(d, col("tc"), 10000L,
         Seq(col("tc").desc, col("doc_id").asc))
         .select(col("doc_id"), col("tc"))
@@ -1141,10 +1149,13 @@ object SparkEntry {
     "q18b_fingerprint_props" ->
       "SELECT doc_id, TRUE AS ok FROM documents",
     "q19c_cosine_lsh_props" ->
-      """WITH ee AS (
+      """WITH nz AS (
         |  SELECT vec_id, embedding FROM embeddings
+        |  WHERE list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0
+        |), ee AS (
+        |  SELECT vec_id, embedding FROM nz
         |  UNION ALL
-        |  SELECT vec_id + 1000000, embedding FROM embeddings
+        |  SELECT vec_id + 1000000, embedding FROM nz
         |)
         |SELECT a.vec_id AS id_a, b.vec_id AS id_b, TRUE AS ok
         |FROM ee a JOIN ee b ON a.embedding = b.embedding AND a.vec_id < b.vec_id""".stripMargin,

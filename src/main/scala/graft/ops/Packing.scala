@@ -203,7 +203,9 @@ object Packing {
     * splitting, no greedy back-fill of later smaller docs; a strict prefix
     * is what makes the selection reproducible and order-auditable). The
     * standard "fill an N-token training mix by quality order" step. NULL
-    * token counts occupy zero budget.
+    * and negative token counts occupy zero budget (a negative count would
+    * make the running total non-monotone and re-admit rows after the cut,
+    * silently breaking the prefix contract).
     *
     * Same one-exchange prefix construction as [[withGlobalIndex]]; the
     * budget test is a map-side filter on the running total.
@@ -216,7 +218,8 @@ object Packing {
   ): DataFrame = {
     require(budgetTokens >= 0, "budgetTokens must be >= 0")
     val Seq(n, cum) = OpsUtil.tempNames(df, "n", "cum")
-    val withN = df.withColumn(n, coalesce(nTokens.cast(LongType), lit(0L)))
+    val withN = df.withColumn(n,
+      greatest(coalesce(nTokens.cast(LongType), lit(0L)), lit(0L)))
     withExclusivePrefix(withN, orderCols, Some(n), cum)
       .filter(col(cum) + col(n) <= budgetTokens)
       .drop(n, cum)

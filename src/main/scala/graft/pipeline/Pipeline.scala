@@ -479,7 +479,7 @@ object Pipeline {
         val id = p("id").toString
         val nToks = (p.get("tokens"), p.get("text")) match {
           case (Some(e), None) => compileExpr(e, df)
-          case (None, Some(t)) => size(graft.ops.TextStats.tokens(col(t.toString)))
+          case (None, Some(t)) => graft.ops.TextStats.tokenCountWs(col(t.toString))
           case _ => throw new IllegalArgumentException(
             "pack needs exactly one of 'text' (column) or 'tokens' (expression)")
         }
@@ -500,7 +500,7 @@ object Pipeline {
         val b = asMap(step("tokenBudget"), "tokenBudget")
         val tokens = (b.get("tokens"), b.get("text")) match {
           case (Some(e), None) => compileExpr(e, df)
-          case (None, Some(t)) => size(graft.ops.TextStats.tokens(col(t.toString)))
+          case (None, Some(t)) => graft.ops.TextStats.tokenCountWs(col(t.toString))
           case _ => throw new IllegalArgumentException(
             "tokenBudget needs exactly one of 'text' (column) or 'tokens' (expression)")
         }

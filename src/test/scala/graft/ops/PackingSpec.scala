@@ -233,6 +233,12 @@ class PackingSpec extends SparkTestBase {
         .select("id").as[Long].collect().toSet
     assert(kept(10) == Set(1L))
     assert(kept(15) == Set(1L, 2L, 3L, 4L), "null counts occupy zero budget")
+    // negative counts clamp to zero: the running total must stay monotone
+    // or rows after the cut get re-admitted through a "hole" in the prefix
+    val neg = Seq((1L, 6L), (2L, 7L), (3L, -5L), (4L, 2L)).toDF("id", "n")
+    assert(Packing.takeTokenBudget(neg, col("n"), 10L, Seq(col("id").asc))
+      .select("id").as[Long].collect().toSet == Set(1L),
+      "nothing after the first over-budget doc survives, negative or not")
     assert(kept(13) == Set(1L, 2L), "exact fit at the boundary is kept")
     assert(kept(5) == Set.empty, "first doc bigger than the budget → nothing")
     assert(kept(0) == Set.empty)

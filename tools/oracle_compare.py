@@ -17,7 +17,14 @@ for q in sorted(os.listdir(out)):
     if not os.path.isdir(d):
         continue
     spark_glob = os.path.join(d, "*.parquet")
-    n = con.execute(f"SELECT count(*) FROM read_parquet('{spark_glob}')").fetchone()[0]
+    try:
+        n = con.execute(f"SELECT count(*) FROM read_parquet('{spark_glob}')").fetchone()[0]
+    except Exception as e:
+        # a query that crashed mid-write leaves an unreadable dir — mark it
+        # RED and keep going rather than aborting the whole compare
+        print(f"{q:>24}: RED unreadable output ({e})")
+        red += 1
+        continue
     if q not in oracles:
         status = "rows-only" if n > 0 else "rows-only-EMPTY"
         rows_only += 1
