@@ -19,11 +19,22 @@ class PlanShapeSpec extends SparkTestBase {
 
   import spark.implicits._
 
+  /** The fully-prepared physical plan: `sparkPlan` predates
+    * EnsureRequirements, so requirement-induced exchanges (the ones these
+    * audits exist to catch) don't appear in it; AQE is disabled during
+    * materialization so `executedPlan` isn't an opaque adaptive wrapper.
+    */
+  private def prepared(df: DataFrame): org.apache.spark.sql.execution.SparkPlan = {
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try df.queryExecution.executedPlan
+    finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   private def shuffles(df: DataFrame): Seq[ShuffleExchangeExec] =
-    df.queryExecution.sparkPlan.collect { case s: ShuffleExchangeExec => s }
+    prepared(df).collect { case s: ShuffleExchangeExec => s }
 
   private def windows(df: DataFrame): Seq[WindowExec] =
-    df.queryExecution.sparkPlan.collect { case w: WindowExec => w }
+    prepared(df).collect { case w: WindowExec => w }
 
   test("withGlobalIndex: index attaches map-side over the one pre-planned sort (no further shuffle/window)") {
     // the global order is materialized inside ONE physical RDD (the
@@ -34,7 +45,7 @@ class PlanShapeSpec extends SparkTestBase {
     assert(q.columns.toSeq == Seq("id", "payload", "pos"))
     assert(shuffles(q).isEmpty && windows(q).isEmpty,
       "no exchange or window above the materialized order")
-    assert(q.queryExecution.sparkPlan.collect { case r: RDDScanExec => r }.nonEmpty)
+    assert(prepared(q).collect { case r: RDDScanExec => r }.nonEmpty)
   }
 
   test("packSequences: document text never reaches the exchange (narrowed below the barrier)") {
@@ -42,7 +53,7 @@ class PlanShapeSpec extends SparkTestBase {
     val q = Packing.packSequences(df, "id",
       size(TextStats.tokens(col("text"))), 64, Seq(col("id").asc))
     assert(shuffles(q).isEmpty && windows(q).isEmpty)
-    val scans = q.queryExecution.sparkPlan.collect { case r: RDDScanExec => r }
+    val scans = prepared(q).collect { case r: RDDScanExec => r }
     assert(scans.nonEmpty &&
       !scans.exists(_.output.exists(_.name == "text")),
       "the sorted RDD carries only (order keys, id, token count) — never text")
@@ -61,7 +72,7 @@ class PlanShapeSpec extends SparkTestBase {
     val q = Decontam.markContaminated(train, "id", "text", eval, "etext", n = 2)
     assert(!shuffles(q).exists(_.output.exists(a => a.name == "text" || a.name == "etext")),
       "only matched ids and eval grams may enter an exchange")
-    val semi = q.queryExecution.sparkPlan.collect {
+    val semi = prepared(q).collect {
       case j: BroadcastHashJoinExec if j.joinType == LeftSemi => j
     }
     assert(semi.nonEmpty, "gram probe must be a broadcast LeftSemi hash join")
@@ -84,7 +95,7 @@ class PlanShapeSpec extends SparkTestBase {
       Similarity.bruteForceTopK(vecs, "id", "vec", qv, 5),
       Retrieval.bm25TopK(docs, "id", "text", Seq("the", "data"), 5))
     for (q <- plans) {
-      val p = q.queryExecution.sparkPlan
+      val p = prepared(q)
       assert(p.collect { case t: TakeOrderedAndProjectExec => t }.nonEmpty,
         s"expected TakeOrderedAndProject:\n$p")
       assert(p.collect { case s: SortExec if s.global => s }.isEmpty,
