@@ -196,18 +196,23 @@ object Corpus {
 
   /** TF-IDF weights per (document, token): `tf · ln(N / df)` with raw term
     * counts and un-smoothed idf (idf = 0 for a token in every document).
-    * Shape: one explode + two aggregations + a token-keyed join — the
-    * exploded (id, token) pairs carry ~16 bytes into each shuffle, never
-    * text; the corpus size `N` joins in as a broadcast 1-row aggregate so
-    * everything stays one lazy plan (no driver-side count).
+    * Shape: one explode → (id, token) count aggregation → document
+    * frequency as a WINDOW over the same aggregated rows (a `groupBy` +
+    * join-back would put the tf aggregate in two plan branches and compute
+    * its exchange twice — branches share no work) — so the exploded ~16-byte
+    * pairs shuffle once for tf and the (id, token, tf) rows once for df,
+    * never text. The corpus size `N` comes from a pruned second scan of the
+    * source (just the id column) broadcast as a 1-row aggregate; everything
+    * stays one lazy plan (no driver-side count).
     */
   def tfIdf(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val pairs = df
       .select(col(idCol).as("id"), explode(TextStats.tokens(col(textCol))).as("token"))
     val tf = pairs.groupBy(col("id"), col("token")).agg(count(lit(1)).as("tf"))
-    val dfreq = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val withDf = tf.withColumn("df",
+      count(lit(1)).over(Window.partitionBy(col("token"))))
     val n = df.select(countDistinct(col(idCol)).as("n"))
-    tf.join(dfreq, "token")
+    withDf
       .crossJoin(broadcast(n))
       .withColumn("tf_idf", col("tf") * log(col("n").cast(DoubleType) / col("df")))
       .select(col("id").as(idCol), col("token"), col("tf"), col("tf_idf"))
