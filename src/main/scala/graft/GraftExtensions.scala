@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.ops.expr._
+
+/** Spark extensions entry point:
+  *
+  * {{{
+  * spark-sql --conf spark.sql.extensions=graft.GraftExtensions
+  * }}}
+  *
+  * registers the SQL-expressible native kernels in every session of the
+  * deployment — pure-SQL users get the codegen'd text/similarity
+  * primitives without touching the Scala API. (The kernels that take
+  * driver-side array constants — hyperplanes, centroids — remain
+  * Scala-API-only; SQL has no literal syntax for them.)
+  *
+  * For an already-running session, [[graft.ops.expr.NativeSig.register]]
+  * installs the same functions as temp functions.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.functions.foreach { case (name, builder) =>
+      ext.injectFunction((FunctionIdentifier(name),
+        new ExpressionInfo(classOf[GraftExtensions].getName, name), builder))
+    }
+}
+
+object GraftExtensions {
+
+  private def intLit(e: Expression, what: String): Int = e.eval() match {
+    case i: Int  => i
+    case l: Long => l.toInt
+    case other => throw new IllegalArgumentException(
+      s"$what must be a literal integer; got $other")
+  }
+
+  private def dblLit(e: Expression, what: String): Double = e.eval() match {
+    case d: Double => d
+    case f: Float  => f.toDouble
+    case i: Int    => i.toDouble
+    case other => throw new IllegalArgumentException(
+      s"$what must be a literal number; got $other")
+  }
+
+  /** Every native kernel whose parameters SQL can express. */
+  private[graft] val functions: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "simhash64" -> { es =>
+      require(es.length == 1, "simhash64(tokens)")
+      SimHash64(es.head)
+    },
+    "minhash_signature" -> { es =>
+      require(es.length == 2, "minhash_signature(tokens, numHashes)")
+      MinHashSignature(es.head, intLit(es(1), "numHashes"))
+    },
+    "cosine_sim" -> { es =>
+      require(es.length == 2, "cosine_sim(a, b)")
+      CosineSim(es.head, es(1))
+    },
+    "word_shingles" -> { es =>
+      require(es.length == 2, "word_shingles(text, n)")
+      WordShingles(es.head, intLit(es(1), "n"))
+    },
+    "top_ngram_fraction" -> { es =>
+      require(es.length == 2, "top_ngram_fraction(text, n)")
+      TopNgramFraction(es.head, intLit(es(1), "n"))
+    },
+    "jaccard_sorted" -> { es =>
+      es match {
+        case Seq(a, b)    => JaccardSorted(a, b)
+        case Seq(a, b, t) => JaccardSorted(a, b, dblLit(t, "minJ"))
+        case _ => throw new IllegalArgumentException(
+          "jaccard_sorted(sortedA, sortedB[, minJ])")
+      }
+    })
+
+  /** Install the same functions as temp functions on a live session. */
+  def registerAll(spark: SparkSession): Unit =
+    functions.foreach { case (name, builder) =>
+      spark.sessionState.functionRegistry
+        .createOrReplaceTempFunction(name, builder, "built-in")
+    }
+}

@@ -621,21 +621,11 @@ object NativeSig {
   /** Register both as SQL functions: `simhash64(toks)`,
     * `minhash_signature(toks, k)` (k must be a literal int).
     */
-  def register(spark: SparkSession): Unit = {
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "simhash64", exprs => SimHash64(exprs.head), "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "minhash_signature",
-      exprs => {
-        require(exprs.length == 2, "minhash_signature(tokens, numHashes)")
-        val k = exprs(1).eval() match {
-          case i: Int  => i
-          case l: Long => l.toInt
-          case other   => throw new IllegalArgumentException(
-            s"numHashes must be a literal integer; got $other")
-        }
-        MinHashSignature(exprs.head, k)
-      },
-      "built-in")
-  }
+  /** Install every SQL-expressible native kernel as a temp function on a
+    * live session; deployments should prefer
+    * `--conf spark.sql.extensions=graft.GraftExtensions` (same function
+    * set, every session, no code).
+    */
+  def register(spark: SparkSession): Unit =
+    graft.GraftExtensions.registerAll(spark)
 }

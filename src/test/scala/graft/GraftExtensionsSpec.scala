@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+import graft.dftly.SparkTestBase
+
+class GraftExtensionsSpec extends SparkTestBase {
+
+  test("GraftExtensions injects the SQL surface into a fresh session") {
+    // withExtensions exercises the same injection path a deployment's
+    // `--conf spark.sql.extensions=graft.GraftExtensions` uses (the conf
+    // route only differs in loading the class by reflection from the
+    // SparkContext conf, which a shared test context cannot carry);
+    // restore the shared session afterwards so other suites are untouched
+    val shared = spark
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val s = SparkSession.builder()
+        .master("local[2]")
+        .withExtensions(new GraftExtensions)
+        .getOrCreate()
+      assert(s ne shared, "must be a new session, or the test proves nothing")
+      val row = s.sql(
+        """SELECT
+          |  cosine_sim(array(1.0F, 0.0F), array(1.0F, 0.0F)) AS c,
+          |  size(word_shingles('a b c d', 3)) AS ns,
+          |  size(minhash_signature(array('x', 'y'), 16)) AS nm,
+          |  simhash64(array('x', 'y')) = simhash64(array('x', 'y')) AS sh,
+          |  jaccard_sorted(array('a', 'b'), array('a', 'b')) AS j,
+          |  top_ngram_fraction('a a a b', 2) AS f
+          |""".stripMargin).head()
+      assert(row.getDouble(0) == 1.0)
+      assert(row.getInt(1) == 2)   // shingles of 4 tokens, n=3
+      assert(row.getInt(2) == 16)
+      assert(row.getBoolean(3))
+      assert(row.getDouble(4) == 1.0)
+      assert(math.abs(row.getDouble(5) - 2.0 / 3) < 1e-12)
+    } finally {
+      SparkSession.setDefaultSession(shared)
+      SparkSession.setActiveSession(shared)
+    }
+  }
+
+  test("wrong arity and non-integer parameters fail loudly") {
+    graft.ops.expr.NativeSig.register(spark)
+    val arity = intercept[Exception] {
+      spark.sql("SELECT word_shingles('a')").head()
+    }
+    assert(arity.getMessage.contains("word_shingles(text, n)"))
+    val typ = intercept[Exception] {
+      spark.sql("SELECT word_shingles('a b', 'x')").head()
+    }
+    assert(typ.getMessage.contains("literal integer"))
+  }
+}
