@@ -32,8 +32,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 object GraftExtensions {
 
   private def intLit(e: Expression, what: String): Int = e.eval() match {
-    case i: Int  => i
-    case l: Long => l.toInt
+    case i: Int                    => i
+    case l: Long if l.isValidInt   => l.toInt
+    case l: Long => throw new IllegalArgumentException(
+      s"$what must fit in an int; got $l")
     case other => throw new IllegalArgumentException(
       s"$what must be a literal integer; got $other")
   }
@@ -42,6 +44,9 @@ object GraftExtensions {
     case d: Double => d
     case f: Float  => f.toDouble
     case i: Int    => i.toDouble
+    case l: Long   => l.toDouble
+    // a plain SQL literal like 0.8 parses as decimal(1,1), not double
+    case d: org.apache.spark.sql.types.Decimal => d.toDouble
     case other => throw new IllegalArgumentException(
       s"$what must be a literal number; got $other")
   }

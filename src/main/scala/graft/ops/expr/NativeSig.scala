@@ -618,9 +618,6 @@ object NativeSig {
     ColumnBridge.column(
       SignBitSignature(ColumnBridge.expression(vec), planes.flatten, planes.length))
 
-  /** Register both as SQL functions: `simhash64(toks)`,
-    * `minhash_signature(toks, k)` (k must be a literal int).
-    */
   /** Install every SQL-expressible native kernel as a temp function on a
     * live session; deployments should prefer
     * `--conf spark.sql.extensions=graft.GraftExtensions` (same function

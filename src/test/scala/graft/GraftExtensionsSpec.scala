@@ -28,7 +28,9 @@ class GraftExtensionsSpec extends SparkTestBase {
           |  size(minhash_signature(array('x', 'y'), 16)) AS nm,
           |  simhash64(array('x', 'y')) = simhash64(array('x', 'y')) AS sh,
           |  jaccard_sorted(array('a', 'b'), array('a', 'b')) AS j,
-          |  top_ngram_fraction('a a a b', 2) AS f
+          |  top_ngram_fraction('a a a b', 2) AS f,
+          |  jaccard_sorted(array('a', 'b'), array('a', 'c'), 0.8) AS jt,
+          |  size(minhash_signature(array('x'), 16L)) AS nl
           |""".stripMargin).head()
       assert(row.getDouble(0) == 1.0)
       assert(row.getInt(1) == 2)   // shingles of 4 tokens, n=3
@@ -36,6 +38,12 @@ class GraftExtensionsSpec extends SparkTestBase {
       assert(row.getBoolean(3))
       assert(row.getDouble(4) == 1.0)
       assert(math.abs(row.getDouble(5) - 2.0 / 3) < 1e-12)
+      // plain SQL literals: 0.8 parses as decimal(1,1), 16L as bigint —
+      // both must work for the threshold/int parameters. The early-exit
+      // contract only promises below-threshold pairs score < minJ (exact
+      // value or 0.0), exact above it.
+      assert(row.getDouble(6) < 0.8, "J=1/3 stays below the 0.8 threshold")
+      assert(row.getInt(7) == 16)
     } finally {
       SparkSession.setDefaultSession(shared)
       SparkSession.setActiveSession(shared)

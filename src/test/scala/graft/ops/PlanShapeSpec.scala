@@ -25,9 +25,10 @@ class PlanShapeSpec extends SparkTestBase {
     * materialization so `executedPlan` isn't an opaque adaptive wrapper.
     */
   private def prepared(df: DataFrame): org.apache.spark.sql.execution.SparkPlan = {
+    val before = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try df.queryExecution.executedPlan
-    finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    finally spark.conf.set("spark.sql.adaptive.enabled", before)
   }
 
   private def shuffles(df: DataFrame): Seq[ShuffleExchangeExec] =
