@@ -547,9 +547,12 @@ object SparkEntry {
         .select(col("doc_id"), round(col("bm25"), 6).as("bm25"))),
     // One-scan numeric profile with EXACT quartiles (DuckDB quantile_cont
     // and Spark percentile share the linear-interpolation definition).
+    // approx = false is EXPLICIT here — the library default is the
+    // sketch-state approx_percentile (scale-safe); the oracle needs exact.
     "q41_profile" -> ((s, dir) =>
       graft.ops.Corpus.profile(
-        t(s, dir, "lineitem"), Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
+        t(s, dir, "lineitem"), Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"),
+        approx = false)
         .select(col("column"), col("n"), col("nulls"),
           round(col("mean"), 6).as("mean"), col("min"), col("max"),
           round(col("p25"), 6).as("p25"), round(col("p50"), 6).as("p50"),

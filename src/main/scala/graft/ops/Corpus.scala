@@ -261,13 +261,14 @@ object Corpus {
     * tree, no per-column scans), then pivot to long form driver-side-free
     * via an `explode` of one literal-struct array.
     *
-    * `approx = true` (RECOMMENDED at scale) computes the quartiles with
+    * The default `approx = true` computes the quartiles with
     * `approx_percentile` — bounded sketch state per column regardless of
-    * cardinality. The default `approx = false` uses Spark's exact
-    * `percentile`, whose aggregation state is a map of DISTINCT VALUES: the
-    * right contract for oracle checks and bounded-cardinality columns, but
-    * an executor-OOM waiting to happen on a continuous column at corpus
-    * scale — flip to approx there.
+    * cardinality, the only safe default for the first thing anyone runs on
+    * an unknown 100 TB corpus. `approx = false` opts into Spark's exact
+    * `percentile`, whose aggregation state is a map of DISTINCT VALUES:
+    * the right contract for oracle checks and bounded-cardinality columns,
+    * but an executor OOM on a continuous column at scale — it must be an
+    * explicit choice, never the default.
     *
     * `accuracy` is `approx_percentile`'s inverse-error knob (relative rank
     * error ≤ 1/accuracy); ignored when `approx = false`.
@@ -275,7 +276,7 @@ object Corpus {
   def profile(
       df: DataFrame,
       cols: Seq[String],
-      approx: Boolean = false,
+      approx: Boolean = true,
       accuracy: Int = 10000
   ): DataFrame = {
     require(cols.nonEmpty, "profile needs at least one column")

@@ -84,16 +84,38 @@ object Decontam {
     * need a streaming aggregation and do not). Same answer as
     * [[markContaminated]]; prefer this on streams, and on batch when the
     * probe-side shuffle savings beat the per-row set scan.
+    *
+    * SIZE BOUND: the whole distinct gram set must fit in ONE row and one
+    * broadcast (~a few hundred MB of grams in practice — single-row and
+    * broadcast limits both bite around there). Eval suites are small by
+    * nature, but a mis-pointed `eval` frame would fail deep inside the
+    * exchange with an opaque executor error, so the gram set is counted
+    * first (one cheap job on the small static eval side) and oversized
+    * sets fail fast with a pointer to [[markContaminated]], whose
+    * distinct-join shape has no such bound. Set `maxEvalGrams <= 0` to
+    * skip the pre-count (e.g. if the eval frame is expensive to scan
+    * twice and known-small).
     */
   def markContaminatedMapSide(
       train: DataFrame,
       trainTextCol: String,
       eval: DataFrame,
       evalTextCol: String,
-      n: Int = 8
+      n: Int = 8,
+      maxEvalGrams: Long = 20000000L
   ): DataFrame = {
     require(!train.columns.contains("contaminated"),
       "markContaminatedMapSide adds a 'contaminated' column but train already has one")
+    if (maxEvalGrams > 0) {
+      val nGrams = eval
+        .select(explode(Dedup.shingles(col(evalTextCol), n)).as("__g"))
+        .agg(count_distinct(col("__g"))).head().getLong(0)
+      require(nGrams <= maxEvalGrams,
+        s"markContaminatedMapSide: eval suite has $nGrams distinct $n-grams " +
+          s"(> maxEvalGrams=$maxEvalGrams); the single-row/broadcast fold would " +
+          "fail inside the exchange. Use markContaminated (distinct-join shape, " +
+          "no single-row bound) or raise maxEvalGrams deliberately.")
+    }
     val Seq(gs) = OpsUtil.tempNames(train, "gs")
     val grams = eval
       .select(explode(Dedup.shingles(col(evalTextCol), n)).as("__g"))

@@ -175,6 +175,15 @@ object Packing {
     val keep = (orderCols.flatMap(c =>
       ColumnBridge.convertedExpression(c).references.iterator.map(_.name).toSeq)
       ++ Seq(idCol, n)).distinct
+    // orderCols must reference TOP-LEVEL columns: a nested reference like
+    // col("meta.width") would survive this select under the bare leaf name
+    // ("width"), and the range sort after the exchange would then fail to
+    // resolve the dotted name. Fail here with the fix, not there.
+    val nested = keep.filterNot(k => df.columns.contains(k) || k == n)
+    require(nested.isEmpty,
+      s"packSequences orderCols must reference top-level columns; " +
+        s"${nested.mkString(", ")} look(s) nested or missing — materialize with " +
+        "withColumn(\"<name>\", col(\"a.b\")) first and order by the new column")
     val narrow = withN.select(keep.map(col): _*)
     val staged = withExclusivePrefix(narrow, orderCols, Some(n), cum)
     val L = lit(seqTokens.toLong)

@@ -437,9 +437,10 @@ object Pipeline {
         }
 
       case "profile" =>
-        // list of columns, or {cols: [...], approx: true, accuracy: N} —
-        // approx switches the quartiles to approx_percentile (bounded
-        // sketch state; the scale-safe default for continuous columns)
+        // list of columns, or {cols: [...], approx: false, accuracy: N} —
+        // quartiles are approx_percentile (bounded sketch state, the only
+        // scale-safe default) unless `approx: false` opts into the exact
+        // percentile's distinct-value-map state
         step("profile") match {
           case m: scala.collection.Map[_, _] =>
             val pm = asMap(m, "profile")
@@ -447,7 +448,7 @@ object Pipeline {
               asSeq(pm.getOrElse("cols",
                 throw new IllegalArgumentException("profile map needs 'cols'")))
                 .map(_.toString),
-              approx = pm.get("approx").exists(_ == true),
+              approx = !pm.get("approx").exists(_ == false),
               accuracy = pm.get("accuracy").map(_.toString.toInt).getOrElse(10000))
           case cols => graft.ops.Corpus.profile(df, asSeq(cols).map(_.toString))
         }

@@ -92,4 +92,18 @@ class DecontamSpec extends SparkTestBase {
       .select("id", "contaminated").as[(Long, Boolean)].collect().toMap
     assert(got == Map(1L -> true, 2L -> false))
   }
+
+  test("markContaminatedMapSide: oversized eval gram set fails fast, pointing at markContaminated") {
+    val train = Seq((1L, "a b c")).toDF("id", "text")
+    val evalSet = Seq((1L, "p q r s"), (2L, "s t u v")).toDF("eid", "etext")
+    val e = intercept[IllegalArgumentException] {
+      Decontam.markContaminatedMapSide(train, "text", evalSet, "etext",
+        n = 2, maxEvalGrams = 3) // 6 distinct bigrams > 3
+    }
+    assert(e.getMessage.contains("markContaminated"))
+    // cap disabled → same answer as the distinct-join shape
+    val got = Decontam.markContaminatedMapSide(train, "text", evalSet, "etext",
+      n = 2, maxEvalGrams = 0)
+    assert(got.select("contaminated").as[Boolean].collect().toSeq == Seq(false))
+  }
 }

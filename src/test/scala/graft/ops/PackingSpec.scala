@@ -264,4 +264,16 @@ class PackingSpec extends SparkTestBase {
         Seq(col("id").asc))
     }
   }
+
+  test("packSequences: nested order column fails fast with the materialize hint") {
+    val df = Seq((1L, 5L, ("a", 3))).toDF("id", "n", "meta")
+    val e = intercept[IllegalArgumentException] {
+      Packing.packSequences(df, "id", col("n"), 8, Seq(col("meta._2").asc))
+    }
+    assert(e.getMessage.contains("top-level"))
+    // and the documented fix works
+    val fixed = df.withColumn("m2", col("meta._2"))
+    val got = Packing.packSequences(fixed, "id", col("n"), 8, Seq(col("m2").asc))
+    assert(got.count() == 1)
+  }
 }

@@ -115,7 +115,7 @@ class Round3Spec extends SparkTestBase {
     val df = Seq[(java.lang.Double, java.lang.Long)](
       (1.0, 10L), (2.0, 20L), (3.0, null), (4.0, 40L)
     ).toDF("x", "y")
-    val got = Corpus.profile(df, Seq("x", "y"))
+    val got = Corpus.profile(df, Seq("x", "y"), approx = false)
       .collect().map(r => r.getString(0) -> r).toMap
     val x = got("x")
     assert(x.getLong(1) == 4 && x.getLong(2) == 0)
@@ -129,7 +129,7 @@ class Round3Spec extends SparkTestBase {
 
   test("profile: approx path — same schema, sketch-bounded quartiles near exact") {
     val df = spark.range(10001).select(col("id").cast("double").as("x"), col("id").as("y"))
-    val exact = Corpus.profile(df, Seq("x", "y"))
+    val exact = Corpus.profile(df, Seq("x", "y"), approx = false)
     val approx = Corpus.profile(df, Seq("x", "y"), approx = true)
     assert(approx.schema == exact.schema,
       "approx and exact profiles must be drop-in interchangeable")
@@ -143,5 +143,14 @@ class Round3Spec extends SparkTestBase {
       assert(a(c).getLong(1) == e(c).getLong(1))
       assert(a(c).getDouble(3) == e(c).getDouble(3))
     }
+  }
+
+  test("profile: DEFAULT path is the sketch (approx_percentile), never the exact distinct-value map") {
+    val df = Seq((1.0, 2.0)).toDF("x", "y")
+    val plan = Corpus.profile(df, Seq("x")).queryExecution.executedPlan.toString
+    assert(plan.contains("approx_percentile"),
+      s"default profile must aggregate with approx_percentile (bounded state at 100 TB); plan was:\n$plan")
+    assert(!plan.replace("approx_percentile", "").contains("percentile("),
+      "default profile must NOT carry the exact percentile's distinct-value-map state")
   }
 }

@@ -448,6 +448,21 @@ class PipelineSpec extends SparkTestBase {
     val r = out.collect()
     assert(r.length == 1 && r.head.getString(0) == "l_quantity")
     assert(!r.head.isNullAt(7), "approx p50 present")
+    // BOTH YAML forms default to the sketch; exact state is opt-in only
+    val dflt = Pipeline.runOnDir(spark,
+      """source: lineitem
+        |steps:
+        |  - profile: {cols: [l_quantity]}
+        |""".stripMargin, dir)
+    assert(dflt.queryExecution.executedPlan.toString.contains("approx_percentile"),
+      "map form without 'approx' must take the approx_percentile path")
+    val exact = Pipeline.runOnDir(spark,
+      """source: lineitem
+        |steps:
+        |  - profile: {cols: [l_quantity], approx: false}
+        |""".stripMargin, dir)
+    assert(!exact.queryExecution.executedPlan.toString.contains("approx_percentile"),
+      "approx: false must opt into the exact percentile")
   }
 
 }

@@ -53,3 +53,5 @@ for q in sorted(os.listdir(out)):
         red += 1
 
 print(f"\nTOTAL: {green} green, {rows_only} rows-only, {red} red")
+if red > 0:
+    sys.exit(1)
