@@ -74,8 +74,11 @@ trait MediaDecoder extends Serializable {
 case class StubDecoder(frameBytes: Int = 256) extends MediaDecoder {
 
   def decodeImage(payload: Array[Byte]): (Int, Int, Int, Iterator[Int]) = {
-    val w = 16 + (math.abs(java.util.Arrays.hashCode(payload)) % 64)
-    val h = 16 + (math.abs(java.util.Arrays.hashCode(payload) / 64) % 64)
+    // floorMod, not abs(_) % 64: abs(Int.MinValue) is still negative, which
+    // would yield negative dimensions and a NaN meanLuma (0/0)
+    val hash = java.util.Arrays.hashCode(payload)
+    val w = 16 + Math.floorMod(hash, 64)
+    val h = 16 + Math.floorMod(hash / 64, 64)
     // zero-byte payloads (truncated/corrupt files are routine in scraped
     // corpora) decode to all-black rather than killing the task
     val lumas =
@@ -101,6 +104,100 @@ case class StubDecoder(frameBytes: Int = 256) extends MediaDecoder {
 
   def videoFrames(payload: Array[Byte]): Iterator[Array[Byte]] =
     // STUB: fixed-size chunks standing in for codec frame parsing
+    payload.grouped(frameBytes)
+}
+
+/** REAL decoder backed by the JDK's own codecs — no native libraries:
+  * `javax.imageio` (JPEG / PNG / GIF / BMP) for images and
+  * `javax.sound.sampled` (WAV / AIFF / AU) for audio. Video stays on the
+  * stub's fixed-size chunking (the JDK ships no container demuxer; a real
+  * deployment overrides [[videoFrames]] with an ffmpeg-backed decoder).
+  *
+  * Corrupt/undecodable payloads follow the same contract as
+  * [[StubDecoder]]'s zero-byte rule: they must NOT kill the task.
+  * Images decode to `(0, 0, 0, empty)` (zero pixels → zero histogram mass,
+  * so the histogram-total = w×h invariant holds trivially); audio decodes
+  * to no samples; resize passes the payload through unchanged (we cannot
+  * re-encode what we cannot decode).
+  *
+  * Stateless beyond the `frameBytes` knob, so serialization is trivial;
+  * `ImageIO`/`AudioSystem` are static JDK services available on every
+  * executor.
+  */
+case class JdkMediaDecoder(frameBytes: Int = 256) extends MediaDecoder {
+
+  private def readImage(payload: Array[Byte]): java.awt.image.BufferedImage =
+    try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+    catch { case _: Exception => null } // ImageIO returns null OR throws on garbage
+
+  def decodeImage(payload: Array[Byte]): (Int, Int, Int, Iterator[Int]) = {
+    val img = readImage(payload)
+    if (img == null) (0, 0, 0, Iterator.empty)
+    else {
+      val w = img.getWidth
+      val h = img.getHeight
+      val c = img.getColorModel.getNumComponents
+      // ITU-R BT.601 integer luma; getRGB converts any source color model
+      // to sRGB so grayscale/indexed images need no special-casing
+      val lumas = Iterator.tabulate(w * h) { i =>
+        val rgb = img.getRGB(i % w, i / w)
+        (299 * ((rgb >> 16) & 0xFF) + 587 * ((rgb >> 8) & 0xFF) + 114 * (rgb & 0xFF)) / 1000
+      }
+      (w, h, c, lumas)
+    }
+  }
+
+  def decodeAudio(payload: Array[Byte]): Iterator[Double] = {
+    import javax.sound.sampled.{AudioFormat, AudioSystem}
+    val pcmBytes =
+      try {
+        val in = AudioSystem.getAudioInputStream(new java.io.ByteArrayInputStream(payload))
+        val base = in.getFormat
+        // normalize every source encoding to signed 16-bit little-endian PCM
+        val target = new AudioFormat(
+          AudioFormat.Encoding.PCM_SIGNED,
+          base.getSampleRate, 16, base.getChannels,
+          base.getChannels * 2, base.getSampleRate, false)
+        AudioSystem.getAudioInputStream(target, in).readAllBytes()
+      } catch { case _: Exception => Array.emptyByteArray }
+    Iterator.range(0, pcmBytes.length / 2).map { i =>
+      (((pcmBytes(2 * i + 1).toInt << 8) | (pcmBytes(2 * i) & 0xFF)) / 32768.0)
+    }
+  }
+
+  def resizeImage(
+      payload: Array[Byte],
+      width: Int, height: Int,
+      newWidth: Int, newHeight: Int): Array[Byte] = {
+    val img = readImage(payload)
+    if (img == null) payload
+    else {
+      import java.awt.RenderingHints
+      import java.awt.image.BufferedImage
+      val out = new BufferedImage(
+        math.max(1, newWidth), math.max(1, newHeight), BufferedImage.TYPE_INT_RGB)
+      val g2 = out.createGraphics() // raster-only; needs no display, headless-safe
+      g2.setRenderingHint(
+        RenderingHints.KEY_INTERPOLATION, RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+      g2.drawImage(img, 0, 0, math.max(1, newWidth), math.max(1, newHeight), null)
+      g2.dispose()
+      val baos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(out, sniffFormat(payload), baos)
+      baos.toByteArray
+    }
+  }
+
+  /** Container format from magic bytes — re-encode in kind, default PNG. */
+  private def sniffFormat(payload: Array[Byte]): String =
+    if (payload.length < 2) "png"
+    else (payload(0) & 0xFF, payload(1) & 0xFF) match {
+      case (0xFF, 0xD8)  => "jpg"
+      case (0x42, 0x4D)  => "bmp"
+      case (0x47, 0x49)  => "gif"
+      case _             => "png"
+    }
+
+  def videoFrames(payload: Array[Byte]): Iterator[Array[Byte]] =
     payload.grouped(frameBytes)
 }
 

@@ -142,4 +142,102 @@ class MultimodalSpec extends SparkTestBase {
     val vids = media.filter(_.meta.mediaType == "video").count()
     assert(frames.length == vids && frames.forall(_.frameIndex == 0))
   }
+
+  // ------------------------------------------------------- JdkMediaDecoder
+
+  /** A real encoded image: solid gray(level) w×h, in the given ImageIO
+    * format ("png" / "jpg" / "bmp").
+    */
+  private def encodeImage(w: Int, h: Int, level: Int, format: String): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val rgb = (level << 16) | (level << 8) | level
+    for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb)
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, format, baos)
+    baos.toByteArray
+  }
+
+  /** A real WAV: `n` mono 16-bit samples, every one exactly `value`
+    * (value in [-1,1), representable in 1/32768 steps).
+    */
+  private def encodeWav(n: Int, value: Double): Array[Byte] = {
+    import javax.sound.sampled._
+    val s = math.round(value * 32768).toInt
+    val data = new Array[Byte](2 * n)
+    for (i <- 0 until n) {
+      data(2 * i) = (s & 0xFF).toByte
+      data(2 * i + 1) = ((s >> 8) & 0xFF).toByte
+    }
+    val fmt = new AudioFormat(8000f, 16, 1, true, false) // signed, little-endian
+    val ais = new AudioInputStream(new java.io.ByteArrayInputStream(data), fmt, n.toLong)
+    val baos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, baos)
+    baos.toByteArray
+  }
+
+  private def imgRow(id: Long, payload: Array[Byte], w: Int = 0, h: Int = 0) =
+    MediaRow(id, MediaMeta("image", "real", w, h, 0, 0L), payload)
+
+  test("JdkMediaDecoder: real PNG decodes to exact dimensions, luma, and histogram") {
+    // gray(100): BT.601 luma = (299+587+114)*100/1000 = exactly 100 → bin 6
+    val rows = Seq(imgRow(1L, encodeImage(20, 10, 100, "png"))).toDS()
+    val f = Multimodal.imageFeatures(rows, JdkMediaDecoder()).collect().head
+    assert(f.width == 20 && f.height == 10 && f.channels == 3)
+    assert(f.meanLuma == 100.0)
+    assert(f.histogram.sum == 200L && f.histogram(6) == 200L)
+  }
+
+  test("JdkMediaDecoder: resizeImages re-encodes real pixels at the new size, format preserved") {
+    val rows = Seq(
+      imgRow(1L, encodeImage(40, 20, 80, "png"), 40, 20),
+      imgRow(2L, encodeImage(32, 32, 200, "jpg"), 32, 32)).toDS()
+    val out = Multimodal.resizeImages(rows, maxDim = 10, JdkMediaDecoder())
+      .collect().sortBy(_.media_id)
+    // metadata rewritten by the operator, payload genuinely re-encoded
+    assert(out(0).meta.width == 10 && out(0).meta.height == 5)
+    val (w1, h1, _, lumas1) = JdkMediaDecoder().decodeImage(out(0).payload)
+    assert(w1 == 10 && h1 == 5)
+    assert(lumas1.forall(_ == 80), "bilinear over a solid color stays that color")
+    // JPEG stays JPEG (magic FFD8) through the resize
+    assert((out(1).payload(0) & 0xFF) == 0xFF && (out(1).payload(1) & 0xFF) == 0xD8)
+    val (w2, h2, _, _) = JdkMediaDecoder().decodeImage(out(1).payload)
+    assert(w2 == 10 && h2 == 10)
+  }
+
+  test("JdkMediaDecoder: real WAV decodes to exact sample count and RMS") {
+    val rows = Seq(
+      MediaRow(1L, MediaMeta("audio", "wav", 0, 0, 8000, 100L), encodeWav(800, 0.5)))
+      .toDS()
+    val f = Multimodal.audioFeatures(rows, JdkMediaDecoder()).collect().head
+    assert(f.nFrames == 800L)
+    assert(f.rms == 0.5, "every sample exactly 0.5 → RMS exactly 0.5")
+  }
+
+  test("JdkMediaDecoder: corrupt payloads degrade per contract — q23c invariants hold on zero pixels") {
+    val junk = "definitely not a PNG".getBytes("UTF-8")
+    val rows = Seq(
+      imgRow(1L, junk),
+      MediaRow(2L, MediaMeta("audio", "wav", 0, 0, 8000, 0L), junk)).toDS()
+    val img = Multimodal.imageFeatures(rows, JdkMediaDecoder()).collect().head
+    assert(img.width == 0 && img.height == 0 && img.meanLuma == 0.0)
+    assert(img.histogram.sum == 0L, "histogram-total = w×h holds: 0 = 0×0")
+    val aud = Multimodal.audioFeatures(rows, JdkMediaDecoder()).collect().head
+    assert(aud.nFrames == 0L && aud.rms == 0.0)
+    // resize cannot re-encode what it cannot decode: payload passes through
+    val rez = Multimodal.resizeImages(
+      Seq(imgRow(3L, junk, 100, 100)).toDS(), maxDim = 10, JdkMediaDecoder()).collect().head
+    assert(rez.payload.sameElements(junk))
+  }
+
+  test("both decoders run through the same operators on the same rows") {
+    val rows = Seq(imgRow(1L, encodeImage(16, 16, 50, "png"))).toDS()
+    val real = Multimodal.imageFeatures(rows, JdkMediaDecoder()).collect().head
+    val stub = Multimodal.imageFeatures(rows, StubDecoder()).collect().head
+    // identical schema and invariants, decoder-specific values
+    assert(real.width == 16 && real.height == 16)
+    assert(stub.width >= 16 && stub.width <= 79 && stub.height >= 16 && stub.height <= 79)
+    assert(real.histogram.sum == real.width.toLong * real.height)
+    assert(stub.histogram.sum == stub.width.toLong * stub.height)
+  }
 }
