@@ -28,15 +28,27 @@ object Bench {
     val names = SparkEntry.queries.keys.toSeq.sorted
     // cold pass doubles as warm-up: JIT + codegen + parquet footer caches
     val cold = names.map(n => n -> once(n))
-    // best-of-2 timed runs: single-JVM local mode has multi-second GC/JIT
-    // jitter that would swamp real plan differences
-    val results = names.map(n => n -> math.min(once(n), once(n)))
+    // best-of-3 timed runs: this box shows ±20% (occasionally 2×) jitter on
+    // >1.5 s queries (GC/JIT in a single JVM); best-of-N is the standard
+    // low-noise estimator, and the reported per-query SPREAD (max−min over
+    // the timed runs) marks which numbers are trustworthy for regression
+    // calls — a delta smaller than the spread is noise, not signal. A
+    // System.gc() between queries keeps one query's garbage from being
+    // collected on the next query's clock.
+    val runs = names.map { n =>
+      val ts = Seq.fill(3) { System.gc(); once(n) }
+      n -> ts
+    }
+    val results = runs.map { case (n, ts) => n -> ts.min }
+    val spreads = runs.map { case (n, ts) => n -> (ts.max - ts.min) }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val sp = spreads.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val coldTotal = cold.map(_._2).sum
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","cold_total":$coldTotal}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$sp,"sf":"$sfDir","cold_total":$coldTotal}"""
     // stdout (own line; run/outputStrategy passes it through unprefixed) AND
     // a file, so the harness can parse per-query numbers either way.
     println(json)
