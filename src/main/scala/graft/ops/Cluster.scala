@@ -44,9 +44,12 @@ object Cluster {
     *     less data through the driver than O(rounds) label broadcasts. The
     *     cap bounds driver memory exactly like the k·dim collect contract
     *     in [[Similarity.trainCentroids]].
-    *   - `|V| ≤ broadcastMaxLabelRows`: iterative min-label propagation with
+    *   - `|V| ≤ broadcastMaxLabelRows` AND estimated label bytes ≤
+    *     `broadcastMaxLabelBytes`: iterative min-label propagation with
     *     multi-hop pointer jumping; label frames ride broadcast joins, one
-    *     shuffle (the neighbor-min aggregation) per round.
+    *     shuffle (the neighbor-min aggregation) per round. The byte cap
+    *     exists because a row count is a poor proxy for broadcast memory
+    *     when ids are wide strings (250k × 4 KB ids ≈ 2 GB per round).
     *   - larger: same iteration with shuffle joins — nothing is ever
     *     collected or broadcast, the 100 TB path.
     *
@@ -59,7 +62,8 @@ object Cluster {
       idBCol: String = "id_b",
       maxIter: Int = 40,
       broadcastMaxLabelRows: Long = 250000L,
-      localSolveMaxEdges: Long = 100000L
+      localSolveMaxEdges: Long = 100000L,
+      broadcastMaxLabelBytes: Long = 64L * 1024 * 1024
   ): DataFrame = {
     // Symmetric edge list, deduplicated once: every later round joins it.
     // One explode, NOT union(pairs, pairs.swapped): a union makes two plan
@@ -119,7 +123,13 @@ object Cluster {
     // cache): the id set is round-invariant, so it's measured once.
     val init = backing.agg(
       sum(xxhash64(col("id"), col("label")).cast("decimal(38,0)")).as("digest"),
-      count(lit(1)).as("n")).head
+      count(lit(1)).as("n"),
+      // broadcast-size estimate for the (id, label) frame: both columns are
+      // id-typed, so 2 × the id's string-rep octet length plus two UnsafeRow
+      // word slots per row. A row-count cap alone would let 250k × multi-KB
+      // string ids silently blow the per-round broadcast.
+      coalesce(sum(octet_length(col("id").cast("string")) * 2 + lit(16)), lit(0L))
+        .as("bytes")).head
     def labelDigest(df: DataFrame): String =
       // decimal(38,0) accumulator: a Long sum would overflow under ANSI
       String.valueOf(df.agg(
@@ -130,7 +140,11 @@ object Cluster {
     // join in the round becomes map-side and the whole iteration runs ONE
     // shuffle (the neighbor-min partial aggregation). The rebuilt frames
     // carry no stats, so without the hint Spark would never choose this.
-    val smallGraph = init.getLong(1) <= broadcastMaxLabelRows
+    // BOTH caps must pass: rows (driver/open-hash pressure) AND estimated
+    // bytes (executor broadcast memory × rounds) — wide string ids can hit
+    // the byte cap long before the row cap
+    val smallGraph = init.getLong(1) <= broadcastMaxLabelRows &&
+      init.getLong(2) <= broadcastMaxLabelBytes
     def bc(df: DataFrame): DataFrame = if (smallGraph) broadcast(df) else df
     // Pointer hops per round: in the broadcast regime each extra hop is one
     // more map-side hash probe against the SAME broadcast label table (no

@@ -90,6 +90,28 @@ class ClusterSpec extends SparkTestBase {
     }
   }
 
+  test("wide string ids trip the BYTE cap and fall to the shuffle regime, still correct") {
+    // 60 chained nodes with 1 KB ids: only 60 label rows (far under any row
+    // cap) but ~120 KB of estimated label bytes — a 64 KB byte cap must
+    // force the shuffle regime, and the answer must not change. This is the
+    // guardrail for 250k × multi-KB ids blowing per-round broadcasts at
+    // scale while the row cap looks fine.
+    val pad = "x" * 1000
+    def wid(i: Int): String = f"$i%04d-$pad"
+    val pairs = (0 until 59).map(i => (wid(i), wid(i + 1))).toDF("id_a", "id_b")
+    val got = Cluster.connectedComponents(pairs,
+      localSolveMaxEdges = 0L, // force iterative
+      broadcastMaxLabelRows = 1000000L, // row cap happily passes
+      broadcastMaxLabelBytes = 64L * 1024) // byte cap must trip
+      .as[(String, String)].collect().toMap
+    assert(got.size == 60 && got.values.forall(_ == wid(0)))
+    // same graph under the default byte cap takes the broadcast regime and
+    // agrees — regime choice is a performance decision, never a semantic one
+    val bc = Cluster.connectedComponents(pairs, localSolveMaxEdges = 0L)
+      .as[(String, String)].collect().toMap
+    assert(bc == got)
+  }
+
   test("binary ids never take the local regime (identity-hashed keys) and still resolve") {
     // Array[Byte] is neither Comparable nor value-hashed on the JVM: the
     // local union-find would crash or mis-group, so the type gate must route
