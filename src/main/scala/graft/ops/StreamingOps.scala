@@ -28,6 +28,72 @@ object StreamingOps {
       .drop("__content_key")
   }
 
+  /** NEAR-duplicate candidate pairs on a stream with BOUNDED state — the
+    * streaming counterpart of [[Dedup.simhashNearDuplicatePairs]], same
+    * signature construction (whitespace tokens → codegen'd 64-bit SimHash)
+    * and same pigeonhole guarantee: cut into `maxHamming + 1` chunks, any
+    * pair within `maxHamming` bit flips shares at least one exact chunk.
+    *
+    * Shape: signatures and band keys are STATELESS map-side columns; the
+    * only state is the stream–stream self-join on (chunk, chunk_val) with a
+    * ±`delay` event-time bound, so the state store holds exactly the last
+    * `delay` of (id, ts, sig, band) rows per side — ~40 bytes × chunks per
+    * doc, watermark-evicted. Verification (`bit_count(xor) <= maxHamming`)
+    * is inline in the join output, as in batch.
+    *
+    * Contract differences from batch, both inherent to streams:
+    *   - a pair sharing several chunks emits once per shared chunk (batch
+    *     runs `.distinct()`; on a stream that is another stateful agg —
+    *     compose [[dedupExactWithinWatermark]] over (id_a, id_b) downstream
+    *     if exactly-once pairs matter);
+    *   - only pairs arriving within `delay` of each other are found — the
+    *     watermark IS the dedup horizon, which is the standard trade for
+    *     bounded state (no skew cap needed: the horizon bounds bucket size).
+    */
+  def simhashPairsWithinWatermark(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      tsCol: String,
+      delay: String,
+      maxHamming: Int = 3
+  ): DataFrame = {
+    val nChunks = maxHamming + 1
+    val chunkBits = 64 / nChunks
+    val sigs = df
+      .select(col(idCol).as("id"), col(tsCol).as("ts"),
+        split(col(textCol), "\\s+").as("toks"))
+      .select(col("id"), col("ts"),
+        graft.ops.expr.NativeSig.simhash64(col("toks")).as("sig"))
+      .select(col("id"), col("ts"), col("sig"),
+        explode(array((0 until nChunks).map { c =>
+          struct(
+            lit(c).as("chunk"),
+            shiftrightunsigned(col("sig"), c * chunkBits)
+              .bitwiseAND(lit((1L << chunkBits) - 1)).as("chunk_val"))
+        }: _*)).as("cc"))
+      .select(col("id"), col("ts"), col("sig"), col("cc.chunk").as("chunk"),
+        col("cc.chunk_val").as("chunk_val"))
+      .withWatermark("ts", delay)
+    val a = sigs.select(col("id").as("id_a"), col("ts").as("ts_a"),
+      col("sig").as("sig_a"), col("chunk").as("chunk_a"), col("chunk_val").as("val_a"))
+    val b = sigs.select(col("id").as("id_b"), col("ts").as("ts_b"),
+      col("sig").as("sig_b"), col("chunk").as("chunk_b"), col("chunk_val").as("val_b"))
+    a.join(b,
+        col("chunk_a") === col("chunk_b") &&
+          col("val_a") === col("val_b") &&
+          col("id_a") < col("id_b") &&
+          // event-time bound — REQUIRED for state eviction in a
+          // stream-stream join; also the semantic dedup horizon
+          col("ts_b") >= col("ts_a") - expr(s"INTERVAL $delay") &&
+          col("ts_b") <= col("ts_a") + expr(s"INTERVAL $delay"))
+      .select(
+        col("id_a"), col("id_b"),
+        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).as("hamming"),
+        col("ts_a"), col("ts_b"))
+      .filter(col("hamming") <= maxHamming)
+  }
+
   /** Event sessionization: per-key sessions closed after `gap` of
     * inactivity, with count and start/end bounds. Built on Spark's native
     * `session_window` (merging windowed state, watermark-evicted) rather

@@ -111,6 +111,34 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("simhashPairsWithinWatermark: near-dups inside the horizon pair up, outside they don't") {
+    import graft.ops.StreamingOps
+    val input = MemoryStream[(Long, java.sql.Timestamp, String)](spark)
+    val df = input.toDF().toDF("id", "ts", "text")
+    val pairs = StreamingOps.simhashPairsWithinWatermark(
+      df, "id", "text", "ts", "10 minutes")
+    val q = pairs.writeStream.format("memory").queryName("sh_pairs")
+      .outputMode("append").start()
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val dup = "the quick brown fox jumps over the lazy dog again and again in the long morning"
+    val other = "completely different content about spark shuffles and parquet footers and codegen"
+    try {
+      input.addData(
+        (1L, t("2026-01-01 00:00:00"), dup),
+        (2L, t("2026-01-01 00:05:00"), dup), // inside the horizon → pair
+        (3L, t("2026-01-01 00:06:00"), other), // unrelated → no pair
+        (4L, t("2026-01-01 02:00:00"), dup)) // same text but outside ±10 min
+      q.processAllAvailable()
+      val got = spark.table("sh_pairs")
+        .select($"id_a", $"id_b", $"hamming").as[(Long, Long, Int)].collect()
+      assert(got.nonEmpty, "identical texts within the horizon must pair")
+      // (1,2) is the ONLY pair — possibly multiple times (once per shared
+      // chunk, per the documented contract); never 3 (unrelated) or 4
+      // (outside the event-time bound, even though the text is identical)
+      assert(got.forall(p => p._1 == 1L && p._2 == 2L && p._3 == 0), got.mkString(","))
+    } finally q.stop()
+  }
+
   test("sessionize works identically on a batch frame") {
     import graft.ops.StreamingOps
     def t(s: String) = java.sql.Timestamp.valueOf(s)
