@@ -169,10 +169,13 @@ object Dedup {
       maxBucketSize: Int
   ): DataFrame = {
     val keys = keyCols.map(col)
-    val members = buckets
-      .groupBy(keys: _*)
-      .agg(collect_set(col("id")).as("ids"))
-      .filter(size(col("ids")).between(2, maxBucketSize))
+    val members = observeBucketStats(
+      buckets
+        .groupBy(keys: _*)
+        .agg(collect_set(col("id")).as("ids"))
+        .withColumn("__bsz", size(col("ids"))),
+      maxBucketSize)
+      .filter(col("__bsz").between(2, maxBucketSize))
       .select(keys :+ explode(col("ids")).as("id"): _*)
     members.as("a")
       .join(members.as("b"),
@@ -181,6 +184,51 @@ object Dedup {
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
   }
+
+  /** Every candidate generator runs under a skew cap, and a capped bucket is
+    * SILENT candidate loss — at 100 TB nobody eyeballs that. So the bucket
+    * aggregation carries a `CollectMetrics` observation (zero extra jobs,
+    * computed inside the same plan): max observed bucket size, number of
+    * truncated (over-cap) buckets, and member rows inside them. Names are
+    * `graft_buckets_<n>` (unique per operator instance — Spark requires
+    * distinct observation names within one query, e.g. MinHash + SimHash
+    * composed).
+    *
+    * Read them after an action with [[observedBucketStats]] (same frame), or
+    * fleet-wide with a `QueryExecutionListener`/`StreamingQueryListener`
+    * filtering on the name prefix — the standard alerting hook.
+    */
+  private val obsCounter = new java.util.concurrent.atomic.AtomicLong
+
+  private def observeBucketStats(sized: DataFrame, maxBucketSize: Int): DataFrame =
+    sized.observe(s"graft_buckets_${obsCounter.incrementAndGet()}",
+      coalesce(max(col("__bsz")).cast("long"), lit(0L)).as("max_bucket"),
+      coalesce(sum(when(col("__bsz") > maxBucketSize, 1L).otherwise(0L)), lit(0L))
+        .as("buckets_truncated"),
+      coalesce(sum(when(col("__bsz") > maxBucketSize, col("__bsz").cast("long"))
+        .otherwise(0L)), lit(0L)).as("rows_in_truncated"))
+
+  /** `(max_bucket, buckets_truncated, rows_in_truncated)` from the LAST
+    * action run directly on `df` (an operator result carrying the bucket
+    * observation) — collect/write/foreach; note `count()` executes a DERIVED
+    * agg plan and does not populate this frame's metrics. None before any
+    * action, or on a frame further transformed before executing — derived
+    * frames execute their own plan, so use a listener there.
+    *
+    * DEGENERATE-EMPTY caveat: if the query's output is completely empty,
+    * AQE's empty-relation propagation may replace the executed plan (and
+    * the observation node in it) with `EmptyRelationExec` after the
+    * observed stage ran, returning None here. That case is not silent — the
+    * operator produced ZERO candidates, the loudest possible truncation
+    * signal; any partial output keeps the metrics reachable.
+    */
+  def observedBucketStats(df: DataFrame): Option[(Long, Long, Long)] =
+    // not df.queryExecution.observedMetrics: that traversal treats the AQE
+    // root as a leaf and returns {} for any observed query with an exchange
+    org.apache.spark.sql.graft.ColumnBridge.observedMetricsAll(df).collectFirst {
+      case (name, row) if name.startsWith("graft_buckets_") =>
+        (row.getLong(0), row.getLong(1), row.getLong(2))
+    }
 
   /** Candidate near-duplicate pairs (idA < idB) that share at least one LSH
     * band bucket.
@@ -307,10 +355,13 @@ object Dedup {
     // Skew-capped bucket membership in one groupBy; signatures (16 bytes)
     // ride along so the hamming check is inline after the streaming
     // self-join — no join-back stage (same shape as bucketCandidatePairs).
-    val members = chunks
-      .groupBy(col("chunk"), col("chunk_val"))
-      .agg(collect_set(struct(col("id"), col("sig"))).as("ms"))
-      .filter(size(col("ms")).between(2, maxBucketSize))
+    val members = observeBucketStats(
+      chunks
+        .groupBy(col("chunk"), col("chunk_val"))
+        .agg(collect_set(struct(col("id"), col("sig"))).as("ms"))
+        .withColumn("__bsz", size(col("ms"))),
+      maxBucketSize)
+      .filter(col("__bsz").between(2, maxBucketSize))
       .select(col("chunk"), col("chunk_val"), explode(col("ms")).as("m"))
     members.as("a")
       .join(members.as("b"),

@@ -60,4 +60,48 @@ object ColumnBridge {
       schema: org.apache.spark.sql.types.StructType): org.apache.spark.sql.DataFrame =
     spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .internalCreateDataFrame(rdd, schema, isStreaming = false)
+
+  /** All `CollectMetrics` observations in `df`'s EXECUTED plan, including
+    * those buried under AQE — `AdaptiveSparkPlanExec` is a leaf to plan
+    * traversals, so the stock `QueryExecution.observedMetrics` returns {}
+    * for any observed query that also contains an exchange once adaptive
+    * execution is on (which is this library's default posture). Descends
+    * into the adaptive plan explicitly. When the same observation name
+    * appears at several plan positions (a self-join reusing one observed
+    * exchange — only the executed copy's accumulator fills), keeps the row
+    * with data.
+    */
+  def observedMetricsAll(df: org.apache.spark.sql.DataFrame)
+      : Map[String, org.apache.spark.sql.Row] = {
+    import org.apache.spark.sql.execution.{CollectMetricsExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    // three leaf-like wrappers hide the real tree from stock traversals:
+    // the AQE root (executedPlan), each materialized stage (plan), and
+    // reused exchanges/subqueries (child) — all descended here
+    def gather(p: SparkPlan): Seq[(String, org.apache.spark.sql.Row)] = {
+      val here = p match {
+        case a: AdaptiveSparkPlanExec => gather(a.executedPlan)
+        case q: QueryStageExec        => gather(q.plan)
+        case c: CollectMetricsExec    => Seq(c.name -> c.collectedMetrics)
+        case _                        => Nil
+      }
+      here ++ p.children.flatMap(gather)
+    }
+    val ds = df.asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
+    gather(ds.queryExecution.executedPlan)
+      .groupBy(_._1)
+      .map { case (name, rows) =>
+        // the executed copy has real accumulator contents; a never-ran
+        // instance reports nulls/zeros — prefer the numerically largest
+        // row (sound for monotone metrics: counts, maxes, sums)
+        name -> rows.map(_._2).maxBy { r =>
+          (0 until r.length).map { i =>
+            r.get(i) match {
+              case n: java.lang.Number => n.longValue()
+              case _                   => 0L
+            }
+          }.sum
+        }
+      }
+  }
 }

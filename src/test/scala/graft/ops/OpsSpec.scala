@@ -86,6 +86,36 @@ class OpsSpec extends SparkTestBase {
     assert(uncapped.count() == 50L * 49 / 2)
   }
 
+  test("bucket truncation is observable: in-plan stats report the black hole") {
+    // 40 identical texts (the black hole, over the cap) + 3 copies of a
+    // second text (under the cap, so the query output is NON-empty — an
+    // all-empty output lets AQE's empty propagation discard the plan and
+    // the observation with it, per the documented degenerate-empty caveat)
+    val df = ((1 to 40).map(i => (i.toLong, "same words every time here")) ++
+      (50 to 52).map(i => (i.toLong, "an entirely different sentence altogether")))
+      .toDF("id", "text")
+    val pairs = Dedup.lshCandidatePairs(df, "id", "text", maxBucketSize = 10)
+    // collect, not count: count() executes a derived agg plan, and the
+    // observation lands on the executing plan's QueryExecution
+    assert(pairs.collect().length == 3) // the under-cap trio's pairs survive
+    val stats = Dedup.observedBucketStats(pairs)
+    assert(stats.isDefined, "bucket observation must be present")
+    val (maxB, nTrunc, rowsTrunc) = stats.get
+    assert(maxB == 40L, s"max bucket should be the 40-doc black hole, got $maxB")
+    assert(nTrunc >= 1L && rowsTrunc >= 40L,
+      s"truncation must be reported: n=$nTrunc rows=$rowsTrunc")
+    // under-cap run: same observation, zero truncation
+    val uncapped = Dedup.lshCandidatePairs(df, "id", "text", maxBucketSize = 1000)
+    assert(uncapped.collect().length == 40 * 39 / 2 + 3)
+    assert(Dedup.observedBucketStats(uncapped)
+      .exists { case (m, n, r) => m == 40L && n == 0L && r == 0L },
+      "under-cap runs report zero truncation")
+    // simhash banding carries the same observation
+    val sh = Dedup.simhashNearDuplicatePairs(df, "id", "text", maxBucketSize = 10)
+    assert(sh.collect().length == 3)
+    assert(Dedup.observedBucketStats(sh).exists(_._2 >= 1L))
+  }
+
   // ------------------------------------------------------------------
   // Text stats
   // ------------------------------------------------------------------
