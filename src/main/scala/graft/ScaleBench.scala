@@ -1,0 +1,148 @@
+package graft
+
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale rehearsal: runs the heavy-operator subset at TWO scale factors in
+  * one JVM and reports, per query and per scale, wall time plus the
+  * executor-side quantities that plan-shape tests cannot see — shuffle
+  * read/write bytes, memory/disk spill, peak execution memory — and the
+  * big-over-small scaling ratios. A 10× data / ≫10× time or any nonzero
+  * spill row is exactly the class of problem sf0.01 correctness runs and
+  * `.explain` audits can't catch.
+  *
+  * Usage: runMain graft.ScaleBench [smallDir] [bigDir] [outFile]
+  * (defaults: /root/testdata/sf0.1, testdata_sf1, SF1_BENCH.json)
+  */
+object ScaleBench {
+
+  /** Aggregated per-stage task metrics between snapshots (listener events
+    * are async — callers drain the bus via ListenerBridge before reading).
+    */
+  private final class Metrics extends SparkListener {
+    val shuffleRead = new AtomicLong
+    val shuffleWrite = new AtomicLong
+    val memSpill = new AtomicLong
+    val diskSpill = new AtomicLong
+    val peakExec = new AtomicLong
+    override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
+      val m = sc.stageInfo.taskMetrics
+      if (m != null) {
+        shuffleRead.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+        shuffleWrite.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+        memSpill.addAndGet(m.memoryBytesSpilled)
+        diskSpill.addAndGet(m.diskBytesSpilled)
+        peakExec.updateAndGet(p => math.max(p, m.peakExecutionMemory))
+      }
+    }
+    def reset(): Unit = {
+      shuffleRead.set(0); shuffleWrite.set(0)
+      memSpill.set(0); diskSpill.set(0); peakExec.set(0)
+    }
+  }
+
+  private case class Result(
+      sec: Double, shuffleReadMb: Double, shuffleWriteMb: Double,
+      spillMemMb: Double, spillDiskMb: Double, peakExecMb: Double) {
+    def json: String =
+      f"""{"sec":$sec%.3f,"shuffle_read_mb":$shuffleReadMb%.1f,"shuffle_write_mb":$shuffleWriteMb%.1f,""" +
+        f""""spill_mem_mb":$spillMemMb%.1f,"spill_disk_mb":$spillDiskMb%.1f,"peak_exec_mem_mb":$peakExecMb%.1f}"""
+  }
+
+  /** The heavy subset: every shuffle-bearing pipeline the VERDICT r4 plan
+    * audit called out, reused verbatim from the driver-contract queries so
+    * the rehearsal measures exactly what the gate verifies.
+    */
+  private val reused = Seq(
+    "q13_dedup_exact", "q17_minhash_pairs", "q20_simhash_pairs",
+    "q29_jaccard_pairs", "q36_tfidf", "q39_chunks", "q45_global_index",
+    "q46_packing", "q47_decontam", "q49_redact", "q50_e2e_curation",
+    "q51_token_budget", "q19b_cosine_lsh", "q31_ivf", "q38_cluster",
+    "q26_quality")
+
+  /** Scale-path variants that the gate runs in verification form: the
+    * DEFAULT (approx) profile, and the forced-shuffle CC regime sized with
+    * the data (the gate's q48 pins a fixed 50k graph).
+    */
+  private def custom(scaleNodes: Long): Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_profile_approx_default" -> ((s, dir) =>
+      graft.ops.Corpus.profile(
+        s.read.parquet(s"$dir/lineitem.parquet"),
+        Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))),
+    "x_cc_shuffle_scaled" -> ((s, _) => {
+      val k = 16L
+      val edges = s.range(scaleNodes - 1).filter((col("id") + 1) % k =!= 0)
+        .select(col("id").as("id_a"), (col("id") + 1).as("id_b"))
+      graft.ops.Cluster.connectedComponents(edges,
+        broadcastMaxLabelRows = 0L, localSolveMaxEdges = 0L)
+    }))
+
+  def main(args: Array[String]): Unit = {
+    val smallDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val bigDir = if (args.length > 1) args(1) else "testdata_sf1"
+    val outFile = if (args.length > 2) args(2) else "SF1_BENCH.json"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val metrics = new Metrics
+    spark.sparkContext.addSparkListener(metrics)
+
+    def run(dir: String, nodes: Long): Seq[(String, Result)] = {
+      val qs = reused.map(n => n -> SparkEntry.queries(n)) ++ custom(nodes).toSeq
+      qs.map { case (name, fn) =>
+        def once(): Result = {
+          System.gc()
+          org.apache.spark.graft.ListenerBridge.drain(spark.sparkContext)
+          metrics.reset()
+          val t0 = System.nanoTime()
+          try fn(spark, dir).write.format("noop").mode("overwrite").save()
+          catch {
+            case e: Throwable =>
+              System.err.println(s"[scalebench] $name @ $dir: $e")
+              return Result(-1, 0, 0, 0, 0, 0)
+          }
+          val sec = (System.nanoTime() - t0) / 1e9
+          org.apache.spark.graft.ListenerBridge.drain(spark.sparkContext)
+          def mb(l: AtomicLong) = l.get() / 1048576.0
+          Result(sec, mb(metrics.shuffleRead), mb(metrics.shuffleWrite),
+            mb(metrics.memSpill), mb(metrics.diskSpill), mb(metrics.peakExec))
+        }
+        once() // warm-up: JIT, codegen, parquet footers
+        val a = once()
+        val b = once()
+        val best = if (b.sec >= 0 && (a.sec < 0 || b.sec < a.sec)) b else a
+        println(f"[scalebench] $dir%-18s $name%-28s ${best.sec}%8.2f s  " +
+          f"shW ${best.shuffleWriteMb}%8.1f MB  spill ${best.spillDiskMb}%6.1f MB")
+        name -> best
+      }
+    }
+
+    val small = run(smallDir, 50000L)
+    val big = run(bigDir, 500000L)
+    val ratios = small.map(_._1).map { n =>
+      val s = small.find(_._1 == n).get._2.sec
+      val b = big.find(_._1 == n).get._2.sec
+      n -> (if (s > 0.005 && b > 0) b / s else -1.0)
+    }
+    def obj(rs: Seq[(String, Result)]): String =
+      rs.map { case (k, v) => "\"" + k + "\":" + v.json }.mkString("{", ",", "}")
+    val ratioJson = ratios.map { case (k, v) => "\"" + k + "\":" + f"$v%.2f" }
+      .mkString("{", ",", "}")
+    val json =
+      s"""{"metric":"sf1_total","value":${big.map(_._2.sec).filter(_ > 0).sum},"unit":"sec",""" +
+        s""""small_dir":"$smallDir","big_dir":"$bigDir","data_factor":10,""" +
+        s""""small":${obj(small)},"big":${obj(big)},"time_ratio_big_over_small":$ratioJson}"""
+    println(json)
+    java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
+      (json + "\n").getBytes("UTF-8"))
+    spark.stop()
+  }
+}
