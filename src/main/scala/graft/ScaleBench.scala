@@ -14,8 +14,11 @@ import org.apache.spark.sql.functions._
   * spill row is exactly the class of problem sf0.01 correctness runs and
   * `.explain` audits can't catch.
   *
-  * Usage: runMain graft.ScaleBench [smallDir] [bigDir] [outFile]
-  * (defaults: /root/testdata/sf0.1, testdata_sf1, SF1_BENCH.json)
+  * Usage: runMain graft.ScaleBench [smallDir] [bigDir] [outFile] [queries]
+  * (defaults: /root/testdata/sf0.1, testdata_sf1, SF1_BENCH.json, all;
+  * `queries` is an optional comma-separated subset for iterating on one
+  * hotspot. Env: SPARK_GRAFT_CPUS = cores, SPARK_GRAFT_SHUFFLE = shuffle
+  * partition count — the knob a cluster run would raise for sort volume.)
   */
 object ScaleBench {
 
@@ -72,6 +75,18 @@ object ScaleBench {
       graft.ops.Corpus.profile(
         s.read.parquet(s"$dir/lineitem.parquet"),
         Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))),
+    // The gate's q19b pins 6 planes for a reproducible layout; at 10× rows
+    // that fixed layout is the measured 16.7×/59×-shuffle hotspot. This row
+    // is the library's answer: planes from corpus size (constant expected
+    // bucket), tables from the recall model. Threshold 0.9 — the near-dup
+    // regime the auto path is FOR: total candidate cost scales ~n^(1+ρ)
+    // with ρ = −log2(1 − θ/π) ≈ 0.22 at θ = acos(0.9). (q19b's 0.35 is a
+    // gate artifact — wide angles give ρ ≈ 0.7, where no LSH tuning makes
+    // recall 0.9 cheap; see the lshParamsFor scaladoc.)
+    "x_cosine_lsh_auto" -> ((s, dir) =>
+      graft.ops.Similarity.cosineNearDuplicatePairsAuto(
+        s.read.parquet(s"$dir/embeddings.parquet"), "vec_id", "embedding",
+        threshold = 0.9, dim = 64)),
     "x_cc_shuffle_scaled" -> ((s, _) => {
       val k = 16L
       val edges = s.range(scaleNodes - 1).filter((col("id") + 1) % k =!= 0)
@@ -84,10 +99,13 @@ object ScaleBench {
     val smallDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val bigDir = if (args.length > 1) args(1) else "testdata_sf1"
     val outFile = if (args.length > 2) args(2) else "SF1_BENCH.json"
+    val onlyQs: Set[String] =
+      if (args.length > 3) args(3).split(",").map(_.trim).toSet else Set.empty
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val shufflePartitions = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shufflePartitions)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -96,7 +114,8 @@ object ScaleBench {
     spark.sparkContext.addSparkListener(metrics)
 
     def run(dir: String, nodes: Long): Seq[(String, Result)] = {
-      val qs = reused.map(n => n -> SparkEntry.queries(n)) ++ custom(nodes).toSeq
+      val qs = (reused.map(n => n -> SparkEntry.queries(n)) ++ custom(nodes).toSeq)
+        .filter { case (n, _) => onlyQs.isEmpty || onlyQs.contains(n) }
       qs.map { case (name, fn) =>
         def once(): Result = {
           System.gc()

@@ -407,13 +407,32 @@ object Dedup {
     * shingles*, never an all-pairs loop. Same output contract as
     * [[bruteForceNearDuplicatePairs]] at any scale where that is O(n²)-dead.
     *
-    * Shape: explode → global shingle frequencies (one agg) → per-doc
-    * rarest-first rank (window by id) → prefix filter → bucketed candidate
-    * pairs → exact Jaccard verification with arrays rejoined by id.
+    * Shape: explode → global shingle frequencies (window over the same
+    * instances) → per-doc rarest-first rank (window by id) → prefix filter
+    * → arrays attached to PREFIX rows → one groupBy(g) bucket exchange →
+    * in-bucket pair expansion with length + positional prunes and the
+    * merge-kernel verification INLINE in the expansion stage —
+    * pairs-with-arrays never enter an exchange (the kernel phase of
+    * Vernica/Carey/Li's MapReduce set-similarity join, SIGMOD'10); only
+    * `(id_a, id_b, jaccard)` survivors shuffle, into the final distinct.
     *
     * @param maxBucketSize skew guard on prefix-shingle buckets. Unlike LSH,
     *   dropping a bucket here sacrifices exactness — the default is high;
-    *   lower it only when survival beats completeness.
+    *   lower it only when survival beats completeness. Also bounds the
+    *   per-task sort-merge buffer in the verify join: a full bucket holds
+    *   `members × (gram array)` bytes on each side of the same-key group.
+    * @param hashGrams when true (default), shingles are mapped to sorted
+    *   distinct xxhash64 longs by a fused codegen'd kernel
+    *   ([[graft.ops.expr.SigKernels.hashSortedDistinct]]) in the same
+    *   scan-side projection that shingled them, so the window sorts, the
+    *   bucket exchange, and the in-bucket merge verification all work on
+    *   8-byte longs instead of word n-gram strings — measured at sf1:
+    *   verify phase 8.1 → 5.7 s warm, peak execution memory halved. Jaccard
+    *   only consumes gram EQUALITY, and prefix filtering only needs one
+    *   consistent global gram order, so any injective-up-to-collision
+    *   relabeling preserves the result; two distinct grams colliding in
+    *   xxhash64 (~2⁻⁶⁴ per gram pair, dedup-guarded per doc) is the only
+    *   divergence from the string path. Set false to verify on raw grams.
     */
   def jaccardPairs(
       df: DataFrame,
@@ -422,11 +441,20 @@ object Dedup {
       threshold: Double,
       shingleN: Int = 3,
       maxBucketSize: Int = 100000,
-      cacheShingles: Boolean = false
+      cacheShingles: Boolean = false,
+      hashGrams: Boolean = true
   ): DataFrame = {
     require(threshold > 0 && threshold <= 1, "threshold must be in (0, 1]")
+    val rawSh = shingles(col(textCol), shingleN)
+    // Fused native kernel (hash + sort + dedup in one codegen'd pass): the
+    // HOF spelling `array_distinct(transform(rawSh, xxhash64))` is
+    // interpreted per element and measured 3.5× the cost of the shingling
+    // it followed. Output is SORTED, so the verify branch skips sort_array.
+    val shCol =
+      if (hashGrams) graft.ops.expr.NativeSig.hashSortedDistinct(rawSh)
+      else rawSh
     val shBase = ensureParallelism(df)
-      .select(col(idCol).as("id"), shingles(col(textCol), shingleN).as("sh"))
+      .select(col(idCol).as("id"), shCol.as("sh"))
       .filter(size(col("sh")) > 0)
     // The ranking path and the verification path are separate plan branches
     // over the shingled frame, and branches recompute everything below them.
@@ -456,33 +484,63 @@ object Dedup {
       ceil(x * lit(threshold * (1 - 1e-12)) - lit(1e-9))
     val prefix = ranked
       .filter(col("rn") <= col("len") - ceilT(col("len")) + 1)
-      .select(col("id"), col("len"), col("g"))
-    // Candidate gen with the LENGTH filter folded into the self-join:
-    // J ≥ t ⟹ t·|A| ≤ |B| ≤ |A|/t, so size-incompatible pairs never
-    // materialize (same single-shuffle shape as bucketCandidatePairs).
-    val members = prefix
+      .select(col("id"), col("len"), col("g"), col("rn"))
+    // VERIFY INSIDE THE BUCKET EXPANSION (the kernel phase of the
+    // MapReduce set-similarity join of Vernica, Carey & Li, SIGMOD'10):
+    // the sorted gram arrays are attached to the PREFIX rows (a ~(1−t)
+    // fraction of the instances), ride ONE groupBy(g) exchange inside the
+    // bucket structs, and every candidate pair is scored by the native
+    // merge kernel right in the expansion stage — pairs-with-arrays never
+    // enter an exchange, only (id_a, id_b, jaccard) survivors do. A pair
+    // sharing k prefix grams is scored k times; the early-exit merge
+    // kernel makes re-scoring far cheaper than shuffling arrays per pair,
+    // and the final distinct dedups true pairs only. The alternative —
+    // dedup candidate pairs first, then attach both arrays by two joins —
+    // exchanges every candidate pair WITH both arrays; at sf1 that was 4M
+    // candidates × ~0.9 KB = 1.6 GB of verify-join sort spill, and the
+    // same-JVM A/B measured it 2× slower even at t = 0.5 where the
+    // occurrence redundancy is high. Arrays-in-buckets costs more shuffle
+    // WRITE (~+75% at t = 0.5), but that is sequential I/O scored once;
+    // the per-pair shape's cost is sort spill, which reread and rewrote
+    // every over-size partition.
+    val sorted =
+      if (hashGrams) sh.select(col("id"), col("sh").as("ss"))
+      else sh.select(col("id"), sort_array(col("sh")).as("ss"))
+    // Pair expansion is a DOUBLE EXPLODE on the grouped row, map-side in
+    // the same stage that reads the bucket exchange. (A members-self-join
+    // plans the same bytes — ReuseExchange dedups the identical branches —
+    // but the explode spelling keeps the whole expansion in one codegen
+    // stage with no join machinery.)
+    //
+    // PPJoin-style positional prune, applied per shared-gram occurrence
+    // before anything heavier runs. rn is the gram's 1-based position in
+    // the doc's GLOBAL (df, g) sort — one consistent order across docs —
+    // so for a shared gram at positions (i, j):
+    // overlap ≤ min(i, j) + min(la−i, lb−j), and J ≥ t needs overlap ≥
+    // t·(la+lb)/(1+t). Upper bound ⇒ lossless; the ceil epsilon only
+    // LOOSENS the requirement (keeps boundary-exact pairs).
+    val posBound =
+      least(col("a.rn"), col("b.rn")) +
+        least(col("a.len") - col("a.rn"), col("b.len") - col("b.rn"))
+    def reqOverlap(la: Column, lb: Column): Column =
+      ceil((la + lb) * lit(threshold / (1 + threshold) * (1 - 1e-12)) - lit(1e-9))
+    val pairKeep = col("a.id") < col("b.id") &&
+      col("b.len") >= ceilT(col("a.len")) &&
+      col("a.len") >= ceilT(col("b.len")) &&
+      posBound >= reqOverlap(col("a.len"), col("b.len"))
+    val prefixArr = prefix.join(sorted, "id")
+    prefixArr
       .groupBy(col("g"))
-      .agg(collect_list(struct(col("id"), col("len"))).as("ms"))
+      .agg(collect_list(struct(col("id"), col("len"), col("rn"), col("ss"))).as("ms"))
       .filter(size(col("ms")).between(2, maxBucketSize))
-      .select(col("g"), explode(col("ms")).as("m"))
-      .select(col("g"), col("m.id").as("id"), col("m.len").as("len"))
-    val cands = members.as("a")
-      .join(members.as("b"),
-        col("a.g") === col("b.g") && col("a.id") < col("b.id") &&
-          col("b.len") >= ceilT(col("a.len")) &&
-          col("a.len") >= ceilT(col("b.len")))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .distinct()
-    // Verification: arrays pre-sorted once per document, then a native
-    // merge-intersection kernel per pair — no per-pair hash sets.
-    val sorted = sh.select(col("id"), sort_array(col("sh")).as("ss"))
-    cands
-      .join(sorted.select(col("id").as("id_a"), col("ss").as("sh_a")), "id_a")
-      .join(sorted.select(col("id").as("id_b"), col("ss").as("sh_b")), "id_b")
-      .withColumn("jaccard",
-        graft.ops.expr.NativeSig.jaccardSorted(col("sh_a"), col("sh_b"), minJ = threshold))
+      .select(explode(col("ms")).as("a"), col("ms").as("__ms"))
+      .select(col("a"), explode(col("__ms")).as("b"))
+      .filter(pairKeep)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        graft.ops.expr.NativeSig.jaccardSorted(col("a.ss"), col("b.ss"),
+          minJ = threshold).as("jaccard"))
       .filter(col("jaccard") >= threshold)
-      .select("id_a", "id_b", "jaccard")
+      .distinct()
   }
 
   def bruteForceNearDuplicatePairs(

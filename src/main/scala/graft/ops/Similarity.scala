@@ -143,10 +143,97 @@ object Similarity {
       .select("id_a", "id_b", "cosine")
   }
 
+  /** Sign-bit LSH parameters sized for the corpus, from the closed-form
+    * collision model: a pair at cosine `threshold` (angle θ = arccos t)
+    * agrees on one random hyperplane with probability 1 − θ/π, on a
+    * `planes`-bit signature with p = (1 − θ/π)^planes, and is found by at
+    * least one of `tables` independent tables with 1 − (1 − p)^tables.
+    *
+    * `planes` is chosen from CORPUS SIZE — ceil(log2(n / targetBucket)) —
+    * so the expected bucket population stays ~constant as n grows. This is
+    * the load-bearing scale decision: candidate volume is Θ(Σ|bucket|²),
+    * so FIXED planes means mean bucket ∝ n and candidate pairs ∝ n² — the
+    * sf1 rehearsal measured exactly that (q19b: 10× rows → 16.7× time,
+    * 59× shuffle with 6 fixed planes). Constant bucket size makes candidate
+    * count ∝ n. `tables` then buys the recall target back at that planes
+    * count. Recall here is per-table-collision recall at exactly
+    * `threshold`; pairs above it collide strictly more often.
+    *
+    * RECALL IS THE CONTRACT, bucket size is the cost knob: when the planes
+    * count implied by `targetBucket` would need more than 64 tables to hit
+    * `targetRecall` (tight threshold × huge n — each table is a full
+    * signature scan + shuffle), planes are walked DOWN until the target
+    * fits, accepting larger buckets. The degradation is deliberate and
+    * monotone: fewer planes ⇒ exponentially higher per-table collision ⇒
+    * fewer tables, at the price of bucket population (candidate-verify
+    * cost) doubling per step. Only if even 1 plane cannot reach the target
+    * within 64 tables (threshold ≤ 0 territory — not a near-dup regime)
+    * does the table cap win over recall.
+    *
+    * Pure function of (n, threshold, recall, targetBucket) — deterministic,
+    * driver-side, no jobs. Planes capped at 62 (sig bits in a Long).
+    *
+    * Cost law, so nobody expects magic: with constant buckets, per-table
+    * candidate volume is ∝ n, but holding recall fixed while planes grow
+    * with log2(n) multiplies tables by (n/targetBucket)^ρ where
+    * ρ = −log2(1 − θ/π) — total cost ∝ n^(1+ρ). Near-dup thresholds are
+    * cheap (t = 0.95 ⇒ ρ ≈ 0.15; t = 0.9 ⇒ ρ ≈ 0.22); wide angles are not
+    * (t = 0.35 ⇒ ρ ≈ 0.7, approaching brute force) — at low thresholds the
+    * right tool is IVF ([[ivfTopK]]) or a lower `targetRecall`.
+    */
+  def lshParamsFor(
+      n: Long,
+      threshold: Double,
+      targetRecall: Double = 0.9,
+      targetBucket: Int = 256
+  ): (Int, Int) = {
+    require(n > 0, "corpus size must be positive")
+    require(threshold > -1 && threshold < 1, "threshold must be in (-1, 1)")
+    require(targetRecall > 0 && targetRecall < 1, "targetRecall must be in (0, 1)")
+    require(targetBucket >= 1, "targetBucket must be >= 1")
+    val maxTables = 64
+    def tablesFor(planes: Int): Int = {
+      val pTable = math.pow(1.0 - math.acos(threshold) / math.Pi, planes)
+      if (pTable >= targetRecall) 1
+      else math.ceil(math.log1p(-targetRecall) / math.log1p(-pTable)).toInt
+    }
+    var planes = math.min(62,
+      math.max(1, math.ceil(log2(n.toDouble / targetBucket)).toInt))
+    while (planes > 1 && tablesFor(planes) > maxTables) planes -= 1
+    (planes, math.min(maxTables, tablesFor(planes)))
+  }
+
+  private def log2(x: Double): Double = math.log(x) / math.log(2.0)
+
+  /** [[cosineNearDuplicatePairs]] with (planesPerTable, numTables) derived
+    * from the corpus size via [[lshParamsFor]] — the configuration-free
+    * scale path. Costs one `count()` job up front (a metadata-only scan on
+    * parquet); at 100 TB that is noise next to the signature pass it sizes.
+    */
+  def cosineNearDuplicatePairsAuto(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double,
+      dim: Int,
+      targetRecall: Double = 0.9,
+      targetBucket: Int = 256,
+      maxBucketSize: Int = 2000
+  ): DataFrame = {
+    val (planes, tables) = lshParamsFor(df.count(), threshold, targetRecall, targetBucket)
+    cosineNearDuplicatePairs(df, idCol, vecCol, threshold, dim,
+      planesPerTable = planes, numTables = tables, maxBucketSize = maxBucketSize)
+  }
+
   /** Candidate pairs from shared sign-bit buckets, verified by exact cosine ≥
     * `threshold`. Multi-probe: `numTables` independent plane sets, a pair
     * qualifies by matching in any table — the standard recall/bucket-size
     * trade.
+    *
+    * `planesPerTable` must track corpus size (buckets-per-table = 2^planes;
+    * fixed planes ⇒ bucket size ∝ n ⇒ candidate pairs ∝ n²) — prefer
+    * [[cosineNearDuplicatePairsAuto]] / [[lshParamsFor]] unless you are
+    * pinning a layout for a reproducible test.
     */
   def cosineNearDuplicatePairs(
       df: DataFrame,

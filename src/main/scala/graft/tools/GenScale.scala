@@ -25,7 +25,8 @@ import org.apache.spark.sql.functions._
   * column rewrites) — no driver-side loops, no UDFs; generating sf1 this
   * way at 100 TB would itself be a legitimate distributed job.
   *
-  * Usage: runMain graft.tools.GenScale [srcDir] [dstDir] [k]
+  * Usage: runMain graft.tools.GenScale [srcDir] [dstDir] [k] [tables]
+  * (tables: optional comma-separated subset to regenerate)
   */
 object GenScale {
 
@@ -36,6 +37,10 @@ object GenScale {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")
     val dst = if (args.length > 1) args(1) else "testdata_sf1"
     val k = if (args.length > 2) args(2).toInt else 10
+    // Optional 4th arg: comma-separated table subset, for regenerating one
+    // table after a rewrite-rule fix without paying for the others.
+    val only: Set[String] =
+      if (args.length > 3) args(3).split(",").map(_.trim).toSet else Set.empty
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions", 32)
@@ -45,6 +50,7 @@ object GenScale {
     spark.sparkContext.setLogLevel("WARN")
 
     def replicate(table: String)(rewrite: DataFrame => DataFrame): Unit = {
+      if (only.nonEmpty && !only.contains(table)) return
       val base = spark.read.parquet(s"$src/$table.parquet")
       val reps = spark.range(k).select(col("id").as("__rep"))
       val scaled = rewrite(base.crossJoin(reps)).drop("__rep")
@@ -64,9 +70,13 @@ object GenScale {
         .withColumn("embedding",
           when(col("__rep") === 0, col("embedding"))
             .otherwise(transform(col("embedding"), (_, i) =>
-              // seeded uniform [-1, 1]: decorrelated across replicas/dims
+              // seeded uniform [-1, 1]: decorrelated across replicas/dims.
+              // Cast AFTER the divide — Spark's fractional `/` returns
+              // double regardless of operand types, and an array<double>
+              // branch would coerce the whole `when` (and the written
+              // table) to array<double>, breaking Array[Float] encoders.
               ((pmod(xxhash64(col("vec_id"), col("__rep"), i), lit(20001L)) - 10000L)
-                .cast("float") / 10000.0f))))
+                / 10000.0).cast("float"))))
     }
 
     replicate("lineitem") { df =>

@@ -116,6 +116,24 @@ class CorpusSpec extends SparkTestBase {
     }
   }
 
+  test("hashed-gram jaccardPairs == raw-gram path, values included") {
+    // hashGrams relabels grams via xxhash64 before every exchange; the pair
+    // set AND the jaccard values must be bit-identical to the string path
+    // (equality structure is preserved absent a 2^-64 collision).
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    for (t <- Seq(0.3, 0.8)) {
+      def run(h: Boolean) =
+        Dedup.jaccardPairs(docs, "doc_id", "text", t, hashGrams = h)
+          .select($"id_a", $"id_b", $"jaccard")
+          .as[(Long, Long, Double)].collect().toSet
+      val hashed = run(true)
+      val raw = run(false)
+      assert(hashed == raw,
+        s"t=$t missing=${(raw -- hashed).take(3)} spurious=${(hashed -- raw).take(3)}")
+      assert(hashed.nonEmpty || t > 0.5)
+    }
+  }
+
   test("topTokens lowers to TakeOrderedAndProject after the aggregation") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val q = Corpus.topTokens(docs, "text", 10)

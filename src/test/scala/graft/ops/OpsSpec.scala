@@ -213,6 +213,58 @@ class OpsSpec extends SparkTestBase {
     } finally all.unpersist()
   }
 
+  test("lshParamsFor: planes track corpus size, tables buy the recall target") {
+    // planes = ceil(log2(n / targetBucket)): 10x the corpus adds ~3.3 bits,
+    // keeping expected bucket population (and so candidate volume per row)
+    // constant — the scale invariant the sf1 rehearsal showed fixed planes
+    // violating (10x rows -> 16.7x time).
+    val (p1, t1) = Similarity.lshParamsFor(1L << 20, 0.8, 0.9, targetBucket = 256)
+    assert(p1 == 12) // ceil(log2(2^20 / 2^8)), no degradation needed
+    // closed-form recall at exactly the threshold holds for the pick
+    def recall(planes: Int, tables: Int, thr: Double): Double = {
+      val p = math.pow(1.0 - math.acos(thr) / math.Pi, planes)
+      1.0 - math.pow(1.0 - p, tables)
+    }
+    assert(recall(p1, t1, 0.8) >= 0.9)
+    // one fewer table must NOT meet the target (minimality — tables are a
+    // full signature scan each; overshooting is a real cost at scale)
+    assert(t1 == 1 || recall(p1, t1 - 1, 0.8) < 0.9)
+    // a looser threshold (wider angle gap) never needs more tables
+    assert(Similarity.lshParamsFor(1L << 20, 0.9, 0.9)._2 <= t1)
+    // tight threshold × huge n: the size-implied 22 planes would need >64
+    // tables; planes degrade (buckets grow) until the recall target fits
+    val (p2, t2) = Similarity.lshParamsFor(1L << 30, 0.8, 0.9, targetBucket = 256)
+    assert(p2 < 22 && t2 <= 64)
+    assert(recall(p2, t2, 0.8) >= 0.9)
+    // p2+1 planes genuinely didn't fit — the degradation was necessary
+    assert(recall(p2 + 1, 64, 0.8) < 0.9)
+    // extreme corner: caps hold, recall still met with 1+ plane
+    val (pBig, tBig) = Similarity.lshParamsFor(Long.MaxValue, 0.5, 0.99, 1)
+    assert(pBig >= 1 && pBig <= 62 && tBig <= 64)
+    assert(recall(pBig, tBig, 0.5) >= 0.99)
+  }
+
+  test("auto-tuned LSH pairs: same recall contract as the pinned layout") {
+    val planted = embs.limit(5).select(
+      ($"vec_id" + 200000L).as("vec_id"),
+      transform($"embedding", x => x * 1.001f).as("embedding"))
+    val all = embs.select("vec_id", "embedding").union(planted).cache()
+    try {
+      val lsh = Similarity
+        .cosineNearDuplicatePairsAuto(all, "vec_id", "embedding",
+          threshold = 0.999, dim = 64, targetRecall = 0.95, targetBucket = 64)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      val vecs = all.select($"vec_id".as("id"), $"embedding".as("v"))
+      val brute = vecs.as("a").join(vecs.as("b"), $"a.id" < $"b.id")
+        .withColumn("c", Similarity.cosine($"a.v", $"b.v"))
+        .filter($"c" >= 0.999)
+        .select($"a.id", $"b.id").as[(Long, Long)].collect().toSet
+      assert(brute.size >= 5)
+      assert(lsh.subsetOf(brute))
+      assert(lsh.size >= brute.size * 4 / 5, s"recall too low: ${lsh.size}/${brute.size}")
+    } finally all.unpersist()
+  }
+
   test("IVF top-k finds the exact top-k when the query cell is probed") {
     val query = embs.filter($"vec_id" === 7).select("embedding")
       .as[Array[Float]].head.toSeq
