@@ -1,0 +1,116 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.ops.Similarity
+
+/** ANN recall measurement: turns the IVF `nProbe` and hyperplane-LSH
+  * `(planesPerTable, numTables)` tuning knobs from folklore into numbers.
+  *
+  *   - IVF: mean recall@k over Q held-in query vectors vs the exact
+  *     brute-force top-k, for an nProbe sweep (nProbe = #cells is the
+  *     full-probe sanity row — recall must be 1.0 there, and monotonically
+  *     non-decreasing on the way).
+  *   - Hyperplane LSH: pair recall vs the exact cosine pair set at a
+  *     threshold, for a (planes, tables) sweep — more planes = smaller
+  *     buckets and lower recall per table; more tables buy it back.
+  *
+  * Driver-side query loop is deliberate: Q×sweep tiny jobs on a cached
+  * corpus is measurement tooling, not an operator; the measured operators
+  * themselves are the library's distributed paths.
+  *
+  * Usage: runMain graft.tools.RecallBench [sfDir] [outFile]
+  */
+object RecallBench {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val outFile = if (args.length > 1) args(1) else "RECALL.json"
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    val embs = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding")).cache()
+    val n = embs.count()
+    val dim = embs.select(size(col("embedding"))).head().getInt(0)
+    val k = 10
+    val queries = embs.orderBy("vec_id").limit(20)
+      .as[(Long, Array[Float])].collect()
+
+    def topIds(df: org.apache.spark.sql.DataFrame): Set[Long] =
+      df.select("vec_id").as[Long].collect().toSet
+
+    val exact: Map[Long, Set[Long]] = queries.map { case (qid, qv) =>
+      qid -> topIds(Similarity.bruteForceTopK(embs, "vec_id", "embedding", qv.toSeq, k))
+    }.toMap
+
+    val cells = 16
+    val centroids = Similarity.trainCentroids(embs, "embedding", cells, iters = 5)
+    val ivf = Seq(1, 2, 4, 8, cells).map { nProbe =>
+      val mean = queries.map { case (qid, qv) =>
+        val got = topIds(Similarity.ivfTopK(
+          embs, "vec_id", "embedding", centroids, qv.toSeq, k, nProbe))
+        (got intersect exact(qid)).size.toDouble / k
+      }.sum / queries.length
+      nProbe -> mean
+    }
+
+    // Random 64-dim vectors have essentially NO pairs at cosine 0.85
+    // (≈6.8σ), so pair recall against the raw corpus is vacuous. Plant a
+    // deterministic near-duplicate of every vector: per-element uniform
+    // noise scaled by the VECTOR'S OWN rms (norm/√dim — absolute noise
+    // would swamp unit-normalized embeddings), with strength a stepping
+    // through {0.3, 0.6, 0.9, 1.2, 1.5} by id. E[cos] ≈ 1/√(1+a²/3) ≈
+    // {0.99, 0.94, 0.89, 0.82, 0.76} — true cosines straddle the
+    // threshold, so recall is measured on a mix of easy and boundary
+    // pairs. Brute force defines the ground truth.
+    val threshold = 0.85
+    val rms = Similarity.norm(col("embedding")) / math.sqrt(dim)
+    val noise = transform(col("embedding"), (x, i) =>
+      x + (lit(0.3) + pmod(col("vec_id"), lit(5)).cast("double") * 0.3) * rms *
+        ((pmod(xxhash64(col("vec_id"), i), lit(2001L)) - 1000L) / 1000.0))
+    val corpus = embs.union(
+      embs.select((col("vec_id") + 1000000L).as("vec_id"),
+        noise.cast("array<float>").as("embedding"))).cache()
+    val exactPairs = Similarity.bruteForceCosinePairs(corpus, "vec_id", "embedding", threshold)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val autoParams = Similarity.lshParamsFor(corpus.count(), threshold,
+      targetRecall = 0.9, targetBucket = 256)
+    val lsh = for {
+      (planes, tables) <- Seq(8, 12, 16).flatMap(p => Seq(1, 2, 4, 8).map(t => (p, t))) :+
+        autoParams
+    } yield {
+      val got = Similarity.cosineNearDuplicatePairs(
+        corpus, "vec_id", "embedding", threshold, dim,
+        planesPerTable = planes, numTables = tables)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      val recall =
+        if (exactPairs.isEmpty) 1.0
+        else (got intersect exactPairs).size.toDouble / exactPairs.size
+      (planes, tables, recall, got.size)
+    }
+
+    val ivfJson = ivf.map { case (p, r) => s""""nProbe_$p":${f"$r%.3f"}""" }
+      .mkString("{", ",", "}")
+    val lshJson = lsh.map { case (p, t, r, sz) =>
+      s""""p${p}_t$t":{"recall":${f"$r%.3f"},"pairs":$sz}"""
+    }.mkString("{", ",", "}")
+    val json =
+      s"""{"metric":"ann_recall","sf":"$sfDir","n":$n,"dim":$dim,"k":$k,""" +
+        s""""queries":${queries.length},"ivf_cells":$cells,""" +
+        s""""ivf_recall_at_$k":$ivfJson,""" +
+        s""""lsh_threshold":$threshold,"lsh_exact_pairs":${exactPairs.size},""" +
+        s""""lsh_auto_params":"p${autoParams._1}_t${autoParams._2}",""" +
+        s""""lsh_pair_recall":$lshJson}"""
+    println(json)
+    java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
+      (json + "\n").getBytes("UTF-8"))
+    spark.stop()
+  }
+}
