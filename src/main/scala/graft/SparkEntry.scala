@@ -282,6 +282,27 @@ object SparkEntry {
         .join(found, Seq("id_a", "id_b"), "left")
         .select(col("id_a"), col("id_b"), col("__f").isNotNull.as("ok"))
     }),
+    // AUTO-TUNED hyperplane LSH under the same recall-floor construction as
+    // q19c: lshParamsFor picks (planes, tables) from the corpus size and
+    // threshold, and identical embeddings still collide in every table at
+    // ANY parameterization — so the guarantee is parameter-independent,
+    // which is exactly what makes the auto path gateable.
+    "q19d_cosine_lsh_auto_props" -> ((s, dir) => {
+      val e0 = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"))
+        .filter(aggregate(col("embedding"), lit(0.0),
+          (a, x) => a + x.cast("double") * x.cast("double")) > 0)
+      val ee = e0.unionByName(
+        e0.select((col("vec_id") + 1000000L).as("vec_id"), col("embedding")))
+      val found = Similarity.cosineNearDuplicatePairsAuto(ee, "vec_id", "embedding",
+        threshold = 0.35, dim = 64, maxBucketSize = Int.MaxValue)
+        .select(col("id_a"), col("id_b"), lit(1).as("__f"))
+      ee.as("x").join(ee.as("y"),
+        col("x.embedding") === col("y.embedding") && col("x.vec_id") < col("y.vec_id"))
+        .select(col("x.vec_id").as("id_a"), col("y.vec_id").as("id_b"))
+        .join(found, Seq("id_a", "id_b"), "left")
+        .select(col("id_a"), col("id_b"), col("__f").isNotNull.as("ok"))
+    }),
     "q20_simhash_pairs" -> ((s, dir) =>
       Dedup.simhashNearDuplicatePairs(t(s, dir, "documents"), "doc_id", "text", maxHamming = 8)
         .select(col("id_a"), col("id_b"), col("hamming"))),
@@ -721,6 +742,30 @@ object SparkEntry {
       Similarity.ivfTopK(e, "vec_id", "embedding", cents, AnnQueryVec, 20, nProbe = 8)
         .select(col("vec_id"), round(col("score"), 6).as("score"))
     }),
+    // IVF-bucketed cosine PAIRS (the low-threshold near-dup scale path)
+    // under the q19c-style recall-floor construction: identical vectors get
+    // identical probe sets (deterministic kernel tie-break), so every
+    // identical-vector pair shares a cell at any (cells, nProbe) and scores
+    // cosine 1.0 ≥ threshold — guaranteed reported with the skew cap
+    // lifted. Zero-norm vectors excluded on both sides (cosine(0,0) = 0).
+    "q31b_ivf_pairs_props" -> ((s, dir) => {
+      val e0 = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"))
+        .filter(aggregate(col("embedding"), lit(0.0),
+          (a, x) => a + x.cast("double") * x.cast("double")) > 0)
+      val ee = e0.unionByName(
+        e0.select((col("vec_id") + 1000000L).as("vec_id"), col("embedding")))
+      val cents = Similarity.trainCentroids(ee, "embedding", k = 8, iters = 3)
+      val found = Similarity.cosineNearDuplicatePairsIvf(ee, "vec_id", "embedding",
+        threshold = 0.35, centroids = cents, nProbe = 2,
+        maxBucketSize = Int.MaxValue)
+        .select(col("id_a"), col("id_b"), lit(1).as("__f"))
+      ee.as("x").join(ee.as("y"),
+        col("x.embedding") === col("y.embedding") && col("x.vec_id") < col("y.vec_id"))
+        .select(col("x.vec_id").as("id_a"), col("y.vec_id").as("id_b"))
+        .join(found, Seq("id_a", "id_b"), "left")
+        .select(col("id_a"), col("id_b"), col("__f").isNotNull.as("ok"))
+    }),
     // Schema'd JSON property extraction — from_json (typed struct) and
     // get_json_object (path) against DuckDB's json_extract.
     "q32_json" -> ((s, dir) => {
@@ -1152,6 +1197,28 @@ object SparkEntry {
     "q18b_fingerprint_props" ->
       "SELECT doc_id, TRUE AS ok FROM documents",
     "q19c_cosine_lsh_props" ->
+      """WITH nz AS (
+        |  SELECT vec_id, embedding FROM embeddings
+        |  WHERE list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0
+        |), ee AS (
+        |  SELECT vec_id, embedding FROM nz
+        |  UNION ALL
+        |  SELECT vec_id + 1000000, embedding FROM nz
+        |)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b, TRUE AS ok
+        |FROM ee a JOIN ee b ON a.embedding = b.embedding AND a.vec_id < b.vec_id""".stripMargin,
+    "q19d_cosine_lsh_auto_props" ->
+      """WITH nz AS (
+        |  SELECT vec_id, embedding FROM embeddings
+        |  WHERE list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0
+        |), ee AS (
+        |  SELECT vec_id, embedding FROM nz
+        |  UNION ALL
+        |  SELECT vec_id + 1000000, embedding FROM nz
+        |)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b, TRUE AS ok
+        |FROM ee a JOIN ee b ON a.embedding = b.embedding AND a.vec_id < b.vec_id""".stripMargin,
+    "q31b_ivf_pairs_props" ->
       """WITH nz AS (
         |  SELECT vec_id, embedding FROM embeddings
         |  WHERE list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0

@@ -200,7 +200,7 @@ object Dedup {
     */
   private val obsCounter = new java.util.concurrent.atomic.AtomicLong
 
-  private def observeBucketStats(sized: DataFrame, maxBucketSize: Int): DataFrame =
+  private[ops] def observeBucketStats(sized: DataFrame, maxBucketSize: Int): DataFrame =
     sized.observe(s"graft_buckets_${obsCounter.incrementAndGet()}",
       coalesce(max(col("__bsz")).cast("long"), lit(0L)).as("max_bucket"),
       coalesce(sum(when(col("__bsz") > maxBucketSize, 1L).otherwise(0L)), lit(0L))

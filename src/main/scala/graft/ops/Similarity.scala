@@ -368,4 +368,60 @@ object Similarity {
       .orderBy(col("score").desc, col(idCol))
       .limit(k)
   }
+
+  /** IVF-bucketed cosine near-duplicate pairs — the LOW-threshold scale
+    * path. Sign-bit LSH's candidate cost is ∝ n^(1+ρ) with ρ ≈ 0.7 once
+    * the threshold angle widens (see [[lshParamsFor]]); cell buckets don't
+    * pay that: every vector is assigned to its `nProbe` nearest centroids
+    * (one fused codegen'd pass over a literal centroid table — no
+    * broadcast, no shuffle), pairs form inside cells only, and the exact
+    * cosine verifies inline in the bucket expansion — vectors ride the ONE
+    * groupBy(cell) exchange inside the bucket structs and pairs-with-
+    * vectors never enter an exchange (same shape as
+    * [[graft.ops.Dedup.jaccardPairs]]'s verify).
+    *
+    * Candidate volume is Σ over cells of |b|²/2 with |b| ≈ n·nProbe/cells
+    * on balanced cells — ~n²·nProbe²/(2·cells) total, so size `cells` ∝ n
+    * to hold per-cell population constant (the [[trainCentroids]] sample
+    * cost is k·dim doubles on the driver either way).
+    *
+    * RECALL: a pair is found iff its vectors share ≥ 1 probed cell.
+    * Identical vectors share ALL probes (the kernel's tie-break is
+    * deterministic) — the recall-floor guarantee the props oracle pins
+    * (with the skew cap lifted); near-boundary pairs rely on nProbe ≥ 2
+    * overlapping adjacent cells. Measure with `tools/RecallBench`-style
+    * sweeps before trusting a (cells, nProbe) setting at a new scale.
+    *
+    * @param maxBucketSize skew cap per (cell, probe-rank) bucket; dropped
+    *   buckets are observable via [[graft.ops.Dedup.observedBucketStats]].
+    */
+  def cosineNearDuplicatePairsIvf(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double,
+      centroids: Array[Array[Double]],
+      nProbe: Int = 2,
+      maxBucketSize: Int = 20000
+  ): DataFrame = {
+    require(nProbe >= 1, "nProbe must be >= 1")
+    val probes = graft.ops.expr.NativeSig.nearestCentroids(col(vecCol), centroids, nProbe)
+    val assigned = graft.ops.Dedup.ensureParallelism(df)
+      .select(col(idCol).as("id"), col(vecCol).as("v"), explode(probes).as("cell"))
+    val expanded = graft.ops.Dedup.observeBucketStats(
+      assigned
+        .groupBy(col("cell"))
+        .agg(collect_list(struct(col("id"), col("v"))).as("ms"))
+        .withColumn("__bsz", size(col("ms"))),
+      maxBucketSize)
+      .filter(col("__bsz").between(2, maxBucketSize))
+      .select(explode(col("ms")).as("a"), col("ms").as("__ms"))
+      .select(col("a"), explode(col("__ms")).as("b"))
+    expanded
+      .filter(col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        cosine(col("a.v"), col("b.v")).as("cosine"))
+      .filter(col("cosine") >= threshold)
+      .distinct()
+  }
 }

@@ -325,6 +325,44 @@ object SigKernels {
     best
   }
 
+  /** Indices of the `n` nearest centroids by squared L2, ascending by
+    * (distance, index) — deterministic tie-break on the smaller index, so
+    * identical vectors always get identical probe sets (the IVF pair
+    * operator's recall-floor guarantee rests on it). One fused pass with an
+    * insertion-sorted top-n (n ≤ k, typically 2–8): O(k·dim + k·n).
+    */
+  def nearestCentroidsN(
+      vec: ArrayData, cents: Array[Double], k: Int, n: Int, isFloat: Boolean): ArrayData = {
+    val dim = cents.length / k
+    if (vec.numElements() != dim)
+      throw new IllegalArgumentException(
+        s"nearest_centroids: vector has ${vec.numElements()} dims, centroids have $dim")
+    val m = math.min(n, k)
+    val topD = Array.fill(m)(Double.MaxValue)
+    val topI = new Array[Int](m)
+    var c = 0
+    while (c < k) {
+      val off = c * dim
+      var d = 0.0
+      var i = 0
+      if (isFloat) {
+        while (i < dim) { val t = vec.getFloat(i) - cents(off + i); d += t * t; i += 1 }
+      } else {
+        while (i < dim) { val t = vec.getDouble(i) - cents(off + i); d += t * t; i += 1 }
+      }
+      // strict < keeps the earlier (smaller) index on equal distances
+      if (d < topD(m - 1)) {
+        var j = m - 1
+        while (j > 0 && d < topD(j - 1)) {
+          topD(j) = topD(j - 1); topI(j) = topI(j - 1); j -= 1
+        }
+        topD(j) = d; topI(j) = c
+      }
+      c += 1
+    }
+    new GenericArrayData(topI)
+  }
+
   /** 64-bit SimHash over a token array: per bit, sum +1/−1 by the bit of each
     * token's hash; the result packs the signs. Near-identical token multisets
     * differ in few bits (compare with `bit_count(a ^ b)`).
@@ -649,6 +687,43 @@ case class NearestCentroid(child: Expression, centroids: Array[Double], k: Int)
     copy(child = newChild)
 }
 
+/** Native top-n nearest-centroid probe set — see
+  * [[SigKernels.nearestCentroidsN]].
+  */
+case class NearestCentroids(child: Expression, centroids: Array[Double], k: Int, n: Int)
+    extends UnaryExpression {
+
+  require(k >= 1 && centroids.length % k == 0, "centroids length must be k * dim")
+  require(n >= 1, "probe count must be >= 1")
+
+  private lazy val isFloat = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _                       => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case other =>
+      TypeCheckResult.TypeCheckFailure(
+        s"nearest_centroids needs array<float> or array<double>, got $other")
+  }
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "nearest_centroids"
+
+  override protected def nullSafeEval(input: Any): Any =
+    SigKernels.nearestCentroidsN(input.asInstanceOf[ArrayData], centroids, k, n, isFloat)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cRef = ctx.addReferenceObj("centroids", centroids, "double[]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.ops.expr.SigKernels.nearestCentroidsN($c, $cRef, $k, $n, $isFloat)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): NearestCentroids =
+    copy(child = newChild)
+}
+
 /** Native 64-bit SimHash of an `array<string>` token column. */
 case class SimHash64(child: Expression) extends UnaryExpression {
 
@@ -709,6 +784,11 @@ object NativeSig {
   def nearestCentroid(vec: Column, centroids: Array[Array[Double]]): Column =
     ColumnBridge.column(
       NearestCentroid(ColumnBridge.expression(vec), centroids.flatten, centroids.length))
+
+  /** Column API for [[NearestCentroids]]; `centroids` as (k × dim). */
+  def nearestCentroids(vec: Column, centroids: Array[Array[Double]], n: Int): Column =
+    ColumnBridge.column(
+      NearestCentroids(ColumnBridge.expression(vec), centroids.flatten, centroids.length, n))
 
   /** Column API for [[SignBitSignature]]; `planes` as (numPlanes × dim). */
   def signBitSignature(vec: Column, planes: Array[Array[Double]]): Column =

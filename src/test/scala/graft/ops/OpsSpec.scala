@@ -265,6 +265,45 @@ class OpsSpec extends SparkTestBase {
     } finally all.unpersist()
   }
 
+  test("nearestCentroids probe set: ordered by distance, deterministic ties") {
+    val cents = Array(Array(0.0, 0.0), Array(1.0, 0.0), Array(0.0, 1.0), Array(5.0, 5.0))
+    val df = spark.range(1).select(
+      graft.ops.expr.NativeSig.nearestCentroids(
+        lit(Array(0.6f, 0.0f)), cents, 3).as("probes"),
+      // (0.5, 0.5) is squared-distance 0.5 from cells 0, 1 AND 2 — a
+      // three-way tie; the deterministic tie-break keeps smaller indices
+      graft.ops.expr.NativeSig.nearestCentroids(
+        lit(Array(0.5f, 0.5f)), cents, 2).as("tied"))
+    val row = df.head()
+    assert(row.getSeq[Int](0) == Seq(1, 0, 2))
+    assert(row.getSeq[Int](1) == Seq(0, 1))
+  }
+
+  test("IVF cosine pairs: verified subset of brute force; identical-vector floor") {
+    val planted = embs.limit(5).select(
+      ($"vec_id" + 300000L).as("vec_id"), $"embedding")
+    val all = embs.select("vec_id", "embedding").union(planted).cache()
+    try {
+      val cents = Similarity.trainCentroids(all, "embedding", 8, iters = 3)
+      val ivf = Similarity
+        .cosineNearDuplicatePairsIvf(all, "vec_id", "embedding",
+          threshold = 0.999, centroids = cents, nProbe = 2,
+          maxBucketSize = Int.MaxValue)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      val vecs = all.select($"vec_id".as("id"), $"embedding".as("v"))
+      val brute = vecs.as("a").join(vecs.as("b"), $"a.id" < $"b.id")
+        .withColumn("c", Similarity.cosine($"a.v", $"b.v"))
+        .filter($"c" >= 0.999)
+        .select($"a.id", $"b.id").as[(Long, Long)].collect().toSet
+      assert(ivf.subsetOf(brute)) // cosine verification removes false positives
+      // identical vectors get identical probe sets (deterministic kernel
+      // tie-break) -> every planted identical pair MUST be found
+      val guaranteed = (0 until 5).map(i => (i.toLong, i + 300000L)).toSet
+      assert(guaranteed.subsetOf(ivf),
+        s"missing planted pairs: ${guaranteed -- ivf}")
+    } finally all.unpersist()
+  }
+
   test("IVF top-k finds the exact top-k when the query cell is probed") {
     val query = embs.filter($"vec_id" === 7).select("embedding")
       .as[Array[Float]].head.toSeq
