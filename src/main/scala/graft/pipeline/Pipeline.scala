@@ -287,6 +287,36 @@ object Pipeline {
           d("id").toString, d("text").toString,
           threshold = d.get("threshold").map(_.toString.toDouble).getOrElse(0.8))
 
+      case "dedupEmbeddings" =>
+        // embedding-cosine near-dup removal: keep the smaller id of every
+        // near-duplicate pair. method lsh = auto-tuned sign-bit LSH
+        // (planes/tables from corpus size + recall model — the near-dup-
+        // threshold scale path); method ivf = cell-bucketed pairs (the
+        // low-threshold path; trains k-means centroids driver-side,
+        // k·dim doubles). dim is read from the first row when absent.
+        val d = asMap(step("dedupEmbeddings"), "dedupEmbeddings")
+        val id = d("id").toString
+        val vec = d("embedding").toString
+        val thr = d.get("threshold").map(_.toString.toDouble).getOrElse(0.9)
+        val pairs = d.getOrElse("method", "lsh").toString match {
+          case "lsh" =>
+            val dim = d.get("dim").map(_.toString.toInt).getOrElse(
+              df.select(size(col(vec))).head().getInt(0))
+            graft.ops.Similarity.cosineNearDuplicatePairsAuto(
+              df, id, vec, thr, dim,
+              targetRecall = d.get("targetRecall").map(_.toString.toDouble).getOrElse(0.9))
+          case "ivf" =>
+            val cells = d.get("cells").map(_.toString.toInt).getOrElse(16)
+            val nProbe = d.get("nProbe").map(_.toString.toInt).getOrElse(2)
+            val cents = graft.ops.Similarity.trainCentroids(df, vec, cells)
+            graft.ops.Similarity.cosineNearDuplicatePairsIvf(
+              df, id, vec, thr, cents, nProbe)
+          case other => throw new IllegalArgumentException(
+            s"dedupEmbeddings method must be lsh|ivf, got $other")
+        }
+        val drops = pairs.select(col("id_b").as("__drop_id")).distinct()
+        df.join(drops, df(id) === col("__drop_id"), "left_anti")
+
       case "asOfJoin" =>
         val j = asMap(step("asOfJoin"), "asOfJoin")
         graft.ops.TemporalJoin.asOfJoin(

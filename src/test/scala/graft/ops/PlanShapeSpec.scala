@@ -85,6 +85,36 @@ class PlanShapeSpec extends SparkTestBase {
     assert(!shuffles(q).exists(_.output.exists(_.name == "text")))
   }
 
+  test("jaccardPairs: no exchange ever carries a pair with both gram arrays") {
+    // the sf1 rehearsal's 1.6 GB spill was candidate pairs riding the
+    // verify-join exchanges with BOTH shingle arrays attached; the
+    // verify-in-bucket shape's invariant is that any shuffled row holds at
+    // most ONE gram-array payload (a per-doc array, or the bucket's struct
+    // list) — pair rows with two arrays exist only transiently inside the
+    // expansion stage, never in an exchange
+    val docs = (1L to 80L).map(i => (i, s"alpha beta gamma delta ${i % 7} epsilon zeta"))
+      .toDF("doc_id", "text")
+    def arrayFields(dt: org.apache.spark.sql.types.DataType): Int = dt match {
+      case org.apache.spark.sql.types.ArrayType(e, _) => 1 + arrayFields(e)
+      case s: org.apache.spark.sql.types.StructType => s.fields.map(f => arrayFields(f.dataType)).sum
+      case _ => 0
+    }
+    for (t <- Seq(0.5, 0.8)) {
+      val q = Dedup.jaccardPairs(docs, "doc_id", "text", t)
+      for (ex <- shuffles(q)) {
+        val perRowArrays = ex.child.output.map(a => arrayFields(a.dataType)).sum
+        // one exchange carries the per-doc sorted array (1), one carries the
+        // bucket struct list (array<struct<..,array>> = 2 nested); a pair
+        // row with sh_a AND sh_b as SEPARATE top-level array attrs is the
+        // banned shape
+        val topLevelArrays = ex.child.output.count(a => arrayFields(a.dataType) > 0)
+        assert(topLevelArrays <= 1,
+          s"t=$t: exchange carries $topLevelArrays array columns:\n${ex.child.output}")
+        assert(perRowArrays <= 2, s"t=$t: unexpectedly deep array payload")
+      }
+    }
+  }
+
   test("top-k operators lower to TakeOrderedAndProject, never a global sort") {
     import org.apache.spark.sql.execution.{SortExec, TakeOrderedAndProjectExec}
     val vecs = (1L to 60L)

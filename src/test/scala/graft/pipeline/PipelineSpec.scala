@@ -239,6 +239,28 @@ class PipelineSpec extends SparkTestBase {
       s"unexpected survivor set; spurious=${ids -- ((0L until 100L).toSet -- realDrops)}")
   }
 
+  test("dedupEmbeddings verb: lsh and ivf methods drop planted duplicates") {
+    val embs = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select($"vec_id", $"embedding").limit(200)
+    // plant an identical copy of 3 vectors — both methods GUARANTEE these
+    // pairs (identical sigs in every table / identical probe sets), so the
+    // copies must be dropped and the originals kept regardless of tuning
+    val dups = embs.limit(3).select(($"vec_id" + 9000L).as("vec_id"), $"embedding")
+    embs.union(dups).createOrReplaceTempView("embcorpus")
+    for (method <- Seq("lsh", "ivf")) {
+      val out = Pipeline.run(spark,
+        s"""source: embcorpus
+           |steps:
+           |  - dedupEmbeddings: {id: vec_id, embedding: embedding, threshold: 0.999, method: $method, cells: 4}
+           |""".stripMargin,
+        { case "embcorpus" => spark.table("embcorpus") })
+      val ids = out.select("vec_id").as[Long].collect().toSet
+      assert(Seq(9000L, 9001L, 9002L).forall(id => !ids.contains(id)),
+        s"$method: planted copies must drop")
+      assert(Seq(0L, 1L, 2L).forall(ids.contains), s"$method: originals must survive")
+    }
+  }
+
   test("unknown verb / missing source give clear errors") {
     val e1 = intercept[IllegalArgumentException](
       Pipeline.runOnDir(spark, "source: lineitem\nsteps:\n  - frobnicate: 1\n", dir))
