@@ -294,8 +294,14 @@ object SparkEntry {
           (a, x) => a + x.cast("double") * x.cast("double")) > 0)
       val ee = e0.unionByName(
         e0.select((col("vec_id") + 1000000L).as("vec_id"), col("embedding")))
+      // targetRecall 0.5, not the 0.9 default: at θ = acos(0.35) ≈ 69° the
+      // recall model demands 16 tables for 0.9 (the ρ ≈ 0.7 regime — see
+      // lshParamsFor's cost law), and the floor being pinned here holds at
+      // ANY parameterization — identical vectors collide in every table.
+      // The gate query shouldn't pay 3× for recall it doesn't assert.
       val found = Similarity.cosineNearDuplicatePairsAuto(ee, "vec_id", "embedding",
-        threshold = 0.35, dim = 64, maxBucketSize = Int.MaxValue)
+        threshold = 0.35, dim = 64, targetRecall = 0.5,
+        maxBucketSize = Int.MaxValue)
         .select(col("id_a"), col("id_b"), lit(1).as("__f"))
       ee.as("x").join(ee.as("y"),
         col("x.embedding") === col("y.embedding") && col("x.vec_id") < col("y.vec_id"))
