@@ -80,6 +80,10 @@ object GraftExtensions {
         case _ => throw new IllegalArgumentException(
           "jaccard_sorted(sortedA, sortedB[, minJ])")
       }
+    },
+    "hash_sorted_distinct" -> { es =>
+      require(es.length == 1, "hash_sorted_distinct(strings)")
+      HashSortedDistinct(es.head)
     })
 
   /** Install the same functions as temp functions on a live session. */

@@ -30,7 +30,9 @@ class GraftExtensionsSpec extends SparkTestBase {
           |  jaccard_sorted(array('a', 'b'), array('a', 'b')) AS j,
           |  top_ngram_fraction('a a a b', 2) AS f,
           |  jaccard_sorted(array('a', 'b'), array('a', 'c'), 0.8) AS jt,
-          |  size(minhash_signature(array('x'), 16L)) AS nl
+          |  size(minhash_signature(array('x'), 16L)) AS nl,
+          |  jaccard_sorted(hash_sorted_distinct(array('a', 'b', 'a')),
+          |                 hash_sorted_distinct(array('b', 'a'))) AS jh
           |""".stripMargin).head()
       assert(row.getDouble(0) == 1.0)
       assert(row.getInt(1) == 2)   // shingles of 4 tokens, n=3
@@ -44,6 +46,8 @@ class GraftExtensionsSpec extends SparkTestBase {
       // value or 0.0), exact above it.
       assert(row.getDouble(6) < 0.8, "J=1/3 stays below the 0.8 threshold")
       assert(row.getInt(7) == 16)
+      // hashed-gram arrays: dedup + sort + relabel preserve set equality
+      assert(row.getDouble(8) == 1.0)
     } finally {
       SparkSession.setDefaultSession(shared)
       SparkSession.setActiveSession(shared)
