@@ -144,8 +144,12 @@ object ScaleBench {
       }
     }
 
-    val small = run(smallDir, 50000L)
-    val big = run(bigDir, 500000L)
+    // synthetic-graph size for the CC shuffle row: base at the small scale,
+    // 10× at the big — override the base (default 50k) when rehearsing a
+    // different scale pair (e.g. SPARK_GRAFT_CC_BASE=500000 for sf1 vs sf10)
+    val ccBase = sys.env.getOrElse("SPARK_GRAFT_CC_BASE", "50000").toLong
+    val small = run(smallDir, ccBase)
+    val big = run(bigDir, ccBase * 10)
     val ratios = small.map(_._1).map { n =>
       val s = small.find(_._1 == n).get._2.sec
       val b = big.find(_._1 == n).get._2.sec

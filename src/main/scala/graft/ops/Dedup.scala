@@ -177,8 +177,12 @@ object Dedup {
       maxBucketSize)
       .filter(col("__bsz").between(2, maxBucketSize))
       .select(keys :+ explode(col("ids")).as("id"): _*)
+    // hint("merge"): members are corpus-sized on both sides — a broadcast
+    // picked off a lying size estimate (tiny compressed parquet under a
+    // duplicate-heavy corpus) would ship the whole bucket table to every
+    // task; sort-merge also lets ReuseExchange share the one bucket shuffle
     members.as("a")
-      .join(members.as("b"),
+      .join(members.as("b").hint("merge"),
         keyCols.map(k => col(s"a.$k") === col(s"b.$k")).reduce(_ && _) &&
           col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
@@ -268,9 +272,26 @@ object Dedup {
   }
 
   /** Full MinHash+LSH near-dup pipeline: candidates from banding, verified
-    * with exact n-gram Jaccard ≥ `threshold`. Returns (id_a, id_b, jaccard).
-    * The shingle sets rejoin by id — two lean sort-merge joins — so the wide
-    * arrays never ride through the LSH shuffle.
+    * with exact n-gram Jaccard ≥ `threshold` INSIDE the band buckets.
+    * Returns (id_a, id_b, jaccard).
+    *
+    * ONE gram-hashing pass feeds everything: shingles lower to sorted
+    * distinct xxhash64 longs ([[graft.ops.expr.SigKernels.hashSortedDistinct]]),
+    * the minhash kernel consumes those longs directly (the values ARE
+    * XXH64(token) — signatures bit-identical to hashing the strings, pinned
+    * in NativeSigSpec), and the same array is the verify payload. The
+    * hashed arrays ride the single groupBy(band, band_hash) exchange inside
+    * the bucket structs; pairs are expanded and merge-verified map-side, so
+    * pairs-with-arrays never enter an exchange (the q29 sf1 lesson). The
+    * prior shape — candidate pairs first, arrays joined back per pair —
+    * scaled with candidates × array bytes: on a 100-clique corpus at sf10
+    * (500k docs, ~25M candidate pairs) it spilled 2.6 GB and failed one
+    * run outright; bucket-resident arrays scale with docs × bands instead.
+    * A pair sharing k bands is re-verified k times (≤ bands, with the
+    * early-exit kernel) — CPU traded for never shuffling per-pair arrays.
+    * (The old optional `estimateMargin` signature pre-filter existed to
+    * thin exactly those per-pair joins; it has nothing left to save and is
+    * gone.)
     */
   def nearDuplicatePairs(
       df: DataFrame,
@@ -280,44 +301,47 @@ object Dedup {
       shingleN: Int = 3,
       numHashes: Int = 64,
       bands: Int = 16,
-      maxBucketSize: Int = 1000,
-      estimateMargin: Option[Double] = None
+      maxBucketSize: Int = 1000
   ): DataFrame = {
-    val cands = lshCandidatePairs(df, idCol, textCol, shingleN, numHashes, bands, maxBucketSize)
-    // OPTIONAL signature-estimate pre-filter: E[matching components / k] =
-    // Jaccard, σ ≈ √(j(1−j)/k) ≈ 0.06 at k=64, so `threshold − margin`
-    // discards banding false positives before the shingle-set join. Enable
-    // (margin ≈ 0.1) only when candidates are dominated by banding FPs —
-    // e.g. aggressive banding or boilerplate-heavy corpora; when most
-    // candidates are real (or few), the two extra signature joins cost more
-    // than they save (measured 4× slower on the sf0.1 corpus, where LSH
-    // yields only ~3.6k candidates).
-    val estFiltered = estimateMargin match {
-      case Some(margin) =>
-        val sigs = ensureParallelism(df)
-          .select(col(idCol).as("id"), shingles(col(textCol), shingleN).as("sh"))
-          .select(col("id"), graft.ops.expr.NativeSig.minhashSignature(col("sh"), numHashes).as("sig"))
-        val est = size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y),
-          b => b)).cast(DoubleType) / numHashes
-        cands
-          .join(sigs.withColumnRenamed("id", "id_a").withColumnRenamed("sig", "sig_a"), "id_a")
-          .join(sigs.withColumnRenamed("id", "id_b").withColumnRenamed("sig", "sig_b"), "id_b")
-          .filter(est >= threshold - margin)
-          .select("id_a", "id_b")
-      case None => cands
-    }
-    // Verification: arrays pre-sorted once per document, native
-    // merge-intersection per candidate pair (the per-pair hash-set set ops
-    // were the dominant cost on collision-heavy corpora).
-    val sh = ensureParallelism(df)
-      .select(col(idCol).as("id"), sort_array(shingles(col(textCol), shingleN)).as("sh"))
-    estFiltered
-      .join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
-      .join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
-      .withColumn("jaccard",
-        graft.ops.expr.NativeSig.jaccardSorted(col("sh_a"), col("sh_b"), minJ = threshold))
+    require(threshold > 0 && threshold <= 1, "threshold must be in (0, 1]")
+    val rowsPerBand = numHashes / bands
+    require(bands * rowsPerBand == numHashes, "bands must divide numHashes")
+    // blank docs shingle to an empty array → no signature, no banding;
+    // exact dedup owns identical-empty documents (same contract as before)
+    val base = ensureParallelism(df)
+      .select(col(idCol).as("id"),
+        graft.ops.expr.NativeSig.hashSortedDistinct(
+          shingles(col(textCol), shingleN)).as("ss"))
+      .filter(size(col("ss")) > 0)
+    // staged: lshBandHashes references its sig argument once PER BAND —
+    // inlining the signature kernel there would evaluate it `bands` times
+    // per row (the same no-CSE trap lshCandidatePairs documents)
+    val banded = base
+      .select(col("id"), size(col("ss")).as("len"), col("ss"),
+        graft.ops.expr.NativeSig.minhashSignature(col("ss"), numHashes).as("sig"))
+      .select(col("id"), col("len"), col("ss"),
+        explode(lshBandHashes(col("sig"), bands, rowsPerBand)).as("bb"))
+      .select(col("bb.band"), col("bb.band_hash"), col("id"), col("len"), col("ss"))
+    def ceilT(x: Column): Column =
+      ceil(x * lit(threshold * (1 - 1e-12)) - lit(1e-9))
+    observeBucketStats(
+      banded
+        .groupBy(col("band"), col("band_hash"))
+        .agg(collect_list(struct(col("id"), col("len"), col("ss"))).as("ms"))
+        .withColumn("__bsz", size(col("ms"))),
+      maxBucketSize)
+      .filter(col("__bsz").between(2, maxBucketSize))
+      .select(explode(col("ms")).as("a"), col("ms").as("__ms"))
+      .select(col("a"), explode(col("__ms")).as("b"))
+      // length filter folded in front of the merge: J ≥ t ⟹ t·|A| ≤ |B|
+      .filter(col("a.id") < col("b.id") &&
+        col("b.len") >= ceilT(col("a.len")) &&
+        col("a.len") >= ceilT(col("b.len")))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        graft.ops.expr.NativeSig.jaccardSorted(col("a.ss"), col("b.ss"),
+          minJ = threshold).as("jaccard"))
       .filter(col("jaccard") >= threshold)
-      .select("id_a", "id_b", "jaccard")
+      .distinct()
   }
 
   // ------------------------------------------------------------------
@@ -467,11 +491,30 @@ object Dedup {
         shBase.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       else shBase
     val inst = sh.select(col("id"), size(col("sh")).as("len"), explode(col("sh")).as("g"))
-    // Document frequency via a window over the SAME exploded instances — a
-    // groupBy+join-back would re-shingle and re-explode the whole input a
-    // second time (plan branches don't share work across shuffles).
+    // Document frequency via groupBy + sort-merge join-back, NOT a window
+    // over the instances: `count() over (partition by g)` buffers each
+    // gram's ENTIRE instance group per task (windows have no partial
+    // aggregation — ExternalAppendOnlyUnsafeRowArray holds the group), and
+    // on a duplicate-heavy corpus a common gram's group is df rows in ONE
+    // task — the sf10 rehearsal (500k docs, 100-cliques) stalled exactly
+    // there, two straggler tasks disk-spilling half-million-row window
+    // buffers. groupBy pre-counts map-side (the exchange carries partial
+    // counts, not instances) and the join-back streams the instance side
+    // against 1-row count groups. The price is that the instance subtree
+    // (scan → shingle → explode) is planned on two branches — the partial
+    // aggregate's input and the join's left side — re-executing the
+    // shingling; `cacheShingles` exists when that matters. The per-doc
+    // ranking window stays: its groups are doc-sized (bounded by document
+    // length), safe at any scale.
+    // hint("merge"): BOTH sides are corpus-sized by construction (instances
+    // ∝ corpus grams, counts ∝ vocabulary) — the join strategy must not be
+    // left to size estimates. The sf10 rehearsal's 100×-replicated text
+    // compresses so well that parquet-derived estimates fell under the
+    // broadcast threshold and the planner BROADCAST THE 26M-ROW INSTANCE
+    // SIDE; the same estimate lie can happen on any highly-duplicated real
+    // corpus, which near-dup inputs are by definition.
     val ranked = inst
-      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("g"))))
+      .join(inst.groupBy(col("g")).agg(count(lit(1)).as("df")).hint("merge"), "g")
       .withColumn("rn",
         row_number().over(
           Window.partitionBy(col("id")).orderBy(col("df"), col("g"))))
@@ -528,11 +571,20 @@ object Dedup {
       col("b.len") >= ceilT(col("a.len")) &&
       col("a.len") >= ceilT(col("b.len")) &&
       posBound >= reqOverlap(col("a.len"), col("b.len"))
-    val prefixArr = prefix.join(sorted, "id")
-    prefixArr
-      .groupBy(col("g"))
-      .agg(collect_list(struct(col("id"), col("len"), col("rn"), col("ss"))).as("ms"))
-      .filter(size(col("ms")).between(2, maxBucketSize))
+    // hint("merge") for the same reason as the df join-back above: the
+    // array side is the whole corpus (one row per doc, gram array attached)
+    // — never broadcastable at scale, whatever the estimates say
+    val prefixArr = prefix.join(sorted.hint("merge"), "id")
+    // the cap here drops EXACTNESS, not just candidates — all the more
+    // reason the truncation is observable (same CollectMetrics contract as
+    // the LSH paths; read with observedBucketStats)
+    observeBucketStats(
+      prefixArr
+        .groupBy(col("g"))
+        .agg(collect_list(struct(col("id"), col("len"), col("rn"), col("ss"))).as("ms"))
+        .withColumn("__bsz", size(col("ms"))),
+      maxBucketSize)
+      .filter(col("__bsz").between(2, maxBucketSize))
       .select(explode(col("ms")).as("a"), col("ms").as("__ms"))
       .select(col("a"), explode(col("__ms")).as("b"))
       .filter(pairKeep)

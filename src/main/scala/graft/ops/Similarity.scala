@@ -250,19 +250,34 @@ object Similarity {
         signBitSignature(col(vecCol), hyperplanes(planesPerTable, dim, seed = 42L + t)).as("sig"))
     }
     val buckets = Dedup.ensureParallelism(df)
-      .select(col(idCol).as("id"), explode(array(tables: _*)).as("ts"))
-      .select(col("id"), col("ts.table"), col("ts.sig"))
-    // Single-shuffle candidate generation with the in-bucket pair expansion
-    // (see Dedup.bucketCandidatePairs); vectors stay out of the shuffle and
-    // rejoin by id only for the cosine check.
-    val cands = Dedup.bucketCandidatePairs(buckets, Seq("table", "sig"), maxBucketSize)
-    val vecs = df.select(col(idCol).as("id"), col(vecCol).as("v"))
-    cands
-      .join(vecs.withColumnRenamed("id", "id_a").withColumnRenamed("v", "v_a"), "id_a")
-      .join(vecs.withColumnRenamed("id", "id_b").withColumnRenamed("v", "v_b"), "id_b")
-      .withColumn("cosine", cosine(col("v_a"), col("v_b")))
+      .select(col(idCol).as("id"), col(vecCol).as("v"),
+        explode(array(tables: _*)).as("ts"))
+      .select(col("id"), col("v"), col("ts.table"), col("ts.sig"))
+    // Vectors ride the ONE groupBy(table, sig) exchange inside the bucket
+    // structs (corpus × numTables × vector bytes) and the exact cosine
+    // verifies inline in the in-bucket pair expansion — candidate pairs
+    // NEVER carry vectors through an exchange. The previous shape (id-only
+    // buckets, vectors joined back per candidate pair) scaled with
+    // candidates × vector bytes: at sf10 (200k random vectors, auto
+    // params) that was ~195M candidate pairs × two 256 B vectors = 68 GB
+    // of verify-join spill. A pair sharing k tables is re-scored k times;
+    // the final distinct dedups survivors (same trade as jaccardPairs /
+    // the IVF pairs path).
+    val expanded = Dedup.observeBucketStats(
+      buckets
+        .groupBy(col("table"), col("sig"))
+        .agg(collect_list(struct(col("id"), col("v"))).as("ms"))
+        .withColumn("__bsz", size(col("ms"))),
+      maxBucketSize)
+      .filter(col("__bsz").between(2, maxBucketSize))
+      .select(explode(col("ms")).as("a"), col("ms").as("__ms"))
+      .select(col("a"), explode(col("__ms")).as("b"))
+    expanded
+      .filter(col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        cosine(col("a.v"), col("b.v")).as("cosine"))
       .filter(col("cosine") >= threshold)
-      .select("id_a", "id_b", "cosine")
+      .distinct()
   }
 
   /** Index of the nearest centroid (squared-L2) for each vector — a per-row

@@ -43,6 +43,31 @@ object SigKernels {
     new GenericArrayData(mins)
   }
 
+  /** [[minhash]] over PRE-HASHED grams (`array<bigint>` from
+    * [[hashSortedDistinct]]): the gram values ARE `XXH64(token, Seed)`, the
+    * exact quantity [[minhash]] computes per token before masking — so the
+    * signatures are bit-identical to the string path, with the string
+    * hashing paid once upstream instead of once per signature. (Dedup and
+    * ordering don't matter: min is order-independent and duplicate-blind.)
+    */
+  def minhashLongs(grams: ArrayData, a: Array[Long], b: Array[Long], prime: Long): ArrayData = {
+    val k = a.length
+    val mins = Array.fill(k)(Long.MaxValue)
+    val n = grams.numElements()
+    var i = 0
+    while (i < n) {
+      val h = grams.getLong(i) & 0xFFFFFFFFL
+      var j = 0
+      while (j < k) {
+        val v = (a(j) * h + b(j)) % prime
+        if (v < mins(j)) mins(j) = v
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(mins)
+  }
+
   /** Packed sign-bit LSH signature: bit `p` set when `vec · plane_p > 0`.
     * Planes are flattened row-major (`numPlanes × dim`); one fused pass over
     * the vector per plane in a JIT-friendly loop. The HOF equivalent is
@@ -410,13 +435,24 @@ case class MinHashSignature(child: Expression, numHashes: Int)
   }
   private val prime = 4294967311L
 
+  // array<string> tokens, or array<bigint> pre-hashed grams from
+  // hash_sorted_distinct — the longs ARE XXH64(token, Seed), so both paths
+  // produce bit-identical signatures (pinned in NativeSigSpec)
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case ArrayType(StringType, _) | ArrayType(LongType, _) =>
+      TypeCheckResult.TypeCheckSuccess
     case other =>
-      TypeCheckResult.TypeCheckFailure(s"minhash_signature needs array<string>, got $other")
+      TypeCheckResult.TypeCheckFailure(
+        s"minhash_signature needs array<string> or array<bigint>, got $other")
   }
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "minhash_signature"
+
+  private lazy val longTyped = child.dataType match {
+    case ArrayType(LongType, _) => true
+    case _                      => false
+  }
+  private def kernel: String = if (longTyped) "minhashLongs" else "minhash"
 
   // Empty token arrays yield null, matching the HOF Dedup.minhashSignature
   // size guard — a Long.MaxValue sentinel signature would band-match every
@@ -426,6 +462,7 @@ case class MinHashSignature(child: Expression, numHashes: Int)
   override protected def nullSafeEval(input: Any): Any = {
     val tokens = input.asInstanceOf[ArrayData]
     if (tokens.numElements() == 0) null
+    else if (longTyped) SigKernels.minhashLongs(tokens, aCoeffs, bCoeffs, prime)
     else SigKernels.minhash(tokens, aCoeffs, bCoeffs, prime)
   }
 
@@ -437,7 +474,7 @@ case class MinHashSignature(child: Expression, numHashes: Int)
          |if ($c.numElements() == 0) {
          |  ${ev.isNull} = true;
          |} else {
-         |  ${ev.value} = graft.ops.expr.SigKernels.minhash($c, $aRef, $bRef, ${prime}L);
+         |  ${ev.value} = graft.ops.expr.SigKernels.$kernel($c, $aRef, $bRef, ${prime}L);
          |}
        """.stripMargin)
   }

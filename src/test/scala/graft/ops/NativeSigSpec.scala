@@ -25,6 +25,21 @@ class NativeSigSpec extends SparkTestBase {
     assert(bad == 0)
   }
 
+  test("minhash over hash_sorted_distinct longs == minhash over the strings") {
+    // the hashed grams ARE XXH64(token, Seed) — the exact value the string
+    // kernel computes per token before masking — so the two paths must be
+    // BIT-identical (this is what lets nearDuplicatePairs hash grams once
+    // and reuse the array for both signature and verify)
+    val staged = docs
+      .select($"doc_id", Dedup.shingles($"text", 3).as("sh"))
+      .select(
+        $"doc_id",
+        NativeSig.minhashSignature($"sh", 32).as("fromStrings"),
+        NativeSig.minhashSignature(
+          NativeSig.hashSortedDistinct($"sh"), 32).as("fromLongs"))
+    assert(staged.filter(!($"fromStrings" === $"fromLongs")).count() == 0)
+  }
+
   test("native minhash stays inside whole-stage codegen") {
     val q = docs
       .select(Dedup.shingles($"text", 3).as("sh"))
