@@ -50,12 +50,15 @@ object Dedup {
     * kept.
     */
   def markExactDuplicates(df: DataFrame, idCol: String, keyCols: Seq[String]): DataFrame = {
-    // Group on a 128-bit content digest, not the content: at corpus scale the
-    // key columns are the documents themselves, and shuffling ~32-byte
-    // digests instead of full texts is the difference between shuffling
-    // hashes and shuffling the corpus. to_json(struct(...)) gives an
-    // unambiguous, null-distinguishing serialization of multi-column keys;
-    // md5 collisions at 2^64 rows are ~1e-20 — far below any storage BER.
+    // The keeper AGGREGATION groups on a 128-bit content digest, not the
+    // content — its exchange carries ~32-byte digests with map-side partial
+    // min. The mark join-back then co-partitions the full frame (text
+    // included) on the digest: ONE corpus-wide shuffle, inherent to
+    // attaching a per-row flag (any alternative shuffles the text by id
+    // instead). Net: one corpus shuffle + a digest-only aggregate.
+    // to_json(struct(...)) gives an unambiguous, null-distinguishing
+    // serialization of multi-column keys; md5 collisions at 2^64 rows are
+    // ~1e-20 — far below any storage BER.
     val contentKey = md5(to_binary(to_json(struct(keyCols.map(col): _*)), lit("utf-8")))
     val withKey = df.withColumn("__content_key", contentKey)
     val keeper = withKey
@@ -66,9 +69,22 @@ object Dedup {
       .drop("__keep_id", "__content_key")
   }
 
-  /** Exact dedup that keeps the first (min-id) row per distinct content. */
-  def dropExactDuplicates(df: DataFrame, idCol: String, keyCols: Seq[String]): DataFrame =
-    markExactDuplicates(df, idCol, keyCols).filter(!col("is_dup")).drop("is_dup")
+  /** Exact dedup that keeps the first (min-id) row per distinct content.
+    *
+    * NOT `markExactDuplicates(...).filter(!is_dup)`: dropping needs no
+    * per-row flag, so the join-back disappears — `min_by(struct(*), id)`
+    * keeps the whole winning row in ONE aggregation over the digest
+    * (map-side partial min_by, a single exchange carrying one candidate
+    * row per distinct content per map task, no second corpus shuffle).
+    */
+  def dropExactDuplicates(df: DataFrame, idCol: String, keyCols: Seq[String]): DataFrame = {
+    val contentKey = md5(to_binary(to_json(struct(keyCols.map(col): _*)), lit("utf-8")))
+    val cols = df.columns.toIndexedSeq
+    df.withColumn("__content_key", contentKey)
+      .groupBy(col("__content_key"))
+      .agg(min_by(struct(cols.map(col): _*), col(idCol)).as("__row"))
+      .select(cols.map(c => col(s"__row.$c").as(c)): _*)
+  }
 
   // ------------------------------------------------------------------
   // Shingles + MinHash
@@ -153,7 +169,7 @@ object Dedup {
   /** Distinct candidate pairs from a (id, key...) bucket table.
     *
     * Shape, chosen for 100 TB survival:
-    *   1. ONE groupBy shuffle (map-side partial collect_set) sizes every
+    *   1. ONE groupBy shuffle (map-side partial bounded collect) sizes every
     *      bucket and applies the skew cap — boilerplate black-hole buckets
     *      (quadratic pair blowup) are dropped before any pair exists;
     *   2. surviving members re-explode linearly and self-join on the bucket
@@ -169,11 +185,18 @@ object Dedup {
       maxBucketSize: Int
   ): DataFrame = {
     val keys = keyCols.map(col)
+    // boundedCollectList: the aggregation buffer never holds more than
+    // maxBucketSize members, so an over-cap black-hole bucket costs the
+    // same memory as one at the cap (it used to be fully materialized
+    // before the size filter dropped it). `cnt` is still the TRUE size —
+    // the between() filter and truncation observation are exact. Input
+    // (id, key...) rows are distinct by construction (one row per id per
+    // band), so list-vs-set is equivalent here.
     val members = observeBucketStats(
       buckets
         .groupBy(keys: _*)
-        .agg(collect_set(col("id")).as("ids"))
-        .withColumn("__bsz", size(col("ids"))),
+        .agg(graft.ops.expr.NativeSig.boundedCollectList(col("id"), maxBucketSize).as("__bl"))
+        .select(keys ++ Seq(col("__bl.items").as("ids"), col("__bl.cnt").as("__bsz")): _*),
       maxBucketSize)
       .filter(col("__bsz").between(2, maxBucketSize))
       .select(keys :+ explode(col("ids")).as("id"): _*)
@@ -226,12 +249,30 @@ object Dedup {
     * operator produced ZERO candidates, the loudest possible truncation
     * signal; any partial output keeps the metrics reachable.
     */
-  def observedBucketStats(df: DataFrame): Option[(Long, Long, Long)] =
+  def observedBucketStats(df: DataFrame): Option[(Long, Long, Long)] = {
+    // A frame composing several observed operators (e.g. MinHash + SimHash)
+    // carries one observation per operator instance; picking an arbitrary
+    // one could mask truncation on the others. Folded conservatively:
+    // max of max-bucket, sum of truncated counts — None only when NO bucket
+    // observation exists. Per-operator detail: [[observedBucketStatsAll]].
+    val all = observedBucketStatsAll(df)
+    if (all.isEmpty) None
+    else Some((
+      all.map(_._2._1).max,
+      all.map(_._2._2).sum,
+      all.map(_._2._3).sum))
+  }
+
+  /** Every `graft_buckets_<n>` observation in `df`'s executed plan, keyed by
+    * observation name — one entry per observed operator instance composed
+    * into the frame. Same execution caveats as [[observedBucketStats]].
+    */
+  def observedBucketStatsAll(df: DataFrame): Seq[(String, (Long, Long, Long))] =
     // not df.queryExecution.observedMetrics: that traversal treats the AQE
     // root as a leaf and returns {} for any observed query with an exchange
-    org.apache.spark.sql.graft.ColumnBridge.observedMetricsAll(df).collectFirst {
+    org.apache.spark.sql.graft.ColumnBridge.observedMetricsAll(df).toSeq.collect {
       case (name, row) if name.startsWith("graft_buckets_") =>
-        (row.getLong(0), row.getLong(1), row.getLong(2))
+        name -> ((row.getLong(0), row.getLong(1), row.getLong(2)))
     }
 
   /** Candidate near-duplicate pairs (idA < idB) that share at least one LSH
@@ -324,11 +365,15 @@ object Dedup {
       .select(col("bb.band"), col("bb.band_hash"), col("id"), col("len"), col("ss"))
     def ceilT(x: Column): Column =
       ceil(x * lit(threshold * (1 - 1e-12)) - lit(1e-9))
+    // bounded collect: over-cap buckets never materialize more than
+    // maxBucketSize (gram-array-carrying) members — see bucketCandidatePairs
     observeBucketStats(
       banded
         .groupBy(col("band"), col("band_hash"))
-        .agg(collect_list(struct(col("id"), col("len"), col("ss"))).as("ms"))
-        .withColumn("__bsz", size(col("ms"))),
+        .agg(graft.ops.expr.NativeSig.boundedCollectList(
+          struct(col("id"), col("len"), col("ss")), maxBucketSize).as("__bl"))
+        .select(col("band"), col("band_hash"),
+          col("__bl.items").as("ms"), col("__bl.cnt").as("__bsz")),
       maxBucketSize)
       .filter(col("__bsz").between(2, maxBucketSize))
       .select(explode(col("ms")).as("a"), col("ms").as("__ms"))
@@ -348,6 +393,15 @@ object Dedup {
   // SimHash
   // ------------------------------------------------------------------
 
+  /** Low-`chunkBits` mask, safe at the 64-bit boundary: `(1L << 64) == 1L`
+    * in JVM semantics (shift count mod 64), so the naive `(1L << bits) - 1`
+    * is 0 when maxHamming = 0 gives one 64-bit chunk — every chunk_val
+    * collapsed to 0 and the bucket join degenerated to a watermark-wide
+    * cross join (batch was saved only by maxBucketSize).
+    */
+  private[ops] def chunkMask(chunkBits: Int): Long =
+    if (chunkBits >= 64) -1L else (1L << chunkBits) - 1L
+
   /** SimHash near-duplicate pairs. 64-bit signatures via the native codegen
     * expression; candidate generation uses the pigeonhole banding: with the
     * signature cut into `maxHamming + 1` chunks, any pair within `maxHamming`
@@ -362,6 +416,8 @@ object Dedup {
       maxHamming: Int = 3,
       maxBucketSize: Int = 1000
   ): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 63,
+      s"maxHamming must be in [0, 63], got $maxHamming")
     val nChunks = maxHamming + 1
     val chunkBits = 64 / nChunks
     val sigs = ensureParallelism(df)
@@ -373,17 +429,20 @@ object Dedup {
         struct(
           lit(c).as("chunk"),
           shiftrightunsigned(col("sig"), c * chunkBits)
-            .bitwiseAND(lit((1L << chunkBits) - 1)).as("chunk_val"))
+            .bitwiseAND(lit(chunkMask(chunkBits))).as("chunk_val"))
       }: _*)).as("cc"))
       .select(col("id"), col("sig"), col("cc.chunk"), col("cc.chunk_val"))
     // Skew-capped bucket membership in one groupBy; signatures (16 bytes)
     // ride along so the hamming check is inline after the streaming
     // self-join — no join-back stage (same shape as bucketCandidatePairs).
+    // Bounded collect: over-cap buckets never materialize past the cap.
     val members = observeBucketStats(
       chunks
         .groupBy(col("chunk"), col("chunk_val"))
-        .agg(collect_set(struct(col("id"), col("sig"))).as("ms"))
-        .withColumn("__bsz", size(col("ms"))),
+        .agg(graft.ops.expr.NativeSig.boundedCollectList(
+          struct(col("id"), col("sig")), maxBucketSize).as("__bl"))
+        .select(col("chunk"), col("chunk_val"),
+          col("__bl.items").as("ms"), col("__bl.cnt").as("__bsz")),
       maxBucketSize)
       .filter(col("__bsz").between(2, maxBucketSize))
       .select(col("chunk"), col("chunk_val"), explode(col("ms")).as("m"))
@@ -577,12 +636,17 @@ object Dedup {
     val prefixArr = prefix.join(sorted.hint("merge"), "id")
     // the cap here drops EXACTNESS, not just candidates — all the more
     // reason the truncation is observable (same CollectMetrics contract as
-    // the LSH paths; read with observedBucketStats)
+    // the LSH paths; read with observedBucketStats). Bounded collect keeps
+    // the aggregation buffer ≤ maxBucketSize members even for a bucket it
+    // will drop — members here carry full gram arrays (~KB each), so an
+    // unbounded buffer on a boilerplate gram near the cap was a
+    // multi-hundred-MB single aggregation row.
     observeBucketStats(
       prefixArr
         .groupBy(col("g"))
-        .agg(collect_list(struct(col("id"), col("len"), col("rn"), col("ss"))).as("ms"))
-        .withColumn("__bsz", size(col("ms"))),
+        .agg(graft.ops.expr.NativeSig.boundedCollectList(
+          struct(col("id"), col("len"), col("rn"), col("ss")), maxBucketSize).as("__bl"))
+        .select(col("g"), col("__bl.items").as("ms"), col("__bl.cnt").as("__bsz")),
       maxBucketSize)
       .filter(col("__bsz").between(2, maxBucketSize))
       .select(explode(col("ms")).as("a"), col("ms").as("__ms"))

@@ -193,9 +193,21 @@ object Similarity {
     require(targetBucket >= 1, "targetBucket must be >= 1")
     val maxTables = 64
     def tablesFor(planes: Int): Int = {
-      val pTable = math.pow(1.0 - math.acos(threshold) / math.Pi, planes)
+      // clamped away from 0: pTable underflow (threshold near -1 × many
+      // planes) made log1p(-pTable) == 0.0 and ceil(-Inf).toInt ==
+      // Int.MinValue — which passed the `> maxTables` degradation guard and
+      // returned a NEGATIVE table count (zero tables built, silently empty
+      // pairs). The clamp keeps the ratio finite; the saturation below
+      // keeps any overflow on the correct side of the guard.
+      val pTable = math.max(
+        math.pow(1.0 - math.acos(threshold) / math.Pi, planes),
+        Double.MinPositiveValue)
       if (pTable >= targetRecall) 1
-      else math.ceil(math.log1p(-targetRecall) / math.log1p(-pTable)).toInt
+      else {
+        val t = math.ceil(math.log1p(-targetRecall) / math.log1p(-pTable))
+        if (t.isNaN || t >= Int.MaxValue.toDouble) Int.MaxValue
+        else math.max(1, t.toInt)
+      }
     }
     var planes = math.min(62,
       math.max(1, math.ceil(log2(n.toDouble / targetBucket)).toInt))
@@ -263,11 +275,15 @@ object Similarity {
     // of verify-join spill. A pair sharing k tables is re-scored k times;
     // the final distinct dedups survivors (same trade as jaccardPairs /
     // the IVF pairs path).
+    // bounded collect: an over-cap bucket never materializes more than
+    // maxBucketSize (vector-carrying) members in its aggregation buffer
     val expanded = Dedup.observeBucketStats(
       buckets
         .groupBy(col("table"), col("sig"))
-        .agg(collect_list(struct(col("id"), col("v"))).as("ms"))
-        .withColumn("__bsz", size(col("ms"))),
+        .agg(graft.ops.expr.NativeSig.boundedCollectList(
+          struct(col("id"), col("v")), maxBucketSize).as("__bl"))
+        .select(col("table"), col("sig"),
+          col("__bl.items").as("ms"), col("__bl.cnt").as("__bsz")),
       maxBucketSize)
       .filter(col("__bsz").between(2, maxBucketSize))
       .select(explode(col("ms")).as("a"), col("ms").as("__ms"))
@@ -423,11 +439,14 @@ object Similarity {
     val probes = graft.ops.expr.NativeSig.nearestCentroids(col(vecCol), centroids, nProbe)
     val assigned = graft.ops.Dedup.ensureParallelism(df)
       .select(col(idCol).as("id"), col(vecCol).as("v"), explode(probes).as("cell"))
+    // bounded collect: same over-cap memory bound as the sign-bit path
     val expanded = graft.ops.Dedup.observeBucketStats(
       assigned
         .groupBy(col("cell"))
-        .agg(collect_list(struct(col("id"), col("v"))).as("ms"))
-        .withColumn("__bsz", size(col("ms"))),
+        .agg(graft.ops.expr.NativeSig.boundedCollectList(
+          struct(col("id"), col("v")), maxBucketSize).as("__bl"))
+        .select(col("cell"),
+          col("__bl.items").as("ms"), col("__bl.cnt").as("__bsz")),
       maxBucketSize)
       .filter(col("__bsz").between(2, maxBucketSize))
       .select(explode(col("ms")).as("a"), col("ms").as("__ms"))

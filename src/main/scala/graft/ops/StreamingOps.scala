@@ -58,6 +58,11 @@ object StreamingOps {
       delay: String,
       maxHamming: Int = 3
   ): DataFrame = {
+    // maxHamming = 0 means ONE 64-bit chunk: chunkMask handles the JVM
+    // (1L << 64) == 1L quirk, and bucketing on the full signature keeps
+    // the bounded-state contract (exact-signature matches only).
+    require(maxHamming >= 0 && maxHamming <= 63,
+      s"maxHamming must be in [0, 63], got $maxHamming")
     val nChunks = maxHamming + 1
     val chunkBits = 64 / nChunks
     val sigs = df
@@ -70,7 +75,7 @@ object StreamingOps {
           struct(
             lit(c).as("chunk"),
             shiftrightunsigned(col("sig"), c * chunkBits)
-              .bitwiseAND(lit((1L << chunkBits) - 1)).as("chunk_val"))
+              .bitwiseAND(lit(Dedup.chunkMask(chunkBits))).as("chunk_val"))
         }: _*)).as("cc"))
       .select(col("id"), col("ts"), col("sig"), col("cc.chunk").as("chunk"),
         col("cc.chunk_val").as("chunk_val"))

@@ -56,12 +56,18 @@ object SigKernels {
     val n = grams.numElements()
     var i = 0
     while (i < n) {
-      val h = grams.getLong(i) & 0xFFFFFFFFL
-      var j = 0
-      while (j < k) {
-        val v = (a(j) * h + b(j)) % prime
-        if (v < mins(j)) mins(j) = v
-        j += 1
+      // null slots skipped like the string kernel skips null tokens —
+      // getLong on a null slot reads an undefined value (the SQL surface
+      // accepts array<bigint> with nulls, not just hash_sorted_distinct's
+      // containsNull=false output)
+      if (!grams.isNullAt(i)) {
+        val h = grams.getLong(i) & 0xFFFFFFFFL
+        var j = 0
+        while (j < k) {
+          val v = (a(j) * h + b(j)) % prime
+          if (v < mins(j)) mins(j) = v
+          j += 1
+        }
       }
       i += 1
     }
@@ -831,6 +837,14 @@ object NativeSig {
   def signBitSignature(vec: Column, planes: Array[Array[Double]]): Column =
     ColumnBridge.column(
       SignBitSignature(ColumnBridge.expression(vec), planes.flatten, planes.length))
+
+  /** Column API for [[BoundedCollectList]] (aggregate): collects at most
+    * `cap` values but counts all of them — `struct(cnt, items)`. The memory
+    * bound every skew-capped bucket aggregation relies on.
+    */
+  def boundedCollectList(child: Column, cap: Int): Column =
+    ColumnBridge.column(
+      BoundedCollectList(ColumnBridge.expression(child), cap).toAggregateExpression())
 
   /** Install every SQL-expressible native kernel as a temp function on a
     * live session; deployments should prefer
