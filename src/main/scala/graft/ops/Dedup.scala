@@ -76,14 +76,23 @@ object Dedup {
     * keeps the whole winning row in ONE aggregation over the digest
     * (map-side partial min_by, a single exchange carrying one candidate
     * row per distinct content per map task, no second corpus shuffle).
+    *
+    * A content group whose `idCol` is null on EVERY row has no min_by
+    * winner (min_by skips null ordering values, yielding a null struct);
+    * those rows are dropped — matching `markExactDuplicates(...).filter(!
+    * is_dup)`, where `null =!= null` filters them out too.
     */
   def dropExactDuplicates(df: DataFrame, idCol: String, keyCols: Seq[String]): DataFrame = {
-    val contentKey = md5(to_binary(to_json(struct(keyCols.map(col): _*)), lit("utf-8")))
+    // backtick-quoted so a dotted source column name resolves as one
+    // column, not a struct-field path (same for the __row re-projection)
+    def q(c: String): Column = col("`" + c.replace("`", "``") + "`")
+    val contentKey = md5(to_binary(to_json(struct(keyCols.map(q): _*)), lit("utf-8")))
     val cols = df.columns.toIndexedSeq
     df.withColumn("__content_key", contentKey)
       .groupBy(col("__content_key"))
-      .agg(min_by(struct(cols.map(col): _*), col(idCol)).as("__row"))
-      .select(cols.map(c => col(s"__row.$c").as(c)): _*)
+      .agg(min_by(struct(cols.map(q): _*), q(idCol)).as("__row"))
+      .filter(col("__row").isNotNull)
+      .select(cols.map(c => col("__row").getField(c).as(c)): _*)
   }
 
   // ------------------------------------------------------------------
