@@ -84,6 +84,14 @@ object GraftExtensions {
     "hash_sorted_distinct" -> { es =>
       require(es.length == 1, "hash_sorted_distinct(strings)")
       HashSortedDistinct(es.head)
+    },
+    "window_hashes" -> { es =>
+      require(es.length == 2, "window_hashes(text, w)")
+      WindowHashes(es.head, intLit(es(1), "w"))
+    },
+    "mask_repeated_windows" -> { es =>
+      require(es.length == 3, "mask_repeated_windows(text, positions, w)")
+      MaskRepeatedWindows(es.head, es(1), intLit(es(2), "w"))
     })
 
   /** Install the same functions as temp functions on a live session. */

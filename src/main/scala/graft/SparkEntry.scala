@@ -712,6 +712,17 @@ object SparkEntry {
         Seq(col("tc").desc, col("doc_id").asc))
         .select(col("doc_id"), col("tc"))
     }),
+    // SUBSTRING-level dedup: corpus-repeated 8-token windows masked out of
+    // every document. Fully oracle-checked: DuckDB reconstructs the window
+    // frequency table on the window STRINGS and re-derives the masked text;
+    // the Spark side groups on xxhash64(window) — equivalent up to 64-bit
+    // hash collisions (~(distinct windows)²/2^64, immaterial at any tested
+    // scale).
+    "q52_substring_mask" -> ((s, dir) =>
+      Dedup.maskRepeatedSpans(t(s, dir, "documents"), "doc_id", "text",
+        windowTokens = 8, minRepeats = 2)
+        .select(col("doc_id"), col("text_clean"),
+          col("n_repeated_windows"), col("n_tokens_removed"))),
     // Global vocabulary top-k — the canonical corpus word count.
     "q30_vocab" -> ((s, dir) =>
       graft.ops.Corpus.topTokens(t(s, dir, "documents"), "text", 20)
@@ -1298,6 +1309,39 @@ object SparkEntry {
         |  (greatest(cum, seq_id * 128) - cum)::BIGINT AS doc_offset,
         |  (least(cum + n, (seq_id + 1) * 128) - greatest(cum, seq_id * 128))::BIGINT AS n_tokens
         |FROM f""".stripMargin,
+    // Window positions are 1-based here (generate_series/list slicing) vs
+    // 0-based in Spark — positions never cross engines, only the masked
+    // text does, and the coverage predicate `p <= j < p + 8` is consistent
+    // within each side.
+    "q52_substring_mask" ->
+      s"""WITH t AS (
+         |  SELECT doc_id,
+         |    list_filter(string_split_regex(text, '$wsClassSql'), x -> x <> '') AS toks
+         |  FROM documents
+         |), w AS (
+         |  SELECT doc_id, unnest([{'pos': i, 'win': array_to_string(toks[i:i+7], ' ')}
+         |                         for i in generate_series(1, len(toks) - 7)],
+         |                        recursive := true)
+         |  FROM t WHERE len(toks) >= 8
+         |), rep AS (
+         |  SELECT win FROM w GROUP BY win HAVING count(*) >= 2
+         |), occ AS (
+         |  SELECT w.doc_id, w.pos FROM w JOIN rep USING (win)
+         |), perdoc AS (
+         |  SELECT doc_id, list(pos) AS rpos, count(*) AS nrep FROM occ GROUP BY doc_id
+         |), m AS (
+         |  SELECT t.doc_id, len(toks) AS ntok, coalesce(nrep, 0) AS nrep,
+         |    [toks[j] for j in generate_series(1, len(toks))
+         |     if len(list_filter(coalesce(rpos, []), p -> p <= j AND j < p + 8)) = 0] AS kept
+         |  FROM t LEFT JOIN perdoc USING (doc_id)
+         |)
+         |SELECT doc_id,
+         |  -- array_to_string is a string_agg: NULL on an empty kept list,
+         |  -- where the Spark kernel builds '' — coalesce aligns them
+         |  coalesce(array_to_string(kept, ' '), '') AS text_clean,
+         |  nrep::BIGINT AS n_repeated_windows,
+         |  (ntok - len(kept))::BIGINT AS n_tokens_removed
+         |FROM m""".stripMargin,
     "q47_decontam" ->
       s"""WITH ${shingleCteSqlN(8, "sh8")},
          |tg AS (SELECT doc_id, unnest(grams) AS g FROM sh8),

@@ -96,6 +96,105 @@ object Dedup {
   }
 
   // ------------------------------------------------------------------
+  // Substring-level dedup (repeated-span masking)
+  // ------------------------------------------------------------------
+
+  /** SUBSTRING-level dedup: mask every token span that the corpus repeats.
+    *
+    * Doc-level dedup (exact / MinHash / SimHash) misses boilerplate repeated
+    * INSIDE otherwise-unique pages — navigation chrome, license footers,
+    * cookie banners. This operator hashes every overlapping `windowTokens`-
+    * token window ([[graft.ops.expr.SigKernels.windowHashes]] — positions
+    * preserved, duplicates kept), counts each window hash corpus-wide, and
+    * removes from each document every token covered by a window whose hash
+    * occurs at least `minRepeats` times (within-document repeats count —
+    * the same 8-gram twice in one page is boilerplate too). Output adds:
+    *
+    *   - `text_clean`: the kept tokens joined by single spaces (uniform
+    *     space normalization for masked and unmasked documents alike);
+    *   - `n_repeated_windows`: this document's repeated-window occurrences;
+    *   - `n_tokens_removed`: tokens dropped from this document.
+    *
+    * Documents with fewer than `windowTokens` tokens have no windows and
+    * pass through unmasked (whole short duplicates belong to exact dedup).
+    * Run AFTER doc-level dedup: exact duplicate documents repeat every
+    * window and mask each other to empty text.
+    *
+    * Scale shape (the 100 TB contract):
+    *   1. windows lower to per-position xxhash64 longs in the scan-side
+    *      projection — only `(id, pos, hash)` triples (~20 bytes) ever enter
+    *      an exchange, never window strings;
+    *   2. corpus-wide frequency is ONE hash-keyed groupBy with map-side
+    *      partial counts (long→long state, no collect buffers — a
+    *      boilerplate hash seen a billion times costs one counter), joined
+    *      back to the instances sort-merge. `hint("merge")` on both joins:
+    *      instances and documents are corpus-sized by definition here, and
+    *      duplicate-heavy corpora compress well enough that size estimates
+    *      lie under the broadcast threshold (the q29 sf10 lesson). Like the
+    *      document-frequency join in [[jaccardPairs]], the instance subtree
+    *      is planned on two branches (the partial aggregate's input and the
+    *      join's probe side), re-running the windowing scan;
+    *   3. repeated positions aggregate per document (`collect_list` groups
+    *      are bounded by document LENGTH — the same class of bound as the
+    *      text itself) and the mask is applied in one codegen'd merge pass
+    *      ([[graft.ops.expr.SigKernels.maskCovered]]). One corpus text
+    *      shuffle total: the per-document join-back, inherent to attaching
+    *      span info to rows.
+    */
+  def maskRepeatedSpans(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      windowTokens: Int = 8,
+      minRepeats: Int = 2
+  ): DataFrame = {
+    require(windowTokens >= 1, "windowTokens must be >= 1")
+    // every window occurrence matches itself once; minRepeats <= 1 would
+    // mask every document to empty text
+    require(minRepeats >= 2, s"minRepeats must be >= 2, got $minRepeats")
+    val wins = ensureParallelism(df)
+      .select(col(idCol).as("id"),
+        graft.ops.expr.NativeSig.windowHashes(col(textCol), windowTokens).as("wh"))
+      .select(col("id"), posexplode(col("wh")).as(Seq("pos", "h")))
+    val rep = wins.groupBy(col("h"))
+      .agg(count(lit(1)).as("__f"))
+      .filter(col("__f") >= minRepeats)
+      .select(col("h"))
+    val perDoc = wins.join(rep.hint("merge"), "h")
+      .groupBy(col("id"))
+      .agg(collect_list(col("pos")).as("__rpos"), count(lit(1)).as("__nrep"))
+    val cols = df.columns.toIndexedSeq
+    df.join(perDoc.hint("merge"), df(idCol) === perDoc("id"), "left")
+      .withColumn("__mask", graft.ops.expr.NativeSig.maskRepeatedWindows(
+        col(textCol),
+        coalesce(col("__rpos"), lit(Array.empty[Int])), windowTokens))
+      .select(cols.map(df(_)) ++ Seq(
+        col("__mask").getField("clean").as("text_clean"),
+        coalesce(col("__nrep"), lit(0L)).as("n_repeated_windows"),
+        coalesce(col("__mask").getField("removed").cast("long"), lit(0L))
+          .as("n_tokens_removed")): _*)
+  }
+
+  /** [[maskRepeatedSpans]] + drop: removes documents whose text is entirely
+    * repeated spans (clean text empty) and rewrites `textCol` with the
+    * masked text for the rest. The standard "strip boilerplate, drop husks"
+    * curation step.
+    */
+  def removeRepeatedSpans(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      windowTokens: Int = 8,
+      minRepeats: Int = 2
+  ): DataFrame = {
+    val masked = maskRepeatedSpans(df, idCol, textCol, windowTokens, minRepeats)
+    masked
+      .filter(length(col("text_clean")) > 0)
+      .withColumn(textCol, col("text_clean"))
+      .drop("text_clean")
+  }
+
+  // ------------------------------------------------------------------
   // Shingles + MinHash
   // ------------------------------------------------------------------
 

@@ -394,6 +394,104 @@ object SigKernels {
     new GenericArrayData(topI)
   }
 
+  /** Per-position xxhash64 of every w-token window of the text: element `p`
+    * is `XXH64(tokens[p..p+w) joined by ' ')` — order-preserving, duplicates
+    * kept (unlike [[wordShingles]], positions matter here: the consumer masks
+    * spans). Texts with fewer than `w` tokens have NO windows (empty array) —
+    * substring-level dedup owns spans, whole short documents belong to exact
+    * dedup. One pass; the HOF spelling (`transform(sequence(...),
+    * xxhash64(concat_ws(slice(...))))`) is interpreted per position with no
+    * CSE and allocates a window string per element.
+    */
+  def windowHashes(text: UTF8String, w: Int): ArrayData = {
+    val s = text.toString
+    val len = s.length
+    def isWs(c: Char): Boolean =
+      c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
+    val starts = new java.util.ArrayList[Int]()
+    val ends = new java.util.ArrayList[Int]()
+    var i = 0
+    while (i < len) {
+      while (i < len && isWs(s.charAt(i))) i += 1
+      if (i < len) {
+        starts.add(i)
+        while (i < len && !isWs(s.charAt(i))) i += 1
+        ends.add(i)
+      }
+    }
+    val k = starts.size()
+    if (k < w) return new GenericArrayData(Array.empty[Long])
+    val out = new Array[Long](k - w + 1)
+    val sb = new java.lang.StringBuilder()
+    var st = 0
+    while (st <= k - w) {
+      sb.setLength(0)
+      var j = st
+      while (j < st + w) {
+        if (j > st) sb.append(' ')
+        sb.append(s, starts.get(j), ends.get(j))
+        j += 1
+      }
+      out(st) = XXH64.hashUTF8String(UTF8String.fromString(sb.toString), Seed)
+      st += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Rebuild a text with every token covered by a repeated window removed:
+    * token `j` is dropped iff some position `p` in `positions` has
+    * `p <= j < p + w`. Returns `(clean, removed)` where `clean` is the KEPT
+    * tokens joined by single spaces (uniform space normalization — masked
+    * and unmasked documents get the same reconstruction) and `removed` is
+    * the dropped-token count. Positions may arrive unsorted (they come from
+    * `collect_list`); sorted here, then coverage is a linear merge
+    * (`O(n + r log r)`). Out-of-range positions are harmless.
+    */
+  def maskCovered(text: UTF8String, positions: ArrayData, w: Int): InternalRow = {
+    val s = text.toString
+    val len = s.length
+    def isWs(c: Char): Boolean =
+      c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
+    val starts = new java.util.ArrayList[Int]()
+    val ends = new java.util.ArrayList[Int]()
+    var i = 0
+    while (i < len) {
+      while (i < len && isWs(s.charAt(i))) i += 1
+      if (i < len) {
+        starts.add(i)
+        while (i < len && !isWs(s.charAt(i))) i += 1
+        ends.add(i)
+      }
+    }
+    val k = starts.size()
+    val np = positions.numElements()
+    val ps = new Array[Int](np)
+    i = 0
+    while (i < np) { ps(i) = positions.getInt(i); i += 1 }
+    java.util.Arrays.sort(ps)
+    val sb = new java.lang.StringBuilder()
+    var removed = 0
+    var pi = 0
+    var coverEnd = -1 // exclusive token-index end of the merged coverage so far
+    var j = 0
+    var first = true
+    while (j < k) {
+      while (pi < np && ps(pi) <= j) {
+        val e = ps(pi) + w
+        if (e > coverEnd) coverEnd = e
+        pi += 1
+      }
+      if (j < coverEnd) removed += 1
+      else {
+        if (!first) sb.append(' ')
+        sb.append(s, starts.get(j), ends.get(j))
+        first = false
+      }
+      j += 1
+    }
+    InternalRow(UTF8String.fromString(sb.toString), removed)
+  }
+
   /** 64-bit SimHash over a token array: per bit, sum +1/−1 by the bit of each
     * token's hash; the result packs the signs. Near-identical token multisets
     * differ in few bits (compare with `bit_count(a ^ b)`).
@@ -767,6 +865,67 @@ case class NearestCentroids(child: Expression, centroids: Array[Double], k: Int,
     copy(child = newChild)
 }
 
+/** Native per-position window hashes of a string column — see
+  * [[SigKernels.windowHashes]]. The substring-level-dedup primitive: one
+  * xxhash64 per w-token window, positions preserved.
+  */
+case class WindowHashes(child: Expression, w: Int) extends UnaryExpression {
+
+  require(w >= 1, "window size must be >= 1")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other =>
+      TypeCheckResult.TypeCheckFailure(s"window_hashes needs a string column, got $other")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "window_hashes"
+
+  override protected def nullSafeEval(input: Any): Any =
+    SigKernels.windowHashes(input.asInstanceOf[UTF8String], w)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.ops.expr.SigKernels.windowHashes($c, $w)")
+
+  override protected def withNewChildInternal(newChild: Expression): WindowHashes =
+    copy(child = newChild)
+}
+
+/** Native span masking — see [[SigKernels.maskCovered]]. Returns
+  * `struct(clean string, removed int)`: the text rebuilt from tokens NOT
+  * covered by any `[p, p+w)` window in `positions`, plus the dropped-token
+  * count. `positions` is `array<int>` (unsorted is fine — `collect_list`
+  * output goes in directly).
+  */
+case class MaskRepeatedWindows(left: Expression, right: Expression, w: Int)
+    extends BinaryExpression {
+
+  require(w >= 1, "window size must be >= 1")
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (StringType, ArrayType(IntegerType, _)) => TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"mask_repeated_windows needs (string, array<int>), got ($l, $r)")
+    }
+  override def dataType: DataType = StructType(Seq(
+    StructField("clean", StringType, nullable = false),
+    StructField("removed", IntegerType, nullable = false)))
+  override def prettyName: String = "mask_repeated_windows"
+
+  override protected def nullSafeEval(text: Any, positions: Any): Any =
+    SigKernels.maskCovered(
+      text.asInstanceOf[UTF8String], positions.asInstanceOf[ArrayData], w)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (t, p) =>
+      s"graft.ops.expr.SigKernels.maskCovered($t, $p, $w)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): MaskRepeatedWindows =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Native 64-bit SimHash of an `array<string>` token column. */
 case class SimHash64(child: Expression) extends UnaryExpression {
 
@@ -814,6 +973,15 @@ object NativeSig {
   /** Column API for [[WordShingles]]. */
   def wordShingles(text: Column, n: Int): Column =
     ColumnBridge.column(WordShingles(ColumnBridge.expression(text), n))
+
+  /** Column API for [[WindowHashes]]. */
+  def windowHashes(text: Column, w: Int): Column =
+    ColumnBridge.column(WindowHashes(ColumnBridge.expression(text), w))
+
+  /** Column API for [[MaskRepeatedWindows]]. */
+  def maskRepeatedWindows(text: Column, positions: Column, w: Int): Column =
+    ColumnBridge.column(MaskRepeatedWindows(
+      ColumnBridge.expression(text), ColumnBridge.expression(positions), w))
 
   /** Column API for [[HashSortedDistinct]]. */
   def hashSortedDistinct(arr: Column): Column =

@@ -49,6 +49,104 @@ class Round7Spec extends SparkTestBase {
   // BoundedCollectList plan pin
   // ------------------------------------------------------------------
 
+  // ------------------------------------------------------------------
+  // Substring-level dedup
+  // ------------------------------------------------------------------
+
+  test("windowHashes matches the HOF formulation (and short texts have no windows)") {
+    val texts = Seq(
+      "the quick brown fox jumps over the lazy dog again and again",
+      "  leading   and\ttrailing \n whitespace  text here now ok fine done ",
+      "exactly eight tokens in this very sentence here",
+      "seven tokens only in this one here",
+      "", "   ", "one")
+    val df = texts.toDF("text")
+    val w = 8
+    val toks = array_remove(split(col("text"), "\\s+"), "")
+    val k = size(toks)
+    val hof = when(k < w, array().cast("array<bigint>"))
+      .otherwise(transform(sequence(lit(0), k - w),
+        i => xxhash64(concat_ws(" ", slice(toks, i + 1, lit(w))))))
+    val rows = df.select(
+      graft.ops.expr.NativeSig.windowHashes(col("text"), w).as("native"),
+      hof.as("hof")).collect()
+    for (r <- rows) assert(r.getSeq[Long](0) == r.getSeq[Long](1))
+    // fewer than w tokens -> no windows at all
+    assert(rows(3).getSeq[Long](0).isEmpty && rows(4).getSeq[Long](0).isEmpty)
+  }
+
+  test("maskCovered: overlap merge, unsorted positions, out-of-range, empties") {
+    def mask(text: String, pos: Seq[Int], w: Int): (String, Int) = {
+      val r = Seq(text).toDF("text")
+        .select(graft.ops.expr.NativeSig.maskRepeatedWindows(
+          col("text"), lit(pos.toArray), w).as("m"))
+        .select(col("m.clean"), col("m.removed")).head()
+      (r.getString(0), r.getInt(1))
+    }
+    assert(mask("a b c d e f", Seq(0, 1), 2) == (("d e f", 3)))     // overlap merges
+    assert(mask("a b c d e f", Seq(3, 0), 2) == (("c f", 4)))       // unsorted input
+    assert(mask("a b c d e f", Seq.empty, 2) == (("a b c d e f", 0)))
+    assert(mask("a  b\t c ", Seq.empty, 2) == (("a b c", 0)))       // space-normalized
+    assert(mask("a b c", Seq(10), 2) == (("a b c", 0)))             // out of range
+    assert(mask("", Seq.empty, 2) == (("", 0)))
+  }
+
+  test("maskRepeatedSpans masks corpus-repeated spans, within-doc repeats, passthrough") {
+    val boiler = "NAV HOME ABOUT CONTACT LOGIN SIGNUP FOOTER COPYRIGHT"
+    val docs = Seq(
+      (1L, s"$boiler unique one text here"),
+      (2L, s"$boiler different tail words now"),
+      (3L, "totally unique document content with no repeats at all whatsoever indeed"),
+      (4L, "tiny doc"),
+      (5L, "x1 x2 x3 x4 x5 x6 x7 x8 x1 x2 x3 x4 x5 x6 x7 x8"),
+      (6L, "")
+    ).toDF("doc_id", "text")
+    val got = Dedup.maskRepeatedSpans(docs, "doc_id", "text",
+      windowTokens = 8, minRepeats = 2)
+      .select(col("doc_id"), col("text_clean"), col("n_repeated_windows"),
+        col("n_tokens_removed"))
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got(1L) == (("unique one text here", 1L, 8L)))
+    assert(got(2L) == (("different tail words now", 1L, 8L)))
+    assert(got(3L) == (("totally unique document content with no repeats at all whatsoever indeed", 0L, 0L)))
+    assert(got(4L) == (("tiny doc", 0L, 0L)))           // < w tokens: untouched
+    assert(got(5L) == (("", 2L, 16L)))                  // within-doc repeat masks all
+    assert(got(6L) == (("", 0L, 0L)))
+  }
+
+  test("removeRepeatedSpans rewrites text and drops fully-masked documents") {
+    val boiler = "NAV HOME ABOUT CONTACT LOGIN SIGNUP FOOTER COPYRIGHT"
+    val docs = Seq(
+      (1L, s"$boiler real content survives here"),
+      (2L, s"$boiler other real content too"),
+      (3L, "x1 x2 x3 x4 x5 x6 x7 x8 x1 x2 x3 x4 x5 x6 x7 x8")
+    ).toDF("doc_id", "text")
+    val got = Dedup.removeRepeatedSpans(docs, "doc_id", "text",
+      windowTokens = 8, minRepeats = 2)
+    assert(got.columns.toSeq ==
+      Seq("doc_id", "text", "n_repeated_windows", "n_tokens_removed"))
+    val rows = got.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rows == Map(1L -> "real content survives here",
+      2L -> "other real content too"))
+  }
+
+  test("maskRepeatedSpans plan: merge joins hold, no broadcast of corpus-sized sides") {
+    import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, SortMergeJoinExec}
+    val docs = (1L to 30L).map(i => (i, s"alpha beta gamma delta $i epsilon zeta eta theta"))
+      .toDF("doc_id", "text")
+    val before = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val p = Dedup.maskRepeatedSpans(docs, "doc_id", "text")
+        .queryExecution.executedPlan
+      assert(p.collect { case b: BroadcastHashJoinExec => b }.isEmpty,
+        s"corpus-sized join side got broadcast:\n$p")
+      assert(p.collect { case m: SortMergeJoinExec => m }.size >= 2,
+        s"expected the frequency join-back and document join-back as sort-merge:\n$p")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", before)
+  }
+
   test("bounded bucket aggregation plans through ObjectHashAggregate, not sort-based fallback") {
     // the r6 memory-bound claim ("bucket exchange shape unchanged, buffers
     // O(cap)") presumes the TypedImperativeAggregate stays on the hash
