@@ -92,6 +92,10 @@ object GraftExtensions {
     "mask_repeated_windows" -> { es =>
       require(es.length == 3, "mask_repeated_windows(text, positions, w)")
       MaskRepeatedWindows(es.head, es(1), intLit(es(2), "w"))
+    },
+    "lang_id" -> { es =>
+      require(es.length == 1, "lang_id(text)")
+      LangIdExpr(es.head)
     })
 
   /** Install the same functions as temp functions on a live session. */

@@ -862,10 +862,30 @@ object SparkEntry {
          |) WHERE rn <= 10""".stripMargin
     }.mkString("\n", "\nUNION ALL\n", "")
 
-  private val langMarkerSql: Map[String, String] =
-    (TextStats.LangMarkers :+ ("stop" -> TextStats.EnglishStopwords)).map {
-      case (lang, words) => lang -> words.map(w => s"'$w'").mkString("[", ", ", "]")
-    }.toMap
+  private val stopListSql: String =
+    TextStats.EnglishStopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+
+  /** The [[graft.ops.expr.LangModel]] token features as a DuckDB VALUES
+    * list — the oracle replays the exact linear model from the same Scala
+    * tables the native expression compiles (one source of truth; no
+    * apostrophes in the word lists, so plain quoting is safe).
+    */
+  private val langTokenValuesSql: String =
+    graft.ops.expr.LangModel.TokenFeatures
+      .map { case (tok, lang, w) => s"('$tok', '$lang', $w)" }
+      .mkString(", ")
+
+  /** Character-range score for one language as RE2 class counts. */
+  private def langCharScoreSql(lang: String): String = {
+    val entries = graft.ops.expr.LangModel.CharRangeFeatures.filter(_._3 == lang)
+    if (entries.isEmpty) "0"
+    else entries.map { case (lo, hi, _, w) =>
+      val cls =
+        if (lo == hi) "[\\x{%04X}]".format(lo)
+        else "[\\x{%04X}-\\x{%04X}]".format(lo, hi)
+      s"len(regexp_extract_all(text, '$cls')) * $w"
+    }.mkString(" + ")
+  }
 
   /** The explicit whitespace class (Java `\s`) — plain triple-quote so the
     * backslashes stay literal for DuckDB's regex engine.
@@ -999,36 +1019,58 @@ object SparkEntry {
       """SELECT doc_id,
         |  doc_id <> min(doc_id) OVER (PARTITION BY text) AS is_dup
         |FROM documents""".stripMargin,
-    "q14_textstats" ->
-      s"""SELECT doc_id,
+    // lang_id replays the FULL LangModel linear classifier: token scores
+    // via a VALUES join over the shared feature table, char-range scores
+    // as RE2 class counts, argmax with the canonical tie-break order.
+    "q14_textstats" -> {
+      val langs = graft.ops.expr.LangModel.Langs
+      val pivotCols = langs.map(l =>
+        s"coalesce(sum(CASE WHEN lang = '$l' THEN s END), 0) AS t_$l")
+        .mkString(",\n         |    ")
+      val scoreCols = langs.map(l =>
+        s"coalesce(tp.t_$l, 0) + ${langCharScoreSql(l)} AS s_$l")
+        .mkString(",\n         |    ")
+      val bestExpr = langs.map(l => s"s_$l").mkString("greatest(", ", ", ")")
+      val caseChain = langs.map(l => s"WHEN s_$l = best AND best > 0 THEN '$l'")
+        .mkString("\n         |    ")
+      s"""WITH lt AS (
+         |  SELECT doc_id,
+         |    unnest(list_filter(string_split_regex(lower(text), '$wsClassSql'), t -> t <> '')) AS tok
+         |  FROM documents
+         |), fw AS (
+         |  SELECT * FROM (VALUES $langTokenValuesSql) v(tok, lang, w)
+         |), tsc AS (
+         |  SELECT doc_id, lang, sum(w) AS s FROM lt JOIN fw USING (tok) GROUP BY doc_id, lang
+         |), tp AS (
+         |  SELECT doc_id,
+         |    $pivotCols
+         |  FROM tsc GROUP BY doc_id
+         |), sc AS (
+         |  SELECT d.doc_id, d.text, d.n_chars,
+         |    $scoreCols
+         |  FROM documents d LEFT JOIN tp ON d.doc_id = tp.doc_id
+         |), b AS (
+         |  SELECT *, $bestExpr AS best FROM sc
+         |)
+         |SELECT doc_id,
          |  CAST(length(list_filter(string_split_regex(text, '[ \\t\\n\\x0B\\f\\r]+'), t -> t <> '')) AS BIGINT) AS tok_ws,
          |  CAST(length(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9 \\t\\n\\x0B\\f\\r]')) AS BIGINT) AS tok_bpe,
          |  round(CASE WHEN length(text) = 0 THEN 0.0
          |        ELSE CAST(length(regexp_extract_all(text, '[^\\w \\t\\n\\x0B\\f\\r]')) AS DOUBLE) / length(text) END, 6) AS punct_ratio,
          |  round(CASE WHEN length(list_filter(string_split_regex(text, '[ \\t\\n\\x0B\\f\\r]+'), t -> t <> '')) = 0 THEN 0.0
-         |        ELSE CAST(length(list_intersect(list_filter(string_split_regex(text, '[ \\t\\n\\x0B\\f\\r]+'), t -> t <> ''), ${langMarkerSql("stop")})) AS DOUBLE)
+         |        ELSE CAST(length(list_intersect(list_filter(string_split_regex(text, '[ \\t\\n\\x0B\\f\\r]+'), t -> t <> ''), $stopListSql)) AS DOUBLE)
          |             / length(list_filter(string_split_regex(text, '[ \\t\\n\\x0B\\f\\r]+'), t -> t <> '')) END, 6) AS stop_ratio,
          |  CASE
-         |    WHEN s_en = best AND best > 0 THEN 'en'
-         |    WHEN s_es = best AND best > 0 THEN 'es'
-         |    WHEN s_de = best AND best > 0 THEN 'de'
-         |    WHEN s_fr = best AND best > 0 THEN 'fr'
+         |    $caseChain
          |    ELSE 'und' END AS lang_id,
          |  round(least(1.0, n_chars / 500.0) * 0.4
          |      + least(1.0, (CASE WHEN length(list_filter(string_split_regex(text, '[ \\t\\n\\x0B\\f\\r]+'), t -> t <> '')) = 0 THEN 0.0
-         |          ELSE CAST(length(list_intersect(list_filter(string_split_regex(text, '[ \\t\\n\\x0B\\f\\r]+'), t -> t <> ''), ${langMarkerSql("stop")})) AS DOUBLE)
+         |          ELSE CAST(length(list_intersect(list_filter(string_split_regex(text, '[ \\t\\n\\x0B\\f\\r]+'), t -> t <> ''), $stopListSql)) AS DOUBLE)
          |               / length(list_filter(string_split_regex(text, '[ \\t\\n\\x0B\\f\\r]+'), t -> t <> '')) END) * 4.0) * 0.4
          |      + greatest(0.0, 1.0 - (CASE WHEN length(text) = 0 THEN 0.0
          |          ELSE CAST(length(regexp_extract_all(text, '[^\\w \\t\\n\\x0B\\f\\r]')) AS DOUBLE) / length(text) END) * 5.0) * 0.2, 6) AS quality
-         |FROM (
-         |  SELECT *,
-         |    length(list_intersect(list_filter(string_split_regex(text, '[ \\t\\n\\x0B\\f\\r]+'), t -> t <> ''), ${langMarkerSql("en")})) AS s_en,
-         |    length(list_intersect(list_filter(string_split_regex(text, '[ \\t\\n\\x0B\\f\\r]+'), t -> t <> ''), ${langMarkerSql("es")})) AS s_es,
-         |    length(list_intersect(list_filter(string_split_regex(text, '[ \\t\\n\\x0B\\f\\r]+'), t -> t <> ''), ${langMarkerSql("de")})) AS s_de,
-         |    length(list_intersect(list_filter(string_split_regex(text, '[ \\t\\n\\x0B\\f\\r]+'), t -> t <> ''), ${langMarkerSql("fr")})) AS s_fr,
-         |    greatest(s_en, s_es, s_de, s_fr) AS best
-         |  FROM documents
-         |)""".stripMargin,
+         |FROM b""".stripMargin
+    },
     "q15_ann_scores" ->
       s"""SELECT vec_id,
          |  round(CASE WHEN list_sum(list_apply(embedding, x -> CAST(x AS DOUBLE) * x)) = 0
@@ -1104,7 +1146,7 @@ object SparkEntry {
          |  SELECT source, doc_id,
          |    round(least(1.0, n_chars / 500.0) * 0.4
          |      + least(1.0, (CASE WHEN length(list_filter(string_split_regex(text, '[ \\t\\n\\x0B\\f\\r]+'), t -> t <> '')) = 0 THEN 0.0
-         |          ELSE CAST(length(list_intersect(list_filter(string_split_regex(text, '[ \\t\\n\\x0B\\f\\r]+'), t -> t <> ''), ${langMarkerSql("stop")})) AS DOUBLE)
+         |          ELSE CAST(length(list_intersect(list_filter(string_split_regex(text, '[ \\t\\n\\x0B\\f\\r]+'), t -> t <> ''), $stopListSql)) AS DOUBLE)
          |               / length(list_filter(string_split_regex(text, '[ \\t\\n\\x0B\\f\\r]+'), t -> t <> '')) END) * 4.0) * 0.4
          |      + greatest(0.0, 1.0 - (CASE WHEN length(text) = 0 THEN 0.0
          |          ELSE CAST(length(regexp_extract_all(text, '[^\\w \\t\\n\\x0B\\f\\r]')) AS DOUBLE) / length(text) END) * 5.0) * 0.2, 6) AS q

@@ -72,30 +72,13 @@ object TextStats {
     round(lengthScore * 0.4 + stopScore * 0.4 + punctPenalty * 0.2, 6)
   }
 
-  /** Tiny per-language marker-word lists for the n-gram/stopword language-ID
-    * heuristic. Deliberately small and fixed: the score is
-    * `|tokens ∩ markers|`, argmax over languages, `und` on an all-zero tie.
+  /** Language ID: the 28-language linear classifier over weighted
+    * function-word counts and Unicode-script character ranges — see
+    * [[graft.ops.expr.LangModel]] for the model, feature tables, tie-break
+    * order, and known coarse spots. One codegen'd two-pass classify per
+    * row, no UDF; `"und"` when no feature fires.
     */
-  val LangMarkers: Seq[(String, Seq[String])] = Seq(
-    "en" -> Seq("the", "and", "of", "to", "in", "is", "that", "for", "with", "it"),
-    "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "los", "por", "con"),
-    "de" -> Seq("der", "die", "und", "das", "ist", "von", "mit", "den", "ein", "nicht"),
-    "fr" -> Seq("le", "la", "de", "et", "les", "des", "est", "un", "une", "dans")
-  )
-
-  /** Language ID: highest marker overlap wins; ties break in [[LangMarkers]]
-    * order; no overlap at all → "und".
-    */
-  def langId(text: Column): Column = {
-    val toks = tokens(text)
-    val scores = LangMarkers.map { case (lang, words) =>
-      lang -> size(array_intersect(toks, lit(words.toArray)))
-    }
-    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
-    scores.foldRight(lit("und"): Column) { case ((lang, score), fallback) =>
-      when(score === best && best > 0, lit(lang)).otherwise(fallback)
-    }
-  }
+  def langId(text: Column): Column = graft.ops.expr.NativeSig.langId(text)
 
   /** Order-sensitive rolling-hash fingerprint of the token stream, mod a
     * 31-bit prime so the polynomial accumulation never overflows Long under

@@ -1,0 +1,264 @@
+package graft.ops.expr
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** The language-ID model: a linear classifier over two interpretable,
+  * oracle-replayable feature families —
+  *
+  *   - TOKEN features: lowercased whitespace tokens matched against
+  *     per-language function-word lists, weight per OCCURRENCE (counts, not
+  *     set intersection — repetition is signal);
+  *   - CHARACTER-RANGE features: per-character Unicode-range weights, the
+  *     script detectors (kana → ja, Hangul → ko, Thai → th, …) plus
+  *     single-letter discriminators inside shared scripts (і/ї/є/ґ → uk
+  *     against the shared Cyrillic block, ы/ъ/э/ё → ru; ß → de; ñ → es…).
+  *
+  * `score(lang) = Σ_token w_tok + Σ_char w_char`; argmax wins, ties break
+  * in [[Langs]] order, an all-zero score is `"und"`. Every feature weight
+  * is a small integer so the whole decision is exactly replayable in any
+  * SQL engine (the q14 oracle inlines [[TokenFeatures]] as a VALUES join
+  * and each range as a `regexp_extract_all` count — one shared source of
+  * truth, no hash bits cross the engine boundary).
+  *
+  * The feature tables are authored, not trained: this is the classic
+  * stopword/script heuristic at useful coverage (28 languages), not a
+  * fasttext replacement — but unlike a 40-marker toy it separates the major
+  * web languages, and the weights live in one table a user can extend.
+  *
+  * Known coarse spots, by construction: zh vs ja on kana-free text leans zh
+  * (CJK ideographs weigh 2:1 zh — real Japanese is >25% kana, which at 3×
+  * outweighs it); da vs no share most function words and tie toward da;
+  * sr/bg/mk collapse into the shared-Cyrillic ru bucket.
+  */
+object LangModel {
+
+  /** Canonical order — also the tie-break priority. */
+  val Langs: IndexedSeq[String] = IndexedSeq(
+    "en", "es", "de", "fr", "pt", "it", "nl", "sv", "da", "no",
+    "fi", "pl", "cs", "ro", "hu", "tr", "id", "vi", "ru", "uk",
+    "el", "ar", "he", "hi", "th", "zh", "ja", "ko")
+
+  private val tokenWords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "that", "for", "with",
+      "it", "was", "as", "on", "are", "this", "be", "by", "have", "not", "at"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "los", "se", "del",
+      "las", "por", "con", "una", "es", "para", "como", "pero", "sus", "le"),
+    "de" -> Seq("der", "die", "und", "das", "ist", "von", "mit", "den", "ein",
+      "nicht", "im", "dem", "des", "auf", "für", "eine", "als", "auch", "sich",
+      "werden"),
+    "fr" -> Seq("le", "la", "de", "et", "les", "des", "est", "un", "une",
+      "dans", "que", "qui", "pour", "pas", "sur", "avec", "plus", "par", "ce",
+      "vous"),
+    "pt" -> Seq("o", "a", "de", "que", "e", "do", "da", "em", "um", "para",
+      "com", "não", "uma", "os", "no", "se", "na", "por", "mais", "dos"),
+    "it" -> Seq("il", "la", "di", "che", "e", "è", "un", "per", "in", "una",
+      "sono", "con", "non", "del", "le", "si", "gli", "come", "anche",
+      "questo"),
+    "nl" -> Seq("de", "het", "een", "en", "van", "is", "dat", "op", "te",
+      "zijn", "met", "voor", "niet", "aan", "er", "maar", "ook", "als", "bij",
+      "naar"),
+    "sv" -> Seq("och", "att", "det", "som", "en", "på", "är", "av", "för",
+      "med", "den", "till", "inte", "har", "de", "om", "ett", "han", "var",
+      "jag"),
+    "da" -> Seq("og", "det", "at", "en", "den", "til", "er", "som", "på",
+      "de", "med", "han", "af", "for", "ikke", "der", "var", "mig", "sig",
+      "men"),
+    "no" -> Seq("og", "det", "at", "en", "et", "den", "til", "er", "som",
+      "på", "de", "med", "han", "av", "ikke", "der", "så", "var", "meg",
+      "seg"),
+    "fi" -> Seq("ja", "on", "ei", "että", "se", "hän", "oli", "mutta",
+      "ovat", "kun", "niin", "myös", "joka", "sen", "tämä", "ole", "mitä",
+      "kuin", "vain", "jos"),
+    "pl" -> Seq("i", "w", "nie", "na", "się", "z", "do", "to", "że", "jest",
+      "jak", "po", "co", "tak", "o", "ale", "przez", "od", "za", "tym"),
+    "cs" -> Seq("a", "se", "na", "je", "že", "v", "s", "to", "do", "jako",
+      "za", "ale", "po", "co", "tak", "jsem", "jsou", "být", "byl", "pro"),
+    "ro" -> Seq("și", "de", "în", "la", "a", "cu", "pe", "este", "care",
+      "nu", "se", "din", "mai", "o", "ca", "dar", "sunt", "fost", "sau",
+      "după"),
+    "hu" -> Seq("a", "az", "és", "nem", "hogy", "is", "egy", "van", "de",
+      "meg", "ez", "már", "csak", "volt", "ha", "mint", "vagy", "még", "el",
+      "ki"),
+    "tr" -> Seq("bir", "ve", "bu", "için", "de", "da", "ne", "ile", "mi",
+      "ama", "çok", "daha", "gibi", "kadar", "sonra", "ben", "o", "en",
+      "var", "yok"),
+    "id" -> Seq("yang", "dan", "di", "itu", "dengan", "untuk", "tidak",
+      "ini", "dari", "dalam", "akan", "pada", "juga", "saya", "ke", "karena",
+      "ada", "mereka", "sudah", "atau"),
+    "vi" -> Seq("của", "và", "là", "có", "không", "được", "trong", "đã",
+      "người", "những", "một", "cho", "với", "các", "này", "để", "khi",
+      "tôi", "anh", "em"),
+    "ru" -> Seq("и", "в", "не", "на", "я", "что", "он", "с", "это", "как",
+      "по", "но", "его", "к", "у", "из", "за", "то", "все", "она"),
+    "uk" -> Seq("і", "в", "не", "на", "я", "що", "він", "з", "це", "як",
+      "по", "але", "його", "до", "у", "із", "за", "те", "все", "вона"),
+    "el" -> Seq("και", "το", "της", "να", "την", "που", "με", "από", "για",
+      "στο", "είναι", "τα", "των", "ο", "η", "σε", "δεν", "μου", "αυτό",
+      "τον"),
+    "ar" -> Seq("في", "من", "على", "أن", "إلى", "عن", "هذا", "التي", "الذي",
+      "مع", "كان", "لا", "ما", "هو", "أو", "كل", "لم", "بعد", "قد", "بين"),
+    "he" -> Seq("של", "את", "על", "לא", "זה", "הוא", "עם", "כי", "גם",
+      "היא", "אבל", "או", "יש", "אני", "מה", "אם", "רק", "כל", "היה",
+      "אחד"),
+    "hi" -> Seq("के", "में", "की", "है", "को", "से", "का", "पर", "यह",
+      "और", "ने", "कि", "हैं", "था", "भी", "नहीं", "एक", "वह", "तो", "ही")
+    // th/zh/ja/ko: no whitespace-delimited function words — script ranges
+    // below carry them
+  )
+
+  /** `(token, lang, weight)` — the VALUES table the oracle inlines. */
+  val TokenFeatures: Seq[(String, String, Int)] =
+    for ((l, ws) <- tokenWords; w <- ws) yield (w, l, 1)
+
+  /** `(loCodepoint, hiCodepoint, lang, weightPerChar)` — entries are
+    * independent (overlaps simply both fire), each replayable as
+    * `len(regexp_extract_all(text, '[\x{lo}-\x{hi}]')) * w`. All BMP, so
+    * UTF-16 char iteration and codepoint regexes agree.
+    */
+  val CharRangeFeatures: Seq[(Int, Int, String, Int)] = Seq(
+    // script blocks
+    (0x3040, 0x309F, "ja", 3), // Hiragana
+    (0x30A0, 0x30FF, "ja", 3), // Katakana
+    (0x4E00, 0x9FFF, "zh", 2), // CJK Unified Ideographs: shared, zh-leaning
+    (0x4E00, 0x9FFF, "ja", 1),
+    (0xAC00, 0xD7A3, "ko", 3), // Hangul syllables
+    (0x1100, 0x11FF, "ko", 3), // Hangul jamo
+    (0x0E00, 0x0E7F, "th", 3), // Thai
+    (0x0900, 0x097F, "hi", 3), // Devanagari
+    (0x0600, 0x06FF, "ar", 3), // Arabic
+    (0x0590, 0x05FF, "he", 3), // Hebrew
+    (0x0370, 0x03FF, "el", 3), // Greek
+    (0x0400, 0x04FF, "ru", 1), // Cyrillic: shared ru/uk, ties break to ru
+    (0x0400, 0x04FF, "uk", 1),
+    // single-letter discriminators inside shared scripts
+    (0x044B, 0x044B, "ru", 5), // ы
+    (0x044A, 0x044A, "ru", 5), // ъ
+    (0x044D, 0x044D, "ru", 5), // э
+    (0x0451, 0x0451, "ru", 5), // ё
+    (0x0456, 0x0456, "uk", 5), // і
+    (0x0457, 0x0457, "uk", 5), // ї
+    (0x0454, 0x0454, "uk", 5), // є
+    (0x0491, 0x0491, "uk", 5), // ґ
+    // Latin-script diacritic discriminators
+    (0x00DF, 0x00DF, "de", 4), // ß
+    (0x00F1, 0x00F1, "es", 4), // ñ
+    (0x00BF, 0x00BF, "es", 4), // ¿
+    (0x00A1, 0x00A1, "es", 4), // ¡
+    (0x00E3, 0x00E3, "pt", 3), // ã
+    (0x00F5, 0x00F5, "pt", 3), // õ
+    (0x011F, 0x011F, "tr", 4), // ğ
+    (0x015F, 0x015F, "tr", 4), // ş
+    (0x0131, 0x0131, "tr", 4), // ı
+    (0x0142, 0x0142, "pl", 4), // ł
+    (0x017C, 0x017C, "pl", 4), // ż
+    (0x0119, 0x0119, "pl", 4), // ę
+    (0x0105, 0x0105, "pl", 4), // ą
+    (0x0159, 0x0159, "cs", 4), // ř
+    (0x011B, 0x011B, "cs", 4), // ě
+    (0x016F, 0x016F, "cs", 4), // ů
+    (0x0151, 0x0151, "hu", 4), // ő
+    (0x0171, 0x0171, "hu", 4), // ű
+    (0x0219, 0x0219, "ro", 4), // ș
+    (0x021B, 0x021B, "ro", 4), // ț
+    (0x01B0, 0x01B0, "vi", 4), // ư
+    (0x01A1, 0x01A1, "vi", 4), // ơ
+    (0x0111, 0x0111, "vi", 4), // đ
+    (0x1EA0, 0x1EF9, "vi", 4), // Latin Extended Additional (Vietnamese)
+    (0x00F8, 0x00F8, "da", 1), // ø: shared da/no
+    (0x00F8, 0x00F8, "no", 1),
+    (0x00E6, 0x00E6, "da", 1), // æ: shared da/no
+    (0x00E6, 0x00E6, "no", 1))
+
+  private val langIdx: Map[String, Int] = Langs.zipWithIndex.toMap
+
+  /** token → flat `[langIdx0, w0, langIdx1, w1, …]` */
+  private val tokenMap: java.util.HashMap[String, Array[Int]] = {
+    val m = new java.util.HashMap[String, Array[Int]]()
+    TokenFeatures.groupBy(_._1).foreach { case (tok, fs) =>
+      m.put(tok, fs.flatMap { case (_, l, w) => Seq(langIdx(l), w) }.toArray)
+    }
+    m
+  }
+
+  private val rLo = CharRangeFeatures.map(_._1).toArray
+  private val rHi = CharRangeFeatures.map(_._2).toArray
+  private val rLang = CharRangeFeatures.map(f => langIdx(f._3)).toArray
+  private val rW = CharRangeFeatures.map(_._4).toArray
+  private val minCharFeature: Int = rLo.min // ASCII pays one compare per char
+
+  private def isWs(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
+
+  /** One pass for tokens (over the ROOT-lowercased text) + one for chars
+    * (over the raw text — scripts are case-closed); argmax as documented.
+    */
+  def classify(text: UTF8String): UTF8String = {
+    val raw = text.toString
+    val lower = raw.toLowerCase(java.util.Locale.ROOT)
+    val n = Langs.length
+    val scores = new Array[Int](n)
+    val len = lower.length
+    var i = 0
+    while (i < len) {
+      while (i < len && isWs(lower.charAt(i))) i += 1
+      if (i < len) {
+        val st = i
+        while (i < len && !isWs(lower.charAt(i))) i += 1
+        val hit = tokenMap.get(lower.substring(st, i))
+        if (hit != null) {
+          var j = 0
+          while (j < hit.length) { scores(hit(j)) += hit(j + 1); j += 2 }
+        }
+      }
+    }
+    val rn = rLo.length
+    val rlen = raw.length
+    var c = 0
+    while (c < rlen) {
+      val ch = raw.charAt(c).toInt
+      if (ch >= minCharFeature) {
+        var j = 0
+        while (j < rn) {
+          if (ch >= rLo(j) && ch <= rHi(j)) scores(rLang(j)) += rW(j)
+          j += 1
+        }
+      }
+      c += 1
+    }
+    var best = 0
+    var bi = -1
+    var k = 0
+    while (k < n) {
+      if (scores(k) > best) { best = scores(k); bi = k }
+      k += 1
+    }
+    UTF8String.fromString(if (bi < 0) "und" else Langs(bi))
+  }
+}
+
+/** Native language-ID expression over [[LangModel]] — a codegen'd two-pass
+  * classify per row, no UDF, weights static.
+  */
+case class LangIdExpr(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other =>
+      TypeCheckResult.TypeCheckFailure(s"lang_id needs a string column, got $other")
+  }
+  override def dataType: DataType = StringType
+  override def prettyName: String = "lang_id"
+
+  override protected def nullSafeEval(input: Any): Any =
+    LangModel.classify(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.ops.expr.LangModel.classify($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): LangIdExpr =
+    copy(child = newChild)
+}

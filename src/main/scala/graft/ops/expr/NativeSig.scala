@@ -974,6 +974,10 @@ object NativeSig {
   def wordShingles(text: Column, n: Int): Column =
     ColumnBridge.column(WordShingles(ColumnBridge.expression(text), n))
 
+  /** Column API for [[LangIdExpr]] — the [[LangModel]] linear classifier. */
+  def langId(text: Column): Column =
+    ColumnBridge.column(LangIdExpr(ColumnBridge.expression(text)))
+
   /** Column API for [[WindowHashes]]. */
   def windowHashes(text: Column, w: Int): Column =
     ColumnBridge.column(WindowHashes(ColumnBridge.expression(text), w))

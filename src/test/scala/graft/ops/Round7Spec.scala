@@ -50,6 +50,58 @@ class Round7Spec extends SparkTestBase {
   // ------------------------------------------------------------------
 
   // ------------------------------------------------------------------
+  // Language ID: 28-language linear classifier
+  // ------------------------------------------------------------------
+
+  test("langId separates all 28 model languages on real sentences") {
+    val samples = Seq(
+      "en" -> "the cat sat on the mat and it was good for all of us",
+      "es" -> "el perro y el gato en la casa de la abuela",
+      "de" -> "der Hund und die Katze sind nicht im Haus mit dem Mann",
+      "fr" -> "le chien et le chat sont dans la maison avec vous",
+      "pt" -> "o cachorro e o gato não estão em casa para os amigos",
+      "it" -> "il cane e il gatto sono nella casa del nonno con una donna",
+      "nl" -> "de hond en de kat zijn niet in het huis met een man",
+      "sv" -> "och att det som en på är av för med den till inte",
+      "da" -> "og det at en den til er som på de med han af ikke",
+      "no" -> "og det at en et den til er som på av ikke meg seg så",
+      "fi" -> "ja on ei että se hän oli mutta niin myös kun joka",
+      "pl" -> "to nie jest tak jak się wydaje ale co z tym przez",
+      "cs" -> "a se na je že v s to do jako jsem jsou být byl",
+      "ro" -> "și de în la cu pe este care nu din mai sunt",
+      "hu" -> "az és nem hogy is egy van de meg ez már csak",
+      "tr" -> "bu bir test ve çok daha iyi ama ne kadar sonra",
+      "id" -> "yang dan di itu dengan untuk tidak ini dari dalam",
+      "vi" -> "của và là có không được trong đã người những",
+      "ru" -> "я не знаю что он хочет но это хорошо и ясно",
+      "uk" -> "я не знаю що він хоче але це добре і ясно",
+      "el" -> "και αυτό είναι ένα τεστ της γλώσσας που έχω",
+      "ar" -> "هذا اختبار في اللغة العربية من أجل النص",
+      "he" -> "זה מבחן של השפה העברית עם כל המילים",
+      "hi" -> "यह एक परीक्षा है और वह भी नहीं था",
+      "th" -> "นี่คือการทดสอบภาษาไทย",
+      "zh" -> "这是一个中文测试的句子没有空格",
+      "ja" -> "これは日本語のテストです、ひらがなが多い文章。",
+      "ko" -> "한국어 테스트 문장입니다 안녕하세요",
+      "und" -> "12345 67890 !!! ??? ...")
+    val got = samples.map(_._2).toDF("text")
+      .select(TextStats.langId(col("text"))).collect().map(_.getString(0))
+    for (((want, text), g) <- samples.zip(got))
+      assert(g == want, s"langId('$text') = $g, want $want")
+  }
+
+  test("langId: case-insensitive tokens, mixed scripts, tie-to-first") {
+    val got = Seq(
+      "THE CAT AND THE DOG WITH IT",    // uppercase English
+      "Der große Hund ist schön und war nicht da", // ß → de discriminator too
+      "हिंदी और English मिश्रित है और नहीं" // Devanagari chars outweigh 1 en token
+    ).toDF("text").select(TextStats.langId(col("text"))).collect().map(_.getString(0))
+    assert(got(0) == "en")
+    assert(got(1) == "de")
+    assert(got(2) == "hi")
+  }
+
+  // ------------------------------------------------------------------
   // Substring-level dedup
   // ------------------------------------------------------------------
 
