@@ -41,14 +41,20 @@ object Bench {
     }
     val results = runs.map { case (n, ts) => n -> ts.min }
     val spreads = runs.map { case (n, ts) => n -> (ts.max - ts.min) }
+    // Failed queries (−1 sentinel) must not pollute the headline totals —
+    // summing −1s both understates the total and hides the failure. Report
+    // them by name instead.
+    val failed = (cold.filter(_._2 < 0).map(_._1) ++
+      runs.filter(_._2.forall(_ < 0)).map(_._1)).distinct.sorted
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val sp = spreads.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    val coldTotal = cold.map(_._2).sum
+    val total = results.map(_._2).filter(_ >= 0).sum
+    val coldTotal = cold.map(_._2).filter(_ >= 0).sum
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$sp,"sf":"$sfDir","cold_total":$coldTotal}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$sp,"sf":"$sfDir","cold_total":$coldTotal,"failed":$failedJson}"""
     // stdout (own line; run/outputStrategy passes it through unprefixed) AND
     // a file, so the harness can parse per-query numbers either way.
     println(json)

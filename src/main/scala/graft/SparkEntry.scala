@@ -331,15 +331,7 @@ object SparkEntry {
         .select(col("id_a"), col("id_b"), col("__f").isNotNull.as("ok"))
     }),
     "q21_events" -> ((s, dir) => {
-      // events.ts is TIMESTAMP(NANOS) parquet, which Spark rejects outright
-      // (PARQUET_TYPE_ILLEGAL); read the raw nanos and truncate to µs — the
-      // same truncation DuckDB applies implicitly.
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val raw = t(s, dir, "events")
-      // `ts div 1000`: Long integer division — `/` would go through double,
-      // which cannot represent nanosecond epochs (> 2^53) exactly.
-      val ev = raw.withColumn("ts",
-        timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz"))
+      val ev = graft.sources.Readers.readEvents(s, dir)
       Dftly.select(
         ev,
         """event_id: $event_id
@@ -455,9 +447,7 @@ object SparkEntry {
     // As-of join (single-shuffle union+window formulation) vs DuckDB's
     // native ASOF JOIN: for each purchase, the latest prior signup per user.
     "q24_asof" -> ((s, dir) => {
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val ev = t(s, dir, "events")
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz"))
+      val ev = graft.sources.Readers.readEvents(s, dir)
       val purchases = ev.filter(col("event_type") === "purchase")
         .select(col("event_id"), col("user_id"), col("ts"))
       val signups = ev.filter(col("event_type") === "signup")
@@ -469,9 +459,7 @@ object SparkEntry {
     // Range join (bucketized interval containment) vs a plain DuckDB
     // inequality join: purchases within 2 days after any signup, per user.
     "q25_range" -> ((s, dir) => {
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val ev = t(s, dir, "events")
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz"))
+      val ev = graft.sources.Readers.readEvents(s, dir)
       val purchases = ev.filter(col("event_type") === "purchase")
         .select(col("event_id"), col("user_id"), col("ts"))
       val windows = ev.filter(col("event_type") === "signup")
@@ -723,6 +711,21 @@ object SparkEntry {
         windowTokens = 8, minRepeats = 2)
         .select(col("doc_id"), col("text_clean"),
           col("n_repeated_windows"), col("n_tokens_removed"))),
+    // Compressed-JSONL ingestion, oracle-checked as a roundtrip: documents
+    // → gzip .jsonl shards (df.write.json with gzip codec) → readJsonl with
+    // an EXPLICIT schema (the 100 TB path: no inference pass, parse-time
+    // projection) → rows, which must equal the parquet originals. Exercises
+    // the full reader stack — codec detection, line splitting, schema'd
+    // parse — against real corpus text (embedded quotes/newlines/unicode).
+    "q53_jsonl" -> ((s, dir) => {
+      val fixture = s"${sys.props("java.io.tmpdir")}/graft_jsonl_" +
+        java.lang.Long.toHexString(dir.hashCode.toLong & 0xffffffffL)
+      t(s, dir, "documents").select(col("doc_id"), col("text"))
+        .write.mode("overwrite").option("compression", "gzip").json(fixture)
+      graft.sources.Readers.readJsonl(s, fixture,
+        schema = "doc_id BIGINT, text STRING", badRecords = "fail")
+        .select(col("doc_id"), col("text"))
+    }),
     // Global vocabulary top-k — the canonical corpus word count.
     "q30_vocab" -> ((s, dir) =>
       graft.ops.Corpus.topTokens(t(s, dir, "documents"), "text", 20)
@@ -786,8 +789,7 @@ object SparkEntry {
     // Schema'd JSON property extraction — from_json (typed struct) and
     // get_json_object (path) against DuckDB's json_extract.
     "q32_json" -> ((s, dir) => {
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      t(s, dir, "events").select(
+      graft.sources.Readers.readEvents(s, dir).select(
         col("event_id"),
         from_json(col("props"), org.apache.spark.sql.types.StructType(Seq(
           org.apache.spark.sql.types.StructField("k",
@@ -1384,6 +1386,10 @@ object SparkEntry {
          |  nrep::BIGINT AS n_repeated_windows,
          |  (ntok - len(kept))::BIGINT AS n_tokens_removed
          |FROM m""".stripMargin,
+    // Roundtrip identity: if the gzip-JSONL write+read preserved every row
+    // and byte, the result is exactly the source table's projection.
+    "q53_jsonl" ->
+      "SELECT doc_id, text FROM documents",
     "q47_decontam" ->
       s"""WITH ${shingleCteSqlN(8, "sh8")},
          |tg AS (SELECT doc_id, unnest(grams) AS g FROM sh8),

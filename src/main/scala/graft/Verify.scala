@@ -25,7 +25,17 @@ object Verify {
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
+        // A failed query must stay VISIBLE in the correctness report: write
+        // an error sidecar where the parquet would be, so the driver (and a
+        // human diffing outDir) sees a red row instead of a shorter file.
+        // (Round 7 lesson: three analysis failures silently vanished.)
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        try {
+          val d = Paths.get(s"$outDir/_errors")
+          Files.createDirectories(d)
+          Files.writeString(d.resolve(s"$name.txt"),
+            s"${e.getClass.getName}: ${e.getMessage}\n")
+        } catch { case _: Throwable => () }
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

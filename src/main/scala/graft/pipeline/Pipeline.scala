@@ -93,15 +93,25 @@ object Pipeline {
       throw new IllegalArgumentException("pipeline needs a 'source'")) match {
       case m: scala.collection.Map[_, _] =>
         val sm = asMap(m, "source")
-        val reader = spark.read.format(sm.getOrElse("format", "parquet").toString)
-        val withOpts = sm.get("options") match {
-          case Some(o) => asMap(o, "options").foldLeft(reader) {
-            case (r, (k, v)) => r.option(k, v.toString)
-          }
-          case None => reader
+        val path = sm.getOrElse("path",
+          throw new IllegalArgumentException("inline source needs a 'path'")).toString
+        sm.getOrElse("format", "parquet").toString match {
+          // jsonl(.gz) corpus source: {format: jsonl, path: ...,
+          //   schema: "doc_id BIGINT, text STRING", badRecords: keep|drop|fail}
+          case "jsonl" =>
+            graft.sources.Readers.readJsonl(spark, path,
+              schema = sm.get("schema").map(_.toString).orNull,
+              badRecords = sm.getOrElse("badRecords", "drop").toString)
+          case fmt =>
+            val reader = spark.read.format(fmt)
+            val withOpts = sm.get("options") match {
+              case Some(o) => asMap(o, "options").foldLeft(reader) {
+                case (r, (k, v)) => r.option(k, v.toString)
+              }
+              case None => reader
+            }
+            withOpts.load(path)
         }
-        withOpts.load(sm.getOrElse("path",
-          throw new IllegalArgumentException("inline source needs a 'path'")).toString)
       case name => resolve(name.toString)
     }
     val steps = asSeq(cfg.getOrElse("steps", Seq.empty))
@@ -308,7 +318,19 @@ object Pipeline {
           case "ivf" =>
             val cells = d.get("cells").map(_.toString.toInt).getOrElse(16)
             val nProbe = d.get("nProbe").map(_.toString.toInt).getOrElse(2)
-            val cents = graft.ops.Similarity.trainCentroids(df, vec, cells)
+            // trainSample: true (auto target) or an explicit row target —
+            // k-means++-seeded training on a bounded sample, the 100 TB
+            // path (full-corpus Lloyd iterations are a cost hole there)
+            val cents = d.get("trainSample").map(_.toString) match {
+              case Some("true") =>
+                graft.ops.Similarity.trainCentroidsSampled(df, vec, cells)
+              case Some(n) if n.nonEmpty && n.forall(_.isDigit) =>
+                graft.ops.Similarity.trainCentroidsSampled(df, vec, cells,
+                  sampleTarget = n.toInt)
+              case Some(other) => throw new IllegalArgumentException(
+                s"trainSample must be true or a row target, got $other")
+              case None => graft.ops.Similarity.trainCentroids(df, vec, cells)
+            }
             graft.ops.Similarity.cosineNearDuplicatePairsIvf(
               df, id, vec, thr, cents, nProbe)
           case other => throw new IllegalArgumentException(
@@ -518,6 +540,23 @@ object Pipeline {
           .getOrElse(Seq(col(id).asc))
         graft.ops.Packing.packSequences(df, id, nToks,
           p("seqTokens").toString.toInt, orderCols)
+
+      case "maskSpans" =>
+        // {id:, text:, window: 8, minRepeats: 2} — corpus-repeated window
+        // masking (Dedup.maskRepeatedSpans): adds text_clean,
+        // n_repeated_windows, n_tokens_removed alongside the input columns
+        val m = asMap(step("maskSpans"), "maskSpans")
+        Dedup.maskRepeatedSpans(df, m("id").toString, m("text").toString,
+          windowTokens = m.get("window").map(_.toString.toInt).getOrElse(8),
+          minRepeats = m.get("minRepeats").map(_.toString.toInt).getOrElse(2))
+
+      case "stripBoilerplate" =>
+        // maskSpans + drop: rewrites the text column with the masked text
+        // and removes documents that were entirely repeated spans
+        val m = asMap(step("stripBoilerplate"), "stripBoilerplate")
+        Dedup.removeRepeatedSpans(df, m("id").toString, m("text").toString,
+          windowTokens = m.get("window").map(_.toString.toInt).getOrElse(8),
+          minRepeats = m.get("minRepeats").map(_.toString.toInt).getOrElse(2))
 
       case "redact" =>
         // {text: col, as: out (default 'redacted')} — PII → typed tokens

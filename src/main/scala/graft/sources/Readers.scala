@@ -1,0 +1,95 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType, TimestampNTZType}
+
+/** Schema-adaptive table readers.
+  *
+  * The driver-generated testdata has changed vintage across rounds:
+  * `events.parquet:ts` was TIMESTAMP(NANOS) (which Spark refuses to read
+  * natively — PARQUET_TYPE_ILLEGAL — unless
+  * `spark.sql.legacy.parquet.nanosAsLong` maps it to a raw Long) and is now
+  * TIMESTAMP(MICROS, isAdjustedToUTC=false), which Spark reads directly as
+  * TIMESTAMP_NTZ. Rather than hard-code either era, branch on the dtype the
+  * scan actually produces so the same build survives either testdata
+  * vintage.
+  */
+object Readers {
+
+  /** Read `<dir>/events.parquet` with `ts` normalized to TIMESTAMP_NTZ
+    * (microsecond precision — the same truncation DuckDB applies to nanos).
+    */
+  def readEvents(s: SparkSession, dir: String): DataFrame = {
+    // Harmless for micros-era files: the flag only affects INT64
+    // TIMESTAMP(NANOS) columns, which otherwise fail analysis outright.
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = s.read.parquet(s"$dir/events.parquet")
+    raw.schema("ts").dataType match {
+      case LongType =>
+        // Nanos era: integer-divide to µs — `/` would go through double,
+        // which cannot represent nanosecond epochs (> 2^53) exactly.
+        raw.withColumn("ts",
+          timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz"))
+      case TimestampNTZType => raw
+      case _ => raw.withColumn("ts", col("ts").cast("timestamp_ntz"))
+    }
+  }
+
+  /** Compressed-JSONL corpus ingestion — the format real training corpora
+    * actually arrive in (one JSON object per line, gzip-shard files).
+    *
+    * Scale contract (100 TB):
+    *   - `schema` is REQUIRED by the scale path and strongly preferred
+    *     everywhere: without it Spark runs a full inference pass over every
+    *     byte before the real scan — a doubled read at corpus scale. With an
+    *     explicit schema the parser also prunes: Jackson skips subtrees for
+    *     fields the schema omits, so projection happens inside the parse
+    *     (the JSONL analogue of parquet column pruning).
+    *   - `.gz` files are NOT splittable — one task per shard. That matches
+    *     how corpora ship (many 100–500 MB shards → natural parallelism);
+    *     one giant gz file would serialize the read, and this reader can't
+    *     fix that. Uncompressed `.jsonl` stays line-splittable
+    *     (`multiLine` is left false for exactly this reason).
+    *   - bad-record policy is explicit, not an afterthought: web-scale JSONL
+    *     always contains torn lines. `keep` parks them in
+    *     `_corrupt_record` for audit, `drop` discards silently,
+    *     `fail` aborts the job on first corruption.
+    *
+    * @param schema      DDL string (`"doc_id BIGINT, text STRING"`) or null
+    *                    to infer (small/interactive use only)
+    * @param badRecords  `keep` (PERMISSIVE + `_corrupt_record` column) |
+    *                    `drop` (DROPMALFORMED) | `fail` (FAILFAST).
+    *                    Spark caveat under `keep`: a query whose referenced
+    *                    columns are ONLY `_corrupt_record` is disallowed
+    *                    straight off raw files — select at least one data
+    *                    column (or cache) before filtering on it.
+    */
+  def readJsonl(
+      s: SparkSession,
+      path: String,
+      schema: String = null,
+      badRecords: String = "drop"
+  ): DataFrame = {
+    val base = Option(schema).map(StructType.fromDDL)
+    val (mode, finalSchema) = badRecords match {
+      case "keep" =>
+        // PERMISSIVE only materializes corrupt lines if the schema carries
+        // the corrupt-record column — append it to the user's schema.
+        ("PERMISSIVE", base.map(st =>
+          if (st.fieldNames.contains("_corrupt_record")) st
+          else StructType(st.fields :+ StructField("_corrupt_record", StringType))))
+      case "drop" => ("DROPMALFORMED", base)
+      case "fail" => ("FAILFAST", base)
+      case other => throw new IllegalArgumentException(
+        s"badRecords must be keep|drop|fail, got $other")
+    }
+    val r = s.read
+      .option("mode", mode)
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      // compression codec is picked per-file from the extension (.gz/.bz2/…)
+      // by Hadoop's codec factory — mixed plain+gz directories just work
+      .option("lineSep", "\n")
+    finalSchema.fold(r)(st => r.schema(st)).json(path)
+  }
+}

@@ -8,13 +8,8 @@ class TemporalJoinSpec extends SparkTestBase {
 
   import spark.implicits._
 
-  private lazy val events = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet("/root/testdata/sf0.001/events.parquet")
-      .withColumn("ts",
-        timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz"))
-      .cache()
-  }
+  private lazy val events =
+    graft.sources.Readers.readEvents(spark, "/root/testdata/sf0.001").cache()
 
   test("asOfJoin matches the brute-force inequality join on real events") {
     val purchases = events.filter($"event_type" === "purchase")

@@ -289,17 +289,13 @@ class PipelineSpec extends SparkTestBase {
   }
 
   test("sessionize verb over the events table (batch)") {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val out = Pipeline.run(spark,
       """source: events
         |steps:
         |  - sessionize: {keys: [user_id], ts: ts, gap: 30 minutes}
         |""".stripMargin,
       { case "events" =>
-          spark.read.parquet("/root/testdata/sf0.001/events.parquet")
-            .withColumn("ts",
-              org.apache.spark.sql.functions.timestamp_micros(
-                org.apache.spark.sql.functions.expr("ts div 1000")))
+          graft.sources.Readers.readEvents(spark, "/root/testdata/sf0.001")
       })
     assert(out.columns.toSeq == Seq("user_id", "session_start", "session_end",
       "n_events", "first_event", "last_event"))
@@ -449,6 +445,55 @@ class PipelineSpec extends SparkTestBase {
       _ => Seq((1L, 8L), (2L, 4L), (3L, 3L)).toDF("id", "n"))
     // order by n desc: 8 + 4 = 12 fits exactly; 3 overflows
     assert(out.select("id").as[Long].collect().toSet == Set(1L, 2L))
+  }
+
+  test("maskSpans / stripBoilerplate verbs route q52's config through YAML") {
+    // Same parameters as q52_substring_mask — the verb must produce the
+    // exact rows the direct Scala call does.
+    val viaVerb = Pipeline.runOnDir(spark,
+      """source: documents
+        |steps:
+        |  - maskSpans: {id: doc_id, text: text, window: 8, minRepeats: 2}
+        |""".stripMargin, dir)
+      .select($"doc_id", $"text_clean", $"n_repeated_windows", $"n_tokens_removed")
+    val direct = graft.ops.Dedup.maskRepeatedSpans(
+      spark.read.parquet(s"$dir/documents.parquet"), "doc_id", "text",
+      windowTokens = 8, minRepeats = 2)
+      .select($"doc_id", $"text_clean", $"n_repeated_windows", $"n_tokens_removed")
+    assert(viaVerb.exceptAll(direct).isEmpty && direct.exceptAll(viaVerb).isEmpty)
+
+    val stripped = Pipeline.runOnDir(spark,
+      """source: documents
+        |steps:
+        |  - stripBoilerplate: {id: doc_id, text: text}
+        |""".stripMargin, dir)
+    // text rewritten in place, helper column gone, no empty husks survive
+    assert(stripped.columns.contains("text") && !stripped.columns.contains("text_clean"))
+    assert(stripped.filter(length($"text") === 0).count() == 0)
+    assert(stripped.count() > 0)
+  }
+
+  test("jsonl source: gz corpus ingestion with schema + bad-record policy") {
+    val d = java.nio.file.Files.createTempDirectory("graft_pipe_jsonl").toFile
+    d.deleteOnExit()
+    val out = new java.util.zip.GZIPOutputStream(
+      new java.io.FileOutputStream(new java.io.File(d, "part-0.jsonl.gz")))
+    out.write(Seq(
+      """{"doc_id": 1, "text": "alpha beta"}""",
+      """not json at all""",
+      """{"doc_id": 2, "text": "gamma"}""").mkString("", "\n", "\n").getBytes("UTF-8"))
+    out.close()
+    val res = Pipeline.run(spark,
+      s"""source: {format: jsonl, path: "${d.getPath}",
+         |         schema: "doc_id BIGINT, text STRING", badRecords: drop}
+         |steps:
+         |  - withColumns:
+         |      doc_id2: $$doc_id * 2
+         |  - filter: $$doc_id >= 1
+         |""".stripMargin,
+      name => fail(s"unexpected table resolve: $name"))
+    assert(res.count() == 2)
+    assert(res.columns.toSeq == Seq("doc_id", "text", "doc_id2"))
   }
 
   test("redact verb scrubs PII into typed tokens") {
