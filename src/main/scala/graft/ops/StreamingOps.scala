@@ -99,6 +99,78 @@ object StreamingOps {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** Embedding-cosine near-duplicate pairs on a stream with BOUNDED state —
+    * the streaming counterpart of [[Similarity.cosineNearDuplicatePairs]]
+    * and the sign-bit analogue of [[simhashPairsWithinWatermark]]: the same
+    * deterministic random-hyperplane tables as batch (seed-compatible, so a
+    * batch backfill and the live stream bucket identically), a pair
+    * qualifies by colliding in ANY of `numTables` sign-bit buckets, and the
+    * exact cosine verifies inline in the join output.
+    *
+    * Shape: signatures are STATELESS map-side columns (one fused
+    * [[graft.ops.expr.NativeSig.signBitSignature]] kernel per table); the
+    * only state is the stream–stream self-join on (table, sig) with a
+    * ±`delay` event-time bound. Each side's state store holds the last
+    * `delay` of (id, ts, vector, table, sig) rows — vectors must ride the
+    * state (the verify needs them; there is no second stream to join back
+    * to), so state is ~`numTables` × vector bytes per doc within the
+    * horizon, watermark-evicted. No maxBucketSize cap is needed: the
+    * horizon bounds bucket membership by time, not count.
+    *
+    * Contract (same trades as [[simhashPairsWithinWatermark]], both
+    * inherent to streams):
+    *   - a pair colliding in several tables emits once per shared table —
+    *     compose [[dedupExactWithinWatermark]] over (id_a, id_b) downstream
+    *     for exactly-once pairs;
+    *   - only pairs arriving within `delay` of each other are found — the
+    *     watermark IS the dedup horizon;
+    *   - recall is the batch LSH model's (1−(1−(1−θ/π)^p)^t); size
+    *     `planesPerTable`/`numTables` with [[Similarity.lshParamsFor]]
+    *     against the expected docs-per-horizon, not the corpus size.
+    */
+  def cosinePairsWithinWatermark(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      tsCol: String,
+      delay: String,
+      threshold: Double,
+      dim: Int,
+      planesPerTable: Int = 12,
+      numTables: Int = 4
+  ): DataFrame = {
+    require(planesPerTable >= 1 && planesPerTable <= 63,
+      s"planesPerTable must be in [1, 63], got $planesPerTable")
+    require(numTables >= 1, s"numTables must be >= 1, got $numTables")
+    val tables = (0 until numTables).map { t =>
+      struct(lit(t).as("table"),
+        Similarity.signBitSignature(col(vecCol),
+          Similarity.hyperplanes(planesPerTable, dim, seed = 42L + t)).as("sig"))
+    }
+    val buckets = df
+      .select(col(idCol).as("id"), col(tsCol).as("ts"), col(vecCol).as("v"),
+        explode(array(tables: _*)).as("tb"))
+      .select(col("id"), col("ts"), col("v"),
+        col("tb.table").as("table"), col("tb.sig").as("sig"))
+      .withWatermark("ts", delay)
+    val a = buckets.select(col("id").as("id_a"), col("ts").as("ts_a"),
+      col("v").as("v_a"), col("table").as("table_a"), col("sig").as("sig_a"))
+    val b = buckets.select(col("id").as("id_b"), col("ts").as("ts_b"),
+      col("v").as("v_b"), col("table").as("table_b"), col("sig").as("sig_b"))
+    a.join(b,
+        col("table_a") === col("table_b") &&
+          col("sig_a") === col("sig_b") &&
+          col("id_a") < col("id_b") &&
+          // event-time bound — REQUIRED for state eviction in a
+          // stream-stream join; also the semantic dedup horizon
+          col("ts_b") >= col("ts_a") - expr(s"INTERVAL $delay") &&
+          col("ts_b") <= col("ts_a") + expr(s"INTERVAL $delay"))
+      .select(col("id_a"), col("id_b"),
+        Similarity.cosine(col("v_a"), col("v_b")).as("cosine"),
+        col("ts_a"), col("ts_b"))
+      .filter(col("cosine") >= threshold)
+  }
+
   /** Event sessionization: per-key sessions closed after `gap` of
     * inactivity, with count and start/end bounds. Built on Spark's native
     * `session_window` (merging windowed state, watermark-evicted) rather

@@ -139,6 +139,35 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("cosinePairsWithinWatermark: near-identical vectors inside the horizon pair, orthogonal/late ones don't") {
+    import graft.ops.StreamingOps
+    val input = MemoryStream[(Long, java.sql.Timestamp, Array[Float])](spark)
+    val df = input.toDF().toDF("id", "ts", "vec")
+    val pairs = StreamingOps.cosinePairsWithinWatermark(
+      df, "id", "vec", "ts", "10 minutes",
+      threshold = 0.95, dim = 8, planesPerTable = 8, numTables = 4)
+    val q = pairs.writeStream.format("memory").queryName("cos_pairs")
+      .outputMode("append").start()
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val base = Array(1f, 2f, 3f, 4f, 5f, 6f, 7f, 8f)
+    val near = base.map(_ * 1.001f) // cosine ~1
+    val ortho = Array(8f, -7f, 6f, -5f, 4f, -3f, 2f, -1f)
+    try {
+      input.addData(
+        (1L, t("2026-01-01 00:00:00"), base),
+        (2L, t("2026-01-01 00:05:00"), near),  // inside horizon → pair
+        (3L, t("2026-01-01 00:06:00"), ortho), // dissimilar → no pair
+        (4L, t("2026-01-01 02:00:00"), base))  // identical but outside ±10 min
+      q.processAllAvailable()
+      val got = spark.table("cos_pairs")
+        .select($"id_a", $"id_b", $"cosine").as[(Long, Long, Double)].collect()
+      assert(got.nonEmpty, "near-identical vectors within the horizon must pair")
+      // (1,2) is the ONLY pair — possibly multiple times (once per shared
+      // table, per the documented contract)
+      assert(got.forall(p => p._1 == 1L && p._2 == 2L && p._3 >= 0.95), got.mkString(","))
+    } finally q.stop()
+  }
+
   test("sessionize works identically on a batch frame") {
     import graft.ops.StreamingOps
     def t(s: String) = java.sql.Timestamp.valueOf(s)
