@@ -349,22 +349,145 @@ object Similarity {
         .select("v").as[Array[Float]].collect()
         .map(_.map(_.toDouble))
       require(cents.length == k, s"not enough rows to seed $k centroids")
-      for (_ <- 0 until iters) {
+      lloyd(vecs, vecCol, cents, iters)
+    } finally vecs.unpersist(blocking = false)
+  }
+
+  /** Lloyd iterations over a pinned vector frame, updating `cents` in place.
+    * Per iteration: assignment is a map-only projection; the new means are
+    * two aggregation shuffles (posexplode → (cell, dim) partial means →
+    * per-cell vectors); only k·dim doubles reach the driver.
+    */
+  private def lloyd(
+      vecs: DataFrame,
+      vecCol: String,
+      cents: Array[Array[Double]],
+      iters: Int
+  ): Array[Array[Double]] = {
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    for (_ <- 0 until iters) {
       // assignment staged before the posexplode select: resolving a
       // generator alongside other expressions strips the struct-field
       // aliases inside nearestCentroid (FIELD_NOT_FOUND on `cell`)
-        val updated = vecs
-          .withColumn("__cell", nearestCentroid(col(vecCol), cents))
-          .select(col("__cell"), posexplode(col(vecCol)).as(Seq("pos", "x")))
-          .groupBy(col("__cell"), col("pos"))
-          .agg(avg(col("x")).as("m"))
-          .groupBy(col("__cell"))
-          .agg(sort_array(collect_list(struct(col("pos"), col("m")))).as("ps"))
-          .select(col("__cell"), col("ps").getField("m").as("c"))
-          .as[(Int, Seq[Double])].collect()
-        updated.foreach { case (cell, vs) => cents(cell) = vs.toArray }
+      val updated = vecs
+        .withColumn("__cell", nearestCentroid(col(vecCol), cents))
+        .select(col("__cell"), posexplode(col(vecCol)).as(Seq("pos", "x")))
+        .groupBy(col("__cell"), col("pos"))
+        .agg(avg(col("x")).as("m"))
+        .groupBy(col("__cell"))
+        .agg(sort_array(collect_list(struct(col("pos"), col("m")))).as("ps"))
+        .select(col("__cell"), col("ps").getField("m").as("c"))
+        .as[(Int, Seq[Double])].collect()
+      updated.foreach { case (cell, vs) => cents(cell) = vs.toArray }
+    }
+    cents
+  }
+
+  /** Driver-side k-means++ (D²-sampling) init over a collected candidate
+    * set. Deterministic for a fixed seed. Incremental min-distance update:
+    * each added centroid costs one pass over the candidates, so the whole
+    * init is O(k · |pts| · dim) — candidates are a bounded mini-sample, not
+    * the corpus.
+    */
+  private[ops] def kmeansPlusPlusInit(
+      pts: Array[Array[Double]],
+      k: Int,
+      seed: Long
+  ): Array[Array[Double]] = {
+    require(pts.length >= k, s"k-means++ needs >= $k candidate points, got ${pts.length}")
+    val rnd = new scala.util.Random(seed)
+    val cents = new Array[Array[Double]](k)
+    cents(0) = pts(rnd.nextInt(pts.length))
+    val d2 = Array.fill(pts.length)(Double.MaxValue)
+    var c = 1
+    while (c < k) {
+      val last = cents(c - 1)
+      var total = 0.0
+      var i = 0
+      while (i < pts.length) {
+        var d = 0.0
+        var j = 0
+        val p = pts(i)
+        while (j < last.length) { val t = p(j) - last(j); d += t * t; j += 1 }
+        if (d < d2(i)) d2(i) = d
+        total += d2(i)
+        i += 1
       }
-      cents
+      if (total <= 0.0) {
+        // all candidates coincide with chosen centroids — any pick is as
+        // good as any other; stay deterministic
+        cents(c) = pts(rnd.nextInt(pts.length))
+      } else {
+        val r = rnd.nextDouble() * total
+        var acc = 0.0
+        var pick = pts.length - 1
+        i = 0
+        var found = false
+        while (i < pts.length && !found) {
+          acc += d2(i)
+          if (acc >= r) { pick = i; found = true }
+          i += 1
+        }
+        cents(c) = pts(pick)
+      }
+      c += 1
+    }
+    cents
+  }
+
+  /** [[trainCentroids]] with the two upgrades corpus-scale training needs:
+    *
+    *   1. **Auto-sampling**: Lloyd iterations run on a uniform sample of
+    *      ~`sampleTarget` rows (default `max(200·k, 20000)`) instead of the
+    *      full corpus. Centroid quality depends on the DISTRIBUTION, not
+    *      the row count — at 100 TB, full-corpus iterations are a cost hole
+    *      (5 iterations × 3 passes × corpus) where a sample pass costs a
+    *      single corpus scan (the sample itself) and fixed work after.
+    *   2. **k-means++ init** (Arthur & Vassilvitskii, SODA 2007): seeds are
+    *      D²-sampled from a bounded driver-side mini-sample of the sample
+    *      (`min(max(20·k, 1000), sampleTarget)` rows), replacing the
+    *      hash-arbitrary init — fewer empty/starved cells, lower distortion
+    *      at the same iteration count, which is what IVF recall rides on.
+    *
+    * Deterministic for a fixed `seed` (sample, mini-sample, and D²-draws
+    * all derive from it).
+    */
+  def trainCentroidsSampled(
+      df: DataFrame,
+      vecCol: String,
+      k: Int,
+      iters: Int = 5,
+      sampleTarget: Int = 0,
+      seed: Long = 42L
+  ): Array[Array[Double]] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val target = if (sampleTarget > 0) sampleTarget else math.max(200 * k, 20000)
+    val all = df.select(col(vecCol))
+    // row count from parquet/source statistics — no column data read
+    val n = all.count()
+    // 1.2× slack: Bernoulli sampling undershoots; a slightly larger sample
+    // is free, a short one costs init quality
+    val fraction = math.min(1.0, target.toDouble * 1.2 / math.max(n, 1L))
+    val sampled = if (fraction >= 1.0) all
+      else all.sample(withReplacement = false, fraction, seed)
+    val vecs = sampled.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val miniN = math.min(math.max(20 * k, 1000), target)
+      // deterministic mini-sample: smallest content hashes — stable across
+      // runs and partitionings, independent of row order
+      val mini = vecs
+        .select(col(vecCol).as("v"))
+        .withColumn("__h", xxhash64(col("v"), lit(seed)))
+        .orderBy("__h")
+        .limit(miniN)
+        .select("v").as[Array[Float]].collect()
+        .map(_.map(_.toDouble))
+      require(mini.length >= k,
+        s"not enough rows to seed $k centroids (got ${mini.length})")
+      val cents = kmeansPlusPlusInit(mini, k, seed)
+      lloyd(vecs, vecCol, cents, iters)
     } finally vecs.unpersist(blocking = false)
   }
 

@@ -51,15 +51,30 @@ object RecallBench {
     }.toMap
 
     val cells = 16
-    val centroids = Similarity.trainCentroids(embs, "embedding", cells, iters = 5)
-    val ivf = Seq(1, 2, 4, 8, cells).map { nProbe =>
-      val mean = queries.map { case (qid, qv) =>
-        val got = topIds(Similarity.ivfTopK(
-          embs, "vec_id", "embedding", centroids, qv.toSeq, k, nProbe))
-        (got intersect exact(qid)).size.toDouble / k
-      }.sum / queries.length
-      nProbe -> mean
+    def timed[A](f: => A): (A, Double) = {
+      val t0 = System.nanoTime(); val r = f; (r, (System.nanoTime() - t0) / 1e9)
     }
+    val (centroids, fullSec) =
+      timed(Similarity.trainCentroids(embs, "embedding", cells, iters = 5))
+    // sampled + k-means++ training: the 100 TB path — recall must hold at a
+    // fraction of the training cost (sample bounded at ~max(200·k, 20k)
+    // rows regardless of corpus size, so the gap WIDENS with scale; at
+    // sf0.1's 20k vectors the sample is most of the corpus and the win
+    // here is mostly the k-means++ init, not the row count)
+    val (centroidsSampled, sampledSec) =
+      timed(Similarity.trainCentroidsSampled(embs, "embedding", cells, iters = 5,
+        sampleTarget = 4000))
+    def ivfSweep(cents: Array[Array[Double]]): Seq[(Int, Double)] =
+      Seq(1, 2, 4, 8, cells).map { nProbe =>
+        val mean = queries.map { case (qid, qv) =>
+          val got = topIds(Similarity.ivfTopK(
+            embs, "vec_id", "embedding", cents, qv.toSeq, k, nProbe))
+          (got intersect exact(qid)).size.toDouble / k
+        }.sum / queries.length
+        nProbe -> mean
+      }
+    val ivf = ivfSweep(centroids)
+    val ivfSampled = ivfSweep(centroidsSampled)
 
     // Random 64-dim vectors have essentially NO pairs at cosine 0.85
     // (≈6.8σ), so pair recall against the raw corpus is vacuous. Plant a
@@ -98,6 +113,8 @@ object RecallBench {
 
     val ivfJson = ivf.map { case (p, r) => s""""nProbe_$p":${f"$r%.3f"}""" }
       .mkString("{", ",", "}")
+    val ivfSampledJson = ivfSampled.map { case (p, r) => s""""nProbe_$p":${f"$r%.3f"}""" }
+      .mkString("{", ",", "}")
     val lshJson = lsh.map { case (p, t, r, sz) =>
       s""""p${p}_t$t":{"recall":${f"$r%.3f"},"pairs":$sz}"""
     }.mkString("{", ",", "}")
@@ -105,6 +122,9 @@ object RecallBench {
       s"""{"metric":"ann_recall","sf":"$sfDir","n":$n,"dim":$dim,"k":$k,""" +
         s""""queries":${queries.length},"ivf_cells":$cells,""" +
         s""""ivf_recall_at_$k":$ivfJson,""" +
+        s""""ivf_sampled_recall_at_$k":$ivfSampledJson,""" +
+        s""""ivf_train_sec_full":${f"$fullSec%.2f"},""" +
+        s""""ivf_train_sec_sampled":${f"$sampledSec%.2f"},""" +
         s""""lsh_threshold":$threshold,"lsh_exact_pairs":${exactPairs.size},""" +
         s""""lsh_auto_params":"p${autoParams._1}_t${autoParams._2}",""" +
         s""""lsh_pair_recall":$lshJson}"""

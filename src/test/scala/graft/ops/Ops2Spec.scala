@@ -33,6 +33,19 @@ class Ops2Spec extends SparkTestBase {
     val query = embs.filter($"vec_id" === 3).select("embedding").as[Array[Float]].head.toSeq
     val top = Similarity.ivfTopK(embs, "vec_id", "embedding", trained, query, 5, nProbe = 2).collect()
     assert(top.head.getLong(0) == 3L)
+
+    // sampled + k-means++ training: deterministic for a fixed seed, k
+    // distinct centroids, distortion in the same league as full training
+    val s1 = Similarity.trainCentroidsSampled(embs, "embedding", k = 8, iters = 4)
+    val s2 = Similarity.trainCentroidsSampled(embs, "embedding", k = 8, iters = 4)
+    assert(s1.length == 8 && s1.forall(_.length == 64))
+    assert(s1.zip(s2).forall { case (a, b) => a.sameElements(b) },
+      "same seed must reproduce the same centroids")
+    assert(s1.map(_.toSeq).distinct.length == 8, "centroids must be distinct")
+    val ds = distortion(s1)
+    assert(ds < d0, s"sampled k-means++ training did not beat the untrained init: $ds >= $d0")
+    // and it should be within 2x of full-corpus training's distortion
+    assert(ds <= d4 * 2.0, s"sampled training distortion $ds far above full $d4")
   }
 
   test("streaming exact dedup within watermark drops in-window duplicates") {
