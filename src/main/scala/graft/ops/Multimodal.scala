@@ -109,9 +109,13 @@ case class StubDecoder(frameBytes: Int = 256) extends MediaDecoder {
 
 /** REAL decoder backed by the JDK's own codecs — no native libraries:
   * `javax.imageio` (JPEG / PNG / GIF / BMP) for images and
-  * `javax.sound.sampled` (WAV / AIFF / AU) for audio. Video stays on the
-  * stub's fixed-size chunking (the JDK ships no container demuxer; a real
-  * deployment overrides [[videoFrames]] with an ffmpeg-backed decoder).
+  * `javax.sound.sampled` (WAV / AIFF / AU) for audio. Video handles the
+  * two containers the JDK can genuinely demux — animated GIF (multi-frame
+  * `ImageReader`, frames re-encoded as PNG) and MJPEG (SOI/EOI marker
+  * scan into the raw per-frame JPEGs) — and falls back to fixed-size
+  * chunking for unknown containers (MP4/MKV need a real demuxer; a
+  * production deployment overrides [[videoFrames]] with an ffmpeg-backed
+  * decoder).
   *
   * Corrupt/undecodable payloads follow the same contract as
   * [[StubDecoder]]'s zero-byte rule: they must NOT kill the task.
@@ -198,7 +202,66 @@ case class JdkMediaDecoder(frameBytes: Int = 256) extends MediaDecoder {
     }
 
   def videoFrames(payload: Array[Byte]): Iterator[Array[Byte]] =
-    payload.grouped(frameBytes)
+    if (payload.length >= 4 &&
+        payload(0) == 'G' && payload(1) == 'I' && payload(2) == 'F')
+      gifFrames(payload)
+    else if (payload.length >= 3 &&
+        (payload(0) & 0xFF) == 0xFF && (payload(1) & 0xFF) == 0xD8)
+      mjpegFrames(payload)
+    else
+      // unknown container: stub chunking (no JDK demuxer for MP4/MKV)
+      payload.grouped(frameBytes)
+
+  /** Animated-GIF frames via ImageIO's multi-frame reader, each re-encoded
+    * standalone as PNG (GIF delta frames can be partial rasters with
+    * offsets; each is decoded as stored, without compositing prior frames —
+    * the right raw input for per-frame feature extraction). Frames are
+    * materialized before the reader is disposed: the iterator must not
+    * capture a closed `ImageReader`. Undecodable payloads yield no frames,
+    * per the corrupt-payload contract.
+    */
+  private def gifFrames(payload: Array[Byte]): Iterator[Array[Byte]] =
+    try {
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) Iterator.empty
+      else {
+        val reader = readers.next()
+        try {
+          reader.setInput(iis, false)
+          val n = reader.getNumImages(true)
+          (0 until n).iterator.map { i =>
+            val baos = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(reader.read(i), "png", baos)
+            baos.toByteArray
+          }.toArray.iterator
+        } finally reader.dispose()
+      }
+    } catch { case _: Exception => Iterator.empty }
+
+  /** MJPEG (concatenated JPEGs) split on SOI (FFD8) / EOI (FFD9) markers.
+    * Sound for entropy-coded data (0xFF bytes are 0x00-stuffed there), but
+    * an embedded EXIF thumbnail's own EOI would cut a frame short — MJPEG
+    * streams don't carry EXIF, so the simple scan is the right trade.
+    */
+  private def mjpegFrames(payload: Array[Byte]): Iterator[Array[Byte]] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+    var i = 0
+    var start = -1
+    while (i < payload.length - 1) {
+      if ((payload(i) & 0xFF) == 0xFF) {
+        val m = payload(i + 1) & 0xFF
+        if (m == 0xD8 && start < 0) { start = i; i += 2 }
+        else if (m == 0xD9 && start >= 0) {
+          out += java.util.Arrays.copyOfRange(payload, start, i + 2)
+          start = -1
+          i += 2
+        } else i += 1
+      } else i += 1
+    }
+    out.iterator
+  }
 }
 
 /** Multimodal column operators: decode, feature-extract, resize,

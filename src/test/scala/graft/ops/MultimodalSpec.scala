@@ -230,6 +230,71 @@ class MultimodalSpec extends SparkTestBase {
     assert(rez.payload.sameElements(junk))
   }
 
+  /** A real animated GIF: one frame per gray level, all w×h. */
+  private def encodeAnimatedGif(w: Int, h: Int, levels: Seq[Int]): Array[Byte] = {
+    import javax.imageio.ImageIO
+    val writer = ImageIO.getImageWritersByFormatName("gif").next()
+    val baos = new java.io.ByteArrayOutputStream()
+    val ios = ImageIO.createImageOutputStream(baos)
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    levels.foreach { lvl =>
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val rgb = (lvl << 16) | (lvl << 8) | lvl
+      for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb)
+      writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+    }
+    writer.endWriteSequence()
+    writer.dispose()
+    ios.close()
+    baos.toByteArray
+  }
+
+  test("JdkMediaDecoder: animated GIF yields one REAL decoded frame per animation frame") {
+    val gif = encodeAnimatedGif(12, 8, Seq(40, 120, 220))
+    val frames = JdkMediaDecoder().videoFrames(gif).toSeq
+    assert(frames.length == 3)
+    // each extracted frame is a standalone decodable image at source dims
+    // with the right pixels (GIF's 256-color quantization can shift solid
+    // grays slightly — exact levels are checked within the palette step)
+    frames.zip(Seq(40, 120, 220)).foreach { case (f, lvl) =>
+      val (w, h, _, lumas) = JdkMediaDecoder().decodeImage(f)
+      assert(w == 12 && h == 8)
+      val ls = lumas.toSeq
+      assert(ls.size == 96)
+      assert(ls.distinct.size == 1, "solid frame stays solid")
+      assert(math.abs(ls.head - lvl) <= 8, s"luma ${ls.head} far from $lvl")
+    }
+  }
+
+  test("JdkMediaDecoder: MJPEG splits into per-frame JPEGs; unknown containers chunk") {
+    val j1 = encodeImage(16, 8, 60, "jpg")
+    val j2 = encodeImage(16, 8, 180, "jpg")
+    val frames = JdkMediaDecoder().videoFrames(j1 ++ j2).toSeq
+    assert(frames.length == 2)
+    assert(frames(0).sameElements(j1) && frames(1).sameElements(j2))
+    val (w, h, _, _) = JdkMediaDecoder().decodeImage(frames(1))
+    assert(w == 16 && h == 8)
+    // non-GIF/JPEG payload falls back to the documented chunking path
+    val junk = Array.tabulate[Byte](100)(_.toByte)
+    assert(JdkMediaDecoder(frameBytes = 32).videoFrames(junk).length == 4)
+    // corrupt GIF header yields no frames, not an exception
+    assert(JdkMediaDecoder().videoFrames("GIF8garbage".getBytes("UTF-8")).isEmpty)
+  }
+
+  test("sampleFrames over real animated GIFs end-to-end") {
+    val gif = encodeAnimatedGif(10, 10, Seq(30, 90, 150, 210))
+    val media = Seq(
+      MediaRow(1L, MediaMeta("video", "gif", 10, 10, 0, 400L), gif)).toDS()
+    val frames = Multimodal.sampleFrames(media, everyN = 2, JdkMediaDecoder()).collect()
+    assert(frames.map(_.frameIndex).sorted.sameElements(Array(0, 2)))
+    frames.foreach { f =>
+      val (w, h, _, _) = JdkMediaDecoder().decodeImage(f.payload)
+      assert(w == 10 && h == 10)
+    }
+  }
+
   test("both decoders run through the same operators on the same rows") {
     val rows = Seq(imgRow(1L, encodeImage(16, 16, 50, "png"))).toDS()
     val real = Multimodal.imageFeatures(rows, JdkMediaDecoder()).collect().head
