@@ -247,17 +247,19 @@ class PipelineSpec extends SparkTestBase {
     // copies must be dropped and the originals kept regardless of tuning
     val dups = embs.limit(3).select(($"vec_id" + 9000L).as("vec_id"), $"embedding")
     embs.union(dups).createOrReplaceTempView("embcorpus")
-    for (method <- Seq("lsh", "ivf")) {
+    for ((method, extra) <- Seq(("lsh", ""), ("ivf", ""),
+        ("ivf", ", trainSample: true"), ("ivf", ", trainSample: 150"))) {
       val out = Pipeline.run(spark,
         s"""source: embcorpus
            |steps:
-           |  - dedupEmbeddings: {id: vec_id, embedding: embedding, threshold: 0.999, method: $method, cells: 4}
+           |  - dedupEmbeddings: {id: vec_id, embedding: embedding, threshold: 0.999, method: $method, cells: 4$extra}
            |""".stripMargin,
         { case "embcorpus" => spark.table("embcorpus") })
       val ids = out.select("vec_id").as[Long].collect().toSet
       assert(Seq(9000L, 9001L, 9002L).forall(id => !ids.contains(id)),
-        s"$method: planted copies must drop")
-      assert(Seq(0L, 1L, 2L).forall(ids.contains), s"$method: originals must survive")
+        s"$method$extra: planted copies must drop")
+      assert(Seq(0L, 1L, 2L).forall(ids.contains),
+        s"$method$extra: originals must survive")
     }
   }
 
