@@ -17,8 +17,15 @@ import graft.ops.{Dedup, Similarity, TextStats}
   */
 object SparkEntry {
 
+  /** Table reader with the scan-parallelism guard: a single-row-group
+    * parquet file cannot split, so without the guard every scan-bound
+    * query here would run its source on ONE task regardless of cores (the
+    * driver's testdata is written exactly that way). No-op whenever the
+    * scan already has >= defaultParallelism splits — i.e. always, at real
+    * corpus scale.
+    */
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
-    s.read.parquet(s"$dir/$name.parquet")
+    Dedup.ensureParallelism(s.read.parquet(s"$dir/$name.parquet"))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
@@ -1217,11 +1224,16 @@ object SparkEntry {
         |      * tf.tf * 2.2 / (tf.tf + 1.2 * (0.25 + 0.75 * lens.dl / stats.avgdl))), 6) AS bm25
         |FROM tf JOIN dfreq USING (token) JOIN lens USING (doc_id) CROSS JOIN stats
         |GROUP BY tf.doc_id""".stripMargin,
+    // mean on BOTH sides: exact decimal sum → one double division — the
+    // pre-round double is bit-identical (IEEE division of identical
+    // operands), so round(...,6) can never split on a half boundary the
+    // way partition-ordered double avg() sums can (l_discount's true mean
+    // is exactly 0.0499185 — a round-half landmine)
     "q41_profile" -> Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
       .map(c =>
         s"""SELECT '$c' AS "column", count($c) AS n,
            |  sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END)::BIGINT AS nulls,
-           |  round(avg($c), 6) AS mean,
+           |  round(sum($c::DECIMAL(38,12))::DOUBLE / count($c), 6) AS mean,
            |  min($c)::DOUBLE AS min, max($c)::DOUBLE AS max,
            |  round(quantile_cont($c, 0.25), 6) AS p25,
            |  round(quantile_cont($c, 0.5), 6) AS p50,

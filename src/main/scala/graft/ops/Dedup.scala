@@ -26,9 +26,12 @@ object Dedup {
   /** CPU-dense per-row stages (signatures, shingling) need enough tasks even
     * when the input is a few fat row-groups — a 1-row-group parquet file
     * can't split, so a cluster would otherwise run the whole stage on one
-    * core. No-op when the scan already has enough splits.
+    * core. No-op when the scan already has enough splits (the normal case
+    * at corpus scale — public because source readers want the same guard:
+    * a driver-regenerated single-row-group testdata table serialized every
+    * scan-bound query to one task, measured at 1.5–4× wall inflation).
     */
-  private[ops] def ensureParallelism(df: DataFrame): DataFrame = {
+  def ensureParallelism(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
     // The probe must see Spark's actual split count (file-size heuristics
     // undercount exactly the case this guards: unsplittable row groups).

@@ -436,6 +436,21 @@ object Similarity {
     cents
   }
 
+  /** Cell count for a target per-cell population — the "size `cells` ∝ n"
+    * rule from [[cosineNearDuplicatePairsIvf]]'s scaladoc as code. Pair
+    * candidate volume is ~n²·nProbe²/(2·cells) on balanced cells, so
+    * holding n/cells constant holds per-cell work constant as the corpus
+    * grows; the only growing cost is the k·dim centroid table every
+    * executor evaluates per row (at 2000/cell and 100 TB-scale n that
+    * table itself becomes the knob to watch — raise `targetCellSize`
+    * before `cells` crosses ~64k).
+    */
+  def ivfCellsFor(n: Long, targetCellSize: Int = 2000): Int = {
+    require(targetCellSize >= 1, "targetCellSize must be >= 1")
+    math.max(4, math.min(65536,
+      math.ceil(n.toDouble / targetCellSize).toInt))
+  }
+
   /** [[trainCentroids]] with the two upgrades corpus-scale training needs:
     *
     *   1. **Auto-sampling**: Lloyd iterations run on a uniform sample of

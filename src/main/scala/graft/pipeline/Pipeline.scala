@@ -316,7 +316,16 @@ object Pipeline {
               df, id, vec, thr, dim,
               targetRecall = d.get("targetRecall").map(_.toString.toDouble).getOrElse(0.9))
           case "ivf" =>
-            val cells = d.get("cells").map(_.toString.toInt).getOrElse(16)
+            // cells: auto sizes the cell count from the corpus (cells ∝ n,
+            // constant expected per-cell population — the scale-safe
+            // setting; a fixed count means per-cell pair work grows n²)
+            val cells = d.get("cells").map(_.toString) match {
+              case Some("auto") => graft.ops.Similarity.ivfCellsFor(df.count(),
+                targetCellSize = d.get("targetCellSize").map(_.toString.toInt)
+                  .getOrElse(2000))
+              case Some(n) => n.toInt
+              case None => 16
+            }
             val nProbe = d.get("nProbe").map(_.toString.toInt).getOrElse(2)
             // trainSample: true (auto target) or an explicit row target —
             // k-means++-seeded training on a bounded sample, the 100 TB

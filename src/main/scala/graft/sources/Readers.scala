@@ -24,7 +24,8 @@ object Readers {
     // Harmless for micros-era files: the flag only affects INT64
     // TIMESTAMP(NANOS) columns, which otherwise fail analysis outright.
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = s.read.parquet(s"$dir/events.parquet")
+    val raw = graft.ops.Dedup.ensureParallelism(
+      s.read.parquet(s"$dir/events.parquet"))
     raw.schema("ts").dataType match {
       case LongType =>
         // Nanos era: integer-divide to µs — `/` would go through double,
@@ -91,5 +92,46 @@ object Readers {
       // by Hadoop's codec factory — mixed plain+gz directories just work
       .option("lineSep", "\n")
     finalSchema.fold(r)(st => r.schema(st)).json(path)
+  }
+
+  /** Streaming variant of [[readJsonl]]: watch a directory for new
+    * `.jsonl(.gz)` shards and emit their rows as an unbounded stream — the
+    * standard shape for a continuously-landing corpus drop. Schema is
+    * REQUIRED (a streaming source cannot run an inference pass over files
+    * that don't exist yet). Same bad-record policy as batch; the same
+    * downstream operators (dftly expressions, watermarked dedup,
+    * sessionize) apply unchanged.
+    *
+    * Scale knob: `maxFilesPerTrigger` bounds how many newly-landed shards
+    * one micro-batch ingests — backpressure for a bursty producer
+    * (0 = unbounded, Spark's default).
+    */
+  def readJsonlStream(
+      s: SparkSession,
+      path: String,
+      schema: String,
+      badRecords: String = "drop",
+      maxFilesPerTrigger: Int = 0
+  ): DataFrame = {
+    require(schema != null && schema.nonEmpty,
+      "readJsonlStream requires an explicit schema")
+    val base = StructType.fromDDL(schema)
+    val (mode, finalSchema) = badRecords match {
+      case "keep" => ("PERMISSIVE",
+        if (base.fieldNames.contains("_corrupt_record")) base
+        else StructType(base.fields :+ StructField("_corrupt_record", StringType)))
+      case "drop" => ("DROPMALFORMED", base)
+      case "fail" => ("FAILFAST", base)
+      case other => throw new IllegalArgumentException(
+        s"badRecords must be keep|drop|fail, got $other")
+    }
+    val r = s.readStream
+      .schema(finalSchema)
+      .option("mode", mode)
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .option("lineSep", "\n")
+    (if (maxFilesPerTrigger > 0)
+       r.option("maxFilesPerTrigger", maxFilesPerTrigger)
+     else r).json(path)
   }
 }

@@ -49,12 +49,21 @@ object GenScale {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // Output parallelism is explicit: the crossJoin inherits the SOURCE's
+    // read partitioning, and a driver-written sf dir can be one row group
+    // per table — carried through, that writes the k× copy as one giant
+    // row group, and every later scan of it serializes to a single task
+    // (measured: 3–4× inflation on all big-side ScaleBench rows). 32
+    // output files keeps every downstream local[32] scan fully parallel.
+    val outParts = sys.env.getOrElse("SPARK_GRAFT_GEN_PARTS", "32").toInt
+
     def replicate(table: String)(rewrite: DataFrame => DataFrame): Unit = {
       if (only.nonEmpty && !only.contains(table)) return
       val base = spark.read.parquet(s"$src/$table.parquet")
       val reps = spark.range(k).select(col("id").as("__rep"))
       val scaled = rewrite(base.crossJoin(reps)).drop("__rep")
-      scaled.write.mode("overwrite").parquet(s"$dst/$table.parquet")
+      scaled.repartition(outParts)
+        .write.mode("overwrite").parquet(s"$dst/$table.parquet")
       println(s"[genscale] $table: ${base.count()} -> ${spark.read.parquet(s"$dst/$table.parquet").count()}")
     }
 

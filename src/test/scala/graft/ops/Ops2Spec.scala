@@ -48,6 +48,17 @@ class Ops2Spec extends SparkTestBase {
     assert(ds <= d4 * 2.0, s"sampled training distortion $ds far above full $d4")
   }
 
+  test("ivfCellsFor: cells scale with n, clamped to [4, 65536]") {
+    assert(Similarity.ivfCellsFor(100) == 4)
+    assert(Similarity.ivfCellsFor(2000 * 100) == 100)
+    assert(Similarity.ivfCellsFor(1000L * 1000 * 1000) == 65536)
+    assert(Similarity.ivfCellsFor(100000, targetCellSize = 500) == 200)
+    // constant per-cell population as n grows 10x
+    val a = Similarity.ivfCellsFor(1000000)
+    val b = Similarity.ivfCellsFor(10000000)
+    assert(math.abs(b / a - 10) <= 1)
+  }
+
   test("streaming exact dedup within watermark drops in-window duplicates") {
     val input = MemoryStream[(java.sql.Timestamp, String)](spark)
     val df = input.toDF().toDF("ts", "text")

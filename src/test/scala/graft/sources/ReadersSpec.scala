@@ -74,6 +74,30 @@ class ReadersSpec extends SparkTestBase {
     assert(df.count() == 1)
   }
 
+  test("readJsonlStream: gz shards stream in as they land; batch operators apply") {
+    val d = Files.createTempDirectory("graft_jsonl_stream").toFile
+    d.deleteOnExit()
+    writeGz(d, "s0.jsonl.gz", Seq("""{"doc_id": 1, "text": "first shard"}"""))
+    val stream = Readers.readJsonlStream(spark, d.getPath,
+      schema = "doc_id BIGINT, text STRING", maxFilesPerTrigger = 1)
+    assert(stream.isStreaming)
+    val q = stream.writeStream.format("memory").queryName("jsonl_stream")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("jsonl_stream").count() == 1)
+      // a newly-landed shard (with a torn line, dropped) flows in
+      writeGz(d, "s1.jsonl.gz", Seq(
+        """{"doc_id": 2, "text": "second shard"}""",
+        """{"torn""",
+        """{"doc_id": 3, "text": "third"}"""))
+      q.processAllAvailable()
+      val rows = spark.table("jsonl_stream").as[(Long, String)].collect().toMap
+      assert(rows.keySet == Set(1L, 2L, 3L))
+      assert(rows(2L) == "second shard")
+    } finally q.stop()
+  }
+
   test("readEvents: micros-era testdata reads as TIMESTAMP_NTZ") {
     val ev = Readers.readEvents(spark, "/root/testdata/sf0.001")
     assert(ev.schema("ts").dataType == TimestampNTZType)
