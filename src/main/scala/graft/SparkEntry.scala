@@ -741,8 +741,16 @@ object SparkEntry {
         java.lang.Long.toHexString(dir.hashCode.toLong & 0xffffffffL)
       t(s, dir, "documents").select(col("doc_id"), col("text"))
         .write.mode("overwrite").option("compression", "gzip").json(fixture)
+      // plant a corrupt shard: the drop policy must recover EXACTLY the
+      // clean rows — the oracle (the source table) checks both the parse
+      // fidelity and the bad-record policy in one go
+      val corrupt = new java.util.zip.GZIPOutputStream(
+        new java.io.FileOutputStream(
+          new java.io.File(fixture, "zz-corrupt-shard.jsonl.gz")))
+      corrupt.write("{\"doc_id\": not json}\ntotal garbage\n".getBytes("UTF-8"))
+      corrupt.close()
       graft.sources.Readers.readJsonl(s, fixture,
-        schema = "doc_id BIGINT, text STRING", badRecords = "fail")
+        schema = "doc_id BIGINT, text STRING", badRecords = "drop")
         .select(col("doc_id"), col("text"))
     }),
     // Global vocabulary top-k — the canonical corpus word count.
