@@ -136,7 +136,15 @@ object Dedup {
     *      lie under the broadcast threshold (the q29 sf10 lesson). Like the
     *      document-frequency join in [[jaccardPairs]], the instance subtree
     *      is planned on two branches (the partial aggregate's input and the
-    *      join's probe side), re-running the windowing scan;
+    *      join's probe side), re-running the windowing scan. This is the
+    *      RIGHT trade, not an accepted flaw: the one-scan alternative —
+    *      `count(*) over (partition by h)` — must buffer every instance of
+    *      a window per task to evaluate the unbounded frame, and the hot
+    *      windows are precisely the target workload (a nav header on 10⁹
+    *      pages = a 10⁹-row window group on ONE task). The double-scan
+    *      shape streams: the frequency side partial-aggregates map-side
+    *      (skew-proof by combiner), and the join-back's build side is ONE
+    *      row per h, so no operator ever materializes an instance group;
     *   3. repeated positions aggregate per document (`collect_list` groups
     *      are bounded by document LENGTH — the same class of bound as the
     *      text itself) and the mask is applied in one codegen'd merge pass
