@@ -47,4 +47,17 @@ class Round8Spec extends SparkTestBase {
     val exact = (vals.map(BigDecimal(_)).sum / vals.length).toDouble
     assert(math.abs(means.head - exact) < 1e-12)
   }
+
+  test("profile decimal-sum mean: null / empty / zero-row edge cases") {
+    val df = Seq[(java.lang.Double, java.lang.Double)](
+      (1.0, null), (2.0, null), (3.0, null)).toDF("v", "allnull")
+    val p = Corpus.profile(df, Seq("v", "allnull")).collect()
+      .map(r => r.getString(r.fieldIndex("column")) ->
+        Option(r.get(r.fieldIndex("mean"))).map(_.asInstanceOf[Double]))
+      .toMap
+    assert(p("v").contains(2.0))
+    assert(p("allnull").isEmpty, "all-null column must profile to null mean")
+    val empty = Corpus.profile(df.filter($"v" < 0), Seq("v")).collect()
+    assert(empty.length == 1 && empty.head.isNullAt(empty.head.fieldIndex("mean")))
+  }
 }

@@ -64,6 +64,18 @@ class ReadersSpec extends SparkTestBase {
     intercept[Exception] { df.count() }
   }
 
+  test("readJsonl: mixed plain and gz shards in one directory both read") {
+    val d = Files.createTempDirectory("graft_jsonl_mixed").toFile
+    d.deleteOnExit()
+    writeGz(d, "a.jsonl.gz", Seq("""{"doc_id": 1, "text": "compressed"}"""))
+    Files.writeString(new File(d, "b.jsonl").toPath,
+      """{"doc_id": 2, "text": "plain"}""" + "\n")
+    val rows = Readers.readJsonl(spark, d.getPath,
+      schema = "doc_id BIGINT, text STRING")
+      .as[(Long, String)].collect().toMap
+    assert(rows == Map(1L -> "compressed", 2L -> "plain"))
+  }
+
   test("readJsonl: schema'd parse prunes fields not in the schema") {
     val d = Files.createTempDirectory("graft_jsonl_prune").toFile
     d.deleteOnExit()
