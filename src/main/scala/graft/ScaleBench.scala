@@ -64,7 +64,10 @@ object ScaleBench {
     "q29_jaccard_pairs", "q36_tfidf", "q39_chunks", "q45_global_index",
     "q46_packing", "q47_decontam", "q49_redact", "q50_e2e_curation",
     "q51_token_budget", "q19b_cosine_lsh", "q31_ivf", "q38_cluster",
-    "q26_quality", "q52_substring_mask")
+    "q26_quality", "q52_substring_mask",
+    // CPU-dense language-ID sweep and the gzip-JSONL write+read roundtrip:
+    // the ingestion-throughput and classification rows of the scale story
+    "q14_textstats", "q53_jsonl")
 
   /** Scale-path variants that the gate runs in verification form: the
     * DEFAULT (approx) profile, and the forced-shuffle CC regime sized with
