@@ -139,6 +139,36 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("cosinePairsWithinWatermark is seed-compatible with batch LSH: same pairs on in-horizon data") {
+    import graft.ops.{Similarity, StreamingOps}
+    // real embeddings, all timestamps inside one horizon → the stream must
+    // find EXACTLY the batch operator's pair set (same hyperplane seeds,
+    // same planes/tables, no bucket-size cap on either side at this scale)
+    val embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select($"vec_id", $"embedding").limit(60)
+    val batchPairs = Similarity.cosineNearDuplicatePairs(
+      embs, "vec_id", "embedding", threshold = 0.8, dim = 64,
+      planesPerTable = 6, numTables = 4)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    val input = MemoryStream[(Long, java.sql.Timestamp, Array[Float])](spark)
+    val stream = StreamingOps.cosinePairsWithinWatermark(
+      input.toDF().toDF("id", "ts", "vec"), "id", "vec", "ts", "1 hour",
+      threshold = 0.8, dim = 64, planesPerTable = 6, numTables = 4)
+    val q = stream.writeStream.format("memory").queryName("cos_parity")
+      .outputMode("append").start()
+    try {
+      val t0 = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+      input.addData(embs.as[(Long, Array[Float])].collect()
+        .map { case (id, v) => (id, t0, v) }.toSeq: _*)
+      q.processAllAvailable()
+      val streamPairs = spark.table("cos_parity")
+        .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+      assert(streamPairs == batchPairs,
+        s"stream/batch divergence: only-stream=${streamPairs -- batchPairs}, " +
+          s"only-batch=${batchPairs -- streamPairs}")
+    } finally q.stop()
+  }
+
   test("cosinePairsWithinWatermark: near-identical vectors inside the horizon pair, orthogonal/late ones don't") {
     import graft.ops.StreamingOps
     val input = MemoryStream[(Long, java.sql.Timestamp, Array[Float])](spark)
