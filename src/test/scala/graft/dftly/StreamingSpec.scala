@@ -139,6 +139,33 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("simhashPairsWithinWatermark matches the batch operator on in-horizon data") {
+    import graft.ops.{Dedup, StreamingOps}
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"doc_id", $"text").limit(80)
+    val batchPairs = Dedup.simhashNearDuplicatePairs(
+      docs, "doc_id", "text", maxHamming = 3)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    val input = MemoryStream[(Long, java.sql.Timestamp, String)](spark)
+    val stream = StreamingOps.simhashPairsWithinWatermark(
+      input.toDF().toDF("id", "ts", "text"), "id", "text", "ts", "1 hour",
+      maxHamming = 3)
+    val q = stream.writeStream.format("memory").queryName("sh_parity")
+      .outputMode("append").start()
+    try {
+      val t0 = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+      input.addData(docs.as[(Long, String)].collect()
+        .map { case (id, t) => (id, t0, t) }.toSeq: _*)
+      q.processAllAvailable()
+      // distinct: the stream emits once per shared chunk by contract
+      val streamPairs = spark.table("sh_parity")
+        .select($"id_a", $"id_b").distinct().as[(Long, Long)].collect().toSet
+      assert(streamPairs == batchPairs,
+        s"stream/batch divergence: only-stream=${streamPairs -- batchPairs}, " +
+          s"only-batch=${batchPairs -- streamPairs}")
+    } finally q.stop()
+  }
+
   test("cosinePairsWithinWatermark is seed-compatible with batch LSH: same pairs on in-horizon data") {
     import graft.ops.{Similarity, StreamingOps}
     // real embeddings, all timestamps inside one horizon → the stream must
