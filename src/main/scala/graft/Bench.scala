@@ -39,13 +39,23 @@ object Bench {
       val ts = Seq.fill(3) { System.gc(); once(n) }
       n -> ts
     }
-    val results = runs.map { case (n, ts) => n -> ts.min }
-    val spreads = runs.map { case (n, ts) => n -> (ts.max - ts.min) }
+    // min/spread over SUCCESSFUL runs only: a −1 sentinel mixed into min()
+    // would both be reported as the query's time and vanish from the total.
+    val results = runs.map { case (n, ts) =>
+      val ok = ts.filter(_ >= 0)
+      n -> (if (ok.isEmpty) -1.0 else ok.min)
+    }
+    val spreads = runs.map { case (n, ts) =>
+      val ok = ts.filter(_ >= 0)
+      n -> (if (ok.size < 2) 0.0 else ok.max - ok.min)
+    }
     // Failed queries (−1 sentinel) must not pollute the headline totals —
-    // summing −1s both understates the total and hides the failure. Report
-    // them by name instead.
+    // summing −1s both understates the total and hides the failure. A query
+    // failing in ANY run (cold or warm) is flagged: an intermittent failure
+    // that silently contributes a lucky-run time is the same invisibility
+    // class as an always-failing one.
     val failed = (cold.filter(_._2 < 0).map(_._1) ++
-      runs.filter(_._2.forall(_ < 0)).map(_._1)).distinct.sorted
+      runs.filter(_._2.exists(_ < 0)).map(_._1)).distinct.sorted
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val sp = spreads.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }

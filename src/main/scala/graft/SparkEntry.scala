@@ -737,8 +737,12 @@ object SparkEntry {
     // the full reader stack — codec detection, line splitting, schema'd
     // parse — against real corpus text (embedded quotes/newlines/unicode).
     "q53_jsonl" -> ((s, dir) => {
+      // keyed by data dir AND this JVM's pid: two concurrent Verify runs on
+      // different checkouts of the same sfDir must not clobber each other's
+      // fixture mid-overwrite
       val fixture = s"${sys.props("java.io.tmpdir")}/graft_jsonl_" +
-        java.lang.Long.toHexString(dir.hashCode.toLong & 0xffffffffL)
+        java.lang.Long.toHexString(dir.hashCode.toLong & 0xffffffffL) +
+        "_" + ProcessHandle.current().pid()
       t(s, dir, "documents").select(col("doc_id"), col("text"))
         .write.mode("overwrite").option("compression", "gzip").json(fixture)
       // plant a corrupt shard: the drop policy must recover EXACTLY the

@@ -273,15 +273,21 @@ object Corpus {
     * `accuracy` is `approx_percentile`'s inverse-error knob (relative rank
     * error ≤ 1/accuracy); ignored when `approx = false`.
     *
-    * `mean` is computed as an EXACT decimal(38,12) sum divided once in
+    * `mean` is computed as an EXACT decimal(38,18) sum divided once in
     * double — not `avg` — so the result is bit-identical across
     * partitionings and cluster sizes. A plain double `avg` accumulates in
     * partition order: re-partitioning the same data can flip the last ulp,
     * which surfaces as a changed 6th decimal after rounding (observed on
     * a mean landing exactly on a round-half boundary). Exact-decimal
     * summation costs one wider aggregation buffer per column and removes
-    * the nondeterminism class entirely. Values whose running sum exceeds
-    * 26 integer digits overflow to null — not a plausible profile input.
+    * the nondeterminism class entirely. Two quantization edges, both
+    * documented because they are the price of exactness: (a) each value is
+    * truncated to 18 fractional digits before summing, so columns whose
+    * magnitudes sit below ~5e-19 profile to mean 0.0 while min/max show
+    * the real values (scale 18 keeps this edge below double's own ~1e-16
+    * relative precision for any value ≥ 0.01, i.e. unobservable for
+    * realistic profile inputs); (b) a running sum exceeding 20 integer
+    * digits overflows to null — not a plausible profile input.
     */
   def profile(
       df: DataFrame,
@@ -302,7 +308,7 @@ object Corpus {
       Seq(
         count(col(c)).as(s"__n_$c"),
         count(when(col(c).isNull, lit(1))).as(s"__nulls_$c"),
-        (sum(col(c).cast(DecimalType(38, 12))).cast(DoubleType) /
+        (sum(col(c).cast(DecimalType(38, 18))).cast(DoubleType) /
           count(col(c))).as(s"__mean_$c"),
         min(col(c)).cast(DoubleType).as(s"__min_$c"),
         max(col(c)).cast(DoubleType).as(s"__max_$c"),

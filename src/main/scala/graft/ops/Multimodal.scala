@@ -224,20 +224,26 @@ case class JdkMediaDecoder(frameBytes: Int = 256) extends MediaDecoder {
     try {
       val iis = javax.imageio.ImageIO.createImageInputStream(
         new java.io.ByteArrayInputStream(payload))
-      val readers = javax.imageio.ImageIO.getImageReaders(iis)
-      if (!readers.hasNext) Iterator.empty
-      else {
-        val reader = readers.next()
-        try {
-          reader.setInput(iis, false)
-          val n = reader.getNumImages(true)
-          (0 until n).iterator.map { i =>
-            val baos = new java.io.ByteArrayOutputStream()
-            javax.imageio.ImageIO.write(reader.read(i), "png", baos)
-            baos.toByteArray
-          }.toArray.iterator
-        } finally reader.dispose()
-      }
+      // iis must be closed on EVERY exit: with ImageIO's default
+      // useCache=true it is a FileCacheImageInputStream backed by a disk
+      // temp file, and leaking one per decoded payload accumulates fds and
+      // temp files across a corpus-scale executor lifetime.
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) Iterator.empty
+        else {
+          val reader = readers.next()
+          try {
+            reader.setInput(iis, false)
+            val n = reader.getNumImages(true)
+            (0 until n).iterator.map { i =>
+              val baos = new java.io.ByteArrayOutputStream()
+              javax.imageio.ImageIO.write(reader.read(i), "png", baos)
+              baos.toByteArray
+            }.toArray.iterator
+          } finally reader.dispose()
+        }
+      } finally iis.close()
     } catch { case _: Exception => Iterator.empty }
 
   /** MJPEG (concatenated JPEGs) split on SOI (FFD8) / EOI (FFD9) markers.

@@ -96,12 +96,20 @@ object Pipeline {
         val path = sm.getOrElse("path",
           throw new IllegalArgumentException("inline source needs a 'path'")).toString
         sm.getOrElse("format", "parquet").toString match {
-          // jsonl(.gz) corpus source: {format: jsonl, path: ...,
-          //   schema: "doc_id BIGINT, text STRING", badRecords: keep|drop|fail}
+          // jsonl(.gz/.zst) corpus source: {format: jsonl, path: ...,
+          //   schema: "doc_id BIGINT, text STRING", badRecords: keep|drop|fail,
+          //   options: {...}} — options thread through like every other format
           case "jsonl" =>
+            val opts = sm.get("options") match {
+              case Some(o) => asMap(o, "options").map {
+                case (k, v) => k -> v.toString
+              }.toMap
+              case None => Map.empty[String, String]
+            }
             graft.sources.Readers.readJsonl(spark, path,
               schema = sm.get("schema").map(_.toString).orNull,
-              badRecords = sm.getOrElse("badRecords", "drop").toString)
+              badRecords = sm.getOrElse("badRecords", "drop").toString,
+              options = opts)
           case fmt =>
             val reader = spark.read.format(fmt)
             val withOpts = sm.get("options") match {

@@ -19,13 +19,25 @@ object Readers {
 
   /** Read `<dir>/events.parquet` with `ts` normalized to TIMESTAMP_NTZ
     * (microsecond precision — the same truncation DuckDB applies to nanos).
+    *
+    * `spreadPartitions` opts into [[graft.ops.Dedup.ensureParallelism]] for
+    * CPU-dense downstream work on unsplittable (single-row-group) files.
+    * Default OFF: events queries are map-only projections or feed joins
+    * (whose own exchange already redistributes), and the blanket guard
+    * measured 4× slower on cheap-per-row map-only plans — see the trade
+    * documented at the `ensureParallelism` definition.
     */
-  def readEvents(s: SparkSession, dir: String): DataFrame = {
+  def readEvents(
+      s: SparkSession,
+      dir: String,
+      spreadPartitions: Boolean = false
+  ): DataFrame = {
     // Harmless for micros-era files: the flag only affects INT64
     // TIMESTAMP(NANOS) columns, which otherwise fail analysis outright.
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = graft.ops.Dedup.ensureParallelism(
-      s.read.parquet(s"$dir/events.parquet"))
+    val plain = s.read.parquet(s"$dir/events.parquet")
+    val raw =
+      if (spreadPartitions) graft.ops.Dedup.ensureParallelism(plain) else plain
     raw.schema("ts").dataType match {
       case LongType =>
         // Nanos era: integer-divide to µs — `/` would go through double,
@@ -65,12 +77,18 @@ object Readers {
     *                    columns are ONLY `_corrupt_record` is disallowed
     *                    straight off raw files — select at least one data
     *                    column (or cache) before filtering on it.
+    * @param options     extra DataFrameReader options (e.g. `timeZone`,
+    *                    a custom `lineSep`). May override the `lineSep`
+    *                    default but NOT the bad-record policy: `mode` /
+    *                    `columnNameOfCorruptRecord` are applied after user
+    *                    options so `badRecords` stays authoritative.
     */
   def readJsonl(
       s: SparkSession,
       path: String,
       schema: String = null,
-      badRecords: String = "drop"
+      badRecords: String = "drop",
+      options: Map[String, String] = Map.empty
   ): DataFrame = {
     val base = Option(schema).map(StructType.fromDDL)
     val (mode, finalSchema) = badRecords match {
@@ -85,12 +103,13 @@ object Readers {
       case other => throw new IllegalArgumentException(
         s"badRecords must be keep|drop|fail, got $other")
     }
+    // compression codec is picked per-file from the extension (.gz/.zst/…)
+    // by Hadoop's codec factory — mixed plain+gz+zst directories just work
     val r = s.read
+      .option("lineSep", "\n")
+      .options(options)
       .option("mode", mode)
       .option("columnNameOfCorruptRecord", "_corrupt_record")
-      // compression codec is picked per-file from the extension (.gz/.bz2/…)
-      // by Hadoop's codec factory — mixed plain+gz directories just work
-      .option("lineSep", "\n")
     finalSchema.fold(r)(st => r.schema(st)).json(path)
   }
 
