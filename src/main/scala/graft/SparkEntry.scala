@@ -757,6 +757,57 @@ object SparkEntry {
         schema = "doc_id BIGINT, text STRING", badRecords = "drop")
         .select(col("doc_id"), col("text"))
     }),
+    // Mixed-codec JSONL ingestion: the same roundtrip oracle as q53, over a
+    // directory mixing gzip shards, ZSTD shards (how modern corpus drops
+    // actually ship — e.g. `.jsonl.zst` web-crawl dumps), and a planted
+    // corrupt zst shard. Spark's JSON WRITER has no zstd codec, so the zst
+    // shards are built by stream-compressing Spark-written plain parts with
+    // zstd-jni (already on every Spark classpath — it backs shuffle
+    // compression); the READ side resolves `.zst` through Hadoop's codec
+    // factory with zero configuration, which is the property under test.
+    "q53b_jsonl_zst" -> ((s, dir) => {
+      val fixture = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft_jsonl_zst_" +
+          java.lang.Long.toHexString(dir.hashCode.toLong & 0xffffffffL) +
+          "_" + ProcessHandle.current().pid())
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles.foreach(rm)
+        f.delete(); ()
+      }
+      rm(fixture); fixture.mkdirs()
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val gzTmp = new java.io.File(fixture, "_gz_tmp")
+      val plainTmp = new java.io.File(fixture, "_plain_tmp")
+      docs.filter(col("doc_id") % 2 === 0).write.mode("overwrite")
+        .option("compression", "gzip").json(gzTmp.getPath)
+      docs.filter(col("doc_id") % 2 === 1).write.mode("overwrite")
+        .json(plainTmp.getPath)
+      // driver-side shard plumbing only — file moves/recompression, never
+      // row materialization; scales with shard count, not corpus size
+      var i = 0
+      for (f <- gzTmp.listFiles if f.getName.startsWith("part-")) {
+        java.nio.file.Files.move(f.toPath,
+          new java.io.File(fixture, f"shard-gz-$i%05d.jsonl.gz").toPath)
+        i += 1
+      }
+      i = 0
+      for (f <- plainTmp.listFiles if f.getName.startsWith("part-")) {
+        val zo = new com.github.luben.zstd.ZstdOutputStream(
+          new java.io.FileOutputStream(
+            new java.io.File(fixture, f"shard-zst-$i%05d.jsonl.zst")))
+        try java.nio.file.Files.copy(f.toPath, zo) finally zo.close()
+        i += 1
+      }
+      rm(gzTmp); rm(plainTmp)
+      val corrupt = new com.github.luben.zstd.ZstdOutputStream(
+        new java.io.FileOutputStream(
+          new java.io.File(fixture, "zz-corrupt-shard.jsonl.zst")))
+      try corrupt.write("{\"doc_id\": broken}\nnot json at all\n".getBytes("UTF-8"))
+      finally corrupt.close()
+      graft.sources.Readers.readJsonl(s, fixture.getPath,
+        schema = "doc_id BIGINT, text STRING", badRecords = "drop")
+        .select(col("doc_id"), col("text"))
+    }),
     // Global vocabulary top-k — the canonical corpus word count.
     "q30_vocab" -> ((s, dir) =>
       graft.ops.Corpus.topTokens(t(s, dir, "documents"), "text", 20)
@@ -1425,6 +1476,10 @@ object SparkEntry {
     // Roundtrip identity: if the gzip-JSONL write+read preserved every row
     // and byte, the result is exactly the source table's projection.
     "q53_jsonl" ->
+      "SELECT doc_id, text FROM documents",
+    // Same roundtrip identity over the mixed gz+zst+corrupt directory: the
+    // drop policy must recover exactly the clean rows regardless of codec.
+    "q53b_jsonl_zst" ->
       "SELECT doc_id, text FROM documents",
     "q47_decontam" ->
       s"""WITH ${shingleCteSqlN(8, "sh8")},

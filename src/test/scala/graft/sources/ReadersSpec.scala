@@ -76,6 +76,44 @@ class ReadersSpec extends SparkTestBase {
     assert(rows == Map(1L -> "compressed", 2L -> "plain"))
   }
 
+  private def writeZst(dir: File, name: String, lines: Seq[String]): Unit = {
+    val out = new com.github.luben.zstd.ZstdOutputStream(
+      new FileOutputStream(new File(dir, name)))
+    out.write(lines.mkString("", "\n", "\n").getBytes("UTF-8"))
+    out.close()
+  }
+
+  test("readJsonl: zst shards resolve through the codec factory; mixed gz+zst+corrupt dir") {
+    val d = Files.createTempDirectory("graft_jsonl_zst").toFile
+    d.deleteOnExit()
+    writeGz(d, "a.jsonl.gz", Seq("""{"doc_id": 1, "text": "gzip shard"}"""))
+    writeZst(d, "b.jsonl.zst", Seq(
+      """{"doc_id": 2, "text": "zstd shard"}""",
+      """{"doc_id": 3, "text": "üñíçødé in zst ✓"}"""))
+    writeZst(d, "zz-corrupt.jsonl.zst", Seq("""{"doc_id": broken""", "garbage"))
+    val rows = Readers.readJsonl(spark, d.getPath,
+      schema = "doc_id BIGINT, text STRING", badRecords = "drop")
+      .as[(Long, String)].collect().toMap
+    assert(rows == Map(1L -> "gzip shard", 2L -> "zstd shard",
+      3L -> "üñíçødé in zst ✓"))
+  }
+
+  test("readJsonl: options thread through but cannot override the bad-record policy") {
+    val d = Files.createTempDirectory("graft_jsonl_opts").toFile
+    d.deleteOnExit()
+    // custom lineSep: records separated by ; on one physical line
+    Files.writeString(new File(d, "a.jsonl").toPath,
+      """{"doc_id": 1, "text": "x"};{"doc_id": 2, "text": "y"};not json""")
+    val rows = Readers.readJsonl(spark, d.getPath,
+      schema = "doc_id BIGINT, text STRING", badRecords = "drop",
+      options = Map("lineSep" -> ";", "mode" -> "FAILFAST"))
+      .as[(Long, String)].collect().toMap
+    // lineSep honored (2 records parsed); the mode=FAILFAST smuggled via
+    // options is overridden by badRecords=drop (corrupt trailer dropped,
+    // no exception)
+    assert(rows == Map(1L -> "x", 2L -> "y"))
+  }
+
   test("readJsonl: schema'd parse prunes fields not in the schema") {
     val d = Files.createTempDirectory("graft_jsonl_prune").toFile
     d.deleteOnExit()
