@@ -637,6 +637,43 @@ object SparkEntry {
     "q46_packing" -> ((s, dir) =>
       graft.ops.Packing.packSequencesByText(
         t(s, dir, "documents"), "doc_id", "text", seqTokens = 128)),
+    // Exact byte-level BPE (empty merge table): count == UTF-8 byte length
+    // for every document — the pre-tokenizer must partition the string
+    // exactly (no dropped/double-counted bytes on unicode, contractions,
+    // whitespace runs). DuckDB's strlen() is byte length, so the oracle
+    // checks the whole kernel foundation over real corpus text.
+    "q54_bpe_bytes" -> ((s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"),
+        graft.ops.TextStats.tokenCountBpeExact(col("text"),
+          graft.ops.expr.BpeModel.empty).cast("long").as("n_bytes"))),
+    // Exact BPE under a real merge table: planted strings spanning full
+    // merge chains, partial chains, contractions, case sensitivity, and
+    // multi-byte UTF-8, counted by the codegen'd kernel; the oracle is the
+    // same strings with REFERENCE counts hand-derived from the merge table
+    // (each derivation pinned in BpeSpec) as literal VALUES.
+    "q54b_bpe_merges" -> ((s, dir) => {
+      import s.implicits._
+      val model = graft.ops.expr.BpeModel.fromMergesLines(Seq(
+        "h e", "l l", "he ll", "hell o", "Ġ w", "o r", "Ġw or", "l d",
+        "Ġwor ld"))
+      Seq(
+        1L -> "hello world", 2L -> "hello", 3L -> "hell or ld",
+        4L -> "Hello", 5L -> "it's", 6L -> "é", 7L -> "a  b",
+        8L -> "hellohello world world")
+        .toDF("tid", "text")
+        .select(col("tid"),
+          graft.ops.TextStats.tokenCountBpeExact(col("text"), model)
+            .cast("long").as("n_tokens"))
+    }),
+    // Concat-and-cut packing METERED BY THE EXACT BPE COUNTER (empty table
+    // ⇒ bytes): same fragment contract as q46, but the slot unit is what a
+    // byte-level tokenizer would see; DuckDB replays with strlen.
+    "q54c_bpe_pack" -> ((s, dir) =>
+      graft.ops.Packing.packSequences(
+        t(s, dir, "documents"), "doc_id",
+        graft.ops.TextStats.tokenCountBpeExact(col("text"),
+          graft.ops.expr.BpeModel.empty),
+        seqTokens = 256, orderCols = Seq(col("doc_id").asc))),
     // Benchmark decontamination: training docs sharing a word 8-gram with
     // the eval subset (doc_id % 7 == 0 — every eval doc is its own train
     // hit, plus any true cross-document overlaps).
@@ -1421,6 +1458,40 @@ object SparkEntry {
     // The packing definition computed relationally: token counts in doc_id
     // order, exclusive running sum = each doc's first global token slot,
     // one fragment per overlapped 128-token sequence.
+    // DuckDB strlen() is UTF-8 BYTE length (length() is chars) — exactly
+    // the empty-merge-table BPE count.
+    "q54_bpe_bytes" ->
+      "SELECT doc_id, strlen(text)::BIGINT AS n_bytes FROM documents",
+    // Reference counts hand-derived from the fixture merge table (see
+    // BpeSpec for the per-string derivations):
+    //   1 "hello world" → [hello][ world] = 2
+    //   2 "hello" → 1;  3 "hell or ld" → [hell]+[Ġ,or]+[Ġ,ld] = 5
+    //   4 "Hello" → [H,e,ll,o] = 4 (byte-level: H ≠ h)
+    //   5 "it's" → [i,t]+[',s] = 4;  6 "é" → 2 UTF-8 bytes
+    //   7 "a  b" → [a]+[ ]+[ b] = 4 (\s+(?!\S) leaves last space attached)
+    //   8 "hellohello world world" → [hello,hello]+[ world]+[ world] = 4
+    "q54b_bpe_merges" ->
+      """SELECT tid::BIGINT AS tid, n_tokens::BIGINT AS n_tokens
+        |FROM (VALUES (1, 2), (2, 1), (3, 5), (4, 4), (5, 4), (6, 2),
+        |             (7, 4), (8, 4)) t(tid, n_tokens)""".stripMargin,
+    // q46's replay with the slot unit swapped to strlen bytes, cut at 256.
+    "q54c_bpe_pack" ->
+      """WITH t AS (
+        |  SELECT doc_id, strlen(text)::BIGINT AS n FROM documents
+        |), nz AS (
+        |  SELECT doc_id, n,
+        |    (sum(n) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n)::BIGINT AS cum
+        |  FROM t WHERE n > 0
+        |), f AS (
+        |  SELECT doc_id, n, cum,
+        |    unnest(generate_series(cum // 256, (cum + n - 1) // 256)) AS seq_id
+        |  FROM nz
+        |)
+        |SELECT doc_id, seq_id,
+        |  (greatest(cum, seq_id * 256) - seq_id * 256)::BIGINT AS seq_offset,
+        |  (greatest(cum, seq_id * 256) - cum)::BIGINT AS doc_offset,
+        |  (least(cum + n, (seq_id + 1) * 256) - greatest(cum, seq_id * 256))::BIGINT AS n_tokens
+        |FROM f""".stripMargin,
     "q46_packing" ->
       """WITH t AS (
         |  SELECT doc_id,

@@ -354,6 +354,36 @@ object Dedup {
       coalesce(sum(when(col("__bsz") > maxBucketSize, col("__bsz").cast("long"))
         .otherwise(0L)), lit(0L)).as("rows_in_truncated"))
 
+  /** Observation for [[jaccardPairs]]'s `maxGramDf` stop-gram ceiling:
+    * emitted on the PREFIX-ROW frame before the ceiling filter, so the
+    * metrics report what the ceiling removed from candidate generation.
+    */
+  private def observeStopGramStats(prefixRows: DataFrame, maxGramDf: Long): DataFrame =
+    prefixRows.observe(s"graft_stopgrams_${obsCounter.incrementAndGet()}",
+      coalesce(sum(when(col("df") > maxGramDf, 1L).otherwise(0L)), lit(0L))
+        .as("prefix_instances_dropped"),
+      // approx (HLL): CollectMetrics rejects DISTINCT aggregates outright,
+      // and an order-of-magnitude stop-gram count is all the alert needs
+      coalesce(approx_count_distinct(when(col("df") > maxGramDf, col("g"))), lit(0L))
+        .as("stop_grams"),
+      coalesce(max(col("df")).cast("long"), lit(0L)).as("max_df_seen"))
+
+  /** `(prefix_instances_dropped, stop_grams, max_df_seen)` summed/maxed over
+    * every stop-gram observation in the frame's executed plan — the ceiling
+    * counterpart of [[observedBucketStats]], same execution caveats (read
+    * after an action on THIS frame; None when `maxGramDf` was off or the
+    * plan collapsed to empty).
+    */
+  def observedStopGramStats(df: DataFrame): Option[(Long, Long, Long)] = {
+    val all = org.apache.spark.sql.graft.ColumnBridge.observedMetricsAll(df)
+      .toSeq.collect {
+        case (name, row) if name.startsWith("graft_stopgrams_") =>
+          (row.getLong(0), row.getLong(1), row.getLong(2))
+      }
+    if (all.isEmpty) None
+    else Some((all.map(_._1).sum, all.map(_._2).sum, all.map(_._3).max))
+  }
+
   /** `(max_bucket, buckets_truncated, rows_in_truncated)` from the LAST
     * action run directly on `df` (an operator result carrying the bucket
     * observation) — collect/write/foreach; note `count()` executes a DERIVED
@@ -635,6 +665,20 @@ object Dedup {
     *   relabeling preserves the result; two distinct grams colliding in
     *   xxhash64 (~2⁻⁶⁴ per gram pair, dedup-guarded per doc) is the only
     *   divergence from the string path. Set false to verify on raw grams.
+    * @param maxGramDf stop-gram ceiling on CANDIDATE GENERATION — the
+    *   standard bounded-candidate mitigation for set-similarity joins on
+    *   boilerplate-heavy corpora. `0` (default) is exact. When > 0, prefix
+    *   grams whose document frequency exceeds the ceiling generate no
+    *   candidates; verification over full gram arrays stays exact, so every
+    *   REPORTED pair's jaccard is true — but a pair whose every shared
+    *   prefix gram is above the ceiling is NOT FOUND (recall loss, bounded
+    *   by how much of the corpus's prefix mass is boilerplate; measured in
+    *   RECALL.json's jaccard_ceiling sweep). Candidate volume drops from
+    *   Σ df² over prefix grams to Σ min(df, ceiling)² — the quadratic
+    *   per-bucket term that makes duplicate-heavy corpora super-linear is
+    *   capped by construction. Dropped-instance counts are observable via
+    *   the same CollectMetrics contract as the bucket caps
+    *   ([[observedStopGramStats]]).
     */
   def jaccardPairs(
       df: DataFrame,
@@ -644,7 +688,8 @@ object Dedup {
       shingleN: Int = 3,
       maxBucketSize: Int = 100000,
       cacheShingles: Boolean = false,
-      hashGrams: Boolean = true
+      hashGrams: Boolean = true,
+      maxGramDf: Long = 0
   ): DataFrame = {
     require(threshold > 0 && threshold <= 1, "threshold must be in (0, 1]")
     val rawSh = shingles(col(textCol), shingleN)
@@ -703,8 +748,15 @@ object Dedup {
     // pairs; verification stays exact.
     def ceilT(x: Column): Column =
       ceil(x * lit(threshold * (1 - 1e-12)) - lit(1e-9))
-    val prefix = ranked
+    val prefixAll = ranked
       .filter(col("rn") <= col("len") - ceilT(col("len")) + 1)
+    // Stop-gram ceiling: applied to prefix rows only (candidate generation);
+    // the gram arrays that verification consumes are untouched. Observed
+    // BEFORE the filter so the drop volume is part of the query's metrics.
+    val prefix = (if (maxGramDf > 0)
+      observeStopGramStats(prefixAll, maxGramDf)
+        .filter(col("df") <= maxGramDf)
+    else prefixAll)
       .select(col("id"), col("len"), col("g"), col("rn"))
     // VERIFY INSIDE THE BUCKET EXPANSION (the kernel phase of the
     // MapReduce set-similarity join of Vernica, Carey & Li, SIGMOD'10):

@@ -23,11 +23,25 @@ object TextStats {
   /** Whitespace token count. */
   def tokenCountWs(text: Column): Column = size(tokens(text))
 
-  /** BPE-ish token count: word pieces + standalone punctuation, the usual
-    * pre-tokenizer regex shape.
+  /** BPE-ish token count ESTIMATE: word pieces + standalone punctuation,
+    * the usual pre-tokenizer regex shape. For counts true to an actual
+    * tokenizer, use [[tokenCountBpeExact]] with its merge table.
     */
   def tokenCountBpe(text: Column): Column =
     size(regexp_extract_all(text, lit("""[A-Za-z0-9]+|[^A-Za-z0-9\s]"""), lit(0)))
+
+  /** EXACT byte-level BPE token count under a loaded merge table
+    * ([[graft.ops.expr.BpeModel.fromMergesFile]] reads the published
+    * GPT-2-style `merges.txt` format) — the counter to meter
+    * [[Packing.packSequences]]/[[Packing.takeTokenBudget]] with when the
+    * sequences feed the model the table belongs to. Codegen'd per-row
+    * kernel; the model rides the task binary once per stage.
+    */
+  def tokenCountBpeExact(text: Column, model: graft.ops.expr.BpeModel): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(
+      graft.ops.expr.BpeCountExpr(ColumnBridge.expression(text), model))
+  }
 
   /** Characters of punctuation / total characters (0 for empty). */
   def punctRatio(text: Column): Column = {

@@ -497,7 +497,10 @@ object Pipeline {
         val c = asMap(step("clusterDuplicates"), "clusterDuplicates")
         val id = c("id").toString
         val pairs = Dedup.jaccardPairs(df, id, c("text").toString,
-          threshold = c.get("threshold").map(_.toString.toDouble).getOrElse(0.8))
+          threshold = c.get("threshold").map(_.toString.toDouble).getOrElse(0.8),
+          // optional stop-gram ceiling: bounded candidate volume on
+          // boilerplate-heavy corpora (lossy — see jaccardPairs scaladoc)
+          maxGramDf = c.get("maxGramDf").map(_.toString.toLong).getOrElse(0L))
         c.getOrElse("mode", "keep").toString match {
           case "keep"   => graft.ops.Cluster.keepClusterRepresentatives(df, id, pairs)
           case "assign" => graft.ops.Cluster.assignClusters(df, id, pairs)

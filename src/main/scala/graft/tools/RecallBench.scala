@@ -111,6 +111,40 @@ object RecallBench {
       (planes, tables, recall, got.size)
     }
 
+    // Exact-Jaccard stop-gram ceiling sweep: maxGramDf bounds candidate
+    // volume (Σ min(df, ceiling)² instead of Σ df² per prefix gram) at the
+    // price of pairs whose every shared prefix gram is boilerplate. This
+    // turns that price into numbers: pair retention + dropped-candidate
+    // stats + wall time per ceiling, against the exact (ceiling-off) run.
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text")).cache()
+    val jt = 0.5
+    val (exactJac, exactJacSec) = timed {
+      graft.ops.Dedup.jaccardPairs(docs, "doc_id", "text", jt)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    }
+    val jaccardSweep = Seq(1000L, 100L, 20L).map { ceil =>
+      val pf = graft.ops.Dedup.jaccardPairs(docs, "doc_id", "text", jt,
+        maxGramDf = ceil)
+      val (got, sec) = timed {
+        pf.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      }
+      val (droppedInst, stopGrams, _) =
+        graft.ops.Dedup.observedStopGramStats(pf).getOrElse((0L, 0L, 0L))
+      val retention =
+        if (exactJac.isEmpty) 1.0
+        else (got intersect exactJac).size.toDouble / exactJac.size
+      val spurious = (got -- exactJac).size // must be 0: verify is exact
+      (ceil, retention, got.size, spurious, droppedInst, stopGrams, sec)
+    }
+
+    val jaccardJson = jaccardSweep.map {
+      case (ceil, ret, sz, spur, dropped, sg, sec) =>
+        s""""df_$ceil":{"retention":${f"$ret%.3f"},"pairs":$sz,""" +
+          s""""spurious":$spur,"prefix_instances_dropped":$dropped,""" +
+          s""""stop_grams":$sg,"sec":${f"$sec%.2f"}}"""
+    }.mkString("{", ",", "}")
+
     val ivfJson = ivf.map { case (p, r) => s""""nProbe_$p":${f"$r%.3f"}""" }
       .mkString("{", ",", "}")
     val ivfSampledJson = ivfSampled.map { case (p, r) => s""""nProbe_$p":${f"$r%.3f"}""" }
@@ -127,7 +161,10 @@ object RecallBench {
         s""""ivf_train_sec_sampled":${f"$sampledSec%.2f"},""" +
         s""""lsh_threshold":$threshold,"lsh_exact_pairs":${exactPairs.size},""" +
         s""""lsh_auto_params":"p${autoParams._1}_t${autoParams._2}",""" +
-        s""""lsh_pair_recall":$lshJson}"""
+        s""""lsh_pair_recall":$lshJson,""" +
+        s""""jaccard_threshold":$jt,"jaccard_exact_pairs":${exactJac.size},""" +
+        s""""jaccard_exact_sec":${f"$exactJacSec%.2f"},""" +
+        s""""jaccard_ceiling":$jaccardJson}"""
     println(json)
     java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
       (json + "\n").getBytes("UTF-8"))

@@ -1,0 +1,110 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.dftly.SparkTestBase
+import graft.ops.expr.BpeModel
+
+class BpeSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  // A tiny but complete merge table: builds "hello" and " world" from
+  // bytes through intermediate symbols, exercising multi-level merges and
+  // the space-carrying Ġ (0x20 → U+0120) alphabet mapping.
+  private val merges = Seq(
+    "#version: 0.2 — fixture",
+    "h e",
+    "l l",
+    "he ll",
+    "hell o",
+    "Ġ w",
+    "o r",
+    "Ġw or",
+    "l d",
+    "Ġwor ld")
+  private lazy val model = BpeModel.fromMergesLines(merges)
+
+  private def count(m: BpeModel, s: String): Int =
+    m.countTokens(UTF8String.fromString(s))
+
+  test("full merge chains collapse words to single tokens") {
+    assert(count(model, "hello world") == 2) // [hello][ world]
+    assert(count(model, "hello") == 1)
+    // partial chains stop where the table stops
+    assert(count(model, "hell or ld") == 1 + 2 + 2) // [hell][Ġ,or][Ġ,ld]
+    // case matters at the byte level: H ≠ h, only "ll" merges
+    assert(count(model, "Hello") == 4) // [H,e,ll,o]
+    // repeated words merge within each pre-token, never across pre-tokens
+    assert(count(model, "hellohello world world") == 4)
+  }
+
+  test("pre-tokenization: contractions, unicode, runs of spaces") {
+    assert(count(model, "it's") == 4) // [i,t] + [',s]
+    assert(count(model, "é") == 2) // two UTF-8 bytes, no merges
+    // "a  b": pre-tokens "a", " ", " b" — \s+(?!\S) leaves the last
+    // space attached to the following letter-run
+    assert(count(model, "a  b") == 4)
+    assert(count(model, "") == 0)
+  }
+
+  test("empty model counts UTF-8 bytes exactly (pre-tokenizer partitions the string)") {
+    val texts = Seq("hello world", "it's  tested!", "üñíçødé ✓\n\ttab",
+      "数字123 and punct?!", " leading and trailing ")
+    for (t <- texts)
+      assert(count(BpeModel.empty, t) ==
+        t.getBytes(java.nio.charset.StandardCharsets.UTF_8).length, s"text: '$t'")
+  }
+
+  test("malformed merge tables are rejected with the line number") {
+    // out-of-order: 'he ll' before 'll' exists
+    val e1 = intercept[IllegalArgumentException] {
+      BpeModel.fromMergesLines(Seq("h e", "he ll"))
+    }
+    assert(e1.getMessage.contains("line 2"))
+    val e2 = intercept[IllegalArgumentException] {
+      BpeModel.fromMergesLines(Seq("three part line"))
+    }
+    assert(e2.getMessage.contains("line 1"))
+  }
+
+  test("merges file round-trips through disk") {
+    val f = java.nio.file.Files.createTempFile("graft_merges", ".txt")
+    java.nio.file.Files.write(f, merges.mkString("\n").getBytes("UTF-8"))
+    val m2 = BpeModel.fromMergesFile(f.toString)
+    assert(m2.numMerges == model.numMerges)
+    assert(count(m2, "hello world") == 2)
+  }
+
+  test("column expression: codegen'd, null-safe, matches direct eval on real documents") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val counted = docs
+      .select($"doc_id", $"text",
+        TextStats.tokenCountBpeExact($"text", model).as("n"))
+      .as[(Long, String, Int)].collect()
+    assert(counted.nonEmpty)
+    for ((_, text, n) <- counted)
+      assert(n == count(model, text))
+    // null in → null out
+    val r = Seq((1L, Option.empty[String])).toDF("id", "text")
+      .select(TextStats.tokenCountBpeExact($"text", model)).head()
+    assert(r.isNullAt(0))
+  }
+
+  test("exact counter meters packSequences") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val packed = Packing.packSequences(docs, "doc_id",
+      TextStats.tokenCountBpeExact(col("text"), BpeModel.empty),
+      seqTokens = 256, orderCols = Seq(col("doc_id").asc))
+    // fragments per sequence sum to exactly 256 slots except the tail
+    val bySeq = packed.groupBy("seq_id").agg(sum("n_tokens").as("filled"))
+      .orderBy("seq_id").as[(Long, Long)].collect()
+    assert(bySeq.init.forall(_._2 == 256L))
+    assert(bySeq.last._2 <= 256L)
+    // total slots = total byte count of non-empty docs (empty model ⇒ bytes)
+    val totalBytes = docs.filter(length($"text") > 0)
+      .agg(sum(octet_length($"text"))).head().getLong(0)
+    assert(bySeq.map(_._2).sum == totalBytes)
+  }
+}

@@ -116,6 +116,38 @@ class CorpusSpec extends SparkTestBase {
     }
   }
 
+  test("jaccardPairs maxGramDf: high ceiling exact; low ceiling lossy-subset; drops observed") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val t = 0.5
+    val exact = Dedup.jaccardPairs(docs, "doc_id", "text", t)
+      .select($"id_a", $"id_b", $"jaccard")
+      .as[(Long, Long, Double)].collect().toSet
+    // a ceiling above every gram's df changes nothing
+    val high = Dedup.jaccardPairs(docs, "doc_id", "text", t, maxGramDf = 1000000L)
+      .select($"id_a", $"id_b", $"jaccard")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(high == exact)
+    // a tight ceiling may lose pairs but never invents one, and every
+    // surviving pair keeps its EXACT jaccard (verification untouched)
+    // act on the OBSERVED frame itself: a derived select executes its own
+    // plan and would leave this frame's metrics unpopulated
+    val lowDf = Dedup.jaccardPairs(docs, "doc_id", "text", t, maxGramDf = 2L)
+    val low = lowDf.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(low.subsetOf(exact),
+      s"spurious pairs under ceiling: ${(low -- exact).take(5)}")
+    // the ceiling's drop volume is observable on the executed frame
+    val stats = Dedup.observedStopGramStats(lowDf)
+    assert(stats.isDefined)
+    val (dropped, stopGrams, maxDf) = stats.get
+    assert(maxDf > 2L) // the fixture has grams above the ceiling...
+    assert(dropped > 0L && stopGrams > 0L) // ...and they were dropped
+    // the exact path emits no stop-gram observation
+    val exactDf = Dedup.jaccardPairs(docs, "doc_id", "text", t)
+    exactDf.collect()
+    assert(Dedup.observedStopGramStats(exactDf).isEmpty)
+  }
+
   test("hashed-gram jaccardPairs == raw-gram path, values included") {
     // hashGrams relabels grams via xxhash64 before every exchange; the pair
     // set AND the jaccard values must be bit-identical to the string path
