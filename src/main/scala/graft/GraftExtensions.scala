@@ -96,6 +96,11 @@ object GraftExtensions {
     "lang_id" -> { es =>
       require(es.length == 1, "lang_id(text)")
       LangIdExpr(es.head)
+    },
+    "fix_encoding" -> { es =>
+      require(es.length == 1 || es.length == 2, "fix_encoding(text[, maxPasses])")
+      FixEncodingExpr(es.head,
+        if (es.length == 2) intLit(es(1), "maxPasses") else 3)
     })
 
   /** Install the same functions as temp functions on a live session. */

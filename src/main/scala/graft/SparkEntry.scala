@@ -845,6 +845,41 @@ object SparkEntry {
         schema = "doc_id BIGINT, text STRING", badRecords = "drop")
         .select(col("doc_id"), col("text"))
     }),
+    // Mojibake repair, roundtrip-oracled over the real corpus: the corpus
+    // text (pure ASCII in the testdata) gets a unicode-rich suffix covering
+    // 2-byte (é), 3-byte punctuation/CJK (— № 中 ’), and 4-byte
+    // (😀) UTF-8; the corruption is the engine's own latin-1 misdecode
+    // (decode(encode(x,'UTF-8'),'ISO-8859-1') — byte-exact, total over all
+    // bytes), and fixEncoding must invert it EXACTLY on every row. The
+    // oracle never sees the corruption: it just emits the clean text.
+    "q55_fix_encoding" -> ((s, dir) => {
+      val clean = concat(col("text"), lit(SparkEntry.MojibakeSuffix))
+      t(s, dir, "documents").select(col("doc_id"),
+        graft.ops.TextStats.fixEncoding(
+          decode(encode(clean, "UTF-8"), "ISO-8859-1")).as("fixed"))
+    }),
+    // Double mojibake: the misdecode applied twice (the classic "fixed" a
+    // mojibake file by re-encoding it wrong again). Same oracle — the
+    // default 3-pass repair must peel both layers.
+    "q55b_fix_encoding_double" -> ((s, dir) => {
+      def garble(c: org.apache.spark.sql.Column) =
+        decode(encode(c, "UTF-8"), "ISO-8859-1")
+      val clean = concat(col("text"), lit(SparkEntry.MojibakeSuffix))
+      t(s, dir, "documents").select(col("doc_id"),
+        graft.ops.TextStats.fixEncoding(garble(garble(clean))).as("fixed"))
+    }),
+    // cp1252-flavored mojibake (the Windows-specials path latin-1
+    // corruption can't generate: â€™ Ã© â‚¬ …) plus the must-NOT-touch
+    // cases — clean unicode, pure ASCII, genuine latin-1 bytes — as planted
+    // fixtures with hand-derived expected outputs in a VALUES oracle
+    // (derivations pinned in FixEncodingSpec).
+    "q55c_fix_encoding_cp1252" -> ((s, dir) => {
+      import s.implicits._
+      SparkEntry.MojibakeCases.map { case (tid, garbled, _) => (tid, garbled) }
+        .toDF("tid", "garbled")
+        .select(col("tid"),
+          graft.ops.TextStats.fixEncoding(col("garbled")).as("fixed"))
+    }),
     // Global vocabulary top-k — the canonical corpus word count.
     "q30_vocab" -> ((s, dir) =>
       graft.ops.Corpus.topTokens(t(s, dir, "documents"), "text", 20)
@@ -967,6 +1002,39 @@ object SparkEntry {
   /** Three deterministic query vectors for the batched-retrieval query. */
   val AnnQueryVecs: Seq[(Long, Seq[Float])] =
     (0 until 3).map(q => (q.toLong, (0 until 64).map(i => (((i + q) % 7) - 3) / 10.0f)))
+
+  /** Unicode-rich suffix appended to every (pure-ASCII) corpus document for
+    * the q55 mojibake roundtrip: 2-byte (é), 3-byte punctuation (— № ’),
+    * 3-byte CJK (中), and 4-byte emoji (😀) UTF-8 — every multi-byte class
+    * the repair must invert byte-exactly. No single quotes: the same
+    * constant is spliced verbatim into the DuckDB oracle literal.
+    */
+  val MojibakeSuffix: String =
+    " — café № 中 ’ 😀"
+
+  /** (id, garbled, expected) fixtures for the cp1252-specials repair path
+    * (q55c) — mojibake shapes the engine-side latin-1 corruption of q55
+    * cannot generate, plus the must-NOT-touch cases. Byte derivations are
+    * pinned in FixEncodingSpec; expected strings contain no single quotes
+    * (spliced into the VALUES oracle).
+    */
+  val MojibakeCases: Seq[(Long, String, String)] = Seq(
+    // cp1252 mojibake: â€™ → ’ (bytes E2 80 99 seen through cp1252)
+    (1L, "donâ€™t", "don’t"),
+    // Ã©tÃ© → été (C3 A9)
+    (2L, "Ã©tÃ©", "été"),
+    // â‚¬ → € (E2 82 AC, via the ‚ U+201A special)
+    (3L, "â‚¬100", "€100"),
+    (4L, "naÃ¯ve rÃ©sumÃ©",
+         "naïve résumé"),
+    // double-encoded É: Ãƒâ€° → Ã‰ → É (two passes)
+    (5L, "Ãƒâ€°", "É"),
+    // clean non-Latin text: the CJK chars abort the pass — untouched
+    (6L, "already clean: café 中文",
+         "already clean: café 中文"),
+    (7L, "plain ascii", "plain ascii"),
+    // genuine latin-1-looking text: ü alone is invalid UTF-8 — untouched
+    (8L, "Müller", "Müller"))
 
   private def annVecSql: String =
     AnnQueryVec.map(f => f.toString).mkString("[", ", ", "]")
@@ -1552,6 +1620,18 @@ object SparkEntry {
     // drop policy must recover exactly the clean rows regardless of codec.
     "q53b_jsonl_zst" ->
       "SELECT doc_id, text FROM documents",
+    // The mojibake roundtrips: the oracle never sees the corruption — the
+    // engine-side misdecode must be inverted exactly, so expected output is
+    // just clean text + the (quote-free) suffix constant, spliced verbatim.
+    "q55_fix_encoding" ->
+      s"SELECT doc_id, text || '$MojibakeSuffix' AS fixed FROM documents",
+    "q55b_fix_encoding_double" ->
+      s"SELECT doc_id, text || '$MojibakeSuffix' AS fixed FROM documents",
+    "q55c_fix_encoding_cp1252" -> {
+      val rows = MojibakeCases
+        .map { case (tid, _, exp) => s"($tid, '$exp')" }.mkString(", ")
+      s"SELECT tid::BIGINT AS tid, fixed FROM (VALUES $rows) t(tid, fixed)"
+    },
     "q47_decontam" ->
       s"""WITH ${shingleCteSqlN(8, "sh8")},
          |tg AS (SELECT doc_id, unnest(grams) AS g FROM sh8),

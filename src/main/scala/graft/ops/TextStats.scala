@@ -94,6 +94,16 @@ object TextStats {
     */
   def langId(text: Column): Column = graft.ops.expr.NativeSig.langId(text)
 
+  /** Mojibake repair: undo cp1252/latin-1-misdecoded UTF-8 (including
+    * double-encoding, up to `maxPasses` layers) — see
+    * [[graft.ops.expr.Mojibake]] for the repair-if-roundtrips contract.
+    * Codegen'd, map-only; the natural first verb of a curation pipeline,
+    * ahead of quality scoring (mojibake inflates punct ratios and kills
+    * stopword hits, silently failing good documents).
+    */
+  def fixEncoding(text: Column, maxPasses: Int = 3): Column =
+    graft.ops.expr.NativeSig.fixEncoding(text, maxPasses)
+
   /** Order-sensitive rolling-hash fingerprint of the token stream, mod a
     * 31-bit prime so the polynomial accumulation never overflows Long under
     * ANSI arithmetic. Deterministic across runs and partitionings (pure

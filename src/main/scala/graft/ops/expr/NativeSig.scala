@@ -978,6 +978,10 @@ object NativeSig {
   def langId(text: Column): Column =
     ColumnBridge.column(LangIdExpr(ColumnBridge.expression(text)))
 
+  /** Column API for [[FixEncodingExpr]] — mojibake repair ([[Mojibake]]). */
+  def fixEncoding(text: Column, maxPasses: Int = 3): Column =
+    ColumnBridge.column(FixEncodingExpr(ColumnBridge.expression(text), maxPasses))
+
   /** Column API for [[WindowHashes]]. */
   def windowHashes(text: Column, w: Int): Column =
     ColumnBridge.column(WindowHashes(ColumnBridge.expression(text), w))

@@ -578,6 +578,16 @@ object Pipeline {
           windowTokens = m.get("window").map(_.toString.toInt).getOrElse(8),
           minRepeats = m.get("minRepeats").map(_.toString.toInt).getOrElse(2))
 
+      case "fixEncoding" =>
+        // {text: col, as: out (default: rewrite in place), passes: 3} —
+        // mojibake repair (cp1252/latin-1-misdecoded UTF-8, incl. double
+        // encoding); see graft.ops.expr.Mojibake for the contract
+        val fe = asMap(step("fixEncoding"), "fixEncoding")
+        val src = fe("text").toString
+        df.withColumn(fe.getOrElse("as", src).toString,
+          graft.ops.TextStats.fixEncoding(col(src),
+            fe.get("passes").map(_.toString.toInt).getOrElse(3)))
+
       case "redact" =>
         // {text: col, as: out (default 'redacted')} — PII → typed tokens
         val r = asMap(step("redact"), "redact")
