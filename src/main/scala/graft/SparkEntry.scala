@@ -845,6 +845,97 @@ object SparkEntry {
         schema = "doc_id BIGINT, text STRING", badRecords = "drop")
         .select(col("doc_id"), col("text"))
     }),
+    // Streaming end-to-end under the oracle gate: the full ingestion chain
+    // readJsonlStream → watermarked exact dedup → session windows, driven
+    // over a deterministic file-fed micro-batch sequence (one shard per
+    // trigger), with the final sessions compared to a DuckDB gaps-and-
+    // islands replay of the batch semantics.
+    //
+    // Determinism by construction, not by luck:
+    //   - shards are ts-range-partitioned and processed in ts order, so no
+    //     event is ever late and the watermark never drops data;
+    //   - every event is planted TWICE with identical payload in the SAME
+    //     shard (range partitioning keys equal ts together), so the dedup
+    //     operator must remove exactly one copy — session n_events doubles
+    //     if it doesn't, and the oracle counts each event once;
+    //   - timestamps travel as epoch-micros BIGINT (JSON timestamp
+    //     formats truncate to millis — the r8 lesson generalized);
+    //   - two sentinel flush shards (+1 h, +2 h past max ts, user −1) give
+    //     append-mode emission its two-batch runway: the first advances
+    //     the watermark past every real session end, the second triggers
+    //     the emission batch. The sentinels' own session never emits and
+    //     is filtered from the sink read regardless.
+    "q56_stream_e2e" -> ((s, dir) => {
+      val fixture = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft_stream_e2e_" +
+          java.lang.Long.toHexString(dir.hashCode.toLong & 0xffffffffL) +
+          "_" + ProcessHandle.current().pid())
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles.foreach(rm)
+        f.delete(); ()
+      }
+      rm(fixture); fixture.mkdirs()
+      val in = new java.io.File(fixture, "in"); in.mkdirs()
+      val sink = new java.io.File(fixture, "sink").getPath
+      val ckpt = new java.io.File(fixture, "ckpt").getPath
+
+      val ev = graft.sources.Readers.readEvents(s, dir)
+        .select(col("event_id"),
+          unix_micros(col("ts").cast("timestamp")).as("ts_us"),
+          col("user_id"))
+      val maxUs = ev.agg(max(col("ts_us"))).head.getLong(0)
+      // each event twice, ts-ordered shards (equal keys co-partition)
+      val staging = new java.io.File(fixture, "_staging")
+      ev.unionAll(ev).repartitionByRange(4, col("ts_us"))
+        .sortWithinPartitions("ts_us")
+        .write.json(staging.getPath)
+      var i = 0
+      for (f <- staging.listFiles.sortBy(_.getName) if f.getName.startsWith("part-")) {
+        val dst = new java.io.File(in, f"shard-$i%05d.jsonl")
+        java.nio.file.Files.move(f.toPath, dst.toPath)
+        dst.setLastModified(1000000L * (i + 1))
+        i += 1
+      }
+      rm(staging)
+      for ((off, j) <- Seq(3600000000L, 7200000000L).zipWithIndex) {
+        val f = new java.io.File(in, s"zz-flush-$j.jsonl")
+        val w = new java.io.FileWriter(f)
+        try w.write(s"""{"event_id":-1,"ts_us":${maxUs + off},"user_id":-1}""" + "\n")
+        finally w.close()
+        f.setLastModified(1000000L * (i + j + 1))
+      }
+
+      val stream = graft.sources.Readers.readJsonlStream(s, in.getPath,
+          schema = "event_id BIGINT, ts_us BIGINT, user_id BIGINT",
+          maxFilesPerTrigger = 1)
+        .withColumn("ts", timestamp_micros(col("ts_us")))
+      val deduped = graft.ops.StreamingOps.dedupExactWithinWatermark(
+        stream, Seq("event_id", "ts_us", "user_id"), "ts", "10 minutes")
+      val sessions = graft.ops.StreamingOps.sessionize(
+        deduped, Seq("user_id"), "ts", "30 minutes", delay = null)
+      // State-partition sizing is a real scale knob, sized to STATE VOLUME
+      // not CPU count: 32 partitions × 2 stateful ops × 6 micro-batches =
+      // 384 state-store commits for a few MB of state — commit latency
+      // dominates. 8 partitions is right for this horizon; a 100 TB
+      // deployment sizes it UP with state, via the same conf. Scoped to
+      // this query's planning and restored (batch queries want 32 here).
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
+        val q = sessions.writeStream.format("parquet")
+          .option("path", sink).option("checkpointLocation", ckpt)
+          .outputMode("append").start()
+        try q.processAllAvailable() finally q.stop()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+
+      s.read.parquet(sink).filter(col("user_id") >= 0).select(
+        col("user_id"),
+        unix_micros(col("session_start")).as("session_start_us"),
+        unix_micros(col("session_end")).as("session_end_us"),
+        col("n_events"),
+        unix_micros(col("first_event")).as("first_us"),
+        unix_micros(col("last_event")).as("last_us"))
+    }),
     // Mojibake repair, roundtrip-oracled over the real corpus: the corpus
     // text (pure ASCII in the testdata) gets a unicode-rich suffix covering
     // 2-byte (é), 3-byte punctuation/CJK (— № 中 ’), and 4-byte
@@ -1620,6 +1711,31 @@ object SparkEntry {
     // drop policy must recover exactly the clean rows regardless of codec.
     "q53b_jsonl_zst" ->
       "SELECT doc_id, text FROM documents",
+    // The streaming e2e replayed relationally: dedup = DISTINCT (the
+    // planted duplicates are byte-identical), sessionize = gaps-and-islands
+    // with Spark's tie rule (a gap of EXACTLY 30 min starts a new session:
+    // merge only when next_ts < last_ts + gap), session_end = last + gap.
+    "q56_stream_e2e" ->
+      """WITH d AS (
+        |  SELECT DISTINCT event_id, ts, user_id FROM events
+        |), x AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+        |         THEN 1 ELSE 0 END AS brk
+        |  FROM d WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        |), g AS (
+        |  SELECT user_id, ts,
+        |    sum(brk) OVER (PARTITION BY user_id ORDER BY ts) AS sid
+        |  FROM x
+        |)
+        |SELECT user_id,
+        |  epoch_us(min(ts)) AS session_start_us,
+        |  epoch_us(max(ts) + INTERVAL 30 MINUTE) AS session_end_us,
+        |  count(*)::BIGINT AS n_events,
+        |  epoch_us(min(ts)) AS first_us,
+        |  epoch_us(max(ts)) AS last_us
+        |FROM g GROUP BY user_id, sid""".stripMargin,
     // The mojibake roundtrips: the oracle never sees the corruption — the
     // engine-side misdecode must be inverted exactly, so expected output is
     // just clean text + the (quote-free) suffix constant, spliced verbatim.

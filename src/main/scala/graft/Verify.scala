@@ -22,9 +22,14 @@ object Verify {
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      try {
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        // a rerun into the same outDir must not leave a stale failure
+        // sidecar next to a now-green parquet
+        Files.deleteIfExists(Paths.get(s"$outDir/_errors/$name.txt"))
+        ()
+      } catch { case e: Throwable =>
         // A failed query must stay VISIBLE in the correctness report: write
         // an error sidecar where the parquet would be, so the driver (and a
         // human diffing outDir) sees a red row instead of a shorter file.

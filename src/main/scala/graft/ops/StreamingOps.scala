@@ -179,7 +179,11 @@ object StreamingOps {
     * exactly-once semantics for free. Works identically on batch frames.
     *
     * @param delay watermark delay (how late events may arrive); sessions
-    *   emit once the watermark passes their end.
+    *   emit once the watermark passes their end. Pass `null` when the
+    *   input stream ALREADY carries a watermark (e.g. chained after
+    *   [[dedupExactWithinWatermark]]): Spark's multi-stateful-operator
+    *   support forbids re-stamping a watermark mid-chain, so the upstream
+    *   one is reused as-is.
     */
   def sessionize(
       df: DataFrame,
@@ -188,7 +192,7 @@ object StreamingOps {
       gap: String,
       delay: String
   ): DataFrame =
-    df.withWatermark(tsCol, delay)
+    (if (delay == null) df else df.withWatermark(tsCol, delay))
       .groupBy((keyCols.map(col) :+ session_window(col(tsCol), gap)): _*)
       .agg(
         count(lit(1)).as("n_events"),
