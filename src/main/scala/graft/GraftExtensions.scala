@@ -101,6 +101,14 @@ object GraftExtensions {
       require(es.length == 1 || es.length == 2, "fix_encoding(text[, maxPasses])")
       FixEncodingExpr(es.head,
         if (es.length == 2) intLit(es(1), "maxPasses") else 3)
+    },
+    "quantize_vec" -> { es =>
+      require(es.length == 1, "quantize_vec(vec)")
+      QuantizeVec(es.head)
+    },
+    "cosine_sim_q" -> { es =>
+      require(es.length == 2, "cosine_sim_q(qa, qb)")
+      CosineSimQ(es.head, es(1))
     })
 
   /** Install the same functions as temp functions on a live session. */

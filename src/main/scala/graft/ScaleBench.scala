@@ -96,7 +96,38 @@ object ScaleBench {
         .select(col("id").as("id_a"), (col("id") + 1).as("id_b"))
       graft.ops.Cluster.connectedComponents(edges,
         broadcastMaxLabelRows = 0L, localSolveMaxEdges = 0L)
+    }),
+    // IVF pair generation, exact vs int8-quantized bucket payloads: the
+    // head-to-head for the quantization memory claim. FIXED deterministic
+    // centroids (no training inside the timed query — the first cut of
+    // this row trained k-means in both variants and its aggregation was
+    // the peak-memory term on both sides, masking the bucket delta); the
+    // remaining difference isolates the payload — the quantized bucket
+    // exchange writes ~3x fewer bytes and holds ~4x smaller structs, at
+    // the price of the exact re-score join on the (sparse at θ=0.85)
+    // survivor set.
+    "x_ivf_pairs_exact" -> ((s, dir) => {
+      val e = s.read.parquet(s"$dir/embeddings.parquet")
+        .select(col("vec_id"), col("embedding"))
+      graft.ops.Similarity.cosineNearDuplicatePairsIvf(
+        e, "vec_id", "embedding", threshold = 0.85,
+        centroids = fixedCentroids(16, 64))
+    }),
+    "x_ivf_pairs_quant" -> ((s, dir) => {
+      val e = s.read.parquet(s"$dir/embeddings.parquet")
+        .select(col("vec_id"), col("embedding"))
+      graft.ops.Similarity.cosineNearDuplicatePairsIvfQuantized(
+        e, "vec_id", "embedding", threshold = 0.85,
+        centroids = fixedCentroids(16, 64))
     }))
+
+  /** Deterministic centroid table for the IVF A/B rows: pair-generation
+    * memory/shuffle is a property of the bucket structure, not centroid
+    * quality, and random-ish fixed directions over random embeddings give
+    * roughly balanced cells without a training phase in the timed query.
+    */
+  private def fixedCentroids(k: Int, dim: Int): Array[Array[Double]] =
+    Array.tabulate(k, dim)((c, i) => (((i * 7 + c * 13) % 17) - 8) / 10.0)
 
   def main(args: Array[String]): Unit = {
     val smallDir = args.headOption.getOrElse("/root/testdata/sf0.1")

@@ -1031,6 +1031,31 @@ object SparkEntry {
         .join(found, Seq("id_a", "id_b"), "left")
         .select(col("id_a"), col("id_b"), col("__f").isNotNull.as("ok"))
     }),
+    // q31b's recall-floor property over the QUANTIZED IVF path: int8
+    // payloads ride the bucket exchange, candidates filter at
+    // threshold − margin on the scale-free quantized cosine, survivors
+    // re-score exactly from the float column. Identical vectors quantize
+    // identically (cos_q = 1), so every planted duplicate pair must
+    // survive both the approximate filter and the exact re-score.
+    "q31c_ivf_quant_props" -> ((s, dir) => {
+      val e0 = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"))
+        .filter(aggregate(col("embedding"), lit(0.0),
+          (a, x) => a + x.cast("double") * x.cast("double")) > 0)
+      val ee = e0.unionByName(
+        e0.select((col("vec_id") + 1000000L).as("vec_id"), col("embedding")))
+      val cents = Similarity.trainCentroids(ee, "embedding", k = 8, iters = 3)
+      val found = Similarity.cosineNearDuplicatePairsIvfQuantized(
+        ee, "vec_id", "embedding",
+        threshold = 0.35, centroids = cents, nProbe = 2,
+        maxBucketSize = Int.MaxValue)
+        .select(col("id_a"), col("id_b"), lit(1).as("__f"))
+      ee.as("x").join(ee.as("y"),
+        col("x.embedding") === col("y.embedding") && col("x.vec_id") < col("y.vec_id"))
+        .select(col("x.vec_id").as("id_a"), col("y.vec_id").as("id_b"))
+        .join(found, Seq("id_a", "id_b"), "left")
+        .select(col("id_a"), col("id_b"), col("__f").isNotNull.as("ok"))
+    }),
     // Schema'd JSON property extraction — from_json (typed struct) and
     // get_json_object (path) against DuckDB's json_extract.
     "q32_json" -> ((s, dir) => {
@@ -1563,6 +1588,17 @@ object SparkEntry {
         |SELECT a.vec_id AS id_a, b.vec_id AS id_b, TRUE AS ok
         |FROM ee a JOIN ee b ON a.embedding = b.embedding AND a.vec_id < b.vec_id""".stripMargin,
     "q31b_ivf_pairs_props" ->
+      """WITH nz AS (
+        |  SELECT vec_id, embedding FROM embeddings
+        |  WHERE list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0
+        |), ee AS (
+        |  SELECT vec_id, embedding FROM nz
+        |  UNION ALL
+        |  SELECT vec_id + 1000000, embedding FROM nz
+        |)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b, TRUE AS ok
+        |FROM ee a JOIN ee b ON a.embedding = b.embedding AND a.vec_id < b.vec_id""".stripMargin,
+    "q31c_ivf_quant_props" ->
       """WITH nz AS (
         |  SELECT vec_id, embedding FROM embeddings
         |  WHERE list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0

@@ -564,6 +564,71 @@ object Similarity {
     * @param maxBucketSize skew cap per (cell, probe-rank) bucket; dropped
     *   buckets are observable via [[graft.ops.Dedup.observedBucketStats]].
     */
+  /** [[cosineNearDuplicatePairsIvf]] with int8-quantized bucket payloads —
+    * the memory-lean variant for wide embeddings or deep probe settings.
+    *
+    * Same candidate structure (nProbe cell assignment, one groupBy(cell)
+    * exchange, bounded buckets, in-bucket pair expansion), but the vectors
+    * riding the exchange are `4 + d` byte int8 payloads instead of `4·d`
+    * byte float arrays (~4x smaller exchange write and bucket state — the
+    * peak-memory term of this operator). The in-bucket filter computes the
+    * scale-free quantized cosine at `threshold − margin`; survivors are
+    * re-scored EXACTLY by joining the full-precision vectors back on id,
+    * so the result admits nothing approximate, and misses a true pair only
+    * if quantization moved its cosine by more than `margin` — the error
+    * bound is ~2·(maxAbs/rms)/254 ≈ 0.03 for typical embeddings (see
+    * [[graft.ops.expr.QuantKernels]]); the 0.04 default covers it.
+    * Identical vectors quantize identically (cos_q = 1), so the
+    * recall-floor guarantee of the exact path carries over unchanged.
+    *
+    * The re-score join back to `df` is two hash joins of the (small)
+    * candidate pair set against the embedding table — at 100 TB that is a
+    * shuffle of candidates ∝ near-duplicate density, not of n².
+    */
+  def cosineNearDuplicatePairsIvfQuantized(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double,
+      centroids: Array[Array[Double]],
+      nProbe: Int = 2,
+      maxBucketSize: Int = 20000,
+      margin: Double = 0.04
+  ): DataFrame = {
+    require(nProbe >= 1, "nProbe must be >= 1")
+    require(margin >= 0, "margin must be >= 0")
+    import graft.ops.expr.NativeSig
+    val probes = NativeSig.nearestCentroids(col(vecCol), centroids, nProbe)
+    val assigned = graft.ops.Dedup.ensureParallelism(df)
+      .select(col(idCol).as("id"),
+        NativeSig.quantizeVec(col(vecCol)).as("qv"),
+        explode(probes).as("cell"))
+    val expanded = graft.ops.Dedup.observeBucketStats(
+      assigned
+        .groupBy(col("cell"))
+        .agg(graft.ops.expr.NativeSig.boundedCollectList(
+          struct(col("id"), col("qv")), maxBucketSize).as("__bl"))
+        .select(col("cell"),
+          col("__bl.items").as("ms"), col("__bl.cnt").as("__bsz")),
+      maxBucketSize)
+      .filter(col("__bsz").between(2, maxBucketSize))
+      .select(explode(col("ms")).as("a"), col("ms").as("__ms"))
+      .select(col("a"), explode(col("__ms")).as("b"))
+    val cand = expanded
+      .filter(col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        NativeSig.cosineSimQ(col("a.qv"), col("b.qv")).as("__qcos"))
+      .filter(col("__qcos") >= threshold - margin)
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+    val va = df.select(col(idCol).as("id_a"), col(vecCol).as("__va"))
+    val vb = df.select(col(idCol).as("id_b"), col(vecCol).as("__vb"))
+    cand.join(va, "id_a").join(vb, "id_b")
+      .select(col("id_a"), col("id_b"),
+        cosine(col("__va"), col("__vb")).as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+
   def cosineNearDuplicatePairsIvf(
       df: DataFrame,
       idCol: String,

@@ -999,6 +999,14 @@ object NativeSig {
   def cosineSim(a: Column, b: Column): Column =
     ColumnBridge.column(CosineSim(ColumnBridge.expression(a), ColumnBridge.expression(b)))
 
+  /** Column API for [[QuantizeVec]] — int8 vector payload ([[QuantKernels]]). */
+  def quantizeVec(vec: Column): Column =
+    ColumnBridge.column(QuantizeVec(ColumnBridge.expression(vec)))
+
+  /** Column API for [[CosineSimQ]] — approximate cosine over quantized payloads. */
+  def cosineSimQ(a: Column, b: Column): Column =
+    ColumnBridge.column(CosineSimQ(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
   /** Column API for [[NearestCentroid]]; `centroids` as (k × dim). */
   def nearestCentroid(vec: Column, centroids: Array[Array[Double]]): Column =
     ColumnBridge.column(

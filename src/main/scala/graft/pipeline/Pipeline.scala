@@ -348,7 +348,15 @@ object Pipeline {
                 s"trainSample must be true or a row target, got $other")
               case None => graft.ops.Similarity.trainCentroids(df, vec, cells)
             }
-            graft.ops.Similarity.cosineNearDuplicatePairsIvf(
+            // quantized: true rides int8 payloads through the bucket
+            // exchange (~3x less shuffle, ~4x less aggregation state;
+            // exact re-score join on survivors) — for memory-bound
+            // clusters / wide embeddings; costs extra stages when the
+            // buckets fit comfortably (measured ~3x wall at SF1/64-dim)
+            if (d.get("quantized").exists(_.toString.toBoolean))
+              graft.ops.Similarity.cosineNearDuplicatePairsIvfQuantized(
+                df, id, vec, thr, cents, nProbe)
+            else graft.ops.Similarity.cosineNearDuplicatePairsIvf(
               df, id, vec, thr, cents, nProbe)
           case other => throw new IllegalArgumentException(
             s"dedupEmbeddings method must be lsh|ivf, got $other")

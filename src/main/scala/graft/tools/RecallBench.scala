@@ -111,6 +111,36 @@ object RecallBench {
       (planes, tables, recall, got.size)
     }
 
+    // Quantized IVF pairs vs exact IVF pairs on the planted near-dup
+    // corpus: same centroids, same candidate structure — the quantized
+    // path must lose (retention) ~nothing to the int8 margin filter and
+    // may admit NOTHING spurious (final scoring is exact on both paths).
+    // Measured at the default margin and at margin 0 (the filter running
+    // at the raw threshold — how much the safety margin actually buys).
+    val pairCells = Similarity.ivfCellsFor(corpus.count())
+    val pairCents = Similarity.trainCentroidsSampled(
+      corpus, "embedding", pairCells, iters = 3)
+    val (ivfExactPairs, ivfExactSec) = timed {
+      Similarity.cosineNearDuplicatePairsIvf(
+        corpus, "vec_id", "embedding", threshold, pairCents)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    }
+    val quantSweep = Seq(0.04, 0.0).map { m =>
+      val (got, sec) = timed {
+        Similarity.cosineNearDuplicatePairsIvfQuantized(
+          corpus, "vec_id", "embedding", threshold, pairCents, margin = m)
+          .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      }
+      val retention =
+        if (ivfExactPairs.isEmpty) 1.0
+        else (got intersect ivfExactPairs).size.toDouble / ivfExactPairs.size
+      (m, retention, got.size, (got -- ivfExactPairs).size, sec)
+    }
+    val quantJson = quantSweep.map { case (m, ret, sz, spur, sec) =>
+      s""""margin_$m":{"retention":${f"$ret%.3f"},"pairs":$sz,""" +
+        s""""spurious":$spur,"sec":${f"$sec%.2f"}}"""
+    }.mkString("{", ",", "}")
+
     // Exact-Jaccard stop-gram ceiling sweep: maxGramDf bounds candidate
     // volume (Σ min(df, ceiling)² instead of Σ df² per prefix gram) at the
     // price of pairs whose every shared prefix gram is boilerplate. This
@@ -162,6 +192,9 @@ object RecallBench {
         s""""lsh_threshold":$threshold,"lsh_exact_pairs":${exactPairs.size},""" +
         s""""lsh_auto_params":"p${autoParams._1}_t${autoParams._2}",""" +
         s""""lsh_pair_recall":$lshJson,""" +
+        s""""ivf_pairs_exact":{"pairs":${ivfExactPairs.size},""" +
+        s""""sec":${f"$ivfExactSec%.2f"},"cells":$pairCells},""" +
+        s""""ivf_pairs_quantized":$quantJson,""" +
         s""""jaccard_threshold":$jt,"jaccard_exact_pairs":${exactJac.size},""" +
         s""""jaccard_exact_sec":${f"$exactJacSec%.2f"},""" +
         s""""jaccard_ceiling":$jaccardJson}"""

@@ -39,4 +39,55 @@ class Round9Spec extends SparkTestBase {
     assert(streamed.exceptAll(batch).count() == 0)
     assert(batch.exceptAll(streamed).count() == 0)
   }
+
+  test("int8 quantization: payload layout, cosine accuracy, zero vector") {
+    import graft.ops.expr.QuantKernels
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    def q(v: Array[Double]): Array[Byte] =
+      QuantKernels.quantize(ArrayData.toArrayData(v), isFloat = false)
+    def exact(a: Array[Double], b: Array[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val rnd = new scala.util.Random(7)
+    val dims = 64
+    for (_ <- 0 until 200) {
+      val a = Array.fill(dims)(rnd.nextGaussian())
+      val b0 = Array.fill(dims)(rnd.nextGaussian())
+      // mix in a near-duplicate sometimes so the high-cosine regime is hit
+      val b = if (rnd.nextBoolean()) a.zip(b0).map { case (x, y) => x + 0.1 * y }
+              else b0
+      val err = math.abs(QuantKernels.cosineQ(q(a), q(b)) - exact(a, b))
+      assert(err < 0.04, s"quantized cosine off by $err")
+    }
+    // payload: 4-byte scale header + one byte per dim
+    assert(q(Array.fill(dims)(1.0)).length == 4 + dims)
+    // zero vector: scale 0, cosine 0 against anything
+    assert(QuantKernels.cosineQ(q(Array.fill(dims)(0.0)),
+      q(Array.fill(dims)(1.0))) == 0.0)
+    // identical vectors: exactly 1.0 (codes equal)
+    val v = Array.fill(dims)(rnd.nextGaussian())
+    assert(QuantKernels.cosineQ(q(v), q(v)) == 1.0)
+  }
+
+  test("quantized IVF pairs == exact IVF pairs on the test embeddings") {
+    val e0 = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+      .filter(aggregate(col("embedding"), lit(0.0),
+        (a, x) => a + x.cast("double") * x.cast("double")) > 0)
+    val cents = Similarity.trainCentroids(e0, "embedding", k = 4, iters = 3)
+    val exactP = Similarity.cosineNearDuplicatePairsIvf(
+      e0, "vec_id", "embedding", threshold = 0.30, centroids = cents,
+      nProbe = 2, maxBucketSize = Int.MaxValue)
+      .select(col("id_a"), col("id_b"))
+    val quantP = Similarity.cosineNearDuplicatePairsIvfQuantized(
+      e0, "vec_id", "embedding", threshold = 0.30, centroids = cents,
+      nProbe = 2, maxBucketSize = Int.MaxValue)
+      .select(col("id_a"), col("id_b"))
+    assert(exactP.count() > 0)
+    // quantized ⊆ exact by construction (same candidates modulo the
+    // margin, exact re-score final); equality = margin covered the error
+    assert(quantP.exceptAll(exactP).count() == 0)
+    assert(exactP.exceptAll(quantP).count() == 0)
+  }
 }
