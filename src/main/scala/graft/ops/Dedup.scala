@@ -812,6 +812,16 @@ object Dedup {
     // will drop — members here carry full gram arrays (~KB each), so an
     // unbounded buffer on a boilerplate gram near the cap was a
     // multi-hundred-MB single aggregation row.
+    // Pair expansion + prune + verify FUSED in one generator
+    // (BucketJaccardPairs): the former double-explode spelling wrote an
+    // UnsafeRow carrying both members' full gram arrays per CANDIDATE —
+    // measured ~620 GB of short-lived allocation per q29 run at SF10
+    // (constant across runs; the G1 concurrent-mark CPU it induced on a
+    // fully-subscribed box was the adjudicated cause of the 244-408 s
+    // run-to-run swing). The generator walks the bucket array in place —
+    // same epsilon-guarded length filter, PPJoin positional prune
+    // (`pairKeep` above documents the math), and early-exit merge kernel —
+    // and allocates only survivor triples, ~the true-pair count.
     observeBucketStats(
       prefixArr
         .groupBy(col("g"))
@@ -820,13 +830,7 @@ object Dedup {
         .select(col("g"), col("__bl.items").as("ms"), col("__bl.cnt").as("__bsz")),
       maxBucketSize)
       .filter(col("__bsz").between(2, maxBucketSize))
-      .select(explode(col("ms")).as("a"), col("ms").as("__ms"))
-      .select(col("a"), explode(col("__ms")).as("b"))
-      .filter(pairKeep)
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        graft.ops.expr.NativeSig.jaccardSorted(col("a.ss"), col("b.ss"),
-          minJ = threshold).as("jaccard"))
-      .filter(col("jaccard") >= threshold)
+      .select(graft.ops.expr.NativeSig.bucketJaccardPairs(col("ms"), threshold))
       .distinct()
   }
 

@@ -970,6 +970,13 @@ object NativeSig {
     ColumnBridge.column(
       JaccardSorted(ColumnBridge.expression(a), ColumnBridge.expression(b), minJ))
 
+  /** Column API for [[BucketJaccardPairs]] — generator; select it alone to
+    * get (id_a, id_b, jaccard) survivor rows per bucket.
+    */
+  def bucketJaccardPairs(members: Column, threshold: Double): Column =
+    ColumnBridge.column(
+      BucketJaccardPairs(ColumnBridge.expression(members), threshold))
+
   /** Column API for [[WordShingles]]. */
   def wordShingles(text: Column, n: Int): Column =
     ColumnBridge.column(WordShingles(ColumnBridge.expression(text), n))

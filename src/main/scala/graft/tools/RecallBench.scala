@@ -146,8 +146,22 @@ object RecallBench {
     // price of pairs whose every shared prefix gram is boilerplate. This
     // turns that price into numbers: pair retention + dropped-candidate
     // stats + wall time per ceiling, against the exact (ceiling-off) run.
-    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
-      .select(col("doc_id"), col("text")).cache()
+    //
+    // The raw sf0.1 corpus has NO gram above df 20 — a sweep over it shows
+    // zero drops at every ceiling and measures nothing. Build the corpus
+    // the ceiling exists for: a 12-token boilerplate footer on EVERY doc
+    // (corpus-wide stop grams, like a site template or license header) and
+    // an exact duplicate of every 3rd doc (true pairs whose retention is
+    // at stake). Rarest-first prefix ranking should keep retention at 1.0
+    // — boilerplate grams are the commonest, so they enter a prefix only
+    // for documents with little else — and the sweep now verifies that
+    // claim with nonzero drop counts instead of assuming it.
+    val footer = " terms of service apply all rights reserved contact the site admin today"
+    val docsBase = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), concat(col("text"), lit(footer)).as("text"))
+    val docs = docsBase.union(
+      docsBase.filter(col("doc_id") % 3 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))).cache()
     val jt = 0.5
     val (exactJac, exactJacSec) = timed {
       graft.ops.Dedup.jaccardPairs(docs, "doc_id", "text", jt)

@@ -70,6 +70,26 @@ class Round9Spec extends SparkTestBase {
     assert(QuantKernels.cosineQ(q(v), q(v)) == 1.0)
   }
 
+  test("bucket-pair generator: string ids orient correctly; boundary-exact pair kept") {
+    import spark.implicits._
+    // J("a b c d", "a b c x") with 2-shingles: grams {ab,bc,cd} vs
+    // {ab,bc,cx} → inter 2, union 4, J = 0.5 — boundary-exact at t = 0.5
+    // (the epsilon-guarded prunes must keep it)
+    val docs = Seq(
+      ("zzz", "a b c d"), ("aaa", "a b c x"), ("mmm", "totally different text here"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", threshold = 0.5,
+      shingleN = 2)
+      .select("id_a", "id_b").as[(String, String)].collect().toSet
+    assert(pairs == Set(("aaa", "zzz"))) // oriented by id ORDER, not input order
+    // string-gram verification path (hashGrams = false) through the same
+    // generator
+    val pairsStr = Dedup.jaccardPairs(docs, "doc_id", "text", threshold = 0.5,
+      shingleN = 2, hashGrams = false)
+      .select("id_a", "id_b").as[(String, String)].collect().toSet
+    assert(pairsStr == Set(("aaa", "zzz")))
+  }
+
   test("quantized IVF pairs == exact IVF pairs on the test embeddings") {
     val e0 = spark.read.parquet(s"$dir/embeddings.parquet")
       .select(col("vec_id"), col("embedding"))
