@@ -512,8 +512,6 @@ object Dedup {
       .select(col("id"), col("len"), col("ss"),
         explode(lshBandHashes(col("sig"), bands, rowsPerBand)).as("bb"))
       .select(col("bb.band"), col("bb.band_hash"), col("id"), col("len"), col("ss"))
-    def ceilT(x: Column): Column =
-      ceil(x * lit(threshold * (1 - 1e-12)) - lit(1e-9))
     // bounded collect: over-cap buckets never materialize more than
     // maxBucketSize (gram-array-carrying) members — see bucketCandidatePairs
     observeBucketStats(
@@ -525,16 +523,10 @@ object Dedup {
           col("__bl.items").as("ms"), col("__bl.cnt").as("__bsz")),
       maxBucketSize)
       .filter(col("__bsz").between(2, maxBucketSize))
-      .select(explode(col("ms")).as("a"), col("ms").as("__ms"))
-      .select(col("a"), explode(col("__ms")).as("b"))
-      // length filter folded in front of the merge: J ≥ t ⟹ t·|A| ≤ |B|
-      .filter(col("a.id") < col("b.id") &&
-        col("b.len") >= ceilT(col("a.len")) &&
-        col("a.len") >= ceilT(col("b.len")))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        graft.ops.expr.NativeSig.jaccardSorted(col("a.ss"), col("b.ss"),
-          minJ = threshold).as("jaccard"))
-      .filter(col("jaccard") >= threshold)
+      // fused generator (3-field variant: no prefix rank, so length filter
+      // + merge kernel only) — survivor-only allocation, same adjudication
+      // as jaccardPairs' expansion
+      .select(graft.ops.expr.NativeSig.bucketJaccardPairs(col("ms"), threshold))
       .distinct()
   }
 
@@ -779,28 +771,14 @@ object Dedup {
     val sorted =
       if (hashGrams) sh.select(col("id"), col("sh").as("ss"))
       else sh.select(col("id"), sort_array(col("sh")).as("ss"))
-    // Pair expansion is a DOUBLE EXPLODE on the grouped row, map-side in
-    // the same stage that reads the bucket exchange. (A members-self-join
-    // plans the same bytes — ReuseExchange dedups the identical branches —
-    // but the explode spelling keeps the whole expansion in one codegen
-    // stage with no join machinery.)
-    //
-    // PPJoin-style positional prune, applied per shared-gram occurrence
-    // before anything heavier runs. rn is the gram's 1-based position in
-    // the doc's GLOBAL (df, g) sort — one consistent order across docs —
-    // so for a shared gram at positions (i, j):
+    // Pair expansion, the PPJoin positional prune (rn is the gram's
+    // 1-based position in the doc's GLOBAL (df, g) sort — one consistent
+    // order across docs — so for a shared gram at positions (i, j):
     // overlap ≤ min(i, j) + min(la−i, lb−j), and J ≥ t needs overlap ≥
-    // t·(la+lb)/(1+t). Upper bound ⇒ lossless; the ceil epsilon only
-    // LOOSENS the requirement (keeps boundary-exact pairs).
-    val posBound =
-      least(col("a.rn"), col("b.rn")) +
-        least(col("a.len") - col("a.rn"), col("b.len") - col("b.rn"))
-    def reqOverlap(la: Column, lb: Column): Column =
-      ceil((la + lb) * lit(threshold / (1 + threshold) * (1 - 1e-12)) - lit(1e-9))
-    val pairKeep = col("a.id") < col("b.id") &&
-      col("b.len") >= ceilT(col("a.len")) &&
-      col("a.len") >= ceilT(col("b.len")) &&
-      posBound >= reqOverlap(col("a.len"), col("b.len"))
+    // t·(la+lb)/(1+t); upper bound ⇒ lossless, with the same ceil-epsilon
+    // guard as ceilT), the length filter, and the merge-kernel verify all
+    // live in the BucketJaccardPairs generator below.
+    //
     // hint("merge") for the same reason as the df join-back above: the
     // array side is the whole corpus (one row per doc, gram array attached)
     // — never broadcastable at scale, whatever the estimates say
@@ -815,13 +793,14 @@ object Dedup {
     // Pair expansion + prune + verify FUSED in one generator
     // (BucketJaccardPairs): the former double-explode spelling wrote an
     // UnsafeRow carrying both members' full gram arrays per CANDIDATE —
-    // measured ~620 GB of short-lived allocation per q29 run at SF10
-    // (constant across runs; the G1 concurrent-mark CPU it induced on a
-    // fully-subscribed box was the adjudicated cause of the 244-408 s
-    // run-to-run swing). The generator walks the bucket array in place —
-    // same epsilon-guarded length filter, PPJoin positional prune
-    // (`pairKeep` above documents the math), and early-exit merge kernel —
-    // and allocates only survivor triples, ~the true-pair count.
+    // the SF10 adjudication measured the expansion as the allocation/
+    // bandwidth hotspot of the whole operator and the source of the
+    // 244-408 s run-to-run swing (G1 concurrent-mark CPU competing with
+    // 32 fully-subscribed worker threads). The generator walks the bucket
+    // array in place — same epsilon-guarded length filter, PPJoin
+    // positional prune (documented above), and early-exit merge kernel —
+    // and allocates only survivor triples, ~the true-pair count. Measured:
+    // SF10 q29 408 → 82 s warm, spread 244-408 s → ±0.1 s.
     observeBucketStats(
       prefixArr
         .groupBy(col("g"))

@@ -277,7 +277,11 @@ object Similarity {
     // the IVF pairs path).
     // bounded collect: an over-cap bucket never materializes more than
     // maxBucketSize (vector-carrying) members in its aggregation buffer
-    val expanded = Dedup.observeBucketStats(
+    // pair expansion + verify fused in a generator (survivor-only
+    // allocation — see BucketJaccardPairs for the adjudication that
+    // motivated the shape; the double-explode spelling materialized both
+    // vectors per candidate pair)
+    Dedup.observeBucketStats(
       buckets
         .groupBy(col("table"), col("sig"))
         .agg(graft.ops.expr.NativeSig.boundedCollectList(
@@ -286,13 +290,7 @@ object Similarity {
           col("__bl.items").as("ms"), col("__bl.cnt").as("__bsz")),
       maxBucketSize)
       .filter(col("__bsz").between(2, maxBucketSize))
-      .select(explode(col("ms")).as("a"), col("ms").as("__ms"))
-      .select(col("a"), explode(col("__ms")).as("b"))
-    expanded
-      .filter(col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        cosine(col("a.v"), col("b.v")).as("cosine"))
-      .filter(col("cosine") >= threshold)
+      .select(graft.ops.expr.NativeSig.bucketCosinePairs(col("ms"), threshold))
       .distinct()
   }
 
@@ -603,7 +601,9 @@ object Similarity {
       .select(col(idCol).as("id"),
         NativeSig.quantizeVec(col(vecCol)).as("qv"),
         explode(probes).as("cell"))
-    val expanded = graft.ops.Dedup.observeBucketStats(
+    // fused generator over int8 payloads, filtering at threshold − margin
+    // (the exact re-score below restores precision; see class scaladoc)
+    val cand = graft.ops.Dedup.observeBucketStats(
       assigned
         .groupBy(col("cell"))
         .agg(graft.ops.expr.NativeSig.boundedCollectList(
@@ -612,13 +612,7 @@ object Similarity {
           col("__bl.items").as("ms"), col("__bl.cnt").as("__bsz")),
       maxBucketSize)
       .filter(col("__bsz").between(2, maxBucketSize))
-      .select(explode(col("ms")).as("a"), col("ms").as("__ms"))
-      .select(col("a"), explode(col("__ms")).as("b"))
-    val cand = expanded
-      .filter(col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        NativeSig.cosineSimQ(col("a.qv"), col("b.qv")).as("__qcos"))
-      .filter(col("__qcos") >= threshold - margin)
+      .select(NativeSig.bucketCosinePairs(col("ms"), threshold - margin))
       .select(col("id_a"), col("id_b"))
       .distinct()
     val va = df.select(col(idCol).as("id_a"), col(vecCol).as("__va"))
@@ -643,7 +637,9 @@ object Similarity {
     val assigned = graft.ops.Dedup.ensureParallelism(df)
       .select(col(idCol).as("id"), col(vecCol).as("v"), explode(probes).as("cell"))
     // bounded collect: same over-cap memory bound as the sign-bit path
-    val expanded = graft.ops.Dedup.observeBucketStats(
+    // fused generator (see BucketJaccardPairs for the motivating
+    // adjudication): survivor-only allocation in the cell expansion
+    graft.ops.Dedup.observeBucketStats(
       assigned
         .groupBy(col("cell"))
         .agg(graft.ops.expr.NativeSig.boundedCollectList(
@@ -652,13 +648,7 @@ object Similarity {
           col("__bl.items").as("ms"), col("__bl.cnt").as("__bsz")),
       maxBucketSize)
       .filter(col("__bsz").between(2, maxBucketSize))
-      .select(explode(col("ms")).as("a"), col("ms").as("__ms"))
-      .select(col("a"), explode(col("__ms")).as("b"))
-    expanded
-      .filter(col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        cosine(col("a.v"), col("b.v")).as("cosine"))
-      .filter(col("cosine") >= threshold)
+      .select(graft.ops.expr.NativeSig.bucketCosinePairs(col("ms"), threshold))
       .distinct()
   }
 }

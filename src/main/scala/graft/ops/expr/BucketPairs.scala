@@ -31,7 +31,10 @@ import org.apache.spark.sql.types._
   * behavior is pinned by q29/q38/q42 staying oracle-green.
   *
   * Input: `array<struct<id, len: int, rn: int, ss: array<long|string>>>`
-  * — the bounded bucket struct built by [[graft.ops.Dedup.jaccardPairs]].
+  * — the bounded bucket struct built by [[graft.ops.Dedup.jaccardPairs]] —
+  * or the 3-field `array<struct<id, len: int, ss>>` variant (MinHash-LSH
+  * in-bucket verify carries no prefix rank; the positional prune is
+  * skipped, the length filter and kernel are identical).
   * Output columns: `id_a`, `id_b` (id's type), `jaccard` (double).
   */
 case class BucketJaccardPairs(child: Expression, threshold: Double)
@@ -40,21 +43,28 @@ case class BucketJaccardPairs(child: Expression, threshold: Double)
   private lazy val structType: StructType =
     child.dataType.asInstanceOf[ArrayType].elementType.asInstanceOf[StructType]
   private lazy val idType: DataType = structType(0).dataType
+  private lazy val hasRn: Boolean = structType.length == 4
+  private lazy val ssIdx: Int = if (hasRn) 3 else 2
   private lazy val ssElemIsLong: Boolean =
-    structType(3).dataType.asInstanceOf[ArrayType].elementType == LongType
+    structType(ssIdx).dataType.asInstanceOf[ArrayType].elementType == LongType
   private lazy val idOrdering: Ordering[Any] =
     TypeUtils.getInterpretedOrdering(idType)
+
+  private def ssOk(dt: DataType): Boolean = dt match {
+    case ArrayType(LongType, _) | ArrayType(StringType, _) => true
+    case _ => false
+  }
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(st: StructType, _) if st.length == 4 &&
         st(1).dataType == IntegerType && st(2).dataType == IntegerType &&
-        (st(3).dataType match {
-          case ArrayType(LongType, _) | ArrayType(StringType, _) => true
-          case _ => false
-        }) =>
+        ssOk(st(3).dataType) =>
+      TypeCheckResult.TypeCheckSuccess
+    case ArrayType(st: StructType, _) if st.length == 3 &&
+        st(1).dataType == IntegerType && ssOk(st(2).dataType) =>
       TypeCheckResult.TypeCheckSuccess
     case other => TypeCheckResult.TypeCheckFailure(
-      "bucket_jaccard_pairs needs array<struct<id, len: int, rn: int, " +
+      "bucket_jaccard_pairs needs array<struct<id, len: int[, rn: int], " +
         s"ss: array<bigint|string>>>, got ${other.simpleString}")
   }
 
@@ -74,6 +84,21 @@ case class BucketJaccardPairs(child: Expression, threshold: Double)
     val arr = child.eval(input).asInstanceOf[ArrayData]
     if (arr == null || arr.numElements() < 2) return Nil
     val n = arr.numElements()
+    // pre-extract member columns ONCE per bucket (primitives + n array
+    // views) instead of allocating two struct views per candidate pair —
+    // the m² loop then runs on primitive reads and the kernel only
+    val width = structType.length
+    val lens = new Array[Int](n)
+    val rns = if (hasRn) new Array[Int](n) else null
+    val sss = new Array[ArrayData](n)
+    var k = 0
+    while (k < n) {
+      val m = arr.getStruct(k, width)
+      lens(k) = m.getInt(1)
+      if (hasRn) rns(k) = m.getInt(2)
+      sss(k) = m.getArray(ssIdx)
+      k += 1
+    }
     new Iterator[InternalRow] {
       private var i = 0
       private var j = 1
@@ -82,29 +107,26 @@ case class BucketJaccardPairs(child: Expression, threshold: Double)
       private def advance(): Unit = {
         nextRow = null
         while (nextRow == null && i < n - 1) {
-          val a = arr.getStruct(i, 4)
-          val b = arr.getStruct(j, 4)
-          val la = a.getInt(1)
-          val lb = b.getInt(1)
+          val la = lens(i)
+          val lb = lens(j)
           // length filter (both directions) then the PPJoin positional
           // prune — cheap integer arithmetic before any array touch
           if (lb >= ceilT(la) && la >= ceilT(lb)) {
-            val ra = a.getInt(2)
-            val rb = b.getInt(2)
-            val posBound = math.min(ra, rb) +
-              math.min(la - ra, lb - rb)
-            if (posBound >= reqOverlap(la, lb)) {
-              val sa = a.getArray(3)
-              val sb = b.getArray(3)
+            val posOk = !hasRn || {
+              val ra = rns(i)
+              val rb = rns(j)
+              math.min(ra, rb) + math.min(la - ra, lb - rb) >= reqOverlap(la, lb)
+            }
+            if (posOk) {
               val jac =
-                if (ssElemIsLong) SigKernels.jaccardSortedLongMin(sa, sb, threshold)
-                else SigKernels.jaccardSortedMin(sa, sb, threshold)
+                if (ssElemIsLong) SigKernels.jaccardSortedLongMin(sss(i), sss(j), threshold)
+                else SigKernels.jaccardSortedMin(sss(i), sss(j), threshold)
               if (jac >= threshold) {
                 // copy ids out of the shared bucket buffer (UTF8String ids
                 // would otherwise alias reused bytes); survivors only, so
                 // the copies are ~true-pair volume
-                val ida = InternalRow.copyValue(a.get(0, idType))
-                val idb = InternalRow.copyValue(b.get(0, idType))
+                val ida = InternalRow.copyValue(arr.getStruct(i, width).get(0, idType))
+                val idb = InternalRow.copyValue(arr.getStruct(j, width).get(0, idType))
                 val cmp = idOrdering.compare(ida, idb)
                 if (cmp != 0) { // same-id members never pair (old a.id < b.id)
                   val out = new GenericInternalRow(3)

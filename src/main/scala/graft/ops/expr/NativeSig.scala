@@ -977,6 +977,13 @@ object NativeSig {
     ColumnBridge.column(
       BucketJaccardPairs(ColumnBridge.expression(members), threshold))
 
+  /** Column API for [[BucketCosinePairs]] — generator; (id_a, id_b,
+    * cosine) survivors per bucket; payload type picks the kernel.
+    */
+  def bucketCosinePairs(members: Column, threshold: Double): Column =
+    ColumnBridge.column(
+      BucketCosinePairs(ColumnBridge.expression(members), threshold))
+
   /** Column API for [[WordShingles]]. */
   def wordShingles(text: Column, n: Int): Column =
     ColumnBridge.column(WordShingles(ColumnBridge.expression(text), n))
