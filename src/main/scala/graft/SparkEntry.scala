@@ -1107,7 +1107,50 @@ object SparkEntry {
           |      total_qty: {sum: $l_quantity}
           |      n: {count: "*"}
           |      max_price: {max: $l_extendedprice}
-          |""".stripMargin, dir))
+          |""".stripMargin, dir)),
+    // Deterministic content-keyed sampling (ops/Sampling.scala): unlike
+    // df.sample (partition-order RNG) the md5-rank decision is a pure row
+    // property, so the EXACT selected row set replays in DuckDB — the
+    // oracle compares rows, not statistics (contrast q28's tolerance gate).
+    // Map-only: zero shuffle at any scale.
+    "q57_sample_det" -> ((s, dir) =>
+      graft.ops.Sampling.deterministicSample(
+        t(s, dir, "documents"), "doc_id", fraction = 0.25, seed = 7L)
+        .select(col("doc_id"), col("source"), col("n_chars"))),
+    // Exact k-per-stratum sample via the salted two-phase window; the
+    // oracle replays the full ranking in one window (small data) and must
+    // produce the identical row set the salted plan does.
+    "q57b_stratified" -> ((s, dir) =>
+      graft.ops.Sampling.topKPerStratum(
+        t(s, dir, "documents"), Seq("source"), 10, "doc_id", seed = 7L)
+        .select(col("source"), col("doc_id"))),
+    // Exact-count data mixture: largest-remainder allocation of a 200-row
+    // budget at weights .5/.3/.2 over three disjoint pseudo-sources; the
+    // oracle re-derives each source's smallest-rank rows with the same
+    // embedded allocation constants.
+    "q57c_mix" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val srcs = Seq(
+        "web" -> d.filter(col("doc_id") % 3 === 0),
+        "book" -> d.filter(col("doc_id") % 3 === 1),
+        "code" -> d.filter(col("doc_id") % 3 === 2))
+      graft.ops.Sampling.mixCorpora(
+        srcs, Seq("web" -> 0.5, "book" -> 0.3, "code" -> 0.2),
+        totalRows = 200, keyCol = "doc_id", seed = 7L)
+        .select(col("mix_source"), col("doc_id"))
+    }),
+    // Fraction-mode mixture — the 100 TB path: map-only Bernoulli per
+    // source (no windows, no counts), source name folded into the rank key
+    // so overlapping id spaces stay decorrelated.
+    "q57d_mix_frac" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val srcs = Seq(
+        "even" -> d.filter(col("doc_id") % 2 === 0),
+        "odd" -> d.filter(col("doc_id") % 2 === 1))
+      graft.ops.Sampling.mixCorporaByFraction(
+        srcs, Seq("even" -> 0.3, "odd" -> 0.6), keyCol = "doc_id", seed = 11L)
+        .select(col("mix_source"), col("doc_id"))
+    })
   )
 
   /** Fixed deterministic query vector for the ANN queries (inlined into the
@@ -1888,6 +1931,41 @@ object SparkEntry {
         |  max(l_extendedprice) AS max_price
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |WHERE o_orderstatus = 'F'
-        |GROUP BY l_returnflag""".stripMargin
+        |GROUP BY l_returnflag""".stripMargin,
+    "q57_sample_det" ->
+      s"""SELECT doc_id, source, n_chars FROM documents
+         |WHERE substr(md5('7:' || CAST(doc_id AS VARCHAR)), 1, 13)
+         |      < '${graft.ops.Sampling.thresholdHex(0.25)}'""".stripMargin,
+    "q57b_stratified" ->
+      """SELECT source, doc_id FROM (
+        |  SELECT source, doc_id,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY substr(md5('7:' || CAST(doc_id AS VARCHAR)), 1, 13),
+        |               doc_id) AS rn
+        |  FROM documents) WHERE rn <= 10""".stripMargin,
+    "q57c_mix" -> {
+      // same allocation code path the Spark query uses — the constants
+      // cannot drift between the two sides
+      val ks = graft.ops.Sampling
+        .allocate(Seq("web" -> 0.5, "book" -> 0.3, "code" -> 0.2), 200).toMap
+      Seq("web" -> 0, "book" -> 1, "code" -> 2).map { case (n, m) =>
+        s"""SELECT mix_source, doc_id FROM (
+           |  SELECT '$n' AS mix_source, doc_id,
+           |    row_number() OVER (
+           |      ORDER BY substr(md5('7:$n:' || CAST(doc_id AS VARCHAR)), 1, 13),
+           |               '$n:' || CAST(doc_id AS VARCHAR)) AS rn
+           |  FROM documents WHERE doc_id % 3 = $m) WHERE rn <= ${ks(n)}""".stripMargin
+      }.mkString("\nUNION ALL\n")
+    },
+    "q57d_mix_frac" ->
+      s"""SELECT 'even' AS mix_source, doc_id FROM documents
+         |WHERE doc_id % 2 = 0
+         |  AND substr(md5('11:even:' || CAST(doc_id AS VARCHAR)), 1, 13)
+         |      < '${graft.ops.Sampling.thresholdHex(0.3)}'
+         |UNION ALL
+         |SELECT 'odd' AS mix_source, doc_id FROM documents
+         |WHERE doc_id % 2 = 1
+         |  AND substr(md5('11:odd:' || CAST(doc_id AS VARCHAR)), 1, 13)
+         |      < '${graft.ops.Sampling.thresholdHex(0.6)}'""".stripMargin
   )
 }

@@ -457,6 +457,51 @@ object Pipeline {
           case f => df.sample(withReplacement = false, f.toString.toDouble, seed)
         }
 
+      case "sampleDeterministic" =>
+        // content-keyed md5-rank sample (ops/Sampling.scala): the row set is
+        // a pure function of the data — reproducible across engines,
+        // cluster sizes, and partitionings, unlike the RNG `sample` above
+        val sp = asMap(step("sampleDeterministic"), "sampleDeterministic")
+        graft.ops.Sampling.deterministicSample(
+          df, sp("key").toString, sp("fraction").toString.toDouble,
+          sp.get("seed").map(_.toString.toLong).getOrElse(42L))
+
+      case "takePerStratum" =>
+        val sp = asMap(step("takePerStratum"), "takePerStratum")
+        graft.ops.Sampling.topKPerStratum(
+          df, asSeq(sp("by")).map(_.toString), sp("k").toString.toInt,
+          sp("key").toString,
+          sp.get("seed").map(_.toString.toLong).getOrElse(42L),
+          sp.get("saltBuckets").map(_.toString.toInt).getOrElse(32))
+
+      case "mix" =>
+        // deterministic data mixture over named sources ('$self' = the
+        // current frame); exact-count mode (total + weights) or the
+        // map-only fraction mode (fractions)
+        val sp = asMap(step("mix"), "mix")
+        val named = orderedEntries(sp("sources"), "mix.sources").map {
+          case (name, tbl) =>
+            name -> (if (tbl == "$self") df else resolve(tbl.toString))
+        }
+        val key = sp("key").toString
+        val seed = sp.get("seed").map(_.toString.toLong).getOrElse(42L)
+        (sp.get("total"), sp.get("weights"), sp.get("fractions")) match {
+          case (Some(total), Some(w), None) =>
+            graft.ops.Sampling.mixCorpora(
+              named,
+              orderedEntries(w, "mix.weights").map { case (n, v) =>
+                n -> v.toString.toDouble },
+              total.toString.toLong, key, seed)
+          case (None, None, Some(f)) =>
+            graft.ops.Sampling.mixCorporaByFraction(
+              named,
+              orderedEntries(f, "mix.fractions").map { case (n, v) =>
+                n -> v.toString.toDouble },
+              key, seed)
+          case _ => throw new IllegalArgumentException(
+            "mix needs either (total + weights) or (fractions), not a blend")
+        }
+
       case "split" =>
         val sp = asMap(step("split"), "split")
         // ordered: weight order defines the bucket-threshold layout

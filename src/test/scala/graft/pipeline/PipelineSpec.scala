@@ -534,4 +534,55 @@ class PipelineSpec extends SparkTestBase {
       "approx: false must opt into the exact percentile")
   }
 
+  test("sampleDeterministic / takePerStratum / mix verbs") {
+    val det = Pipeline.runOnDir(spark,
+      """source: documents
+        |steps:
+        |  - sampleDeterministic: {key: doc_id, fraction: 0.5, seed: 7}
+        |""".stripMargin, dir)
+    val direct = graft.ops.Sampling.deterministicSample(
+      spark.read.parquet(s"$dir/documents.parquet"), "doc_id", 0.5, 7L)
+    assert(det.select("doc_id").as[Long].collect().toSet ==
+      direct.select("doc_id").as[Long].collect().toSet)
+
+    val strat = Pipeline.runOnDir(spark,
+      """source: documents
+        |steps:
+        |  - takePerStratum: {by: [source], k: 2, key: doc_id, seed: 7}
+        |""".stripMargin, dir)
+    val bySrc = strat.groupBy("source").count().as[(String, Long)].collect()
+    assert(bySrc.nonEmpty && bySrc.forall(_._2 <= 2))
+
+    // mix: current frame as '$self' plus a resolved table, fraction mode
+    val mixed = Pipeline.runOnDir(spark,
+      """source: documents
+        |steps:
+        |  - filter: $doc_id <= 24
+        |  - mix:
+        |      sources: {head: $self, all: documents}
+        |      fractions: {head: 1.0, all: 0.25}
+        |      key: doc_id
+        |      seed: 11
+        |""".stripMargin, dir)
+    val counts = mixed.groupBy("mix_source").count().as[(String, Long)].collect().toMap
+    val docsDf = spark.read.parquet(s"$dir/documents.parquet")
+    val nDocs = docsDf.count()
+    val nHead = docsDf.filter(col("doc_id") <= 24).count()
+    assert(counts("head") == nHead)
+    assert(counts.contains("all") && counts("all") < nDocs / 2)
+
+    // exact-count mode with weights
+    val exactMix = Pipeline.runOnDir(spark,
+      """source: documents
+        |steps:
+        |  - mix:
+        |      sources: {a: documents, b: documents}
+        |      weights: {a: 3, b: 1}
+        |      total: 40
+        |      key: doc_id
+        |""".stripMargin, dir)
+    val ec = exactMix.groupBy("mix_source").count().as[(String, Long)].collect().toMap
+    assert(ec == Map("a" -> 30L, "b" -> 10L))
+  }
+
 }
