@@ -67,7 +67,10 @@ object ScaleBench {
     "q26_quality", "q52_substring_mask",
     // CPU-dense language-ID sweep and the gzip-JSONL write+read roundtrip:
     // the ingestion-throughput and classification rows of the scale story
-    "q14_textstats", "q53_jsonl")
+    "q14_textstats", "q53_jsonl",
+    // deterministic sampling: the salted top-k window (shuffle-bearing)
+    // and the map-only fraction-mode mixture (must stay zero-shuffle)
+    "q57b_stratified", "q57d_mix_frac")
 
   /** Scale-path variants that the gate runs in verification form: the
     * DEFAULT (approx) profile, and the forced-shuffle CC regime sized with

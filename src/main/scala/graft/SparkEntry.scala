@@ -665,6 +665,24 @@ object SparkEntry {
           graft.ops.TextStats.tokenCountBpeExact(col("text"), model)
             .cast("long").as("n_tokens"))
     }),
+    // Exact BPE ENCODE over the same merge table and strings as q54b: the
+    // oracle pins the full id SEQUENCES (hand-derived; each step in
+    // BpeSpec) under the standard vocab numbering — byte symbols 0-255 in
+    // byte-alphabet discovery order ('!'=0, 'A'=32, space=220), merge r
+    // emits 256+r. size(ids) must equal q54b's counts by construction.
+    "q54d_bpe_encode" -> ((s, dir) => {
+      import s.implicits._
+      val model = graft.ops.expr.BpeModel.fromMergesLines(Seq(
+        "h e", "l l", "he ll", "hell o", "Ġ w", "o r", "Ġw or", "l d",
+        "Ġwor ld"))
+      Seq(
+        1L -> "hello world", 2L -> "hello", 3L -> "hell or ld",
+        4L -> "Hello", 5L -> "it's", 6L -> "é", 7L -> "a  b",
+        8L -> "hellohello world world")
+        .toDF("tid", "text")
+        .select(col("tid"),
+          graft.ops.TextStats.tokenizeBpe(col("text"), model).as("ids"))
+    }),
     // Concat-and-cut packing METERED BY THE EXACT BPE COUNTER (empty table
     // ⇒ bytes): same fragment contract as q46, but the slot unit is what a
     // byte-level tokenizer would see; DuckDB replays with strlen.
@@ -1712,6 +1730,21 @@ object SparkEntry {
       """SELECT tid::BIGINT AS tid, n_tokens::BIGINT AS n_tokens
         |FROM (VALUES (1, 2), (2, 1), (3, 5), (4, 4), (5, 4), (6, 2),
         |             (7, 4), (8, 4)) t(tid, n_tokens)""".stripMargin,
+    // id derivations: "hello"→259 (he,ll,hell,hello chain), " world"→264;
+    // "hell"=258, " or"=[Ġ=220, or=261], " ld"=[220, ld=263]; "Hello" has
+    // no h-e merge (case) → [H=39, e=68, ll=257, o=78]; "it's" pre-token
+    // split [i=72,t=83] + ['=6, s=82]; "é" = UTF-8 C3 A9 → printable-order
+    // ids [127, 102]; "a  b" → [a=64, Ġ=220, Ġ=220, b=65]
+    "q54d_bpe_encode" ->
+      """SELECT tid::BIGINT AS tid, ids FROM (VALUES
+        |  (1, [259, 264]),
+        |  (2, [259]),
+        |  (3, [258, 220, 261, 220, 263]),
+        |  (4, [39, 68, 257, 78]),
+        |  (5, [72, 83, 6, 82]),
+        |  (6, [127, 102]),
+        |  (7, [64, 220, 220, 65]),
+        |  (8, [259, 259, 264, 264])) t(tid, ids)""".stripMargin,
     // q46's replay with the slot unit swapped to strlen bytes, cut at 256.
     "q54c_bpe_pack" ->
       """WITH t AS (

@@ -43,6 +43,19 @@ object TextStats {
       graft.ops.expr.BpeCountExpr(ColumnBridge.expression(text), model))
   }
 
+  /** EXACT byte-level BPE tokenization → `array<int>` of token ids under
+    * the standard published numbering ([[graft.ops.expr.BpeModel
+    * .encodeTokens]]): the column a pipeline materializes when sequences
+    * leave text space — pack over it, write it, or feed it straight to a
+    * trainer. Same codegen'd kernel as the counter;
+    * `size(tokenizeBpe(x)) == tokenCountBpeExact(x)` always.
+    */
+  def tokenizeBpe(text: Column, model: graft.ops.expr.BpeModel): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(
+      graft.ops.expr.BpeEncodeExpr(ColumnBridge.expression(text), model))
+  }
+
   /** Characters of punctuation / total characters (0 for empty). */
   def punctRatio(text: Column): Column = {
     val n = length(text)

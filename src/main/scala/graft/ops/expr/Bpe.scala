@@ -100,6 +100,13 @@ final class BpeModel private (
     val ids = new Array[Int](n)
     var i = 0
     while (i < n) { ids(i) = bytes(i) & 0xFF; i += 1 }
+    mergeLoop(ids, n)
+  }
+
+  /** Run the merge loop in place over `ids(0 until n)`; returns the
+    * surviving symbol count (the prefix of `ids` holds the symbols).
+    */
+  private def mergeLoop(ids: Array[Int], n: Int): Int = {
     var len = n
     while (len > 1) {
       var bestRank = Int.MaxValue
@@ -118,12 +125,44 @@ final class BpeModel private (
       }
       if (bestPos < 0) return len
       ids(bestPos) = bestNew
-      j = bestPos + 1
-      while (j < len - 1) { ids(j) = ids(j + 1); j += 1 }
+      var k = bestPos + 1
+      while (k < len - 1) { ids(k) = ids(k + 1); k += 1 }
       len -= 1
     }
     len
   }
+
+  /** Token IDS under the standard published numbering: the 256 byte
+    * symbols take ids 0–255 in the byte-alphabet's discovery order
+    * (printable latin-1 bytes first, then the remapped rest — the order
+    * the GPT-2 `vocab.json` was generated in, so ids match any vocab
+    * produced by the standard script), and merge r's output is `256 + r`.
+    * `count == encode.length` by construction.
+    */
+  def encodeTokens(s: UTF8String): Array[Int] = {
+    val str = s.toString
+    val out = Array.newBuilder[Int]
+    val m = BpeModel.PreToken.matcher(str)
+    while (m.find()) {
+      val bytes =
+        str.substring(m.start, m.end).getBytes(StandardCharsets.UTF_8)
+      val n = bytes.length
+      val ids = new Array[Int](n)
+      var i = 0
+      while (i < n) { ids(i) = bytes(i) & 0xFF; i += 1 }
+      val len = if (n <= 1 || numMerges == 0) n else mergeLoop(ids, n)
+      i = 0
+      while (i < len) {
+        out += (if (ids(i) < 256) BpeModel.byteExternalId(ids(i)) else ids(i))
+        i += 1
+      }
+    }
+    out.result()
+  }
+
+  /** [[encodeTokens]] boxed for codegen call sites. */
+  def encodeArray(s: UTF8String): org.apache.spark.sql.catalyst.util.GenericArrayData =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(encodeTokens(s))
 }
 
 object BpeModel {
@@ -232,6 +271,20 @@ object BpeModel {
     * exactly). Useful as a fixture and as a byte-metered packing unit.
     */
   val empty: BpeModel = fromMergesLines(Nil)
+
+  /** External id of each raw byte under the published numbering: vocab
+    * position = index in the byte-alphabet's discovery order (printable
+    * latin-1 bytes 33–126, 161–172, 174–255 first, then the remapped
+    * non-printables in byte order). E.g. '!'=0, 'A'=32, space=220 — the
+    * ids any standard-script `vocab.json` assigns them.
+    */
+  private[expr] val byteExternalId: Array[Int] = {
+    val printable = ((33 to 126) ++ (161 to 172) ++ (174 to 255)).toVector
+    val rest = (0 to 255).filterNot(printable.toSet)
+    val arr = new Array[Int](256)
+    (printable ++ rest).zipWithIndex.foreach { case (b, i) => arr(b) = i }
+    arr
+  }
 }
 
 /** Codegen'd exact-BPE token count: `bpe_count(text)` under a fixed
@@ -258,5 +311,34 @@ case class BpeCountExpr(child: Expression, model: BpeModel)
   }
 
   override protected def withNewChildInternal(newChild: Expression): BpeCountExpr =
+    copy(child = newChild)
+}
+
+/** Codegen'd exact-BPE tokenization: `bpe_encode(text)` → `array<int>` of
+  * token ids under a fixed [[BpeModel]] (standard vocab numbering — see
+  * [[BpeModel.encodeTokens]]). Null in → null out; empty string → empty
+  * array. `size(bpe_encode(x)) == bpe_count(x)` always.
+  */
+case class BpeEncodeExpr(child: Expression, model: BpeModel)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other =>
+      TypeCheckResult.TypeCheckFailure(
+        s"bpe_encode needs a string column, got $other")
+  }
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "bpe_encode"
+
+  override protected def nullSafeEval(input: Any): Any =
+    model.encodeArray(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bpeModel", model, classOf[BpeModel].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.encodeArray($c)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BpeEncodeExpr =
     copy(child = newChild)
 }

@@ -631,6 +631,19 @@ object Pipeline {
           windowTokens = m.get("window").map(_.toString.toInt).getOrElse(8),
           minRepeats = m.get("minRepeats").map(_.toString.toInt).getOrElse(2))
 
+      case "tokenize" =>
+        // {text: col, as?: tokens, merges?: path} — exact byte-level BPE
+        // ids under a published merges.txt (no merges: ids are the byte
+        // alphabet). The model loads driver-side once and rides the task
+        // binary; the kernel itself is codegen'd and map-only.
+        val tk = asMap(step("tokenize"), "tokenize")
+        val model = tk.get("merges") match {
+          case Some(p) => graft.ops.expr.BpeModel.fromMergesFile(p.toString)
+          case None    => graft.ops.expr.BpeModel.empty
+        }
+        df.withColumn(tk.getOrElse("as", "tokens").toString,
+          graft.ops.TextStats.tokenizeBpe(col(tk("text").toString), model))
+
       case "fixEncoding" =>
         // {text: col, as: out (default: rewrite in place), passes: 3} —
         // mojibake repair (cp1252/latin-1-misdecoded UTF-8, incl. double

@@ -107,4 +107,39 @@ class BpeSpec extends SparkTestBase {
       .agg(sum(octet_length($"text"))).head().getLong(0)
     assert(bySeq.map(_._2).sum == totalBytes)
   }
+
+  private def encode(m: BpeModel, s: String): Seq[Int] =
+    m.encodeTokens(UTF8String.fromString(s)).toSeq
+
+  test("encode: standard vocab numbering — bytes in alphabet order, merges at 256+r") {
+    // byte symbols: '!' opens the printable block, 'A' is 32 positions in,
+    // space is the 33rd non-printable after the 188 printables
+    assert(encode(BpeModel.empty, "!") == Seq(0))
+    assert(encode(BpeModel.empty, "A") == Seq(32))
+    assert(encode(BpeModel.empty, " ") == Seq(220))
+    // the q54d derivations, end to end (each also pinned in the oracle)
+    assert(encode(model, "hello world") == Seq(259, 264))
+    assert(encode(model, "hell or ld") == Seq(258, 220, 261, 220, 263))
+    assert(encode(model, "Hello") == Seq(39, 68, 257, 78))
+    assert(encode(model, "it's") == Seq(72, 83, 6, 82))
+    assert(encode(model, "é") == Seq(127, 102))
+    assert(encode(model, "a  b") == Seq(64, 220, 220, 65))
+    assert(encode(model, "hellohello world world") == Seq(259, 259, 264, 264))
+    assert(encode(model, "") == Seq.empty)
+  }
+
+  test("encode: size(ids) == count on real documents; codegen'd and null-safe") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val checked = docs.select(
+      TextStats.tokenizeBpe($"text", model).as("ids"),
+      TextStats.tokenCountBpeExact($"text", model).as("n"))
+    assert(checked.filter(size($"ids") =!= $"n").count() == 0)
+    // null in → null out
+    val row = Seq((1, null: String)).toDF("i", "text")
+      .select(TextStats.tokenizeBpe($"text", model).as("ids")).head()
+    assert(row.isNullAt(0))
+    // the expression stays inside whole-stage codegen (rendered "*(n)")
+    val plan = checked.queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project [bpe_encode"), plan)
+  }
 }

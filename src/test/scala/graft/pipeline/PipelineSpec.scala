@@ -585,4 +585,25 @@ class PipelineSpec extends SparkTestBase {
     assert(ec == Map("a" -> 30L, "b" -> 10L))
   }
 
+  test("tokenize verb: merges file → id arrays; no merges → byte ids") {
+    val mergesFile = java.io.File.createTempFile("graft_merges", ".txt")
+    mergesFile.deleteOnExit()
+    java.nio.file.Files.write(mergesFile.toPath,
+      java.util.Arrays.asList("#version: 0.2", "h e", "l l", "he ll", "hell o"))
+    val out = Pipeline.run(spark,
+      s"""source: docs
+         |steps:
+         |  - tokenize: {text: text, merges: ${mergesFile.getAbsolutePath}, as: ids}
+         |""".stripMargin,
+      (_: String) => Seq((1L, "hello")).toDF("doc_id", "text"))
+    assert(out.select("ids").as[Seq[Int]].head() == Seq(259))
+    val bytes = Pipeline.run(spark,
+      """source: docs
+        |steps:
+        |  - tokenize: {text: text}
+        |""".stripMargin,
+      (_: String) => Seq((1L, "!A")).toDF("doc_id", "text"))
+    assert(bytes.select("tokens").as[Seq[Int]].head() == Seq(0, 32))
+  }
+
 }
