@@ -1126,6 +1126,15 @@ object SparkEntry {
           |      n: {count: "*"}
           |      max_price: {max: $l_extendedprice}
           |""".stripMargin, dir)),
+    // Bigram-LM perplexity quality scoring (ops/LangModel.scala), corpus
+    // self-scored: Laplace-smoothed bigram probabilities, per-bigram log
+    // probs rounded to 6 then summed EXACTLY as decimal(38,12) — the whole
+    // training + scoring computation replays in DuckDB, including V and
+    // the context/bigram count tables.
+    "q58_perplexity" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      graft.ops.LangModel.scorePerplexity(d, "doc_id", "text", d, "text")
+    }),
     // Deterministic content-keyed sampling (ops/Sampling.scala): unlike
     // df.sample (partition-order RNG) the md5-rank decision is a pure row
     // property, so the EXACT selected row set replays in DuckDB — the
@@ -1965,6 +1974,32 @@ object SparkEntry {
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |WHERE o_orderstatus = 'F'
         |GROUP BY l_returnflag""".stripMargin,
+    "q58_perplexity" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id,
+         |    list_filter(string_split_regex(text, '$wsClassSql'), t -> t <> '') AS ts
+         |  FROM documents
+         |), bigr AS (
+         |  SELECT doc_id, unnest(ts[1:len(ts)-1]) AS prev, unnest(ts[2:len(ts)]) AS w
+         |  FROM toks WHERE len(ts) >= 2
+         |), voc AS (
+         |  SELECT count(DISTINCT t) AS V FROM (SELECT unnest(ts) AS t FROM toks)
+         |), ctx AS (
+         |  SELECT prev, count(*) AS c_prev FROM bigr GROUP BY prev
+         |), big AS (
+         |  SELECT prev, w, count(*) AS c_bg FROM bigr GROUP BY prev, w
+         |), lp AS (
+         |  SELECT b.doc_id,
+         |    round(ln((bg.c_bg + 1)::DOUBLE / (c.c_prev + v.V)::DOUBLE), 6) AS logp
+         |  FROM bigr b
+         |  JOIN big bg USING (prev, w)
+         |  JOIN ctx c USING (prev)
+         |  CROSS JOIN voc v
+         |)
+         |SELECT doc_id, count(*)::BIGINT AS n_bigrams,
+         |  round(sum(CAST(logp AS DECIMAL(38,12)))::DOUBLE / count(*), 6) AS avg_logp,
+         |  round(exp(-(sum(CAST(logp AS DECIMAL(38,12)))::DOUBLE / count(*))), 4) AS ppl
+         |FROM lp GROUP BY doc_id""".stripMargin,
     "q57_sample_det" ->
       s"""SELECT doc_id, source, n_chars FROM documents
          |WHERE substr(md5('7:' || CAST(doc_id AS VARCHAR)), 1, 13)

@@ -631,6 +631,18 @@ object Pipeline {
           windowTokens = m.get("window").map(_.toString.toInt).getOrElse(8),
           minRepeats = m.get("minRepeats").map(_.toString.toInt).getOrElse(2))
 
+      case "perplexity" =>
+        // {id, text, train?: table (default: self)} — bigram-LM quality
+        // scores joined back onto the frame (left: docs with <2 tokens get
+        // null ppl), so `- filter: $ppl < N` composes downstream
+        val pp = asMap(step("perplexity"), "perplexity")
+        val id = pp("id").toString
+        val train = pp.get("train").map(tn => resolve(tn.toString)).getOrElse(df)
+        val scores = graft.ops.LangModel.scorePerplexity(
+          df, id, pp("text").toString,
+          train, pp.getOrElse("trainText", pp("text")).toString)
+        df.join(scores, Seq(id), "left")
+
       case "tokenize" =>
         // {text: col, as?: tokens, merges?: path} — exact byte-level BPE
         // ids under a published merges.txt (no merges: ids are the byte

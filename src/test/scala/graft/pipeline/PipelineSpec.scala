@@ -585,6 +585,21 @@ class PipelineSpec extends SparkTestBase {
     assert(ec == Map("a" -> 30L, "b" -> 10L))
   }
 
+  test("perplexity verb: scores joined back, filterable downstream") {
+    val out = Pipeline.runOnDir(spark,
+      """source: documents
+        |steps:
+        |  - perplexity: {id: doc_id, text: text}
+        |  - filter: $ppl >= 1.0
+        |""".stripMargin, dir)
+    assert(out.columns.contains("ppl") && out.columns.contains("text"))
+    assert(out.count() > 0)
+    val direct = graft.ops.LangModel.scorePerplexity(
+      spark.read.parquet(s"$dir/documents.parquet"), "doc_id", "text",
+      spark.read.parquet(s"$dir/documents.parquet"), "text")
+    assert(out.count() == direct.filter($"ppl" >= 1.0).count())
+  }
+
   test("tokenize verb: merges file → id arrays; no merges → byte ids") {
     val mergesFile = java.io.File.createTempFile("graft_merges", ".txt")
     mergesFile.deleteOnExit()
