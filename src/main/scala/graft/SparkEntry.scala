@@ -993,6 +993,16 @@ object SparkEntry {
     "q30_vocab" -> ((s, dir) =>
       graft.ops.Corpus.topTokens(t(s, dir, "documents"), "text", 20)
         .select(col("token"), col("n"))),
+    // Sketch-exact vocabulary: Misra–Gries candidate generation + exact
+    // recount of candidates only, strict certificate (k-th count > err
+    // bound) — so green means the sketch route PROVABLY returned the exact
+    // global top-20, byte-identical to q30's full-shuffle answer, while the
+    // scale plan exchanges numPartitions bounded sketches instead of every
+    // distinct token.
+    "q59_vocab_sketch" -> ((s, dir) =>
+      graft.ops.Corpus.topTokensSketch(
+        t(s, dir, "documents"), "text", 20, budget = 4096, strict = true)
+        .select(col("token"), col("n"))),
     // Text normalization + normalized-exact dedup: case/punctuation/
     // whitespace variants collapse to one hash key.
     "q37_normalize" -> ((s, dir) => {
@@ -1023,6 +1033,21 @@ object SparkEntry {
       val e = t(s, dir, "embeddings")
       val cents = Similarity.trainCentroids(e, "embedding", k = 8, iters = 3)
       Similarity.ivfTopK(e, "vec_id", "embedding", cents, AnnQueryVec, 20, nProbe = 8)
+        .select(col("vec_id"), round(col("score"), 6).as("score"))
+    }),
+    // IVFADC (product quantization): codes-ranked candidates, exact
+    // re-score. At full probe + full refine nothing is pruned and the
+    // re-score is exact cosine with the same (score desc, id) tie-break as
+    // bruteForceTopK — so this provably equals q16's brute-force answer and
+    // shares its DuckDB oracle; the plumbing under gate is train → encode →
+    // ADC rank → refine join. Pruned-setting recall is measured in
+    // RECALL.json and floor-pinned in PqSpec.
+    "q60_pq_topk" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val cents = Similarity.trainCentroids(e, "embedding", k = 8, iters = 3)
+      val cb = graft.ops.Pq.train(e, "embedding", m = 8, ksub = 64, iters = 5)
+      graft.ops.Pq.ivfTopKPqAdc(e, "vec_id", "embedding", cents, cb,
+          AnnQueryVec, 20, nProbe = 8, refine = Int.MaxValue / 20)
         .select(col("vec_id"), round(col("score"), 6).as("score"))
     }),
     // IVF-bucketed cosine PAIRS (the low-threshold near-dup scale path)
@@ -1453,6 +1478,14 @@ object SparkEntry {
          |             ELSE list_cosine_similarity(embedding::DOUBLE[], $annVecSql::DOUBLE[]) END, 6) AS score
          |FROM embeddings""".stripMargin,
     "q16_ann_topk" ->
+      s"""SELECT vec_id,
+         |  round(list_cosine_similarity(embedding::DOUBLE[], $annVecSql::DOUBLE[]), 6) AS score
+         |FROM embeddings
+         |ORDER BY list_cosine_similarity(embedding::DOUBLE[], $annVecSql::DOUBLE[]) DESC, vec_id
+         |LIMIT 20""".stripMargin,
+    // q60 provably equals the brute-force top-20 (full probe + full refine,
+    // exact re-score) — same oracle as q16.
+    "q60_pq_topk" ->
       s"""SELECT vec_id,
          |  round(list_cosine_similarity(embedding::DOUBLE[], $annVecSql::DOUBLE[]), 6) AS score
          |FROM embeddings
@@ -1948,6 +1981,15 @@ object SparkEntry {
         |  round(tf.tf * ln(n.n::DOUBLE / dfreq.df), 6) AS tf_idf
         |FROM tf JOIN dfreq USING (token) CROSS JOIN n""".stripMargin,
     "q30_vocab" ->
+      """SELECT token, count(*) AS n
+        |FROM (SELECT unnest(list_filter(string_split_regex(text, '[ \t\n\x0B\f\r]+'), t -> t <> '')) AS token
+        |      FROM documents)
+        |GROUP BY token
+        |ORDER BY n DESC, token
+        |LIMIT 20""".stripMargin,
+    // Same exact answer as q30 — the sketch path certifies exactness, so the
+    // oracle is the plain exact top-20.
+    "q59_vocab_sketch" ->
       """SELECT token, count(*) AS n
         |FROM (SELECT unnest(list_filter(string_split_regex(text, '[ \t\n\x0B\f\r]+'), t -> t <> '')) AS token
         |      FROM documents)

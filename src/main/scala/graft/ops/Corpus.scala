@@ -150,6 +150,86 @@ object Corpus {
       .orderBy(col("n").desc, col("token").asc)
       .limit(k)
 
+  /** Single-pass Misra–Gries heavy-hitters sketch over the token stream —
+    * one row `(n, err, items)` where `items` holds ≤ `budget`
+    * `(token, est)` pairs with the guarantee `est ≤ true ≤ est + err`,
+    * absent ⇒ true ≤ err. Aggregation state is `budget`-bounded per
+    * partition and merges associatively, so there is NO (token) shuffle —
+    * one partial sketch per map partition, one final merge. This is the
+    * 100 TB vocabulary path: exact [[tokenFrequencies]] exchanges a row per
+    * distinct token per partition (billions of keys on raw web n-grams);
+    * this exchanges `numPartitions` fixed-size sketches.
+    */
+  def tokenSketch(df: DataFrame, textCol: String, budget: Int): DataFrame = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    df.select(explode(TextStats.tokens(col(textCol))).as("token"))
+      .agg(ColumnBridge.column(
+        graft.ops.expr.MisraGriesSketch(
+          ColumnBridge.expression(col("token")), budget).toAggregateExpression()).as("sk"))
+      .select(col("sk.n").as("n"), col("sk.err").as("err"),
+        col("sk.items").as("items"))
+  }
+
+  /** Exact top-k vocabulary via sketch → candidates → recount, with a
+    * machine-checked exactness certificate. Pass 1 builds the MG sketch
+    * (no token shuffle; ≤ `budget` candidate tokens reach the driver).
+    * Pass 2 recounts ONLY the candidate tokens exactly (broadcast semi-join
+    * filter, so the aggregation exchange carries ≤ `budget` distinct keys).
+    * The result is provably the exact global top-k whenever the k-th
+    * candidate's recounted frequency strictly exceeds the sketch's `err`
+    * bound — every non-candidate token has true count ≤ err, so none can
+    * reach rank k. If the certificate fails (budget too small for the
+    * distribution's tail), falls back to the exact [[topTokens]] plan so
+    * the answer is ALWAYS exact; pass `strict = true` to error instead —
+    * at 100 TB you'd rather size the budget than silently pay the full
+    * shuffle.
+    *
+    * Output matches [[topTokens]]: `(token, n)`, ties broken by token —
+    * deterministic, DuckDB-replayable.
+    */
+  def topTokensSketch(
+      df: DataFrame,
+      textCol: String,
+      k: Int,
+      budget: Int = 8192,
+      strict: Boolean = false): DataFrame = {
+    require(budget >= k, s"sketch budget $budget must be >= k ($k)")
+    val spark = df.sparkSession
+    val toks = df.select(explode(TextStats.tokens(col(textCol))).as("token"))
+    val skRow = tokenSketch(df, textCol, budget)
+      .select(col("err"), col("items.token").as("cands"))
+      .head()
+    val err = skRow.getLong(0)
+    val cands = skRow.getSeq[String](1).toList
+    import spark.implicits._
+    val candDf = cands.toDF("token")
+    val top = toks
+      .join(broadcast(candDf), Seq("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token").asc)
+      .limit(k)
+    val topRows = top.collect() // ≤ k rows by construction
+    // err == 0 ⇒ the sketch never evicted: it holds EVERY distinct token
+    // exactly, so the recount is the complete answer (even with < k rows).
+    // Otherwise the certificate needs a full k candidates whose k-th count
+    // strictly beats the undercount bound — a SHORT candidate list under
+    // err > 0 proves nothing (unseen tokens may outrank missing ranks).
+    val certified =
+      err == 0L || (topRows.length == k && topRows.last.getLong(1) > err)
+    if (certified) {
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(topRows.toIndexedSeq, 1), top.schema)
+    } else if (strict) {
+      throw new IllegalStateException(
+        s"topTokensSketch certificate failed: k-th candidate count " +
+          s"${topRows.last.getLong(1)} <= err bound $err at budget $budget — " +
+          "raise the budget (err shrinks ~1/budget) or use topTokens")
+    } else {
+      topTokens(df, textCol, k)
+    }
+  }
+
   /** Canonical text normalization — the step before exact dedup, so that
     * case/whitespace/punctuation variants hash identically: lowercase,
     * optionally strip punctuation, collapse whitespace runs, trim. Pure
