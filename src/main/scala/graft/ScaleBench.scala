@@ -70,7 +70,12 @@ object ScaleBench {
     "q14_textstats", "q53_jsonl",
     // deterministic sampling: the salted top-k window (shuffle-bearing)
     // and the map-only fraction-mode mixture (must stay zero-shuffle)
-    "q57b_stratified", "q57d_mix_frac")
+    "q57b_stratified", "q57d_mix_frac",
+    // vocabulary A/B: exact top-20 (per-distinct-token exchange) vs the
+    // Misra–Gries sketch route (numPartitions bounded sketches + candidate
+    // recount) — the sketch row's shuffle bytes must stay ~flat with scale
+    // while the exact row's grow with distinct tokens
+    "q30_vocab", "q59_vocab_sketch")
 
   /** Scale-path variants that the gate runs in verification form: the
     * DEFAULT (approx) profile, and the forced-shuffle CC regime sized with
@@ -122,6 +127,20 @@ object ScaleBench {
       graft.ops.Similarity.cosineNearDuplicatePairsIvfQuantized(
         e, "vec_id", "embedding", threshold = 0.85,
         centroids = fixedCentroids(16, 64))
+    }),
+    // IVFADC top-k at pruned settings with a FIXED codebook (training out
+    // of the timed query, same reasoning as the IVF A/B rows): the per-row
+    // cost under measure is encode + m-lookup ADC over probed cells, and
+    // it must scale linearly with corpus rows at ~zero shuffle (TakeOrdered
+    // + a k·refine-row re-score join).
+    "x_pq_topk" -> ((s, dir) => {
+      val e = s.read.parquet(s"$dir/embeddings.parquet")
+        .select(col("vec_id"), col("embedding"))
+      val cb = graft.ops.Pq.Codebook(8, 64, 8,
+        Array.tabulate(8 * 64 * 8)(i => (((i * 31) % 23) - 11) / 10.0))
+      graft.ops.Pq.ivfTopKPqAdc(e, "vec_id", "embedding",
+        fixedCentroids(16, 64), cb, SparkEntry.AnnQueryVec, 20,
+        nProbe = 4, refine = 8)
     }))
 
   /** Deterministic centroid table for the IVF A/B rows: pair-generation

@@ -171,6 +171,77 @@ object StreamingOps {
       .filter(col("cosine") >= threshold)
   }
 
+  /** MinHash-LSH near-duplicate pairs on a stream with BOUNDED state — the
+    * streaming counterpart of [[Dedup.nearDuplicatePairs]], completing the
+    * streaming near-dup family (exact / SimHash / cosine / MinHash). Same
+    * signature construction as batch, seed-compatible end to end: shingles
+    * lower to sorted distinct xxhash64 longs, the fused minhash kernel
+    * consumes those longs, and [[Dedup.lshBandHashes]] cuts the signature
+    * into the same (band, band_hash) keys — so a batch backfill and the
+    * live stream bucket identically (pinned in StreamingSpec).
+    *
+    * Shape: signatures and band keys are STATELESS map-side columns; the
+    * only state is the stream–stream self-join on (band, band_hash) with a
+    * ±`delay` event-time bound. The sorted gram-hash array rides the state
+    * (the exact-Jaccard verify needs it inline — there is no second stream
+    * to join back to), so each side holds ~`bands` × gram-array longs per
+    * doc within the horizon, watermark-evicted — the streaming analogue of
+    * the batch rule that arrays ride buckets, never per-pair exchanges.
+    *
+    * Contract (same trades as the SimHash/cosine variants, inherent to
+    * streams): a pair sharing several bands emits once per shared band
+    * (compose [[dedupExactWithinWatermark]] over (id_a, id_b) downstream
+    * for exactly-once pairs); only pairs within `delay` of each other are
+    * found — the watermark IS the dedup horizon, and it also bounds bucket
+    * membership by time, replacing the batch skew cap.
+    */
+  def minhashPairsWithinWatermark(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      tsCol: String,
+      delay: String,
+      threshold: Double = 0.8,
+      shingleN: Int = 3,
+      numHashes: Int = 64,
+      bands: Int = 16
+  ): DataFrame = {
+    require(threshold > 0 && threshold <= 1, "threshold must be in (0, 1]")
+    val rowsPerBand = numHashes / bands
+    require(bands * rowsPerBand == numHashes, "bands must divide numHashes")
+    // blank docs shingle to an empty array → no signature, no banding
+    // (exact dedup owns identical-empty documents, as in batch)
+    val banded = df
+      .select(col(idCol).as("id"), col(tsCol).as("ts"),
+        graft.ops.expr.NativeSig.hashSortedDistinct(
+          Dedup.shingles(col(textCol), shingleN)).as("ss"))
+      .filter(size(col("ss")) > 0)
+      .select(col("id"), col("ts"), col("ss"),
+        graft.ops.expr.NativeSig.minhashSignature(col("ss"), numHashes).as("sig"))
+      .select(col("id"), col("ts"), col("ss"),
+        explode(Dedup.lshBandHashes(col("sig"), bands, rowsPerBand)).as("bb"))
+      .select(col("id"), col("ts"), col("ss"),
+        col("bb.band").as("band"), col("bb.band_hash").as("band_hash"))
+      .withWatermark("ts", delay)
+    val a = banded.select(col("id").as("id_a"), col("ts").as("ts_a"),
+      col("ss").as("ss_a"), col("band").as("band_a"), col("band_hash").as("hash_a"))
+    val b = banded.select(col("id").as("id_b"), col("ts").as("ts_b"),
+      col("ss").as("ss_b"), col("band").as("band_b"), col("band_hash").as("hash_b"))
+    a.join(b,
+        col("band_a") === col("band_b") &&
+          col("hash_a") === col("hash_b") &&
+          col("id_a") < col("id_b") &&
+          // event-time bound — REQUIRED for state eviction in a
+          // stream-stream join; also the semantic dedup horizon
+          col("ts_b") >= col("ts_a") - expr(s"INTERVAL $delay") &&
+          col("ts_b") <= col("ts_a") + expr(s"INTERVAL $delay"))
+      .select(col("id_a"), col("id_b"),
+        graft.ops.expr.NativeSig.jaccardSorted(
+          col("ss_a"), col("ss_b"), threshold).as("jaccard"),
+        col("ts_a"), col("ts_b"))
+      .filter(col("jaccard") >= threshold)
+  }
+
   /** Event sessionization: per-key sessions closed after `gap` of
     * inactivity, with count and start/end bounds. Built on Spark's native
     * `session_window` (merging windowed state, watermark-evicted) rather

@@ -76,6 +76,32 @@ object RecallBench {
     val ivf = ivfSweep(centroids)
     val ivfSampled = ivfSweep(centroidsSampled)
 
+    // IVFADC (product quantization): recall@k of codes-ranked candidates
+    // with exact re-scoring, over (nProbe, refine). The full-probe
+    // full-refine row must be 1.000 (nothing pruned + exact re-score ⇒
+    // provably the brute-force answer — q60's gate); the pruned rows price
+    // the 4·d→m byte compression in recall terms.
+    val (cbPq, pqTrainSec) =
+      timed(graft.ops.Pq.train(embs, "embedding", m = 8, ksub = 64, iters = 8))
+    def pqRecall(nProbe: Int, refine: Int): Double =
+      queries.map { case (qid, qv) =>
+        val got = topIds(graft.ops.Pq.ivfTopKPqAdc(
+          embs, "vec_id", "embedding", centroids, cbPq, qv.toSeq, k, nProbe, refine))
+        (got intersect exact(qid)).size.toDouble / k
+      }.sum / queries.length
+    val pqSweep = for {
+      nProbe <- Seq(2, 8, cells); refine <- Seq(1, 4, 16)
+    } yield (nProbe, refine, pqRecall(nProbe, refine))
+    val pqFull = pqRecall(cells, Int.MaxValue / k)
+    val pqJson = {
+      val rows = pqSweep.map { case (p, r, rec) =>
+        s""""probe${p}_refine$r":${f"$rec%.3f"}"""
+      }.mkString("{", ",", "}")
+      s"""{"m":${cbPq.m},"ksub":${cbPq.ksub},"bytes_per_vec":${cbPq.m},""" +
+        s""""float_bytes_per_vec":${4 * dim},"train_sec":${f"$pqTrainSec%.2f"},""" +
+        s""""recall_at_$k":$rows,"full_probe_full_refine":${f"$pqFull%.3f"}}"""
+    }
+
     // Random 64-dim vectors have essentially NO pairs at cosine 0.85
     // (≈6.8σ), so pair recall against the raw corpus is vacuous. Plant a
     // deterministic near-duplicate of every vector: per-element uniform
@@ -203,6 +229,7 @@ object RecallBench {
         s""""ivf_sampled_recall_at_$k":$ivfSampledJson,""" +
         s""""ivf_train_sec_full":${f"$fullSec%.2f"},""" +
         s""""ivf_train_sec_sampled":${f"$sampledSec%.2f"},""" +
+        s""""pq":$pqJson,""" +
         s""""lsh_threshold":$threshold,"lsh_exact_pairs":${exactPairs.size},""" +
         s""""lsh_auto_params":"p${autoParams._1}_t${autoParams._2}",""" +
         s""""lsh_pair_recall":$lshJson,""" +

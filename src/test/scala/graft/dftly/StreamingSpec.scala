@@ -166,6 +166,72 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("minhashPairsWithinWatermark is seed-compatible with batch MinHash-LSH on in-horizon data") {
+    import graft.ops.{Dedup, StreamingOps}
+    // real documents + planted near-dups (drop the last 2 words) so the
+    // threshold has pairs to find; all timestamps in one horizon → the
+    // stream must find EXACTLY the batch pair set (same gram hashing, same
+    // affine minhash coefficients, same band cuts; verify is the same
+    // exact-Jaccard kernel on both sides, so values agree too)
+    val base = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"doc_id", $"text").limit(50)
+    val docs = base.unionByName(base.limit(10).select(
+      ($"doc_id" + 100000L).as("doc_id"),
+      concat_ws(" ", slice(split($"text", "\\s+"), lit(1),
+        greatest(size(split($"text", "\\s+")) - 2, lit(1)))).as("text")))
+    val batchPairs = Dedup.nearDuplicatePairs(
+      docs, "doc_id", "text", threshold = 0.5)
+      .select($"id_a", $"id_b", $"jaccard").as[(Long, Long, Double)].collect()
+      .map(p => (p._1, p._2) -> p._3).toMap
+    assert(batchPairs.nonEmpty, "planted near-dups must pair in batch")
+    val input = MemoryStream[(Long, java.sql.Timestamp, String)](spark)
+    val stream = StreamingOps.minhashPairsWithinWatermark(
+      input.toDF().toDF("id", "ts", "text"), "id", "text", "ts", "1 hour",
+      threshold = 0.5)
+    val q = stream.writeStream.format("memory").queryName("mh_parity")
+      .outputMode("append").start()
+    try {
+      val t0 = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+      input.addData(docs.as[(Long, String)].collect()
+        .map { case (id, t) => (id, t0, t) }.toSeq: _*)
+      q.processAllAvailable()
+      // distinct: the stream emits once per shared band by contract
+      val streamPairs = spark.table("mh_parity")
+        .select($"id_a", $"id_b", $"jaccard").distinct()
+        .as[(Long, Long, Double)].collect()
+        .map(p => (p._1, p._2) -> p._3).toMap
+      assert(streamPairs == batchPairs,
+        s"stream/batch divergence: only-stream=${streamPairs.keySet -- batchPairs.keySet}, " +
+          s"only-batch=${batchPairs.keySet -- streamPairs.keySet}")
+    } finally q.stop()
+  }
+
+  test("minhashPairsWithinWatermark: near-dup text inside the horizon pairs, late identical text doesn't") {
+    import graft.ops.StreamingOps
+    val input = MemoryStream[(Long, java.sql.Timestamp, String)](spark)
+    val pairs = StreamingOps.minhashPairsWithinWatermark(
+      input.toDF().toDF("id", "ts", "text"), "id", "text", "ts", "10 minutes",
+      threshold = 0.5)
+    val q = pairs.writeStream.format("memory").queryName("mh_pairs")
+      .outputMode("append").start()
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val doc = "the quick brown fox jumps over the lazy dog again and again today"
+    val near = "the quick brown fox jumps over the lazy dog again and again"
+    val other = "completely different content about spark catalyst plans and shuffles"
+    try {
+      input.addData(
+        (1L, t("2026-01-01 00:00:00"), doc),
+        (2L, t("2026-01-01 00:05:00"), near),  // inside horizon → pair
+        (3L, t("2026-01-01 00:06:00"), other), // dissimilar → no pair
+        (4L, t("2026-01-01 02:00:00"), doc))   // identical but outside ±10 min
+      q.processAllAvailable()
+      val got = spark.table("mh_pairs")
+        .select($"id_a", $"id_b", $"jaccard").as[(Long, Long, Double)].collect()
+      assert(got.nonEmpty, "near-dup text within the horizon must pair")
+      assert(got.forall(p => p._1 == 1L && p._2 == 2L && p._3 >= 0.5), got.mkString(","))
+    } finally q.stop()
+  }
+
   test("cosinePairsWithinWatermark is seed-compatible with batch LSH: same pairs on in-horizon data") {
     import graft.ops.{Similarity, StreamingOps}
     // real embeddings, all timestamps inside one horizon → the stream must
