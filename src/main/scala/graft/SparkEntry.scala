@@ -989,6 +989,53 @@ object SparkEntry {
         .select(col("tid"),
           graft.ops.TextStats.fixEncoding(col("garbled")).as("fixed"))
     }),
+    // HTML stripping under a ROUND-TRIP oracle: every document is wrapped
+    // in a fixed HTML shell (head/style/script/comment/entities/tags) and
+    // stripHtml must recover exactly `Header & more <text> Tail <quoted>
+    // end` — the oracle rebuilds that from the RAW text column, so the
+    // entire strip chain (block removal, tag removal, entity decode order,
+    // whitespace collapse) is verified without DuckDB replaying any regex.
+    // (Corpus text is <>&-free and single-spaced — checked — so the
+    // expected string is plain concatenation.)
+    "q61_strip_html" -> ((s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"),
+        graft.ops.WebText.stripHtml(concat(
+          lit("<html><head><title>T</title><style>p { color: red; }" +
+            "</style></head><body><h1>Header &amp; more</h1><!-- note -->" +
+            "<p class=\"a\">"),
+          col("text"),
+          lit("</p><br/><script type=\"text/javascript\">if (1<2) { x=1; }" +
+            "</script><div>Tail &lt;quoted&gt;&nbsp;end</div></body></html>")
+        )).as("clean"))),
+    // URL extraction + host + registrable domain (eTLD+1) over planted
+    // URLs whose shape is a pure function of doc_id — the oracle rebuilds
+    // url/host/domain from doc_id directly, so extraction boundaries, the
+    // host regex, and the public-suffix logic (two- vs three-label) are
+    // all independently verified.
+    "q62_url_domains" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"),
+        concat(lit("See https://Blog.Example"),
+          (col("doc_id") % 7).cast("string"),
+          when(col("doc_id") % 3 === 0, lit(".co.uk/path?q=1 and more"))
+            .when(col("doc_id") % 3 === 1, lit(".com/index.html text"))
+            .otherwise(lit(".com.au:8080/x#frag tail"))).as("body"))
+      val url = element_at(graft.ops.WebText.extractUrls(col("body")), 1)
+      d.select(col("doc_id"), url.as("url"),
+          graft.ops.WebText.urlHost(url).as("host"))
+        .withColumn("domain", graft.ops.WebText.registrableDomain(col("host")))
+    }),
+    // Unicode normalization against hand-written expected forms (written
+    // from the Unicode composition/compatibility tables, independent of
+    // the JVM Normalizer under test): NFC composes combining sequences,
+    // NFKC additionally folds ligatures/fullwidth/fractions.
+    "q63_unicode" -> ((s, dir) => {
+      import s.implicits._
+      SparkEntry.UnicodeCases.map { case (tid, raw, _, _) => (tid, raw) }
+        .toDF("tid", "raw")
+        .select(col("tid"),
+          graft.ops.WebText.normalizeUnicode(col("raw"), "NFC").as("nfc"),
+          graft.ops.WebText.normalizeUnicode(col("raw"), "NFKC").as("nfkc"))
+    }),
     // Global vocabulary top-k — the canonical corpus word count.
     "q30_vocab" -> ((s, dir) =>
       graft.ops.Corpus.topTokens(t(s, dir, "documents"), "text", 20)
@@ -1246,6 +1293,30 @@ object SparkEntry {
     (7L, "plain ascii", "plain ascii"),
     // genuine latin-1-looking text: ü alone is invalid UTF-8 — untouched
     (8L, "Müller", "Müller"))
+
+  /** Unicode-normalization fixtures: (tid, raw, expected NFC, expected
+    * NFKC). Expected strings are written from the Unicode standard's
+    * composition/compatibility tables (independent of the JVM
+    * implementation under test); no single quotes (spliced into the
+    * VALUES oracle).
+    */
+  val UnicodeCases: Seq[(Long, String, String, String)] = Seq(
+    // decomposed e + COMBINING ACUTE composes under NFC
+    (1L, "café", "café", "café"),
+    // LATIN SMALL LIGATURE FI: canonical-invariant, compatibility-folds
+    (2L, "ﬁle", "ﬁle", "file"),
+    // FULLWIDTH DIGIT ONE..THREE fold to ASCII under NFKC only
+    (3L, "１２３", "１２３", "123"),
+    // VULGAR FRACTION ONE HALF → 1 + FRACTION SLASH + 2 under NFKC
+    (4L, "½ cup", "½ cup", "1⁄2 cup"),
+    // ROMAN NUMERAL NINE → ASCII IX under NFKC
+    (5L, "Ⅸth", "Ⅸth", "IXth"),
+    // already-NFC text is untouched by both forms
+    (6L, "naïve café", "naïve café", "naïve café"),
+    // FULLWIDTH LATIN letters fold under NFKC
+    (7L, "Ａｂｃ", "Ａｂｃ", "Abc"),
+    // A + COMBINING RING ABOVE composes to ANGSTROM-equivalent Å
+    (8L, "Å", "Å", "Å"))
 
   private def annVecSql: String =
     AnnQueryVec.map(f => f.toString).mkString("[", ", ", "]")
@@ -1987,6 +2058,33 @@ object SparkEntry {
         |GROUP BY token
         |ORDER BY n DESC, token
         |LIMIT 20""".stripMargin,
+    // Round-trip: the expected clean text is rebuilt from the raw column
+    // (corpus text is <>&-free and single-spaced, so no replay of the
+    // strip chain is needed — see the query comment).
+    "q61_strip_html" ->
+      """SELECT doc_id,
+        |  'Header & more ' || text || ' Tail <quoted> end' AS clean
+        |FROM documents""".stripMargin,
+    // url/host/domain rebuilt from doc_id — same construction as the query.
+    "q62_url_domains" ->
+      """SELECT doc_id,
+        |  'https://Blog.Example' || (doc_id % 7) ||
+        |    CASE (doc_id % 3) WHEN 0 THEN '.co.uk/path?q=1'
+        |      WHEN 1 THEN '.com/index.html'
+        |      ELSE '.com.au:8080/x#frag' END AS url,
+        |  'blog.example' || (doc_id % 7) ||
+        |    CASE (doc_id % 3) WHEN 0 THEN '.co.uk'
+        |      WHEN 1 THEN '.com' ELSE '.com.au' END AS host,
+        |  'example' || (doc_id % 7) ||
+        |    CASE (doc_id % 3) WHEN 0 THEN '.co.uk'
+        |      WHEN 1 THEN '.com' ELSE '.com.au' END AS domain
+        |FROM documents""".stripMargin,
+    "q63_unicode" -> {
+      val rows = UnicodeCases
+        .map { case (tid, _, nfc, nfkc) => s"($tid, '$nfc', '$nfkc')" }
+        .mkString(", ")
+      s"SELECT tid::BIGINT AS tid, nfc, nfkc FROM (VALUES $rows) t(tid, nfc, nfkc)"
+    },
     // Same exact answer as q30 — the sketch path certifies exactness, so the
     // oracle is the plain exact top-20.
     "q59_vocab_sketch" ->

@@ -1,0 +1,114 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Web-corpus text cleanup: HTML stripping, URL/domain extraction, Unicode
+  * normalization — the first verbs a crawl-derived corpus hits, ahead of
+  * language ID / quality scoring / dedup. Everything here is a map-only
+  * per-row `Column` (codegen'd builtins or one native kernel), so the plans
+  * are embarrassingly parallel at any scale — no shuffle, no state.
+  */
+object WebText {
+
+  /** Plain text from an HTML fragment/document:
+    *
+    *   1. `<script>`/`<style>`/`<head>` blocks (and HTML comments) are
+    *      removed WITH their content — code, CSS, and title/meta chrome
+    *      are not corpus text (`<header>` is NOT matched: the `\b` after
+    *      `head` requires a non-word char);
+    *   2. remaining tags are removed, each leaving one space (block
+    *      boundaries must not glue words: `<p>a</p><p>b</p>` → `a b`);
+    *   3. the named entities every real page carries are decoded —
+    *      `&lt; &gt; &quot; &#39; &apos; &nbsp;` first and `&amp;` LAST
+    *      (so `&amp;lt;` decodes once, to the literal `&lt;`, not twice);
+    *      numeric entities beyond `&#39;` are out of scope (documented);
+    *   4. whitespace runs collapse to one space, trimmed.
+    *
+    * A regex chain over codegen'd builtins, deliberately NOT a DOM parse:
+    * corpus HTML is malformed at scale and a lenient lexical strip is the
+    * standard curation choice (what trafilatura/jusText do before their
+    * block heuristics). Compose with [[Corpus.stripBoilerplate]] for
+    * line-level template removal AFTER stripping.
+    */
+  def stripHtml(html: Column): Column = {
+    // (?is): case-insensitive (SCRIPT/Script), dotall (blocks span lines).
+    // Backreference \1 closes the same block that opened.
+    val noBlocks = regexp_replace(html,
+      "(?is)<(script|style|head)\\b[^>]*>.*?</\\1\\s*>", " ")
+    val noComments = regexp_replace(noBlocks, "(?s)<!--.*?-->", " ")
+    val noTags = regexp_replace(noComments, "(?s)<[^>]+>", " ")
+    val decoded = Seq(
+      "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "'", "&apos;" -> "'", "&nbsp;" -> " "
+    ).foldLeft(noTags) { case (c, (ent, ch)) => regexp_replace(c, ent, ch) }
+    val ampLast = regexp_replace(decoded, "&amp;", "&")
+    trim(regexp_replace(ampLast, "[ \\t\\n\\x0B\\f\\r\\u00A0]+", " "))
+  }
+
+  /** Every absolute http(s) URL in the text, in order of appearance.
+    * Conservative token shape: scheme, then everything up to whitespace or
+    * a closing quote/bracket/angle (URLs pasted in prose end at those);
+    * trailing prose punctuation (`.,;:!?`) is trimmed — `see https://a.com.`
+    * means `https://a.com`, not a URL ending in a dot.
+    */
+  def extractUrls(text: Column): Column =
+    transform(
+      regexp_extract_all(text, lit("""https?://[^\s"'<>\)\]]+"""), lit(0)),
+      u => regexp_replace(u, "[.,;:!?]+$", ""))
+
+  /** Lowercased host of a URL: after the scheme and optional userinfo, up
+    * to the first `/ : ? #`. Null-safe on non-URLs (empty match → null).
+    */
+  def urlHost(url: Column): Column = {
+    val h = lower(regexp_extract(url,
+      """^[a-zA-Z][a-zA-Z0-9+.\-]*://(?:[^/@?#]*@)?([^/:?#]+)""", 1))
+    when(h === "", lit(null).cast("string")).otherwise(h)
+  }
+
+  /** Multi-label public suffixes recognized by [[registrableDomain]] — a
+    * compact subset of the (public) Mozilla Public Suffix List covering the
+    * common ccTLD second-level registries. At 100 TB you would broadcast
+    * the full PSL as a lookup table; the subset keeps the expression
+    * literal-only (no join) and covers the overwhelming majority of crawl
+    * traffic. Single-label TLDs need no listing: the default is "last two
+    * labels".
+    */
+  val TwoLevelSuffixes: Seq[String] = Seq(
+    "co.uk", "org.uk", "ac.uk", "gov.uk", "me.uk", "net.uk",
+    "com.au", "net.au", "org.au", "edu.au", "gov.au",
+    "co.jp", "ne.jp", "or.jp", "ac.jp", "go.jp",
+    "co.nz", "net.nz", "org.nz",
+    "co.in", "net.in", "org.in", "ac.in", "gov.in",
+    "com.br", "net.br", "org.br",
+    "com.cn", "net.cn", "org.cn", "gov.cn",
+    "com.mx", "com.tr", "com.ar", "com.sg", "com.hk", "com.tw",
+    "co.za", "co.kr", "com.my", "com.ph", "com.vn", "com.eg", "com.sa")
+
+  /** Registrable domain (eTLD+1) of a lowercased host: the last two labels,
+    * or three when the last two are a listed second-level public suffix
+    * (`shop.example.co.uk` → `example.co.uk`, not `co.uk`). Hosts with one
+    * label (localhost, intranet names) pass through. This is the key
+    * per-site quotas and domain blocklists group by.
+    */
+  def registrableDomain(host: Column): Column = {
+    val labels = split(host, "\\.")
+    val n = size(labels)
+    val lastTwo = concat_ws(".", element_at(labels, -2), element_at(labels, -1))
+    val lastThree = concat_ws(".",
+      element_at(labels, -3), element_at(labels, -2), element_at(labels, -1))
+    when(n <= 1, host)
+      .when(array_contains(lit(TwoLevelSuffixes.toArray), lastTwo) && n >= 3, lastThree)
+      .otherwise(lastTwo)
+  }
+
+  /** Unicode normalization (NFC / NFD / NFKC / NFKD) as a native codegen'd
+    * expression over `java.text.Normalizer` — NFC before hashing/dedup (the
+    * same text arrives precomposed from some sites and decomposed from
+    * others and must hash identically); NFKC before tokenization (fullwidth
+    * digits, ligatures, compatibility forms fold to their plain
+    * equivalents).
+    */
+  def normalizeUnicode(text: Column, form: String = "NFC"): Column =
+    graft.ops.expr.UnicodeNormExprs.normalizeUnicode(text, form)
+}

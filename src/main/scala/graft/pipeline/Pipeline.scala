@@ -666,6 +666,34 @@ object Pipeline {
           graft.ops.TextStats.fixEncoding(col(src),
             fe.get("passes").map(_.toString.toInt).getOrElse(3)))
 
+      case "stripHtml" =>
+        // {html: col, as: out (default: rewrite in place)} — lexical HTML
+        // strip: script/style/head blocks with content, tags, common
+        // entities, whitespace collapse (graft.ops.WebText.stripHtml)
+        val sh = asMap(step("stripHtml"), "stripHtml")
+        val src = sh("html").toString
+        df.withColumn(sh.getOrElse("as", src).toString,
+          graft.ops.WebText.stripHtml(col(src)))
+
+      case "normalizeUnicode" =>
+        // {text: col, form: NFC|NFD|NFKC|NFKD (default NFC), as: out
+        // (default: rewrite in place)} — run NFC before hashing/dedup,
+        // NFKC before tokenization
+        val nu = asMap(step("normalizeUnicode"), "normalizeUnicode")
+        val src = nu("text").toString
+        df.withColumn(nu.getOrElse("as", src).toString,
+          graft.ops.WebText.normalizeUnicode(col(src),
+            nu.getOrElse("form", "NFC").toString))
+
+      case "domainOf" =>
+        // {url: col, as: out (default 'domain')} — registrable domain
+        // (eTLD+1) of a URL column: the key per-site quotas and blocklists
+        // group by; compose with `quota`/`filter` downstream
+        val dm = asMap(step("domainOf"), "domainOf")
+        df.withColumn(dm.getOrElse("as", "domain").toString,
+          graft.ops.WebText.registrableDomain(
+            graft.ops.WebText.urlHost(col(dm("url").toString))))
+
       case "redact" =>
         // {text: col, as: out (default 'redacted')} — PII → typed tokens
         val r = asMap(step("redact"), "redact")

@@ -1,0 +1,92 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import graft.dftly.SparkTestBase
+
+class WebTextSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def strip1(html: String): String =
+    Seq(html).toDF("h").select(WebText.stripHtml(col("h"))).as[String].head()
+
+  test("stripHtml removes script/style WITH content, tags leave a space") {
+    assert(strip1("<p>a</p><p>b</p>") == "a b")
+    assert(strip1("<script>var x = '<p>not text</p>';</script>hello") == "hello")
+    assert(strip1("<STYLE type=x>p { color: red }</style>world") == "world")
+    assert(strip1("keep<!-- secret -->this") == "keep this")
+    // whole <head> drops (title/meta are chrome), <header> does NOT
+    assert(strip1("<head><title>Site</title></head><body>text</body>") == "text")
+    assert(strip1("<header>Top nav</header>body") == "Top nav body")
+  }
+
+  test("stripHtml decodes entities exactly once, &amp; last") {
+    assert(strip1("a &amp; b") == "a & b")
+    assert(strip1("&lt;tag&gt;") == "<tag>")
+    // &amp;lt; is the LITERAL string "&lt;" — must not double-decode to <
+    assert(strip1("&amp;lt;") == "&lt;")
+    assert(strip1("x&nbsp;&nbsp;y") == "x y")
+    assert(strip1("it&#39;s &quot;q&quot;") == "it's \"q\"")
+  }
+
+  test("stripHtml is null-safe and collapses all whitespace") {
+    assert(strip1("  a\t\nb  c ") == "a b c")
+    val n = Seq[Option[String]](None).toDF("h")
+      .select(WebText.stripHtml(col("h"))).collect()(0)
+    assert(n.isNullAt(0))
+  }
+
+  test("extractUrls finds urls in order, stopping at delimiters") {
+    val got = Seq("see https://a.com/x, then (http://b.org/y) and \"https://c.net\".")
+      .toDF("t").select(WebText.extractUrls(col("t"))).as[Seq[String]].head()
+    assert(got == Seq("https://a.com/x", "http://b.org/y", "https://c.net"))
+  }
+
+  test("urlHost: lowercases, skips userinfo, stops at port/path, null on non-URL") {
+    val rows = Seq(
+      "https://User:pw@Sub.EXAMPLE.com:8443/p?q#f",
+      "http://plain.org",
+      "not a url").toDF("u")
+      .select(WebText.urlHost(col("u"))).as[Option[String]].collect()
+    assert(rows(0).contains("sub.example.com"))
+    assert(rows(1).contains("plain.org"))
+    assert(rows(2).isEmpty)
+  }
+
+  test("registrableDomain: two-label default, listed second-level suffixes take three") {
+    val cases = Seq(
+      "shop.example.co.uk" -> "example.co.uk",
+      "a.b.c.example.com" -> "example.com",
+      "example.com" -> "example.com",
+      "co.uk" -> "co.uk",        // bare suffix: nothing registrable above it
+      "localhost" -> "localhost",
+      "news.site.com.au" -> "site.com.au")
+    val got = cases.map(_._1).toDF("h")
+      .select(WebText.registrableDomain(col("h"))).as[String].collect()
+    assert(got.toSeq == cases.map(_._2))
+  }
+
+  test("normalizeUnicode matches the hand-written Unicode-table expectations") {
+    val df = graft.SparkEntry.UnicodeCases.map { case (tid, raw, _, _) => (tid, raw) }
+      .toDF("tid", "raw")
+      .select(col("tid"),
+        WebText.normalizeUnicode(col("raw"), "NFC").as("nfc"),
+        WebText.normalizeUnicode(col("raw"), "NFKC").as("nfkc"))
+      .as[(Long, String, String)].collect().sortBy(_._1)
+    graft.SparkEntry.UnicodeCases.zip(df).foreach {
+      case ((tid, _, expNfc, expNfkc), (gtid, gotNfc, gotNfkc)) =>
+        assert(tid == gtid)
+        assert(gotNfc == expNfc, s"case $tid NFC")
+        assert(gotNfkc == expNfkc, s"case $tid NFKC")
+    }
+  }
+
+  test("normalizeUnicode is idempotent and rejects bad forms") {
+    val texts = graft.SparkEntry.UnicodeCases.map(_._2).toDF("t")
+    val once = texts.select(WebText.normalizeUnicode(col("t"), "NFKC").as("x"))
+    val twice = once.select(WebText.normalizeUnicode(col("x"), "NFKC").as("y"))
+    assert(once.as[String].collect().toSeq == twice.as[String].collect().toSeq)
+    intercept[IllegalArgumentException] {
+      texts.select(WebText.normalizeUnicode(col("t"), "NFX")).collect()
+    }
+  }
+}

@@ -475,6 +475,42 @@ class PipelineSpec extends SparkTestBase {
     assert(stripped.count() > 0)
   }
 
+  test("stripHtml / normalizeUnicode / domainOf verbs match the direct ops") {
+    import graft.ops.WebText
+    val docs = Seq(
+      (1L, "<head><title>t</title></head><p>Hello &amp; welcome</p>",
+        "café at https://www.shop.example.co.uk/item?id=2, cheap"),
+      (2L, "<div>plain</div><script>x=1;</script>",
+        "see http://News.Site.com/a and more")).toDF("id", "html", "body")
+    val clean = docs.orderBy($"id")
+      .select(WebText.stripHtml($"html").as("c")).as[String].collect()
+    assert(clean.toSeq == Seq("Hello & welcome", "plain"))
+    val viaYamlStrip = Pipeline.run(spark,
+      """source: docs
+        |steps:
+        |  - stripHtml: {html: html, as: clean}
+        |""".stripMargin, _ => docs)
+    assert(viaYamlStrip.orderBy($"id").select($"clean").as[String].collect().toSeq
+      == clean.toSeq)
+    val viaYamlNorm = Pipeline.run(spark,
+      """source: docs
+        |steps:
+        |  - normalizeUnicode: {text: body, form: NFKC}
+        |""".stripMargin, _ => docs)
+    assert(viaYamlNorm.orderBy($"id").select($"body").as[String].collect().toSeq ==
+      docs.orderBy($"id")
+        .select(WebText.normalizeUnicode($"body", "NFKC")).as[String].collect().toSeq)
+    val withUrl = docs.withColumn("url",
+      element_at(WebText.extractUrls($"body"), 1))
+    val viaYamlDom = Pipeline.run(spark,
+      """source: docs
+        |steps:
+        |  - domainOf: {url: url}
+        |""".stripMargin, _ => withUrl)
+    assert(viaYamlDom.orderBy($"id").select($"domain").as[String].collect().toSeq ==
+      Seq("example.co.uk", "site.com"))
+  }
+
   test("jsonl source: gz corpus ingestion with schema + bad-record policy") {
     val d = java.nio.file.Files.createTempDirectory("graft_pipe_jsonl").toFile
     d.deleteOnExit()
