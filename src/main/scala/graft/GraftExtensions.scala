@@ -109,6 +109,19 @@ object GraftExtensions {
     "cosine_sim_q" -> { es =>
       require(es.length == 2, "cosine_sim_q(qa, qb)")
       CosineSimQ(es.head, es(1))
+    },
+    "unicode_normalize" -> { es =>
+      require(es.length == 1 || es.length == 2, "unicode_normalize(text[, form])")
+      val form = if (es.length == 2) es(1).eval() match {
+        case s: org.apache.spark.unsafe.types.UTF8String => s.toString
+        case other => throw new IllegalArgumentException(
+          s"form must be a literal string; got $other")
+      } else "NFC"
+      UnicodeNormalize(es.head, form)
+    },
+    "misra_gries_sketch" -> { es =>
+      require(es.length == 2, "misra_gries_sketch(token, budget) [aggregate]")
+      MisraGriesSketch(es.head, intLit(es(1), "budget")).toAggregateExpression()
     })
 
   /** Install the same functions as temp functions on a live session. */

@@ -48,6 +48,22 @@ class GraftExtensionsSpec extends SparkTestBase {
       assert(row.getInt(7) == 16)
       // hashed-gram arrays: dedup + sort + relabel preserve set equality
       assert(row.getDouble(8) == 1.0)
+      // round-9 functions: unicode_normalize (scalar, default + explicit
+      // form) and misra_gries_sketch (aggregate — exact when budget covers
+      // the distinct tokens: err 0, true counts)
+      val r9 = s.sql(
+        """SELECT
+          |  unicode_normalize('cafe' || char(776)) AS nfc_len_probe,
+          |  unicode_normalize('ﬁle', 'NFKC') AS nfkc
+          |""".stripMargin).head()
+      assert(r9.getString(1) == "file")
+      val agg = s.sql(
+        """SELECT misra_gries_sketch(t, 8) AS sk
+          |FROM VALUES ('a'), ('a'), ('b') AS v(t)""".stripMargin).head()
+      val sk = agg.getStruct(0)
+      assert(sk.getLong(0) == 3L && sk.getLong(1) == 0L)
+      assert(sk.getSeq[org.apache.spark.sql.Row](2)
+        .map(r => r.getString(0) -> r.getLong(1)).toMap == Map("a" -> 2L, "b" -> 1L))
     } finally {
       SparkSession.setDefaultSession(shared)
       SparkSession.setActiveSession(shared)
