@@ -1024,6 +1024,23 @@ object SparkEntry {
           graft.ops.WebText.urlHost(url).as("host"))
         .withColumn("domain", graft.ops.WebText.registrableDomain(col("host")))
     }),
+    // Composition gate: registrable domain → per-domain quota (the
+    // standard crawl-corpus site cap). Planted URLs are a pure function of
+    // doc_id; the oracle replays the domain construction and the window
+    // directly. One hash shuffle on the domain key, rank streamed per
+    // partition — the same plan at any scale.
+    "q64_domain_quota" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"),
+        concat(lit("https://s"), (col("doc_id") % 5).cast("string"),
+          lit(".example"), (col("doc_id") % 17).cast("string"),
+          when(col("doc_id") % 2 === 0, lit(".co.uk/p"))
+            .otherwise(lit(".com/p"))).as("url"))
+      val withDom = d.withColumn("domain",
+        graft.ops.WebText.registrableDomain(
+          graft.ops.WebText.urlHost(col("url"))))
+      graft.ops.Corpus.perKeyQuota(withDom, Seq("domain"), Seq(col("doc_id")), 3)
+        .select(col("doc_id"), col("domain"))
+    }),
     // Unicode normalization against hand-written expected forms (written
     // from the Unicode composition/compatibility tables, independent of
     // the JVM Normalizer under test): NFC composes combining sequences,
@@ -2079,6 +2096,15 @@ object SparkEntry {
         |    CASE (doc_id % 3) WHEN 0 THEN '.co.uk'
         |      WHEN 1 THEN '.com' ELSE '.com.au' END AS domain
         |FROM documents""".stripMargin,
+    "q64_domain_quota" ->
+      """SELECT doc_id, domain FROM (
+        |  SELECT doc_id,
+        |    'example' || (doc_id % 17) ||
+        |      CASE WHEN doc_id % 2 = 0 THEN '.co.uk' ELSE '.com' END AS domain,
+        |    row_number() OVER (
+        |      PARTITION BY (doc_id % 17), (doc_id % 2) ORDER BY doc_id) AS rn
+        |  FROM documents)
+        |WHERE rn <= 3""".stripMargin,
     "q63_unicode" -> {
       val rows = UnicodeCases
         .map { case (tid, _, nfc, nfkc) => s"($tid, '$nfc', '$nfkc')" }

@@ -85,7 +85,12 @@ object Corpus {
       topNgramFrac < maxRepetition &&
       meanWordLen.between(minMeanWordLen, maxMeanWordLen)
 
-  /** Registrable host/domain from a URL — per-domain quotas and dedup keys. */
+  /** Lowercased HOST of a URL (scheme-optional) — a quota/dedup key. For
+    * the true registrable domain (eTLD+1: `shop.example.co.uk` →
+    * `example.co.uk`), compose [[WebText.registrableDomain]] over
+    * [[WebText.urlHost]] — hosts under the same site would otherwise count
+    * as separate quota keys.
+    */
   def domainOf(url: Column): Column =
     lower(regexp_extract(url, "^(?:[a-zA-Z][a-zA-Z0-9+.-]*://)?(?:[^/@]*@)?([^/:?#]+)", 1))
 

@@ -133,4 +133,52 @@ class PlanShapeSpec extends SparkTestBase {
         "no global sort for a top-k")
     }
   }
+
+  test("tokenSketch: no per-token hash exchange — the one shuffle carries bounded sketches to a single partition") {
+    val docs = (1L to 50L).map(i => (i, s"alpha beta gamma delta tok$i")).toDF("id", "text")
+    val q = Corpus.tokenSketch(docs, "text", budget = 64)
+    val ex = shuffles(q)
+    assert(ex.length == 1, s"exactly one exchange, got ${ex.length}")
+    // the exchange is the global-agg SinglePartition gather of partial
+    // sketch buffers — NOT a hashpartitioning on the token column
+    assert(ex.head.outputPartitioning.numPartitions == 1,
+      s"sketch gather must be single-partition: ${ex.head.outputPartitioning}")
+    assert(!ex.head.child.output.exists(_.name == "token") ||
+      ex.head.child.output.length <= 2,
+      "only aggregate buffers ride the exchange, not raw token rows")
+  }
+
+  test("PQ encode + ADC scoring stay inside whole-stage codegen, zero shuffles") {
+    import org.apache.spark.sql.execution.WholeStageCodegenExec
+    val local = (1L to 40L)
+      .map(i => (i, Array.tabulate(16)(d => ((i + d) % 7).toFloat)))
+      .toDF("id", "vec")
+    // a LocalRelation would be constant-folded into a LocalTableScan
+    // (ConvertToLocalRelation evaluates the projection at plan time) —
+    // a file source is what pins the runtime plan shape
+    val dir = java.nio.file.Files.createTempDirectory("graft_pq_plan")
+    dir.toFile.deleteOnExit()
+    local.write.mode("overwrite").parquet(dir.toString)
+    val vecs = spark.read.parquet(dir.toString)
+    val cb = Pq.train(vecs, "vec", m = 4, ksub = 8, iters = 3)
+    val q = vecs.select(col("id"),
+      Pq.adcCosine(Pq.encode(col("vec"), cb), cb, (0 until 16).map(_.toFloat))
+        .as("adc"))
+    assert(shuffles(q).isEmpty, "encode+ADC is map-only")
+    assert(prepared(q).collect { case w: WholeStageCodegenExec => w }.nonEmpty,
+      "pq kernels must plan inside whole-stage codegen")
+  }
+
+  test("domain quota: one hash exchange on the domain key, rank streamed in the window") {
+    val docs = (1L to 60L).map(i =>
+      (i, s"https://s$i.example${i % 5}.co.uk/p")).toDF("id", "url")
+    val withDom = docs.withColumn("domain",
+      WebText.registrableDomain(WebText.urlHost(col("url"))))
+    val q = Corpus.perKeyQuota(withDom, Seq("domain"), Seq(col("id")), 2)
+    val ex = shuffles(q)
+    assert(ex.length == 1, s"exactly one exchange, got ${ex.length}:\n${prepared(q)}")
+    assert(ex.head.outputPartitioning.toString.toLowerCase.contains("domain"),
+      s"the exchange must hash on domain: ${ex.head.outputPartitioning}")
+    assert(windows(q).length == 1)
+  }
 }
