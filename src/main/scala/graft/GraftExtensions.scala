@@ -119,9 +119,24 @@ object GraftExtensions {
       } else "NFC"
       UnicodeNormalize(es.head, form)
     },
+    "dup_ngram_coverage" -> { es =>
+      require(es.length == 2, "dup_ngram_coverage(text, n)")
+      DupNgramCoverage(es.head, intLit(es(1), "n"))
+    },
     "misra_gries_sketch" -> { es =>
       require(es.length == 2, "misra_gries_sketch(token, budget) [aggregate]")
       MisraGriesSketch(es.head, intLit(es(1), "budget")).toAggregateExpression()
+    },
+    "kmv_distinct" -> { es =>
+      require(es.length == 2 || es.length == 3,
+        "kmv_distinct(value, k[, seed]) [aggregate]")
+      val seed = if (es.length == 3) es(2).eval() match {
+        case l: Long => l
+        case i: Int  => i.toLong
+        case other => throw new IllegalArgumentException(
+          s"seed must be a literal integer; got $other")
+      } else 42L
+      KmvSketch(es.head, intLit(es(1), "k"), seed).toAggregateExpression()
     })
 
   /** Install the same functions as temp functions on a live session. */

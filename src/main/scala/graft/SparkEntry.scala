@@ -1041,6 +1041,45 @@ object SparkEntry {
       graft.ops.Corpus.perKeyQuota(withDom, Seq("domain"), Seq(col("doc_id")), 3)
         .select(col("doc_id"), col("domain"))
     }),
+    // Extended Gopher repetition/format rules (beyond q26's basics):
+    // duplicate line/paragraph member+char fractions, duplicate-5-gram
+    // token coverage (fused native kernel), bullet/ellipsis line shares,
+    // alpha-word share, distinct-stopword hits, and the full composite
+    // keep. Every fraction is an exact integer-over-integer division, so
+    // the DuckDB oracle replays values verbatim (unnest + count windows
+    // for the group stats, position coverage for the n-gram rule). All
+    // map-only — one scan, zero shuffle at any corpus size.
+    // The synthetic corpus has no natural repetition (flat prose, no
+    // newlines), so the gate plants it deterministically from doc_id —
+    // the same construction the oracle replays: %4==0 duplicated lines +
+    // paragraphs, %4==1 repeated leading n-grams, %4==2 bullet/ellipsis
+    // lines, %4==3 untouched.
+    "q65_gopher_rep" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val planted = d.withColumn("text2",
+        when(col("doc_id") % 4 === 0,
+          concat(col("text"), lit("\n"), substring(col("text"), 1, 40),
+            lit("\n"), substring(col("text"), 1, 40), lit("\n\n"),
+            substring(col("text"), 1, 25), lit("\n\n"), substring(col("text"), 1, 25)))
+        .when(col("doc_id") % 4 === 1,
+          concat(col("text"), lit(" "), substring(col("text"), 1, 60)))
+        .when(col("doc_id") % 4 === 2,
+          concat(lit("- alpha\n- beta\nmore...\n"), col("text")))
+        .otherwise(col("text")))
+      graft.ops.Corpus.withRepetitionSignals(planted, "text2")
+        .select(col("doc_id"),
+          col("token_count").cast("long").as("token_count"),
+          round(col("dup_line_frac"), 6).as("dup_line_frac"),
+          round(col("dup_line_char_frac"), 6).as("dup_line_char_frac"),
+          round(col("dup_para_frac"), 6).as("dup_para_frac"),
+          round(col("dup_para_char_frac"), 6).as("dup_para_char_frac"),
+          round(col("dup_ngram_cov"), 6).as("dup_ngram_cov"),
+          round(col("bullet_line_frac"), 6).as("bullet_frac"),
+          round(col("ellipsis_line_frac"), 6).as("ellipsis_frac"),
+          round(col("alpha_word_frac"), 6).as("alpha_frac"),
+          col("stopword_hits").cast("long").as("stopword_hits"),
+          col("keep_full"))
+    }),
     // Unicode normalization against hand-written expected forms (written
     // from the Unicode composition/compatibility tables, independent of
     // the JVM Normalizer under test): NFC composes combining sequences,
@@ -1067,6 +1106,20 @@ object SparkEntry {
       graft.ops.Corpus.topTokensSketch(
         t(s, dir, "documents"), "text", 20, budget = 4096, strict = true)
         .select(col("token"), col("n"))),
+    // Engine-portable approximate distinct count (KMV sketch): per-source
+    // distinct-token estimates whose VALUE the oracle replays exactly —
+    // the md5-prefix ranks are a pure function of the data, so DuckDB
+    // derives the same k-th smallest rank and the same (k−1)/v_k estimate
+    // (contrast approx_count_distinct, which could only be range-checked).
+    // Plans as ≤k-long partial aggregates per partition: no
+    // per-distinct-token exchange at any corpus size.
+    "q66_kmv_distinct" -> ((s, dir) => {
+      val tok = t(s, dir, "documents").select(col("source"),
+        explode(TextStats.tokens(col("text"))).as("tok"))
+      graft.ops.Corpus.approxDistinct(tok, Seq("source"), "tok", k = 256, seed = 7L)
+        .select(col("source"), round(col("estimate"), 4).as("est_distinct"),
+          col("exact"))
+    }),
     // Text normalization + normalized-exact dedup: case/punctuation/
     // whitespace variants collapse to one hash key.
     "q37_normalize" -> ((s, dir) => {
@@ -2105,6 +2158,115 @@ object SparkEntry {
         |      PARTITION BY (doc_id % 17), (doc_id % 2) ORDER BY doc_id) AS rn
         |  FROM documents)
         |WHERE rn <= 3""".stripMargin,
+    // Exact replay of the KMV estimate: same md5-prefix ranks, same k-th
+    // smallest distinct rank, same (k−1)/normalized-v_k arithmetic.
+    "q66_kmv_distinct" ->
+      """WITH toks AS (
+        |  SELECT source,
+        |    unnest(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS tok
+        |  FROM documents),
+        |ranks AS (
+        |  SELECT DISTINCT source,
+        |    CAST('0x' || substring(md5('7:' || tok), 1, 13) AS UBIGINT) AS r
+        |  FROM toks),
+        |ord AS (
+        |  SELECT source, r,
+        |    row_number() OVER (PARTITION BY source ORDER BY r) AS rn,
+        |    count(*) OVER (PARTITION BY source) AS nd
+        |  FROM ranks)
+        |SELECT source,
+        |  round(CASE WHEN nd < 256 THEN nd::DOUBLE
+        |             ELSE 255.0 / (r / 4503599627370496.0) END, 4) AS est_distinct,
+        |  (nd < 256) AS exact
+        |FROM ord
+        |WHERE rn = CASE WHEN nd >= 256 THEN 256 ELSE nd END""".stripMargin,
+    // Full replay of the extended Gopher signal pass over the same planted
+    // text: unnest + count windows for line/paragraph duplicate groups,
+    // zipped-unnest position coverage for the duplicate-5-gram rule, list
+    // lambdas for the format fractions. Every fraction is an exact
+    // integer-over-integer division; keep_full re-derives from the
+    // UNROUNDED values exactly as the Scala side does.
+    "q65_gopher_rep" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 4 = 0 THEN text || chr(10) || substring(text, 1, 40)
+        |           || chr(10) || substring(text, 1, 40) || chr(10) || chr(10)
+        |           || substring(text, 1, 25) || chr(10) || chr(10) || substring(text, 1, 25)
+        |         WHEN doc_id % 4 = 1 THEN text || ' ' || substring(text, 1, 60)
+        |         WHEN doc_id % 4 = 2 THEN '- alpha' || chr(10) || '- beta' || chr(10) || 'more...' || chr(10) || text
+        |         ELSE text END AS text
+        |  FROM documents),
+        |toks AS (SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS tk,
+        |                list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS tkl
+        |         FROM base),
+        |lines AS (SELECT doc_id, list_filter(string_split(text, chr(10)), x -> x <> '') AS seg FROM base),
+        |paras AS (SELECT doc_id, list_filter(regexp_split_to_array(text, '\n{2,}'), x -> x <> '') AS seg FROM base),
+        |lstat AS (
+        |  SELECT doc_id, count(*) AS cnt, sum(length(l)) AS chars,
+        |    count(*) FILTER (WHERE c >= 2) AS dupcnt,
+        |    coalesce(sum(length(l)) FILTER (WHERE c >= 2), 0) AS dupchars
+        |  FROM (SELECT doc_id, l, count(*) OVER (PARTITION BY doc_id, l) AS c
+        |        FROM (SELECT doc_id, unnest(seg) AS l FROM lines))
+        |  GROUP BY doc_id),
+        |pstat AS (
+        |  SELECT doc_id, count(*) AS cnt, sum(length(l)) AS chars,
+        |    count(*) FILTER (WHERE c >= 2) AS dupcnt,
+        |    coalesce(sum(length(l)) FILTER (WHERE c >= 2), 0) AS dupchars
+        |  FROM (SELECT doc_id, l, count(*) OVER (PARTITION BY doc_id, l) AS c
+        |        FROM (SELECT doc_id, unnest(seg) AS l FROM paras))
+        |  GROUP BY doc_id),
+        |gramrows AS (
+        |  SELECT doc_id,
+        |    unnest(generate_series(1, greatest(len(tk) - 4, 0))) AS gi,
+        |    unnest(list_transform(generate_series(1, greatest(len(tk) - 4, 0)),
+        |                          i -> array_to_string(tk[i : i + 4], ' '))) AS g
+        |  FROM toks),
+        |cov AS (
+        |  SELECT DISTINCT doc_id, unnest(generate_series(gi, gi + 4)) AS pos
+        |  FROM (SELECT doc_id, gi, count(*) OVER (PARTITION BY doc_id, g) AS c FROM gramrows)
+        |  WHERE c >= 2),
+        |covstat AS (SELECT doc_id, count(*) AS covered FROM cov GROUP BY doc_id),
+        |sig AS (
+        |  SELECT b.doc_id,
+        |    len(t.tk) AS token_count,
+        |    CASE WHEN len(t.tk) = 0 THEN 0.0
+        |         ELSE list_sum(list_transform(t.tk, x -> length(x)))::DOUBLE / len(t.tk) END AS mean_word_len,
+        |    CASE WHEN coalesce(ls.cnt, 0) = 0 THEN 0.0 ELSE ls.dupcnt::DOUBLE / ls.cnt END AS dup_line_frac,
+        |    CASE WHEN coalesce(ls.chars, 0) = 0 THEN 0.0 ELSE ls.dupchars::DOUBLE / ls.chars END AS dup_line_char_frac,
+        |    CASE WHEN coalesce(ps2.cnt, 0) = 0 THEN 0.0 ELSE ps2.dupcnt::DOUBLE / ps2.cnt END AS dup_para_frac,
+        |    CASE WHEN coalesce(ps2.chars, 0) = 0 THEN 0.0 ELSE ps2.dupchars::DOUBLE / ps2.chars END AS dup_para_char_frac,
+        |    CASE WHEN len(t.tk) < 5 THEN 0.0 ELSE coalesce(cs.covered, 0)::DOUBLE / len(t.tk) END AS dup_ngram_cov,
+        |    CASE WHEN coalesce(ls.cnt, 0) = 0 THEN 0.0
+        |         ELSE len(list_filter(ln.seg, x -> regexp_matches(x, '^\s*[-*•‣▪]')))::DOUBLE / ls.cnt END AS bullet_frac,
+        |    CASE WHEN coalesce(ls.cnt, 0) = 0 THEN 0.0
+        |         ELSE len(list_filter(ln.seg, x -> regexp_matches(x, '(\.\.\.|…)\s*$')))::DOUBLE / ls.cnt END AS ellipsis_frac,
+        |    CASE WHEN len(t.tk) = 0 THEN 0.0
+        |         ELSE len(list_filter(t.tk, x -> regexp_matches(x, '\p{L}')))::DOUBLE / len(t.tk) END AS alpha_frac,
+        |    len(list_intersect(t.tkl,
+        |      ['the','a','an','and','or','of','to','in','is','it','that','for','on','with','as','at','by','be','this','are'])) AS stopword_hits
+        |  FROM base b
+        |  JOIN toks t USING (doc_id)
+        |  JOIN lines ln USING (doc_id)
+        |  LEFT JOIN lstat ls USING (doc_id)
+        |  LEFT JOIN pstat ps2 USING (doc_id)
+        |  LEFT JOIN covstat cs USING (doc_id))
+        |SELECT doc_id, token_count::BIGINT AS token_count,
+        |  round(dup_line_frac, 6) AS dup_line_frac,
+        |  round(dup_line_char_frac, 6) AS dup_line_char_frac,
+        |  round(dup_para_frac, 6) AS dup_para_frac,
+        |  round(dup_para_char_frac, 6) AS dup_para_char_frac,
+        |  round(dup_ngram_cov, 6) AS dup_ngram_cov,
+        |  round(bullet_frac, 6) AS bullet_frac,
+        |  round(ellipsis_frac, 6) AS ellipsis_frac,
+        |  round(alpha_frac, 6) AS alpha_frac,
+        |  stopword_hits::BIGINT AS stopword_hits,
+        |  (token_count BETWEEN 20 AND 1000000 AND mean_word_len BETWEEN 3.0 AND 10.0
+        |   AND dup_line_frac <= 0.30 AND dup_line_char_frac <= 0.20
+        |   AND dup_para_frac <= 0.30 AND dup_para_char_frac <= 0.20
+        |   AND dup_ngram_cov <= 0.15 AND bullet_frac <= 0.90
+        |   AND ellipsis_frac <= 0.30 AND alpha_frac >= 0.80
+        |   AND stopword_hits >= 2) AS keep_full
+        |FROM sig""".stripMargin,
     "q63_unicode" -> {
       val rows = UnicodeCases
         .map { case (tid, _, nfc, nfkc) => s"($tid, '$nfc', '$nfkc')" }

@@ -235,6 +235,35 @@ object Corpus {
     }
   }
 
+  /** Engine-portable approximate distinct count per group via the KMV
+    * sketch ([[graft.ops.expr.KmvSketch]]): `estimate` / `exact` /
+    * `sketch_size` columns appended to the grouping keys. Unlike
+    * `approx_count_distinct` the value is a pure function of the data
+    * (md5-prefix ranks), so it is bit-stable across partitionings and
+    * replayable in any SQL engine — and below `k` distinct values it IS
+    * the exact count, flagged `exact = true`. Plans as bounded partial
+    * aggregates (≤ k longs per partition), no per-distinct-value shuffle.
+    */
+  def approxDistinct(
+      df: DataFrame,
+      groupCols: Seq[String],
+      valueCol: String,
+      k: Int = 256,
+      seed: Long = 42L
+  ): DataFrame = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    val sketch = ColumnBridge.column(
+      graft.ops.expr.KmvSketch(
+        ColumnBridge.expression(col(valueCol).cast(StringType)), k, seed)
+        .toAggregateExpression())
+    df.groupBy(groupCols.map(col): _*)
+      .agg(sketch.as("kmv"))
+      .select(groupCols.map(col) ++ Seq(
+        col("kmv.estimate").as("estimate"),
+        col("kmv.exact").as("exact"),
+        col("kmv.sketch_size").as("sketch_size")): _*)
+  }
+
   /** Canonical text normalization — the step before exact dedup, so that
     * case/whitespace/punctuation variants hash identically: lowercase,
     * optionally strip punctuation, collapse whitespace runs, trim. Pure
@@ -414,6 +443,195 @@ object Corpus {
     df.agg(aggs.head, aggs.tail: _*)
       .select(explode(array(structs: _*)).as("s"))
       .select(col("s.*"))
+  }
+
+  // ---------------------------------------------------------------------
+  // Extended Gopher repetition/format rules (Rae et al. 2021, table A1).
+  // The original metrics are character-weighted over lines/paragraphs and
+  // n-grams; everything below keeps exact integer-over-integer semantics so
+  // a SQL oracle replays the values verbatim. All per-row map work — zero
+  // shuffle at any corpus size.
+  // ---------------------------------------------------------------------
+
+  /** Non-empty segments of `text` under a regex separator (lines `"\n"`,
+    * paragraphs `"\n{2,}"`). Empty segments are dropped: a run of blank
+    * lines would otherwise read as "duplicates" and poison the fractions.
+    */
+  def segments(text: Column, sepRegex: String): Column =
+    array_remove(split(text, sepRegex), "")
+
+  /** `struct(cnt, chars, dupCnt, dupChars)` over an array of segments:
+    * total members and characters, members of any value occurring ≥ 2
+    * times (ALL copies — Gopher counts the whole duplicated group, not
+    * copies-beyond-the-first), and their characters. One `array_sort` +
+    * run-length fold per row.
+    */
+  def dupGroupStats(parts: Column): Column = {
+    val sorted = array_sort(parts)
+    val folded = aggregate(
+      sorted,
+      struct(lit("").as("prev"), lit(0L).as("run"),
+        lit(0L).as("dupCnt"), lit(0L).as("dupChars")),
+      (acc, x) => {
+        val same = x === acc.getField("prev") && acc.getField("run") > 0
+        val flushCnt = when(!same && acc.getField("run") >= 2, acc.getField("run")).otherwise(lit(0L))
+        val flushChars = flushCnt * length(acc.getField("prev"))
+        struct(
+          x.as("prev"),
+          when(same, acc.getField("run") + 1).otherwise(lit(1L)).as("run"),
+          (acc.getField("dupCnt") + flushCnt).as("dupCnt"),
+          (acc.getField("dupChars") + flushChars).as("dupChars")
+        )
+      },
+      acc => {
+        val flushCnt = when(acc.getField("run") >= 2, acc.getField("run")).otherwise(lit(0L))
+        struct(
+          (acc.getField("dupCnt") + flushCnt).as("dupCnt"),
+          (acc.getField("dupChars") + flushCnt * length(acc.getField("prev"))).as("dupChars"))
+      }
+    )
+    struct(
+      size(parts).cast(LongType).as("cnt"),
+      aggregate(parts, lit(0L), (a, x) => a + length(x)).as("chars"),
+      folded.getField("dupCnt").as("dupCnt"),
+      folded.getField("dupChars").as("dupChars"))
+  }
+
+  /** Fraction of segments that belong to a duplicated group (0 if none). */
+  def dupSegmentFraction(stats: Column): Column =
+    when(stats.getField("cnt") === 0, lit(0.0))
+      .otherwise(stats.getField("dupCnt").cast(DoubleType) / stats.getField("cnt"))
+
+  /** Fraction of segment characters inside duplicated groups (0 if none). */
+  def dupSegmentCharFraction(stats: Column): Column =
+    when(stats.getField("chars") === 0, lit(0.0))
+      .otherwise(stats.getField("dupChars").cast(DoubleType) / stats.getField("chars"))
+
+  /** Fraction of non-empty lines matching a regex (bullet starts, ellipsis
+    * ends — Gopher's format rules: ≤ 90% bullets, ≤ 30% ellipses).
+    */
+  def lineMatchFraction(text: Column, pattern: String): Column = {
+    val lines = segments(text, "\n")
+    when(size(lines) === 0, lit(0.0)).otherwise(
+      size(filter(lines, l => l.rlike(pattern))).cast(DoubleType) / size(lines))
+  }
+
+  /** Bullet-started line fraction. */
+  def bulletLineFraction(text: Column): Column =
+    lineMatchFraction(text, "^\\s*[-*•‣▪]")
+
+  /** Ellipsis-terminated line fraction. */
+  def ellipsisLineFraction(text: Column): Column =
+    lineMatchFraction(text, "(\\.\\.\\.|…)\\s*$")
+
+  /** Fraction of words containing at least one letter (Gopher: ≥ 80%). */
+  def alphaWordFraction(text: Column): Column = {
+    val toks = TextStats.tokens(text)
+    when(size(toks) === 0, lit(0.0)).otherwise(
+      size(filter(toks, t => t.rlike("\\p{L}"))).cast(DoubleType) / size(toks))
+  }
+
+  /** Fraction of token positions covered by a word n-gram occurring ≥ 2
+    * times in the document — the fused native kernel
+    * ([[graft.ops.expr.DupNgramCoverage]]); SQL name `dup_ngram_coverage`.
+    */
+  def dupNgramCoverage(text: Column, n: Int): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(
+      graft.ops.expr.DupNgramCoverage(ColumnBridge.expression(text), n))
+  }
+
+  /** Reference semantics for [[dupNgramCoverage]] as staged higher-order
+    * functions — O(G²) per row, test-only; RepetitionSpec pins it
+    * bit-identical to the kernel.
+    */
+  def dupNgramTokenCoverageHof(text: Column, n: Int): Column = {
+    val toks = TextStats.tokens(text)
+    val k = size(toks)
+    val grams = ngrams(text, n)
+    val idx = transform(grams, (_, i) => i)
+    val dupIdx = filter(idx, i =>
+      size(filter(grams, g2 => g2 === element_at(grams, i + 1))) >= 2)
+    val coveredIdx = array_distinct(flatten(transform(dupIdx, i => sequence(i, i + n - 1))))
+    when(k < n || k === 0, lit(0.0))
+      .otherwise(size(coveredIdx).cast(DoubleType) / k)
+  }
+
+  /** The full Gopher rule set over precomputed signal columns — every
+    * threshold a parameter, defaults from the paper (duplicate-content
+    * caps relaxed to the token-coverage variant for the n-gram family).
+    */
+  def gopherKeepFull(
+      tokenCount: Column,
+      meanWordLen: Column,
+      dupLineFrac: Column,
+      dupLineCharFrac: Column,
+      dupParaFrac: Column,
+      dupParaCharFrac: Column,
+      dupNgramCov: Column,
+      bulletFrac: Column,
+      ellipsisFrac: Column,
+      alphaFrac: Column,
+      stopwordHits: Column,
+      minTokens: Int = 20,
+      maxTokens: Int = 1000000,
+      minMeanWordLen: Double = 3.0,
+      maxMeanWordLen: Double = 10.0,
+      maxDupLineFrac: Double = 0.30,
+      maxDupLineCharFrac: Double = 0.20,
+      maxDupParaFrac: Double = 0.30,
+      maxDupParaCharFrac: Double = 0.20,
+      maxDupNgramCov: Double = 0.15,
+      maxBulletFrac: Double = 0.90,
+      maxEllipsisFrac: Double = 0.30,
+      minAlphaFrac: Double = 0.80,
+      minStopwordHits: Int = 2
+  ): Column =
+    tokenCount.between(minTokens, maxTokens) &&
+      meanWordLen.between(minMeanWordLen, maxMeanWordLen) &&
+      dupLineFrac <= maxDupLineFrac &&
+      dupLineCharFrac <= maxDupLineCharFrac &&
+      dupParaFrac <= maxDupParaFrac &&
+      dupParaCharFrac <= maxDupParaCharFrac &&
+      dupNgramCov <= maxDupNgramCov &&
+      bulletFrac <= maxBulletFrac &&
+      ellipsisFrac <= maxEllipsisFrac &&
+      alphaFrac >= minAlphaFrac &&
+      stopwordHits >= minStopwordHits
+
+  /** Every extended repetition/format signal in one projection (one scan at
+    * any scale), plus the composite `keep_full` decision. `ngramN` is the
+    * duplicate-coverage n (Gopher sweeps 5..10; one n keeps the row narrow —
+    * call [[dupNgramCoverage]] directly for more).
+    */
+  def withRepetitionSignals(df: DataFrame, textCol: String, ngramN: Int = 5): DataFrame = {
+    val text = col(textCol)
+    val lineStats = dupGroupStats(segments(text, "\n"))
+    val paraStats = dupGroupStats(segments(text, "\n{2,}"))
+    val withSignals = df
+      .withColumn("token_count", size(TextStats.tokens(text)))
+      .withColumn("mean_word_len", TextStats.meanTokenLength(text))
+      .withColumn("__ls", lineStats)
+      .withColumn("__ps", paraStats)
+      .withColumn("dup_line_frac", dupSegmentFraction(col("__ls")))
+      .withColumn("dup_line_char_frac", dupSegmentCharFraction(col("__ls")))
+      .withColumn("dup_para_frac", dupSegmentFraction(col("__ps")))
+      .withColumn("dup_para_char_frac", dupSegmentCharFraction(col("__ps")))
+      .withColumn("dup_ngram_cov", dupNgramCoverage(text, ngramN))
+      .withColumn("bullet_line_frac", bulletLineFraction(text))
+      .withColumn("ellipsis_line_frac", ellipsisLineFraction(text))
+      .withColumn("alpha_word_frac", alphaWordFraction(text))
+      .withColumn("stopword_hits",
+        size(array_intersect(TextStats.tokens(lower(text)), lit(TextStats.EnglishStopwords.toArray))))
+      .drop("__ls", "__ps")
+    withSignals.withColumn("keep_full",
+      gopherKeepFull(
+        col("token_count"), col("mean_word_len"),
+        col("dup_line_frac"), col("dup_line_char_frac"),
+        col("dup_para_frac"), col("dup_para_char_frac"),
+        col("dup_ngram_cov"), col("bullet_line_frac"),
+        col("ellipsis_line_frac"), col("alpha_word_frac"),
+        col("stopword_hits")))
   }
 
   /** All repetition/quality signals in one staged pass (n-grams materialized
