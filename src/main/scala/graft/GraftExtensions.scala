@@ -127,6 +127,10 @@ object GraftExtensions {
       require(es.length == 2, "misra_gries_sketch(token, budget) [aggregate]")
       MisraGriesSketch(es.head, intLit(es(1), "budget")).toAggregateExpression()
     },
+    "bpe_pre_tokens" -> { es =>
+      require(es.length == 1, "bpe_pre_tokens(text)")
+      BpePreTokensExpr(es.head)
+    },
     "kmv_distinct" -> { es =>
       require(es.length == 2 || es.length == 3,
         "kmv_distinct(value, k[, seed]) [aggregate]")

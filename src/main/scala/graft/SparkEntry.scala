@@ -1120,6 +1120,32 @@ object SparkEntry {
         .select(col("source"), round(col("estimate"), 4).as("est_distinct"),
           col("exact"))
     }),
+    // BPE tokenizer TRAINING, corpus pass: the distributed pre-token
+    // frequency table (the trainer's only corpus-scale stage — partial
+    // hash aggregation, one row per distinct word per partition on the
+    // exchange). Whitespace is collapsed first so the pre-tokenizer's
+    // trailing-run branch (a lookahead RE2 can't express) is provably
+    // dead and DuckDB replays the remaining alternation verbatim.
+    "q67_bpe_wordcounts" -> ((s, dir) => {
+      val norm = t(s, dir, "documents").select(
+        trim(regexp_replace(col("text"), "\\s+", " ")).as("t"))
+      graft.ops.BpeTrain.wordCounts(norm, "t")
+        .orderBy(col("n").desc, col("word").asc).limit(30)
+    }),
+    // BPE training, selection gate: with numMerges = 1 every symbol is a
+    // raw byte, so the winning merge (max weighted pair count, ties to the
+    // smallest byte pair) and its merges.txt rendering (space → U+0120)
+    // replay exactly in SQL. Multi-merge training is spec-pinned on a
+    // hand-derived fixture (BpeTrainSpec); the full loop is driver-side
+    // over the bounded word table, like every production trainer.
+    "q67b_bpe_first_merge" -> ((s, dir) => {
+      import s.implicits._
+      val norm = t(s, dir, "documents").select(
+        trim(regexp_replace(col("text"), "\\s+", " ")).as("t"))
+      val (_, lines) =
+        graft.ops.BpeTrain.trainFromCorpus(norm, "t", numMerges = 1)
+      lines.toDF("merge")
+    }),
     // Text normalization + normalized-exact dedup: case/punctuation/
     // whitespace variants collapse to one hash key.
     "q37_normalize" -> ((s, dir) => {
@@ -2158,6 +2184,30 @@ object SparkEntry {
         |      PARTITION BY (doc_id % 17), (doc_id % 2) ORDER BY doc_id) AS rn
         |  FROM documents)
         |WHERE rn <= 3""".stripMargin,
+    // The pre-tokenizer alternation minus the dead lookahead branch (the
+    // Spark side collapses whitespace first, so `\s+(?!\S)` can never
+    // fire); RE2 and java.util.regex agree on leftmost-first alternation.
+    "q67_bpe_wordcounts" ->
+      """WITH norm AS (SELECT trim(regexp_replace(text, '\s+', ' ', 'g')) AS t FROM documents),
+        |words AS (SELECT unnest(regexp_extract_all(t,
+        |  '''s|''t|''re|''ve|''m|''ll|''d| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+')) AS word FROM norm)
+        |SELECT word, count(*) AS n FROM words
+        |GROUP BY word ORDER BY n DESC, word ASC LIMIT 30""".stripMargin,
+    // First-merge replay: weighted adjacent byte-pair counts over the
+    // word table, max count with ties to the smallest byte pair, rendered
+    // in the published alphabet (space → U+0120). ASCII corpus ⇒ chars
+    // are bytes, so substring/ascii arithmetic is exact.
+    "q67b_bpe_first_merge" ->
+      """WITH norm AS (SELECT trim(regexp_replace(text, '\s+', ' ', 'g')) AS t FROM documents),
+        |words AS (SELECT unnest(regexp_extract_all(t,
+        |  '''s|''t|''re|''ve|''m|''ll|''d| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+')) AS w FROM norm),
+        |wc AS (SELECT w, count(*) AS n FROM words GROUP BY w),
+        |pairs AS (
+        |  SELECT substring(w, i, 1) AS l, substring(w, i + 1, 1) AS r, n
+        |  FROM (SELECT w, n, unnest(generate_series(1, length(w) - 1)) AS i FROM wc)),
+        |pc AS (SELECT l, r, sum(n) AS c FROM pairs GROUP BY l, r)
+        |SELECT replace(l, ' ', chr(288)) || ' ' || replace(r, ' ', chr(288)) AS merge
+        |FROM pc ORDER BY c DESC, ascii(l) ASC, ascii(r) ASC LIMIT 1""".stripMargin,
     // Exact replay of the KMV estimate: same md5-prefix ranks, same k-th
     // smallest distinct rank, same (k−1)/normalized-v_k arithmetic.
     "q66_kmv_distinct" ->

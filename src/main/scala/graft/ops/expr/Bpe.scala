@@ -177,6 +177,43 @@ object BpeModel {
     """'s|'t|'re|'ve|'m|'ll|'d| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+(?!\S)|\s+""",
     java.util.regex.Pattern.UNICODE_CHARACTER_CLASS)
 
+  /** All pre-token matches of `s` in order (they partition the string).
+    * The trainer's corpus pass uses this through [[BpePreTokensExpr]], so
+    * training and encoding are guaranteed the same word boundaries.
+    */
+  def preTokenize(s: UTF8String): org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val str = s.toString
+    val out = Array.newBuilder[UTF8String]
+    val m = PreToken.matcher(str)
+    while (m.find()) out += UTF8String.fromString(str.substring(m.start, m.end))
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      out.result().asInstanceOf[Array[AnyRef]])
+  }
+
+  /** Render a symbol's bytes in the published merges.txt alphabet
+    * (printable latin-1 bytes as themselves, the rest remapped to
+    * U+0100+n in byte discovery order — the inverse of [[sideToBytes]]'s
+    * mapping). [[fromMergesLines]] round-trips the output exactly.
+    */
+  def renderSymbolBytes(bs: Array[Byte]): String = {
+    val sb = new java.lang.StringBuilder(bs.length)
+    var i = 0
+    while (i < bs.length) {
+      sb.appendCodePoint(byteToUni(bs(i) & 0xFF))
+      i += 1
+    }
+    sb.toString
+  }
+
+  /** byte → merges.txt codepoint (inverse of [[uniToByte]]; lazy — declared
+    * above uniToByte, and vals initialize in declaration order).
+    */
+  private lazy val byteToUni: Array[Int] = {
+    val arr = new Array[Int](256)
+    uniToByte.forEach((cp, b) => arr(b.intValue()) = cp.intValue())
+    arr
+  }
+
   /** GPT-2's printable byte alphabet: bytes that are "visible" latin-1
     * characters represent themselves in merges.txt; the rest are remapped
     * to codepoints 256+n in discovery order. Published alongside the
@@ -340,5 +377,35 @@ case class BpeEncodeExpr(child: Expression, model: BpeModel)
   }
 
   override protected def withNewChildInternal(newChild: Expression): BpeEncodeExpr =
+    copy(child = newChild)
+}
+
+/** Codegen'd `bpe_pre_tokens(text)` → `array<string>`: the standard
+  * byte-level pre-tokenizer's matches, in order (they partition the
+  * string). Model-free — usable from SQL; [[graft.ops.BpeTrain]]'s corpus
+  * pass is built on it so trained merges see exactly the word boundaries
+  * [[BpeCountExpr]]/[[BpeEncodeExpr]] will use.
+  */
+case class BpePreTokensExpr(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other =>
+      TypeCheckResult.TypeCheckFailure(
+        s"bpe_pre_tokens needs a string column, got $other")
+  }
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "bpe_pre_tokens"
+
+  override protected def nullSafeEval(input: Any): Any =
+    BpeModel.preTokenize(input.asInstanceOf[UTF8String])
+
+  // BpeModel has a companion CLASS, so the generated Java must go through
+  // the module instance rather than relying on static forwarders
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.ops.expr.BpeModel$$.MODULE$$.preTokenize($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): BpePreTokensExpr =
     copy(child = newChild)
 }
