@@ -1120,6 +1120,33 @@ object SparkEntry {
         .select(col("source"), round(col("estimate"), 4).as("est_distinct"),
           col("exact"))
     }),
+    // WebDataset-style tar-shard roundtrip: documents → multi-part tar
+    // shards (txt + src entries per sample, shards rolled per task) →
+    // sample rows → original columns. The oracle is the source table, so
+    // GREEN certifies writer framing, reader parsing, consecutive-key
+    // grouping, and byte fidelity in one gate (q53's pattern for jsonl).
+    "q68_tar_roundtrip" -> ((s, dir) => {
+      val fixture = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft_tar_" +
+          java.lang.Long.toHexString(dir.hashCode.toLong & 0xffffffffL) +
+          "_" + ProcessHandle.current().pid())
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles.foreach(rm)
+        f.delete(); ()
+      }
+      rm(fixture); fixture.mkdirs()
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("text"), col("source"))
+      graft.sources.TarShards.writeTarShards(
+        docs.repartition(4), fixture.getAbsolutePath,
+        keyCol = "doc_id",
+        parts = Seq("txt" -> col("text"), "src" -> col("source")),
+        maxEntriesPerShard = 100)
+      graft.sources.TarShards.readTarShards(s, fixture.getAbsolutePath)
+        .select(col("key").cast("long").as("doc_id"),
+          element_at(col("data"), "txt").cast("string").as("text"),
+          element_at(col("data"), "src").cast("string").as("source"))
+    }),
     // BPE tokenizer TRAINING, corpus pass: the distributed pre-token
     // frequency table (the trainer's only corpus-scale stage — partial
     // hash aggregation, one row per distinct word per partition on the
@@ -2184,6 +2211,10 @@ object SparkEntry {
         |      PARTITION BY (doc_id % 17), (doc_id % 2) ORDER BY doc_id) AS rn
         |  FROM documents)
         |WHERE rn <= 3""".stripMargin,
+    // Roundtrip oracle: the source table itself — any framing, parsing,
+    // grouping, or byte-fidelity defect shows as a row diff.
+    "q68_tar_roundtrip" ->
+      "SELECT doc_id, text, source FROM documents",
     // The pre-tokenizer alternation minus the dead lookahead branch (the
     // Spark side collapses whitespace first, so `\s+(?!\S)` can never
     // fire); RE2 and java.util.regex agree on leftmost-first alternation.
