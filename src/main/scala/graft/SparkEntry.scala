@@ -1205,6 +1205,17 @@ object SparkEntry {
       Similarity.ivfTopK(e, "vec_id", "embedding", cents, AnnQueryVec, 20, nProbe = 8)
         .select(col("vec_id"), round(col("score"), 6).as("score"))
     }),
+    // SemDeDup semantic dedup: fixed literal centroids pin the k-means
+    // assignment (squared-L2 argmin, tie to smaller index), in-cell cosine
+    // pairs, dominance prune (drop i iff an earlier-id j in the same cell
+    // has cosine ≥ t). The oracle replays assignment + EXISTS end-to-end —
+    // a full value-level gate on the whole operator, which the dominance
+    // rule (unlike connected components) makes SQL-expressible.
+    "q69_semantic_dedup" -> ((s, dir) =>
+      graft.ops.Similarity.semanticDedup(
+        t(s, dir, "embeddings"), "vec_id", "embedding",
+        threshold = 0.40, centroids = SemCentroids)
+        .select(col("vec_id"))),
     // IVFADC (product quantization): codes-ranked candidates, exact
     // re-score. At full probe + full refine nothing is pruned and the
     // re-score is exact cosine with the same (score desc, id) tie-break as
@@ -1443,6 +1454,15 @@ object SparkEntry {
 
   private def annVecSql: String =
     AnnQueryVec.map(f => f.toString).mkString("[", ", ", "]")
+
+  /** Four fixed 64-dim centroids for the q69 SemDeDup gate — deterministic
+    * formula, inlined into the DuckDB oracle as literals.
+    */
+  val SemCentroids: Array[Array[Double]] =
+    Array.tabulate(4, 64)((k, i) => (((i + 3 * k) % 7) - 3) / 10.0)
+
+  private def semCentroidSql(k: Int): String =
+    SemCentroids(k).map(_.toString).mkString("[", ", ", "]")
 
   private def annBatchSql: String =
     AnnQueryVecs.map { case (qid, vec) =>
@@ -2239,6 +2259,26 @@ object SparkEntry {
         |pc AS (SELECT l, r, sum(n) AS c FROM pairs GROUP BY l, r)
         |SELECT replace(l, ' ', chr(288)) || ' ' || replace(r, ' ', chr(288)) AS merge
         |FROM pc ORDER BY c DESC, ascii(l) ASC, ascii(r) ASC LIMIT 1""".stripMargin,
+    // SemDeDup replay: literal-centroid squared-L2 argmin (CASE chain
+    // encodes the tie-to-smaller-index contract), then the dominance
+    // EXISTS — drop a vector iff an earlier-id same-cell vector clears
+    // the cosine threshold.
+    "q69_semantic_dedup" -> {
+      def d(k: Int) = s"list_distance(embedding::DOUBLE[], ${semCentroidSql(k)}::DOUBLE[])"
+      s"""WITH assigned AS (
+         |  SELECT vec_id, embedding::DOUBLE[] AS v,
+         |    CASE
+         |      WHEN ${d(0)} <= ${d(1)} AND ${d(0)} <= ${d(2)} AND ${d(0)} <= ${d(3)} THEN 0
+         |      WHEN ${d(1)} < ${d(0)} AND ${d(1)} <= ${d(2)} AND ${d(1)} <= ${d(3)} THEN 1
+         |      WHEN ${d(2)} < ${d(0)} AND ${d(2)} < ${d(1)} AND ${d(2)} <= ${d(3)} THEN 2
+         |      ELSE 3 END AS cell
+         |  FROM embeddings)
+         |SELECT a.vec_id FROM assigned a
+         |WHERE NOT EXISTS (
+         |  SELECT 1 FROM assigned b
+         |  WHERE b.cell = a.cell AND b.vec_id < a.vec_id
+         |    AND list_cosine_similarity(a.v, b.v) >= 0.40)""".stripMargin
+    },
     // Exact replay of the KMV estimate: same md5-prefix ranks, same k-th
     // smallest distinct rank, same (k−1)/normalized-v_k arithmetic.
     "q66_kmv_distinct" ->

@@ -651,4 +651,48 @@ object Similarity {
       .select(graft.ops.expr.NativeSig.bucketCosinePairs(col("ms"), threshold))
       .distinct()
   }
+
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    * arXiv:2303.09540): k-means-cluster the embeddings, then prune
+    * near-duplicates WITHIN each cluster — the scalable recipe for
+    * "remove semantically redundant documents" at corpus scale, because
+    * all-pairs cosine never leaves a cell.
+    *
+    * Pruning uses the deterministic DOMINANCE rule: drop row `i` iff some
+    * row `j` with a smaller id sits in the same cell with
+    * `cosine(i,j) ≥ threshold`. Unlike connected-components family dedup
+    * ([[graft.ops.Cluster.keepClusterRepresentatives]] — available for the
+    * transitive semantics) this never over-merges two items that are not
+    * themselves similar, and it is engine-replayable as a plain EXISTS —
+    * which is how the correctness gate checks it end to end.
+    *
+    * Scale shape: assignment is a per-row argmax against a broadcast-free
+    * literal centroid table; the only exchange is the cell hash shuffle;
+    * in-cell pairs run through the fused survivor-only generator with the
+    * bounded-bucket cap + truncation observability every near-dup path
+    * here shares. Pass `centroids` to pin assignment (reproducibility /
+    * cross-run consistency); otherwise they are trained with the sampled
+    * k-means++ trainer.
+    */
+  def semanticDedup(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double,
+      centroids: Array[Array[Double]] = null,
+      targetCellSize: Int = 2000,
+      maxBucketSize: Int = 20000,
+      seed: Long = 42L
+  ): DataFrame = {
+    val cents = Option(centroids).getOrElse {
+      val k = ivfCellsFor(df.count(), targetCellSize)
+      trainCentroidsSampled(df, vecCol, k, seed = seed)
+    }
+    // nProbe = 1: comparisons stay within the assigned cell — SemDeDup's
+    // contract (cross-cell near-dups are the recall trade the paper makes)
+    val pairs = cosineNearDuplicatePairsIvf(
+      df, idCol, vecCol, threshold, cents, nProbe = 1, maxBucketSize = maxBucketSize)
+    val drops = pairs.select(col("id_b").as("__drop_id")).distinct()
+    df.join(drops, df(idCol) === col("__drop_id"), "left_anti")
+  }
 }
