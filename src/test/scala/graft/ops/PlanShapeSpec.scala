@@ -181,4 +181,50 @@ class PlanShapeSpec extends SparkTestBase {
       s"the exchange must hash on domain: ${ex.head.outputPartitioning}")
     assert(windows(q).length == 1)
   }
+
+  test("withRepetitionSignals: map-only — zero exchanges, zero windows") {
+    val docs = (1L to 40L).map(i => (i, s"line a\nline b\ntok$i x y z w v"))
+      .toDF("id", "text")
+    val q = Corpus.withRepetitionSignals(docs, "text")
+    assert(shuffles(q).isEmpty && windows(q).isEmpty,
+      "every repetition signal is a per-row projection")
+  }
+
+  test("approxDistinct: one exchange carrying KMV buffers, never the raw values") {
+    val df = (1L to 200L).map(i => (s"g${i % 3}", s"value-$i")).toDF("g", "v")
+    val q = Corpus.approxDistinct(df, Seq("g"), "v", k = 32)
+    val ex = shuffles(q)
+    assert(ex.length == 1, s"exactly one exchange, got ${ex.length}")
+    assert(!ex.head.child.output.exists(_.name == "v"),
+      s"only (group, sketch buffer) may ride the exchange: ${ex.head.child.output}")
+  }
+
+  test("BPE wordCounts: partial aggregation below the word exchange") {
+    import org.apache.spark.sql.execution.aggregate.{HashAggregateExec, ObjectHashAggregateExec}
+    val docs = (1L to 40L).map(i => (i, s"some words here tok$i")).toDF("id", "text")
+    val q = BpeTrain.wordCounts(docs, "text")
+    val ex = shuffles(q)
+    assert(ex.length == 1, s"exactly one exchange, got ${ex.length}")
+    // map-side combine: the exchange input is already aggregated, so it
+    // carries one row per distinct word per partition, not per occurrence
+    val partialAggBelow = ex.head.child.collect {
+      case h: HashAggregateExec => h
+      case o: ObjectHashAggregateExec => o
+    }
+    assert(partialAggBelow.nonEmpty, "expected a partial aggregate below the exchange")
+  }
+
+  test("semanticDedup: fused pair generator, no window, anti-join prune") {
+    import org.apache.spark.sql.execution.GenerateExec
+    val data = (1L to 30L)
+      .map(i => (i, Array.tabulate(8)(d => ((i + d) % 5).toFloat)))
+      .toDF("vec_id", "embedding")
+    val cents = Array(Array.fill(8)(0.0), Array.fill(8)(2.0))
+    val q = Similarity.semanticDedup(
+      data, "vec_id", "embedding", threshold = 0.9, centroids = cents)
+    assert(windows(q).isEmpty, "no window anywhere in the prune")
+    val gens = prepared(q).collect { case g: GenerateExec => g }
+    assert(gens.exists(_.boundGenerator.isInstanceOf[graft.ops.expr.BucketCosinePairs]),
+      "in-cell pairs must go through the fused survivor-only generator")
+  }
 }
