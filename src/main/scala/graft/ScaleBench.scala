@@ -75,7 +75,15 @@ object ScaleBench {
     // Misra–Gries sketch route (numPartitions bounded sketches + candidate
     // recount) — the sketch row's shuffle bytes must stay ~flat with scale
     // while the exact row's grow with distinct tokens
-    "q30_vocab", "q59_vocab_sketch")
+    "q30_vocab", "q59_vocab_sketch",
+    // session-3 rows: extended repetition signals (map-only, must scale
+    // linearly at zero shuffle), KMV distinct (bounded-buffer exchange —
+    // A/B against x_distinct_exact below), BPE word counting (the
+    // trainer's corpus pass; exchange ∝ distinct words per partition),
+    // tar-shard write+read roundtrip (sequential-IO ingestion row), and
+    // SemDeDup (cell-bucketed vector pairs + anti-join prune)
+    "q65_gopher_rep", "q66_kmv_distinct", "q67_bpe_wordcounts",
+    "q68_tar_roundtrip", "q69_semantic_dedup")
 
   /** Scale-path variants that the gate runs in verification form: the
     * DEFAULT (approx) profile, and the forced-shuffle CC regime sized with
@@ -133,6 +141,7 @@ object ScaleBench {
     // cost under measure is encode + m-lookup ADC over probed cells, and
     // it must scale linearly with corpus rows at ~zero shuffle (TakeOrdered
     // + a k·refine-row re-score join).
+    "x_distinct_exact" -> ((s, dir) => distinctExact(s, dir)),
     "x_pq_topk" -> ((s, dir) => {
       val e = s.read.parquet(s"$dir/embeddings.parquet")
         .select(col("vec_id"), col("embedding"))
@@ -142,6 +151,17 @@ object ScaleBench {
         fixedCentroids(16, 64), cb, SparkEntry.AnnQueryVec, 20,
         nProbe = 4, refine = 8)
     }))
+
+  /** Exact-distinct A/B baseline for q66: the per-distinct-value exchange
+    * the KMV sketch exists to avoid. Shuffle bytes here grow with the
+    * vocabulary; the sketch row's stay bounded at k longs per partition.
+    */
+  private def distinctExact(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/documents.parquet")
+      .select(col("source"),
+        explode(graft.ops.TextStats.tokens(col("text"))).as("tok"))
+      .groupBy(col("source"))
+      .agg(count_distinct(col("tok")).as("nd"))
 
   /** Deterministic centroid table for the IVF A/B rows: pair-generation
     * memory/shuffle is a property of the bucket structure, not centroid

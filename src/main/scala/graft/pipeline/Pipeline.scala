@@ -110,6 +110,15 @@ object Pipeline {
               schema = sm.get("schema").map(_.toString).orNull,
               badRecords = sm.getOrElse("badRecords", "drop").toString,
               options = opts)
+          // WebDataset-style tar shards: {format: tar, path: ...} →
+          // (shard, key, data map) sample rows. No reader options exist;
+          // an options key is an error, not a silent no-op (the jsonl
+          // options-threading lesson)
+          case "tar" =>
+            if (sm.contains("options"))
+              throw new IllegalArgumentException(
+                "tar source takes no options; remove the 'options' key")
+            graft.sources.TarShards.readTarShards(spark, path)
           case fmt =>
             val reader = spark.read.format(fmt)
             val withOpts = sm.get("options") match {
@@ -416,6 +425,40 @@ object Pipeline {
 
       case "qualitySignals" =>
         graft.ops.Corpus.withQualitySignals(df, step("qualitySignals").toString)
+
+      // extended Gopher repetition/format signals + keep_full:
+      // {repetitionSignals: text} or {repetitionSignals: {text: ..., n: 5}}
+      case "repetitionSignals" =>
+        step("repetitionSignals") match {
+          case m: scala.collection.Map[_, _] =>
+            val rm = asMap(m, "repetitionSignals")
+            graft.ops.Corpus.withRepetitionSignals(df, rm("text").toString,
+              rm.get("n").map(_.toString.toInt).getOrElse(5))
+          case c => graft.ops.Corpus.withRepetitionSignals(df, c.toString)
+        }
+
+      // engine-portable KMV distinct estimate per group:
+      // {approxDistinct: {by: [cols], value: col, k: 256, seed: 42}}
+      case "approxDistinct" =>
+        val ad = asMap(step("approxDistinct"), "approxDistinct")
+        graft.ops.Corpus.approxDistinct(df,
+          asSeq(ad("by")).map(_.toString),
+          ad("value").toString,
+          ad.get("k").map(_.toString.toInt).getOrElse(256),
+          ad.get("seed").map(_.toString.toLong).getOrElse(42L))
+
+      // SemDeDup semantic dedup: {semanticDedup: {id: ..., embedding: ...,
+      //   threshold: 0.85, targetCellSize: 2000}} — dominance prune within
+      // auto-trained k-means cells (see Similarity.semanticDedup)
+      case "semanticDedup" =>
+        val sd = asMap(step("semanticDedup"), "semanticDedup")
+        graft.ops.Similarity.semanticDedup(df,
+          sd("id").toString,
+          sd("embedding").toString,
+          sd.get("threshold").map(_.toString.toDouble).getOrElse(0.9),
+          targetCellSize =
+            sd.get("targetCellSize").map(_.toString.toInt).getOrElse(2000),
+          seed = sd.get("seed").map(_.toString.toLong).getOrElse(42L))
 
       case "quota" =>
         val q = asMap(step("quota"), "quota")

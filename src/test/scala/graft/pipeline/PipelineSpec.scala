@@ -657,4 +657,61 @@ class PipelineSpec extends SparkTestBase {
     assert(bytes.select("tokens").as[Seq[Int]].head() == Seq(0, 32))
   }
 
+  test("repetitionSignals / approxDistinct / semanticDedup verbs match the direct ops") {
+    val rep = Pipeline.runOnDir(spark,
+      """source: documents
+        |steps:
+        |  - repetitionSignals: {text: text, n: 3}
+        |  - select: {doc_id: $doc_id, dup_ngram_cov: $dup_ngram_cov, keep_full: $keep_full}
+        |""".stripMargin, dir)
+    val repDirect = graft.ops.Corpus.withRepetitionSignals(
+      spark.read.parquet(s"$dir/documents.parquet"), "text", 3)
+      .select(col("doc_id"), col("dup_ngram_cov"), col("keep_full"))
+    assert(rep.exceptAll(repDirect).count() == 0)
+    assert(repDirect.exceptAll(rep).count() == 0)
+
+    val ad = Pipeline.runOnDir(spark,
+      """source: documents
+        |steps:
+        |  - approxDistinct: {by: [source], value: text, k: 64, seed: 3}
+        |""".stripMargin, dir)
+    val adDirect = graft.ops.Corpus.approxDistinct(
+      spark.read.parquet(s"$dir/documents.parquet"), Seq("source"), "text", 64, 3L)
+    assert(ad.exceptAll(adDirect).count() == 0)
+
+    val sem = Pipeline.runOnDir(spark,
+      """source: embeddings
+        |steps:
+        |  - semanticDedup: {id: vec_id, embedding: embedding, threshold: 0.85, targetCellSize: 100}
+        |""".stripMargin, dir)
+    val semDirect = graft.ops.Similarity.semanticDedup(
+      spark.read.parquet(s"$dir/embeddings.parquet"), "vec_id", "embedding",
+      0.85, targetCellSize = 100)
+    assert(sem.select("vec_id").as[Long].collect().toSet ==
+      semDirect.select("vec_id").as[Long].collect().toSet)
+  }
+
+  test("tar source: shards in, sample rows out; options rejected loudly") {
+    val tmp = java.nio.file.Files.createTempDirectory("pipe_tar_").toFile
+    tmp.deleteOnExit()
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("text")).limit(20)
+    graft.sources.TarShards.writeTarShards(
+      docs, tmp.getAbsolutePath, "doc_id", Seq("txt" -> col("text")))
+    val out = Pipeline.run(spark,
+      s"""source: {format: tar, path: ${tmp.getAbsolutePath}}
+         |steps:
+         |  - withColumns: {doc_id: "$$key :: int"}
+         |  - select: {doc_id: $$doc_id}
+         |""".stripMargin, (_: String) => fail("no table resolve expected"))
+    assert(out.count() == 20)
+    val err = intercept[IllegalArgumentException] {
+      Pipeline.run(spark,
+        s"""source: {format: tar, path: ${tmp.getAbsolutePath}, options: {a: b}}
+           |steps: []
+           |""".stripMargin, (_: String) => fail("no table resolve expected"))
+    }
+    assert(err.getMessage.contains("options"))
+  }
+
 }
