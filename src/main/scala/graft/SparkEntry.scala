@@ -1120,6 +1120,22 @@ object SparkEntry {
         .select(col("source"), round(col("estimate"), 4).as("est_distinct"),
           col("exact"))
     }),
+    // Bloom-filter cross-corpus membership: build a filter of the
+    // reference slice's texts (distributed build, OR-merged partials),
+    // probe every document map-side. The gate checks the NO-FALSE-
+    // NEGATIVE direction exactly — every true member must probe seen, so
+    // the output over the reference slice is the slice itself (any build/
+    // serialize/probe defect loses members and diffs). The false-positive
+    // rate is probabilistic by design and is pinned in BloomSpec instead.
+    "q70_bloom_seen" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val reference = docs.filter(col("doc_id") % 5 === 0)
+      val bloom = graft.ops.Decontam.buildBloom(
+        reference, "text", expectedItems = 1000L)
+      graft.ops.Decontam.markSeenBloom(docs, "text", bloom)
+        .filter(col("doc_id") % 5 === 0 && col("seen"))
+        .select(col("doc_id"))
+    }),
     // WebDataset-style tar-shard roundtrip: documents → multi-part tar
     // shards (txt + src entries per sample, shards rolled per task) →
     // sample rows → original columns. The oracle is the source table, so
@@ -2231,6 +2247,9 @@ object SparkEntry {
         |      PARTITION BY (doc_id % 17), (doc_id % 2) ORDER BY doc_id) AS rn
         |  FROM documents)
         |WHERE rn <= 3""".stripMargin,
+    // No-false-negative oracle: the reference slice must re-emerge whole.
+    "q70_bloom_seen" ->
+      "SELECT doc_id FROM documents WHERE doc_id % 5 = 0",
     // Roundtrip oracle: the source table itself — any framing, parsing,
     // grouping, or byte-fidelity defect shows as a row diff.
     "q68_tar_roundtrip" ->

@@ -170,4 +170,74 @@ object Decontam {
     train.join(broadcast(hits),
       train(trainIdCol) === col("__hit_id"), "left_anti")
   }
+
+  // ---------------------------------------------------------------------
+  // Bloom-filter cross-corpus membership — the sub-linear-memory sibling
+  // of the exact broadcast semi-join above. Exact decontamination holds
+  // the reference's DISTINCT grams; when the reference is another CORPUS
+  // (dedup new shards against the 10-billion-document collection you
+  // already trained on), that table doesn't fit anywhere. A Bloom filter
+  // holds the whole reference in ~1.2 GB per 10⁹ items at 1% fpp,
+  // ships once in the task binary, and probes map-side — the trade is a
+  // bounded false-positive rate (items wrongly flagged "seen"; NEVER the
+  // reverse), so the drop-side user over-discards ~fpp of genuinely new
+  // data and the mark-side user gets an audit column to re-verify.
+  // ---------------------------------------------------------------------
+
+  /** Driver-side cap on filter size: a filter that cannot ship in the
+    * task binary should be a deliberate choice, not an accident.
+    */
+  val MaxBloomBytes: Long = 2L * 1024 * 1024 * 1024 - 16
+
+  /** Build a serialized Bloom filter of `col`'s values (as UTF-8 bytes)
+    * over the whole frame — distributed build (one partial filter per
+    * partition, OR-merged), driver holds only the final bit array.
+    * `expectedItems` sizes the filter; undersizing inflates the realized
+    * fpp, it never loses members.
+    */
+  def buildBloom(
+      df: DataFrame,
+      column: String,
+      expectedItems: Long,
+      fpp: Double = 0.01
+  ): Array[Byte] = {
+    // standard sizing formula (checked BEFORE any allocation — create()
+    // itself would try to allocate the bit array)
+    val ln2 = math.log(2.0)
+    val bits = math.ceil(-(expectedItems * math.log(fpp)) / (ln2 * ln2)).toLong
+    require(bits / 8 <= MaxBloomBytes,
+      s"bloom of $expectedItems items at fpp=$fpp needs ${bits / 8} bytes " +
+        s"(> $MaxBloomBytes); raise fpp or shard the reference")
+    val bf = df.stat.bloomFilter(col(column).cast("string"), expectedItems, fpp)
+    val out = new java.io.ByteArrayOutputStream()
+    bf.writeTo(out)
+    out.toByteArray
+  }
+
+  /** Membership probe column against a [[buildBloom]] filter: true ⇒
+    * possibly seen (fpp chance of a false alarm), false ⇒ DEFINITELY not
+    * in the reference. Codegen'd, map-only.
+    */
+  def bloomProbe(column: Column, bloomBytes: Array[Byte]): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(graft.ops.expr.BloomProbeExpr(
+      ColumnBridge.expression(column.cast("string")), bloomBytes))
+  }
+
+  /** Mark rows whose `column` value was (possibly) seen in the reference
+    * filter — the audit-friendly shape: re-verify `seen = true` rows
+    * exactly (they are ~fpp wrong) before acting on them.
+    */
+  def markSeenBloom(
+      df: DataFrame, column: String, bloomBytes: Array[Byte],
+      flagCol: String = "seen"): DataFrame =
+    df.withColumn(flagCol, bloomProbe(col(column), bloomBytes))
+
+  /** Drop rows possibly seen in the reference — cross-corpus dedup's
+    * scale path. Over-drops ~fpp of genuinely-new rows by construction;
+    * never lets a true duplicate through.
+    */
+  def dropSeenBloom(
+      df: DataFrame, column: String, bloomBytes: Array[Byte]): DataFrame =
+    df.filter(!bloomProbe(col(column), bloomBytes))
 }
