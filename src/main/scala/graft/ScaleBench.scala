@@ -142,6 +142,17 @@ object ScaleBench {
     // it must scale linearly with corpus rows at ~zero shuffle (TakeOrdered
     // + a k·refine-row re-score join).
     "x_distinct_exact" -> ((s, dir) => distinctExact(s, dir)),
+    // SemDeDup in its SCALE configuration: cells ∝ n (auto), so per-cell
+    // population — and with it the in-cell pair work — stays constant as
+    // the corpus grows. The q69 gate row pins FIXED literal centroids for
+    // its oracle and is super-linear by construction; this row is the
+    // library's answer for real corpora.
+    "x_semantic_dedup_auto" -> ((s, dir) => {
+      val e = s.read.parquet(s"$dir/embeddings.parquet")
+        .select(col("vec_id"), col("embedding"))
+      graft.ops.Similarity.semanticDedup(
+        e, "vec_id", "embedding", threshold = 0.85, targetCellSize = 500)
+    }),
     "x_pq_topk" -> ((s, dir) => {
       val e = s.read.parquet(s"$dir/embeddings.parquet")
         .select(col("vec_id"), col("embedding"))

@@ -1120,6 +1120,39 @@ object SparkEntry {
         .select(col("source"), round(col("estimate"), 4).as("est_distinct"),
           col("exact"))
     }),
+    // Distributed logistic-regression training (learned quality filter):
+    // two full-batch iterations, each ONE aggregate reducing the corpus
+    // to numFeatures+2 decimal sums. The determinism contract (sigmoids
+    // rounded to 6, gradient terms to 9, exact decimal sums, left-to-
+    // right dot products) makes the learned WEIGHTS bit-stable across
+    // engines — the oracle replays the full unrolled training in SQL.
+    "q72_logreg_train" -> ((s, dir) => {
+      import s.implicits._
+      val d = t(s, dir, "documents").select(
+        (col("n_chars") / 1000.0).as("x1"),
+        (size(TextStats.tokens(col("text"))) / 100.0).as("x2"),
+        ((col("doc_id") % 10) / 10.0).as("x3"),
+        when(col("n_chars") >= 300, 1.0).otherwise(0.0).as("y"))
+      val w = graft.ops.LogReg.train(d, Seq("x1", "x2", "x3"), "y",
+        iters = 2, lr = 0.5)
+      Seq(("x1", w(0)), ("x2", w(1)), ("x3", w(2)), ("bias", w(3)))
+        .toDF("feature", "weight")
+    }),
+    // Corpus snapshot diff: two derived snapshots of the documents table
+    // (old drops %7 ids; new drops %11 ids and rewrites %5 texts), then
+    // the content-hash full-outer diff — added/removed/changed/unchanged
+    // per id. (id, md5) is all the exchange carries; the oracle replays
+    // the identical join and CASE.
+    "q71_snapshot_diff" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val old = d.filter(col("doc_id") % 7 =!= 0)
+        .select(col("doc_id"), col("text"))
+      val neu = d.filter(col("doc_id") % 11 =!= 0)
+        .select(col("doc_id"),
+          when(col("doc_id") % 5 === 0, concat(col("text"), lit(" v2")))
+            .otherwise(col("text")).as("text"))
+      graft.ops.SnapshotDiff.diff(old, neu, "doc_id", Seq("text"))
+    }),
     // Bloom-filter cross-corpus membership: build a filter of the
     // reference slice's texts (distributed build, OR-merged partials),
     // probe every document map-side. The gate checks the NO-FALSE-
@@ -2247,6 +2280,68 @@ object SparkEntry {
         |      PARTITION BY (doc_id % 17), (doc_id % 2) ORDER BY doc_id) AS rn
         |  FROM documents)
         |WHERE rn <= 3""".stripMargin,
+    // Full unrolled replay of the two training iterations: iteration i's
+    // gradient CTE aggregates the same rounded per-row terms into exact
+    // decimal sums, its weight CTE applies the same HALF_UP-rounded
+    // update, and iteration 2 reads iteration 1's weights via a 1-row
+    // cross join. Dot products associate left-to-right in feature order,
+    // exactly as LogReg.sigmoid builds them.
+    "q72_logreg_train" ->
+      """WITH data AS (
+        |  SELECT CAST(n_chars AS DOUBLE) / CAST(1000.0 AS DOUBLE) AS x1,
+        |    CAST(len(list_filter(regexp_split_to_array(text, '\s+'), t -> t <> '')) AS DOUBLE)
+        |      / CAST(100.0 AS DOUBLE) AS x2,
+        |    CAST(doc_id % 10 AS DOUBLE) / CAST(10.0 AS DOUBLE) AS x3,
+        |    CASE WHEN n_chars >= 300 THEN CAST(1.0 AS DOUBLE)
+        |         ELSE CAST(0.0 AS DOUBLE) END AS y
+        |  FROM documents),
+        |g1 AS (
+        |  SELECT
+        |    sum(CAST(round((y - 0.5) * x1, 9) AS DECIMAL(38,12))) AS s_x1,
+        |    sum(CAST(round((y - 0.5) * x2, 9) AS DECIMAL(38,12))) AS s_x2,
+        |    sum(CAST(round((y - 0.5) * x3, 9) AS DECIMAL(38,12))) AS s_x3,
+        |    sum(CAST(round(y - 0.5, 9) AS DECIMAL(38,12))) AS s_b,
+        |    count(*) AS n
+        |  FROM data),
+        |w1 AS (
+        |  SELECT
+        |    round((0.5 * CAST(s_x1 AS DOUBLE)) / n, 9) AS w1x1,
+        |    round((0.5 * CAST(s_x2 AS DOUBLE)) / n, 9) AS w1x2,
+        |    round((0.5 * CAST(s_x3 AS DOUBLE)) / n, 9) AS w1x3,
+        |    round((0.5 * CAST(s_b AS DOUBLE)) / n, 9) AS w1b
+        |  FROM g1),
+        |g2 AS (
+        |  SELECT
+        |    sum(CAST(round((y - round(1.0 / (1.0 + exp(-(x1 * w1x1 + x2 * w1x2 + x3 * w1x3 + w1b))), 6)) * x1, 9) AS DECIMAL(38,12))) AS s_x1,
+        |    sum(CAST(round((y - round(1.0 / (1.0 + exp(-(x1 * w1x1 + x2 * w1x2 + x3 * w1x3 + w1b))), 6)) * x2, 9) AS DECIMAL(38,12))) AS s_x2,
+        |    sum(CAST(round((y - round(1.0 / (1.0 + exp(-(x1 * w1x1 + x2 * w1x2 + x3 * w1x3 + w1b))), 6)) * x3, 9) AS DECIMAL(38,12))) AS s_x3,
+        |    sum(CAST(round(y - round(1.0 / (1.0 + exp(-(x1 * w1x1 + x2 * w1x2 + x3 * w1x3 + w1b))), 6), 9) AS DECIMAL(38,12))) AS s_b,
+        |    count(*) AS n,
+        |    any_value(w1x1) AS w1x1, any_value(w1x2) AS w1x2,
+        |    any_value(w1x3) AS w1x3, any_value(w1b) AS w1b
+        |  FROM data CROSS JOIN w1),
+        |w2 AS (
+        |  SELECT
+        |    round(w1x1 + (0.5 * CAST(s_x1 AS DOUBLE)) / n, 9) AS w2x1,
+        |    round(w1x2 + (0.5 * CAST(s_x2 AS DOUBLE)) / n, 9) AS w2x2,
+        |    round(w1x3 + (0.5 * CAST(s_x3 AS DOUBLE)) / n, 9) AS w2x3,
+        |    round(w1b + (0.5 * CAST(s_b AS DOUBLE)) / n, 9) AS w2b
+        |  FROM g2)
+        |SELECT 'x1' AS feature, w2x1 AS weight FROM w2
+        |UNION ALL SELECT 'x2', w2x2 FROM w2
+        |UNION ALL SELECT 'x3', w2x3 FROM w2
+        |UNION ALL SELECT 'bias', w2b FROM w2""".stripMargin,
+    // The same derived snapshots, hashes, full-outer join, and CASE.
+    "q71_snapshot_diff" ->
+      """WITH o AS (SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id % 7 <> 0),
+        |n AS (SELECT doc_id,
+        |        md5(CASE WHEN doc_id % 5 = 0 THEN text || ' v2' ELSE text END) AS h
+        |      FROM documents WHERE doc_id % 11 <> 0)
+        |SELECT coalesce(n.doc_id, o.doc_id) AS doc_id,
+        |  CASE WHEN o.doc_id IS NULL THEN 'added'
+        |       WHEN n.doc_id IS NULL THEN 'removed'
+        |       WHEN o.h = n.h THEN 'unchanged' ELSE 'changed' END AS status
+        |FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id""".stripMargin,
     // No-false-negative oracle: the reference slice must re-emerge whole.
     "q70_bloom_seen" ->
       "SELECT doc_id FROM documents WHERE doc_id % 5 = 0",

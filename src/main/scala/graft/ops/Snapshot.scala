@@ -1,0 +1,68 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Corpus snapshot diffing — the data-versioning primitive: given two
+  * snapshots of a corpus (yesterday's crawl and today's), classify every
+  * id as `added` / `removed` / `changed` / `unchanged` by CONTENT, so an
+  * incremental pipeline reprocesses exactly the delta instead of the
+  * world. (The reference has no multi-table surface at all —
+  * parser.py:326-344; beyond-reference, motivated by recurring corpus
+  * drops.)
+  *
+  * Content identity is an md5 over the selected columns (engine-portable,
+  * so the gate replays the whole diff in SQL — xxhash64 would be faster
+  * but its bits are Spark-private; at one hash per row on a scan this is
+  * not the bottleneck, the join is). Scale shape: contents reduce to one
+  * 32-char hash per row BEFORE the join, so the full-outer exchange
+  * carries (id, hash), never the documents; the join is a plain hash
+  * shuffle on id — co-locate (bucket) both snapshots on id to run it
+  * exchange-free on repeated diffs.
+  */
+object SnapshotDiff {
+
+  /** One concatenated-content hash; `\u0001` (SQL `chr(1)`) separates columns so
+    * ("ab","c") and ("a","bc") differ.
+    */
+  def contentHash(cols: Seq[Column]): Column =
+    md5(concat_ws("\u0001", cols.map(_.cast("string")): _*))
+
+  /** Diff `oldSnap` → `newSnap` on `idCol`, content = `contentCols`:
+    * returns (id, status) with status in added/removed/changed/unchanged.
+    */
+  def diff(
+      oldSnap: DataFrame,
+      newSnap: DataFrame,
+      idCol: String,
+      contentCols: Seq[String]
+  ): DataFrame = {
+    require(contentCols.nonEmpty, "diff needs at least one content column")
+    val o = oldSnap.select(col(idCol).as("__old_id"),
+      contentHash(contentCols.map(oldSnap(_))).as("__old_h"))
+    val n = newSnap.select(col(idCol).as("__new_id"),
+      contentHash(contentCols.map(newSnap(_))).as("__new_h"))
+    o.join(n, col("__old_id") === col("__new_id"), "full_outer")
+      .select(
+        coalesce(col("__new_id"), col("__old_id")).as(idCol),
+        when(col("__old_id").isNull, "added")
+          .when(col("__new_id").isNull, "removed")
+          .when(col("__old_h") === col("__new_h"), "unchanged")
+          .otherwise("changed").as("status"))
+  }
+
+  /** The rows of `newSnap` an incremental pipeline must (re)process:
+    * content that is new or changed since `oldSnap`.
+    */
+  def delta(
+      oldSnap: DataFrame,
+      newSnap: DataFrame,
+      idCol: String,
+      contentCols: Seq[String]
+  ): DataFrame = {
+    val d = diff(oldSnap, newSnap, idCol, contentCols)
+      .filter(col("status").isin("added", "changed"))
+      .select(col(idCol).as("__delta_id"))
+    newSnap.join(d, newSnap(idCol) === col("__delta_id"), "left_semi")
+  }
+}
