@@ -67,6 +67,7 @@ object LogReg {
         count(lit(1))
       val row = df.agg(sums.head, sums.tail: _*).head()
       val n = row.getLong(k + 1)
+      require(n > 0, "cannot train on an empty frame")
       var j = 0
       while (j <= k) {
         val g = Option(row.getDecimal(j)).map(_.doubleValue).getOrElse(0.0)

@@ -30,6 +30,10 @@ object SnapshotDiff {
 
   /** Diff `oldSnap` → `newSnap` on `idCol`, content = `contentCols`:
     * returns (id, status) with status in added/removed/changed/unchanged.
+    * `idCol` must be unique within each snapshot — duplicated ids would
+    * cross-product in the full-outer join (run
+    * [[Dedup.markExactDuplicates]] first if the snapshot may contain
+    * repeats).
     */
   def diff(
       oldSnap: DataFrame,

@@ -82,6 +82,13 @@ object TarShards {
             close(); shardNo += 1; inShard = 0; open()
           }
           val key = r.getString(0)
+          // the format's key/extension split is at the FIRST dot — a key
+          // containing one would silently re-split on read into a
+          // different (key, ext); refuse loudly instead
+          if (key.indexOf('.') >= 0)
+            throw new IllegalArgumentException(
+              s"tar-shard sample key '$key' contains '.', which the " +
+                "key/extension split cannot round-trip; strip or re-encode keys")
           exts.zipWithIndex.foreach { case (ext, i) =>
             val bytes = r.get(i + 1)
             if (bytes != null) {

@@ -88,6 +88,16 @@ class TarShardsSpec extends SparkTestBase {
     assert(rows == Seq(("a", Seq("json")), ("a", Seq("txt")), ("b", Seq("txt"))))
   }
 
+  test("a key containing a dot is rejected loudly (cannot round-trip)") {
+    val dir = tmpDir()
+    val df = Seq(("bad.key", "x")).toDF("k", "txt")
+    val e = intercept[org.apache.spark.SparkException] {
+      TarShards.writeTarShards(df, dir, "k", Seq("txt" -> col("txt")))
+    }
+    assert(e.getCause != null &&
+      e.getCause.getMessage.contains("cannot round-trip"))
+  }
+
   test("key is name up to the FIRST dot (multi-dot extensions)") {
     val dir = tmpDir()
     val df = Seq(("s1", "x")).toDF("k", "txt")
