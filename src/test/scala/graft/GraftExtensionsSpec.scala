@@ -64,6 +64,19 @@ class GraftExtensionsSpec extends SparkTestBase {
       assert(sk.getLong(0) == 3L && sk.getLong(1) == 0L)
       assert(sk.getSeq[org.apache.spark.sql.Row](2)
         .map(r => r.getString(0) -> r.getLong(1)).toMap == Map("a" -> 2L, "b" -> 1L))
+      // session-3 functions: dup_ngram_coverage (scalar), bpe_pre_tokens
+      // (scalar), kmv_distinct (aggregate — exact regime below k)
+      val s3 = s.sql(
+        """SELECT
+          |  dup_ngram_coverage('a b a b', 2) AS cov,
+          |  bpe_pre_tokens('it''s ok') AS pre
+          |""".stripMargin).head()
+      assert(s3.getDouble(0) == 1.0)
+      assert(s3.getSeq[String](1) == Seq("it", "'s", " ok"))
+      val kmv = s.sql(
+        """SELECT kmv_distinct(t, 16) AS sk
+          |FROM VALUES ('a'), ('a'), ('b') AS v(t)""".stripMargin).head().getStruct(0)
+      assert(kmv.getDouble(0) == 2.0 && kmv.getBoolean(1))
     } finally {
       SparkSession.setDefaultSession(shared)
       SparkSession.setActiveSession(shared)

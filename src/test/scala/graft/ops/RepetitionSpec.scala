@@ -94,6 +94,24 @@ class RepetitionSpec extends SparkTestBase {
     assert(s.select(col("dup_ngram_cov")).as[Double].head() == 1.0)
   }
 
+  test("repetition signals apply to a stream unchanged (pure per-row layer)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val input = MemoryStream[(Long, String)](spark)
+    val sig = Corpus.withRepetitionSignals(
+      input.toDF().toDF("doc_id", "text"), "text", ngramN = 2)
+      .select(col("doc_id"), col("dup_ngram_cov"), col("keep_full"))
+    val q = sig.writeStream.format("memory").queryName("stream_rep")
+      .outputMode("append").start()
+    try {
+      input.addData((1L, "a b a b"), (2L, "all distinct words here now ok"))
+      q.processAllAvailable()
+      val got = spark.table("stream_rep")
+        .as[(Long, Double, Boolean)].collect().sortBy(_._1)
+      assert(got(0)._2 == 1.0) // fully repeated doc: full 2-gram coverage
+      assert(got(1)._2 == 0.0)
+    } finally q.stop()
+  }
+
   test("dup_ngram_coverage registered as a SQL function") {
     graft.ops.expr.NativeSig.register(spark)
     val r = spark.sql("SELECT dup_ngram_coverage('a b a b', 2) AS c")
