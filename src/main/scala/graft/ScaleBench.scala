@@ -154,6 +154,26 @@ object ScaleBench {
     // it must scale linearly with corpus rows at ~zero shuffle (TakeOrdered
     // + a k·refine-row re-score join).
     "x_distinct_exact" -> ((s, dir) => distinctExact(s, dir)),
+    // distinct-count A/B at HIGH cardinality (distincts ≈ rows — the
+    // distinct-URL / content-hash profiling case the KMV sketch exists
+    // for): exact count_distinct must exchange every distinct value,
+    // the sketch exchanges ≤ k longs per partition. The q66 gate pair
+    // (x_distinct_exact) runs over the token vocabulary, which this
+    // synthetic corpus keeps SMALL — there the md5 rank is the dominant
+    // cost and exact wins; cardinality decides which tool fits, and the
+    // rows document both regimes.
+    "x_kmv_highcard" -> ((s, dir) => {
+      val d = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("source"),
+          concat_ws(":", col("doc_id"), col("source")).as("v"))
+      graft.ops.Corpus.approxDistinct(d, Seq("source"), "v", k = 256)
+    }),
+    "x_distinct_exact_highcard" -> ((s, dir) =>
+      s.read.parquet(s"$dir/documents.parquet")
+        .select(col("source"),
+          concat_ws(":", col("doc_id"), col("source")).as("v"))
+        .groupBy(col("source"))
+        .agg(count_distinct(col("v")).as("nd"))),
     // SemDeDup in its SCALE configuration: cells ∝ n (auto), so per-cell
     // population — and with it the in-cell pair work — stays constant as
     // the corpus grows. The q69 gate row pins FIXED literal centroids for

@@ -447,6 +447,41 @@ object Pipeline {
           ad.get("k").map(_.toString.toInt).getOrElse(256),
           ad.get("seed").map(_.toString.toLong).getOrElse(42L))
 
+      // Bloom cross-corpus membership: {bloomSeen: {ref: table, column: c,
+      //   expectedItems: N, fpp: 0.01, mode: mark|drop, flag: seen}} —
+      // build the filter from the resolved reference table (driver holds
+      // only the bit array), then mark or drop map-side.
+      case "bloomSeen" =>
+        val bs = asMap(step("bloomSeen"), "bloomSeen")
+        val refDf = resolve(bs("ref").toString)
+        val column = bs("column").toString
+        val bloom = graft.ops.Decontam.buildBloom(refDf, column,
+          bs("expectedItems").toString.toLong,
+          bs.get("fpp").map(_.toString.toDouble).getOrElse(0.01))
+        bs.getOrElse("mode", "mark").toString match {
+          case "mark" => graft.ops.Decontam.markSeenBloom(df, column, bloom,
+            bs.get("flag").map(_.toString).getOrElse("seen"))
+          case "drop" => graft.ops.Decontam.dropSeenBloom(df, column, bloom)
+          case other => throw new IllegalArgumentException(
+            s"bloomSeen mode must be mark|drop, got $other")
+        }
+
+      // Snapshot diff/delta against a resolved old snapshot:
+      // {snapshotDiff: {old: table, id: doc_id, content: [text],
+      //   mode: diff|delta}} — diff returns (id, status); delta returns
+      // the new/changed rows of the CURRENT frame.
+      case "snapshotDiff" =>
+        val sd = asMap(step("snapshotDiff"), "snapshotDiff")
+        val oldDf = resolve(sd("old").toString)
+        val id = sd("id").toString
+        val content = asSeq(sd("content")).map(_.toString)
+        sd.getOrElse("mode", "diff").toString match {
+          case "diff"  => graft.ops.SnapshotDiff.diff(oldDf, df, id, content)
+          case "delta" => graft.ops.SnapshotDiff.delta(oldDf, df, id, content)
+          case other => throw new IllegalArgumentException(
+            s"snapshotDiff mode must be diff|delta, got $other")
+        }
+
       // SemDeDup semantic dedup: {semanticDedup: {id: ..., embedding: ...,
       //   threshold: 0.85, targetCellSize: 2000}} — dominance prune within
       // auto-trained k-means cells (see Similarity.semanticDedup)

@@ -691,6 +691,41 @@ class PipelineSpec extends SparkTestBase {
       semDirect.select("vec_id").as[Long].collect().toSet)
   }
 
+  test("bloomSeen / snapshotDiff verbs match the direct ops") {
+    val resolver: String => org.apache.spark.sql.DataFrame = {
+      case "ref" => Seq((1L, "dup-a"), (2L, "dup-b")).toDF("id", "text")
+      case "oldsnap" => Seq((1L, "same"), (2L, "was")).toDF("id", "text")
+      case n => fail(s"unexpected table $n")
+    }
+    val incoming = Seq((10L, "dup-a"), (11L, "fresh")).toDF("id", "text")
+    incoming.createOrReplaceTempView("__unused")
+    val dropped = Pipeline.run(spark,
+      """source: cur
+        |steps:
+        |  - bloomSeen: {ref: ref, column: text, expectedItems: 100, mode: drop}
+        |""".stripMargin,
+      { case "cur" => incoming; case n => resolver(n) })
+    assert(dropped.select("text").as[String].collect().toSeq == Seq("fresh"))
+
+    val cur = Seq((1L, "same"), (2L, "now"), (3L, "new")).toDF("id", "text")
+    val diff = Pipeline.run(spark,
+      """source: cur
+        |steps:
+        |  - snapshotDiff: {old: oldsnap, id: id, content: [text]}
+        |""".stripMargin,
+      { case "cur" => cur; case n => resolver(n) })
+      .as[(Long, String)].collect().toMap
+    assert(diff == Map(1L -> "unchanged", 2L -> "changed", 3L -> "added"))
+
+    val delta = Pipeline.run(spark,
+      """source: cur
+        |steps:
+        |  - snapshotDiff: {old: oldsnap, id: id, content: [text], mode: delta}
+        |""".stripMargin,
+      { case "cur" => cur; case n => resolver(n) })
+    assert(delta.select("id").as[Long].collect().toSeq.sorted == Seq(2L, 3L))
+  }
+
   test("tar source: shards in, sample rows out; options rejected loudly") {
     val tmp = java.nio.file.Files.createTempDirectory("pipe_tar_").toFile
     tmp.deleteOnExit()
