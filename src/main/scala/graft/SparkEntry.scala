@@ -1120,6 +1120,13 @@ object SparkEntry {
         .select(col("source"), round(col("estimate"), 4).as("est_distinct"),
           col("exact"))
     }),
+    // One-pass corpus data card: doc/char/token totals, exact-dup rate
+    // (md5 digests on the exchange, never text), decimal-exact means,
+    // exact median. lang_top stays out of the gate (library-private
+    // classifier); everything else hash-compares against the SQL replay.
+    "q73_corpus_report" -> ((s, dir) =>
+      graft.ops.Corpus.report(t(s, dir, "documents"), "text")
+        .drop("lang_top")),
     // Distributed logistic-regression training (learned quality filter):
     // two full-batch iterations, each ONE aggregate reducing the corpus
     // to numFeatures+2 decimal sums. The determinism contract (sigmoids
@@ -2280,6 +2287,31 @@ object SparkEntry {
         |      PARTITION BY (doc_id % 17), (doc_id % 2) ORDER BY doc_id) AS rn
         |  FROM documents)
         |WHERE rn <= 3""".stripMargin,
+    // The same per-row signals (java \w and RE2 \w agree on ASCII), the
+    // same rounded-decimal means, exact median via quantile_cont (the
+    // q41 exact-percentile equivalence).
+    "q73_corpus_report" ->
+      """WITH base AS (
+        |  SELECT length(text) AS chars,
+        |    len(list_filter(regexp_split_to_array(text, '\s+'), t -> t <> '')) AS ntok,
+        |    CASE WHEN length(text) = 0 THEN 0.0
+        |         ELSE len(regexp_extract_all(text, '[^\w\s]'))::DOUBLE / length(text) END AS punct,
+        |    CASE WHEN len(list_filter(regexp_split_to_array(text, '\s+'), t -> t <> '')) = 0 THEN 0.0
+        |         ELSE len(list_intersect(
+        |                list_filter(regexp_split_to_array(text, '\s+'), t -> t <> ''),
+        |                ['the','a','an','and','or','of','to','in','is','it','that','for','on','with','as','at','by','be','this','are']))::DOUBLE
+        |              / len(list_filter(regexp_split_to_array(text, '\s+'), t -> t <> '')) END AS stop,
+        |    md5(text) AS h
+        |  FROM documents)
+        |SELECT count(*) AS n_docs,
+        |  sum(chars)::BIGINT AS total_chars,
+        |  sum(ntok)::BIGINT AS total_tokens,
+        |  round(1.0 - count(DISTINCT h)::DOUBLE / count(*), 6) AS exact_dup_rate,
+        |  round(sum(CAST(ntok AS DECIMAL(38,12)))::DOUBLE / count(*), 6) AS mean_tokens,
+        |  round(quantile_cont(ntok, 0.5), 6) AS p50_tokens,
+        |  round(sum(CAST(round(punct, 9) AS DECIMAL(38,12)))::DOUBLE / count(*), 6) AS mean_punct_ratio,
+        |  round(sum(CAST(round(stop, 9) AS DECIMAL(38,12)))::DOUBLE / count(*), 6) AS mean_stopword_ratio
+        |FROM base""".stripMargin,
     // Full unrolled replay of the two training iterations: iteration i's
     // gradient CTE aggregates the same rounded per-row terms into exact
     // decimal sums, its weight CTE applies the same HALF_UP-rounded

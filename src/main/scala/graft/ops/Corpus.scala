@@ -264,6 +264,48 @@ object Corpus {
         col("kmv.sketch_size").as("sketch_size")): _*)
   }
 
+  /** One-pass corpus data card: the headline numbers a dataset release
+    * documents — doc/char/token totals, exact-duplicate rate, token-count
+    * mean/median, punctuation/stopword means, dominant language — as a
+    * single-row frame from ONE scan + one global aggregate.
+    *
+    * Scale shape: every per-row signal projects map-side; the aggregate
+    * reduces to a handful of sums, one exact-distinct digest count (md5 —
+    * 16 bytes per doc on the exchange, not text), and one exact median
+    * whose state is the distinct token-count VALUES (small: token counts,
+    * not tokens). Means follow the decimal-exact contract ([[profile]]):
+    * per-row values rounded to 9, summed as decimal(38,12), divided once —
+    * bit-stable across partitionings and engines, so the q73 gate
+    * hash-compares the report itself (`lang_top` excluded there: the
+    * classifier is library-private).
+    */
+  def report(df: DataFrame, textCol: String): DataFrame = {
+    val text = col(textCol)
+    val dec = DecimalType(38, 12)
+    val base = df.select(
+      length(text).as("__chars"),
+      size(TextStats.tokens(text)).as("__ntok"),
+      TextStats.punctRatio(text).as("__punct"),
+      TextStats.stopwordRatio(text, TextStats.EnglishStopwords).as("__stop"),
+      TextStats.langId(text).as("__lang"),
+      md5(text).as("__h"))
+    base.agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("__chars").cast(LongType)).as("total_chars"),
+      sum(col("__ntok").cast(LongType)).as("total_tokens"),
+      round(lit(1.0) -
+        count_distinct(col("__h")).cast(DoubleType) / count(lit(1)), 6)
+        .as("exact_dup_rate"),
+      round(sum(col("__ntok").cast(dec)).cast(DoubleType) / count(lit(1)), 6)
+        .as("mean_tokens"),
+      round(percentile(col("__ntok"), lit(0.5)), 6).as("p50_tokens"),
+      round(sum(round(col("__punct"), 9).cast(dec)).cast(DoubleType) / count(lit(1)), 6)
+        .as("mean_punct_ratio"),
+      round(sum(round(col("__stop"), 9).cast(dec)).cast(DoubleType) / count(lit(1)), 6)
+        .as("mean_stopword_ratio"),
+      mode(col("__lang")).as("lang_top"))
+  }
+
   /** Canonical text normalization — the step before exact dedup, so that
     * case/whitespace/punctuation variants hash identically: lowercase,
     * optionally strip punctuation, collapse whitespace runs, trim. Pure

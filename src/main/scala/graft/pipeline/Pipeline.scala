@@ -447,6 +447,10 @@ object Pipeline {
           ad.get("k").map(_.toString.toInt).getOrElse(256),
           ad.get("seed").map(_.toString.toLong).getOrElse(42L))
 
+      // One-row corpus data card: {report: textCol}
+      case "report" =>
+        graft.ops.Corpus.report(df, step("report").toString)
+
       // Bloom cross-corpus membership: {bloomSeen: {ref: table, column: c,
       //   expectedItems: N, fpp: 0.01, mode: mark|drop, flag: seen}} —
       // build the filter from the resolved reference table (driver holds
