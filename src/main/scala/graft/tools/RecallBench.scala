@@ -167,6 +167,35 @@ object RecallBench {
         s""""spurious":$spur,"sec":${f"$sec%.2f"}}"""
     }.mkString("{", ",", "}")
 
+    // SemDeDup's trade, quantified on the planted near-dup corpus: the
+    // operator only compares WITHIN k-means cells (nProbe = 1), so pairs
+    // whose members land in different cells are invisible to it — the
+    // paper's recall price for never leaving a cell. Measure in-cell
+    // pair coverage vs brute force at the auto cell count and a coarser
+    // one, plus how many rows each prune semantics actually removes
+    // (dominance vs connected-components on the SAME pair set).
+    val semSweep = Seq(pairCells, pairCells * 4, pairCells * 16).map { c =>
+      val cents = Similarity.trainCentroidsSampled(corpus, "embedding", c, iters = 3)
+      val inCell = Similarity.cosineNearDuplicatePairsIvf(
+        corpus, "vec_id", "embedding", threshold, cents, nProbe = 1)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      val coverage =
+        if (exactPairs.isEmpty) 1.0
+        else (inCell intersect exactPairs).size.toDouble / exactPairs.size
+      val total = corpus.count()
+      val keptDom = Similarity.semanticDedup(
+        corpus, "vec_id", "embedding", threshold, centroids = cents).count()
+      val keptCc = graft.ops.Cluster.keepClusterRepresentatives(
+        corpus, "vec_id",
+        Similarity.cosineNearDuplicatePairsIvf(
+          corpus, "vec_id", "embedding", threshold, cents, nProbe = 1)).count()
+      (c, coverage, inCell.size, total - keptDom, total - keptCc)
+    }
+    val semJson = semSweep.map { case (c, cov, sz, dDom, dCc) =>
+      s""""cells_$c":{"pair_coverage":${f"$cov%.3f"},"in_cell_pairs":$sz,""" +
+        s""""dropped_dominance":$dDom,"dropped_cc":$dCc}"""
+    }.mkString("{", ",", "}")
+
     // Exact-Jaccard stop-gram ceiling sweep: maxGramDf bounds candidate
     // volume (Σ min(df, ceiling)² instead of Σ df² per prefix gram) at the
     // price of pairs whose every shared prefix gram is boilerplate. This
@@ -236,6 +265,7 @@ object RecallBench {
         s""""ivf_pairs_exact":{"pairs":${ivfExactPairs.size},""" +
         s""""sec":${f"$ivfExactSec%.2f"},"cells":$pairCells},""" +
         s""""ivf_pairs_quantized":$quantJson,""" +
+        s""""semdedup":$semJson,""" +
         s""""jaccard_threshold":$jt,"jaccard_exact_pairs":${exactJac.size},""" +
         s""""jaccard_exact_sec":${f"$exactJacSec%.2f"},""" +
         s""""jaccard_ceiling":$jaccardJson}"""
