@@ -1127,6 +1127,11 @@ object SparkEntry {
     "q73_corpus_report" -> ((s, dir) =>
       graft.ops.Corpus.report(t(s, dir, "documents"), "text")
         .drop("lang_top")),
+    // Per-slice data card — the per-source table a mixture release
+    // publishes; same formulas, grouped.
+    "q73b_report_by_source" -> ((s, dir) =>
+      graft.ops.Corpus.reportBy(t(s, dir, "documents"), "text", Seq("source"))
+        .drop("lang_top")),
     // Distributed logistic-regression training (learned quality filter):
     // two full-batch iterations, each ONE aggregate reducing the corpus
     // to numFeatures+2 decimal sums. The determinism contract (sigmoids
@@ -2312,6 +2317,28 @@ object SparkEntry {
         |  round(sum(CAST(round(punct, 9) AS DECIMAL(38,12)))::DOUBLE / count(*), 6) AS mean_punct_ratio,
         |  round(sum(CAST(round(stop, 9) AS DECIMAL(38,12)))::DOUBLE / count(*), 6) AS mean_stopword_ratio
         |FROM base""".stripMargin,
+    "q73b_report_by_source" ->
+      """WITH base AS (
+        |  SELECT source, length(text) AS chars,
+        |    len(list_filter(regexp_split_to_array(text, '\s+'), t -> t <> '')) AS ntok,
+        |    CASE WHEN length(text) = 0 THEN 0.0
+        |         ELSE len(regexp_extract_all(text, '[^\w\s]'))::DOUBLE / length(text) END AS punct,
+        |    CASE WHEN len(list_filter(regexp_split_to_array(text, '\s+'), t -> t <> '')) = 0 THEN 0.0
+        |         ELSE len(list_intersect(
+        |                list_filter(regexp_split_to_array(text, '\s+'), t -> t <> ''),
+        |                ['the','a','an','and','or','of','to','in','is','it','that','for','on','with','as','at','by','be','this','are']))::DOUBLE
+        |              / len(list_filter(regexp_split_to_array(text, '\s+'), t -> t <> '')) END AS stop,
+        |    md5(text) AS h
+        |  FROM documents)
+        |SELECT source, count(*) AS n_docs,
+        |  sum(chars)::BIGINT AS total_chars,
+        |  sum(ntok)::BIGINT AS total_tokens,
+        |  round(1.0 - count(DISTINCT h)::DOUBLE / count(*), 6) AS exact_dup_rate,
+        |  round(sum(CAST(ntok AS DECIMAL(38,12)))::DOUBLE / count(*), 6) AS mean_tokens,
+        |  round(quantile_cont(ntok, 0.5), 6) AS p50_tokens,
+        |  round(sum(CAST(round(punct, 9) AS DECIMAL(38,12)))::DOUBLE / count(*), 6) AS mean_punct_ratio,
+        |  round(sum(CAST(round(stop, 9) AS DECIMAL(38,12)))::DOUBLE / count(*), 6) AS mean_stopword_ratio
+        |FROM base GROUP BY source""".stripMargin,
     // Full unrolled replay of the two training iterations: iteration i's
     // gradient CTE aggregates the same rounded per-row terms into exact
     // decimal sums, its weight CTE applies the same HALF_UP-rounded

@@ -279,17 +279,28 @@ object Corpus {
     * hash-compares the report itself (`lang_top` excluded there: the
     * classifier is library-private).
     */
-  def report(df: DataFrame, textCol: String): DataFrame = {
+  def report(df: DataFrame, textCol: String): DataFrame =
+    reportBy(df, textCol, Seq.empty)
+
+  /** [[report]] per group (`reportBy(docs, "text", Seq("source"))` — the
+    * per-slice data card a mixture release publishes). Same one-scan
+    * shape; the aggregate hashes on the group keys.
+    */
+  def reportBy(df: DataFrame, textCol: String, groupCols: Seq[String]): DataFrame = {
     val text = col(textCol)
     val dec = DecimalType(38, 12)
     val base = df.select(
-      length(text).as("__chars"),
-      size(TextStats.tokens(text)).as("__ntok"),
-      TextStats.punctRatio(text).as("__punct"),
-      TextStats.stopwordRatio(text, TextStats.EnglishStopwords).as("__stop"),
-      TextStats.langId(text).as("__lang"),
-      md5(text).as("__h"))
-    base.agg(
+      groupCols.map(col) ++ Seq(
+        length(text).as("__chars"),
+        size(TextStats.tokens(text)).as("__ntok"),
+        TextStats.punctRatio(text).as("__punct"),
+        TextStats.stopwordRatio(text, TextStats.EnglishStopwords).as("__stop"),
+        TextStats.langId(text).as("__lang"),
+        md5(text).as("__h")): _*)
+    val grouped =
+      if (groupCols.isEmpty) base.groupBy()
+      else base.groupBy(groupCols.map(col): _*)
+    grouped.agg(
       count(lit(1)).as("n_docs"),
       sum(col("__chars").cast(LongType)).as("total_chars"),
       sum(col("__ntok").cast(LongType)).as("total_tokens"),

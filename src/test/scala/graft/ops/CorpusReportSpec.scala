@@ -30,6 +30,18 @@ class CorpusReportSpec extends SparkTestBase {
     assert(r.getAs[String]("lang_top") == "en")
   }
 
+  test("reportBy: per-group cards, group totals sum to the global card") {
+    val df = Seq(
+      ("a", "one two three"), ("a", "four five"),
+      ("b", "six seven eight nine")).toDF("src", "text")
+    val by = Corpus.reportBy(df, "text", Seq("src"))
+      .orderBy("src").collect()
+    assert(by.map(_.getAs[String]("src")).toSeq == Seq("a", "b"))
+    assert(by.map(_.getAs[Long]("total_tokens")).sum ==
+      Corpus.report(df, "text").head().getAs[Long]("total_tokens"))
+    assert(by(0).getAs[Long]("n_docs") == 2L && by(1).getAs[Long]("n_docs") == 1L)
+  }
+
   test("report is invariant to partitioning (decimal-exact means)") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val a = Corpus.report(docs.repartition(1), "text").drop("lang_top").head()
