@@ -1120,6 +1120,16 @@ object SparkEntry {
         .select(col("source"), round(col("estimate"), 4).as("est_distinct"),
           col("exact"))
     }),
+    // URL canonicalization against hand-derived expectations: fragment,
+    // scheme/authority case, default ports, tracking params, root slash
+    // (WebText.canonicalizeUrl — the web-corpus dedup/quota key).
+    "q74_url_canon" -> ((s, dir) => {
+      import s.implicits._
+      SparkEntry.UrlCanonCases.map { case (tid, raw, _) => (tid, raw) }
+        .toDF("tid", "raw")
+        .select(col("tid"),
+          graft.ops.WebText.canonicalizeUrl(col("raw")).as("canon"))
+    }),
     // One-pass corpus data card: doc/char/token totals, exact-dup rate
     // (md5 digests on the exchange, never text), decimal-exact means,
     // exact median. lang_top stays out of the gate (library-private
@@ -1515,6 +1525,27 @@ object SparkEntry {
 
   private def annVecSql: String =
     AnnQueryVec.map(f => f.toString).mkString("[", ", ", "]")
+
+  /** (id, raw, expected) fixtures for URL canonicalization (q74) —
+    * expectations hand-derived from the documented rules, one per rule
+    * plus the must-NOT-touch cases. No single quotes (spliced into the
+    * VALUES oracle).
+    */
+  val UrlCanonCases: Seq[(Long, String, String)] = Seq(
+    (1L, "HTTPS://Example.COM:443/Path/Q?x=1#frag", "https://example.com/Path/Q?x=1"),
+    (2L, "http://a.com:80/", "http://a.com"),
+    (3L, "https://x.com/p?utm_source=tw&id=9", "https://x.com/p?id=9"),
+    (4L, "https://x.com/p?id=9&utm_campaign=a", "https://x.com/p?id=9"),
+    (5L, "https://x.com/p?utm_a=1&utm_b=2", "https://x.com/p"),
+    // only the bare ROOT slash drops; a path's trailing slash is meaning
+    (6L, "http://b.com/a/", "http://b.com/a/"),
+    (7L, "ftp://Mixed.Host/File.TXT", "ftp://mixed.host/File.TXT"),
+    // scheme-less: no authority to normalize — only frag/tracking rules
+    (8L, "example.com/Path#sec", "example.com/Path"),
+    (9L, "https://x.com:8443/p", "https://x.com:8443/p"),
+    (10L, "https://X.com/p?fbclid=abc&gclid=1#x", "https://x.com/p"),
+    (11L, "https://x.com/p?a=1&utm_x=2&b=3", "https://x.com/p?a=1&b=3"),
+    (12L, "http://c.com:8080/", "http://c.com:8080"))
 
   /** Four fixed 64-dim centroids for the q69 SemDeDup gate — deterministic
     * formula, inlined into the DuckDB oracle as literals.
@@ -2317,6 +2348,12 @@ object SparkEntry {
         |  round(sum(CAST(round(punct, 9) AS DECIMAL(38,12)))::DOUBLE / count(*), 6) AS mean_punct_ratio,
         |  round(sum(CAST(round(stop, 9) AS DECIMAL(38,12)))::DOUBLE / count(*), 6) AS mean_stopword_ratio
         |FROM base""".stripMargin,
+    "q74_url_canon" -> {
+      val rows = UrlCanonCases
+        .map { case (tid, _, expected) => s"($tid, '$expected')" }
+        .mkString(", ")
+      s"SELECT tid::BIGINT AS tid, canon FROM (VALUES $rows) t(tid, canon)"
+    },
     "q73b_report_by_source" ->
       """WITH base AS (
         |  SELECT source, length(text) AS chars,

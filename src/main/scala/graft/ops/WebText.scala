@@ -109,6 +109,48 @@ object WebText {
     * digits, ligatures, compatibility forms fold to their plain
     * equivalents).
     */
+  /** URL canonicalization — the dedup/quota KEY for web corpora: the same
+    * page arrives under scheme/host case variants, default ports,
+    * fragments, tracking parameters, and trailing-slash forms, and every
+    * variant fragments per-URL dedup and per-domain quotas. The rules
+    * (each a plain regex step, so the gate replays them in SQL):
+    *
+    *   1. strip the fragment (`#…` — never sent to the server);
+    *   2. lowercase the scheme and authority (RFC 3986 §6.2.2.1 — path
+    *      and query stay case-sensitive);
+    *   3. drop default ports (`http://…:80`, `https://…:443`);
+    *   4. drop tracking parameters (`utm_*`, `fbclid`, `gclid`,
+    *      `msclkid`, `mc_eid`) keeping the rest IN ORDER (sorting
+    *      parameters can change semantics; dropping known-inert ones
+    *      cannot), then tidy separators (`?&`→`?`, `&&`→`&`, trailing
+    *      `?`/`&` dropped);
+    *   5. drop the slash of a bare root path (`https://x.com/` →
+    *      `https://x.com`).
+    *
+    * Deliberately NOT done: percent-decoding (changes bytes the server
+    * sees), path `.`/`..` resolution (origin servers disagree), and
+    * parameter sorting.
+    */
+  def canonicalizeUrl(url: Column): Column = {
+    val noFrag = regexp_replace(url, "#.*$", "")
+    // lowercase only scheme://authority; splice the rest back unchanged
+    val prefix = regexp_extract(noFrag, "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*", 0)
+    val rest = substring(noFrag, length(prefix) + 1, lit(1000000))
+    val loweredPrefix = lower(prefix)
+    val noPort = regexp_replace(
+      regexp_replace(loweredPrefix, "^(http://[^/:]+):80$", "$1"),
+      "^(https://[^/:]+):443$", "$1")
+    val joined = when(prefix === "", noFrag).otherwise(concat(noPort, rest))
+    val noTracking = regexp_replace(joined,
+      "([?&])(utm_[A-Za-z0-9_]*|fbclid|gclid|msclkid|mc_eid)=[^&#]*", "$1")
+    val tidied = regexp_replace(
+      regexp_replace(
+        regexp_replace(noTracking, "\\?&+", "?"),
+        "&&+", "&"),
+      "[?&]+$", "")
+    regexp_replace(tidied, "^([a-z][a-z0-9+.-]*://[^/?#]+)/$", "$1")
+  }
+
   def normalizeUnicode(text: Column, form: String = "NFC"): Column =
     graft.ops.expr.UnicodeNormExprs.normalizeUnicode(text, form)
 }

@@ -447,6 +447,13 @@ object Pipeline {
           ad.get("k").map(_.toString.toInt).getOrElse(256),
           ad.get("seed").map(_.toString.toLong).getOrElse(42L))
 
+      // URL canonicalization: {canonicalizeUrl: {url: col, as?: in-place}}
+      case "canonicalizeUrl" =>
+        val cu = asMap(step("canonicalizeUrl"), "canonicalizeUrl")
+        val urlCol = cu("url").toString
+        df.withColumn(cu.get("as").map(_.toString).getOrElse(urlCol),
+          graft.ops.WebText.canonicalizeUrl(col(urlCol)))
+
       // One-row corpus data card: {report: textCol}
       case "report" =>
         graft.ops.Corpus.report(df, step("report").toString)

@@ -80,6 +80,29 @@ class WebTextSpec extends SparkTestBase {
     }
   }
 
+  test("canonicalizeUrl: fixture expectations hold and the op is idempotent") {
+    val cases = graft.SparkEntry.UrlCanonCases
+    val got = cases.map { case (tid, raw, _) => (tid, raw) }.toDF("tid", "raw")
+      .select(col("tid"), WebText.canonicalizeUrl(col("raw")).as("c"))
+      .as[(Long, String)].collect().toMap
+    cases.foreach { case (tid, _, expected) =>
+      assert(got(tid) == expected, s"case $tid")
+    }
+    // canonical form is a fixed point — canonicalizing twice changes nothing
+    val twice = cases.map { case (tid, raw, _) => (tid, raw) }.toDF("tid", "raw")
+      .select(col("tid"),
+        WebText.canonicalizeUrl(WebText.canonicalizeUrl(col("raw"))).as("c"))
+      .as[(Long, String)].collect().toMap
+    assert(twice == got)
+    // the canonical key actually merges variant spellings of one page
+    val variants = Seq(
+      "https://Site.com/a?utm_source=x",
+      "HTTPS://site.com:443/a#top",
+      "https://site.com/a").toDF("u")
+    val keys = variants.select(WebText.canonicalizeUrl(col("u"))).distinct().count()
+    assert(keys == 1)
+  }
+
   test("normalizeUnicode is idempotent and rejects bad forms") {
     val texts = graft.SparkEntry.UnicodeCases.map(_._2).toDF("t")
     val once = texts.select(WebText.normalizeUnicode(col("t"), "NFKC").as("x"))
