@@ -269,11 +269,15 @@ object Corpus {
     * mean/median, punctuation/stopword means, dominant language — as a
     * single-row frame from ONE scan + one global aggregate.
     *
-    * Scale shape: every per-row signal projects map-side; the aggregate
-    * reduces to a handful of sums, one exact-distinct digest count (md5 —
-    * 16 bytes per doc on the exchange, not text), and one exact median
-    * whose state is the distinct token-count VALUES (small: token counts,
-    * not tokens). Means follow the decimal-exact contract ([[profile]]):
+    * Scale shape: every per-row signal projects map-side; ONE scan, then
+    * Spark's standard mixed-distinct rewrite (two exchanges: the first
+    * keyed on the md5 digest, carrying one row per distinct digest —
+    * 16 bytes plus small partial buffers, never text). That
+    * digest-cardinality exchange is inherent to an EXACT duplicate rate;
+    * swap in [[approxDistinct]] when an estimate is acceptable and the
+    * exchange must stay bounded. The exact median's state is the
+    * distinct token-count VALUES (small: counts, not tokens). Means
+    * follow the decimal-exact contract ([[profile]]):
     * per-row values rounded to 9, summed as decimal(38,12), divided once —
     * bit-stable across partitionings and engines, so the q73 gate
     * hash-compares the report itself (`lang_top` excluded there: the
