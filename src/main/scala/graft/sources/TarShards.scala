@@ -122,6 +122,36 @@ object TarShards {
     }.toDF()
   }
 
+  /** Streaming variant of [[readTarShards]]: watch a directory for newly
+    * landed `.tar` shards and emit their samples as an unbounded stream —
+    * the continuously-landing multimodal drop, mirroring
+    * [[Readers.readJsonlStream]]. Shards are immutable once listed (the
+    * file-source contract); `maxFilesPerTrigger` bounds how many new
+    * shards one micro-batch parses (0 = unbounded). Same per-shard
+    * memory bound as batch: one shard's bytes per task.
+    */
+  def readTarShardsStream(
+      s: SparkSession,
+      path: String,
+      maxFilesPerTrigger: Int = 0
+  ): DataFrame = {
+    import s.implicits._
+    val r = s.readStream.format("binaryFile")
+      .schema(new org.apache.spark.sql.types.StructType()
+        .add("path", org.apache.spark.sql.types.StringType)
+        .add("modificationTime", org.apache.spark.sql.types.TimestampType)
+        .add("length", org.apache.spark.sql.types.LongType)
+        .add("content", org.apache.spark.sql.types.BinaryType))
+      .option("pathGlobFilter", "*.tar")
+    val bin = (if (maxFilesPerTrigger > 0)
+                 r.option("maxFilesPerTrigger", maxFilesPerTrigger)
+               else r).load(path)
+      .select(col("path"), col("content")).as[(String, Array[Byte])]
+    bin.mapPartitions { files =>
+      files.flatMap { case (shardPath, bytes) => parseShard(shardPath, bytes) }
+    }.toDF()
+  }
+
   /** Parse one shard's bytes into consecutive-key samples. */
   private[sources] def parseShard(
       shardPath: String, bytes: Array[Byte]): Iterator[TarSample] = {

@@ -88,6 +88,23 @@ class TarShardsSpec extends SparkTestBase {
     assert(rows == Seq(("a", Seq("json")), ("a", Seq("txt")), ("b", Seq("txt"))))
   }
 
+  test("streaming read: landed shards stream out as the same samples") {
+    val dir = tmpDir()
+    val docs = (1 to 30).map(i => (f"s$i%03d", s"text $i")).toDF("k", "txt")
+    TarShards.writeTarShards(docs.repartition(2), dir, "k", Seq("txt" -> col("txt")))
+    val stream = TarShards.readTarShardsStream(spark, dir, maxFilesPerTrigger = 1)
+      .select(col("key"), element_at(col("data"), "txt").cast("string").as("txt"))
+    assert(stream.isStreaming)
+    val q = stream.writeStream.format("memory").queryName("tar_stream")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("tar_stream").as[(String, String)].collect().toSet
+      val expect = docs.select(col("k"), col("txt")).as[(String, String)].collect().toSet
+      assert(got == expect)
+    } finally q.stop()
+  }
+
   test("a key containing a dot is rejected loudly (cannot round-trip)") {
     val dir = tmpDir()
     val df = Seq(("bad.key", "x")).toDF("k", "txt")
