@@ -149,4 +149,53 @@ class AqePlanShapeSpec extends SparkTestBase {
         s"exchange carries $topLevelArrays array columns:\n${child.output}")
     }
   }
+
+  test("AQE: repetition signals stay shuffle-free (no adaptive wrapper at all)") {
+    val docs = (1L to 60L).map(i => (i, s"line a\nline a\ntok$i w x y z"))
+      .toDF("id", "text")
+    val nodes = aqeFinal(
+      Corpus.withRepetitionSignals(docs, "text"), requireAdaptive = false)
+    assert(!nodes.exists(_.isInstanceOf[ShuffleExchangeLike]),
+      "the signal pass is a pure projection — AQE must find nothing to adapt")
+  }
+
+  test("AQE: approxDistinct's exchange carries KMV buffers, not values") {
+    val df = (1L to 300L).map(i => (s"g${i % 3}", s"value-$i")).toDF("g", "v")
+    val nodes = aqeFinal(Corpus.approxDistinct(df, Seq("g"), "v", k = 32))
+    val ex = shuffleChildren(nodes)
+    assert(ex.nonEmpty)
+    assert(!ex.exists(_.output.exists(_.name == "v")),
+      s"raw values must never ride the exchange: ${ex.map(_.output)}")
+    assert(nodes.exists(_.isInstanceOf[ObjectHashAggregateExec]),
+      "the TypedImperativeAggregate must stay on the object-hash path")
+  }
+
+  test("AQE: BPE word counts keep the map-side partial aggregate") {
+    val docs = (1L to 60L).map(i => (i, s"some words tok$i")).toDF("id", "text")
+    val nodes = aqeFinal(BpeTrain.wordCounts(docs, "text"))
+    val ex = shuffleChildren(nodes)
+    assert(ex.nonEmpty)
+    // the exchange input is already aggregated — one row per distinct word
+    // per partition, not per occurrence
+    val hasPartial = ex.exists { c =>
+      c.collectFirst {
+        case h: org.apache.spark.sql.execution.aggregate.HashAggregateExec => h
+        case o: ObjectHashAggregateExec => o
+      }.isDefined
+    }
+    assert(hasPartial, s"no partial aggregate below the word exchange: $ex")
+  }
+
+  test("AQE: semanticDedup's in-cell pairs survive on the fused generator path") {
+    import org.apache.spark.sql.execution.GenerateExec
+    val data = (1L to 40L)
+      .map(i => (i, Array.tabulate(8)(d => ((i + d) % 5).toFloat)))
+      .toDF("vec_id", "embedding")
+    val cents = Array(Array.fill(8)(0.0), Array.fill(8)(2.0))
+    val nodes = aqeFinal(Similarity.semanticDedup(
+      data, "vec_id", "embedding", threshold = 0.9, centroids = cents))
+    assert(nodes.collect { case g: GenerateExec => g }
+      .exists(_.boundGenerator.isInstanceOf[graft.ops.expr.BucketCosinePairs]),
+      "AQE re-plan must keep the survivor-only generator")
+  }
 }
