@@ -127,6 +127,10 @@ object GraftExtensions {
       require(es.length == 2, "misra_gries_sketch(token, budget) [aggregate]")
       MisraGriesSketch(es.head, intLit(es(1), "budget")).toAggregateExpression()
     },
+    "deflate_ratio" -> { es =>
+      require(es.length == 1, "deflate_ratio(text)")
+      DeflateRatio(es.head)
+    },
     "bpe_pre_tokens" -> { es =>
       require(es.length == 1, "bpe_pre_tokens(text)")
       BpePreTokensExpr(es.head)

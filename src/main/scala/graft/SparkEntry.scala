@@ -1120,6 +1120,16 @@ object SparkEntry {
         .select(col("source"), round(col("estimate"), 4).as("est_distinct"),
           col("exact"))
     }),
+    // Compression-ratio quality signal on planted fixtures: repetitive
+    // text must flag low-entropy, hex/prose/empty must not (threshold
+    // 0.3, fixtures engineered far from it on both sides).
+    "q75_compress_ratio" -> ((s, dir) => {
+      import s.implicits._
+      SparkEntry.CompressionCases.map { case (tid, text, _) => (tid, text) }
+        .toDF("tid", "text")
+        .select(col("tid"),
+          (TextStats.compressionRatio(col("text")) < 0.3).as("low_entropy"))
+    }),
     // URL canonicalization against hand-derived expectations: fragment,
     // scheme/authority case, default ports, tracking params, root slash
     // (WebText.canonicalizeUrl — the web-corpus dedup/quota key).
@@ -1525,6 +1535,22 @@ object SparkEntry {
 
   private def annVecSql: String =
     AnnQueryVec.map(f => f.toString).mkString("[", ", ", "]")
+
+  /** (id, text, expectedLowEntropy) fixtures for the compression-ratio
+    * quality signal (q75). The signal itself cannot replay in SQL (no
+    * engine exposes zlib), so the gate pins its DIRECTION on fixtures
+    * whose ratios sit far from the 0.3 threshold in either direction —
+    * hand-derivable from first principles (a 15-byte phrase repeated 100×
+    * deflates to a few percent; 16-symbol hex text cannot beat ~50%) and
+    * robust to zlib version drift.
+    */
+  val CompressionCases: Seq[(Long, String, Boolean)] = Seq(
+    (1L, Seq.fill(100)("spam spam spam").mkString(" "), true),
+    (2L, "x" * 1000, true),
+    (3L, (1 to 50).map(i => (i * 2654435761L).toHexString).mkString, false),
+    (4L, "The quick brown fox jumps over the lazy dog while seventeen " +
+      "sparrows argue about crumbs near the fountain in the old square.", false),
+    (5L, "", false))
 
   /** (id, raw, expected) fixtures for URL canonicalization (q74) —
     * expectations hand-derived from the documented rules, one per rule
@@ -2348,6 +2374,12 @@ object SparkEntry {
         |  round(sum(CAST(round(punct, 9) AS DECIMAL(38,12)))::DOUBLE / count(*), 6) AS mean_punct_ratio,
         |  round(sum(CAST(round(stop, 9) AS DECIMAL(38,12)))::DOUBLE / count(*), 6) AS mean_stopword_ratio
         |FROM base""".stripMargin,
+    "q75_compress_ratio" -> {
+      val rows = CompressionCases
+        .map { case (tid, _, low) => s"($tid, $low)" }
+        .mkString(", ")
+      s"SELECT tid::BIGINT AS tid, low_entropy FROM (VALUES $rows) t(tid, low_entropy)"
+    },
     "q74_url_canon" -> {
       val rows = UrlCanonCases
         .map { case (tid, _, expected) => s"($tid, '$expected')" }

@@ -117,6 +117,19 @@ object TextStats {
   def fixEncoding(text: Column, maxPasses: Int = 3): Column =
     graft.ops.expr.NativeSig.fixEncoding(text, maxPasses)
 
+  /** DEFLATE compressed-over-raw size ratio ([[graft.ops.expr.DeflateRatio]],
+    * SQL `deflate_ratio`) — the cheap entropy proxy: machine-repeated
+    * boilerplate lands far below natural prose, random bytes near 1.0. A
+    * `compressionRatio(text) < minRatio` drop rule catches long-period
+    * repetition and templated spam that window-local n-gram rules miss.
+    * Map-only; deterministic per JVM (fixed zlib level/strategy).
+    */
+  def compressionRatio(text: Column): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(
+      graft.ops.expr.DeflateRatio(ColumnBridge.expression(text)))
+  }
+
   /** Order-sensitive rolling-hash fingerprint of the token stream, mod a
     * 31-bit prime so the polynomial accumulation never overflows Long under
     * ANSI arithmetic. Deterministic across runs and partitionings (pure
