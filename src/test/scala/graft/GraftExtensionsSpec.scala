@@ -69,10 +69,12 @@ class GraftExtensionsSpec extends SparkTestBase {
       val s3 = s.sql(
         """SELECT
           |  dup_ngram_coverage('a b a b', 2) AS cov,
-          |  bpe_pre_tokens('it''s ok') AS pre
+          |  bpe_pre_tokens('it''s ok') AS pre,
+          |  deflate_ratio(repeat('spam ', 200)) AS lowent
           |""".stripMargin).head()
       assert(s3.getDouble(0) == 1.0)
       assert(s3.getSeq[String](1) == Seq("it", "'s", " ok"))
+      assert(s3.getDouble(2) < 0.1)
       val kmv = s.sql(
         """SELECT kmv_distinct(t, 16) AS sk
           |FROM VALUES ('a'), ('a'), ('b') AS v(t)""".stripMargin).head().getStruct(0)
