@@ -31,7 +31,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
 object GraftExtensions {
 
-  private def intLit(e: Expression, what: String): Int = e.eval() match {
+  private def intLit(e: Expression, what: String): Int = {
+    if (!e.foldable) throw new IllegalArgumentException(
+      s"$what must be a literal integer; got the non-literal expression ${e.sql}")
+    e.eval()
+  } match {
     case i: Int                    => i
     case l: Long if l.isValidInt   => l.toInt
     case l: Long => throw new IllegalArgumentException(
@@ -40,7 +44,11 @@ object GraftExtensions {
       s"$what must be a literal integer; got $other")
   }
 
-  private def dblLit(e: Expression, what: String): Double = e.eval() match {
+  private def dblLit(e: Expression, what: String): Double = {
+    if (!e.foldable) throw new IllegalArgumentException(
+      s"$what must be a literal number; got the non-literal expression ${e.sql}")
+    e.eval()
+  } match {
     case d: Double => d
     case f: Float  => f.toDouble
     case i: Int    => i.toDouble
@@ -138,13 +146,30 @@ object GraftExtensions {
     "kmv_distinct" -> { es =>
       require(es.length == 2 || es.length == 3,
         "kmv_distinct(value, k[, seed]) [aggregate]")
-      val seed = if (es.length == 3) es(2).eval() match {
-        case l: Long => l
-        case i: Int  => i.toLong
-        case other => throw new IllegalArgumentException(
-          s"seed must be a literal integer; got $other")
+      val seed = if (es.length == 3) {
+        // eval() on a non-foldable expression (a column reference) throws a
+        // raw unbound-reference error — check foldability first and report
+        // the contract instead.
+        if (!es(2).foldable) throw new IllegalArgumentException(
+          s"kmv_distinct seed must be a literal integer; got the " +
+            s"non-literal expression ${es(2).sql}")
+        es(2).eval() match {
+          case l: Long => l
+          case i: Int  => i.toLong
+          case null => throw new IllegalArgumentException(
+            "kmv_distinct seed must be a literal integer; got NULL")
+          case other => throw new IllegalArgumentException(
+            s"seed must be a literal integer; got $other")
+        }
       } else 42L
-      KmvSketch(es.head, intLit(es(1), "k"), seed).toAggregateExpression()
+      // Match Corpus.approxDistinct: the sketch hashes string bytes, so
+      // cast any input to string here rather than failing analysis.
+      val child = es.head.dataType match {
+        case org.apache.spark.sql.types.StringType => es.head
+        case _ => org.apache.spark.sql.catalyst.expressions.Cast(
+          es.head, org.apache.spark.sql.types.StringType)
+      }
+      KmvSketch(child, intLit(es(1), "k"), seed).toAggregateExpression()
     })
 
   /** Install the same functions as temp functions on a live session. */

@@ -681,7 +681,12 @@ object SparkEntry {
         8L -> "hellohello world world")
         .toDF("tid", "text")
         .select(col("tid"),
-          graft.ops.TextStats.tokenizeBpe(col("text"), model).as("ids"))
+          graft.ops.TextStats.tokenizeBpe(col("text"), model).as("raw"))
+        // Scalar projection: the driver's pandas compare cannot hash array
+        // cells (SURVEY §7.5b — the q04/q23 rule; r9's red row was exactly
+        // this), so emit the id sequence as a CSV string plus its length.
+        .select(col("tid"), concat_ws(",", col("raw")).as("ids_csv"),
+          size(col("raw")).cast("long").as("n_ids"))
     }),
     // Concat-and-cut packing METERED BY THE EXACT BPE COUNTER (empty table
     // ⇒ bytes): same fragment contract as q46, but the slot unit is what a
@@ -2110,7 +2115,10 @@ object SparkEntry {
     // split [i=72,t=83] + ['=6, s=82]; "é" = UTF-8 C3 A9 → printable-order
     // ids [127, 102]; "a  b" → [a=64, Ġ=220, Ġ=220, b=65]
     "q54d_bpe_encode" ->
-      """SELECT tid::BIGINT AS tid, ids FROM (VALUES
+      """SELECT tid::BIGINT AS tid,
+        |  array_to_string(ids, ',') AS ids_csv,
+        |  len(ids)::BIGINT AS n_ids
+        |FROM (VALUES
         |  (1, [259, 264]),
         |  (2, [259]),
         |  (3, [258, 220, 261, 220, 263]),

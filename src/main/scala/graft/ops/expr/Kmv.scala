@@ -3,6 +3,7 @@ package graft.ops.expr
 import java.security.MessageDigest
 
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnsafeProjection, UnsafeRow}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.trees.UnaryLike
@@ -50,6 +51,16 @@ case class KmvSketch(
   require(k >= 2, s"kmv_distinct k must be >= 2, got $k")
 
   import KmvSketch.Buffer
+
+  // update() hashes UTF8String bytes; anything else must be cast by the
+  // caller (Corpus.approxDistinct does; the SQL registration wraps in a
+  // Cast) — fail at analysis, not with an executor ClassCastException.
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"kmv_distinct requires a string input (the md5-rank is over UTF-8 " +
+        s"bytes); got ${other.catalogString} — cast the column to string")
+  }
 
   override def createAggregationBuffer(): Buffer = new Buffer(k)
 

@@ -115,9 +115,13 @@ object Pipeline {
           // an options key is an error, not a silent no-op (the jsonl
           // options-threading lesson)
           case "tar" =>
-            if (sm.contains("options"))
+            // ANY unsupported key is an error — 'schema'/'badRecords' are
+            // jsonl-only and would otherwise be silent no-ops here
+            val unsupported = sm.keySet -- Set("format", "path")
+            if (unsupported.nonEmpty)
               throw new IllegalArgumentException(
-                "tar source takes no options; remove the 'options' key")
+                s"tar source supports only 'format' and 'path'; remove: " +
+                  unsupported.toSeq.sorted.mkString(", "))
             graft.sources.TarShards.readTarShards(spark, path)
           case fmt =>
             val reader = spark.read.format(fmt)

@@ -48,13 +48,26 @@ object TarShards {
     * columns must be BINARY (cast strings — UTF-8 — upstream) and the key
     * column unique per row if the dataset is to round-trip sample-exact.
     * Null parts are skipped (a sample may lack an extension).
+    *
+    * Commit protocol: each task streams its shard to an attempt-unique
+    * `.inprogress-*` temp file and renames to the final `part-*.tar` name
+    * only after the tar is finished — a speculative or retried attempt
+    * either loses the rename race (dest exists ⇒ it deletes its temp) or
+    * never renames at all, so readers only ever see complete shards. The
+    * directory-level contract stays NON-transactional (no `_SUCCESS`
+    * marker, no job-level rollback): a failed JOB can leave a renamed
+    * prefix of shards behind. To keep a re-run from silently mixing with
+    * them (deterministic part names would otherwise leave stale shards
+    * from a previous larger run), a non-empty `outDir` is refused unless
+    * `overwrite = true`, which clears it first.
     */
   def writeTarShards(
       df: DataFrame,
       outDir: String,
       keyCol: String,
       parts: Seq[(String, Column)],
-      maxEntriesPerShard: Int = 100000
+      maxEntriesPerShard: Int = 100000,
+      overwrite: Boolean = false
   ): Unit = {
     require(parts.nonEmpty, "writeTarShards needs at least one (ext, column)")
     require(maxEntriesPerShard > 0, "maxEntriesPerShard must be positive")
@@ -63,19 +76,45 @@ object TarShards {
       col(keyCol).cast("string").as("__key") +: parts.map { case (e, c) => c.cast("binary").as(s"__p_$e") }: _*)
     val conf = new SerializableConfiguration(
       df.sparkSession.sparkContext.hadoopConfiguration)
+    // refuse-or-clear BEFORE any task writes: stale part-*.tar from a
+    // previous larger run would otherwise survive next to this run's
+    // output and readTarShards would emit stale/duplicate samples
+    val driverFs = FileSystem.get(new java.net.URI(outDir), conf.value)
+    val outPath = new Path(outDir)
+    if (driverFs.exists(outPath)) {
+      val existing = driverFs.listStatus(outPath)
+      if (existing.nonEmpty) {
+        if (overwrite) existing.foreach(st => driverFs.delete(st.getPath, true))
+        else throw new IllegalArgumentException(
+          s"writeTarShards: output directory $outDir is not empty " +
+            s"(${existing.length} entries, e.g. ${existing.head.getPath.getName}); " +
+            "pass overwrite = true to clear it, or choose a fresh directory")
+      }
+    }
     projected.foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
       if (rows.nonEmpty) {
-        val pid = TaskContext.getPartitionId()
+        val tc = TaskContext.get()
+        val pid = tc.partitionId()
+        val attempt = tc.taskAttemptId()
         val fs = FileSystem.get(new java.net.URI(outDir), conf.value)
         var shardNo = 0
         var inShard = 0
         var out: TarArchiveOutputStream = null
+        var tmpPath: Path = null
         def open(): Unit = {
-          val p = new Path(outDir, f"part-$pid%05d-$shardNo%04d.tar")
-          out = new TarArchiveOutputStream(fs.create(p, true))
+          tmpPath = new Path(outDir,
+            f".inprogress-$attempt%d-part-$pid%05d-$shardNo%04d.tar")
+          out = new TarArchiveOutputStream(fs.create(tmpPath, true))
           out.setLongFileMode(TarArchiveOutputStream.LONGFILE_POSIX)
         }
-        def close(): Unit = if (out != null) { out.finish(); out.close(); out = null }
+        def close(): Unit = if (out != null) {
+          out.finish(); out.close(); out = null
+          val finalPath = new Path(outDir, f"part-$pid%05d-$shardNo%04d.tar")
+          // first completed attempt wins; a losing speculative attempt
+          // finds dest occupied and discards its temp
+          if (!fs.rename(tmpPath, finalPath)) fs.delete(tmpPath, false)
+          tmpPath = null
+        }
         open()
         rows.foreach { r =>
           if (inShard >= maxEntriesPerShard) {

@@ -96,4 +96,27 @@ class GraftExtensionsSpec extends SparkTestBase {
     }
     assert(typ.getMessage.contains("literal integer"))
   }
+
+  test("kmv_distinct: non-string input is cast, non-literal seed is a clear error") {
+    graft.ops.expr.NativeSig.register(spark)
+    // int column: the registration casts to string (matching
+    // Corpus.approxDistinct) — no executor ClassCastException
+    val kmv = spark.sql(
+      """SELECT kmv_distinct(i, 16) AS sk
+        |FROM VALUES (1), (1), (2), (3) AS v(i)""".stripMargin)
+      .head().getStruct(0)
+    assert(kmv.getDouble(0) == 3.0 && kmv.getBoolean(1))
+    // a column reference as seed must be a targeted analysis error, not a
+    // raw unbound-reference crash
+    val e = intercept[Exception] {
+      spark.sql(
+        """SELECT kmv_distinct(t, 16, i) FROM VALUES ('a', 1) AS v(t, i)"""
+      ).head()
+    }
+    assert(e.getMessage.contains("seed must be a literal"))
+    val n = intercept[Exception] {
+      spark.sql("SELECT kmv_distinct(t, 16, NULL) FROM VALUES ('a') AS v(t)").head()
+    }
+    assert(n.getMessage.contains("seed must be a literal"))
+  }
 }

@@ -115,6 +115,36 @@ class TarShardsSpec extends SparkTestBase {
       e.getCause.getMessage.contains("cannot round-trip"))
   }
 
+  test("non-empty output dir is refused; overwrite=true clears stale shards") {
+    val dir = tmpDir()
+    // a previous LARGER run: 2 partitions → part-00000/part-00001
+    val big = Seq(("a", "1"), ("b", "2")).toDF("k", "txt")
+    TarShards.writeTarShards(big.repartition(2), dir, "k", Seq("txt" -> col("txt")))
+    val small = Seq(("c", "3")).toDF("k", "txt")
+    val e = intercept[IllegalArgumentException] {
+      TarShards.writeTarShards(small.repartition(1), dir, "k", Seq("txt" -> col("txt")))
+    }
+    assert(e.getMessage.contains("not empty"))
+    // overwrite clears the stale part files: reading back must see ONLY
+    // the new run (the stale-part-from-larger-run hazard)
+    TarShards.writeTarShards(small.repartition(1), dir, "k",
+      Seq("txt" -> col("txt")), overwrite = true)
+    val keys = TarShards.readTarShards(spark, dir)
+      .select(col("key")).as[String].collect().toSet
+    assert(keys == Set("c"))
+  }
+
+  test("no .inprogress temp files survive a completed write") {
+    val dir = tmpDir()
+    val df = (1 to 12).map(i => (s"t$i", s"v$i")).toDF("k", "txt")
+    TarShards.writeTarShards(df.repartition(3), dir, "k",
+      Seq("txt" -> col("txt")), maxEntriesPerShard = 5)
+    val leftover = new java.io.File(dir).listFiles
+      .filter(_.getName.startsWith(".inprogress"))
+    assert(leftover.isEmpty)
+    assert(TarShards.readTarShards(spark, dir).count() == 12)
+  }
+
   test("key is name up to the FIRST dot (multi-dot extensions)") {
     val dir = tmpDir()
     val df = Seq(("s1", "x")).toDF("k", "txt")

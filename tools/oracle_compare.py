@@ -39,6 +39,20 @@ for q in sorted(os.listdir(out)):
             print(f"{q:>24}: RED schema mismatch spark={sorted(scols)} oracle={sorted(ocols)}")
             red += 1
             continue
+        # The DRIVER's compare is pandas sort_values over every column and
+        # crashes on unhashable cells (numpy arrays) — r9's q54d went red
+        # at the gate while this differ's EXCEPT ALL passed it. Flag any
+        # oracle-checked query projecting nested types so the local gate
+        # PREDICTS the driver instead of diverging from it.
+        stypes = {r[0]: r[1] for r in con.execute("DESCRIBE __spark").fetchall()}
+        nested = [c for c, t in stypes.items()
+                  if "[]" in t or t.startswith(("STRUCT", "MAP", "LIST"))]
+        if nested:
+            print(f"{q:>24}: RED driver-incompatible projection: nested "
+                  f"column(s) {nested} (pandas compare cannot hash array "
+                  f"cells — emit a scalar encoding, SURVEY §7.5b)")
+            red += 1
+            continue
         cols = ", ".join(f'"{c}"' for c in sorted(scols))
         d1 = con.execute(f"SELECT count(*) FROM (SELECT {cols} FROM __spark EXCEPT ALL SELECT {cols} FROM __oracle)").fetchone()[0]
         d2 = con.execute(f"SELECT count(*) FROM (SELECT {cols} FROM __oracle EXCEPT ALL SELECT {cols} FROM __spark)").fetchone()[0]
