@@ -36,6 +36,32 @@ object SparkEntry {
     else raw
   }
 
+  /** Deterministic real PNG for the q76 perceptual-hash gate: a gradient
+    * textured by the text bytes, encoded with the JDK's PNG writer (pure
+    * function of the raster — no timestamps), decoded back by the REAL
+    * [[graft.ops.JdkMediaDecoder]] inside the query. Identical text ⇒
+    * identical pixels ⇒ identical pHash.
+    */
+  def renderTestPng(text: String, w: Int, h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val bytes = text.getBytes("UTF-8")
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val v = if (bytes.isEmpty) 0 else bytes((x * 31 + y * 17) % bytes.length) & 0xFF
+        val g = ((v + x * 255 / w + y * 255 / h) / 3) & 0xFF
+        img.setRGB(x, y, (g << 16) | (g << 8) | g)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     Dftly.select(
@@ -345,6 +371,70 @@ object SparkEntry {
         .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
         .join(found, Seq("id_a", "id_b"), "left")
         .select(col("id_a"), col("id_b"), col("__f").isNotNull.as("ok"))
+    }),
+    // Perceptual-hash image near-dup (the q20b construction, for images):
+    // real PNGs rendered deterministically from document text, decoded by
+    // the REAL JdkMediaDecoder, pHashed (32x32 DCT), Hamming-banded via
+    // the generic SimHash engine. The corpus is unioned with an id-shifted
+    // copy, planting one pixel-identical duplicate pair per document —
+    // identical pixels => identical pHash => hamming 0 => the pigeonhole
+    // banding cannot miss it. Re-encode/resize robustness is MEASURED
+    // (RECALL.json `phash`), not gated: only the identity floor is a
+    // guarantee.
+    "q76_phash_neardup" -> ((s, dir) => {
+      import s.implicits._
+      val d0 = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val dd = d0.unionByName(
+        d0.select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      val media = dd.as[(Long, String)].map { case (id, text) =>
+        graft.ops.MediaRow(id,
+          graft.ops.MediaMeta("image", "png", 48, 32, 0, 0L),
+          renderTestPng(text, 48, 32))
+      }
+      val found = graft.ops.Multimodal.imageNearDuplicatePairs(media,
+          decoder = graft.ops.JdkMediaDecoder(), maxHamming = 10)
+        .select(col("id_a"), col("id_b"), lit(1).as("__f"))
+      dd.as("x").join(dd.as("y"),
+        col("x.text") === col("y.text") && col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
+        .join(found, Seq("id_a", "id_b"), "left")
+        .select(col("id_a"), col("id_b"), col("__f").isNotNull.as("ok"))
+    }),
+    // Full-PSL registrable domain: planted hosts under multi-label
+    // registries ABSENT from the compact subset (co.il, com.pl), a
+    // PRIVATE-section suffix (github.io), wildcard (*.ck) and exception
+    // (!www.ck) rules, an unlisted TLD (implicit *), a host that IS a
+    // public suffix, and a single label. The fixture rule text is in the
+    // published PSL format; the oracle pins every answer hand-derived
+    // from the published algorithm.
+    "q77_psl_domain" -> ((s, dir) => {
+      import s.implicits._
+      val rules = graft.ops.expr.PslRules.parse(
+        """// fixture excerpt in the published format
+          |uk
+          |co.uk
+          |il
+          |co.il
+          |ac.il
+          |pl
+          |com.pl
+          |net.pl
+          |ck
+          |*.ck
+          |!www.ck
+          |jp
+          |// PRIVATE section
+          |github.io
+          |""".stripMargin)
+      Seq(
+        1L -> "shop.example.co.uk", 2L -> "site.example.co.il",
+        3L -> "deep.sub.blog.github.io", 4L -> "foo.bar.ck",
+        5L -> "www.ck", 6L -> "a.www.ck", 7L -> "example.com",
+        8L -> "keta.jp", 9L -> "co.uk", 10L -> "localhost",
+        11L -> "x.y.com.pl", 12L -> "sub.host.example.org")
+        .toDF("hid", "host")
+        .select(col("hid"),
+          graft.ops.WebText.registrableDomainPsl(col("host"), rules).as("rdomain"))
     }),
     "q21_events" -> ((s, dir) => {
       val ev = graft.sources.Readers.readEvents(s, dir)
@@ -688,6 +778,34 @@ object SparkEntry {
         .select(col("tid"), concat_ws(",", col("raw")).as("ids_csv"),
           size(col("raw")).cast("long").as("n_ids"))
     }),
+    // vocab.json interop: the SAME strings and merge table as q54d, but
+    // emission re-keyed through a released-style vocab.json (built with
+    // Jackson from the standard vocab offset by +1000, with a special
+    // token at id 0 — the shape real released vocabs have). The JSON text
+    // round-trips through BpeModel.vocabFromJson, so parse + remap are
+    // both under the gate; expected ids are q54d's hand-derived sequences
+    // shifted by exactly 1000.
+    "q54e_bpe_vocab_ids" -> ((s, dir) => {
+      import s.implicits._
+      val base = graft.ops.expr.BpeModel.fromMergesLines(Seq(
+        "h e", "l l", "he ll", "hell o", "Ġ w", "o r", "Ġw or", "l d",
+        "Ġwor ld"))
+      val vocabMap = new java.util.HashMap[String, Integer]()
+      vocabMap.put("<|endoftext|>", 0)
+      base.standardVocab.foreach { case (tok, id) => vocabMap.put(tok, 1000 + id) }
+      val json = new com.fasterxml.jackson.databind.ObjectMapper()
+        .writeValueAsString(vocabMap)
+      val model = base.withVocab(graft.ops.expr.BpeModel.vocabFromJson(json))
+      Seq(
+        1L -> "hello world", 2L -> "hello", 3L -> "hell or ld",
+        4L -> "Hello", 5L -> "it's", 6L -> "é", 7L -> "a  b",
+        8L -> "hellohello world world")
+        .toDF("tid", "text")
+        .select(col("tid"),
+          graft.ops.TextStats.tokenizeBpe(col("text"), model).as("raw"))
+        .select(col("tid"), concat_ws(",", col("raw")).as("ids_csv"),
+          size(col("raw")).cast("long").as("n_ids"))
+    }),
     // Concat-and-cut packing METERED BY THE EXACT BPE COUNTER (empty table
     // ⇒ bytes): same fragment contract as q46, but the slot unit is what a
     // byte-level tokenizer would see; DuckDB replays with strlen.
@@ -1010,7 +1128,9 @@ object SparkEntry {
             "<p class=\"a\">"),
           col("text"),
           lit("</p><br/><script type=\"text/javascript\">if (1<2) { x=1; }" +
-            "</script><div>Tail &lt;quoted&gt;&nbsp;end</div></body></html>")
+            "</script><div>Tail &lt;quoted&gt;&nbsp;end It&#8217;s " +
+            "&#x2019;q&#x2019; &#169; &amp;#8217; &#xD800; &#999999999;" +
+            "</div></body></html>")
         )).as("clean"))),
     // URL extraction + host + registrable domain (eTLD+1) over planted
     // URLs whose shape is a pure function of doc_id — the oracle rebuilds
@@ -2082,6 +2202,36 @@ object SparkEntry {
         |)
         |SELECT a.doc_id AS id_a, b.doc_id AS id_b, TRUE AS ok
         |FROM dd a JOIN dd b ON a.text = b.text AND a.doc_id < b.doc_id""".stripMargin,
+    // hand-derived per the published PSL algorithm:
+    //   co.uk/co.il/com.pl/github.io normal rules → suffix + 1 label;
+    //   *.ck makes bar.ck a suffix → foo.bar.ck; !www.ck beats it → www.ck;
+    //   unlisted com/org fall to the implicit * (last label);
+    //   a host that IS a suffix and a single label pass through
+    "q77_psl_domain" ->
+      """SELECT hid::BIGINT AS hid, rdomain FROM (VALUES
+        |  (1, 'example.co.uk'),
+        |  (2, 'example.co.il'),
+        |  (3, 'blog.github.io'),
+        |  (4, 'foo.bar.ck'),
+        |  (5, 'www.ck'),
+        |  (6, 'www.ck'),
+        |  (7, 'example.com'),
+        |  (8, 'keta.jp'),
+        |  (9, 'co.uk'),
+        |  (10, 'localhost'),
+        |  (11, 'y.com.pl'),
+        |  (12, 'example.org')) t(hid, rdomain)""".stripMargin,
+    // identical-image floor: every text-identical pair must be reported
+    // (same construction and guarantee as q20b — the planted duplicate
+    // has byte-identical pixels, hamming 0)
+    "q76_phash_neardup" ->
+      """WITH dd AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text FROM documents
+        |)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b, TRUE AS ok
+        |FROM dd a JOIN dd b ON a.text = b.text AND a.doc_id < b.doc_id""".stripMargin,
     "q49_redact" -> {
       val injected = "text || ' contact user' || doc_id || '@example.com via 10.0.' " +
         "|| (doc_id % 250) || '.17 or 555-123-4567'"
@@ -2127,6 +2277,20 @@ object SparkEntry {
         |  (6, [127, 102]),
         |  (7, [64, 220, 220, 65]),
         |  (8, [259, 259, 264, 264])) t(tid, ids)""".stripMargin,
+    // q54d's id sequences under the +1000-offset fixture vocab
+    "q54e_bpe_vocab_ids" ->
+      """SELECT tid::BIGINT AS tid,
+        |  array_to_string(ids, ',') AS ids_csv,
+        |  len(ids)::BIGINT AS n_ids
+        |FROM (VALUES
+        |  (1, [1259, 1264]),
+        |  (2, [1259]),
+        |  (3, [1258, 1220, 1261, 1220, 1263]),
+        |  (4, [1039, 1068, 1257, 1078]),
+        |  (5, [1072, 1083, 1006, 1082]),
+        |  (6, [1127, 1102]),
+        |  (7, [1064, 1220, 1220, 1065]),
+        |  (8, [1259, 1259, 1264, 1264])) t(tid, ids)""".stripMargin,
     // q46's replay with the slot unit swapped to strlen bytes, cut at 256.
     "q54c_bpe_pack" ->
       """WITH t AS (
@@ -2330,9 +2494,13 @@ object SparkEntry {
     // Round-trip: the expected clean text is rebuilt from the raw column
     // (corpus text is <>&-free and single-spaced, so no replay of the
     // strip chain is needed — see the query comment).
+    // numeric-ref tail hand-derived: &#8217;/&#x2019; → ’, &#169; → ©,
+    // &amp;#8217; decodes ONCE to the literal &#8217;, the surrogate ref
+    // and the out-of-range ref stay literal text
     "q61_strip_html" ->
       """SELECT doc_id,
-        |  'Header & more ' || text || ' Tail <quoted> end' AS clean
+        |  'Header & more ' || text ||
+        |  ' Tail <quoted> end It’s ’q’ © &#8217; &#xD800; &#999999999;' AS clean
         |FROM documents""".stripMargin,
     // url/host/domain rebuilt from doc_id — same construction as the query.
     "q62_url_domains" ->

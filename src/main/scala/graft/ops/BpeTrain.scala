@@ -59,6 +59,20 @@ object BpeTrain {
     * merge lines in the published `merges.txt` rendering (rank = position;
     * [[BpeModel.fromMergesLines]] round-trips them). Stops early when no
     * adjacent pair occurs twice.
+    *
+    * The merge loop is INCREMENTAL: pair counts, an inverted index
+    * pair → words-containing-it, and a lazy max-heap are maintained across
+    * rounds, so round r touches only the words that actually contain the
+    * winning pair (each re-counted locally before/after the merge) — not
+    * the whole table. A full per-round recount is O(rounds × total
+    * symbols): ~10^10 driver operations at a published-vocab 50k merges
+    * over 65k words (hours); the incremental loop's total work is bounded
+    * by Σ (affected-word lengths), minutes at the same scale. The winner
+    * selection is bit-identical to the recount version: the lazy heap
+    * pops stale entries (count changed since push) and re-inserts them at
+    * their current count, so the first valid pop is the true
+    * (max count, smallest packed (leftId, rightId)) — the same fixed
+    * total order, same merges, any engine.
     */
   def train(wordFreqs: Iterable[(String, Long)], numMerges: Int): Seq[String] = {
     require(numMerges >= 0, s"numMerges must be >= 0: $numMerges")
@@ -72,28 +86,61 @@ object BpeTrain {
       (mutable.ArrayBuffer.from(syms), n)
     }.toArray
 
+    @inline def pk(l: Int, r: Int): Long = (l.toLong << 32) | r.toLong
+
+    /** Local pair multiset of one word's current symbols. */
+    def localPairs(syms: mutable.ArrayBuffer[Int]): mutable.LongMap[Long] = {
+      val m = mutable.LongMap.empty[Long]
+      var i = 0
+      while (i < syms.length - 1) {
+        val key = pk(syms(i), syms(i + 1))
+        m.update(key, m.getOrElse(key, 0L) + 1L)
+        i += 1
+      }
+      m
+    }
+
+    // global weighted pair counts + inverted index pair → word indices.
+    // Total index size is bounded by Σ word lengths (each position
+    // contributes one membership), not pairs × words.
+    val counts = mutable.LongMap.empty[Long]
+    val occ = mutable.LongMap.empty[mutable.HashSet[Int]]
+    var wi = 0
+    while (wi < words.length) {
+      val (syms, n) = words(wi)
+      localPairs(syms).foreach { case (key, mult) =>
+        counts.update(key, counts.getOrElse(key, 0L) + mult * n)
+        occ.getOrElseUpdate(key, mutable.HashSet.empty[Int]) += wi
+      }
+      wi += 1
+    }
+
+    // lazy max-heap of (count, pairKey): max count first, ties to the
+    // SMALLEST packed key (both ids < 2^31, so the packed long compares
+    // consistently). Entries go stale when a count changes; pops validate
+    // against `counts` and re-insert at the current value, preserving the
+    // invariant that every pair with count >= 2 has a heap entry at >= its
+    // current count.
+    val heap = mutable.PriorityQueue.empty[(Long, Long)](
+      Ordering.Tuple2(Ordering.Long, Ordering.Long.reverse))
+    counts.foreach { case (k, c) => if (c >= 2L) heap.enqueue((c, k)) }
+
+    def popBest(): Long = {
+      while (heap.nonEmpty) {
+        val (c, key) = heap.dequeue()
+        val cur = counts.getOrElse(key, 0L)
+        if (cur == c) return key
+        else if (cur >= 2L) heap.enqueue((cur, key)) // stale → correct it
+        // cur < 2: can never win; increase re-enqueues it
+      }
+      -1L
+    }
+
     val lines = Seq.newBuilder[String]
     var rank = 0
     var done = false
     while (rank < numMerges && !done) {
-      val counts = mutable.LongMap.empty[Long]
-      words.foreach { case (syms, n) =>
-        var i = 0
-        while (i < syms.length - 1) {
-          val key = (syms(i).toLong << 32) | syms(i + 1).toLong
-          counts.update(key, counts.getOrElse(key, 0L) + n)
-          i += 1
-        }
-      }
-      // max count, ties to the smallest (leftId, rightId) key — both ids
-      // are < 2^31 so the packed long compares consistently
-      var bestKey = -1L
-      var bestCount = 1L // a pair must occur at least twice to merge
-      counts.foreach { case (k, c) =>
-        if (c > bestCount || (c == bestCount && bestKey >= 0 && k < bestKey)) {
-          bestKey = k; bestCount = c
-        }
-      }
+      val bestKey = popBest()
       if (bestKey < 0) done = true
       else {
         val l = (bestKey >>> 32).toInt
@@ -102,7 +149,13 @@ object BpeTrain {
         symBytes += (symBytes(l) ++ symBytes(r))
         lines += BpeModel.renderSymbolBytes(symBytes(l)) + " " +
           BpeModel.renderSymbolBytes(symBytes(r))
-        words.foreach { case (syms, _) =>
+        // only the words CONTAINING the winning pair change; re-count each
+        // locally before/after its in-place merge and apply the diff.
+        // Snapshot the index set: the loop itself drains occ(bestKey).
+        val affected = occ.getOrElse(bestKey, mutable.HashSet.empty[Int]).toArray
+        affected.foreach { idx =>
+          val (syms, n) = words(idx)
+          val before = localPairs(syms)
           var i = 0
           var w = 0
           while (i < syms.length) {
@@ -114,6 +167,38 @@ object BpeTrain {
             w += 1
           }
           syms.takeInPlace(w)
+          val after = localPairs(syms)
+          before.foreach { case (key, mult) =>
+            val d = after.getOrElse(key, 0L) - mult
+            if (d != 0L) {
+              val nc = counts.getOrElse(key, 0L) + d * n
+              if (nc == 0L) counts.remove(key) else counts.update(key, nc)
+            }
+            if (!after.contains(key)) occ.get(key).foreach { s =>
+              s -= idx; if (s.isEmpty) occ.remove(key)
+            }
+          }
+          after.foreach { case (key, mult) =>
+            if (!before.contains(key)) {
+              counts.update(key, counts.getOrElse(key, 0L) + mult * n)
+              occ.getOrElseUpdate(key, mutable.HashSet.empty[Int]) += idx
+            }
+          }
+        }
+        // re-arm the heap for every pair whose count could have RISEN
+        // (new neighbors of the merged symbol); pushing a few extra
+        // entries is harmless — stale ones validate on pop
+        affected.foreach { idx =>
+          val (syms, _) = words(idx)
+          var i = 0
+          while (i < syms.length - 1) {
+            if (syms(i) == newId || syms(i + 1) == newId) {
+              val key = pk(syms(i), syms(i + 1))
+              val c = counts.getOrElse(key, 0L)
+              if (c >= 2L) heap.enqueue((c, key))
+            }
+            i += 1
+          }
         }
         rank += 1
       }

@@ -557,13 +557,36 @@ object Dedup {
       maxHamming: Int = 3,
       maxBucketSize: Int = 1000
   ): DataFrame = {
+    val sigs = ensureParallelism(df)
+      .select(col(idCol).as("id"), split(col(textCol), "\\s+").as("toks"))
+      .select(col("id"), graft.ops.expr.NativeSig.simhash64(col("toks")).as("sig"))
+    hammingNearDuplicatePairs(sigs, "id", "sig", maxHamming, maxBucketSize)
+  }
+
+  /** Near-duplicate pairs over ANY 64-bit signature column within
+    * `maxHamming` bit flips — the banding/verification engine behind
+    * [[simhashNearDuplicatePairs]], exposed for other 64-bit fingerprint
+    * families (perceptual image hashes ride it via
+    * [[Multimodal.imageNearDuplicatePairs]]). Null signatures (e.g.
+    * undecodable images) are excluded from banding — they can match
+    * nothing. Candidate generation is the pigeonhole banding; verification
+    * `bit_count(a ^ b) <= maxHamming` runs inline on every candidate; the
+    * same skew cap as MinHash LSH bounds hot buckets.
+    */
+  def hammingNearDuplicatePairs(
+      df: DataFrame,
+      idCol: String,
+      sigCol: String,
+      maxHamming: Int = 3,
+      maxBucketSize: Int = 1000
+  ): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 63,
       s"maxHamming must be in [0, 63], got $maxHamming")
     val nChunks = maxHamming + 1
     val chunkBits = 64 / nChunks
-    val sigs = ensureParallelism(df)
-      .select(col(idCol).as("id"), split(col(textCol), "\\s+").as("toks"))
-      .select(col("id"), graft.ops.expr.NativeSig.simhash64(col("toks")).as("sig"))
+    val sigs = df
+      .select(col(idCol).as("id"), col(sigCol).cast(LongType).as("sig"))
+      .filter(col("sig").isNotNull)
     val chunks = sigs.select(
       col("id"), col("sig"),
       explode(array((0 until nChunks).map { c =>

@@ -383,4 +383,46 @@ object Multimodal {
       frameBytes: Int = 256
   ): Dataset[VideoFrame] =
     sampleFrames(media, everyN, StubDecoder(frameBytes))
+
+  /** 64-bit perceptual hashes ([[PHash]]) of every image row:
+    * `(media_id, phash)` with a NULL phash for undecodable payloads (they
+    * must stay out of Hamming banding — an all-zero sentinel would bucket
+    * every corrupt file together as "near-duplicates"). One decoder
+    * context per partition, like every decode operator here.
+    */
+  def imagePHashes(
+      media: Dataset[MediaRow],
+      decoder: MediaDecoder = StubDecoder()
+  ): DataFrame = {
+    import media.sparkSession.implicits._
+    media.filter(_.meta.mediaType == "image").mapPartitions { rows =>
+      rows.map { r =>
+        val (w, h, _, lumas) = decoder.decodeImage(r.payload)
+        (r.media_id, PHash.phash64(w, h, lumas))
+      }
+    }.toDF("media_id", "phash")
+  }
+
+  /** Image near-duplicate pairs: perceptual hash + the generic 64-bit
+    * Hamming banding engine ([[Dedup.hammingNearDuplicatePairs]] — the
+    * SimHash pair infrastructure, reused verbatim). Output
+    * `(id_a, id_b, hamming)` with id_a < id_b. Identical payloads hash
+    * identically (hamming 0 — the pigeonhole banding cannot miss them,
+    * the planted-duplicate gate's guarantee); re-encoded/resized copies
+    * land within a few bits (measured, not guaranteed — RECALL.json's
+    * `phash` section).
+    *
+    * Scale shape: decode is the dominant cost and is embarrassingly
+    * parallel; after it, each image is 16 bytes on the one banding
+    * exchange — `maxHamming + 1` chunk rows per image, the same
+    * per-row exchange budget as text SimHash at any corpus size.
+    */
+  def imageNearDuplicatePairs(
+      media: Dataset[MediaRow],
+      decoder: MediaDecoder = StubDecoder(),
+      maxHamming: Int = 10,
+      maxBucketSize: Int = 1000
+  ): DataFrame =
+    Dedup.hammingNearDuplicatePairs(
+      imagePHashes(media, decoder), "media_id", "phash", maxHamming, maxBucketSize)
 }

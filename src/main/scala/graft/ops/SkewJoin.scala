@@ -17,6 +17,21 @@ import org.apache.spark.sql.functions._
   * pipelines. Cost: `factor`× duplication of the (small) right side; use for
   * big-fact ⨝ medium-dim joins where the dim is too big to broadcast and the
   * fact has hot keys.
+  *
+  * The SHUFFLE path is forced (`shuffle_hash` hint on the replicated
+  * side). Salting only mitigates shuffle skew — a broadcast join has no
+  * per-key shuffle partition to overload — and letting the planner pick
+  * broadcast here is strictly worse than not salting at all: the build
+  * side was just inflated `factor`×, and the single-threaded broadcast
+  * hash build over the replicated dim measured 3× the cost of the whole
+  * salted shuffle join (1.76 s vs 0.54 s on the q35 gate at sf0.1).
+  * Planner flips between the two modes were also the source of the
+  * historical 1.7 s run-to-run swing on that row. If the dim IS
+  * broadcastable, use a plain join — the salt buys nothing there.
+  * Build-right SHJ under salt is the canonical shape: the salt spreads
+  * each hot key's build rows over `factor` partitions, so per-partition
+  * hash tables stay bounded; where SHJ is inapplicable Spark degrades
+  * the hint to sort-merge, which is still the shuffle path.
   */
 object SkewJoin {
 
@@ -44,6 +59,7 @@ object SkewJoin {
       "__salt", pmod(xxhash64(struct(left.columns.toIndexedSeq.map(col): _*)), lit(factor)).cast("int"))
     val saltedRight = right
       .withColumn("__salt", explode(lit((0 until factor).toArray)))
+      .hint("shuffle_hash")
     val cond = saltedLeft(leftKey) === saltedRight(rightKey) &&
       saltedLeft("__salt") === saltedRight("__salt")
     saltedLeft.join(saltedRight, cond, joinType)

@@ -20,9 +20,13 @@ object WebText {
     *   2. remaining tags are removed, each leaving one space (block
     *      boundaries must not glue words: `<p>a</p><p>b</p>` → `a b`);
     *   3. the named entities every real page carries are decoded —
-    *      `&lt; &gt; &quot; &#39; &apos; &nbsp;` first and `&amp;` LAST
-    *      (so `&amp;lt;` decodes once, to the literal `&lt;`, not twice);
-    *      numeric entities beyond `&#39;` are out of scope (documented);
+    *      `&lt; &gt; &quot; &#39; &apos; &nbsp;` first — then ALL numeric
+    *      character references, decimal and hex (`&#8217;`/`&#x2019;` —
+    *      curly quotes, dashes, © are everywhere in crawl text), via the
+    *      [[graft.ops.expr.NumericCharRefDecode]] kernel, and every
+    *      ampersand form (`&amp;`, `&#38;`, `&#x26;`) LAST — so
+    *      `&amp;lt;` decodes once, to the literal `&lt;`, not twice, and
+    *      likewise `&amp;#8217;` to the literal `&#8217;`;
     *   4. whitespace runs collapse to one space, trimmed.
     *
     * A regex chain over codegen'd builtins, deliberately NOT a DOM parse:
@@ -42,7 +46,13 @@ object WebText {
       "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
       "&#39;" -> "'", "&apos;" -> "'", "&nbsp;" -> " "
     ).foldLeft(noTags) { case (c, (ent, ch)) => regexp_replace(c, ent, ch) }
-    val ampLast = regexp_replace(decoded, "&amp;", "&")
+    val numerics = {
+      import org.apache.spark.sql.graft.ColumnBridge
+      ColumnBridge.column(graft.ops.expr.NumericCharRefDecode(
+        ColumnBridge.expression(decoded)))
+    }
+    // every ampersand form last (the kernel skips codepoint 38 for this)
+    val ampLast = regexp_replace(numerics, "&amp;|&#0*38;|&#[xX]0*26;", "&")
     trim(regexp_replace(ampLast, "[ \\t\\n\\x0B\\f\\r\\u00A0]+", " "))
   }
 
@@ -100,6 +110,23 @@ object WebText {
     when(n <= 1, host)
       .when(array_contains(lit(TwoLevelSuffixes.toArray), lastTwo) && n >= 3, lastThree)
       .otherwise(lastTwo)
+  }
+
+  /** Registrable domain under a FULL Public Suffix List — the 100 TB
+    * variant the compact subset's scaladoc promises: wildcard (`*.ck`)
+    * and exception (`!www.ck`) rules, multi-label registries the subset
+    * omits (`co.il`, `com.pl`), and the PRIVATE section's
+    * `github.io`-style suffixes all key correctly. `rules` comes from a
+    * caller-supplied copy of the published list
+    * ([[graft.ops.expr.PslRules.parse]]); the rule sets ride the task
+    * binary once and probe per row inside whole-stage codegen — no join,
+    * no broadcast exchange. With [[graft.ops.expr.PslRules.default]] the
+    * keying is identical to [[registrableDomain]].
+    */
+  def registrableDomainPsl(host: Column, rules: graft.ops.expr.PslRules): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(graft.ops.expr.PslRegistrableDomainExpr(
+      ColumnBridge.expression(host), rules))
   }
 
   /** Unicode normalization (NFC / NFD / NFKC / NFKD) as a native codegen'd

@@ -79,8 +79,68 @@ private[expr] final class LongLongMap(expected: Int) extends Serializable {
   */
 final class BpeModel private (
     ranks: LongLongMap,
-    val numMerges: Int
+    val numMerges: Int,
+    /** Rendered token string of each merge's output (merges.txt
+      * byte-to-unicode form) — the key a published `vocab.json` uses.
+      */
+    mergeSymbols: Array[String],
+    /** internal symbol id → EMITTED id. Default = the standard-script
+      * numbering (byte-alphabet discovery order, merge r → 256+r);
+      * [[withVocab]] rebuilds it from a released `vocab.json` so encode
+      * emits the model's true embedding-table rows.
+      */
+    emitIds: Array[Int]
 ) extends Serializable {
+
+  /** Re-key emission to a published `vocab.json` mapping (token string in
+    * the byte-to-unicode rendering → id). Every byte symbol and every
+    * merge output must be present — a vocab that does not cover the merge
+    * table would emit ids from two different numberings, so missing
+    * entries fail loudly here, at model build, not mid-job. Special
+    * tokens (`<|endoftext|>` …) may occupy any ids; they are simply never
+    * emitted by pure BPE encode. Counting is unaffected (the count is a
+    * function of the merge ranks alone).
+    */
+  /** The vocab the standard publishing script would emit for this model:
+    * 256 byte symbols at their discovery-order ids, merge r's output at
+    * 256 + r — i.e. the numbering [[encodeTokens]] uses by default.
+    * `withVocab(standardVocab)` is the identity; fixtures offset it to
+    * simulate a released vocab with special tokens re-numbering the table.
+    */
+  def standardVocab: Map[String, Int] = {
+    val b = Map.newBuilder[String, Int]
+    var i = 0
+    while (i < 256) {
+      b += (BpeModel.renderSymbolBytes(Array(i.toByte)) -> BpeModel.byteExternalId(i))
+      i += 1
+    }
+    var r = 0
+    while (r < numMerges) { b += (mergeSymbols(r) -> (256 + r)); r += 1 }
+    b.result()
+  }
+
+  def withVocab(vocab: Map[String, Int]): BpeModel = {
+    val emit = new Array[Int](256 + numMerges)
+    var b = 0
+    while (b < 256) {
+      val tok = BpeModel.renderSymbolBytes(Array(b.toByte))
+      emit(b) = vocab.getOrElse(tok,
+        throw new IllegalArgumentException(
+          s"vocab.json does not contain the byte symbol '$tok' (byte $b) — " +
+            "not a byte-level BPE vocabulary, or truncated"))
+      b += 1
+    }
+    var r = 0
+    while (r < numMerges) {
+      emit(256 + r) = vocab.getOrElse(mergeSymbols(r),
+        throw new IllegalArgumentException(
+          s"vocab.json does not contain merge ${r}'s output " +
+            s"'${mergeSymbols(r)}' — vocab and merges.txt are from " +
+            "different models"))
+      r += 1
+    }
+    new BpeModel(ranks, numMerges, mergeSymbols, emit)
+  }
 
   /** Total surviving BPE symbols across the pre-tokens of `s`. */
   def countTokens(s: UTF8String): Int = {
@@ -153,7 +213,7 @@ final class BpeModel private (
       val len = if (n <= 1 || numMerges == 0) n else mergeLoop(ids, n)
       i = 0
       while (i < len) {
-        out += (if (ids(i) < 256) BpeModel.byteExternalId(ids(i)) else ids(i))
+        out += emitIds(ids(i))
         i += 1
       }
     }
@@ -265,6 +325,7 @@ object BpeModel {
       symbolId.put(new String(Array(b.toByte), StandardCharsets.ISO_8859_1), b)
       b += 1
     }
+    val mergeSymbols = new scala.collection.mutable.ArrayBuffer[String](merges.size)
     var rank = 0
     for ((line, lineNo) <- merges) {
       val sp = line.indexOf(' ')
@@ -286,12 +347,38 @@ object BpeModel {
       val newId = 256 + rank
       symbolId.put(
         new String(lb ++ rb, StandardCharsets.ISO_8859_1), newId)
+      mergeSymbols += renderSymbolBytes(lb ++ rb)
       ranks.put((leftId.toLong << 32) | rightId.toLong,
         (rank.toLong << 32) | newId.toLong)
       rank += 1
     }
-    new BpeModel(ranks, rank)
+    new BpeModel(ranks, rank, mergeSymbols.toArray,
+      Array.tabulate(256 + rank)(i => if (i < 256) byteExternalId(i) else i))
   }
+
+  /** Parse a published `vocab.json` (token string → id) with Spark's own
+    * Jackson — the sibling file of `merges.txt` in every released
+    * byte-level BPE vocabulary. Feed the result to [[BpeModel.withVocab]].
+    */
+  def vocabFromJson(text: String): Map[String, Int] = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val node = mapper.readTree(text)
+    require(node != null && node.isObject,
+      "vocab.json must be a single JSON object of token -> id")
+    val b = Map.newBuilder[String, Int]
+    node.properties().forEach { e =>
+      require(e.getValue.isIntegralNumber,
+        s"vocab.json id for '${e.getKey}' is not an integer: ${e.getValue}")
+      b += (e.getKey -> e.getValue.asInt())
+    }
+    b.result()
+  }
+
+  /** [[vocabFromJson]] over a driver-side local file. */
+  def vocabFromJsonFile(path: String): Map[String, Int] =
+    vocabFromJson(new String(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)),
+      StandardCharsets.UTF_8))
 
   /** Load a published `merges.txt` (driver-side local path; the built model
     * is what ships to executors, not the file).
@@ -315,7 +402,9 @@ object BpeModel {
     * non-printables in byte order). E.g. '!'=0, 'A'=32, space=220 — the
     * ids any standard-script `vocab.json` assigns them.
     */
-  private[expr] val byteExternalId: Array[Int] = {
+  // lazy: fromMergesLines (thus the `empty` val above) touches this during
+  // object init, before a plain val declared here would have initialized
+  private[expr] lazy val byteExternalId: Array[Int] = {
     val printable = ((33 to 126) ++ (161 to 172) ++ (174 to 255)).toVector
     val rest = (0 to 255).filterNot(printable.toSet)
     val arr = new Array[Int](256)

@@ -186,6 +186,22 @@ class AqePlanShapeSpec extends SparkTestBase {
     assert(hasPartial, s"no partial aggregate below the word exchange: $ex")
   }
 
+  test("AQE: saltedEquiJoin stays on the shuffle path (never broadcast)") {
+    import org.apache.spark.sql.execution.joins.ShuffledHashJoinExec
+    // broadcast of the factor-replicated build side is the pathology the
+    // hint exists to prevent: its single-threaded hash build measured 3x
+    // the whole salted shuffle join, and planner flips between the modes
+    // were the q35 bench row's historical 1.7 s run-to-run swing
+    val fact = (1L to 5000L).map(i => (i % 40, i)).toDF("k", "payload")
+    val dim = (0L until 40L).map(i => (i, s"d$i")).toDF("dk", "attr")
+    val nodes = aqeFinal(SkewJoin.saltedEquiJoin(fact, dim, "k", "dk", factor = 4))
+    assert(!nodes.exists(_.isInstanceOf[BroadcastHashJoinExec]),
+      "salted join must not be re-planned to broadcast")
+    assert(nodes.exists(n => n.isInstanceOf[ShuffledHashJoinExec] ||
+      n.isInstanceOf[SortMergeJoinExec]),
+      s"expected a shuffle join in: $nodes")
+  }
+
   test("AQE: semanticDedup's in-cell pairs survive on the fused generator path") {
     import org.apache.spark.sql.execution.GenerateExec
     val data = (1L to 40L)

@@ -128,6 +128,41 @@ class BpeSpec extends SparkTestBase {
     assert(encode(model, "") == Seq.empty)
   }
 
+  test("vocab.json interop: withVocab re-keys emission; missing tokens fail at build") {
+    val model = BpeModel.fromMergesLines(Seq("h e", "l l", "he ll", "hell o"))
+    // identity: the standard vocab reproduces standard numbering
+    val std = model.withVocab(model.standardVocab)
+    val s = org.apache.spark.unsafe.types.UTF8String.fromString("hello h")
+    assert(std.encodeTokens(s).toSeq == model.encodeTokens(s).toSeq)
+    // a released-style vocab: offset ids + a special token; JSON round-trip
+    // through the parser (keys include the quote byte's token '"')
+    val shifted = model.standardVocab.map { case (k, v) => k -> (v + 500) } +
+      ("<|endoftext|>" -> 0)
+    val json = new com.fasterxml.jackson.databind.ObjectMapper()
+      .writeValueAsString {
+        val m = new java.util.HashMap[String, Integer]()
+        shifted.foreach { case (k, v) => m.put(k, v) }
+        m
+      }
+    val reloaded = model.withVocab(BpeModel.vocabFromJson(json))
+    assert(reloaded.encodeTokens(s).toSeq ==
+      model.encodeTokens(s).toSeq.map(_ + 500))
+    // counting is numbering-independent
+    assert(reloaded.countTokens(s) == model.countTokens(s))
+    // a vocab missing a merge output fails loudly at model build
+    val missing = model.standardVocab - "hello"
+    val e = intercept[IllegalArgumentException](model.withVocab(missing))
+    assert(e.getMessage.contains("hello"))
+    // a vocab missing byte symbols fails loudly too
+    val e2 = intercept[IllegalArgumentException](
+      model.withVocab(Map("a" -> 1)))
+    assert(e2.getMessage.contains("byte symbol"))
+    // malformed vocab json
+    val e3 = intercept[IllegalArgumentException](
+      BpeModel.vocabFromJson("""["not", "an", "object"]"""))
+    assert(e3.getMessage.contains("JSON object"))
+  }
+
   test("encode: size(ids) == count on real documents; codegen'd and null-safe") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val checked = docs.select(

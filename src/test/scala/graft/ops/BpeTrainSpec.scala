@@ -53,6 +53,76 @@ class BpeTrainSpec extends SparkTestBase {
     assert(model.countTokens(UTF8String.fromString(" the")) <= 2)
   }
 
+  test("incremental trainer is bit-identical to a full recount per round") {
+    // reference oracle: the O(rounds x total-symbols) recount algorithm
+    // the incremental loop replaced — same tie-break contract
+    def referenceTrain(wordFreqs: Seq[(String, Long)], numMerges: Int): Seq[String] = {
+      import scala.collection.mutable
+      val symBytes = mutable.ArrayBuffer.tabulate[Array[Byte]](256)(b => Array(b.toByte))
+      val words = wordFreqs.map { case (w, n) =>
+        (mutable.ArrayBuffer.from(w.getBytes("UTF-8").map(_ & 0xFF)), n)
+      }
+      val lines = Seq.newBuilder[String]
+      var rank = 0
+      var done = false
+      while (rank < numMerges && !done) {
+        val counts = mutable.LongMap.empty[Long]
+        words.foreach { case (syms, n) =>
+          var i = 0
+          while (i < syms.length - 1) {
+            val key = (syms(i).toLong << 32) | syms(i + 1).toLong
+            counts.update(key, counts.getOrElse(key, 0L) + n)
+            i += 1
+          }
+        }
+        var bestKey = -1L
+        var bestCount = 1L
+        counts.foreach { case (k, c) =>
+          if (c > bestCount || (c == bestCount && bestKey >= 0 && k < bestKey)) {
+            bestKey = k; bestCount = c
+          }
+        }
+        if (bestKey < 0) done = true
+        else {
+          val l = (bestKey >>> 32).toInt
+          val r = (bestKey & 0xFFFFFFFFL).toInt
+          val newId = 256 + rank
+          symBytes += (symBytes(l) ++ symBytes(r))
+          lines += BpeModel.renderSymbolBytes(symBytes(l)) + " " +
+            BpeModel.renderSymbolBytes(symBytes(r))
+          words.foreach { case (syms, _) =>
+            var i = 0; var w = 0
+            while (i < syms.length) {
+              if (i < syms.length - 1 && syms(i) == l && syms(i + 1) == r) {
+                syms(w) = newId; i += 2
+              } else { syms(w) = syms(i); i += 1 }
+              w += 1
+            }
+            syms.takeInPlace(w)
+          }
+          rank += 1
+        }
+      }
+      lines.result()
+    }
+    // randomized tables with heavy repetition (so counts collide and the
+    // tie-break + stale-heap paths are exercised), fixed seed
+    val rnd = new scala.util.Random(421)
+    val alphabet = "aabbccde fé" // multi-byte char included
+    for (trial <- 1 to 5) {
+      val words = (1 to 120).map { _ =>
+        val len = 1 + rnd.nextInt(8)
+        val w = (1 to len).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+        w -> (1L + rnd.nextInt(9))
+      }
+      // collapse duplicate words (the real input is a distinct-word table)
+      val tbl = words.groupBy(_._1).map { case (w, g) => w -> g.map(_._2).sum }.toSeq
+      val merges = 1 + rnd.nextInt(60)
+      assert(BpeTrain.train(tbl, merges) == referenceTrain(tbl, merges),
+        s"divergence at trial $trial (merges=$merges)")
+    }
+  }
+
   test("preTokens column matches the java matcher") {
     val texts = Seq("it's  a test", "hello,world 123", "  leading", "trail  ")
     val viaCol = texts.toDF("t")

@@ -295,6 +295,77 @@ class MultimodalSpec extends SparkTestBase {
     }
   }
 
+  test("pHash: deterministic, identity-stable, degenerate-safe") {
+    val png = graft.SparkEntry.renderTestPng("some document text", 64, 48)
+    val dec = JdkMediaDecoder()
+    def hashOf(p: Array[Byte]): Option[Long] = {
+      val (w, h, _, lumas) = dec.decodeImage(p)
+      PHash.phash64(w, h, lumas)
+    }
+    val h1 = hashOf(png)
+    val h2 = hashOf(png)
+    assert(h1.isDefined && h1 == h2)
+    // identical pixels, different container bytes: re-encode the same
+    // raster as BMP — the hash is a function of pixels, not bytes
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "bmp", bos)
+    val hBmp = hashOf(bos.toByteArray)
+    assert(hBmp == h1, "re-encoded identical pixels must hash identically")
+    // corrupt payload decodes to (0,0) -> None, never a zero sentinel
+    assert(hashOf(Array[Byte](1, 2, 3)).isEmpty)
+    // a different image is far away (sanity: the hash is not constant)
+    val other = hashOf(graft.SparkEntry.renderTestPng("completely different words", 64, 48))
+    assert(other.isDefined && PHash.hamming(h1.get, other.get) > 0)
+  }
+
+  test("pHash: 2x smooth resize lands within the near-dup band") {
+    val dec = JdkMediaDecoder()
+    def smoothPng(w: Int, h: Int): Array[Byte] = {
+      // a continuous signal sampled at two densities — the resize-variant
+      // model: same underlying picture, different raster size
+      val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) {
+        val fx = x.toDouble / w
+        val fy = y.toDouble / h
+        val g = ((math.sin(fx * 7) * math.cos(fy * 5) + 1) * 120).toInt.min(255)
+        img.setRGB(x, y, (g << 16) | (g << 8) | g)
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    def hashOf(p: Array[Byte]): Long = {
+      val (w, h, _, lumas) = dec.decodeImage(p)
+      PHash.phash64(w, h, lumas).get
+    }
+    val small = hashOf(smoothPng(64, 48))
+    val big = hashOf(smoothPng(128, 96))
+    assert(PHash.hamming(small, big) <= 10,
+      s"2x resample drifted ${PHash.hamming(small, big)} bits")
+  }
+
+  test("imageNearDuplicatePairs finds every planted identical pair; corrupt images pair with nothing") {
+    val texts = Seq("alpha body", "beta body", "gamma body", "delta body")
+    val rows = texts.zipWithIndex.flatMap { case (t, i) =>
+      val p = graft.SparkEntry.renderTestPng(t, 48, 32)
+      Seq(
+        MediaRow(i.toLong, MediaMeta("image", "png", 48, 32, 0, 0L), p),
+        MediaRow(100L + i, MediaMeta("image", "png", 48, 32, 0, 0L), p))
+    } :+ MediaRow(999L, MediaMeta("image", "png", 48, 32, 0, 0L), Array[Byte](9, 9)) :+
+      MediaRow(998L, MediaMeta("image", "png", 48, 32, 0, 0L), Array[Byte](8))
+    val ds = spark.createDataset(rows)
+    val pairs = Multimodal.imageNearDuplicatePairs(ds, JdkMediaDecoder())
+      .select($"id_a", $"id_b", $"hamming")
+      .as[(Long, Long, Int)].collect().toSet
+    texts.indices.foreach { i =>
+      assert(pairs.exists(p => p._1 == i && p._2 == 100L + i && p._3 == 0),
+        s"planted identical pair $i missing")
+    }
+    // the two undecodable payloads must not bucket together via a sentinel
+    assert(!pairs.exists(p => p._1 == 998L || p._2 == 998L || p._1 == 999L || p._2 == 999L))
+  }
+
   test("both decoders run through the same operators on the same rows") {
     val rows = Seq(imgRow(1L, encodeImage(16, 16, 50, "png"))).toDS()
     val real = Multimodal.imageFeatures(rows, JdkMediaDecoder()).collect().head

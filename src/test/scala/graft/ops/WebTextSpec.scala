@@ -28,6 +28,24 @@ class WebTextSpec extends SparkTestBase {
     assert(strip1("it&#39;s &quot;q&quot;") == "it's \"q\"")
   }
 
+  test("stripHtml decodes numeric character references, decimal and hex") {
+    assert(strip1("It&#8217;s here") == "It’s here")
+    assert(strip1("a &#x2019;b&#X2019; c") == "a ’b’ c")
+    assert(strip1("&#169; 2024") == "© 2024")
+    assert(strip1("&#x1F600;") == new String(Character.toChars(0x1F600))) // astral
+    // the decode-once discipline extends to numerics: &amp;#8217; is the
+    // LITERAL &#8217;
+    assert(strip1("&amp;#8217;") == "&#8217;")
+    // every ampersand form decodes last
+    assert(strip1("a &#38; b &#x26; c &#038; d") == "a & b & c & d")
+    // invalid refs stay literal: no digits, unterminated, surrogate,
+    // out of range, overlong
+    assert(strip1("&#; &#x; &#8217 &#xD800; &#1114112; &#999999999;") ==
+      "&#; &#x; &#8217 &#xD800; &#1114112; &#999999999;")
+    // adjacent and back-to-back refs
+    assert(strip1("&#65;&#66;&#67;") == "ABC")
+  }
+
   test("stripHtml is null-safe and collapses all whitespace") {
     assert(strip1("  a\t\nb  c ") == "a b c")
     val n = Seq[Option[String]](None).toDF("h")
@@ -101,6 +119,43 @@ class WebTextSpec extends SparkTestBase {
       "https://site.com/a").toDF("u")
     val keys = variants.select(WebText.canonicalizeUrl(col("u"))).distinct().count()
     assert(keys == 1)
+  }
+
+  test("registrableDomainPsl: full PSL algorithm — wildcards, exceptions, private suffixes") {
+    val rules = graft.ops.expr.PslRules.parse(
+      """// comment
+        |uk
+        |co.uk
+        |ck
+        |*.ck
+        |!www.ck
+        |github.io   // trailing junk after whitespace is ignored per spec
+        |""".stripMargin)
+    def rd(h: String): String =
+      Seq(h).toDF("h")
+        .select(WebText.registrableDomainPsl(col("h"), rules)).as[String].head()
+    assert(rd("a.b.example.co.uk") == "example.co.uk")
+    assert(rd("x.blog.github.io") == "blog.github.io")
+    assert(rd("foo.bar.ck") == "foo.bar.ck") // *.ck → bar.ck is a suffix
+    assert(rd("www.ck") == "www.ck")         // !www.ck beats the wildcard
+    assert(rd("a.www.ck") == "www.ck")
+    assert(rd("example.com") == "example.com") // unlisted TLD: implicit *
+    assert(rd("co.uk") == "co.uk")           // host IS a suffix: pass through
+    assert(rd("localhost") == "localhost")
+    // null-safety
+    val n = Seq[Option[String]](None).toDF("h")
+      .select(WebText.registrableDomainPsl(col("h"), rules)).collect()(0)
+    assert(n.isNullAt(0))
+  }
+
+  test("registrableDomainPsl with the default rules matches the compact registrableDomain") {
+    val hosts = Seq("a.example.co.uk", "b.example.com", "x.y.com.au",
+      "single", "deep.sub.example.co.jp", "example.co.za")
+    val df = hosts.toDF("h").select(
+      WebText.registrableDomain(col("h")).as("compact"),
+      WebText.registrableDomainPsl(col("h"),
+        graft.ops.expr.PslRules.default).as("psl"))
+    assert(df.filter(col("compact") =!= col("psl")).count() == 0)
   }
 
   test("normalizeUnicode is idempotent and rejects bad forms") {
