@@ -185,6 +185,24 @@ object ScaleBench {
       graft.ops.Similarity.semanticDedup(
         e, "vec_id", "embedding", threshold = 0.85, targetCellSize = 500)
     }),
+    // Perceptual-hash image near-dup at scale: real PNG encode + JDK
+    // decode + pHash (map-only, the dominant cost, embarrassingly
+    // parallel) then the Hamming banding exchange — 16 bytes x
+    // (maxHamming+1) chunk rows per image, the same per-row exchange
+    // budget as text SimHash. Wall time must scale ~linearly with docs;
+    // shuffle bytes ∝ images, never payloads.
+    "x_phash_neardup" -> ((s, dir) => {
+      import s.implicits._
+      val media = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+        .map { case (id, text) =>
+          graft.ops.MediaRow(id,
+            graft.ops.MediaMeta("image", "png", 48, 32, 0, 0L),
+            SparkEntry.renderTestPng(text, 48, 32))
+        }
+      graft.ops.Multimodal.imageNearDuplicatePairs(media,
+        graft.ops.JdkMediaDecoder(), maxHamming = 10)
+    }),
     "x_pq_topk" -> ((s, dir) => {
       val e = s.read.parquet(s"$dir/embeddings.parquet")
         .select(col("vec_id"), col("embedding"))

@@ -73,6 +73,65 @@ object SparkEntry {
         |""".stripMargin
     )
 
+  /** Deterministic real 16-bit PCM WAV for the q78 audio-fingerprint
+    * gate. Base samples are even multiples of 128, so `halfGain` halves
+    * them EXACTLY — window energies scale by exactly 2⁻² (power-of-two FP
+    * scaling commutes with rounding), every adjacent-energy comparison is
+    * preserved, and the gain-invariance of the contour fingerprint is a
+    * GUARANTEE the oracle can pin, not a measurement.
+    */
+  def renderTestWav(text: String, halfGain: Boolean): Array[Byte] = {
+    val bytes = text.getBytes("UTF-8")
+    val n = 2048
+    val pcm = new Array[Short](n)
+    var i = 0
+    while (i < n) {
+      val v0 = if (bytes.isEmpty) 0 else (bytes((i * 7) % bytes.length) & 0xFF) - 128
+      val v = v0 * 128
+      pcm(i) = (if (halfGain) v / 2 else v).toShort
+      i += 1
+    }
+    val dataLen = n * 2
+    val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1).putInt(8000).putInt(16000).putShort(2).putShort(16)
+      .put("data".getBytes("US-ASCII")).putInt(dataLen)
+    pcm.foreach(bb.putShort)
+    bb.array()
+  }
+
+  /** Deterministic MJPEG (concatenated real JPEG frames) for the q79
+    * video-signature gate: 3 frames of the [[renderTestPng]] pattern at
+    * shifted phases, each a real `ImageIO` JPEG the decoder's SOI/EOI
+    * scan splits and really decodes.
+    */
+  def renderTestMjpeg(text: String): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    var f = 0
+    while (f < 3) {
+      val img = new java.awt.image.BufferedImage(
+        48, 32, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val bytes = (text + ("!" * (f + 1))).getBytes("UTF-8")
+      var y = 0
+      while (y < 32) {
+        var x = 0
+        while (x < 48) {
+          val v = if (bytes.isEmpty) 0 else bytes((x * 31 + y * 17) % bytes.length) & 0xFF
+          val g = ((v + x * 255 / 48 + y * 255 / 32) / 3) & 0xFF
+          img.setRGB(x, y, (g << 16) | (g << 8) | g)
+          x += 1
+        }
+        y += 1
+      }
+      javax.imageio.ImageIO.write(img, "jpg", out)
+      f += 1
+    }
+    out.toByteArray
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_arith" -> ((s, dir) =>
@@ -435,6 +494,53 @@ object SparkEntry {
         .toDF("hid", "host")
         .select(col("hid"),
           graft.ops.WebText.registrableDomainPsl(col("host"), rules).as("rdomain"))
+    }),
+    // Audio near-dup via the gain-invariant energy-contour fingerprint:
+    // real WAVs (JDK decode); the id-shifted copy is the SAME signal at
+    // EXACTLY half gain, so its contour is bit-identical by construction
+    // (see renderTestWav) — the oracle pins both the identity floor AND
+    // gain invariance as guarantees.
+    "q78_audio_neardup" -> ((s, dir) => {
+      import s.implicits._
+      val d0 = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val dd = d0.unionByName(
+        d0.select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      val media = dd.as[(Long, String)].map { case (id, text) =>
+        graft.ops.MediaRow(id,
+          graft.ops.MediaMeta("audio", "wav", 0, 0, 8000, 256L),
+          renderTestWav(text, halfGain = id >= 1000000L))
+      }
+      val found = graft.ops.Multimodal.audioNearDuplicatePairs(media,
+          decoder = graft.ops.JdkMediaDecoder(), maxHamming = 8)
+        .select(col("id_a"), col("id_b"), lit(1).as("__f"))
+      dd.as("x").join(dd.as("y"),
+        col("x.text") === col("y.text") && col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
+        .join(found, Seq("id_a", "id_b"), "left")
+        .select(col("id_a"), col("id_b"), col("__f").isNotNull.as("ok"))
+    }),
+    // Video near-dup via the majority-pHash signature over REAL MJPEG
+    // frames (SOI/EOI split + JPEG decode per frame): identical payloads
+    // ⇒ identical frames ⇒ identical signature — the q76 floor, one
+    // level up the media stack.
+    "q79_video_neardup" -> ((s, dir) => {
+      import s.implicits._
+      val d0 = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val dd = d0.unionByName(
+        d0.select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      val media = dd.as[(Long, String)].map { case (id, text) =>
+        graft.ops.MediaRow(id,
+          graft.ops.MediaMeta("video", "mjpeg", 48, 32, 0, 3000L),
+          renderTestMjpeg(text))
+      }
+      val found = graft.ops.Multimodal.videoNearDuplicatePairs(media,
+          decoder = graft.ops.JdkMediaDecoder(), maxHamming = 10)
+        .select(col("id_a"), col("id_b"), lit(1).as("__f"))
+      dd.as("x").join(dd.as("y"),
+        col("x.text") === col("y.text") && col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
+        .join(found, Seq("id_a", "id_b"), "left")
+        .select(col("id_a"), col("id_b"), col("__f").isNotNull.as("ok"))
     }),
     "q21_events" -> ((s, dir) => {
       val ev = graft.sources.Readers.readEvents(s, dir)
@@ -2221,6 +2327,27 @@ object SparkEntry {
         |  (10, 'localhost'),
         |  (11, 'y.com.pl'),
         |  (12, 'example.org')) t(hid, rdomain)""".stripMargin,
+    // identical-contour floor: same construction as q76; the shifted copy
+    // is the same signal at exactly half gain (contour bit-identical by
+    // the power-of-two-scaling argument in renderTestWav)
+    "q78_audio_neardup" ->
+      """WITH dd AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text FROM documents
+        |)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b, TRUE AS ok
+        |FROM dd a JOIN dd b ON a.text = b.text AND a.doc_id < b.doc_id""".stripMargin,
+    // identical-frames floor: byte-identical MJPEG ⇒ identical majority
+    // signature ⇒ hamming 0
+    "q79_video_neardup" ->
+      """WITH dd AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text FROM documents
+        |)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b, TRUE AS ok
+        |FROM dd a JOIN dd b ON a.text = b.text AND a.doc_id < b.doc_id""".stripMargin,
     // identical-image floor: every text-identical pair must be reported
     // (same construction and guarantee as q20b — the planted duplicate
     // has byte-identical pixels, hamming 0)

@@ -403,6 +403,130 @@ object Multimodal {
     }.toDF("media_id", "phash")
   }
 
+  /** 64-bit audio fingerprint: the energy-contour signature — decode to
+    * PCM, split into 65 equal windows, bit k = energy(k) > energy(k+1).
+    * Adjacent-energy COMPARISONS are invariant under global gain (volume
+    * normalization, the most common re-encode transform) and stable under
+    * codec noise; identical payloads fingerprint identically (the
+    * planted-duplicate floor). Degenerate audio (no samples) → None,
+    * excluded from banding like undecodable images.
+    *
+    * This is the time-domain member of the published
+    * energy-difference-fingerprint family (Haitsma–Kalker's Philips
+    * fingerprint uses band energies; Chromaprint chroma bins) — the
+    * spectral variants slot into the same 64-bit + Hamming-banding shape
+    * when a real FFT stack replaces the decoder.
+    */
+  def audioFingerprint64(samples: Iterator[Double]): Option[Long] = {
+    // two-pass-free windowing over an unknown-length stream: buffer is
+    // unavoidable without length metadata; audio rows decode one at a
+    // time inside a task, so this is one clip's samples, not a corpus
+    val buf = new scala.collection.mutable.ArrayBuffer[Double]()
+    samples.foreach(buf += _)
+    val n = buf.length
+    if (n < 66) return None // fewer samples than windows: no contour
+    val windows = 65
+    val energy = new Array[Double](windows)
+    var i = 0
+    while (i < n) {
+      val w = (i.toLong * windows / n).toInt
+      energy(w) += buf(i) * buf(i)
+      i += 1
+    }
+    var bits = 0L
+    var k = 0
+    while (k < 64) {
+      if (energy(k) > energy(k + 1)) bits |= (1L << k)
+      k += 1
+    }
+    Some(bits)
+  }
+
+  /** `(media_id, afp)` energy-contour fingerprints of every audio row. */
+  def audioFingerprints(
+      media: Dataset[MediaRow],
+      decoder: MediaDecoder = StubDecoder()
+  ): DataFrame = {
+    import media.sparkSession.implicits._
+    media.filter(_.meta.mediaType == "audio").mapPartitions { rows =>
+      rows.map(r => (r.media_id, audioFingerprint64(decoder.decodeAudio(r.payload))))
+    }.toDF("media_id", "afp")
+  }
+
+  /** Audio near-duplicate pairs over the energy-contour fingerprint via
+    * the generic Hamming engine. Identical payloads → hamming 0 (the
+    * guaranteed floor); gain-scaled copies → hamming 0 too (the contour
+    * is gain-invariant); codec-noise robustness is measured, not
+    * guaranteed.
+    */
+  def audioNearDuplicatePairs(
+      media: Dataset[MediaRow],
+      decoder: MediaDecoder = StubDecoder(),
+      maxHamming: Int = 8,
+      maxBucketSize: Int = 1000
+  ): DataFrame =
+    Dedup.hammingNearDuplicatePairs(
+      audioFingerprints(media, decoder), "media_id", "afp", maxHamming, maxBucketSize)
+
+  /** 64-bit video signature: per-frame [[PHash]] over the decoded frames,
+    * folded by per-bit MAJORITY vote — the SimHash construction applied
+    * to frame hashes, so a video's signature is stable under frame-rate
+    * resampling and boundary trims that keep most content (majority bits
+    * move only when half the frames disagree). Identical payloads →
+    * identical frames → identical signature (the floor). Videos with no
+    * decodable frames → None.
+    */
+  def videoSignature64(
+      frames: Iterator[Array[Byte]],
+      decoder: MediaDecoder
+  ): Option[Long] = {
+    val votes = new Array[Int](64)
+    var nFrames = 0
+    frames.foreach { f =>
+      val (w, h, _, lumas) = decoder.decodeImage(f)
+      PHash.phash64(w, h, lumas).foreach { hash =>
+        var b = 0
+        while (b < 64) {
+          if (((hash >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+          b += 1
+        }
+        nFrames += 1
+      }
+    }
+    if (nFrames == 0) None
+    else {
+      var bits = 0L
+      var b = 0
+      while (b < 64) { if (votes(b) > 0) bits |= (1L << b); b += 1 }
+      Some(bits)
+    }
+  }
+
+  /** `(media_id, vsig)` majority-pHash signatures of every video row. */
+  def videoSignatures(
+      media: Dataset[MediaRow],
+      decoder: MediaDecoder = StubDecoder()
+  ): DataFrame = {
+    import media.sparkSession.implicits._
+    media.filter(_.meta.mediaType == "video").mapPartitions { rows =>
+      rows.map(r =>
+        (r.media_id, videoSignature64(decoder.videoFrames(r.payload), decoder)))
+    }.toDF("media_id", "vsig")
+  }
+
+  /** Video near-duplicate pairs: majority-pHash signature + Hamming
+    * banding. Decode dominates and is embarrassingly parallel; the
+    * exchange carries 16 bytes per video regardless of duration.
+    */
+  def videoNearDuplicatePairs(
+      media: Dataset[MediaRow],
+      decoder: MediaDecoder = StubDecoder(),
+      maxHamming: Int = 10,
+      maxBucketSize: Int = 1000
+  ): DataFrame =
+    Dedup.hammingNearDuplicatePairs(
+      videoSignatures(media, decoder), "media_id", "vsig", maxHamming, maxBucketSize)
+
   /** Image near-duplicate pairs: perceptual hash + the generic 64-bit
     * Hamming banding engine ([[Dedup.hammingNearDuplicatePairs]] — the
     * SimHash pair infrastructure, reused verbatim). Output

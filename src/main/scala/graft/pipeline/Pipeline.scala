@@ -779,13 +779,24 @@ object Pipeline {
             nu.getOrElse("form", "NFC").toString))
 
       case "domainOf" =>
-        // {url: col, as: out (default 'domain')} — registrable domain
-        // (eTLD+1) of a URL column: the key per-site quotas and blocklists
-        // group by; compose with `quota`/`filter` downstream
+        // {url: col, as: out (default 'domain'), pslFile: path?} —
+        // registrable domain (eTLD+1) of a URL column: the key per-site
+        // quotas and blocklists group by; compose with `quota`/`filter`
+        // downstream. With pslFile, the FULL published Public Suffix List
+        // is loaded driver-side at pipeline build (wildcard/exception
+        // rules, private suffixes) and rides the task binary; without it,
+        // the compact built-in subset applies.
         val dm = asMap(step("domainOf"), "domainOf")
-        df.withColumn(dm.getOrElse("as", "domain").toString,
-          graft.ops.WebText.registrableDomain(
-            graft.ops.WebText.urlHost(col(dm("url").toString))))
+        val host = graft.ops.WebText.urlHost(col(dm("url").toString))
+        val domain = dm.get("pslFile") match {
+          case Some(p) =>
+            val text = new String(java.nio.file.Files.readAllBytes(
+              java.nio.file.Paths.get(p.toString)), "UTF-8")
+            graft.ops.WebText.registrableDomainPsl(host,
+              graft.ops.expr.PslRules.parse(text))
+          case None => graft.ops.WebText.registrableDomain(host)
+        }
+        df.withColumn(dm.getOrElse("as", "domain").toString, domain)
 
       case "redact" =>
         // {text: col, as: out (default 'redacted')} — PII → typed tokens

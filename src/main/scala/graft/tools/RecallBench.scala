@@ -251,6 +251,84 @@ object RecallBench {
     val lshJson = lsh.map { case (p, t, r, sz) =>
       s""""p${p}_t$t":{"recall":${f"$r%.3f"},"pairs":$sz}"""
     }.mkString("{", ",", "}")
+    // --- perceptual-hash robustness: re-encode + resize hamming ---------
+    // Measured, not guaranteed (the q76 gate pins only the identity
+    // floor). 400 real PNGs rendered from document text, each with a
+    // BMP re-encode (identical raster) and two REAL resizes through the
+    // JDK decoder; recall@band = fraction of variants within the default
+    // maxHamming = 10 band of their original.
+    val phashJson = {
+      val dec = graft.ops.JdkMediaDecoder()
+      def hashOf(p: Array[Byte]): Option[Long] = {
+        val (w, h, _, l) = dec.decodeImage(p)
+        graft.ops.PHash.phash64(w, h, l)
+      }
+      val texts = spark.read.parquet(s"$sfDir/documents.parquet")
+        .select(col("text")).limit(400).as[String].collect()
+      // photo-like smooth content: a low-frequency sinusoid mixture seeded
+      // by the text — the regime pHash's published robustness claims are
+      // about. The noise-textured renderTestPng rows characterize the
+      // adversarial end (per-pixel texture aliases under downscale).
+      def smoothPng(seedText: String, w: Int, h: Int): Array[Byte] = {
+        val seed = seedText.hashCode
+        val a = 2 + math.floorMod(seed, 5)
+        val b = 2 + math.floorMod(seed / 5, 5)
+        val ph = math.floorMod(seed / 25, 628) / 100.0
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val fx = x.toDouble / w
+            val fy = y.toDouble / h
+            val g = (((math.sin(fx * a + ph) * math.cos(fy * b) +
+              math.sin((fx + fy) * 3)) / 2 + 1) * 120).toInt.max(0).min(255)
+            img.setRGB(x, y, (g << 16) | (g << 8) | g)
+            x += 1
+          }
+          y += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", bos)
+        bos.toByteArray
+      }
+      val hams = texts.flatMap { t =>
+        val png = graft.SparkEntry.renderTestPng(t, 96, 64)
+        val sm = smoothPng(t, 96, 64)
+        val noisy = hashOf(png).toSeq.flatMap { h0 =>
+          val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "bmp", bos)
+          val variants = Seq(
+            "reenc" -> hashOf(bos.toByteArray),
+            "noise_down075" -> hashOf(dec.resizeImage(png, 96, 64, 72, 48)),
+            "noise_up150" -> hashOf(dec.resizeImage(png, 96, 64, 144, 96)))
+          variants.collect { case (tag, Some(hv)) =>
+            tag -> graft.ops.PHash.hamming(h0, hv)
+          }
+        }
+        val smooth = hashOf(sm).toSeq.flatMap { h0 =>
+          val variants = Seq(
+            "smooth_down075" -> hashOf(dec.resizeImage(sm, 96, 64, 72, 48)),
+            "smooth_down050" -> hashOf(dec.resizeImage(sm, 96, 64, 48, 32)),
+            "smooth_up150" -> hashOf(dec.resizeImage(sm, 96, 64, 144, 96)))
+          variants.collect { case (tag, Some(hv)) =>
+            tag -> graft.ops.PHash.hamming(h0, hv)
+          }
+        }
+        noisy ++ smooth
+      }
+      val byTag = hams.groupBy(_._1)
+      byTag.toSeq.sortBy(_._1).map { case (tag, hs) =>
+        val ds = hs.map(_._2)
+        val mean = ds.sum.toDouble / ds.length
+        val within = ds.count(_ <= 10).toDouble / ds.length
+        s""""$tag":{"n":${ds.length},"mean_hamming":${f"$mean%.2f"},""" +
+          s""""max_hamming":${ds.max},"recall_at_band10":${f"$within%.3f"}}"""
+      }.mkString("{", ",", "}")
+    }
+
     val json =
       s"""{"metric":"ann_recall","sf":"$sfDir","n":$n,"dim":$dim,"k":$k,""" +
         s""""queries":${queries.length},"ivf_cells":$cells,""" +
@@ -268,7 +346,8 @@ object RecallBench {
         s""""semdedup":$semJson,""" +
         s""""jaccard_threshold":$jt,"jaccard_exact_pairs":${exactJac.size},""" +
         s""""jaccard_exact_sec":${f"$exactJacSec%.2f"},""" +
-        s""""jaccard_ceiling":$jaccardJson}"""
+        s""""jaccard_ceiling":$jaccardJson,""" +
+        s""""phash":$phashJson}"""
     println(json)
     java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
       (json + "\n").getBytes("UTF-8"))

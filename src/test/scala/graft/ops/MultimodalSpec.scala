@@ -366,6 +366,68 @@ class MultimodalSpec extends SparkTestBase {
     assert(!pairs.exists(p => p._1 == 998L || p._2 == 998L || p._1 == 999L || p._2 == 999L))
   }
 
+  test("audioFingerprint64: gain-invariant, deterministic, degenerate-safe") {
+    val dec = JdkMediaDecoder()
+    def fp(w: Array[Byte]): Option[Long] =
+      Multimodal.audioFingerprint64(dec.decodeAudio(w))
+    val full = fp(graft.SparkEntry.renderTestWav("a test document", halfGain = false))
+    val half = fp(graft.SparkEntry.renderTestWav("a test document", halfGain = true))
+    assert(full.isDefined && full == half, "exact half gain must not move the contour")
+    val other = fp(graft.SparkEntry.renderTestWav("different sound entirely", halfGain = false))
+    assert(other.isDefined && other != full)
+    // fewer samples than windows -> None
+    assert(Multimodal.audioFingerprint64(Iterator.fill(10)(0.5)).isEmpty)
+    assert(Multimodal.audioFingerprint64(Iterator.empty).isEmpty)
+  }
+
+  test("videoSignature64: identical frames identical sig; majority stable under frame resampling") {
+    val dec = JdkMediaDecoder()
+    val mj = graft.SparkEntry.renderTestMjpeg("video content here")
+    def sig(p: Array[Byte]): Option[Long] =
+      Multimodal.videoSignature64(dec.videoFrames(p), dec)
+    val s1 = sig(mj)
+    assert(s1.isDefined && sig(mj) == s1)
+    // duplicating every frame (2x frame rate) keeps the majority bits
+    val frames = dec.videoFrames(mj).toSeq
+    val doubled = Multimodal.videoSignature64(
+      frames.flatMap(f => Seq(f, f)).iterator, dec)
+    assert(doubled == s1, "2x frame duplication must not move majority bits")
+    // no decodable frames -> None
+    assert(Multimodal.videoSignature64(Iterator(Array[Byte](1, 2, 3)), dec).isEmpty)
+    assert(Multimodal.videoSignature64(Iterator.empty, dec).isEmpty)
+  }
+
+  test("audio/video near-dup pairs find planted identical and gain-scaled duplicates") {
+    val texts = Seq("clip one", "clip two")
+    val audioRows = texts.zipWithIndex.flatMap { case (t, i) =>
+      Seq(
+        MediaRow(i.toLong, MediaMeta("audio", "wav", 0, 0, 8000, 0L),
+          graft.SparkEntry.renderTestWav(t, halfGain = false)),
+        MediaRow(100L + i, MediaMeta("audio", "wav", 0, 0, 8000, 0L),
+          graft.SparkEntry.renderTestWav(t, halfGain = true)))
+    }
+    val aPairs = Multimodal.audioNearDuplicatePairs(
+        spark.createDataset(audioRows), JdkMediaDecoder())
+      .select($"id_a", $"id_b", $"hamming").as[(Long, Long, Int)].collect().toSet
+    texts.indices.foreach { i =>
+      assert(aPairs.exists(p => p._1 == i && p._2 == 100L + i && p._3 == 0),
+        s"gain-scaled audio pair $i missing")
+    }
+    val videoRows = texts.zipWithIndex.flatMap { case (t, i) =>
+      val p = graft.SparkEntry.renderTestMjpeg(t)
+      Seq(
+        MediaRow(i.toLong, MediaMeta("video", "mjpeg", 48, 32, 0, 0L), p),
+        MediaRow(100L + i, MediaMeta("video", "mjpeg", 48, 32, 0, 0L), p))
+    }
+    val vPairs = Multimodal.videoNearDuplicatePairs(
+        spark.createDataset(videoRows), JdkMediaDecoder())
+      .select($"id_a", $"id_b", $"hamming").as[(Long, Long, Int)].collect().toSet
+    texts.indices.foreach { i =>
+      assert(vPairs.exists(p => p._1 == i && p._2 == 100L + i && p._3 == 0),
+        s"identical video pair $i missing")
+    }
+  }
+
   test("both decoders run through the same operators on the same rows") {
     val rows = Seq(imgRow(1L, encodeImage(16, 16, 50, "png"))).toDS()
     val real = Multimodal.imageFeatures(rows, JdkMediaDecoder()).collect().head

@@ -509,6 +509,18 @@ class PipelineSpec extends SparkTestBase {
         |""".stripMargin, _ => withUrl)
     assert(viaYamlDom.orderBy($"id").select($"domain").as[String].collect().toSeq ==
       Seq("example.co.uk", "site.com"))
+    // pslFile: the FULL list semantics (wildcard rule) through the verb
+    val pslFile = java.nio.file.Files.createTempFile("psl_", ".dat")
+    java.nio.file.Files.write(pslFile, "uk\nco.uk\ncom\n*.site.com\n".getBytes("UTF-8"))
+    val viaYamlPsl = Pipeline.run(spark,
+      s"""source: docs
+         |steps:
+         |  - domainOf: {url: url, pslFile: "$pslFile"}
+         |""".stripMargin, _ => withUrl)
+    // *.site.com makes news.site.com a public suffix -> the host itself
+    // is suffix+0 labels and passes through
+    assert(viaYamlPsl.orderBy($"id").select($"domain").as[String].collect().toSeq ==
+      Seq("example.co.uk", "news.site.com"))
   }
 
   test("jsonl source: gz corpus ingestion with schema + bad-record policy") {
