@@ -143,6 +143,10 @@ object GraftExtensions {
       require(es.length == 1, "bpe_pre_tokens(text)")
       BpePreTokensExpr(es.head)
     },
+    "numeric_charref_decode" -> { es =>
+      require(es.length == 1, "numeric_charref_decode(text)")
+      NumericCharRefDecode(es.head)
+    },
     "kmv_distinct" -> { es =>
       require(es.length == 2 || es.length == 3,
         "kmv_distinct(value, k[, seed]) [aggregate]")

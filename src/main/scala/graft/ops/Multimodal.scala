@@ -418,20 +418,53 @@ object Multimodal {
     * when a real FFT stack replaces the decoder.
     */
   def audioFingerprint64(samples: Iterator[Double]): Option[Long] = {
-    // two-pass-free windowing over an unknown-length stream: buffer is
-    // unavoidable without length metadata; audio rows decode one at a
-    // time inside a task, so this is one clip's samples, not a corpus
-    val buf = new scala.collection.mutable.ArrayBuffer[Double]()
-    samples.foreach(buf += _)
-    val n = buf.length
+    // One pass, BOUNDED memory, unknown stream length: accumulate energy
+    // per block into a capped buffer; when full, merge adjacent pairs and
+    // double the block size (cap is a power of two, so a collapse never
+    // leaves an odd half-size tail — every retained block spans exactly
+    // `blockSize` samples, starts at idx*blockSize). Peak state is
+    // cap doubles = 512 KB however long the clip; buffering raw samples
+    // would cost 4x the payload bytes per row (a 50 MB WAV → 200 MB).
+    // For clips ≤ cap samples blockSize stays 1 — bit-identical to exact
+    // per-sample windowing. Gain invariance survives the collapse: block
+    // sums scale uniformly with the samples' squared gain.
+    val cap = 1 << 16
+    val energies = new scala.collection.mutable.ArrayBuffer[Double](cap)
+    var blockSize = 1L
+    var cur = 0.0
+    var inBlock = 0L
+    var n = 0L
+    samples.foreach { v =>
+      cur += v * v
+      inBlock += 1
+      n += 1
+      if (inBlock == blockSize) {
+        if (energies.length == cap) {
+          var i = 0
+          var w = 0
+          while (i < cap) { energies(w) = energies(i) + energies(i + 1); i += 2; w += 1 }
+          energies.takeInPlace(w)
+          blockSize *= 2
+          // the in-flight block keeps accumulating to the NEW size
+        } else {
+          energies += cur
+          cur = 0.0
+          inBlock = 0L
+        }
+      }
+    }
+    if (inBlock > 0) energies += cur // final partial block
     if (n < 66) return None // fewer samples than windows: no contour
     val windows = 65
     val energy = new Array[Double](windows)
-    var i = 0
-    while (i < n) {
-      val w = (i.toLong * windows / n).toInt
-      energy(w) += buf(i) * buf(i)
-      i += 1
+    var b = 0
+    while (b < energies.length) {
+      // assign each block to the window containing its START sample;
+      // blocks are tiny relative to windows once collapse has happened
+      // (≥ cap/2 blocks over 65 windows)
+      val w = ((b * blockSize) * windows / n).toInt
+      energy(math.min(w, windows - 1)) += energies(b)
+      b += 1
     }
     var bits = 0L
     var k = 0

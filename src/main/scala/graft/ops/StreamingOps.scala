@@ -58,6 +58,32 @@ object StreamingOps {
       delay: String,
       maxHamming: Int = 3
   ): DataFrame = {
+    val sigs = df
+      .select(col(idCol).as("id"), col(tsCol).as("ts"),
+        split(col(textCol), "\\s+").as("toks"))
+      .select(col("id"), col("ts"),
+        graft.ops.expr.NativeSig.simhash64(col("toks")).as("sig"))
+    hammingPairsWithinWatermark(sigs, "id", "sig", "ts", delay, maxHamming)
+  }
+
+  /** Near-duplicate pairs over ANY precomputed 64-bit signature column on
+    * a stream — the engine behind [[simhashPairsWithinWatermark]],
+    * exposed so the multimodal fingerprint families ride the same bounded
+    * state: perceptual image hashes ([[Multimodal.imagePHashes]]), audio
+    * energy contours, video majority signatures. Null signatures
+    * (undecodable media) are dropped before banding, matching the batch
+    * engine's contract. Same pigeonhole guarantee, same per-row state
+    * budget (~40 bytes × chunks), same emit-per-shared-chunk and
+    * watermark-horizon trades as the simhash form.
+    */
+  def hammingPairsWithinWatermark(
+      df: DataFrame,
+      idCol: String,
+      sigCol: String,
+      tsCol: String,
+      delay: String,
+      maxHamming: Int = 3
+  ): DataFrame = {
     // maxHamming = 0 means ONE 64-bit chunk: chunkMask handles the JVM
     // (1L << 64) == 1L quirk, and bucketing on the full signature keeps
     // the bounded-state contract (exact-signature matches only).
@@ -67,9 +93,8 @@ object StreamingOps {
     val chunkBits = 64 / nChunks
     val sigs = df
       .select(col(idCol).as("id"), col(tsCol).as("ts"),
-        split(col(textCol), "\\s+").as("toks"))
-      .select(col("id"), col("ts"),
-        graft.ops.expr.NativeSig.simhash64(col("toks")).as("sig"))
+        col(sigCol).cast("long").as("sig"))
+      .filter(col("sig").isNotNull)
       .select(col("id"), col("ts"), col("sig"),
         explode(array((0 until nChunks).map { c =>
           struct(

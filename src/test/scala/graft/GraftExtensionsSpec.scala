@@ -97,6 +97,15 @@ class GraftExtensionsSpec extends SparkTestBase {
     assert(typ.getMessage.contains("literal integer"))
   }
 
+  test("numeric_charref_decode registered as a SQL function") {
+    graft.ops.expr.NativeSig.register(spark)
+    val got = spark.sql(
+      "SELECT numeric_charref_decode('It&#8217;s &#x2019;ok&#x2019; &#38;')"
+    ).head().getString(0)
+    // codepoint 38 stays literal by contract (stripHtml decodes it last)
+    assert(got == "It’s ’ok’ &#38;")
+  }
+
   test("kmv_distinct: non-string input is cast, non-literal seed is a clear error") {
     graft.ops.expr.NativeSig.register(spark)
     // int column: the registration casts to string (matching

@@ -166,6 +166,39 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("hammingPairsWithinWatermark: streaming image near-dup over pHash signatures") {
+    import graft.ops.{Multimodal, PHash, StreamingOps}
+    // precompute pHashes of real PNGs (the map-side step a streaming media
+    // pipeline runs before the engine), feed (id, ts, sig) to the generic
+    // engine: identical pixels inside the horizon MUST pair at hamming 0;
+    // outside the horizon must not, undecodable (null sig) never
+    val dec = graft.ops.JdkMediaDecoder()
+    def ph(text: String): Option[Long] = {
+      val (w, h, _, l) = dec.decodeImage(graft.SparkEntry.renderTestPng(text, 48, 32))
+      PHash.phash64(w, h, l)
+    }
+    val input = MemoryStream[(Long, java.sql.Timestamp, Option[Long])](spark)
+    val pairs = StreamingOps.hammingPairsWithinWatermark(
+      input.toDF().toDF("id", "ts", "sig"), "id", "sig", "ts", "10 minutes",
+      maxHamming = 10)
+    val q = pairs.writeStream.format("memory").queryName("ph_pairs")
+      .outputMode("append").start()
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    try {
+      input.addData(
+        (1L, t("2026-01-01 00:00:00"), ph("same picture")),
+        (2L, t("2026-01-01 00:04:00"), ph("same picture")),   // in horizon
+        (3L, t("2026-01-01 00:05:00"), ph("другое изображение")), // unrelated
+        (4L, t("2026-01-01 03:00:00"), ph("same picture")),   // outside
+        (5L, t("2026-01-01 00:06:00"), None))                 // undecodable
+      q.processAllAvailable()
+      val got = spark.table("ph_pairs")
+        .select($"id_a", $"id_b", $"hamming").as[(Long, Long, Int)].collect()
+      assert(got.nonEmpty, "identical images within the horizon must pair")
+      assert(got.forall(p => p._1 == 1L && p._2 == 2L && p._3 == 0), got.mkString(","))
+    } finally q.stop()
+  }
+
   test("minhashPairsWithinWatermark is seed-compatible with batch MinHash-LSH on in-horizon data") {
     import graft.ops.{Dedup, StreamingOps}
     // real documents + planted near-dups (drop the last 2 words) so the

@@ -380,6 +380,21 @@ class MultimodalSpec extends SparkTestBase {
     assert(Multimodal.audioFingerprint64(Iterator.empty).isEmpty)
   }
 
+  test("audioFingerprint64: collapse path (clips past the block cap) keeps identity + gain invariance") {
+    // 200k samples > the 65536 buffer cap -> blockSize doubles twice;
+    // deterministic signal, half-gain copy must still match exactly
+    def sig(gain: Double): Option[Long] =
+      Multimodal.audioFingerprint64(
+        Iterator.tabulate(200000)(i => gain * math.sin(i * 0.01) * (1 + (i % 97) / 97.0)))
+    val full = sig(1.0)
+    val half = sig(0.5) // power-of-two gain: energies scale exactly
+    assert(full.isDefined && full == sig(1.0), "deterministic on the collapse path")
+    assert(full == half, "gain invariance must survive block collapsing")
+    val other = Multimodal.audioFingerprint64(
+      Iterator.tabulate(200000)(i => math.cos(i * 0.003)))
+    assert(other.isDefined && other != full)
+  }
+
   test("videoSignature64: identical frames identical sig; majority stable under frame resampling") {
     val dec = JdkMediaDecoder()
     val mj = graft.SparkEntry.renderTestMjpeg("video content here")
