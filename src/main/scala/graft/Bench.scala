@@ -39,7 +39,7 @@ object Bench {
   private val SoloQueries = Set(
     "q56_stream_e2e", "q48_cluster_shuffle", "q38_cluster",
     "q29_jaccard_pairs", "q31c_ivf_quant_props", "q60_pq_topk",
-    "q52_substring_mask", "q41_profile")
+    "q52_substring_mask", "q41_profile", "q80_stream_media_e2e")
 
   private val BucketSize = 12
 

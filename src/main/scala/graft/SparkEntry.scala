@@ -1183,6 +1183,107 @@ object SparkEntry {
         unix_micros(col("first_event")).as("first_us"),
         unix_micros(col("last_event")).as("last_us"))
     }),
+    // Streaming MULTIMODAL e2e under the oracle gate (q56's construction
+    // one media-stack up): documents → real PNGs → tar shards landing in
+    // a watched directory (one shard per micro-batch) → streaming tar
+    // parse → real JDK decode → pHash → the generic streaming Hamming
+    // engine. The id-shifted copy plants one pixel-identical duplicate
+    // per document, hash-partitioned into a DIFFERENT shard (and so a
+    // different micro-batch) than its original — the pair must be found
+    // ACROSS batches via join state. Event time derives from doc_id
+    // (planted pairs share it exactly ⇒ always inside the horizon);
+    // stream-stream inner joins emit on match, so no flush events are
+    // needed. Oracle = the q76/q20b identity floor.
+    "q80_stream_media_e2e" -> ((s, dir) => {
+      import s.implicits._
+      val fixture = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft_stream_media_" +
+          java.lang.Long.toHexString(dir.hashCode.toLong & 0xffffffffL) +
+          "_" + ProcessHandle.current().pid())
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles.foreach(rm)
+        f.delete(); ()
+      }
+      rm(fixture); fixture.mkdirs()
+      val in = new java.io.File(fixture, "in"); in.mkdirs()
+      val sink = new java.io.File(fixture, "sink").getPath
+      val ckpt = new java.io.File(fixture, "ckpt").getPath
+      val staging = new java.io.File(fixture, "_staging")
+
+      val d0 = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val dd = d0.unionByName(
+        d0.select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      // event time: doc_id%1e6 minutes; the planted copy lands 2 minutes
+      // later (inside the 10-minute horizon). Shards must be TS-RANGE
+      // partitioned and land in ts order: the watermark advances with
+      // landing, so nothing is declared late (the q56 rule — a first cut
+      // hash-partitioned shards and the watermark of batch 1's max ts
+      // dropped most of batch 2 as late). The +2 min offset still makes
+      // boundary pairs straddle shards, exercising cross-batch join state.
+      val evMin = (col("doc_id") % 1000000L) +
+        when(col("doc_id") >= 1000000L, 2L).otherwise(0L)
+      val media = dd
+        .withColumn("ev_min", evMin)
+        .as[(Long, String, Long)]
+        .map { case (id, text, m) => (id, renderTestPng(text, 48, 32), m) }
+        .toDF("doc_id", "png", "ev_min")
+      graft.sources.TarShards.writeTarShards(
+        media.repartitionByRange(4, col("ev_min"), col("doc_id"))
+          .sortWithinPartitions("ev_min", "doc_id"),
+        staging.getPath,
+        keyCol = "doc_id", parts = Seq("png" -> col("png")))
+      var i = 0
+      for (f <- staging.listFiles.sortBy(_.getName) if f.getName.endsWith(".tar")) {
+        val dst = new java.io.File(in, f"shard-$i%05d.tar")
+        java.nio.file.Files.move(f.toPath, dst.toPath)
+        dst.setLastModified(1000000L * (i + 1))
+        i += 1
+      }
+      rm(staging)
+
+      val dec = graft.ops.JdkMediaDecoder()
+      val baseUs = 1767225600000000L // 2026-01-01, fixed
+      val sigs = graft.sources.TarShards
+        .readTarShardsStream(s, in.getPath, maxFilesPerTrigger = 1)
+        .select(col("key"), element_at(col("data"), "png").as("p"))
+        .as[(String, Array[Byte])]
+        .map { case (k, p) =>
+          val (w, h, _, l) = dec.decodeImage(p)
+          (k.toLong, graft.ops.PHash.phash64(w, h, l))
+        }
+        .toDF("id", "sig")
+        .withColumn("ts", timestamp_micros(lit(baseUs) +
+          ((col("id") % 1000000L) +
+            when(col("id") >= 1000000L, 2L).otherwise(0L)) * 60000000L))
+      val pairs = graft.ops.StreamingOps.hammingPairsWithinWatermark(
+        sigs, "id", "sig", "ts", "10 minutes", maxHamming = 6)
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
+        val q = pairs.writeStream.format("parquet")
+          .option("path", sink).option("checkpointLocation", ckpt)
+          .outputMode("append").start()
+        try q.processAllAvailable() finally q.stop()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+
+      val found = s.read.parquet(sink)
+        .select(col("id_a"), col("id_b")).distinct()
+        .withColumn("__f", lit(1))
+      // guaranteed set = text-identical pairs WELL inside the horizon
+      // (|Δ event time| ≤ 8 min < the 10-min horizon — planted pairs sit
+      // at Δ = 2): the corpus contains organic cross-doc duplicate texts
+      // at far-apart ids, and the watermark horizon is the documented
+      // dedup boundary — pairs outside it are out of contract, exactly
+      // as in production
+      def evOf(c: org.apache.spark.sql.Column) =
+        c % 1000000L + when(c >= 1000000L, 2L).otherwise(0L)
+      dd.as("x").join(dd.as("y"),
+        col("x.text") === col("y.text") && col("x.doc_id") < col("y.doc_id") &&
+          abs(evOf(col("x.doc_id")) - evOf(col("y.doc_id"))) <= 8)
+        .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
+        .join(found, Seq("id_a", "id_b"), "left")
+        .select(col("id_a"), col("id_b"), col("__f").isNotNull.as("ok"))
+    }),
     // Mojibake repair, roundtrip-oracled over the real corpus: the corpus
     // text (pure ASCII in the testdata) gets a unicode-rich suffix covering
     // 2-byte (é), 3-byte punctuation/CJK (— № 中 ’), and 4-byte
@@ -2327,6 +2428,22 @@ object SparkEntry {
         |  (10, 'localhost'),
         |  (11, 'y.com.pl'),
         |  (12, 'example.org')) t(hid, rdomain)""".stripMargin,
+    // identical-image floor WITHIN the streaming horizon: event time is
+    // doc_id%1e6 minutes, horizon 10 — planted pairs share it exactly;
+    // organic far-apart duplicate texts are outside the dedup contract
+    "q80_stream_media_e2e" ->
+      """WITH dd AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text FROM documents
+        |), ev AS (
+        |  SELECT doc_id, text,
+        |    (doc_id % 1000000) + CASE WHEN doc_id >= 1000000 THEN 2 ELSE 0 END AS m
+        |  FROM dd
+        |)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b, TRUE AS ok
+        |FROM ev a JOIN ev b
+        |  ON a.text = b.text AND a.doc_id < b.doc_id AND abs(a.m - b.m) <= 8""".stripMargin,
     // identical-contour floor: same construction as q76; the shifted copy
     // is the same signal at exactly half gain (contour bit-identical by
     // the power-of-two-scaling argument in renderTestWav)
