@@ -138,6 +138,12 @@ object Bench {
       catch { case e: Throwable => System.err.println(s"[bench] $name: $e"); return -1.0 }
       (System.nanoTime() - t0) / 1e9
     }
+    only.foreach { req =>
+      val unknown = req -- SparkEntry.queries.keySet
+      require(unknown.isEmpty,
+        s"SPARK_GRAFT_ONLY names unknown queries: ${unknown.toSeq.sorted.mkString(", ")} " +
+          "— a typo'd isolated probe must not emit an empty-but-legit-looking artifact")
+    }
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(_.contains(n)))
     // cold pass doubles as warm-up: JIT + codegen + parquet footer caches
@@ -187,7 +193,11 @@ object Bench {
       forked: Boolean): Unit = {
     val qs = names.map(n => "\"" + n + "\":" + results.getOrElse(n, -1.0))
       .mkString("{", ",", "}")
-    val sp = names.map(n => "\"" + n + "\":" + f"${spreads.getOrElse(n, 0.0)}%.3f")
+    // Locale.ROOT: a comma-decimal default locale would make f"%.3f" emit
+    // "0,123", corrupting both the JSON and the parent's merge parse
+    val sp = names.map(n => "\"" + n + "\":" +
+        String.format(java.util.Locale.ROOT, "%.3f",
+          Double.box(spreads.getOrElse(n, 0.0))))
       .mkString("{", ",", "}")
     val total = names.flatMap(results.get).filter(_ >= 0).sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")

@@ -42,7 +42,11 @@ object SparkEntry {
     * [[graft.ops.JdkMediaDecoder]] inside the query. Identical text ⇒
     * identical pixels ⇒ identical pHash.
     */
-  def renderTestPng(text: String, w: Int, h: Int): Array[Byte] = {
+  /** The shared raster both media fixtures draw (gradient textured by the
+    * text bytes) — q76's PNGs and q79's MJPEG frames must not drift apart
+    * on a future tweak to the pixel math.
+    */
+  private def renderTestRaster(text: String, w: Int, h: Int): java.awt.image.BufferedImage = {
     val img = new java.awt.image.BufferedImage(
       w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
     val bytes = text.getBytes("UTF-8")
@@ -57,8 +61,12 @@ object SparkEntry {
       }
       y += 1
     }
+    img
+  }
+
+  def renderTestPng(text: String, w: Int, h: Int): Array[Byte] = {
     val bos = new java.io.ByteArrayOutputStream()
-    javax.imageio.ImageIO.write(img, "png", bos)
+    javax.imageio.ImageIO.write(renderTestRaster(text, w, h), "png", bos)
     bos.toByteArray
   }
 
@@ -112,21 +120,8 @@ object SparkEntry {
     val out = new java.io.ByteArrayOutputStream()
     var f = 0
     while (f < 3) {
-      val img = new java.awt.image.BufferedImage(
-        48, 32, java.awt.image.BufferedImage.TYPE_INT_RGB)
-      val bytes = (text + ("!" * (f + 1))).getBytes("UTF-8")
-      var y = 0
-      while (y < 32) {
-        var x = 0
-        while (x < 48) {
-          val v = if (bytes.isEmpty) 0 else bytes((x * 31 + y * 17) % bytes.length) & 0xFF
-          val g = ((v + x * 255 / 48 + y * 255 / 32) / 3) & 0xFF
-          img.setRGB(x, y, (g << 16) | (g << 8) | g)
-          x += 1
-        }
-        y += 1
-      }
-      javax.imageio.ImageIO.write(img, "jpg", out)
+      javax.imageio.ImageIO.write(
+        renderTestRaster(text + ("!" * (f + 1)), 48, 32), "jpg", out)
       f += 1
     }
     out.toByteArray

@@ -582,6 +582,14 @@ object Dedup {
   ): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 63,
       s"maxHamming must be in [0, 63], got $maxHamming")
+    // the null filter below exists for undecodable-media nulls ONLY — a
+    // non-integral signature column (a hex-string fingerprint, say) would
+    // cast to all-null and silently return zero pairs
+    val sigType = df.schema(sigCol).dataType
+    require(Seq(LongType, IntegerType, ShortType, ByteType).contains(sigType),
+      s"hammingNearDuplicatePairs needs an integral 64-bit signature " +
+        s"column; '$sigCol' is ${sigType.catalogString} — parse/convert it " +
+        "first (a silent cast would drop every row as null)")
     val nChunks = maxHamming + 1
     val chunkBits = 64 / nChunks
     val sigs = df

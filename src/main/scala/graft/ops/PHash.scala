@@ -41,8 +41,12 @@ object PHash {
     // (x*N/w, y*N/h) — every pixel lands in exactly one cell
     val sums = new Array[Double](N * N)
     val cnts = new Array[Int](N * N)
-    var i = 0
-    val total = w * h
+    var i = 0L
+    // Long: a gigapixel stream from a production decoder overflows Int
+    // w*h, which would skip both loops and hash every oversized image to
+    // the same Some(0L) — the zero-sentinel clustering nulls exist to
+    // prevent
+    val total = w.toLong * h
     while (i < total && lumas.hasNext) {
       val l = lumas.next()
       val x = i % w

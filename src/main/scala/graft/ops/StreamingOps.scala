@@ -89,6 +89,16 @@ object StreamingOps {
     // the bounded-state contract (exact-signature matches only).
     require(maxHamming >= 0 && maxHamming <= 63,
       s"maxHamming must be in [0, 63], got $maxHamming")
+    // same contract as the batch engine: the null filter is for
+    // undecodable-media nulls, not for masking a mistyped column
+    val sigType = df.schema(sigCol).dataType
+    require(Seq(
+        org.apache.spark.sql.types.LongType, org.apache.spark.sql.types.IntegerType,
+        org.apache.spark.sql.types.ShortType, org.apache.spark.sql.types.ByteType)
+      .contains(sigType),
+      s"hammingPairsWithinWatermark needs an integral 64-bit signature " +
+        s"column; '$sigCol' is ${sigType.catalogString} — parse/convert it " +
+        "first (a silent cast would drop every row as null)")
     val nChunks = maxHamming + 1
     val chunkBits = 64 / nChunks
     val sigs = df

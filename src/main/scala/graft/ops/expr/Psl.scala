@@ -56,16 +56,23 @@ case class PslRules(
       }
       sb.toString
     }
-    // prevailing rule: exceptions first (they beat wildcards at any
-    // length), then the longest matching normal/wildcard rule, else the
-    // implicit "*" (last label)
+    // prevailing rule per the published algorithm: "if more than one rule
+    // matches, the prevailing rule is the one which is an exception rule"
+    // — at ANY length, not just longer ones — else the longest matching
+    // normal/wildcard rule, else the implicit "*" (last label). The
+    // exception pass runs to completion first: a longer normal rule must
+    // NOT shadow a shorter exception.
     var psLen = 1
-    var l = math.min(n, maxLabels)
     var decided = false
+    var l = math.min(n, maxLabels)
+    while (l >= 1 && !decided) {
+      if (exception.contains(suffix(l))) { psLen = l - 1; decided = true }
+      l -= 1
+    }
+    l = math.min(n, maxLabels)
     while (l >= 1 && !decided) {
       val s = suffix(l)
-      if (exception.contains(s)) { psLen = l - 1; decided = true }
-      else if (normal.contains(s)) { psLen = l; decided = true }
+      if (normal.contains(s)) { psLen = l; decided = true }
       else if (l >= 2 && wildcard.contains(suffix(l - 1))) { psLen = l; decided = true }
       l -= 1
     }

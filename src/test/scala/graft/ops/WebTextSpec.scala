@@ -148,6 +148,20 @@ class WebTextSpec extends SparkTestBase {
     assert(n.isNullAt(0))
   }
 
+  test("registrableDomainPsl: an exception rule prevails over a LONGER normal rule") {
+    // the published algorithm: "if more than one rule matches, the
+    // prevailing rule is the one which is an exception rule" — at any
+    // length, so a.b.c (3 labels) must NOT shadow !b.c
+    val rules = graft.ops.expr.PslRules.parse("c\nb.c\na.b.c\n!b.c\n")
+    def rd(h: String): String =
+      Seq(h).toDF("h")
+        .select(WebText.registrableDomainPsl(col("h"), rules)).as[String].head()
+    // exception !b.c → public suffix c → registrable b.c, even though the
+    // 3-label normal rule a.b.c also matches
+    assert(rd("x.a.b.c") == "b.c")
+    assert(rd("b.c") == "b.c")
+  }
+
   test("registrableDomainPsl with the default rules matches the compact registrableDomain") {
     val hosts = Seq("a.example.co.uk", "b.example.com", "x.y.com.au",
       "single", "deep.sub.example.co.jp", "example.co.za")
