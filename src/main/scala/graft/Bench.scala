@@ -100,7 +100,7 @@ object Bench {
   /** Minimal extraction from a child's known-shape JSON line: the flat
     * string→number object under `key`. No nested objects inside.
     */
-  private def parseMap(json: String, key: String): Map[String, Double] = {
+  private[graft] def parseMap(json: String, key: String): Map[String, Double] = {
     val m = java.util.regex.Pattern.compile("\"" + key + "\":\\{([^}]*)\\}").matcher(json)
     if (!m.find()) Map.empty
     else m.group(1).split(",").filter(_.contains(":")).map { kv =>
@@ -109,12 +109,12 @@ object Bench {
     }.toMap
   }
 
-  private def parseNum(json: String, key: String): Double = {
+  private[graft] def parseNum(json: String, key: String): Double = {
     val m = java.util.regex.Pattern.compile("\"" + key + "\":([-0-9.eE]+)").matcher(json)
     if (m.find()) m.group(1).toDouble else 0.0
   }
 
-  private def parseFailed(json: String): Seq[String] = {
+  private[graft] def parseFailed(json: String): Seq[String] = {
     val m = java.util.regex.Pattern.compile("\"failed\":\\[([^\\]]*)\\]").matcher(json)
     if (!m.find() || m.group(1).trim.isEmpty) Seq.empty
     else m.group(1).split(",").map(_.trim.stripPrefix("\"").stripSuffix("\"")).toSeq

@@ -329,6 +329,56 @@ object RecallBench {
       }.mkString("{", ",", "}")
     }
 
+    // --- audio-fingerprint robustness: gain / noise / re-quantization ---
+    // half_gain must be hamming 0 on every clip (the q78 guarantee,
+    // re-measured here); noise and 8-bit re-quantization are the measured
+    // robustness of the energy contour. Perturbations are applied to the
+    // PCM bytes of the SAME WAV (deterministic patterns), so each variant
+    // differs from its base only in the stated way.
+    val audioJson = {
+      val dec = graft.ops.JdkMediaDecoder()
+      def fp(p: Array[Byte]): Option[Long] =
+        graft.ops.Multimodal.audioFingerprint64(dec.decodeAudio(p))
+      def patchPcm(wav: Array[Byte])(f: (Int, Short) => Short): Array[Byte] = {
+        val out = wav.clone()
+        val bb = java.nio.ByteBuffer.wrap(out).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        var i = 44
+        var s = 0
+        while (i + 1 < out.length) {
+          bb.putShort(i, f(s, bb.getShort(i)))
+          i += 2; s += 1
+        }
+        out
+      }
+      val texts = spark.read.parquet(s"$sfDir/documents.parquet")
+        .select(col("text")).limit(300).as[String].collect()
+      val hams = texts.flatMap { t =>
+        val base = graft.SparkEntry.renderTestWav(t, halfGain = false)
+        fp(base).toSeq.flatMap { h0 =>
+          val variants = Seq(
+            "half_gain" -> fp(graft.SparkEntry.renderTestWav(t, halfGain = true)),
+            // ±3 of a ±16384 signal ≈ 0.02% additive noise
+            "noise_small" -> fp(patchPcm(base)((i, v) =>
+              (v + ((i * 31) % 7) - 3).toShort)),
+            // ±300 ≈ 2% additive noise
+            "noise_big" -> fp(patchPcm(base)((i, v) =>
+              (v + ((i * 131) % 601) - 300).toShort)),
+            // drop the low byte: 8-bit re-quantization
+            "requant_8bit" -> fp(patchPcm(base)((_, v) => (v & 0xFF00).toShort)))
+          variants.collect { case (tag, Some(hv)) =>
+            tag -> graft.ops.PHash.hamming(h0, hv)
+          }
+        }
+      }
+      hams.groupBy(_._1).toSeq.sortBy(_._1).map { case (tag, hs) =>
+        val ds = hs.map(_._2)
+        val mean = ds.sum.toDouble / ds.length
+        val within = ds.count(_ <= 8).toDouble / ds.length
+        s""""$tag":{"n":${ds.length},"mean_hamming":${f"$mean%.2f"},""" +
+          s""""max_hamming":${ds.max},"recall_at_band8":${f"$within%.3f"}}"""
+      }.mkString("{", ",", "}")
+    }
+
     val json =
       s"""{"metric":"ann_recall","sf":"$sfDir","n":$n,"dim":$dim,"k":$k,""" +
         s""""queries":${queries.length},"ivf_cells":$cells,""" +
@@ -347,7 +397,8 @@ object RecallBench {
         s""""jaccard_threshold":$jt,"jaccard_exact_pairs":${exactJac.size},""" +
         s""""jaccard_exact_sec":${f"$exactJacSec%.2f"},""" +
         s""""jaccard_ceiling":$jaccardJson,""" +
-        s""""phash":$phashJson}"""
+        s""""phash":$phashJson,""" +
+        s""""audio_fp":$audioJson}"""
     println(json)
     java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
       (json + "\n").getBytes("UTF-8"))
