@@ -104,3 +104,50 @@ object NativeKernelProps extends Properties("NativeKernels") {
         java.lang.Double.compare(got, expected) == 0
     }
 }
+
+/** Numeric-character-reference decode: total on arbitrary input, decodes
+  * a rendered reference of every valid scalar, idempotent once entity
+  * forms are gone, and never touches text without `&#`.
+  */
+object CharRefProps extends Properties("NumericCharRefDecode") {
+
+  private val kernel = graft.ops.expr.NumericCharRefDecode(
+    org.apache.spark.sql.catalyst.expressions.Literal("x"))
+
+  private def decode(s: String): String =
+    kernel.decode(UTF8String.fromString(s)).toString
+
+  // arbitrary unicode text, salted with '&' '#' ';' digits so partial
+  // entity shapes actually occur
+  private val junk: Gen[String] = Gen.listOf(Gen.oneOf(
+    Gen.alphaNumChar.map(_.toString), Gen.const("&"), Gen.const("#"),
+    Gen.const(";"), Gen.const("&#"), Gen.const("&#x"),
+    Gen.choose(0, 0x2FFF).map(cp => new String(Character.toChars(cp))))).map(_.mkString)
+
+  property("total: never throws on arbitrary text") =
+    Prop.forAll(junk) { s => decode(s); true }
+
+  property("decodes every valid scalar value, decimal and hex") =
+    Prop.forAll(Gen.choose(1, 0x10FFFF).suchThat(cp => cp < 0xD800 || cp > 0xDFFF)
+        .suchThat(_ != 38)) { cp =>
+      val expect = new String(Character.toChars(cp))
+      decode(s"a&#$cp;b") == s"a${expect}b" &&
+        decode(s"a&#x${cp.toHexString};b") == s"a${expect}b" &&
+        decode(s"a&#X${cp.toHexString.toUpperCase};b") == s"a${expect}b"
+    }
+
+  property("idempotent when no '&#' digit sequence survives decoding") =
+    Prop.forAll(junk) { s =>
+      val once = decode(s)
+      val twice = decode(once)
+      // decoding can EXPOSE new refs only if a ref decoded to '&' or '#'
+      // glyph adjacency — cp 38 is excluded by contract, '#' (35) is not;
+      // restrict the claim to outputs with no remaining candidate
+      !"&#\\d|&#[xX][0-9a-fA-F]".r.findFirstIn(once).isDefined ==> (twice == once)
+    }
+
+  property("entity-free text is unchanged") =
+    Prop.forAll(Gen.asciiPrintableStr.map(_.replace("&#", "&_"))) { s =>
+      decode(s) == s
+    }
+}
