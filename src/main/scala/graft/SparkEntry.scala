@@ -926,6 +926,18 @@ object SparkEntry {
         docs.filter(col("doc_id") % 7 === 0), "text", n = 8)
         .select(col("doc_id"), col("contaminated"))
     }),
+    // Per-eval-doc contamination FRACTION (the graded number benchmark
+    // cards report, vs q47's binary train-side mark): eval = doc_id%7==0,
+    // train = the REST of the corpus (eval docs excluded, else every
+    // fraction is trivially 1.0) — fractions measure true cross-document
+    // 8-gram overlap. DuckDB replays shingling + the distinct-gram
+    // semi-join + per-doc counting verbatim.
+    "q81_contamination_frac" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.ops.Decontam.contaminationFraction(
+        docs.filter(col("doc_id") % 7 === 0), "doc_id", "text",
+        docs.filter(col("doc_id") % 7 =!= 0), "text", n = 8)
+    }),
     // Connected-components SHUFFLE-regime stress pin: a synthetic 50k-node
     // path-block graph (chains of 16 — pointer jumping needs ~5 rounds)
     // forced past both fast paths (localSolveMaxEdges=0,
@@ -2652,6 +2664,22 @@ object SparkEntry {
          |hits AS (SELECT DISTINCT tg.doc_id FROM tg JOIN eg USING (g))
          |SELECT d.doc_id, (h.doc_id IS NOT NULL) AS contaminated
          |FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id""".stripMargin,
+    "q81_contamination_frac" ->
+      s"""WITH ${shingleCteSqlN(8, "sh8")},
+         |eg AS (SELECT doc_id, unnest(grams) AS g FROM sh8 WHERE doc_id % 7 = 0),
+         |tg AS (SELECT DISTINCT unnest(grams) AS g FROM sh8 WHERE doc_id % 7 <> 0),
+         |per AS (
+         |  SELECT eg.doc_id, count(*) AS n_grams, count(tg.g) AS n_seen
+         |  FROM eg LEFT JOIN tg ON eg.g = tg.g
+         |  GROUP BY eg.doc_id
+         |)
+         |SELECT d.doc_id AS eval_id,
+         |  coalesce(per.n_grams, 0)::BIGINT AS n_grams,
+         |  coalesce(per.n_seen, 0)::BIGINT AS n_seen,
+         |  CASE WHEN coalesce(per.n_grams, 0) = 0 THEN 0.0
+         |       ELSE per.n_seen::DOUBLE / per.n_grams END AS contamination
+         |FROM (SELECT doc_id FROM documents WHERE doc_id % 7 = 0) d
+         |LEFT JOIN per ON d.doc_id = per.doc_id""".stripMargin,
     "q43_rollup" ->
       """SELECT l_returnflag, l_linestatus,
         |  sum(l_quantity) AS total_qty, count(*) AS n

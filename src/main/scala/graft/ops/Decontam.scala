@@ -155,6 +155,52 @@ object Decontam {
       .drop("__hit_id")
   }
 
+  /** Per-EVAL-document contamination FRACTION: of each eval doc's distinct
+    * word n-grams, the share that occurs anywhere in the training corpus —
+    * the graded overlap number benchmark cards report ("x% of GSM8K
+    * 8-grams appear in training"), where [[markContaminated]] gives only
+    * the binary train-side mark. Output: `(eval id, n_grams,
+    * n_seen, contamination)` — one row per eval doc, including zero rows
+    * for docs too short to shingle (n_grams = 0 ⇒ contamination 0.0).
+    *
+    * Scale shape: the eval gram set (small by nature) broadcasts; the
+    * train corpus is ONE map-side scan + semi-join probe — no corpus
+    * shuffle. The only exchange is the distinct over MATCHED grams,
+    * bounded by the eval gram count, then two broadcast joins back. The
+    * train side's work is identical to [[contaminatedIds]]'s probe.
+    */
+  def contaminationFraction(
+      eval: DataFrame,
+      evalIdCol: String,
+      evalTextCol: String,
+      train: DataFrame,
+      trainTextCol: String,
+      n: Int = 8
+  ): DataFrame = {
+    val evalGrams = eval
+      .select(col(evalIdCol).as("eval_id"),
+        explode(Dedup.shingles(col(evalTextCol), n)).as("__g"))
+    val gramSet = broadcast(evalGrams.select(col("__g")).distinct())
+    // eval grams that occur anywhere in train — ≤ |eval gram set| rows
+    val seen = Dedup.ensureParallelism(train)
+      .select(explode(Dedup.shingles(col(trainTextCol), n)).as("__g"))
+      .join(gramSet, Seq("__g"), "left_semi")
+      .distinct()
+      .withColumn("__seen", lit(1))
+    val perDoc = evalGrams
+      .join(broadcast(seen), Seq("__g"), "left")
+      .groupBy(col("eval_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        count(col("__seen")).as("n_seen"))
+    eval.select(col(evalIdCol).as("eval_id"))
+      .join(broadcast(perDoc), Seq("eval_id"), "left")
+      .select(col("eval_id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_seen"), lit(0L)).as("n_seen"),
+        when(coalesce(col("n_grams"), lit(0L)) === 0, lit(0.0))
+          .otherwise(col("n_seen") / col("n_grams")).as("contamination"))
+  }
+
   /** Drops contaminated training documents — one broadcast anti-join. */
   def removeContaminated(
       train: DataFrame,

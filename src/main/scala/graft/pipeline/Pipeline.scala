@@ -820,8 +820,11 @@ object Pipeline {
             throw new IllegalArgumentException("tokenBudget needs 'orderBy'")))))
 
       case "decontaminate" =>
-        // {table: evalSet, id:, text:, evalText: (defaults to text), n: 8,
-        //  mode: mark|remove}
+        // {table: evalSet, id:, text:, evalText: (defaults to text),
+        //  evalId: (fraction mode; defaults to id), n: 8,
+        //  mode: mark|remove|fraction} — mark/remove transform the
+        //  current (train) frame; fraction REPLACES it with the per-eval
+        //  graded overlap report (eval_id, n_grams, n_seen, contamination)
         val d = asMap(step("decontaminate"), "decontaminate")
         val eval = resolve(d.getOrElse("table",
           throw new IllegalArgumentException("decontaminate needs 'table'")).toString)
@@ -832,8 +835,11 @@ object Pipeline {
             df, d("id").toString, d("text").toString, eval, evalText, n)
           case "remove" => graft.ops.Decontam.removeContaminated(
             df, d("id").toString, d("text").toString, eval, evalText, n)
+          case "fraction" => graft.ops.Decontam.contaminationFraction(
+            eval, d.getOrElse("evalId", d("id")).toString, evalText,
+            df, d("text").toString, n)
           case other => throw new IllegalArgumentException(
-            s"decontaminate mode must be mark|remove, got $other")
+            s"decontaminate mode must be mark|remove|fraction, got $other")
         }
 
       case "mediaFeatures" =>

@@ -93,6 +93,24 @@ class DecontamSpec extends SparkTestBase {
     assert(got == Map(1L -> true, 2L -> false))
   }
 
+  test("contaminationFraction: per-eval-doc graded overlap, hand-derived") {
+    // bigrams (n=2): eval doc 1 "a b c" → grams {a b, b c};
+    // eval doc 2 "x y" → {x y}; eval doc 3 "solo" → too short ≤ n ⇒ one
+    // 1-token gram "solo"; eval doc 4 "" → zero grams
+    val evalDf = Seq(
+      (1L, "a b c"), (2L, "x y"), (3L, "solo"), (4L, "")).toDF("eid", "etext")
+    // train contains "a b" (in doc A) and "x y" (doc B), not "b c"/"solo"
+    val train = Seq((10L, "a b z"), (11L, "q x y")).toDF("id", "text")
+    val got = Decontam.contaminationFraction(
+        evalDf, "eid", "etext", train, "text", n = 2)
+      .select($"eval_id", $"n_grams", $"n_seen", $"contamination")
+      .as[(Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(got(1L) == ((1L, 2L, 1L, 0.5)))  // "a b" seen, "b c" not
+    assert(got(2L) == ((2L, 1L, 1L, 1.0)))
+    assert(got(3L) == ((3L, 1L, 0L, 0.0)))
+    assert(got(4L) == ((4L, 0L, 0L, 0.0)))  // blank doc: zero grams, 0.0
+  }
+
   test("markContaminatedMapSide: oversized eval gram set fails fast, pointing at markContaminated") {
     val train = Seq((1L, "a b c")).toDF("id", "text")
     val evalSet = Seq((1L, "p q r s"), (2L, "s t u v")).toDF("eid", "etext")

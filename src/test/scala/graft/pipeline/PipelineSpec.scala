@@ -418,6 +418,22 @@ class PipelineSpec extends SparkTestBase {
       .as[(Long, Boolean)].collect().toMap
     assert(marked == Map(1L -> true, 2L -> false))
     assert(run("remove").select("id").as[Long].collect().toSeq == Seq(2L))
+    // fraction mode replaces the frame with the per-eval report: the eval
+    // doc has bigrams {cat sat, sat down}; only "cat sat" occurs in train
+    val frac = Pipeline.run(spark,
+      """source: train
+        |steps:
+        |  - decontaminate: {table: eval, id: id, evalId: eid, text: text,
+        |                    evalText: etext, n: 2, mode: fraction}
+        |""".stripMargin,
+      {
+        case "train" => Seq((1L, "the cat sat on the mat"), (2L, "dogs bark loudly"))
+          .toDF("id", "text")
+        case "eval" => Seq((9L, "cat sat down")).toDF("eid", "etext")
+      })
+      .select("eval_id", "n_grams", "n_seen", "contamination")
+      .as[(Long, Long, Long, Double)].head()
+    assert(frac == ((9L, 2L, 1L, 0.5)))
   }
 
   test("multimodal verbs: mediaFeatures / resizeImages / sampleFrames over a MediaRow frame") {
