@@ -582,4 +582,46 @@ object Multimodal {
   ): DataFrame =
     Dedup.hammingNearDuplicatePairs(
       imagePHashes(media, decoder), "media_id", "phash", maxHamming, maxBucketSize)
+
+  /** Near-dup REMOVAL for media, the text-side
+    * [[Dedup.dropNearDuplicates]] policy verbatim: every row appearing as
+    * the HIGHER id of a verified pair is dropped (keep first, drop later
+    * copies — greedy, one pass). One broadcast anti-join against the
+    * (small) pair table's id_b column; the media payloads never shuffle.
+    */
+  private def dropByPairs(media: Dataset[MediaRow], pairs: DataFrame): Dataset[MediaRow] = {
+    import media.sparkSession.implicits._
+    val drops = org.apache.spark.sql.functions.broadcast(
+      pairs.select(col("id_b").as("__drop_id")).distinct())
+    media.toDF()
+      .join(drops, col("media_id") === col("__drop_id"), "left_anti")
+      .as[MediaRow]
+  }
+
+  /** Drop later copies of near-duplicate images ([[imageNearDuplicatePairs]]). */
+  def dropNearDuplicateImages(
+      media: Dataset[MediaRow],
+      decoder: MediaDecoder = StubDecoder(),
+      maxHamming: Int = 10,
+      maxBucketSize: Int = 1000
+  ): Dataset[MediaRow] =
+    dropByPairs(media, imageNearDuplicatePairs(media, decoder, maxHamming, maxBucketSize))
+
+  /** Drop later copies of near-duplicate audio ([[audioNearDuplicatePairs]]). */
+  def dropNearDuplicateAudio(
+      media: Dataset[MediaRow],
+      decoder: MediaDecoder = StubDecoder(),
+      maxHamming: Int = 8,
+      maxBucketSize: Int = 1000
+  ): Dataset[MediaRow] =
+    dropByPairs(media, audioNearDuplicatePairs(media, decoder, maxHamming, maxBucketSize))
+
+  /** Drop later copies of near-duplicate videos ([[videoNearDuplicatePairs]]). */
+  def dropNearDuplicateVideos(
+      media: Dataset[MediaRow],
+      decoder: MediaDecoder = StubDecoder(),
+      maxHamming: Int = 10,
+      maxBucketSize: Int = 1000
+  ): Dataset[MediaRow] =
+    dropByPairs(media, videoNearDuplicatePairs(media, decoder, maxHamming, maxBucketSize))
 }

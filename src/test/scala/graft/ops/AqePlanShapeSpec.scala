@@ -97,6 +97,23 @@ class AqePlanShapeSpec extends SparkTestBase {
       "only matched ids and eval grams may enter an exchange")
   }
 
+  test("AQE: contaminationFraction — train text off every exchange, gram probe broadcast") {
+    val train = (1L to 60L).map(i => (i, s"alpha beta gamma delta $i")).toDF("id", "text")
+    val evalDf = Seq((1L, "alpha beta gamma delta 7"), (2L, "omega psi chi phi"))
+      .toDF("eid", "etext")
+    val nodes = aqeFinal(
+      Decontam.contaminationFraction(evalDf, "eid", "etext", train, "text", n = 2))
+    // the train corpus contributes one map-side semi-join probe; its text
+    // must never enter an exchange (the only exchanges carry grams / eval
+    // ids, both bounded by the eval gram count)
+    assert(!shuffleChildren(nodes)
+      .exists(_.output.exists(a => a.name == "text" || a.name == "etext")),
+      "corpus/eval text must stay off every exchange")
+    assert(nodes.collect {
+      case j: BroadcastHashJoinExec if j.joinType == LeftSemi => j
+    }.nonEmpty, "the train-side gram probe must stay a broadcast LeftSemi")
+  }
+
   test("AQE: bm25 corpus text never shuffles") {
     val df = (1L to 50L).map(i => (i, s"the data model $i")).toDF("id", "text")
     val nodes = aqeFinal(Retrieval.bm25(df, "id", "text", Seq("the", "data")))

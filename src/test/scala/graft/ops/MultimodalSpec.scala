@@ -443,6 +443,21 @@ class MultimodalSpec extends SparkTestBase {
     }
   }
 
+  test("dropNearDuplicateImages keeps the first copy, drops later ones, passes non-images through") {
+    val p = graft.SparkEntry.renderTestPng("dupe me", 48, 32)
+    val rows = Seq(
+      MediaRow(1L, MediaMeta("image", "png", 48, 32, 0, 0L), p),
+      MediaRow(2L, MediaMeta("image", "png", 48, 32, 0, 0L), p),
+      MediaRow(3L, MediaMeta("image", "png", 48, 32, 0, 0L),
+        graft.SparkEntry.renderTestPng("unique", 48, 32)),
+      MediaRow(4L, MediaMeta("audio", "wav", 0, 0, 8000, 0L),
+        graft.SparkEntry.renderTestWav("sound", halfGain = false)))
+    val kept = Multimodal.dropNearDuplicateImages(
+        spark.createDataset(rows), JdkMediaDecoder())
+      .map(_.media_id).collect().toSet
+    assert(kept == Set(1L, 3L, 4L)) // 2 dropped (later copy); audio row untouched
+  }
+
   test("both decoders run through the same operators on the same rows") {
     val rows = Seq(imgRow(1L, encodeImage(16, 16, 50, "png"))).toDS()
     val real = Multimodal.imageFeatures(rows, JdkMediaDecoder()).collect().head
