@@ -39,7 +39,8 @@ object Bench {
   private val SoloQueries = Set(
     "q56_stream_e2e", "q48_cluster_shuffle", "q38_cluster",
     "q29_jaccard_pairs", "q31c_ivf_quant_props", "q60_pq_topk",
-    "q52_substring_mask", "q41_profile", "q80_stream_media_e2e")
+    "q52_substring_mask", "q41_profile", "q80_stream_media_e2e",
+    "q82_mih_collapse_gate")
 
   private val BucketSize = 12
 
@@ -77,12 +78,29 @@ object Bench {
       pb.environment().put("SPARK_GRAFT_ONLY", bucket.mkString(","))
       pb.environment().put("SPARK_GRAFT_OUT", outFile.getAbsolutePath)
       pb.redirectErrorStream(true)
-      pb.redirectOutput(ProcessBuilder.Redirect.DISCARD)
+      val logFile = java.io.File.createTempFile(s"bench_child_${i}_", ".log")
+      logFile.deleteOnExit()
+      pb.redirectOutput(logFile)
       val rc = pb.start().waitFor()
       val txt =
         try new String(java.nio.file.Files.readAllBytes(outFile.toPath), "UTF-8")
         catch { case _: Throwable => "" }
       if (rc != 0 || !txt.contains("\"metric\"")) {
+        // The FIRST child failing with no artifact is almost always an
+        // environment problem shared by every child (the classic: launched
+        // via an in-JVM runner, so java.class.path is the launcher jar and
+        // no child can resolve graft.Bench) — fail fast with the child's
+        // output instead of silently committing an all-failed artifact.
+        if (i == 0) {
+          val log = try new String(
+            java.nio.file.Files.readAllBytes(logFile.toPath), "UTF-8")
+          catch { case _: Throwable => "" }
+          val tail = log.linesIterator.toSeq.takeRight(20).mkString("\n")
+          throw new RuntimeException(
+            s"[bench] first child (rc=$rc) produced no artifact — aborting the " +
+              s"forked sweep (launcher-only classpath? cp=$cp). Child output " +
+              s"tail:\n$tail\nUse SPARK_GRAFT_NOFORK=1 for an in-process sweep.")
+        }
         System.err.println(s"[bench] child $i (${bucket.mkString(",")}) rc=$rc — marking failed")
         (bucket.map(_ -> -1.0).toMap, bucket.map(_ -> 0.0).toMap, 0.0, bucket)
       } else {
@@ -110,7 +128,9 @@ object Bench {
   }
 
   private[graft] def parseNum(json: String, key: String): Double = {
-    val m = java.util.regex.Pattern.compile("\"" + key + "\":([-0-9.eE]+)").matcher(json)
+    // '+' included: JSON permits '1.2E+5' even though Java's Double.toString
+    // never emits it — the parser must be total over legal renderings
+    val m = java.util.regex.Pattern.compile("\"" + key + "\":([-+0-9.eE]+)").matcher(json)
     if (m.find()) m.group(1).toDouble else 0.0
   }
 

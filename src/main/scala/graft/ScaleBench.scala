@@ -49,11 +49,21 @@ object ScaleBench {
 
   private case class Result(
       sec: Double, shuffleReadMb: Double, shuffleWriteMb: Double,
-      spillMemMb: Double, spillDiskMb: Double, peakExecMb: Double) {
+      spillMemMb: Double, spillDiskMb: Double, peakExecMb: Double,
+      rowsOut: Long = -1, bucketsTruncated: Long = -1) {
+    // rows_out: every row's OUTPUT CARDINALITY rides the artifact (an
+    // in-plan observation, zero extra jobs) so a recall collapse can never
+    // hide inside a healthy-looking timing row again — the r10 lesson: the
+    // 500k-image x_phash row timed "≈ linear" while the old banding shape
+    // emitted ~nothing. buckets_truncated: same-plan skew-cap drops for
+    // banding/bucketed rows (−1 = the row has no bucket observation).
     def json: String =
       f"""{"sec":$sec%.3f,"shuffle_read_mb":$shuffleReadMb%.1f,"shuffle_write_mb":$shuffleWriteMb%.1f,""" +
-        f""""spill_mem_mb":$spillMemMb%.1f,"spill_disk_mb":$spillDiskMb%.1f,"peak_exec_mem_mb":$peakExecMb%.1f}"""
+        f""""spill_mem_mb":$spillMemMb%.1f,"spill_disk_mb":$spillDiskMb%.1f,"peak_exec_mem_mb":$peakExecMb%.1f,""" +
+        s""""rows_out":$rowsOut,"buckets_truncated":$bucketsTruncated}"""
   }
+
+  private val obsId = new java.util.concurrent.atomic.AtomicLong
 
   /** The heavy subset: every shuffle-bearing pipeline the VERDICT r4 plan
     * audit called out, reused verbatim from the driver-contract queries so
@@ -187,14 +197,21 @@ object ScaleBench {
     }),
     // Perceptual-hash image near-dup at scale: real PNG encode + JDK
     // decode + pHash (map-only, the dominant cost, embarrassingly
-    // parallel) then the Hamming banding exchange — 16 bytes x
-    // (maxHamming+1) chunk rows per image, the same per-row exchange
-    // budget as text SimHash. Wall time must scale ~linearly with docs;
-    // shuffle bytes ∝ images, never payloads.
+    // parallel) then the multi-index Hamming exchange — 16 bytes × a fixed
+    // per-image row budget (4 anchors + 548 ball probes at h=10). Wall
+    // time must scale ~linearly with docs; shuffle bytes ∝ images, never
+    // payloads — and rows_out must be NON-VACUOUS (the r10 banding shape
+    // silently emitted ~nothing here: all 352 buckets over the cap).
     "x_phash_neardup" -> ((s, dir) => {
       import s.implicits._
-      val media = s.read.parquet(s"$dir/documents.parquet")
-        .select(col("doc_id"), col("text")).as[(Long, String)]
+      // 1% planted pixel-identical copies (id + 10⁹): rows_out gets a
+      // GUARANTEED floor of ~n/100 pairs, so the artifact itself proves
+      // the candidate generator is non-vacuous at this corpus size
+      val d0 = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("text"))
+      val dd = d0.unionByName(d0.filter(col("doc_id") % 100 === 0)
+        .select((col("doc_id") + 1000000000L).as("doc_id"), col("text")))
+      val media = dd.as[(Long, String)]
         .map { case (id, text) =>
           graft.ops.MediaRow(id,
             graft.ops.MediaMeta("image", "png", 48, 32, 0, 0L),
@@ -258,8 +275,16 @@ object ScaleBench {
           System.gc()
           org.apache.spark.graft.ListenerBridge.drain(spark.sparkContext)
           metrics.reset()
+          val rowsObs = s"graft_scalebench_rows_${obsId.incrementAndGet()}"
           val t0 = System.nanoTime()
-          try fn(spark, dir).write.format("noop").mode("overwrite").save()
+          val observed =
+            try fn(spark, dir).observe(rowsObs, count(lit(1)).as("rows_out"))
+            catch {
+              case e: Throwable =>
+                System.err.println(s"[scalebench] $name @ $dir: $e")
+                return Result(-1, 0, 0, 0, 0, 0)
+            }
+          try observed.write.format("noop").mode("overwrite").save()
           catch {
             case e: Throwable =>
               System.err.println(s"[scalebench] $name @ $dir: $e")
@@ -267,9 +292,15 @@ object ScaleBench {
           }
           val sec = (System.nanoTime() - t0) / 1e9
           org.apache.spark.graft.ListenerBridge.drain(spark.sparkContext)
+          val rowsOut = org.apache.spark.sql.graft.ColumnBridge
+            .observedMetricsAll(observed).get(rowsObs)
+            .map(_.getLong(0)).getOrElse(-1L)
+          val trunc = graft.ops.Dedup.observedBucketStats(observed)
+            .map(_._2).getOrElse(-1L)
           def mb(l: AtomicLong) = l.get() / 1048576.0
           Result(sec, mb(metrics.shuffleRead), mb(metrics.shuffleWrite),
-            mb(metrics.memSpill), mb(metrics.diskSpill), mb(metrics.peakExec))
+            mb(metrics.memSpill), mb(metrics.diskSpill), mb(metrics.peakExec),
+            rowsOut, trunc)
         }
         once() // warm-up: JIT, codegen, parquet footers
         val a = once()

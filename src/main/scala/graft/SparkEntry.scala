@@ -938,6 +938,62 @@ object SparkEntry {
         docs.filter(col("doc_id") % 7 === 0), "doc_id", "text",
         docs.filter(col("doc_id") % 7 =!= 0), "text", n = 8)
     }),
+    // MULTI-INDEX HAMMING COLLAPSE GATE: the corpus regime where the old
+    // 1-of-(h+1) banding silently lost everything. At h=10 banding has
+    // 11 × 2⁵ = 352 corpus-wide buckets; at sf0.1 this corpus is ~200k
+    // signatures (lineitem ÷ 3, ~6.3k rows per banded bucket ≫ the 1000
+    // cap) — the old shape dropped every bucket and emitted ZERO pairs
+    // (pinned with truncation stats in MultiIndexHammingSpec). The
+    // dispatcher now routes h ≥ 5 to multi-index search (4 × 16-bit
+    // substrings, radius-2 ball probes — Norouzi et al., CVPR'12), whose
+    // key space never collapses. Planted identical-signature duplicates
+    // (id + 10⁹) are the floor; the oracle derives them arithmetically —
+    // hamming-0 pairs are exactly the planted copies (xxhash64 collisions
+    // across ~2×10⁵ keys: P ≈ 1e-9).
+    "q82_mih_collapse_gate" -> ((s, dir) => {
+      // distinct: the synthetic lineitem repeats (orderkey, linenumber)
+      // pairs, and a repeated key is a repeated id AND sig — one item
+      val base = t(s, dir, "lineitem")
+        .filter(col("l_orderkey") % 3 === 0)
+        .select((col("l_orderkey") * 10 + col("l_linenumber")).as("id"),
+          xxhash64(col("l_orderkey"), col("l_linenumber")).as("sig"))
+        .distinct()
+      val planted = base.filter(col("id") % 97 === 0)
+        .select((col("id") + 1000000000L).as("id"), col("sig"))
+      graft.ops.Dedup.hammingNearDuplicatePairs(
+          base.unionByName(planted), "id", "sig",
+          maxHamming = 10, maxBucketSize = 1000)
+        .filter(col("hamming") === 0)
+        .select(col("id_a"), col("id_b"))
+    }),
+    // Config-driven media dedup (the YAML surface the round-10 verdict
+    // flagged missing): the q76 planted-floor construction driven ENTIRELY
+    // through the pipeline's `mediaDedup` verb — a config user can now
+    // dedup images without touching the Scala API. Same oracle guarantee:
+    // pixel-identical copies must be reported.
+    "q83_pipeline_media_dedup" -> ((s, dir) => {
+      import s.implicits._
+      val d0 = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val dd = d0.unionByName(
+        d0.select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      val media = dd.as[(Long, String)].map { case (id, text) =>
+        graft.ops.MediaRow(id,
+          graft.ops.MediaMeta("image", "png", 48, 32, 0, 0L),
+          renderTestPng(text, 48, 32))
+      }.toDF()
+      val found = graft.pipeline.Pipeline.run(s,
+        """source: media
+          |steps:
+          |  - mediaDedup: {kind: image, mode: pairs, maxHamming: 10}
+          |""".stripMargin,
+        name => if (name == "media") media else t(s, dir, name))
+        .select(col("id_a"), col("id_b"), lit(1).as("__f"))
+      dd.as("x").join(dd.as("y"),
+        col("x.text") === col("y.text") && col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
+        .join(found, Seq("id_a", "id_b"), "left")
+        .select(col("id_a"), col("id_b"), col("__f").isNotNull.as("ok"))
+    }),
     // Connected-components SHUFFLE-regime stress pin: a synthetic 50k-node
     // path-block graph (chains of 16 — pointer jumping needs ~5 rounds)
     // forced past both fast paths (localSolveMaxEdges=0,
@@ -2680,6 +2736,25 @@ object SparkEntry {
          |       ELSE per.n_seen::DOUBLE / per.n_grams END AS contamination
          |FROM (SELECT doc_id FROM documents WHERE doc_id % 7 = 0) d
          |LEFT JOIN per ON d.doc_id = per.doc_id""".stripMargin,
+    // Hamming-0 pairs are exactly the planted (id, id + 10⁹) copies: the
+    // oracle derives the pair set arithmetically — it cannot compute
+    // Spark's xxhash64, but it doesn't need to: equal keys ⇒ equal sigs
+    // (hamming 0, the floor the engine MUST find), and distinct keys
+    // colliding in xxhash64 across ~2×10⁵ rows has P ≈ 1e-9.
+    "q82_mih_collapse_gate" ->
+      """SELECT id AS id_a, id + 1000000000 AS id_b
+        |FROM (SELECT DISTINCT (l_orderkey * 10 + l_linenumber) AS id
+        |      FROM lineitem WHERE l_orderkey % 3 = 0)
+        |WHERE id % 97 = 0""".stripMargin,
+    // same identical-image floor as q76, driven through the YAML verb
+    "q83_pipeline_media_dedup" ->
+      """WITH dd AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text FROM documents
+        |)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b, TRUE AS ok
+        |FROM dd a JOIN dd b ON a.text = b.text AND a.doc_id < b.doc_id""".stripMargin,
     "q43_rollup" ->
       """SELECT l_returnflag, l_linestatus,
         |  sum(l_quantity) AS total_qty, count(*) AS n

@@ -175,11 +175,23 @@ object Decontam {
       evalTextCol: String,
       train: DataFrame,
       trainTextCol: String,
-      n: Int = 8
+      n: Int = 8,
+      maxEvalGrams: Long = 20000000L
   ): DataFrame = {
     val evalGrams = eval
       .select(col(evalIdCol).as("eval_id"),
         explode(Dedup.shingles(col(evalTextCol), n)).as("__g"))
+    // Same eval-side bound as markContaminatedMapSide: the distinct gram
+    // set broadcasts below, and a fat eval suite would otherwise fail with
+    // an opaque broadcast OOM instead of this actionable error.
+    if (maxEvalGrams > 0) {
+      val nGrams = evalGrams.agg(count_distinct(col("__g"))).head().getLong(0)
+      require(nGrams <= maxEvalGrams,
+        s"contaminationFraction: eval suite has $nGrams distinct $n-grams " +
+          s"(> maxEvalGrams=$maxEvalGrams); the gram-set broadcast would " +
+          "fail inside the exchange. Shard the eval suite or raise " +
+          "maxEvalGrams deliberately.")
+    }
     val gramSet = broadcast(evalGrams.select(col("__g")).distinct())
     // eval grams that occur anywhere in train — ≤ |eval gram set| rows
     val seen = Dedup.ensureParallelism(train)

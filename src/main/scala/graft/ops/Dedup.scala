@@ -564,14 +564,25 @@ object Dedup {
   }
 
   /** Near-duplicate pairs over ANY 64-bit signature column within
-    * `maxHamming` bit flips — the banding/verification engine behind
-    * [[simhashNearDuplicatePairs]], exposed for other 64-bit fingerprint
-    * families (perceptual image hashes ride it via
+    * `maxHamming` bit flips — the candidate-generation + verification
+    * engine behind [[simhashNearDuplicatePairs]], exposed for other 64-bit
+    * fingerprint families (perceptual image hashes ride it via
     * [[Multimodal.imageNearDuplicatePairs]]). Null signatures (e.g.
-    * undecodable images) are excluded from banding — they can match
-    * nothing. Candidate generation is the pigeonhole banding; verification
-    * `bit_count(a ^ b) <= maxHamming` runs inline on every candidate; the
-    * same skew cap as MinHash LSH bounds hot buckets.
+    * undecodable images) are excluded — they can match nothing.
+    * Verification `bit_count(a ^ b) <= maxHamming` runs inline on every
+    * candidate; the same skew cap as MinHash LSH bounds hot buckets.
+    *
+    * Candidate generation DISPATCHES on the band:
+    *   - `maxHamming <= 4`: 1-of-(h+1) pigeonhole banding
+    *     ([[bandedHammingPairs]]) — at h=4 the key space is still
+    *     5 × 2¹² = 20k buckets, and each item costs h+1 exchange rows.
+    *   - `maxHamming >= 5`: multi-index Hamming search
+    *     ([[multiIndexHammingPairs]]) — the banding key space collapses
+    *     as 2^(64/(h+1)) (at h=10 a CORPUS-WIDE total of 11 × 2⁵ = 352
+    *     buckets, so past ~cap×352 items every bucket overflows the skew
+    *     cap and recall silently tends to zero); multi-index keeps
+    *     2¹⁶-value keys at any band by probing a Hamming ball instead of
+    *     narrowing the chunks.
     */
   def hammingNearDuplicatePairs(
       df: DataFrame,
@@ -580,9 +591,15 @@ object Dedup {
       maxHamming: Int = 3,
       maxBucketSize: Int = 1000
   ): DataFrame = {
+    requireSigColumn(df, sigCol)
     require(maxHamming >= 0 && maxHamming <= 63,
       s"maxHamming must be in [0, 63], got $maxHamming")
-    // the null filter below exists for undecodable-media nulls ONLY — a
+    if (maxHamming <= 4) bandedHammingPairs(df, idCol, sigCol, maxHamming, maxBucketSize)
+    else multiIndexHammingPairs(df, idCol, sigCol, maxHamming, maxBucketSize)
+  }
+
+  private def requireSigColumn(df: DataFrame, sigCol: String): Unit = {
+    // the null filters below exist for undecodable-media nulls ONLY — a
     // non-integral signature column (a hex-string fingerprint, say) would
     // cast to all-null and silently return zero pairs
     val sigType = df.schema(sigCol).dataType
@@ -590,6 +607,26 @@ object Dedup {
       s"hammingNearDuplicatePairs needs an integral 64-bit signature " +
         s"column; '$sigCol' is ${sigType.catalogString} — parse/convert it " +
         "first (a silent cast would drop every row as null)")
+  }
+
+  /** Low-band candidate generation: 1-of-(h+1) pigeonhole banding. With the
+    * signature cut into `maxHamming + 1` chunks, any pair within
+    * `maxHamming` bit flips shares at least one exact chunk. Correct at any
+    * band, but the key space is (h+1) × 2^(64/(h+1)) — past h ≈ 5 the
+    * chunks get so narrow that the whole corpus lands in a few hundred
+    * buckets and the skew cap drops everything; [[hammingNearDuplicatePairs]]
+    * dispatches those bands to [[multiIndexHammingPairs]] instead.
+    */
+  private[ops] def bandedHammingPairs(
+      df: DataFrame,
+      idCol: String,
+      sigCol: String,
+      maxHamming: Int,
+      maxBucketSize: Int
+  ): DataFrame = {
+    requireSigColumn(df, sigCol)
+    require(maxHamming >= 0 && maxHamming <= 63,
+      s"maxHamming must be in [0, 63], got $maxHamming")
     val nChunks = maxHamming + 1
     val chunkBits = 64 / nChunks
     val sigs = df
@@ -626,6 +663,135 @@ object Dedup {
       .select(
         col("a.m.id").as("id_a"), col("b.m.id").as("id_b"),
         bit_count(col("a.m.sig").bitwiseXOR(col("b.m.sig"))).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
+  /** Every bitmask of Hamming weight ≤ `radius` over the low `bits` bits,
+    * the identity mask first. Count is Σ_{k≤radius} C(bits, k) — 137 for
+    * (16, 2), the media-default ball.
+    */
+  private[ops] def ballMasks(bits: Int, radius: Int): Array[Long] = {
+    val buf = scala.collection.mutable.ArrayBuffer(0L)
+    def rec(start: Int, left: Int, acc: Long): Unit = {
+      if (left == 0) return
+      var i = start
+      while (i < bits) {
+        buf += (acc | (1L << i))
+        rec(i + 1, left - 1, acc | (1L << i))
+        i += 1
+      }
+    }
+    rec(0, radius, 0L)
+    buf.toArray
+  }
+
+  /** High-band candidate generation: MULTI-INDEX Hamming search (Norouzi,
+    * Punjani & Fleet, "Fast Search in Hamming Space with Multi-Index
+    * Hashing", CVPR 2012), re-expressed as one Spark equi-join.
+    *
+    * The signature is cut into `numChunks` WIDE substrings (default
+    * 4 × 16 bits). By pigeonhole, a pair within `maxHamming` bit flips has
+    * at least one substring within `radius = ⌊maxHamming / numChunks⌋`
+    * flips (if every chunk differed by ≥ radius+1, the total would be
+    * ≥ numChunks·(⌊h/m⌋+1) > h). So:
+    *
+    *   - ANCHOR side: each item under its `numChunks` EXACT substring
+    *     values, bucketed with the bounded collect + skew cap.
+    *   - PROBE side: each item under every value in the radius-`radius`
+    *     Hamming BALL around each substring (`ballMasks` XORed on —
+    *     Σ_{k≤r} C(16,k) rows per chunk, 137 at the media default r=2).
+    *   - One equi-join on `(chunk, value)`, hamming verified inline,
+    *     `probe.id < anchor.id` keeps one discovery direction (the
+    *     substring distance is symmetric, so both directions match).
+    *
+    * Why this survives scale where banding does not: the bucket key space
+    * is numChunks × 2¹⁶ ≈ 262k REGARDLESS of the band — at h=10 the
+    * 1-of-(h+1) banding has 5-bit chunks and 352 corpus-wide buckets, so
+    * past ~cap×352 items every bucket overflows the skew cap and recall
+    * collapses to zero. Here bucket population tracks genuine substring
+    * popularity, not pigeonhole arithmetic.
+    *
+    * Costs, explicitly: the probe exchange carries
+    * `numChunks × Σ_{k≤radius} C(chunkBits, k)` rows per item (548 at the
+    * image/video default h=10; 16-byte payload each) versus banding's
+    * h+1 = 11 — the price of a key space that doesn't collapse. Over-cap
+    * ANCHOR buckets are truncated to `maxBucketSize` members (bounded
+    * collect, true size observed) and — unlike the banded engine, which
+    * must drop over-cap buckets entirely — still emit pairs against their
+    * retained members, because the probe side streams: a planted duplicate
+    * in a hot bucket still matches the ≤cap retained anchors. Residual
+    * skew bound: a probe row joining a full bucket expands to ≤
+    * maxBucketSize candidates, so per-task work is (probe rows at the
+    * key) × cap; truncation stays observable via [[observedBucketStats]].
+    *
+    * @param numChunks substring count; must divide 64. 4 (16-bit chunks)
+    *   suits h in [5, 20]; 2 (32-bit chunks) only for tiny corpora with
+    *   huge bands. More chunks ⇒ cheaper balls but smaller key space
+    *   (8 × 2⁸ = 2k buckets — collapse-prone again).
+    */
+  def multiIndexHammingPairs(
+      df: DataFrame,
+      idCol: String,
+      sigCol: String,
+      maxHamming: Int,
+      maxBucketSize: Int = 1000,
+      numChunks: Int = 4
+  ): DataFrame = {
+    requireSigColumn(df, sigCol)
+    require(maxHamming >= 0 && maxHamming <= 63,
+      s"maxHamming must be in [0, 63], got $maxHamming")
+    require(numChunks > 0 && 64 % numChunks == 0,
+      s"numChunks must divide 64, got $numChunks")
+    val chunkBits = 64 / numChunks
+    val radius = maxHamming / numChunks
+    val masks = ballMasks(chunkBits, radius)
+    require(masks.length.toLong * numChunks <= 100000,
+      s"multi-index ball is ${masks.length} masks × $numChunks chunks per " +
+        "item — raise numChunks or lower maxHamming (the probe exchange " +
+        "would dwarf the corpus)")
+    val sigs = ensureParallelism(df)
+      .select(col(idCol).as("id"), col(sigCol).cast(LongType).as("sig"))
+      .filter(col("sig").isNotNull)
+    val chunks = sigs.select(
+      col("id"), col("sig"),
+      explode(array((0 until numChunks).map { c =>
+        struct(
+          lit(c).as("chunk"),
+          shiftrightunsigned(col("sig"), c * chunkBits)
+            .bitwiseAND(lit(chunkMask(chunkBits))).as("chunk_val"))
+      }: _*)).as("cc"))
+      .select(col("id"), col("sig"), col("cc.chunk"), col("cc.chunk_val"))
+    val anchors = observeBucketStats(
+      chunks
+        .groupBy(col("chunk"), col("chunk_val"))
+        .agg(graft.ops.expr.NativeSig.boundedCollectList(
+          struct(col("id"), col("sig")), maxBucketSize).as("__bl"))
+        .select(col("chunk"), col("chunk_val"),
+          col("__bl.items").as("ms"), col("__bl.cnt").as("__bsz")),
+      maxBucketSize)
+      .select(col("chunk"), col("chunk_val"), col("ms"))
+    val probes = chunks.select(
+      col("id"), col("sig"), col("chunk"), col("chunk_val"),
+      explode(typedLit(masks.toSeq)).as("__mask"))
+      .select(col("id"), col("sig"), col("chunk"),
+        col("chunk_val").bitwiseXOR(col("__mask")).as("probe_val"))
+    probes.as("p")
+      .join(anchors.as("a").hint("merge"),
+        col("p.chunk") === col("a.chunk") &&
+          col("p.probe_val") === col("a.chunk_val"))
+      .select(col("p.id").as("pid"), col("p.sig").as("psig"),
+        explode(col("a.ms")).as("m"))
+      // BOTH discovery directions kept (normalized by least/greatest, not
+      // `pid < m.id`): under anchor truncation the pair whose larger id was
+      // truncated out of its bucket is still found by the larger id PROBING
+      // the smaller id's retained anchor — a one-direction filter would
+      // drop exactly the hot-bucket pairs this engine exists to keep.
+      .filter(col("pid") =!= col("m.id"))
+      .select(
+        least(col("pid"), col("m.id")).as("id_a"),
+        greatest(col("pid"), col("m.id")).as("id_b"),
+        bit_count(col("psig").bitwiseXOR(col("m.sig"))).as("hamming"))
       .filter(col("hamming") <= maxHamming)
       .distinct()
   }

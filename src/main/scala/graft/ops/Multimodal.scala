@@ -561,18 +561,22 @@ object Multimodal {
       videoSignatures(media, decoder), "media_id", "vsig", maxHamming, maxBucketSize)
 
   /** Image near-duplicate pairs: perceptual hash + the generic 64-bit
-    * Hamming banding engine ([[Dedup.hammingNearDuplicatePairs]] — the
-    * SimHash pair infrastructure, reused verbatim). Output
+    * Hamming engine ([[Dedup.hammingNearDuplicatePairs]] — the SimHash
+    * pair infrastructure, reused verbatim). Output
     * `(id_a, id_b, hamming)` with id_a < id_b. Identical payloads hash
-    * identically (hamming 0 — the pigeonhole banding cannot miss them,
-    * the planted-duplicate gate's guarantee); re-encoded/resized copies
-    * land within a few bits (measured, not guaranteed — RECALL.json's
-    * `phash` section).
+    * identically (hamming 0 — candidate generation cannot miss them, the
+    * planted-duplicate gate's guarantee); re-encoded/resized copies land
+    * within a few bits (measured, not guaranteed — RECALL.json's `phash`
+    * section).
     *
     * Scale shape: decode is the dominant cost and is embarrassingly
-    * parallel; after it, each image is 16 bytes on the one banding
-    * exchange — `maxHamming + 1` chunk rows per image, the same
-    * per-row exchange budget as text SimHash at any corpus size.
+    * parallel; after it, each image is 16 bytes on the one candidate
+    * exchange. At this band (h=10) the engine dispatches to MULTI-INDEX
+    * Hamming search ([[Dedup.multiIndexHammingPairs]]): 4 anchor rows +
+    * 548 ball-probe rows per image, a fixed per-item budget whose
+    * 4 × 2¹⁶ key space holds at any corpus size — the old 1-of-(h+1)
+    * banding had 352 corpus-wide buckets at h=10 and silently dropped
+    * everything past ~350k images (all buckets over the skew cap).
     */
   def imageNearDuplicatePairs(
       media: Dataset[MediaRow],

@@ -51,8 +51,11 @@ object WebText {
       ColumnBridge.column(graft.ops.expr.NumericCharRefDecode(
         ColumnBridge.expression(decoded)))
     }
-    // every ampersand form last (the kernel skips codepoint 38 for this)
-    val ampLast = regexp_replace(numerics, "&amp;|&#0*38;|&#[xX]0*26;", "&")
+    // every ampersand form last (the kernel skips codepoint 38 for this).
+    // Zero-padding bounded to 8 total digits so overlong refs like
+    // `&#000000038;` stay literal, matching NumericCharRefDecode's contract
+    // for every other codepoint.
+    val ampLast = regexp_replace(numerics, "&amp;|&#0{0,6}38;|&#[xX]0{0,6}26;", "&")
     trim(regexp_replace(ampLast, "[ \\t\\n\\x0B\\f\\r\\u00A0]+", " "))
   }
 

@@ -35,14 +35,18 @@ case class PslRules(
     else all.max
   }
 
-  /** Registrable domain (eTLD+1) of a LOWERCASED host per the published
-    * algorithm. When the host IS a public suffix (or a single label), it
-    * passes through unchanged — quota/blocklist keying wants a
+  /** Registrable domain (eTLD+1) per the published algorithm. The host is
+    * lowercased here (step 1 of the published algorithm is case
+    * normalization; rules are lowercased at parse) so a direct caller
+    * passing `Example.CO.UK` matches the `co.uk` rule instead of falling
+    * to the implicit-* rule. When the host IS a public suffix (or a single
+    * label), it passes through unchanged — quota/blocklist keying wants a
     * deterministic non-null key for those, matching the compact variant's
     * behavior — and null stays null.
     */
-  def registrable(host: String): String = {
-    if (host == null || host.isEmpty) return host
+  def registrable(rawHost: String): String = {
+    if (rawHost == null || rawHost.isEmpty) return rawHost
+    val host = rawHost.toLowerCase(java.util.Locale.ROOT)
     val labels = host.split('.')
     val n = labels.length
     if (n <= 1) return host

@@ -863,6 +863,54 @@ object Pipeline {
           r("everyN").toString.toInt,
           r.get("frameBytes").map(_.toString.toInt).getOrElse(256)).toDF()
 
+      case "mediaDedup" =>
+        // {kind: image|audio|video, maxHamming: (10/8/10 by kind),
+        //  maxBucketSize: 1000, decoder: jdk|stub (jdk = real codecs),
+        //  mode: drop|pairs} over a MediaRow-schema frame. drop keeps the
+        // first copy of every near-duplicate cluster edge (the q50-style
+        // corpus-cleaning policy); pairs REPLACES the frame with the
+        // verified (id_a, id_b, hamming) pair report.
+        val r = asMap(step("mediaDedup"), "mediaDedup")
+        val kind = r.getOrElse("kind",
+          throw new IllegalArgumentException("mediaDedup needs 'kind'")).toString
+        val decoder: graft.ops.MediaDecoder =
+          r.getOrElse("decoder", "jdk").toString match {
+            case "jdk" => graft.ops.JdkMediaDecoder()
+            case "stub" => graft.ops.StubDecoder()
+            case other => throw new IllegalArgumentException(
+              s"mediaDedup decoder must be jdk|stub, got $other")
+          }
+        val defaultHamming = kind match {
+          case "image" | "video" => 10
+          case "audio" => 8
+          case other => throw new IllegalArgumentException(
+            s"mediaDedup kind must be image|audio|video, got $other")
+        }
+        val maxHamming = r.get("maxHamming").map(_.toString.toInt)
+          .getOrElse(defaultHamming)
+        val cap = r.get("maxBucketSize").map(_.toString.toInt).getOrElse(1000)
+        val media = asMedia(df)
+        r.getOrElse("mode", "drop").toString match {
+          case "drop" => (kind match {
+            case "image" =>
+              graft.ops.Multimodal.dropNearDuplicateImages(media, decoder, maxHamming, cap)
+            case "audio" =>
+              graft.ops.Multimodal.dropNearDuplicateAudio(media, decoder, maxHamming, cap)
+            case "video" =>
+              graft.ops.Multimodal.dropNearDuplicateVideos(media, decoder, maxHamming, cap)
+          }).toDF()
+          case "pairs" => kind match {
+            case "image" =>
+              graft.ops.Multimodal.imageNearDuplicatePairs(media, decoder, maxHamming, cap)
+            case "audio" =>
+              graft.ops.Multimodal.audioNearDuplicatePairs(media, decoder, maxHamming, cap)
+            case "video" =>
+              graft.ops.Multimodal.videoNearDuplicatePairs(media, decoder, maxHamming, cap)
+          }
+          case other => throw new IllegalArgumentException(
+            s"mediaDedup mode must be drop|pairs, got $other")
+        }
+
       case other =>
         throw new IllegalArgumentException(s"Unknown pipeline verb: $other")
     }

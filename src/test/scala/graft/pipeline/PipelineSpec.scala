@@ -454,6 +454,43 @@ class PipelineSpec extends SparkTestBase {
     assert(frames.count() == 3) // 600 bytes / 100 = 6 frames, every 2nd
   }
 
+  test("mediaDedup verb: pairs reports planted copies, drop keeps first, params validated") {
+    import graft.ops.{MediaMeta, MediaRow}
+    val dup = "identical-image-payload-bytes".getBytes
+    def media = Seq(
+      MediaRow(1L, MediaMeta("image", "stub", 10, 10, 0, 0L), dup),
+      MediaRow(2L, MediaMeta("image", "stub", 10, 10, 0, 0L), dup),
+      MediaRow(3L, MediaMeta("image", "stub", 10, 10, 0, 0L), dup),
+      MediaRow(4L, MediaMeta("image", "stub", 10, 10, 0, 0L),
+        Array.tabulate(64)(i => (i * 37 + 11).toByte))
+    ).toDF()
+    def run(yaml: String) = Pipeline.run(spark, yaml, _ => media)
+    val pairs = run(
+      "source: m\nsteps:\n  - mediaDedup: {kind: image, mode: pairs, decoder: stub}\n")
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(Set((1L, 2L), (1L, 3L), (2L, 3L)).subsetOf(pairs),
+      s"identical payloads must pair, got $pairs")
+    val kept = run(
+      "source: m\nsteps:\n  - mediaDedup: {kind: image, decoder: stub}\n")
+      .select("media_id").as[Long].collect().toSet
+    assert(kept.contains(1L) && !kept.contains(2L) && !kept.contains(3L),
+      s"drop keeps the first copy only, got $kept")
+    // explicit knobs ride through; bad values refuse loudly
+    val strict = run(
+      "source: m\nsteps:\n  - mediaDedup: {kind: image, mode: pairs, maxHamming: 0, maxBucketSize: 10, decoder: stub}\n")
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(Set((1L, 2L), (1L, 3L), (2L, 3L)).subsetOf(strict))
+    intercept[IllegalArgumentException] {
+      run("source: m\nsteps:\n  - mediaDedup: {kind: hologram}\n")
+    }
+    intercept[IllegalArgumentException] {
+      run("source: m\nsteps:\n  - mediaDedup: {kind: image, mode: banish}\n")
+    }
+    intercept[IllegalArgumentException] {
+      run("source: m\nsteps:\n  - mediaDedup: {kind: image, decoder: quantum}\n")
+    }
+  }
+
   test("tokenBudget verb keeps the in-budget prefix in the given order") {
     val out = Pipeline.run(spark,
       """source: t
