@@ -994,6 +994,51 @@ object SparkEntry {
         .join(found, Seq("id_a", "id_b"), "left")
         .select(col("id_a"), col("id_b"), col("__f").isNotNull.as("ok"))
     }),
+    // Unigram-LM (SentencePiece-style) tokenization: Viterbi segmentation
+    // under a hand-built piece/logprob vocabulary with byte fallback. The
+    // oracle pins full hand-derived id SEQUENCES (each derivation written
+    // out in UnigramSpec): single-piece wins, compositional splits, byte
+    // fallback on multi-byte UTF-8 and contractions, per-pre-token
+    // segmentation. Ids: listed pieces 0-8, then the 255 missing bytes in
+    // byte order (b<111 → 9+b, b>111 → 8+b; 'o'=111 is piece 2).
+    "q84_unigram_encode" -> ((s, dir) => {
+      import s.implicits._
+      Seq(
+        1L -> "hello", 2L -> "hello world", 3L -> "hell", 4L -> "helloo",
+        5L -> "é", 6L -> "it's", 7L -> "hellohello world", 8L -> "world")
+        .toDF("tid", "text")
+        .select(col("tid"),
+          graft.ops.TextStats.tokenizeUnigram(col("text"), UnigramFixtureModel)
+            .as("raw"))
+        .select(col("tid"), concat_ws(",", col("raw")).as("ids_csv"),
+          size(col("raw")).cast("long").as("n_ids"))
+    }),
+    // SentencePiece .vocab text-format interop: the SAME model serialized
+    // to `piece<TAB>logprob` lines (merges.txt byte alphabet) and parsed
+    // back inside the query — render + parse are both under the gate; the
+    // expected ids are identical to q84's.
+    "q84b_unigram_vocab_roundtrip" -> ((s, dir) => {
+      import s.implicits._
+      val model = graft.ops.expr.UnigramModel.fromVocabLines(
+        UnigramFixtureModel.toVocabLines)
+      Seq(
+        1L -> "hello", 2L -> "hello world", 3L -> "hell", 4L -> "helloo",
+        5L -> "é", 6L -> "it's", 7L -> "hellohello world", 8L -> "world")
+        .toDF("tid", "text")
+        .select(col("tid"),
+          graft.ops.TextStats.tokenizeUnigram(col("text"), model).as("raw"))
+        .select(col("tid"), concat_ws(",", col("raw")).as("ids_csv"),
+          size(col("raw")).cast("long").as("n_ids"))
+    }),
+    // Unigram with the pure byte-fallback vocabulary over the real corpus:
+    // every UTF-8 byte is one piece, so count == DuckDB's strlen (byte
+    // length) — the same whole-kernel foundation check as q54, but through
+    // the Viterbi path (pre-tokenizer partition + lattice + backtrack).
+    "q85_unigram_bytes" -> ((s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"),
+        graft.ops.TextStats.tokenCountUnigram(col("text"),
+          graft.ops.expr.UnigramModel.withByteFallback(Nil))
+          .cast("long").as("n_bytes"))),
     // Connected-components SHUFFLE-regime stress pin: a synthetic 50k-node
     // path-block graph (chains of 16 — pointer jumping needs ~5 rounds)
     // forced past both fast paths (localSolveMaxEdges=0,
@@ -1865,6 +1910,21 @@ object SparkEntry {
   /** Fixed deterministic query vector for the ANN queries (inlined into the
     * DuckDB oracle below).
     */
+  /** q84/q84b's hand-built Unigram vocabulary: 9 listed pieces (ids 0-8)
+    * plus byte fallback at −20 (ids 9+ in byte order, skipping 'o' which
+    * is listed). Every oracle row's Viterbi derivation is written out in
+    * UnigramSpec.
+    */
+  lazy val UnigramFixtureModel: graft.ops.expr.UnigramModel =
+    graft.ops.expr.UnigramModel.withByteFallback(
+      Seq(
+        "hello" -> -3.0, "hell" -> -2.0, "o" -> -1.5, "he" -> -1.8,
+        "ll" -> -1.7, " wo" -> -2.0, "rld" -> -2.2, "wor" -> -2.1,
+        "ld" -> -1.9
+      ).map { case (p, lp) =>
+        (p.getBytes(java.nio.charset.StandardCharsets.UTF_8), lp) },
+      floorLogProb = -20.0)
+
   val AnnQueryVec: Seq[Float] = (0 until 64).map(i => ((i % 7) - 3) / 10.0f)
 
   /** Three deterministic query vectors for the batched-retrieval query. */
@@ -2755,6 +2815,25 @@ object SparkEntry {
         |)
         |SELECT a.doc_id AS id_a, b.doc_id AS id_b, TRUE AS ok
         |FROM dd a JOIN dd b ON a.text = b.text AND a.doc_id < b.doc_id""".stripMargin,
+    // Hand-derived Viterbi segmentations (derivations in UnigramSpec; id
+    // numbering documented at the query): the full expected id sequences
+    // as literal VALUES — the q54d convention for tokenizer kernels.
+    "q84_unigram_encode" ->
+      """SELECT tid::BIGINT AS tid, ids_csv, n_ids::BIGINT AS n_ids
+        |FROM (VALUES
+        |  (1, '0', 1), (2, '0,5,6', 3), (3, '1', 1), (4, '0,2', 2),
+        |  (5, '203,177', 2), (6, '114,124,48,123', 4),
+        |  (7, '0,0,5,6', 4), (8, '7,8', 2)) t(tid, ids_csv, n_ids)""".stripMargin,
+    "q84b_unigram_vocab_roundtrip" ->
+      """SELECT tid::BIGINT AS tid, ids_csv, n_ids::BIGINT AS n_ids
+        |FROM (VALUES
+        |  (1, '0', 1), (2, '0,5,6', 3), (3, '1', 1), (4, '0,2', 2),
+        |  (5, '203,177', 2), (6, '114,124,48,123', 4),
+        |  (7, '0,0,5,6', 4), (8, '7,8', 2)) t(tid, ids_csv, n_ids)""".stripMargin,
+    // byte-fallback-only vocabulary ⇒ one piece per UTF-8 byte: DuckDB's
+    // strlen is byte length (the q54 foundation check, Viterbi path)
+    "q85_unigram_bytes" ->
+      "SELECT doc_id, strlen(text)::BIGINT AS n_bytes FROM documents",
     "q43_rollup" ->
       """SELECT l_returnflag, l_linestatus,
         |  sum(l_quantity) AS total_qty, count(*) AS n

@@ -56,6 +56,27 @@ object TextStats {
       graft.ops.expr.BpeEncodeExpr(ColumnBridge.expression(text), model))
   }
 
+  /** Unigram-LM (SentencePiece-style) tokenization → `array<int>` of piece
+    * ids under a loaded [[graft.ops.expr.UnigramModel]] (`.vocab`-format
+    * text via [[graft.ops.expr.UnigramModel.fromVocabFile]], or trained by
+    * [[UnigramTrain]]). Viterbi segmentation per pre-token — the SAME word
+    * boundaries as the BPE kernels. Codegen'd, map-only.
+    */
+  def tokenizeUnigram(text: Column, model: graft.ops.expr.UnigramModel): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(
+      graft.ops.expr.UnigramEncodeExpr(ColumnBridge.expression(text), model))
+  }
+
+  /** Unigram-LM token count; `tokenCountUnigram(x) ==
+    * size(tokenizeUnigram(x))` always.
+    */
+  def tokenCountUnigram(text: Column, model: graft.ops.expr.UnigramModel): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(
+      graft.ops.expr.UnigramCountExpr(ColumnBridge.expression(text), model))
+  }
+
   /** Characters of punctuation / total characters (0 for empty). */
   def punctRatio(text: Column): Column = {
     val n = length(text)

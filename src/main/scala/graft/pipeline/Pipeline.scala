@@ -737,17 +737,28 @@ object Pipeline {
         df.join(scores, Seq(id), "left")
 
       case "tokenize" =>
-        // {text: col, as?: tokens, merges?: path} — exact byte-level BPE
-        // ids under a published merges.txt (no merges: ids are the byte
-        // alphabet). The model loads driver-side once and rides the task
-        // binary; the kernel itself is codegen'd and map-only.
+        // {text: col, as?: tokens, merges?: path, vocab?: path} — exact
+        // byte-level BPE ids under a published merges.txt, OR Unigram-LM
+        // ids under a SentencePiece-style .vocab text file (exactly one of
+        // merges/vocab; neither: BPE over the bare byte alphabet). The
+        // model loads driver-side once and rides the task binary; both
+        // kernels are codegen'd and map-only.
         val tk = asMap(step("tokenize"), "tokenize")
-        val model = tk.get("merges") match {
-          case Some(p) => graft.ops.expr.BpeModel.fromMergesFile(p.toString)
-          case None    => graft.ops.expr.BpeModel.empty
+        val out = tk.getOrElse("as", "tokens").toString
+        val text = col(tk("text").toString)
+        (tk.get("merges"), tk.get("vocab")) match {
+          case (Some(_), Some(_)) => throw new IllegalArgumentException(
+            "tokenize takes at most one of 'merges' (BPE) or 'vocab' (Unigram)")
+          case (_, Some(v)) =>
+            df.withColumn(out, graft.ops.TextStats.tokenizeUnigram(text,
+              graft.ops.expr.UnigramModel.fromVocabFile(v.toString)))
+          case (m, None) =>
+            val model = m match {
+              case Some(p) => graft.ops.expr.BpeModel.fromMergesFile(p.toString)
+              case None    => graft.ops.expr.BpeModel.empty
+            }
+            df.withColumn(out, graft.ops.TextStats.tokenizeBpe(text, model))
         }
-        df.withColumn(tk.getOrElse("as", "tokens").toString,
-          graft.ops.TextStats.tokenizeBpe(col(tk("text").toString), model))
 
       case "fixEncoding" =>
         // {text: col, as: out (default: rewrite in place), passes: 3} —

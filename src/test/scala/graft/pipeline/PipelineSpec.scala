@@ -722,6 +722,31 @@ class PipelineSpec extends SparkTestBase {
     assert(bytes.select("tokens").as[Seq[Int]].head() == Seq(0, 32))
   }
 
+  test("tokenize verb: vocab file → Unigram ids; merges+vocab rejected") {
+    val vocabFile = java.io.File.createTempFile("graft_unigram", ".vocab")
+    vocabFile.deleteOnExit()
+    // the q84 fixture model, serialized in its own .vocab text form
+    java.nio.file.Files.write(vocabFile.toPath,
+      graft.SparkEntry.UnigramFixtureModel.toVocabLines.mkString("\n")
+        .getBytes("UTF-8"))
+    val out = Pipeline.run(spark,
+      s"""source: docs
+         |steps:
+         |  - tokenize: {text: text, vocab: ${vocabFile.getAbsolutePath}, as: ids}
+         |""".stripMargin,
+      (_: String) => Seq((1L, "hello world")).toDF("doc_id", "text"))
+    assert(out.select("ids").as[Seq[Int]].head() == Seq(0, 5, 6))
+    val e = intercept[IllegalArgumentException] {
+      Pipeline.run(spark,
+        s"""source: docs
+           |steps:
+           |  - tokenize: {text: text, merges: /x, vocab: /y}
+           |""".stripMargin,
+        (_: String) => Seq((1L, "a")).toDF("doc_id", "text"))
+    }
+    assert(e.getMessage.contains("at most one of"))
+  }
+
   test("repetitionSignals / approxDistinct / semanticDedup verbs match the direct ops") {
     val rep = Pipeline.runOnDir(spark,
       """source: documents
