@@ -1039,6 +1039,53 @@ object SparkEntry {
         graft.ops.TextStats.tokenCountUnigram(col("text"),
           graft.ops.expr.UnigramModel.withByteFallback(Nil))
           .cast("long").as("n_bytes"))),
+    // DOM-block main-content extraction: planted page fixtures (nav
+    // chrome, good paragraph, link-list footer; short-between-goods
+    // context rescue; entity/br/script handling) segmented and classified
+    // by the jusText-style kernel, every block's features exploded to
+    // scalars. The oracle pins EVERY feature of EVERY block as literal
+    // VALUES — hand derivations in HtmlBlocksSpec.
+    "q86_html_blocks" -> ((s, dir) => {
+      import s.implicits._
+      val p = HtmlFixturePara
+      Seq(
+        1L -> ("<html><head><title>T</title></head><body>" +
+          "<nav><a href=\"/\">Home</a> <a href=\"/about\">About</a></nav>" +
+          s"<p>$p</p>" +
+          "<div class=\"foot\"><a href=\"/tos\">Terms</a></div>" +
+          "</body></html>"),
+        2L -> s"<p>$p</p><p>Nice short note.</p><p>$p</p>",
+        3L -> ("<div>A &amp; B &#8217;x&#8217; costs &#x24;5<br>" +
+          "second <script>var x=1;</script>part</div>"))
+        .toDF("tid", "html")
+        .select(col("tid"),
+          explode(graft.ops.WebText.htmlBlocks(col("html"))).as("b"))
+        .select(col("tid"), col("b.idx").as("idx"), col("b.tag").as("tag"),
+          col("b.in_chrome").as("in_chrome"), col("b.text").as("text"),
+          col("b.n_chars").cast("long").as("n_chars"),
+          col("b.n_words").cast("long").as("n_words"),
+          col("b.link_density").as("link_density"),
+          col("b.stop_ratio").as("stop_ratio"),
+          col("b.label").as("label"), col("b.content").as("content"))
+    }),
+    // Main-content extraction end-to-end over the same fixtures: the
+    // kept-block join IS the document text a crawl pipeline stores.
+    "q86b_main_content" -> ((s, dir) => {
+      import s.implicits._
+      val p = HtmlFixturePara
+      Seq(
+        1L -> ("<html><head><title>T</title></head><body>" +
+          "<nav><a href=\"/\">Home</a> <a href=\"/about\">About</a></nav>" +
+          s"<p>$p</p>" +
+          "<div class=\"foot\"><a href=\"/tos\">Terms</a></div>" +
+          "</body></html>"),
+        2L -> s"<p>$p</p><p>Nice short note.</p><p>$p</p>",
+        3L -> ("<div>A &amp; B &#8217;x&#8217; costs &#x24;5<br>" +
+          "second <script>var x=1;</script>part</div>"))
+        .toDF("tid", "html")
+        .select(col("tid"),
+          graft.ops.WebText.extractMainContent(col("html")).as("main_text"))
+    }),
     // Connected-components SHUFFLE-regime stress pin: a synthetic 50k-node
     // path-block graph (chains of 16 — pointer jumping needs ~5 rounds)
     // forced past both fast paths (localSolveMaxEdges=0,
@@ -1924,6 +1971,15 @@ object SparkEntry {
       ).map { case (p, lp) =>
         (p.getBytes(java.nio.charset.StandardCharsets.UTF_8), lp) },
       floorLogProb = -20.0)
+
+  /** q86's good-content paragraph. Hand counts pinned in HtmlBlocksSpec:
+    * 220 chars, 46 words, 20 stopword hits → stop_ratio 20/46, GOOD.
+    */
+  val HtmlFixturePara: String =
+    "The data is in the table and it is good for the most part because " +
+      "the numbers are stable over time. The results are in the range we " +
+      "expected and the method is sound as far as we can tell today. " +
+      "We will publish more soon."
 
   val AnnQueryVec: Seq[Float] = (0 until 64).map(i => ((i % 7) - 3) / 10.0f)
 
@@ -2834,6 +2890,34 @@ object SparkEntry {
     // strlen is byte length (the q54 foundation check, Viterbi path)
     "q85_unigram_bytes" ->
       "SELECT doc_id, strlen(text)::BIGINT AS n_bytes FROM documents",
+    // Every feature of every block pinned (derivations in HtmlBlocksSpec;
+    // the shared paragraph constant is spliced into the VALUES so fixture
+    // and oracle can never drift apart)
+    "q86_html_blocks" -> {
+      val p = HtmlFixturePara
+      s"""SELECT tid::BIGINT AS tid, idx::INT AS idx, tag, in_chrome, text,
+         |  n_chars::BIGINT AS n_chars, n_words::BIGINT AS n_words,
+         |  link_density::DOUBLE AS link_density,
+         |  stop_ratio::DOUBLE AS stop_ratio, label, content
+         |FROM (VALUES
+         |  (1, 0, 'nav', TRUE, 'Home About', 10, 2, 1.0, 0.0, 'bad', FALSE),
+         |  (1, 1, 'p', FALSE, '$p', 220, 46, 0.0, 20.0/46.0, 'good', TRUE),
+         |  (1, 2, 'div', FALSE, 'Terms', 5, 1, 1.0, 0.0, 'bad', FALSE),
+         |  (2, 0, 'p', FALSE, '$p', 220, 46, 0.0, 20.0/46.0, 'good', TRUE),
+         |  (2, 1, 'p', FALSE, 'Nice short note.', 16, 3, 0.0, 0.0, 'short', TRUE),
+         |  (2, 2, 'p', FALSE, '$p', 220, 46, 0.0, 20.0/46.0, 'good', TRUE),
+         |  (3, 0, 'div', FALSE, 'A & B ’x’ costs $$5', 18, 6, 0.0, 1.0/6.0, 'short', FALSE),
+         |  (3, 1, 'div', FALSE, 'second part', 11, 2, 0.0, 0.0, 'short', FALSE)
+         |) t(tid, idx, tag, in_chrome, text, n_chars, n_words,
+         |    link_density, stop_ratio, label, content)""".stripMargin
+    },
+    "q86b_main_content" -> {
+      val p = HtmlFixturePara
+      s"""SELECT tid::BIGINT AS tid, main_text FROM (VALUES
+         |  (1, '$p'),
+         |  (2, '$p' || chr(10) || 'Nice short note.' || chr(10) || '$p'),
+         |  (3, '')) t(tid, main_text)""".stripMargin
+    },
     "q43_rollup" ->
       """SELECT l_returnflag, l_linestatus,
         |  sum(l_quantity) AS total_qty, count(*) AS n

@@ -59,6 +59,36 @@ object WebText {
     trim(regexp_replace(ampLast, "[ \\t\\n\\x0B\\f\\r\\u00A0]+", " "))
   }
 
+  /** DOM-block segmentation + jusText-style classification of an HTML
+    * page: `array<struct>` of per-block features (tag, chrome flag, text,
+    * char/word counts, link density, stopword density) and labels — the
+    * block layer real crawl curation scores before keeping anything. See
+    * [[graft.ops.expr.HtmlContent]] for the algorithm and threshold
+    * provenance. Codegen'd, map-only.
+    */
+  def htmlBlocks(
+      html: Column,
+      rules: graft.ops.expr.HtmlContent.ContentRules =
+        graft.ops.expr.HtmlContent.ContentRules()): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(graft.ops.expr.HtmlBlocksExpr(
+      ColumnBridge.expression(html), rules))
+  }
+
+  /** Main-content extraction: the text of the blocks the jusText-style
+    * classifier keeps, joined by newlines — what a crawl pipeline stores
+    * as the document's text instead of the whole-page [[stripHtml]].
+    * Codegen'd, map-only.
+    */
+  def extractMainContent(
+      html: Column,
+      rules: graft.ops.expr.HtmlContent.ContentRules =
+        graft.ops.expr.HtmlContent.ContentRules()): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(graft.ops.expr.MainContentExpr(
+      ColumnBridge.expression(html), rules))
+  }
+
   /** Every absolute http(s) URL in the text, in order of appearance.
     * Conservative token shape: scheme, then everything up to whitespace or
     * a closing quote/bracket/angle (URLs pasted in prose end at those);

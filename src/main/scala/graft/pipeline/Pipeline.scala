@@ -779,6 +779,25 @@ object Pipeline {
         df.withColumn(sh.getOrElse("as", src).toString,
           graft.ops.WebText.stripHtml(col(src)))
 
+      case "extractContent" =>
+        // {html: col, as: out (default: rewrite in place), lengthLow?,
+        // lengthHigh?, maxLinkDensity?} — DOM-block main-content
+        // extraction (jusText-style block classification; see
+        // graft.ops.expr.HtmlContent): keeps content blocks, drops
+        // nav/header/footer/link-list/short-chrome boilerplate
+        val ec = asMap(step("extractContent"), "extractContent")
+        val src = ec("html").toString
+        val base = graft.ops.expr.HtmlContent.ContentRules()
+        val rules = base.copy(
+          lengthLow = ec.get("lengthLow").map(_.toString.toInt)
+            .getOrElse(base.lengthLow),
+          lengthHigh = ec.get("lengthHigh").map(_.toString.toInt)
+            .getOrElse(base.lengthHigh),
+          maxLinkDensity = ec.get("maxLinkDensity").map(_.toString.toDouble)
+            .getOrElse(base.maxLinkDensity))
+        df.withColumn(ec.getOrElse("as", src).toString,
+          graft.ops.WebText.extractMainContent(col(src), rules))
+
       case "normalizeUnicode" =>
         // {text: col, form: NFC|NFD|NFKC|NFKD (default NFC), as: out
         // (default: rewrite in place)} — run NFC before hashing/dedup,

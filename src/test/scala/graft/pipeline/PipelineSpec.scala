@@ -747,6 +747,29 @@ class PipelineSpec extends SparkTestBase {
     assert(e.getMessage.contains("at most one of"))
   }
 
+  test("extractContent verb: DOM-block extraction drops chrome, keeps content") {
+    val para = graft.SparkEntry.HtmlFixturePara
+    val out = Pipeline.run(spark,
+      """source: docs
+        |steps:
+        |  - extractContent: {html: html, as: text}
+        |""".stripMargin,
+      (_: String) => Seq(
+        (1L, s"<nav><a href='/'>Home</a></nav><p>$para</p>" +
+          "<footer><a href='/tos'>Terms</a></footer>")
+      ).toDF("doc_id", "html"))
+    assert(out.select("text").as[String].head() == para)
+    // threshold override flows through: a huge lengthHigh demotes the
+    // paragraph to near-good with no good neighbor -> nothing kept
+    val strict = Pipeline.run(spark,
+      """source: docs
+        |steps:
+        |  - extractContent: {html: html, as: text, lengthHigh: 100000}
+        |""".stripMargin,
+      (_: String) => Seq((1L, s"<p>$para</p>")).toDF("doc_id", "html"))
+    assert(strict.select("text").as[String].head() == "")
+  }
+
   test("repetitionSignals / approxDistinct / semanticDedup verbs match the direct ops") {
     val rep = Pipeline.runOnDir(spark,
       """source: documents
