@@ -251,7 +251,7 @@ case class JdkMediaDecoder(frameBytes: Int = 256) extends MediaDecoder {
     * an embedded EXIF thumbnail's own EOI would cut a frame short — MJPEG
     * streams don't carry EXIF, so the simple scan is the right trade.
     */
-  private def mjpegFrames(payload: Array[Byte]): Iterator[Array[Byte]] = {
+  private[ops] def mjpegFrames(payload: Array[Byte]): Iterator[Array[Byte]] = {
     val out = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
     var i = 0
     var start = -1
@@ -268,6 +268,118 @@ case class JdkMediaDecoder(frameBytes: Int = 256) extends MediaDecoder {
     }
     out.iterator
   }
+}
+
+/** PRODUCTION-CODEC decoder shelling out to the ffmpeg CLI — the
+  * deployment answer for the containers the JDK cannot decode (MP3, MP4,
+  * WebP, MKV, Opus, …): ffmpeg TRANSCODES each payload to a format the
+  * [[JdkMediaDecoder]] pixel/sample layer already handles (PNG for
+  * images, 16-bit PCM WAV for audio, an MJPEG stream for video frames),
+  * so the feature math stays in one place and this class is pure process
+  * plumbing. The binary is found on `ffmpegPath` (default: `ffmpeg` on
+  * PATH); probe with [[FfmpegMediaDecoder.available]] and fall back to
+  * [[JdkMediaDecoder]] when absent.
+  *
+  * Process contract (the part a 1000-executor deployment cares about):
+  *   - input goes through a per-call temp file, NOT stdin — containers
+  *     with trailing metadata (MP4 `moov` at the end) cannot be probed
+  *     from a pipe; output streams from stdout, stderr is discarded
+  *     (`-v error` keeps it empty; failures surface as the exit code);
+  *   - a daemon watchdog force-kills the child after `timeoutSec` so a
+  *     codec hang on garbage bytes can never wedge a task slot;
+  *   - nonzero exit / empty output follow the corrupt-payload contract
+  *     exactly like [[JdkMediaDecoder]]: images decode to
+  *     `(0, 0, 0, empty)`, audio to no samples, resize passes the payload
+  *     through, video falls back to fixed-size chunking — a corrupt file
+  *     must NOT kill the task;
+  *   - stateless and trivially `Serializable`; one short-lived process
+  *     per payload (ffmpeg startup is ~10 ms against decode work that is
+  *     typically 10-100× that; the operators already batch per partition).
+  */
+case class FfmpegMediaDecoder(
+    ffmpegPath: String = "ffmpeg",
+    frameBytes: Int = 256,
+    timeoutSec: Int = 60) extends MediaDecoder {
+
+  private val jdk = JdkMediaDecoder(frameBytes)
+
+  /** Run ffmpeg over `input`, returning stdout on success. */
+  private def run(args: Seq[String], input: Array[Byte]): Option[Array[Byte]] = {
+    var tmp: java.nio.file.Path = null
+    try {
+      tmp = java.nio.file.Files.createTempFile("graft_ffmpeg_", ".bin")
+      java.nio.file.Files.write(tmp, input)
+      val cmd = (Seq(ffmpegPath, "-v", "error", "-nostdin", "-i", tmp.toString)
+        ++ args ++ Seq("pipe:1"))
+      val pb = new ProcessBuilder(cmd: _*)
+      pb.redirectError(ProcessBuilder.Redirect.DISCARD)
+      val p = pb.start()
+      p.getOutputStream.close()
+      val watchdog = new Thread(() => {
+        try {
+          if (!p.waitFor(timeoutSec.toLong, java.util.concurrent.TimeUnit.SECONDS)) {
+            // kill the whole tree: a wrapper script's codec child would
+            // otherwise keep stdout open and the read blocked
+            p.descendants().forEach(h => { h.destroyForcibly(); () })
+            p.destroyForcibly()
+          }
+        } catch { case _: InterruptedException => () }
+      })
+      watchdog.setDaemon(true)
+      watchdog.start()
+      val out = p.getInputStream.readAllBytes()
+      val code = p.waitFor()
+      watchdog.interrupt()
+      if (code == 0 && out.nonEmpty) Some(out) else None
+    } catch { case _: Exception => None }
+    finally {
+      if (tmp != null) {
+        try java.nio.file.Files.deleteIfExists(tmp)
+        catch { case _: Exception => () }
+      }
+    }
+  }
+
+  def decodeImage(payload: Array[Byte]): (Int, Int, Int, Iterator[Int]) =
+    run(Seq("-frames:v", "1", "-f", "image2", "-c:v", "png"), payload) match {
+      case Some(png) => jdk.decodeImage(png)
+      case None => (0, 0, 0, Iterator.empty)
+    }
+
+  def decodeAudio(payload: Array[Byte]): Iterator[Double] =
+    run(Seq("-f", "wav", "-c:a", "pcm_s16le"), payload) match {
+      case Some(wav) => jdk.decodeAudio(wav)
+      case None => Iterator.empty
+    }
+
+  def resizeImage(
+      payload: Array[Byte],
+      width: Int, height: Int,
+      newWidth: Int, newHeight: Int): Array[Byte] =
+    run(Seq("-vf", s"scale=${math.max(1, newWidth)}:${math.max(1, newHeight)}",
+      "-frames:v", "1", "-f", "image2", "-c:v", "png"), payload)
+      .getOrElse(payload)
+
+  def videoFrames(payload: Array[Byte]): Iterator[Array[Byte]] =
+    run(Seq("-f", "image2pipe", "-c:v", "mjpeg", "-q:v", "2"), payload) match {
+      case Some(mjpeg) => jdk.mjpegFrames(mjpeg)
+      case None => payload.grouped(frameBytes)
+    }
+}
+
+object FfmpegMediaDecoder {
+
+  /** True when the binary at `path` runs and reports a version — the
+    * deploy-time probe for choosing this decoder over [[JdkMediaDecoder]].
+    */
+  def available(path: String = "ffmpeg"): Boolean =
+    try {
+      val p = new ProcessBuilder(path, "-version")
+        .redirectErrorStream(true).start()
+      p.getOutputStream.close()
+      p.getInputStream.readAllBytes()
+      p.waitFor(10, java.util.concurrent.TimeUnit.SECONDS) && p.exitValue() == 0
+    } catch { case _: Exception => false }
 }
 
 /** Multimodal column operators: decode, feature-extract, resize,

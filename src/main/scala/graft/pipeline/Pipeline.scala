@@ -907,8 +907,17 @@ object Pipeline {
           r.getOrElse("decoder", "jdk").toString match {
             case "jdk" => graft.ops.JdkMediaDecoder()
             case "stub" => graft.ops.StubDecoder()
+            // production codecs (MP3/MP4/WebP/...) via the ffmpeg CLI;
+            // fails loudly at plan time when the binary is absent rather
+            // than silently emitting empty features task-side
+            case "ffmpeg" =>
+              if (!graft.ops.FfmpegMediaDecoder.available())
+                throw new IllegalArgumentException(
+                  "mediaDedup decoder 'ffmpeg' requested but no ffmpeg " +
+                    "binary is on PATH")
+              graft.ops.FfmpegMediaDecoder()
             case other => throw new IllegalArgumentException(
-              s"mediaDedup decoder must be jdk|stub, got $other")
+              s"mediaDedup decoder must be jdk|stub|ffmpeg, got $other")
           }
         val defaultHamming = kind match {
           case "image" | "video" => 10
