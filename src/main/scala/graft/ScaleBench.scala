@@ -220,6 +220,37 @@ object ScaleBench {
       graft.ops.Multimodal.imageNearDuplicatePairs(media,
         graft.ops.JdkMediaDecoder(), maxHamming = 10)
     }),
+    // Unigram-LM Viterbi encode throughput (round 11): a deterministic
+    // 18k-piece vocabulary (all 2- and 3-letter lowercase pieces + byte
+    // fallback — the lattice shape of a real trained vocab without a
+    // training phase inside the timed query). Map-only codegen'd kernel:
+    // must scale ~linearly at zero shuffle next to q14's langid row.
+    "x_unigram_encode" -> ((s, dir) => {
+      val letters = 'a' to 'z'
+      val pieces =
+        (for (a <- letters; b <- letters)
+          yield (Array(a.toByte, b.toByte), -8.0)) ++
+        (for (a <- letters; b <- letters; c <- letters)
+          yield (Array(a.toByte, b.toByte, c.toByte), -11.0))
+      val model = graft.ops.expr.UnigramModel.withByteFallback(pieces.toSeq)
+      s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"),
+          graft.ops.TextStats.tokenCountUnigram(col("text"), model).as("n"))
+    }),
+    // DOM-block content extraction throughput (round 11): pages
+    // synthesized around the corpus text (nav chrome + content paragraph
+    // + link footer) so the extractor sees realistic block structure at
+    // any scale. Map-only codegen'd kernel, ~linear, zero shuffle.
+    "x_html_extract" -> ((s, dir) => {
+      val page = concat(
+        lit("<html><head><title>t</title></head><body>" +
+          "<nav><a href='/'>Home</a> <a href='/a'>About</a></nav><p>"),
+        col("text"),
+        lit("</p><div><a href='/tos'>Terms</a></div></body></html>"))
+      s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"),
+          length(graft.ops.WebText.extractMainContent(page)).as("n_kept"))
+    }),
     "x_pq_topk" -> ((s, dir) => {
       val e = s.read.parquet(s"$dir/embeddings.parquet")
         .select(col("vec_id"), col("embedding"))
@@ -284,7 +315,15 @@ object ScaleBench {
                 System.err.println(s"[scalebench] $name @ $dir: $e")
                 return Result(-1, 0, 0, 0, 0, 0)
             }
-          try observed.write.format("noop").mode("overwrite").save()
+          // Drain the frame's OWN physical plan (InternalRow pass, nothing
+          // to the driver — same cost profile as the noop sink). The noop
+          // WRITE plans a separate command QueryExecution whose
+          // CollectMetricsExec instances are different objects, so the
+          // rows_out/truncation accumulators read back zero — the r11 bug
+          // that made every row report rows_out=0 until this run replaced
+          // the action.
+          try observed.queryExecution.toRdd
+            .foreachPartition(it => while (it.hasNext) { it.next(); () })
           catch {
             case e: Throwable =>
               System.err.println(s"[scalebench] $name @ $dir: $e")
