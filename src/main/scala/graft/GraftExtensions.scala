@@ -59,6 +59,18 @@ object GraftExtensions {
       s"$what must be a literal number; got $other")
   }
 
+  private def strLit(e: Expression, what: String): String = {
+    if (!e.foldable) throw new IllegalArgumentException(
+      s"$what must be a literal string; got the non-literal expression ${e.sql}")
+    e.eval()
+  } match {
+    case s: org.apache.spark.unsafe.types.UTF8String => s.toString
+    case null => throw new IllegalArgumentException(
+      s"$what must be a literal string; got NULL")
+    case other => throw new IllegalArgumentException(
+      s"$what must be a literal string; got $other")
+  }
+
   /** Every native kernel whose parameters SQL can express. */
   private[graft] val functions: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "simhash64" -> { es =>
@@ -174,6 +186,28 @@ object GraftExtensions {
           es.head, org.apache.spark.sql.types.StringType)
       }
       KmvSketch(child, intLit(es(1), "k"), seed).toAggregateExpression()
+    },
+    "html_blocks" -> { es =>
+      require(es.length == 1, "html_blocks(html)")
+      HtmlBlocksExpr(es.head, HtmlContent.ContentRules())
+    },
+    "main_content" -> { es =>
+      require(es.length == 1, "main_content(html)")
+      MainContentExpr(es.head, HtmlContent.ContentRules())
+    },
+    // the vocab path must be a string LITERAL: the model loads driver-side
+    // at plan time (the same place the Scala API loads it) and rides the
+    // task binary — SQL users point at the same .vocab file a trained or
+    // released model ships
+    "unigram_encode" -> { es =>
+      require(es.length == 2, "unigram_encode(text, vocabPath)")
+      UnigramEncodeExpr(es.head,
+        UnigramModel.fromVocabFile(strLit(es(1), "vocabPath")))
+    },
+    "unigram_count" -> { es =>
+      require(es.length == 2, "unigram_count(text, vocabPath)")
+      UnigramCountExpr(es.head,
+        UnigramModel.fromVocabFile(strLit(es(1), "vocabPath")))
     })
 
   /** Install the same functions as temp functions on a live session. */

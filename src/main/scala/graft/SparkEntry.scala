@@ -1086,6 +1086,32 @@ object SparkEntry {
         .select(col("tid"),
           graft.ops.WebText.extractMainContent(col("html")).as("main_text"))
     }),
+    // DOM-block classifier over the REAL corpus (q86 pins 3 fixtures;
+    // this replays the context-free classification + keep decision on
+    // every document): each doc's text wrapped in chrome (nav + footer,
+    // both bad by declaration/link-density) around one <p>. The corpus is
+    // single-spaced punctuation-free ASCII (checked), so DuckDB replays
+    // the whole classifier arithmetic — length, per-occurrence stopword
+    // ratio, the good/near-good/short/bad ladder, and kept = good.
+    // Thresholds 0.12/0.05 (vs the 0.20/0.10 defaults) so all four labels
+    // actually occur on this keyword-salad corpus (13/294/177/16 at
+    // sf0.01).
+    "q87_content_classify_corpus" -> ((s, dir) => {
+      val rules = graft.ops.expr.HtmlContent.ContentRules(
+        stopwordsLow = 0.05, stopwordsHigh = 0.12)
+      val page = concat(
+        lit("<html><body><nav><a href=\"/\">Home</a> " +
+          "<a href=\"/a\">About</a></nav><p>"),
+        col("text"),
+        lit("</p><footer><a href=\"/t\">Terms</a></footer></body></html>"))
+      t(s, dir, "documents").select(col("doc_id"),
+          graft.ops.WebText.htmlBlocks(page, rules).as("bs"),
+          graft.ops.WebText.extractMainContent(page, rules).as("kept"))
+        .select(col("doc_id"),
+          element_at(filter(col("bs"),
+            b => b.getField("tag") === "p"), 1).getField("label").as("label"),
+          col("kept"))
+    }),
     // Connected-components SHUFFLE-regime stress pin: a synthetic 50k-node
     // path-block graph (chains of 16 — pointer jumping needs ~5 rounds)
     // forced past both fast paths (localSolveMaxEdges=0,
@@ -2918,6 +2944,32 @@ object SparkEntry {
          |  (2, '$p' || chr(10) || 'Nice short note.' || chr(10) || '$p'),
          |  (3, '')) t(tid, main_text)""".stripMargin
     },
+    // full classifier arithmetic replayed: the corpus text is single-
+    // spaced punctuation-free ASCII, so block text == text, n_chars ==
+    // length, words == the split, and the stopword ratio is a plain
+    // list_filter count. Ladder order matches HtmlContent.contextFree;
+    // kept == text iff the block classifies good (chrome neighbors are
+    // bad, so the context pass keeps exactly the goods).
+    "q87_content_classify_corpus" ->
+      """WITH f AS (
+        |  SELECT doc_id, text AS t, length(text) AS n,
+        |    string_split(text, ' ') AS ws
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, t, n, len(ws) AS nw,
+        |    len(list_filter(ws, w -> list_contains(
+        |      ['the','a','an','and','or','of','to','in','is','it','that',
+        |       'for','on','with','as','at','by','be','this','are'], w)))
+        |      AS stops
+        |  FROM f)
+        |SELECT doc_id,
+        |  CASE WHEN n < 70 THEN 'short'
+        |       WHEN stops::DOUBLE / nw >= 0.12 AND n > 200 THEN 'good'
+        |       WHEN stops::DOUBLE / nw >= 0.05 THEN 'near-good'
+        |       ELSE 'bad' END AS label,
+        |  CASE WHEN n >= 70 AND stops::DOUBLE / nw >= 0.12 AND n > 200
+        |       THEN t ELSE '' END AS kept
+        |FROM g""".stripMargin,
     "q43_rollup" ->
       """SELECT l_returnflag, l_linestatus,
         |  sum(l_quantity) AS total_qty, count(*) AS n

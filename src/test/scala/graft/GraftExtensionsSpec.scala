@@ -106,6 +106,36 @@ class GraftExtensionsSpec extends SparkTestBase {
     assert(got == "It’s ’ok’ &#38;")
   }
 
+  test("main_content / html_blocks / unigram_* registered as SQL functions") {
+    graft.ops.expr.NativeSig.register(spark)
+    val para = graft.SparkEntry.HtmlFixturePara
+    val kept = spark.sql(
+      s"SELECT main_content('<nav><a href=x>Home</a></nav><p>$para</p>')"
+    ).head().getString(0)
+    assert(kept == para)
+    val nBlocks = spark.sql(
+      s"SELECT size(html_blocks('<nav>a</nav><p>$para</p>'))"
+    ).head().getInt(0)
+    assert(nBlocks == 2)
+    // unigram over a real .vocab file path (string literal → plan-time load)
+    val vf = java.io.File.createTempFile("graft_sql_unigram", ".vocab")
+    vf.deleteOnExit()
+    java.nio.file.Files.write(vf.toPath,
+      graft.SparkEntry.UnigramFixtureModel.toVocabLines.mkString("\n")
+        .getBytes("UTF-8"))
+    val row = spark.sql(
+      s"""SELECT unigram_encode('hello world', '${vf.getAbsolutePath}') AS ids,
+         |  unigram_count('hello world', '${vf.getAbsolutePath}') AS n
+         |""".stripMargin).head()
+    assert(row.getSeq[Int](0) == Seq(0, 5, 6) && row.getInt(1) == 3)
+    // a column reference as the vocab path is a clear contract error
+    val e = intercept[Exception] {
+      spark.sql(
+        "SELECT unigram_count(t, t) FROM VALUES ('a') AS v(t)").head()
+    }
+    assert(e.getMessage.contains("vocabPath must be a literal string"))
+  }
+
   test("kmv_distinct: non-string input is cast, non-literal seed is a clear error") {
     graft.ops.expr.NativeSig.register(spark)
     // int column: the registration casts to string (matching
