@@ -1112,6 +1112,68 @@ object SparkEntry {
             b => b.getField("tag") === "p"), 1).getField("label").as("label"),
           col("kept"))
     }),
+    // WARC crawl-archive round trip (ISO 28500, the CommonCrawl shipping
+    // format): every document becomes one HTTP-response record, written as
+    // record-per-gzip-member .warc.gz shards (attempt-unique temp + rename
+    // commit), read back by the per-file streaming parser. The oracle
+    // replays every projected field from `documents` — uri construction,
+    // the constant status/content-type the writer stamps, byte-exact body
+    // text, and the WARC Content-Length arithmetic (77 bytes of fixed
+    // HTTP chrome + the digits of the body length + the body itself).
+    "q88_warc_roundtrip" -> ((s, dir) => {
+      val fixture = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft_warc_" +
+          java.lang.Long.toHexString(dir.hashCode.toLong & 0xffffffffL) +
+          "_" + ProcessHandle.current().pid())
+      val out = new java.io.File(fixture, "rt").getPath
+      val src = t(s, dir, "documents").select(
+        concat(lit("https://site"), (col("doc_id") % 50).cast("string"),
+          lit(".com/doc/"), col("doc_id").cast("string")).as("uri"),
+        col("text").as("body"))
+      graft.sources.Warc.writeWarcResponses(
+        src.repartition(4), out, "uri", "body", overwrite = true)
+      graft.sources.Warc.readWarc(s, out).select(
+        regexp_extract(col("target_uri"), "/doc/(\\d+)$", 1)
+          .cast("long").as("doc_id"),
+        col("target_uri").as("uri"),
+        col("warc_type"),
+        col("http_status").as("status"),
+        col("http_content_type").as("ctype"),
+        col("payload").cast("string").as("body"),
+        col("content_length").as("clen"),
+        col("truncated"))
+    }),
+    // Crawl-curation e2e from YAML over the warc source: the config-driven
+    // user's CommonCrawl opening move — read the archive, keep HTTP 200s,
+    // group by registrable domain (PSL) with per-domain doc and char
+    // totals. Fully oracle-replayed (domains are site<N>.com by
+    // construction, so eTLD+1 arithmetic is replayable).
+    "q88b_warc_curation" -> ((s, dir) => {
+      val fixture = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft_warc_" +
+          java.lang.Long.toHexString(dir.hashCode.toLong & 0xffffffffL) +
+          "_" + ProcessHandle.current().pid())
+      val out = new java.io.File(fixture, "cur").getPath
+      val src = t(s, dir, "documents").select(
+        concat(lit("https://site"), (col("doc_id") % 50).cast("string"),
+          lit(".com/doc/"), col("doc_id").cast("string")).as("uri"),
+        col("text").as("body"))
+      graft.sources.Warc.writeWarcResponses(
+        src.repartition(4), out, "uri", "body", overwrite = true)
+      graft.pipeline.Pipeline.run(s,
+        s"""source: {format: warc, path: "$out"}
+           |steps:
+           |  - filter: "$$http_status == 200"
+           |  - withColumns:
+           |      body: $$payload::str
+           |  - domainOf: {url: target_uri, as: domain}
+           |  - groupBy: [domain]
+           |    agg:
+           |      n_docs: {count: "*"}
+           |      total_chars: {sum: "len_chars($$body)"}
+           |""".stripMargin,
+        name => t(s, dir, name))
+    }),
     // Connected-components SHUFFLE-regime stress pin: a synthetic 50k-node
     // path-block graph (chains of 16 — pointer jumping needs ~5 rounds)
     // forced past both fast paths (localSolveMaxEdges=0,
@@ -2970,6 +3032,27 @@ object SparkEntry {
         |  CASE WHEN n >= 70 AND stops::DOUBLE / nw >= 0.12 AND n > 200
         |       THEN t ELSE '' END AS kept
         |FROM g""".stripMargin,
+    // WARC round trip: every field the reader surfaces is derivable from
+    // `documents` — the writer stamps constant status/content-type, the
+    // record Content-Length is 77 fixed HTTP-chrome bytes + the digits of
+    // the body byte count + the body bytes.
+    "q88_warc_roundtrip" ->
+      """SELECT doc_id,
+        |  'https://site' || (doc_id % 50) || '.com/doc/' || doc_id AS uri,
+        |  'response' AS warc_type,
+        |  200 AS status,
+        |  'text/html; charset=UTF-8' AS ctype,
+        |  text AS body,
+        |  (77 + length(CAST(octet_length(encode(text)) AS VARCHAR))
+        |     + octet_length(encode(text)))::BIGINT AS clen,
+        |  false AS truncated
+        |FROM documents""".stripMargin,
+    "q88b_warc_curation" ->
+      """SELECT 'site' || (doc_id % 50) || '.com' AS domain,
+        |  count(*) AS n_docs,
+        |  sum(length(text))::BIGINT AS total_chars
+        |FROM documents
+        |GROUP BY 1""".stripMargin,
     "q43_rollup" ->
       """SELECT l_returnflag, l_linestatus,
         |  sum(l_quantity) AS total_qty, count(*) AS n

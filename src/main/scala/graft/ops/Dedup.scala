@@ -617,7 +617,7 @@ object Dedup {
     * buckets and the skew cap drops everything; [[hammingNearDuplicatePairs]]
     * dispatches those bands to [[multiIndexHammingPairs]] instead.
     */
-  private[ops] def bandedHammingPairs(
+  private[graft] def bandedHammingPairs(
       df: DataFrame,
       idCol: String,
       sigCol: String,

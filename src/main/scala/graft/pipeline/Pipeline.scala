@@ -123,6 +123,18 @@ object Pipeline {
                 s"tar source supports only 'format' and 'path'; remove: " +
                   unsupported.toSeq.sorted.mkString(", "))
             graft.sources.TarShards.readTarShards(spark, path)
+          // WARC crawl archives: {format: warc, path: ...,
+          //   maxPayloadBytes: 67108864} → one row per record (type, uri,
+          //   date, http status/content-type, payload, truncated flag)
+          case "warc" =>
+            val unsupported = sm.keySet -- Set("format", "path", "maxPayloadBytes")
+            if (unsupported.nonEmpty)
+              throw new IllegalArgumentException(
+                s"warc source supports 'format', 'path', 'maxPayloadBytes'; remove: " +
+                  unsupported.toSeq.sorted.mkString(", "))
+            graft.sources.Warc.readWarc(spark, path,
+              maxPayloadBytes = sm.get("maxPayloadBytes")
+                .map(_.toString.toInt).getOrElse(64 << 20))
           case fmt =>
             val reader = spark.read.format(fmt)
             val withOpts = sm.get("options") match {

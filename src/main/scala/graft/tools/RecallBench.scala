@@ -379,6 +379,62 @@ object RecallBench {
       }.mkString("{", ",", "}")
     }
 
+    // --- multi-index Hamming vs 1-of-(h+1) banding: measured planted
+    // recall at h=10 on two corpus sizes bracketing the banding collapse.
+    // 1000 planted companions at hamming 0..10 (cycling; XOR masks with
+    // exactly i%11 distinct bit positions). At nSmall the banded buckets
+    // sit under the cap and both engines find the floor; at nBig every one
+    // of the 352 banded buckets exceeds the cap and is DROPPED (recall→0)
+    // while multi-index keys on 4×2¹⁶ exact substrings and stays exact —
+    // the r10 verdict's collapse, measured rather than argued. Denominator
+    // is the planted floor only (organic hamming≤10 collisions among
+    // xxhash64 sigs exist — ~tens at 100k — but recall on the KNOWN pairs
+    // is the honest metric without a 10¹⁰-comparison ground truth).
+    val mihJson = {
+      val h = 10
+      val nPlant = 1000
+      def plantedCorpus(nBase: Long): org.apache.spark.sql.DataFrame = {
+        val masks: Seq[Long] = (0 until nPlant).map { i =>
+          var m = 0L
+          var j = 0
+          while (j < i % 11) { m |= 1L << ((i * 7 + j * 13) % 64); j += 1 }
+          m
+        }
+        val base = spark.range(nBase)
+          .select(col("id"), xxhash64(col("id")).as("sig"))
+        val planted = spark.range(nPlant.toLong).select(
+          (col("id") + nBase).as("id"),
+          xxhash64(col("id")).bitwiseXOR(
+            element_at(typedLit(masks), (col("id") + 1).cast("int"))).as("sig"))
+        base.unionByName(planted)
+      }
+      def measure(nBase: Long,
+          engine: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame) = {
+        val pairs = engine(plantedCorpus(nBase))
+        // collect IS the metrics-populating action on this frame (pair sets
+        // here are ~1k rows — planted floor + a handful of organic hits);
+        // a derived count() would execute its own plan and lose the
+        // truncation observation (the ScaleBench round-11 lesson)
+        val rows = pairs.collect()
+        val found = rows.count(r =>
+          r.getLong(1) == r.getLong(0) + nBase && r.getLong(0) < nPlant)
+        val trunc = graft.ops.Dedup.observedBucketStats(pairs)
+          .map(_._2).getOrElse(-1L)
+        (found.toDouble / nPlant, trunc)
+      }
+      val cap = 1000
+      val out = Seq(2000L, 100000L).map { nBase =>
+        val (bR, bT) = measure(nBase,
+          df => graft.ops.Dedup.bandedHammingPairs(df, "id", "sig", h, cap))
+        val (mR, mT) = measure(nBase,
+          df => graft.ops.Dedup.multiIndexHammingPairs(df, "id", "sig", h, cap))
+        s""""n$nBase":{"planted":$nPlant,"max_hamming":$h,""" +
+          s""""banded_recall":${f"$bR%.3f"},"banded_truncated":$bT,""" +
+          s""""mih_recall":${f"$mR%.3f"},"mih_truncated":$mT}"""
+      }
+      out.mkString("{", ",", "}")
+    }
+
     val json =
       s"""{"metric":"ann_recall","sf":"$sfDir","n":$n,"dim":$dim,"k":$k,""" +
         s""""queries":${queries.length},"ivf_cells":$cells,""" +
@@ -398,7 +454,8 @@ object RecallBench {
         s""""jaccard_exact_sec":${f"$exactJacSec%.2f"},""" +
         s""""jaccard_ceiling":$jaccardJson,""" +
         s""""phash":$phashJson,""" +
-        s""""audio_fp":$audioJson}"""
+        s""""audio_fp":$audioJson,""" +
+        s""""mih":$mihJson}"""
     println(json)
     java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
       (json + "\n").getBytes("UTF-8"))

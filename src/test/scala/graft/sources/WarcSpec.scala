@@ -1,0 +1,188 @@
+package graft.sources
+
+import java.io.ByteArrayOutputStream
+import java.nio.file.Files
+import java.util.zip.GZIPOutputStream
+
+import org.apache.spark.sql.functions._
+
+import graft.dftly.SparkTestBase
+
+/** WARC source/sink: write→read roundtrip, hand-built record parsing
+  * (record types, header folding, CRLF/LF leniency, concatenated gzip
+  * members, payload truncation, HTTP splitting), and the commit-protocol
+  * refusals shared with the tar-shard sink.
+  */
+class WarcSpec extends SparkTestBase {
+
+  private lazy val sq = spark
+  import sq.implicits._
+
+  private def tmpDir(): String = {
+    val d = Files.createTempDirectory("warc_spec_").toFile
+    d.deleteOnExit()
+    d.getAbsolutePath
+  }
+
+  private def crlf(lines: String*): String = lines.mkString("", "\r\n", "\r\n")
+
+  /** One hand-assembled WARC record with an arbitrary content block. */
+  private def record(headers: Seq[String], block: Array[Byte]): Array[Byte] = {
+    val head = crlf((Seq("WARC/1.0") ++ headers ++
+      Seq(s"Content-Length: ${block.length}", "")): _*)
+    head.getBytes("UTF-8") ++ block ++ "\r\n\r\n".getBytes("UTF-8")
+  }
+
+  private def httpBlock(status: String, ct: String, body: String): Array[Byte] =
+    (crlf(s"HTTP/1.1 $status", s"Content-Type: $ct", "") + body).getBytes("UTF-8")
+
+  test("write → read roundtrip preserves uri, status, content type and body") {
+    val dir = tmpDir()
+    val df = (1 to 41)
+      .map(i => (s"https://example.com/doc/$i", s"<html><p>body $i</p></html>"))
+      .toDF("uri", "body")
+    Warc.writeWarcResponses(df.repartition(3), dir, "uri", "body")
+    val back = Warc.readWarc(spark, dir)
+      .select(col("target_uri"), col("http_status"),
+        col("http_content_type"), col("payload").cast("string").as("body"),
+        col("warc_type"), col("truncated"))
+    assert(back.count() == 41)
+    assert(back.filter(col("warc_type") =!= "response").count() == 0)
+    assert(back.filter(col("http_status") =!= 200).count() == 0)
+    assert(back.filter(col("truncated")).count() == 0)
+    assert(back.filter(!col("http_content_type").startsWith("text/html")).count() == 0)
+    val got = back.select(col("target_uri").as("uri"), col("body"))
+    val want = df
+    assert(got.exceptAll(want).count() == 0 && want.exceptAll(got).count() == 0)
+  }
+
+  test("record ids are deterministic and distinct per uri") {
+    val dir1 = tmpDir(); val dir2 = tmpDir()
+    val df = Seq("https://a/x", "https://a/y").toDF("uri")
+      .withColumn("body", lit("b"))
+    Warc.writeWarcResponses(df.repartition(1), dir1, "uri", "body")
+    Warc.writeWarcResponses(df.repartition(1), dir2, "uri", "body")
+    def ids(d: String) = Warc.readWarc(spark, d)
+      .select(col("target_uri"), col("record_id")).as[(String, String)]
+      .collect().toMap
+    val i1 = ids(dir1); val i2 = ids(dir2)
+    assert(i1 == i2)
+    assert(i1.values.toSet.size == 2)
+  }
+
+  test("parses record types, header folding and LF-only leniency") {
+    val warcinfo = record(
+      Seq("WARC-Type: warcinfo", "Content-Type: application/warc-fields"),
+      "software: graft\r\n".getBytes("UTF-8"))
+    val resp = record(
+      Seq("WARC-Type: response",
+        "WARC-Target-URI: https://e.com/long",
+        "WARC-Record-ID: <urn:x:1>",
+        "WARC-Date: 2026-01-02T03:04:05Z",
+        // folded header: continuation line starts with a space
+        "Content-Type: application/http;", " msgtype=response"),
+      httpBlock("404 Not Found", "text/plain", "gone"))
+    val meta = record(
+      Seq("WARC-Type: metadata", "Content-Type: application/warc-fields"),
+      "via: crawler\n".getBytes("UTF-8"))
+    // LF-only version/header lines (lenient parse)
+    val lfOnly = ("WARC/1.1\nWARC-Type: resource\nContent-Length: 3\n\nabc\r\n\r\n")
+      .getBytes("UTF-8")
+    val rows = Warc.parseFile("t.warc",
+      warcinfo ++ resp ++ meta ++ lfOnly, 1 << 20).toSeq
+    assert(rows.map(_.warc_type) == Seq("warcinfo", "response", "metadata", "resource"))
+    assert(rows.map(_.record_index) == Seq(0, 1, 2, 3))
+    val r = rows(1)
+    assert(r.target_uri.contains("https://e.com/long"))
+    assert(r.warc_date.contains("2026-01-02T03:04:05Z"))
+    assert(r.content_type.contains("application/http; msgtype=response"))
+    assert(r.http_status.contains(404))
+    assert(r.http_content_type.contains("text/plain"))
+    assert(new String(r.payload, "UTF-8") == "gone")
+    assert(new String(rows(3).payload, "UTF-8") == "abc")
+    assert(rows(3).http_status.isEmpty) // not an http record
+  }
+
+  test("concatenated gzip members parse as one stream") {
+    val bos = new ByteArrayOutputStream()
+    Seq(
+      record(Seq("WARC-Type: resource"), "one".getBytes("UTF-8")),
+      record(Seq("WARC-Type: resource"), "two".getBytes("UTF-8"))
+    ).foreach { rec =>
+      val gz = new GZIPOutputStream(bos); gz.write(rec); gz.finish(); gz.close()
+    }
+    val rows = Warc.parseFile("t.warc.gz", bos.toByteArray, 1 << 20).toSeq
+    assert(rows.map(r => new String(r.payload, "UTF-8")) == Seq("one", "two"))
+  }
+
+  test("payload cap truncates, flags, and keeps the stream aligned") {
+    val big = record(Seq("WARC-Type: resource"), Array.fill[Byte](1000)('x'))
+    val after = record(Seq("WARC-Type: resource"), "tail".getBytes("UTF-8"))
+    val rows = Warc.parseFile("t.warc", big ++ after, maxPayloadBytes = 100).toSeq
+    assert(rows.length == 2)
+    assert(rows(0).truncated && rows(0).payload.length == 100)
+    assert(rows(0).content_length == 1000) // the declared, not the kept, length
+    assert(!rows(1).truncated && new String(rows(1).payload, "UTF-8") == "tail")
+  }
+
+  test("http block without a header/body boundary comes back whole") {
+    val (st, ct, body) = Warc.parseHttp("not an http message".getBytes("UTF-8"))
+    assert(st.isEmpty && ct.isEmpty)
+    assert(new String(body, "UTF-8") == "not an http message")
+  }
+
+  test("garbage between records fails loudly, missing Content-Length too") {
+    val bad = "GARBAGE\r\n".getBytes("UTF-8") ++
+      record(Seq("WARC-Type: resource"), "x".getBytes("UTF-8"))
+    intercept[IllegalArgumentException] {
+      Warc.parseFile("t.warc", bad, 1 << 20).toSeq
+    }
+    val noLen = "WARC/1.0\r\nWARC-Type: resource\r\n\r\n".getBytes("UTF-8")
+    intercept[IllegalArgumentException] {
+      Warc.parseFile("t.warc", noLen, 1 << 20).toSeq
+    }
+  }
+
+  test("non-empty output dir is refused unless overwrite") {
+    val dir = tmpDir()
+    val df = Seq(("https://a/1", "b")).toDF("uri", "body")
+    Warc.writeWarcResponses(df, dir, "uri", "body")
+    val e = intercept[IllegalArgumentException] {
+      Warc.writeWarcResponses(df, dir, "uri", "body")
+    }
+    assert(e.getMessage.contains("not empty"))
+    Warc.writeWarcResponses(df, dir, "uri", "body", overwrite = true)
+    assert(Warc.readWarc(spark, dir).count() == 1)
+  }
+
+  test("shards roll at maxRecordsPerShard") {
+    val dir = tmpDir()
+    val df = (1 to 25).map(i => (s"https://a/$i", s"v$i")).toDF("uri", "body")
+    Warc.writeWarcResponses(df.repartition(1), dir, "uri", "body",
+      maxRecordsPerShard = 10)
+    val shards = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".warc.gz"))
+    assert(shards.length == 3) // 10 + 10 + 5
+    assert(Warc.readWarc(spark, dir).count() == 25)
+  }
+
+  test("pipeline warc source reads records and rejects unknown keys") {
+    val dir = tmpDir()
+    val df = (1 to 7).map(i => (s"https://p/$i", s"t$i")).toDF("uri", "body")
+    Warc.writeWarcResponses(df, dir, "uri", "body")
+    val out = graft.pipeline.Pipeline.run(spark,
+      s"""
+         |source: {format: warc, path: "$dir"}
+         |steps:
+         |  - filter: "$$http_status == 200"
+         |  - select:
+         |      uri: $$target_uri
+         |""".stripMargin, _ => fail("no table resolve expected"))
+    assert(out.count() == 7)
+    intercept[IllegalArgumentException] {
+      graft.pipeline.Pipeline.run(spark,
+        s"""source: {format: warc, path: "$dir", schema: "x INT"}""",
+        _ => fail("no table resolve expected"))
+    }
+  }
+}
