@@ -251,6 +251,43 @@ object ScaleBench {
         .select(col("doc_id"),
           length(graft.ops.WebText.extractMainContent(page)).as("n_kept"))
     }),
+    // WARC sink+source roundtrip throughput (round 11): the corpus out as
+    // record-per-gzip-member .warc.gz shards (one file per task — file
+    // count IS the read parallelism, the CommonCrawl shape) and straight
+    // back in through the per-file streaming parser. Write is map-only
+    // (commit = rename), read is map-only; rows_out must equal the corpus
+    // size, so the artifact itself proves no record was lost or split.
+    "x_warc_roundtrip" -> ((s, dir) => {
+      val out = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft_scale_warc_" +
+          java.lang.Long.toHexString(dir.hashCode.toLong & 0xffffffffL) +
+          "_" + ProcessHandle.current().pid()).getPath
+      val src = s.read.parquet(s"$dir/documents.parquet").select(
+        concat(lit("https://site"), (col("doc_id") % 1000).cast("string"),
+          lit(".com/doc/"), col("doc_id").cast("string")).as("uri"),
+        col("text").as("body"))
+      graft.sources.Warc.writeWarcResponses(
+        src, out, "uri", "body", overwrite = true)
+      graft.sources.Warc.readWarc(s, out).select(
+        regexp_extract(col("target_uri"), "/doc/(\\d+)$", 1)
+          .cast("long").as("doc_id"),
+        col("content_length").as("clen"))
+    }),
+    // Cross-corpus segment dedup throughput (round 11): shared
+    // header/footer lines wrapped around every document — the hot-segment
+    // skew case the operator is designed for (the shared lines occur
+    // corpus-size times; the map-side-combining keeper table must absorb
+    // them without a hot-task stall). rows_out == corpus size (one row
+    // per document back out).
+    "x_segment_dedup" -> ((s, dir) => {
+      val wrapped = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"),
+          concat(lit("Shared header boilerplate.\n"), col("text"),
+            lit("\nShared footer boilerplate.")).as("text"))
+      graft.ops.Dedup.dedupSegmentsAcrossCorpus(wrapped, "doc_id", "text")
+        .select(col("doc_id"), length(col("text_dedup")).as("n_kept"),
+          col("n_segments_removed"))
+    }),
     "x_pq_topk" -> ((s, dir) => {
       val e = s.read.parquet(s"$dir/embeddings.parquet")
         .select(col("vec_id"), col("embedding"))

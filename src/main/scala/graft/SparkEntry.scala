@@ -1174,6 +1174,30 @@ object SparkEntry {
            |""".stripMargin,
         name => t(s, dir, name))
     }),
+    // Cross-corpus segment (line) dedup, keep-first mode: every document
+    // wrapped in the SAME header/footer lines — corpus-wide line dedup
+    // must keep each shared line exactly once (at its minimal
+    // (doc_id, position) occurrence) and keep unique body lines where
+    // they stand. Oracle replays the full keep-first window arithmetic.
+    "q89_segment_dedup" -> ((s, dir) => {
+      val wrapped = t(s, dir, "documents").select(col("doc_id"),
+        concat(lit("Shared header boilerplate.\n"), col("text"),
+          lit("\nShared footer boilerplate.")).as("text"))
+      graft.ops.Dedup.dedupSegmentsAcrossCorpus(wrapped, "doc_id", "text")
+        .select(col("doc_id"), col("text_dedup"), col("n_segments_removed"))
+    }),
+    // unique_only mode: lines occurring more than once corpus-wide vanish
+    // EVERYWHERE (the aggressive CCNet hash-sharding behavior) — the
+    // shared header/footer disappear from every document, and a body line
+    // survives only if its text is corpus-unique.
+    "q89b_segment_dedup_unique" -> ((s, dir) => {
+      val wrapped = t(s, dir, "documents").select(col("doc_id"),
+        concat(lit("Shared header boilerplate.\n"), col("text"),
+          lit("\nShared footer boilerplate.")).as("text"))
+      graft.ops.Dedup.dedupSegmentsAcrossCorpus(wrapped, "doc_id", "text",
+          mode = "unique_only")
+        .select(col("doc_id"), col("text_dedup"), col("n_segments_removed"))
+    }),
     // Connected-components SHUFFLE-regime stress pin: a synthetic 50k-node
     // path-block graph (chains of 16 — pointer jumping needs ~5 rounds)
     // forced past both fast paths (localSolveMaxEdges=0,
@@ -3053,6 +3077,50 @@ object SparkEntry {
         |  sum(length(text))::BIGINT AS total_chars
         |FROM documents
         |GROUP BY 1""".stripMargin,
+    // keep-first segment dedup: the full window arithmetic — a segment
+    // survives only at its minimal (doc_id, pos) corpus occurrence.
+    "q89_segment_dedup" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    'Shared header boilerplate.' || chr(10) || text || chr(10) ||
+        |      'Shared footer boilerplate.' AS t
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id,
+        |    unnest(string_split(t, chr(10))) AS seg,
+        |    unnest(generate_series(1, len(string_split(t, chr(10))))) AS pos
+        |  FROM d),
+        |r AS (
+        |  SELECT doc_id, pos, seg,
+        |    row_number() OVER (PARTITION BY seg ORDER BY doc_id, pos) AS rn
+        |  FROM s)
+        |SELECT doc_id,
+        |  coalesce(string_agg(seg, chr(10) ORDER BY pos)
+        |    FILTER (WHERE rn = 1), '') AS text_dedup,
+        |  sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END)::BIGINT
+        |    AS n_segments_removed
+        |FROM r GROUP BY doc_id""".stripMargin,
+    "q89b_segment_dedup_unique" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    'Shared header boilerplate.' || chr(10) || text || chr(10) ||
+        |      'Shared footer boilerplate.' AS t
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id,
+        |    unnest(string_split(t, chr(10))) AS seg,
+        |    unnest(generate_series(1, len(string_split(t, chr(10))))) AS pos
+        |  FROM d),
+        |r AS (
+        |  SELECT doc_id, pos, seg,
+        |    count(*) OVER (PARTITION BY seg) AS c
+        |  FROM s)
+        |SELECT doc_id,
+        |  coalesce(string_agg(seg, chr(10) ORDER BY pos)
+        |    FILTER (WHERE c = 1), '') AS text_dedup,
+        |  sum(CASE WHEN c > 1 THEN 1 ELSE 0 END)::BIGINT
+        |    AS n_segments_removed
+        |FROM r GROUP BY doc_id""".stripMargin,
     "q43_rollup" ->
       """SELECT l_returnflag, l_linestatus,
         |  sum(l_quantity) AS total_qty, count(*) AS n

@@ -206,6 +206,97 @@ object Dedup {
   }
 
   // ------------------------------------------------------------------
+  // Cross-corpus segment (line / paragraph) dedup
+  // ------------------------------------------------------------------
+
+  /** SEGMENT-level cross-corpus dedup (the CCNet-family line dedup; same
+    * idea as C4's repeated-span removal but at line/paragraph granularity
+    * keyed on the segment VALUE corpus-wide): split every document on a
+    * literal separator, keep each distinct segment in only ONE place in
+    * the whole corpus, and reassemble. The web's per-line boilerplate —
+    * cookie banners, "Home | About | Contact", footers — repeats across
+    * *sites*, which within-document repetition signals
+    * ([[Corpus.dupSegmentFraction]]) and token-window masking
+    * ([[maskRepeatedSpans]], which needs `windowTokens` contiguous tokens)
+    * both miss for short lines.
+    *
+    * Modes:
+    *   - `keep_first` (default): a segment survives only at its first
+    *     corpus occurrence — minimal `(idCol, position)` order, so output
+    *     is deterministic and one copy of every line always survives.
+    *   - `unique_only`: segments occurring more than once are dropped
+    *     everywhere (the aggressive CCNet hash-sharding behavior).
+    *
+    * Output: the input row plus `text_dedup` (kept segments re-joined with
+    * `sep`; "" when nothing survives) and `n_segments_removed`. EVERY
+    * segment participates, including empty ones — corpus-wide dedup of
+    * blank lines collapses paragraph spacing by design (the behavior of
+    * the published pipelines); split on `"\n\n"`-style separators to
+    * dedup paragraphs instead of lines.
+    *
+    * Scale shape (the 100 TB contract):
+    *   1. the keeper table is ONE `groupBy(hash, seg).agg(min(id, pos))`
+    *      — `min` partial-aggregates map-side, so the billion-occurrence
+    *      blank line costs one comparator per task, never a billion-row
+    *      window group (a `row_number() OVER (PARTITION BY seg)` would
+    *      put every copy of the hottest line on one task — the exact
+    *      workload this operator targets);
+    *   2. the join back to instances is keyed `(xxhash64(seg), seg)` —
+    *      the 8-byte hash drives partitioning/comparison and the raw
+    *      segment rides only for exactness (hash collisions cannot merge
+    *      distinct segments); build side is one row per DISTINCT segment;
+    *      probe-side hot keys are AQE-splittable because the build group
+    *      is a single row;
+    *   3. reassembly is one per-document `collect_list` bounded by
+    *      document length (the same bound as the text itself).
+    */
+  def dedupSegmentsAcrossCorpus(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      sep: String = "\n",
+      mode: String = "keep_first"
+  ): DataFrame = {
+    require(mode == "keep_first" || mode == "unique_only",
+      s"mode must be keep_first|unique_only, got '$mode'")
+    require(sep.nonEmpty, "sep must be non-empty")
+    require(!df.columns.contains("text_dedup") &&
+      !df.columns.contains("n_segments_removed"),
+      "dedupSegmentsAcrossCorpus adds text_dedup/n_segments_removed; " +
+        "rename the existing columns first")
+    val segs = ensureParallelism(df)
+      .select(col(idCol).as("__id"),
+        posexplode(split(col(textCol),
+          java.util.regex.Pattern.quote(sep), -1)).as(Seq("__pos", "__seg")))
+      .withColumn("__k", xxhash64(col("__seg")))
+    val keepers = mode match {
+      case "keep_first" =>
+        segs.groupBy(col("__k"), col("__seg"))
+          .agg(min(struct(col("__id"), col("__pos"))).as("__first"))
+      case _ =>
+        segs.groupBy(col("__k"), col("__seg"))
+          .agg(count(lit(1)).as("__n"), min(struct(col("__id"), col("__pos"))).as("__first"))
+          .filter(col("__n") === 1)
+          .select(col("__k"), col("__seg"), col("__first"))
+    }
+    val marked = segs.join(keepers.hint("merge"), Seq("__k", "__seg"), "left")
+      .select(col("__id"), col("__pos"), col("__seg"),
+        (col("__first").isNotNull &&
+          col("__first.__id") === col("__id") &&
+          col("__first.__pos") === col("__pos")).as("__keep"))
+    val reassembled = marked
+      .groupBy(col("__id"))
+      .agg(
+        concat_ws(sep,
+          transform(
+            array_sort(collect_list(when(col("__keep"),
+              struct(col("__pos"), col("__seg"))))),
+            s => s.getField("__seg"))).as("text_dedup"),
+        sum(when(!col("__keep"), 1L).otherwise(0L)).as("n_segments_removed"))
+    df.join(reassembled.withColumnRenamed("__id", idCol), Seq(idCol), "left")
+  }
+
+  // ------------------------------------------------------------------
   // Shingles + MinHash
   // ------------------------------------------------------------------
 

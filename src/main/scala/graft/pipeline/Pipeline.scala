@@ -321,6 +321,16 @@ object Pipeline {
         Dedup.dropExactDuplicates(df,
           d("id").toString, asSeq(d("keys")).map(_.toString))
 
+      case "dedupSegments" =>
+        // {id: col, text: col, sep?: "\n", mode?: keep_first|unique_only}
+        // — CCNet-style cross-corpus line/paragraph dedup; adds
+        // `text_dedup` + `n_segments_removed`
+        val d = asMap(step("dedupSegments"), "dedupSegments")
+        Dedup.dedupSegmentsAcrossCorpus(df,
+          d("id").toString, d("text").toString,
+          sep = d.getOrElse("sep", "\n").toString,
+          mode = d.getOrElse("mode", "keep_first").toString)
+
       case "textStats" =>
         graft.ops.TextStats.withTextStats(df, step("textStats").toString)
 
