@@ -159,6 +159,23 @@ object Pipeline {
     // requires saveAsTable, Spark's bucket metadata lives in the catalog).
     cfg.get("sink").foreach { s =>
       val sm = asMap(s, "sink")
+      // WARC response-record sink: {format: warc, path, uri: col,
+      // body: col, mode?: overwrite|errorifexists} — one .warc.gz per
+      // task via Warc.writeWarcResponses (not a DataFrameWriter format)
+      if (sm.get("format").exists(_.toString == "warc")) {
+        val unsupported = sm.keySet --
+          Set("format", "path", "uri", "body", "mode")
+        if (unsupported.nonEmpty)
+          throw new IllegalArgumentException(
+            s"warc sink supports format/path/uri/body/mode; remove: " +
+              unsupported.toSeq.sorted.mkString(", "))
+        graft.sources.Warc.writeWarcResponses(out,
+          sm.getOrElse("path", throw new IllegalArgumentException(
+            "warc sink needs a 'path'")).toString,
+          uriCol = sm.getOrElse("uri", "uri").toString,
+          bodyCol = sm.getOrElse("body", "body").toString,
+          overwrite = sm.getOrElse("mode", "overwrite").toString == "overwrite")
+      } else {
       var w = out.write
         .format(sm.getOrElse("format", "parquet").toString)
         .mode(sm.getOrElse("mode", "overwrite").toString)
@@ -185,6 +202,7 @@ object Pipeline {
           w.save(p.toString)
         case (None, None) =>
           throw new IllegalArgumentException("sink needs a 'path' or a 'table'")
+      }
       }
     }
     out

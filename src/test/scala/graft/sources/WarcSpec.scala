@@ -166,6 +166,31 @@ class WarcSpec extends SparkTestBase {
     assert(Warc.readWarc(spark, dir).count() == 25)
   }
 
+  test("pipeline warc sink writes response shards from YAML") {
+    val dir = tmpDir()
+    val docs = Seq((1L, "alpha"), (2L, "beta")).toDF("doc_id", "text")
+    graft.pipeline.Pipeline.run(spark,
+      s"""source: docs
+         |steps:
+         |  - select:
+         |      uri: "f'https://x/{$$doc_id}'"
+         |      body: $$text
+         |sink: {format: warc, path: "$dir/out", uri: uri, body: body}
+         |""".stripMargin,
+      name => { assert(name == "docs"); docs })
+    val back = Warc.readWarc(spark, s"$dir/out")
+      .select(col("target_uri"), col("payload").cast("string"))
+      .as[(String, String)].collect().toSet
+    assert(back == Set(("https://x/1", "alpha"), ("https://x/2", "beta")))
+    intercept[IllegalArgumentException] {
+      graft.pipeline.Pipeline.run(spark,
+        s"""source: docs
+           |sink: {format: warc, path: "$dir/out2", partitionBy: [x]}
+           |""".stripMargin,
+        name => docs)
+    }
+  }
+
   test("pipeline warc source reads records and rejects unknown keys") {
     val dir = tmpDir()
     val df = (1 to 7).map(i => (s"https://p/$i", s"t$i")).toDF("uri", "body")
