@@ -2021,6 +2021,16 @@ object SparkEntry {
       val d = t(s, dir, "documents")
       graft.ops.LangModel.scorePerplexity(d, "doc_id", "text", d, "text")
     }),
+    // Interpolated Kneser–Ney perplexity (the KenLM-class smoothing real
+    // CCNet-style filtering uses): trained on the EVEN documents, scored
+    // on all — odd documents hit unseen contexts/words, so the backoff
+    // AND the floored continuation distribution are both exercised and
+    // replayed. Full count + probability arithmetic in the oracle.
+    "q90_perplexity_kn" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      graft.ops.LangModel.scorePerplexityKneserNey(
+        d, "doc_id", "text", d.filter(col("doc_id") % 2 === 0), "text")
+    }),
     // Deterministic content-keyed sampling (ops/Sampling.scala): unlike
     // df.sample (partition-order RNG) the md5-rank decision is a pure row
     // property, so the EXACT selected row set replays in DuckDB — the
@@ -3570,6 +3580,48 @@ object SparkEntry {
          |  JOIN big bg USING (prev, w)
          |  JOIN ctx c USING (prev)
          |  CROSS JOIN voc v
+         |)
+         |SELECT doc_id, count(*)::BIGINT AS n_bigrams,
+         |  round(sum(CAST(logp AS DECIMAL(38,12)))::DOUBLE / count(*), 6) AS avg_logp,
+         |  round(exp(-(sum(CAST(logp AS DECIMAL(38,12)))::DOUBLE / count(*))), 4) AS ppl
+         |FROM lp GROUP BY doc_id""".stripMargin,
+    "q90_perplexity_kn" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id,
+         |    list_filter(string_split_regex(text, '$wsClassSql'), t -> t <> '') AS ts
+         |  FROM documents
+         |), bigr AS (
+         |  SELECT doc_id, unnest(ts[1:len(ts)-1]) AS prev, unnest(ts[2:len(ts)]) AS w
+         |  FROM toks WHERE len(ts) >= 2
+         |), tbigr AS (
+         |  SELECT prev, w FROM bigr WHERE doc_id % 2 = 0
+         |), voc AS (
+         |  SELECT count(DISTINCT t) AS V
+         |  FROM (SELECT unnest(ts) AS t FROM toks WHERE doc_id % 2 = 0)
+         |), big AS (
+         |  SELECT prev, w, count(*) AS c_bg FROM tbigr GROUP BY prev, w
+         |), ctx AS (
+         |  SELECT prev, sum(c_bg) AS c_prev, count(*) AS n1_prev
+         |  FROM big GROUP BY prev
+         |), n1w AS (
+         |  SELECT w, count(*) AS n1_w FROM big GROUP BY w
+         |), nbig AS (
+         |  SELECT count(*) AS N FROM big
+         |), lp AS (
+         |  SELECT b.doc_id,
+         |    round(ln(
+         |      CASE WHEN c.c_prev IS NOT NULL THEN
+         |        (GREATEST(COALESCE(bg.c_bg, 0)::DOUBLE - 0.75, 0.0)
+         |          + 0.75 * c.n1_prev::DOUBLE *
+         |            ((COALESCE(nw.n1_w, 0) + 1)::DOUBLE / (nb.N + v.V)::DOUBLE))
+         |        / c.c_prev::DOUBLE
+         |      ELSE (COALESCE(nw.n1_w, 0) + 1)::DOUBLE / (nb.N + v.V)::DOUBLE
+         |      END), 6) AS logp
+         |  FROM bigr b
+         |  LEFT JOIN big bg USING (prev, w)
+         |  LEFT JOIN ctx c USING (prev)
+         |  LEFT JOIN n1w nw USING (w)
+         |  CROSS JOIN nbig nb CROSS JOIN voc v
          |)
          |SELECT doc_id, count(*)::BIGINT AS n_bigrams,
          |  round(sum(CAST(logp AS DECIMAL(38,12)))::DOUBLE / count(*), 6) AS avg_logp,

@@ -765,15 +765,24 @@ object Pipeline {
           minRepeats = m.get("minRepeats").map(_.toString.toInt).getOrElse(2))
 
       case "perplexity" =>
-        // {id, text, train?: table (default: self)} — bigram-LM quality
-        // scores joined back onto the frame (left: docs with <2 tokens get
-        // null ppl), so `- filter: $ppl < N` composes downstream
+        // {id, text, train?: table (default: self), smoothing?:
+        // laplace|kn, discount?: 0.75} — bigram-LM quality scores joined
+        // back onto the frame (left: docs with <2 tokens get null ppl),
+        // so `- filter: $ppl < N` composes downstream. `kn` = interpolated
+        // Kneser–Ney, the KenLM-class smoothing of real CCNet filtering.
         val pp = asMap(step("perplexity"), "perplexity")
         val id = pp("id").toString
         val train = pp.get("train").map(tn => resolve(tn.toString)).getOrElse(df)
-        val scores = graft.ops.LangModel.scorePerplexity(
-          df, id, pp("text").toString,
-          train, pp.getOrElse("trainText", pp("text")).toString)
+        val trainText = pp.getOrElse("trainText", pp("text")).toString
+        val scores = pp.getOrElse("smoothing", "laplace").toString match {
+          case "laplace" => graft.ops.LangModel.scorePerplexity(
+            df, id, pp("text").toString, train, trainText)
+          case "kn" => graft.ops.LangModel.scorePerplexityKneserNey(
+            df, id, pp("text").toString, train, trainText,
+            discount = pp.getOrElse("discount", 0.75).toString.toDouble)
+          case other => throw new IllegalArgumentException(
+            s"perplexity smoothing must be laplace|kn, got '$other'")
+        }
         df.join(scores, Seq(id), "left")
 
       case "tokenize" =>

@@ -170,6 +170,9 @@ object Warc {
             close(); shardNo += 1; inShard = 0; open()
           }
           val uri = r.getString(0)
+          if (uri == null) throw new IllegalArgumentException(
+            "writeWarcResponses: null uri — WARC-Target-URI is mandatory " +
+              "for response records; filter or coalesce the uri column first")
           val body =
             if (r.isNullAt(1)) Array.emptyByteArray
             else r.get(1).asInstanceOf[Array[Byte]]
@@ -229,7 +232,7 @@ object Warc {
     val raw = new ByteArrayInputStream(bytes)
     val in: InputStream =
       if (bytes.length >= 2 && (bytes(0) & 0xff) == 0x1f && (bytes(1) & 0xff) == 0x8b)
-        new GZIPInputStream(raw)
+        new GZIPInputStream(raw, 1 << 16)
       else raw
     var idx = -1
     Iterator.continually(parseRecord(path, in, maxPayloadBytes))
@@ -310,9 +313,15 @@ object Warc {
         headers(lastKey) = l.substring(colonAt + 1).trim
       }
     }
-    val contentLength = headers.getOrElse("content-length",
+    val rawLen = headers.getOrElse("content-length",
       throw new IllegalArgumentException(
-        s"$path: WARC record without Content-Length")).toLong
+        s"$path: WARC record without Content-Length"))
+    val contentLength =
+      try rawLen.toLong
+      catch {
+        case _: NumberFormatException => throw new IllegalArgumentException(
+          s"$path: malformed WARC Content-Length '${rawLen.take(40)}'")
+      }
     val toRead = math.min(contentLength, maxPayloadBytes.toLong).toInt
     val block = new Array[Byte](toRead)
     readFully(in, block, toRead)
