@@ -208,6 +208,18 @@ object GraftExtensions {
       require(es.length == 2, "unigram_count(text, vocabPath)")
       UnigramCountExpr(es.head,
         UnigramModel.fromVocabFile(strLit(es(1), "vocabPath")))
+    },
+    // BERT-family WordPiece under a vocab.txt (same literal-path, plan-time
+    // load contract as unigram_*)
+    "wordpiece_encode" -> { es =>
+      require(es.length == 2, "wordpiece_encode(text, vocabTxtPath)")
+      WordPieceEncodeExpr(es.head,
+        WordPieceModel.fromVocabFile(strLit(es(1), "vocabTxtPath")))
+    },
+    "wordpiece_count" -> { es =>
+      require(es.length == 2, "wordpiece_count(text, vocabTxtPath)")
+      WordPieceCountExpr(es.head,
+        WordPieceModel.fromVocabFile(strLit(es(1), "vocabTxtPath")))
     })
 
   /** Install the same functions as temp functions on a live session. */

@@ -1174,6 +1174,37 @@ object SparkEntry {
            |""".stripMargin,
         name => t(s, dir, name))
     }),
+    // WordPiece (BERT-family) tokenization: greedy longest-match-first
+    // with ## continuation pieces, punctuation isolation, and the
+    // published whole-word-to-[UNK] rule. The oracle pins hand-derived id
+    // SEQUENCES (each greedy derivation written out in WordPieceSpec);
+    // the model is built through the vocab.txt render→parse round trip,
+    // so the interop path is under the gate too.
+    "q91_wordpiece_encode" -> ((s, dir) => {
+      import s.implicits._
+      Seq(
+        1L -> "hello", 2L -> "hello world", 3L -> "hellol", 4L -> "hello hell",
+        5L -> "hellolo", 6L -> "unaffable", 7L -> "helloz", 8L -> "it's",
+        9L -> "ab", 10L -> "")
+        .toDF("tid", "text")
+        .select(col("tid"),
+          graft.ops.TextStats.tokenizeWordPiece(col("text"), WordPieceFixtureModel)
+            .as("raw"))
+        .select(col("tid"), concat_ws(",", col("raw")).as("ids_csv"),
+          size(col("raw")).cast("long").as("n_ids"))
+    }),
+    // Corpus-scale WordPiece identity: under a letters-only vocabulary
+    // (each word = first letter + ## continuations), the token count of
+    // this punctuation-free lowercase corpus is exactly its non-space
+    // character count — DuckDB replays the arithmetic on every document.
+    "q91b_wordpiece_corpus" -> ((s, dir) => {
+      val letters = ('a' to 'z').map(_.toString)
+      val model = graft.ops.expr.WordPieceModel.fromTokens(
+        Seq("[UNK]") ++ letters ++ letters.map("##" + _))
+      t(s, dir, "documents").select(col("doc_id"),
+        graft.ops.TextStats.tokenCountWordPiece(col("text"), model)
+          .cast("long").as("n_tokens"))
+    }),
     // Cross-corpus segment (line) dedup, keep-first mode: every document
     // wrapped in the SAME header/footer lines — corpus-wide line dedup
     // must keep each shared line exactly once (at its minimal
@@ -2093,6 +2124,17 @@ object SparkEntry {
       ).map { case (p, lp) =>
         (p.getBytes(java.nio.charset.StandardCharsets.UTF_8), lp) },
       floorLogProb = -20.0)
+
+  /** q91's WordPiece fixture vocabulary (ids = positions). Built through
+    * the vocab.txt render → parse round trip inside the gate; every
+    * oracle row's greedy derivation is written out in WordPieceSpec.
+    */
+  lazy val WordPieceFixtureModel: graft.ops.expr.WordPieceModel = {
+    val base = graft.ops.expr.WordPieceModel.fromTokens(Seq(
+      "[UNK]", "hello", "world", "hell", "##o", "##lo", "##l", "un",
+      "##aff", "##able", "##affable", "'", "s", "it", "a", "##b", "##a"))
+    graft.ops.expr.WordPieceModel.fromVocabLines(base.toVocabLines)
+  }
 
   /** q86's good-content paragraph. Hand counts pinned in HtmlBlocksSpec:
     * 220 chars, 46 words, 20 stopword hits → stop_ratio 20/46, GOOD.
@@ -3087,6 +3129,19 @@ object SparkEntry {
         |  sum(length(text))::BIGINT AS total_chars
         |FROM documents
         |GROUP BY 1""".stripMargin,
+    // greedy derivations (WordPieceSpec): hello→[1]; hello world→[1,2];
+    // hellol→hello+##l; hello hell→[1,3]; hellolo→hello+##lo (longest
+    // continuation); unaffable→un+##affable; helloz→[UNK] (all-or-
+    // nothing); it's→it,',s (punctuation isolation); ab→a+##b; ''→[].
+    "q91_wordpiece_encode" ->
+      """SELECT tid::BIGINT AS tid, ids_csv, n_ids::BIGINT AS n_ids
+        |FROM (VALUES
+        |  (1, '1', 1), (2, '1,2', 2), (3, '1,6', 2), (4, '1,3', 2),
+        |  (5, '1,5', 2), (6, '7,10', 2), (7, '0', 1), (8, '13,11,12', 3),
+        |  (9, '14,15', 2), (10, '', 0)) t(tid, ids_csv, n_ids)""".stripMargin,
+    "q91b_wordpiece_corpus" ->
+      """SELECT doc_id, length(replace(text, ' ', ''))::BIGINT AS n_tokens
+        |FROM documents""".stripMargin,
     // keep-first segment dedup: the full window arithmetic — a segment
     // survives only at its minimal (doc_id, pos) corpus occurrence.
     "q89_segment_dedup" ->

@@ -77,6 +77,25 @@ object TextStats {
       graft.ops.expr.UnigramCountExpr(ColumnBridge.expression(text), model))
   }
 
+  /** WordPiece (BERT-family) tokenization to vocab ids — greedy
+    * longest-match-first with `##` continuation pieces and the published
+    * whole-word-to-[UNK] rule. Codegen'd, map-only.
+    */
+  def tokenizeWordPiece(text: Column, model: graft.ops.expr.WordPieceModel): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(
+      graft.ops.expr.WordPieceEncodeExpr(ColumnBridge.expression(text), model))
+  }
+
+  /** WordPiece token count; `tokenCountWordPiece(x) ==
+    * size(tokenizeWordPiece(x))` always.
+    */
+  def tokenCountWordPiece(text: Column, model: graft.ops.expr.WordPieceModel): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(
+      graft.ops.expr.WordPieceCountExpr(ColumnBridge.expression(text), model))
+  }
+
   /** Characters of punctuation / total characters (0 for empty). */
   def punctRatio(text: Column): Column = {
     val n = length(text)

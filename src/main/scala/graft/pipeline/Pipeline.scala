@@ -786,22 +786,30 @@ object Pipeline {
         df.join(scores, Seq(id), "left")
 
       case "tokenize" =>
-        // {text: col, as?: tokens, merges?: path, vocab?: path} — exact
-        // byte-level BPE ids under a published merges.txt, OR Unigram-LM
-        // ids under a SentencePiece-style .vocab text file (exactly one of
-        // merges/vocab; neither: BPE over the bare byte alphabet). The
-        // model loads driver-side once and rides the task binary; both
-        // kernels are codegen'd and map-only.
+        // {text: col, as?: tokens, merges?: path, vocab?: path,
+        // vocabTxt?: path, lowercase?: false} — exact byte-level BPE ids
+        // under a published merges.txt, Unigram-LM ids under a
+        // SentencePiece-style .vocab text file, OR WordPiece ids under a
+        // BERT-family vocab.txt (at most one of merges/vocab/vocabTxt;
+        // none: BPE over the bare byte alphabet). The model loads
+        // driver-side once and rides the task binary; all three kernels
+        // are codegen'd and map-only.
         val tk = asMap(step("tokenize"), "tokenize")
         val out = tk.getOrElse("as", "tokens").toString
         val text = col(tk("text").toString)
-        (tk.get("merges"), tk.get("vocab")) match {
-          case (Some(_), Some(_)) => throw new IllegalArgumentException(
-            "tokenize takes at most one of 'merges' (BPE) or 'vocab' (Unigram)")
-          case (_, Some(v)) =>
+        (tk.get("merges"), tk.get("vocab"), tk.get("vocabTxt")) match {
+          case (m, v, w) if Seq(m, v, w).count(_.isDefined) > 1 =>
+            throw new IllegalArgumentException(
+              "tokenize takes at most one of 'merges' (BPE), 'vocab' " +
+                "(Unigram), 'vocabTxt' (WordPiece)")
+          case (_, Some(v), _) =>
             df.withColumn(out, graft.ops.TextStats.tokenizeUnigram(text,
               graft.ops.expr.UnigramModel.fromVocabFile(v.toString)))
-          case (m, None) =>
+          case (_, _, Some(w)) =>
+            df.withColumn(out, graft.ops.TextStats.tokenizeWordPiece(text,
+              graft.ops.expr.WordPieceModel.fromVocabFile(w.toString,
+                lowercase = tk.get("lowercase").exists(_ == true))))
+          case (m, None, None) =>
             val model = m match {
               case Some(p) => graft.ops.expr.BpeModel.fromMergesFile(p.toString)
               case None    => graft.ops.expr.BpeModel.empty

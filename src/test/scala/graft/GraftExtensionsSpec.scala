@@ -134,6 +134,17 @@ class GraftExtensionsSpec extends SparkTestBase {
         "SELECT unigram_count(t, t) FROM VALUES ('a') AS v(t)").head()
     }
     assert(e.getMessage.contains("vocabPath must be a literal string"))
+    // wordpiece over a real vocab.txt path (same plan-time load contract)
+    val wf = java.io.File.createTempFile("graft_sql_wordpiece", ".txt")
+    wf.deleteOnExit()
+    java.nio.file.Files.write(wf.toPath,
+      graft.SparkEntry.WordPieceFixtureModel.toVocabLines.mkString("\n")
+        .getBytes("UTF-8"))
+    val wp = spark.sql(
+      s"""SELECT wordpiece_encode('unaffable', '${wf.getAbsolutePath}') AS ids,
+         |  wordpiece_count('it''s', '${wf.getAbsolutePath}') AS n
+         |""".stripMargin).head()
+    assert(wp.getSeq[Int](0) == Seq(7, 10) && wp.getInt(1) == 3)
   }
 
   test("kmv_distinct: non-string input is cast, non-literal seed is a clear error") {
