@@ -1205,6 +1205,37 @@ object SparkEntry {
         graft.ops.TextStats.tokenCountWordPiece(col("text"), model)
           .cast("long").as("n_tokens"))
     }),
+    // robots.txt compliance filtering (RFC 9309) over the corpus: three
+    // planted robots files (longest-match + allow-override, an
+    // agent-specific group with wildcard/anchor patterns, an
+    // empty-Disallow allow-all) plus a domain with NO robots row (the
+    // protocol's default-allow). URLs derive from doc_id so the oracle is
+    // the hand-derived decision table over (domain, path) — every branch
+    // of group selection, precedence, and wildcard matching is exercised
+    // through the YAML verb (compile-once-per-domain, left join, eval).
+    "q92_robots_filter" -> ((s, dir) => {
+      import s.implicits._
+      val robots = Seq(
+        ("site0.com", "User-agent: *\nDisallow: /private/\nAllow: /private/ok"),
+        ("site1.com", "User-agent: graftbot\nDisallow: /x*z$\nUser-agent: *\nDisallow: /"),
+        ("site2.com", "User-agent: *\nDisallow:")
+      ).toDF("host", "robots_txt")
+      val docs = t(s, dir, "documents").select(col("doc_id"),
+        concat(lit("https://site"), (col("doc_id") % 4).cast("string"),
+          lit(".com"),
+          element_at(typedLit(Seq(
+            "/private/ok", "/private/no", "/xz", "/xz/deep", "/open")),
+            (col("doc_id") % 5).cast("int") + 1)).as("url"))
+      graft.pipeline.Pipeline.run(s,
+        """source: docs
+          |steps:
+          |  - robotsFilter: {url: url, robots: robots, agent: graftbot, mode: mark}
+          |""".stripMargin,
+        name => if (name == "docs") docs
+                else if (name == "robots") robots
+                else t(s, dir, name))
+        .select(col("doc_id"), col("url"), col("robots_ok"))
+    }),
     // Cross-corpus segment (line) dedup, keep-first mode: every document
     // wrapped in the SAME header/footer lines — corpus-wide line dedup
     // must keep each shared line exactly once (at its minimal
@@ -3141,6 +3172,18 @@ object SparkEntry {
         |  (9, '14,15', 2), (10, '', 0)) t(tid, ids_csv, n_ids)""".stripMargin,
     "q91b_wordpiece_corpus" ->
       """SELECT doc_id, length(replace(text, ' ', ''))::BIGINT AS n_tokens
+        |FROM documents""".stripMargin,
+    // robots decision table, hand-derived per (domain, path): site0 blocks
+    // /private/no (Disallow /private/ len 9) but allows /private/ok (Allow
+    // len 11 wins); site1's graftbot group blocks only /x*z$ (so /xz);
+    // site2's empty Disallow and site3's missing robots allow everything.
+    "q92_robots_filter" ->
+      """SELECT doc_id,
+        |  'https://site' || (doc_id % 4) || '.com' ||
+        |    (CASE doc_id % 5 WHEN 0 THEN '/private/ok' WHEN 1 THEN '/private/no'
+        |      WHEN 2 THEN '/xz' WHEN 3 THEN '/xz/deep' ELSE '/open' END) AS url,
+        |  NOT ((doc_id % 4 = 0 AND doc_id % 5 = 1)
+        |    OR (doc_id % 4 = 1 AND doc_id % 5 = 2)) AS robots_ok
         |FROM documents""".stripMargin,
     // keep-first segment dedup: the full window arithmetic — a segment
     // survives only at its minimal (doc_id, pos) corpus occurrence.

@@ -109,6 +109,37 @@ object WebText {
     when(h === "", lit(null).cast("string")).otherwise(h)
   }
 
+  /** Path (+ query) of a URL: everything from the first `/` after the
+    * authority; a URL with no path component evaluates to `/` (the form
+    * robots.txt rules match against). Null-safe on non-URLs.
+    */
+  def urlPath(url: Column): Column = {
+    val p = regexp_extract(url,
+      """^[a-zA-Z][a-zA-Z0-9+.\-]*://[^/?#]*([/?][^#]*)?""", 1)
+    when(urlHost(url).isNull, lit(null).cast("string"))
+      .otherwise(when(p === "", lit("/")).otherwise(p))
+  }
+
+  /** Compile a robots.txt column into the compact per-agent rules
+    * encoding ([[graft.ops.expr.RobotsMatch]] — RFC 9309 group selection,
+    * `A:`/`D:` lines). Run once per DOMAIN row, before joining to URLs.
+    */
+  def robotsRules(robotsTxt: Column, agent: String = "*"): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(graft.ops.expr.RobotsRulesExpr(
+      ColumnBridge.expression(robotsTxt), agent))
+  }
+
+  /** RFC 9309 decision for a path under compiled rules: longest match
+    * wins, allow wins ties, no match or NULL rules (no robots.txt) ⇒
+    * allowed. Codegen'd, map-only.
+    */
+  def robotsAllowed(rules: Column, path: Column): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(graft.ops.expr.RobotsAllowedExpr(
+      ColumnBridge.expression(rules), ColumnBridge.expression(path)))
+  }
+
   /** Multi-label public suffixes recognized by [[registrableDomain]] — a
     * compact subset of the (public) Mozilla Public Suffix List covering the
     * common ccTLD second-level registries. At 100 TB you would broadcast

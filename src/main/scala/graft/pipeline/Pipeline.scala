@@ -885,6 +885,37 @@ object Pipeline {
         }
         df.withColumn(dm.getOrElse("as", "domain").toString, domain)
 
+      case "robotsFilter" =>
+        // {url: col, robots: table, host?: 'host', txt?: 'robots_txt',
+        // agent?: '*', mode?: filter|mark} — RFC 9309 compliance gate:
+        // compile each domain's robots.txt ONCE (per-agent group
+        // selection, A:/D: rules), left-join to URLs by lowercased host
+        // (missing robots ⇒ allowed, the protocol default), evaluate
+        // longest-match per URL. mode=mark adds `robots_ok` instead of
+        // filtering.
+        val rf = asMap(step("robotsFilter"), "robotsFilter")
+        val urlCol = col(rf("url").toString)
+        val robots = resolve(rf.getOrElse("robots",
+          throw new IllegalArgumentException("robotsFilter needs a 'robots' table")).toString)
+        val hostCol = rf.getOrElse("host", "host").toString
+        val txtCol = rf.getOrElse("txt", "robots_txt").toString
+        val agent = rf.getOrElse("agent", "*").toString
+        val compiled = robots.select(
+          lower(col(hostCol)).as("__rb_host"),
+          graft.ops.WebText.robotsRules(col(txtCol), agent).as("__rb_rules"))
+        val joined = df
+          .withColumn("__rb_h", graft.ops.WebText.urlHost(urlCol))
+          .join(compiled, col("__rb_h") === col("__rb_host"), "left")
+          .withColumn("robots_ok", graft.ops.WebText.robotsAllowed(
+            col("__rb_rules"), graft.ops.WebText.urlPath(urlCol)))
+          .drop("__rb_h", "__rb_host", "__rb_rules")
+        rf.getOrElse("mode", "filter").toString match {
+          case "filter" => joined.filter(col("robots_ok")).drop("robots_ok")
+          case "mark"   => joined
+          case other => throw new IllegalArgumentException(
+            s"robotsFilter mode must be filter|mark, got $other")
+        }
+
       case "redact" =>
         // {text: col, as: out (default 'redacted')} — PII → typed tokens
         val r = asMap(step("redact"), "redact")
