@@ -181,18 +181,28 @@ object Decontam {
     val evalGrams = eval
       .select(col(evalIdCol).as("eval_id"),
         explode(Dedup.shingles(col(evalTextCol), n)).as("__g"))
-    // Same eval-side bound as markContaminatedMapSide: the distinct gram
-    // set broadcasts below, and a fat eval suite would otherwise fail with
-    // an opaque broadcast OOM instead of this actionable error.
-    if (maxEvalGrams > 0) {
-      val nGrams = evalGrams.agg(count_distinct(col("__g"))).head().getLong(0)
-      require(nGrams <= maxEvalGrams,
-        s"contaminationFraction: eval suite has $nGrams distinct $n-grams " +
-          s"(> maxEvalGrams=$maxEvalGrams); the gram-set broadcast would " +
-          "fail inside the exchange. Shard the eval suite or raise " +
-          "maxEvalGrams deliberately.")
-    }
-    val gramSet = broadcast(evalGrams.select(col("__g")).distinct())
+    // Same eval-side bound as markContaminatedMapSide — but folded into
+    // the gram-set build: ONE eval-side job collects the distinct gram set
+    // (the `limit` bounds the driver at maxEvalGrams + 1 rows by
+    // construction, so an over-cap suite can never flood it), its size IS
+    // the guard count, and the broadcast ships the already-collected rows.
+    // The old shape ran a separate count_distinct job and then re-scanned
+    // eval inside the broadcast exchange — three eval passes for a number
+    // the broadcast build already knows.
+    val distinctGrams = evalGrams.select(col("__g")).distinct()
+    val gramSet =
+      if (maxEvalGrams > 0) {
+        require(maxEvalGrams < Int.MaxValue,
+          s"maxEvalGrams must fit an Int limit, got $maxEvalGrams")
+        import eval.sparkSession.implicits._
+        val grams = distinctGrams.limit(maxEvalGrams.toInt + 1).as[String].collect()
+        require(grams.length <= maxEvalGrams,
+          s"contaminationFraction: eval suite has more than " +
+            s"maxEvalGrams=$maxEvalGrams distinct $n-grams; the gram-set " +
+            "broadcast would fail inside the exchange. Shard the eval " +
+            "suite or raise maxEvalGrams deliberately.")
+        broadcast(grams.toSeq.toDF("__g"))
+      } else broadcast(distinctGrams)
     // eval grams that occur anywhere in train — ≤ |eval gram set| rows
     val seen = Dedup.ensureParallelism(train)
       .select(explode(Dedup.shingles(col(trainTextCol), n)).as("__g"))

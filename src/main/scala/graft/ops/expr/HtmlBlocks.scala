@@ -299,14 +299,16 @@ object HtmlContent {
               flush()
             } else if (BlockTags.contains(tag)) {
               flush()
-              if (ChromeTags.contains(tag)) {
-                if (closing) chromeDepth = math.max(0, chromeDepth - 1)
-                else chromeDepth += 1
-              }
               if (closing) {
                 val at = tagStack.lastIndexOf(tag)
                 if (at >= 0) tagStack.remove(at, tagStack.length - at)
               } else tagStack += tag
+              // chrome state is DERIVED from the unwound stack, never an
+              // independent counter: closing an outer chrome tag with an
+              // inner chrome tag still open (<nav><aside>x</nav>) unwinds
+              // BOTH from the stack, and a counter decremented once would
+              // leave the rest of the page misclassified as chrome
+              chromeDepth = tagStack.count(ChromeTags.contains)
               // boundary state changed AFTER the flush: blocks carry the
               // state they accumulated under, the NEXT block the new one
               cur = new RawBlock(

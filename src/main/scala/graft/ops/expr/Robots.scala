@@ -87,8 +87,50 @@ object RobotsMatch {
 
     val (sawSpecific, specificRules) = parse(wantSpecific = true)
     val rules = if (sawSpecific) specificRules else parse(wantSpecific = false)._2
-    rules.map { case (allow, p) => (if (allow) "A:" else "D:") + p }
+    rules.map { case (allow, p) => (if (allow) "A:" else "D:") + normalizePercent(p) }
       .mkString("\n")
+  }
+
+  @inline private def isHex(c: Char): Boolean =
+    (c >= '0' && c <= '9') || (c >= 'a' && c <= 'f') || (c >= 'A' && c <= 'F')
+  @inline private def hexVal(c: Char): Int =
+    if (c <= '9') c - '0' else (c | 0x20) - 'a' + 10
+  @inline private def isUnreserved(v: Int): Boolean =
+    (v >= 'a' && v <= 'z') || (v >= 'A' && v <= 'Z') ||
+      (v >= '0' && v <= '9') || v == '-' || v == '.' || v == '_' || v == '~'
+
+  /** RFC 9309 §2.2.2 percent-encoding normalization, applied to compiled
+    * patterns and to paths before octet comparison: decode percent-triplets
+    * of UNRESERVED characters (ALPHA / DIGIT / `-._~`, RFC 3986 §2.3) and
+    * uppercase the hex of the triplets that remain, so `/a%7Eb` matches a
+    * `Disallow: /a~b` rule and `%2f` compares equal to `%2F`. Reserved
+    * triplets stay encoded — decoding them would change path-segment
+    * structure (and `%2A`/`%24` would forge `*`/`$` metacharacters into a
+    * pattern). Malformed triplets pass through literally.
+    */
+  def normalizePercent(s: String): String = {
+    var i = s.indexOf('%')
+    if (i < 0) return s
+    val sb = new java.lang.StringBuilder(s.length)
+    sb.append(s, 0, i)
+    val n = s.length
+    while (i < n) {
+      val c = s.charAt(i)
+      if (c == '%' && i + 2 < n && isHex(s.charAt(i + 1)) && isHex(s.charAt(i + 2))) {
+        val v = hexVal(s.charAt(i + 1)) * 16 + hexVal(s.charAt(i + 2))
+        if (isUnreserved(v)) sb.append(v.toChar)
+        else {
+          sb.append('%')
+          sb.append(Character.toUpperCase(s.charAt(i + 1)))
+          sb.append(Character.toUpperCase(s.charAt(i + 2)))
+        }
+        i += 3
+      } else {
+        sb.append(c)
+        i += 1
+      }
+    }
+    sb.toString
   }
 
   /** Does `pattern` (with `*` wildcards and an optional trailing `$`
@@ -128,13 +170,16 @@ object RobotsMatch {
     */
   def allowed(compiledRules: String, path: String): Boolean = {
     if (compiledRules.isEmpty) return true
+    // patterns were normalized at compile time; normalize the path once
+    // here so the comparison is over RFC 9309 §2.2.2 canonical octets
+    val npath = normalizePercent(path)
     var bestLen = -1
     var bestAllow = true
     compiledRules.split("\n", -1).foreach { line =>
       if (line.length >= 2) {
         val allow = line.charAt(0) == 'A'
         val pattern = line.substring(2)
-        if (patternMatches(pattern, path)) {
+        if (patternMatches(pattern, npath)) {
           val len = pattern.length
           if (len > bestLen || (len == bestLen && allow && !bestAllow)) {
             bestLen = len

@@ -892,7 +892,10 @@ object Pipeline {
         // selection, A:/D: rules), left-join to URLs by lowercased host
         // (missing robots ⇒ allowed, the protocol default), evaluate
         // longest-match per URL. mode=mark adds `robots_ok` instead of
-        // filtering.
+        // filtering. An URL whose host/path cannot be parsed has no
+        // robots.txt to consult — robots_ok is TRUE for it (the protocol's
+        // default-allow, made explicit), never a silent null-drop; route
+        // such rows to a URL-validity filter if they should go.
         val rf = asMap(step("robotsFilter"), "robotsFilter")
         val urlCol = col(rf("url").toString)
         val robots = resolve(rf.getOrElse("robots",
@@ -906,8 +909,8 @@ object Pipeline {
         val joined = df
           .withColumn("__rb_h", graft.ops.WebText.urlHost(urlCol))
           .join(compiled, col("__rb_h") === col("__rb_host"), "left")
-          .withColumn("robots_ok", graft.ops.WebText.robotsAllowed(
-            col("__rb_rules"), graft.ops.WebText.urlPath(urlCol)))
+          .withColumn("robots_ok", coalesce(graft.ops.WebText.robotsAllowed(
+            col("__rb_rules"), graft.ops.WebText.urlPath(urlCol)), lit(true)))
           .drop("__rb_h", "__rb_host", "__rb_rules")
         rf.getOrElse("mode", "filter").toString match {
           case "filter" => joined.filter(col("robots_ok")).drop("robots_ok")

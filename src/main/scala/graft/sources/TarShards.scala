@@ -111,8 +111,17 @@ object TarShards {
           out.finish(); out.close(); out = null
           val finalPath = new Path(outDir, f"part-$pid%05d-$shardNo%04d.tar")
           // first completed attempt wins; a losing speculative attempt
-          // finds dest occupied and discards its temp
-          if (!fs.rename(tmpPath, finalPath)) fs.delete(tmpPath, false)
+          // finds dest occupied and discards its temp. A rename failure
+          // with NO destination is a transient fs fault, not a lost race —
+          // fail the task so it retries instead of silently dropping the
+          // shard
+          if (!fs.rename(tmpPath, finalPath)) {
+            if (fs.exists(finalPath)) fs.delete(tmpPath, false)
+            else throw new java.io.IOException(
+              s"writeTarShards: rename $tmpPath -> $finalPath failed and " +
+                "the destination does not exist; failing the task so it " +
+                "retries instead of dropping the shard")
+          }
           tmpPath = null
         }
         open()

@@ -161,7 +161,17 @@ object Warc {
         def close(): Unit = if (out != null) {
           out.close(); out = null
           val finalPath = new Path(outDir, f"part-$pid%05d-$shardNo%04d.warc.gz")
-          if (!fs.rename(tmpPath, finalPath)) fs.delete(tmpPath, false)
+          if (!fs.rename(tmpPath, finalPath)) {
+            // discard the temp ONLY for a lost speculative race (dest
+            // already complete); a transient rename failure must FAIL the
+            // task so it retries — silently deleting here would lose up
+            // to maxRecordsPerShard records with a green job status
+            if (fs.exists(finalPath)) fs.delete(tmpPath, false)
+            else throw new java.io.IOException(
+              s"writeWarcResponses: rename $tmpPath -> $finalPath failed " +
+                "and the destination does not exist; failing the task so " +
+                "it retries instead of dropping the shard")
+          }
           tmpPath = null
         }
         open()

@@ -117,6 +117,20 @@ class HtmlBlocksSpec extends SparkTestBase {
     assert(HtmlContent.blocks("a < b", rules)(0).text == "a < b")
   }
 
+  test("chrome state recovers from malformed nesting (outer close unwinds inner chrome)") {
+    // closing </nav> while the inner <aside> is still open unwinds BOTH
+    // from the tag stack; chrome state is derived from the stack, so the
+    // paragraph after is NOT chrome (the old independent counter leaked
+    // and marked the whole rest of the page chrome)
+    val html = s"<nav><aside>menu</nav><p>$Para</p>"
+    val bs = HtmlContent.blocks(html, rules)
+    val para = bs.find(_.text == Para).get
+    assert(!para.inChrome && para.label == "good" && para.content)
+    // an unmatched close of a chrome tag never goes negative / misclassifies
+    val bs2 = HtmlContent.blocks(s"</nav><p>$Para</p>", rules)
+    assert(!bs2.find(_.text == Para).get.inChrome)
+  }
+
   test("column API: htmlBlocks explodes to scalars; extractMainContent") {
     val df = Seq((1L, s"<nav><a href='/'>x</a></nav><p>$Para</p>"))
       .toDF("id", "html")

@@ -82,6 +82,26 @@ class RobotsSpec extends SparkTestBase {
     assert(got == Seq(Some("/x/y?q=1"), Some("/"), None))
   }
 
+  test("percent-encoding normalization (RFC 9309 §2.2.2)") {
+    // unreserved octet: encoded path matches a literal rule and vice versa
+    val tilde = "User-agent: *\nDisallow: /a~b"
+    assert(!allowed(tilde, "/a%7Eb"))
+    assert(!allowed(tilde, "/a%7eb"))
+    val encRule = "User-agent: *\nDisallow: /a%7Eb"
+    assert(!allowed(encRule, "/a~b"))
+    // reserved octet stays encoded; hex case is canonicalized
+    val slash = "User-agent: *\nDisallow: /a%2Fb"
+    assert(!allowed(slash, "/a%2fb"))
+    assert(allowed(slash, "/a/b")) // literal '/' is NOT the encoded octet
+    // %2A / %24 must NOT decode into * / $ metacharacters
+    val star = "User-agent: *\nDisallow: /x%2Az"
+    assert(!allowed(star, "/x%2az"))
+    assert(allowed(star, "/x-anything-z"))
+    // malformed triplets pass through literally
+    assert(!allowed("User-agent: *\nDisallow: /p%zz", "/p%zz"))
+    assert(!allowed("User-agent: *\nDisallow: /p%", "/p%"))
+  }
+
   test("pipeline robotsFilter verb: filter and mark modes") {
     val robots = Seq(
       ("a.com", "User-agent: *\nDisallow: /no")
@@ -100,5 +120,25 @@ class RobotsSpec extends SparkTestBase {
     val marked = run("mark").select(col("id"), col("robots_ok"))
       .as[(Long, Boolean)].collect().toMap
     assert(marked == Map(1L -> true, 2L -> false, 3L -> true))
+  }
+
+  test("robotsFilter: unparseable URL is an explicit default-allow, not a null-drop") {
+    val robots = Seq(("a.com", "User-agent: *\nDisallow: /no"))
+      .toDF("host", "robots_txt")
+    val docs = Seq(
+      (1L, "https://a.com/no/x"), (2L, "not a url at all")
+    ).toDF("id", "url")
+    def run(mode: String) = graft.pipeline.Pipeline.run(spark,
+      s"""source: docs
+         |steps:
+         |  - robotsFilter: {url: url, robots: robots, mode: $mode}
+         |""".stripMargin,
+      name => if (name == "docs") docs else robots)
+    // the unparseable-URL row survives filter mode (robots cannot be
+    // consulted -> protocol default-allow, made explicit)
+    assert(run("filter").select("id").as[Long].collect().toSet == Set(2L))
+    val marked = run("mark").select(col("id"), col("robots_ok"))
+      .as[(Long, Boolean)].collect().toMap
+    assert(marked == Map(1L -> false, 2L -> true))
   }
 }
