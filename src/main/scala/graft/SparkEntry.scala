@@ -1236,6 +1236,41 @@ object SparkEntry {
                 else t(s, dir, name))
         .select(col("doc_id"), col("url"), col("robots_ok"))
     }),
+    // DUPLICATE-HEAVY MULTI-INDEX GATE (the r11 probe-side skew regime):
+    // 50k copies of ONE signature — pixel-identical re-encodes, the
+    // canonical near-dup population — alongside ~sf-scaled distinct sigs
+    // with planted 6-bit-flip near pairs. The distinct-signature engine
+    // must (a) find every planted DISTINCT-sig pair through the hot
+    // regime, and (b) pair every hot copy with the group keeper (min id)
+    // via the linear star join-back — both families arithmetically
+    // oracle-able, and nothing quadratic crosses an exchange
+    // (MultiIndexHammingSpec pins the per-task shuffle bound at k=100k).
+    "q93_mih_dupheavy_gate" -> ((s, dir) => {
+      val base = t(s, dir, "lineitem")
+        .filter(col("l_orderkey") % 3 === 0)
+        .select((col("l_orderkey") * 10 + col("l_linenumber")).as("id"),
+          xxhash64(col("l_orderkey"), col("l_linenumber")).as("sig"))
+        .distinct()
+      val planted = base.filter(col("id") % 97 === 0)
+        .select((col("id") + 1000000000L).as("id"),
+          col("sig").bitwiseXOR(lit(0x111111L)).as("sig")) // 6 bit flips
+      val hot = s.range(50000)
+        .select((col("id") + 5000000000L).as("id"),
+          lit(0x0BADCAFEL).as("sig"))
+      graft.ops.Dedup.hammingNearDuplicatePairs(
+          base.unionByName(planted).unionByName(hot), "id", "sig",
+          maxHamming = 10, maxBucketSize = 1000)
+        // the two arithmetically-derivable families: planted near pairs
+        // (ids differ by exactly 1e9, hamming = popcount(0x111111) = 6)
+        // and hot-group keeper-star pairs (keeper = 5e9, hamming 0);
+        // retained-sample in-group pairs are cap-arbitrary and excluded
+        .filter((col("hamming") === 6 &&
+            col("id_b") === col("id_a") + 1000000000L) ||
+          (col("hamming") === 0 && col("id_a") === 5000000000L))
+        .select(col("id_a"), col("id_b"),
+          when(col("hamming") === 6, lit("near")).otherwise(lit("star"))
+            .as("kind"))
+    }),
     // Cross-corpus segment (line) dedup, keep-first mode: every document
     // wrapped in the SAME header/footer lines — corpus-wide line dedup
     // must keep each shared line exactly once (at its minimal
@@ -3185,6 +3220,20 @@ object SparkEntry {
         |  NOT ((doc_id % 4 = 0 AND doc_id % 5 = 1)
         |    OR (doc_id % 4 = 1 AND doc_id % 5 = 2)) AS robots_ok
         |FROM documents""".stripMargin,
+    // Both q93 families are pure arithmetic: planted pairs are (id,
+    // id + 1e9) for id % 97 = 0 (equal keys ⇒ sigs differing by exactly
+    // the 6 planted bit flips; accidental pairs would also need ids
+    // differing by exactly 1e9 — impossible across the id ranges), and
+    // the hot group's keeper-star pairs are (5e9, 5e9 + x) for x in
+    // 1..49999 (keeper = min id of the 50k-copy group).
+    "q93_mih_dupheavy_gate" ->
+      """SELECT id AS id_a, id + 1000000000 AS id_b, 'near' AS kind
+        |FROM (SELECT DISTINCT (l_orderkey * 10 + l_linenumber) AS id
+        |      FROM lineitem WHERE l_orderkey % 3 = 0)
+        |WHERE id % 97 = 0
+        |UNION ALL
+        |SELECT 5000000000 AS id_a, 5000000000 + x AS id_b, 'star' AS kind
+        |FROM unnest(generate_series(1, 49999)) t(x)""".stripMargin,
     // keep-first segment dedup: the full window arithmetic — a segment
     // survives only at its minimal (doc_id, pos) corpus occurrence.
     "q89_segment_dedup" ->

@@ -803,18 +803,50 @@ object Dedup {
     * collapses to zero. Here bucket population tracks genuine substring
     * popularity, not pigeonhole arithmetic.
     *
+    * The whole engine runs at the DISTINCT-SIGNATURE level — the r11 probe
+    * side carried every ITEM × every ball mask, so k items sharing one
+    * signature (pixel-identical re-encodes of one logo across a crawl: the
+    * canonical near-dup input, which exact BYTE dedup does not remove) put
+    * k probe rows × cap anchor members into the single task owning the hot
+    * (chunk, value) key — k×cap quadratic work in one task. Now:
+    *
+    *   1. `groupBy(sig)` collapses duplicate-heavy populations MAP-SIDE
+    *      (partial aggregation — the hot signature reaches the exchange as
+    *      one partial row per map partition), producing one member row per
+    *      distinct signature: keeper = min(id) plus a `maxBucketSize`-capped
+    *      member sample (truncation observed).
+    *   2. Identical-signature groups pair WITHOUT any probe join: a
+    *      keeper-star join-back (the segment-dedup keeper pattern,
+    *      [[dedupSegments]]) pairs EVERY group member with the group keeper
+    *      — linear in input, so "drop later copies" coverage is complete at
+    *      ANY duplicate multiplicity — plus all pairs among the retained
+    *      non-keeper sample, so the pair set equals brute force whenever the
+    *      group fits the cap (star ∪ C(cap−1, 2) = C(k, 2) for k ≤ cap).
+    *   3. Ball probing, the (chunk, value) equi-join, and hamming
+    *      verification all run once per DISTINCT signature; verified
+    *      signature pairs are dedup'd at the SIGNATURE level (far smaller
+    *      than the id-pair set) and then re-expanded through the member
+    *      table, capped per side.
+    *
     * Costs, explicitly: the probe exchange carries
-    * `numChunks × Σ_{k≤radius} C(chunkBits, k)` rows per item (548 at the
-    * image/video default h=10; 16-byte payload each) versus banding's
-    * h+1 = 11 — the price of a key space that doesn't collapse. Over-cap
-    * ANCHOR buckets are truncated to `maxBucketSize` members (bounded
-    * collect, true size observed) and — unlike the banded engine, which
-    * must drop over-cap buckets entirely — still emit pairs against their
-    * retained members, because the probe side streams: a planted duplicate
-    * in a hot bucket still matches the ≤cap retained anchors. Residual
-    * skew bound: a probe row joining a full bucket expands to ≤
-    * maxBucketSize candidates, so per-task work is (probe rows at the
-    * key) × cap; truncation stays observable via [[observedBucketStats]].
+    * `numChunks × Σ_{k≤radius} C(chunkBits, k)` rows per DISTINCT signature
+    * (548 at the image/video default h=10; 16-byte payload each) versus
+    * banding's h+1 = 11 — the price of a key space that doesn't collapse.
+    * Per-task bounds: the hot (chunk, value) key sees one probe row per
+    * distinct signature in its ball × ≤cap anchor signatures; a verified
+    * signature pair re-expands to ≤cap×cap id pairs streamed by the nested
+    * explode; the keeper-star join is linear in input rows. Over-cap ANCHOR
+    * buckets still emit pairs against their retained signatures (the probe
+    * side streams), and BOTH discovery directions survive truncation via
+    * least/greatest normalization. Member/bucket truncation stays
+    * observable via [[observedBucketStats]] (two observations: member
+    * groups, anchor buckets — folded conservatively).
+    *
+    * Output contract: one row per discovered (id_a < id_b) pair with its
+    * hamming distance. Assumes `idCol` identifies rows (duplicate
+    * (id, sig) rows are collapsed; an id carried under TWO distinct
+    * signatures — not an id — may emit one row per discovering signature
+    * pair).
     *
     * @param numChunks substring count; must divide 64. 4 (16-bit chunks)
     *   suits h in [5, 20]; 2 (32-bit chunks) only for tiny corpora with
@@ -844,47 +876,95 @@ object Dedup {
     val sigs = ensureParallelism(df)
       .select(col(idCol).as("id"), col(sigCol).cast(LongType).as("sig"))
       .filter(col("sig").isNotNull)
-    val chunks = sigs.select(
-      col("id"), col("sig"),
+    // one row per DISTINCT signature: keeper + capped member sample. The
+    // groupBy partial-aggregates, so a million-copy hot signature reaches
+    // the exchange as ≤ one capped partial row per map partition.
+    val members = observeBucketStats(
+      sigs
+        .groupBy(col("sig"))
+        .agg(
+          min(col("id")).as("keeper"),
+          graft.ops.expr.NativeSig.boundedCollectList(
+            col("id"), maxBucketSize).as("__ml"))
+        .select(col("sig"), col("keeper"),
+          array_distinct(col("__ml.items")).as("mids"),
+          col("__ml.cnt").as("__bsz")),
+      maxBucketSize)
+    // identical-signature pairs, no probe join:
+    //  (a) keeper-star join-back — EVERY group member pairs with the group
+    //      keeper (min id), linear in input, complete at any multiplicity
+    val star = sigs
+      .join(members.filter(col("__bsz") >= 2)
+        .select(col("sig"), col("keeper")).hint("merge"), Seq("sig"))
+      .filter(col("id") =!= col("keeper"))
+      .select(col("keeper").as("id_a"), col("id").as("id_b"),
+        lit(0).as("hamming"))
+    //  (b) all pairs among the retained NON-keeper sample — with (a) this
+    //      is exactly C(k, 2) for groups within the cap, and a loud,
+    //      observable truncation beyond it
+    val inGroup = members
+      .select(array_remove(col("mids"), col("keeper")).as("rest"))
+      .filter(size(col("rest")) >= 2)
+      .select(posexplode(col("rest")).as(Seq("__i", "__ida")), col("rest"))
+      .select(col("__ida"),
+        explode(slice(col("rest"), col("__i") + lit(2), size(col("rest"))))
+          .as("__idb"))
+      .select(least(col("__ida"), col("__idb")).as("id_a"),
+        greatest(col("__ida"), col("__idb")).as("id_b"),
+        lit(0).as("hamming"))
+    // cross-signature candidates: ball probes ONCE per distinct signature
+    val dsigs = members.select(col("sig"))
+    val chunks = dsigs.select(
+      col("sig"),
       explode(array((0 until numChunks).map { c =>
         struct(
           lit(c).as("chunk"),
           shiftrightunsigned(col("sig"), c * chunkBits)
             .bitwiseAND(lit(chunkMask(chunkBits))).as("chunk_val"))
       }: _*)).as("cc"))
-      .select(col("id"), col("sig"), col("cc.chunk"), col("cc.chunk_val"))
+      .select(col("sig"), col("cc.chunk"), col("cc.chunk_val"))
     val anchors = observeBucketStats(
       chunks
         .groupBy(col("chunk"), col("chunk_val"))
         .agg(graft.ops.expr.NativeSig.boundedCollectList(
-          struct(col("id"), col("sig")), maxBucketSize).as("__bl"))
+          col("sig"), maxBucketSize).as("__bl"))
         .select(col("chunk"), col("chunk_val"),
-          col("__bl.items").as("ms"), col("__bl.cnt").as("__bsz")),
+          col("__bl.items").as("ss"), col("__bl.cnt").as("__bsz")),
       maxBucketSize)
-      .select(col("chunk"), col("chunk_val"), col("ms"))
+      .select(col("chunk"), col("chunk_val"), col("ss"))
     val probes = chunks.select(
-      col("id"), col("sig"), col("chunk"), col("chunk_val"),
+      col("sig"), col("chunk"), col("chunk_val"),
       explode(typedLit(masks.toSeq)).as("__mask"))
-      .select(col("id"), col("sig"), col("chunk"),
+      .select(col("sig"), col("chunk"),
         col("chunk_val").bitwiseXOR(col("__mask")).as("probe_val"))
-    probes.as("p")
+    // BOTH discovery directions kept (least/greatest, not `p < a`): under
+    // anchor truncation the signature pair whose larger member was
+    // truncated out of its bucket is still found by the larger signature
+    // PROBING the smaller one's retained anchor.
+    val sigPairs = probes.as("p")
       .join(anchors.as("a").hint("merge"),
         col("p.chunk") === col("a.chunk") &&
           col("p.probe_val") === col("a.chunk_val"))
-      .select(col("p.id").as("pid"), col("p.sig").as("psig"),
-        explode(col("a.ms")).as("m"))
-      // BOTH discovery directions kept (normalized by least/greatest, not
-      // `pid < m.id`): under anchor truncation the pair whose larger id was
-      // truncated out of its bucket is still found by the larger id PROBING
-      // the smaller id's retained anchor — a one-direction filter would
-      // drop exactly the hot-bucket pairs this engine exists to keep.
-      .filter(col("pid") =!= col("m.id"))
+      .select(col("p.sig").as("psig"), explode(col("a.ss")).as("asig"))
+      .filter(col("psig") =!= col("asig"))
       .select(
-        least(col("pid"), col("m.id")).as("id_a"),
-        greatest(col("pid"), col("m.id")).as("id_b"),
-        bit_count(col("psig").bitwiseXOR(col("m.sig"))).as("hamming"))
+        least(col("psig"), col("asig")).as("sig_a"),
+        greatest(col("psig"), col("asig")).as("sig_b"),
+        bit_count(col("psig").bitwiseXOR(col("asig"))).as("hamming"))
       .filter(col("hamming") <= maxHamming)
       .distinct()
+    // re-expand verified signature pairs through the member table, capped
+    // per side; each distinct sig pair streams ≤cap×cap unique id pairs
+    val cross = sigPairs
+      .join(members.select(col("sig").as("sig_a"), col("mids").as("__ma")),
+        Seq("sig_a"))
+      .join(members.select(col("sig").as("sig_b"), col("mids").as("__mb")),
+        Seq("sig_b"))
+      .select(col("hamming"), explode(col("__ma")).as("__ida"), col("__mb"))
+      .select(col("hamming"), col("__ida"), explode(col("__mb")).as("__idb"))
+      .select(least(col("__ida"), col("__idb")).as("id_a"),
+        greatest(col("__ida"), col("__idb")).as("id_b"), col("hamming"))
+    star.unionByName(inGroup).unionByName(cross)
   }
 
   /** Near-dup REMOVAL: drops every row that appears as the higher id of a

@@ -113,18 +113,92 @@ class MultiIndexHammingSpec extends SparkTestBase {
       s"multi-index must not truncate here: n=$nTrunc rows=$rowsTrunc max=$maxB")
   }
 
-  test("hot-bucket truncation: over-cap anchors still pair against retained members") {
+  test("over-cap identical-sig group: keeper-star covers EVERY member, truncation loud") {
     // 200 identical sigs with cap 20: the banded engine would drop the
-    // bucket outright (zero pairs); multi-index truncates anchors to 20 but
-    // every item still PROBES, so each of the 200 pairs with the retained
-    // anchors — recall floor ≈ 200×20 pairs instead of zero, truncation loud.
+    // bucket outright (zero pairs). The distinct-signature engine pairs
+    // every member with the group keeper (min id) via the linear star
+    // join-back — so "drop later copies" coverage is complete at ANY
+    // multiplicity — plus all pairs among the retained non-keeper sample.
     val df = (0L until 200L).map(i => (i, 0x1234567890ABCDEFL)).toDF("id", "sig")
     val mih = Dedup.multiIndexHammingPairs(df, "id", "sig",
       maxHamming = 10, maxBucketSize = 20)
-    val n = mih.collect().length
-    assert(n > 1000, s"truncated hot bucket must still emit pairs, got $n")
+    // collect mih ITSELF (not a derived projection) so the bucket
+    // observation lands on this frame's executed plan
+    val rows = mih.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(rows.forall(_._3 == 0))
+    // star coverage: every non-keeper id appears as id_b of a keeper pair
+    val starPairs = rows.filter(_._1 == 0L).map(_._2).toSet
+    assert(starPairs == (1L until 200L).toSet,
+      s"every member must pair with the keeper; missing=${((1L until 200L).toSet -- starPairs).take(5)}")
+    // plus C(r, 2) pairs among the r retained non-keeper members (r is 19
+    // or 20 depending on whether the arbitrary retained sample kept id 0)
+    val inGroup = rows.filter(_._1 != 0L)
+    assert(inGroup.length == 171 || inGroup.length == 190,
+      s"retained-sample pairs: got ${inGroup.length}")
     val Some((maxB, nTrunc, _)) = Dedup.observedBucketStats(mih)
-    assert(maxB == 200L && nTrunc >= 4L, s"truncation must be loud: max=$maxB n=$nTrunc")
+    assert(maxB == 200L && nTrunc == 1L, s"truncation must be loud: max=$maxB n=$nTrunc")
+  }
+
+  test("duplicate-heavy regime: 100k copies of ONE signature — floor found, " +
+    "bounded per-task shuffle (the r11 probe-side skew gate)") {
+    // The canonical near-dup input: pixel-identical re-encodes all hash to
+    // one signature. The r11 engine put k probe rows × cap anchor members
+    // into the single task owning the hot (chunk, value) key — k×cap row
+    // expansions (1e8 at k=1e5) through the pair distinct's exchange. The
+    // distinct-signature engine collapses the population map-side: the only
+    // per-task linear cost is the keeper-star join-back (~k records), and
+    // nothing quadratic crosses any exchange.
+    val k = 100000L
+    val r = rng(13)
+    val distinctBase = (0 until 200).map(i => (10000000L + i, r.nextLong()))
+    // 100 planted near pairs at hamming exactly 6 (0x111111 = six bits)
+    val near = distinctBase.take(100).map { case (id, s) =>
+      (id + 5000000L, s ^ 0x111111L)
+    }
+    val hot = spark.range(k).select(col("id"), lit(0x0BADCAFEL).as("sig"))
+    val dd = hot
+      .unionByName(distinctBase.toDF("id", "sig"))
+      .unionByName(near.toDF("id", "sig"))
+
+    val maxTaskShuffleRecords = new java.util.concurrent.atomic.AtomicLong
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val m = te.taskMetrics
+        if (m != null) {
+          val rec = m.shuffleReadMetrics.recordsRead
+          maxTaskShuffleRecords.getAndUpdate(cur => math.max(cur, rec))
+        }
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val pairs = Dedup.multiIndexHammingPairs(dd, "id", "sig",
+        maxHamming = 10, maxBucketSize = 1000)
+      val agg = pairs.agg(
+        sum(when($"hamming" === 0 && $"id_a" === 0L && $"id_b" < k, 1L)
+          .otherwise(0L)).as("star"),
+        count_distinct(when($"hamming" === 6, struct($"id_a", $"id_b")))
+          .as("near")).head()
+      // complete drop coverage over the hot group: every copy pairs with
+      // the keeper (id 0) despite the member-sample cap
+      assert(agg.getLong(0) == k - 1, s"star pairs: ${agg.getLong(0)}")
+      // the planted distinct-sig floor is found THROUGH the hot regime
+      assert(agg.getLong(1) >= 100, s"planted near pairs: ${agg.getLong(1)}")
+      // listener events drain asynchronously: poll until the max is stable
+      var prev = -1L
+      var stable = 0
+      while (stable < 2) {
+        val cur = maxTaskShuffleRecords.get()
+        if (cur == prev) stable += 1 else { stable = 0; prev = cur }
+        Thread.sleep(200)
+      }
+      val maxRec = maxTaskShuffleRecords.get()
+      assert(maxRec > 0, "listener must have observed shuffle traffic")
+      assert(maxRec < 1000000L,
+        s"per-task shuffle bounded: max=$maxRec (r11's quadratic shape put " +
+          "~1e8 expansion rows through the hot task)")
+    } finally spark.sparkContext.removeSparkListener(listener)
   }
 
   test("null signatures excluded; non-integral sig column refused") {
