@@ -220,6 +220,10 @@ object GraftExtensions {
       require(es.length == 2, "wordpiece_count(text, vocabTxtPath)")
       WordPieceCountExpr(es.head,
         WordPieceModel.fromVocabFile(strLit(es(1), "vocabTxtPath")))
+    },
+    "payload_text" -> { es =>
+      require(es.length == 2, "payload_text(payload, contentType)")
+      PayloadTextExpr(es.head, es(1))
     })
 
   /** Install the same functions as temp functions on a live session. */

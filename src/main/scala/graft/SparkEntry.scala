@@ -1236,6 +1236,61 @@ object SparkEntry {
                 else t(s, dir, name))
         .select(col("doc_id"), col("url"), col("robots_ok"))
     }),
+    // CHARSET-AWARE WARC DECODE GATE: plant pages in the legacy encodings
+    // real crawls carry (~10% of CommonCrawl HTML is non-UTF-8) and
+    // replay the whole sniffing chain — HTTP header charset param,
+    // meta-tag prescan (both spellings), BOM precedence over a LYING
+    // header, unknown-label fallthrough, UTF-16 — through the pipeline's
+    // `format: warc` source (text: true default). The oracle pins the
+    // expected DECODED strings as literals (the q55c convention).
+    "q94_warc_charset" -> ((s, dir) => {
+      import s.implicits._
+      val fixture = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft_warc_cs_" +
+          java.lang.Long.toHexString(dir.hashCode.toLong & 0xffffffffL) +
+          "_" + ProcessHandle.current().pid())
+      val out = new java.io.File(fixture, "cs").getPath
+      def b(text: String, cs: String) = text.getBytes(cs)
+      val utf16le = {
+        val body = "utf16 page é".getBytes("UTF-16LE")
+        Array(0xff.toByte, 0xfe.toByte) ++ body
+      }
+      val bomUtf8 =
+        Array(0xef.toByte, 0xbb.toByte, 0xbf.toByte) ++ b("bom wins: é", "UTF-8")
+      val pages: Seq[(String, Array[Byte], String)] = Seq(
+        ("https://enc.test/p1", b("café – déjà vu €", "windows-1252"),
+          "text/html; charset=windows-1252"),
+        ("https://enc.test/p2", b("こんにちは世界", "Shift_JIS"),
+          "text/html; charset=Shift_JIS"),
+        ("https://enc.test/p3",
+          b("<html><head><meta charset=\"shift_jis\"></head>" +
+            "<body>日本語テキスト</body></html>", "Shift_JIS"),
+          "text/html"),
+        ("https://enc.test/p4", bomUtf8, "text/html; charset=windows-1252"),
+        ("https://enc.test/p5", b("plain utf-8: ünïcödé ✓", "UTF-8"),
+          "text/html"),
+        ("https://enc.test/p6", utf16le, "text/html"),
+        ("https://enc.test/p7",
+          b("<html><head><meta http-equiv=\"Content-Type\" " +
+            "content=\"text/html; charset=windows-1252\"></head>" +
+            "<body>smart “quotes”</body></html>", "windows-1252"),
+          "text/html"),
+        ("https://enc.test/p8", b("fallback äßç", "UTF-8"),
+          "text/html; charset=x-bogus-enc"))
+      graft.sources.Warc.writeWarcResponses(
+        pages.toDF("uri", "body", "ct"), out, "uri", "body",
+        overwrite = true, contentTypeCol = Some("ct"))
+      graft.pipeline.Pipeline.run(s,
+        s"""source: {format: warc, path: "$out"}
+           |steps:
+           |  - filter: "$$http_status == 200"
+           |""".stripMargin,
+        name => t(s, dir, name))
+        .select(
+          regexp_extract(col("target_uri"), "/p(\\d+)$", 1)
+            .cast("long").as("page"),
+          col("text"))
+    }),
     // DUPLICATE-HEAVY MULTI-INDEX GATE (the r11 probe-side skew regime):
     // 50k copies of ONE signature — pixel-identical re-encodes, the
     // canonical near-dup population — alongside ~sf-scaled distinct sigs
@@ -3220,6 +3275,20 @@ object SparkEntry {
         |  NOT ((doc_id % 4 = 0 AND doc_id % 5 = 1)
         |    OR (doc_id % 4 = 1 AND doc_id % 5 = 2)) AS robots_ok
         |FROM documents""".stripMargin,
+    // The expected DECODED strings, literal: each page's bytes were
+    // produced driver-side by encoding exactly these strings in the
+    // charset the sniffing chain must pick (header param, meta prescan,
+    // BOM-over-lying-header, UTF-16LE, unknown-label fallthrough).
+    "q94_warc_charset" ->
+      """SELECT page::BIGINT AS page, text FROM (VALUES
+        |  (1, 'café – déjà vu €'),
+        |  (2, 'こんにちは世界'),
+        |  (3, '<html><head><meta charset="shift_jis"></head><body>日本語テキスト</body></html>'),
+        |  (4, 'bom wins: é'),
+        |  (5, 'plain utf-8: ünïcödé ✓'),
+        |  (6, 'utf16 page é'),
+        |  (7, '<html><head><meta http-equiv="Content-Type" content="text/html; charset=windows-1252"></head><body>smart “quotes”</body></html>'),
+        |  (8, 'fallback äßç')) t(page, text)""".stripMargin,
     // Both q93 families are pure arithmetic: planted pairs are (id,
     // id + 1e9) for id % 97 = 0 (equal keys ⇒ sigs differing by exactly
     // the 6 planted bit flips; accidental pairs would also need ids

@@ -140,6 +140,19 @@ object WebText {
       ColumnBridge.expression(rules), ColumnBridge.expression(path)))
   }
 
+  /** Charset-aware crawl-payload decode
+    * ([[graft.ops.expr.CharsetText]] — WHATWG sniffing precedence: BOM →
+    * HTTP `Content-Type` charset param → `<meta>` prescan → UTF-8, REPLACE
+    * on malformed bytes). The front-door text materialization for WARC
+    * payloads; pair with [[fixEncoding]] downstream only for text that was
+    * mojibaked BEFORE it reached the archive.
+    */
+  def payloadText(payload: Column, contentType: Column): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(graft.ops.expr.PayloadTextExpr(
+      ColumnBridge.expression(payload), ColumnBridge.expression(contentType)))
+  }
+
   /** Multi-label public suffixes recognized by [[registrableDomain]] — a
     * compact subset of the (public) Mozilla Public Suffix List covering the
     * common ccTLD second-level registries. At 100 TB you would broadcast

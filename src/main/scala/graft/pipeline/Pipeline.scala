@@ -124,17 +124,28 @@ object Pipeline {
                   unsupported.toSeq.sorted.mkString(", "))
             graft.sources.TarShards.readTarShards(spark, path)
           // WARC crawl archives: {format: warc, path: ...,
-          //   maxPayloadBytes: 67108864} → one row per record (type, uri,
-          //   date, http status/content-type, payload, truncated flag)
+          //   maxPayloadBytes: 67108864, text: true} → one row per record
+          //   (type, uri, date, http status/content-type, payload,
+          //   truncated flag). text (default TRUE) adds the charset-aware
+          //   decoded `text` column (BOM → header charset → meta prescan →
+          //   UTF-8; WebText.payloadText) — the front-door materialization
+          //   real crawls need (~10% of CommonCrawl HTML is
+          //   legacy-encoded, and a blind UTF-8 cast mojibakes it).
+          //   Column-pruned away when no step reads it.
           case "warc" =>
-            val unsupported = sm.keySet -- Set("format", "path", "maxPayloadBytes")
+            val unsupported =
+              sm.keySet -- Set("format", "path", "maxPayloadBytes", "text")
             if (unsupported.nonEmpty)
               throw new IllegalArgumentException(
-                s"warc source supports 'format', 'path', 'maxPayloadBytes'; remove: " +
-                  unsupported.toSeq.sorted.mkString(", "))
-            graft.sources.Warc.readWarc(spark, path,
+                s"warc source supports 'format', 'path', 'maxPayloadBytes', " +
+                  s"'text'; remove: " + unsupported.toSeq.sorted.mkString(", "))
+            val raw = graft.sources.Warc.readWarc(spark, path,
               maxPayloadBytes = sm.get("maxPayloadBytes")
                 .map(_.toString.toInt).getOrElse(64 << 20))
+            if (sm.get("text").forall(_.toString.toBoolean))
+              raw.withColumn("text", graft.ops.WebText.payloadText(
+                col("payload"), col("http_content_type")))
+            else raw
           case fmt =>
             val reader = spark.read.format(fmt)
             val withOpts = sm.get("options") match {

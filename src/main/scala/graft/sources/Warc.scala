@@ -123,12 +123,20 @@ object Warc {
       httpContentType: String = "text/html; charset=UTF-8",
       warcDate: String = "2026-01-01T00:00:00Z",
       maxRecordsPerShard: Int = 100000,
-      overwrite: Boolean = false
+      overwrite: Boolean = false,
+      contentTypeCol: Option[String] = None
   ): Unit = {
     require(maxRecordsPerShard > 0, "maxRecordsPerShard must be positive")
+    // per-record HTTP Content-Type when a column is given (a crawl body's
+    // charset is per-page); rows with a null value fall back to the
+    // constant default
     val projected = df.select(
       col(uriCol).cast("string").as("__uri"),
-      col(bodyCol).cast("binary").as("__body"))
+      col(bodyCol).cast("binary").as("__body"),
+      coalesce(
+        contentTypeCol.map(c => col(c).cast("string"))
+          .getOrElse(lit(null).cast("string")),
+        lit(httpContentType)).as("__ct"))
     val conf = new SerializableConfiguration(
       df.sparkSession.sparkContext.hadoopConfiguration)
     val driverFs = FileSystem.get(new java.net.URI(outDir), conf.value)
@@ -186,8 +194,9 @@ object Warc {
           val body =
             if (r.isNullAt(1)) Array.emptyByteArray
             else r.get(1).asInstanceOf[Array[Byte]]
+          val ct = if (r.isNullAt(2)) httpContentType else r.getString(2)
           val http =
-            (s"HTTP/1.1 200 OK\r\nContent-Type: $httpContentType\r\n" +
+            (s"HTTP/1.1 200 OK\r\nContent-Type: $ct\r\n" +
               s"Content-Length: ${body.length}\r\n\r\n").getBytes("UTF-8")
           val block = http ++ body
           val header =
