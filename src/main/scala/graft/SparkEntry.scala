@@ -1174,6 +1174,33 @@ object SparkEntry {
            |""".stripMargin,
         name => t(s, dir, name))
     }),
+    // .warc.zst roundtrip: the same reader-field replay as q88 over
+    // ZSTD-compressed shards (newer CommonCrawl segments ship zstd;
+    // member-per-record concatenated frames, no shared dictionary —
+    // the reader's continuous-mode decode). Same oracle arithmetic.
+    "q88c_warc_zst_roundtrip" -> ((s, dir) => {
+      val fixture = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft_warc_" +
+          java.lang.Long.toHexString(dir.hashCode.toLong & 0xffffffffL) +
+          "_" + ProcessHandle.current().pid())
+      val out = new java.io.File(fixture, "zst").getPath
+      val src = t(s, dir, "documents").select(
+        concat(lit("https://site"), (col("doc_id") % 50).cast("string"),
+          lit(".com/doc/"), col("doc_id").cast("string")).as("uri"),
+        col("text").as("body"))
+      graft.sources.Warc.writeWarcResponses(
+        src.repartition(4), out, "uri", "body", overwrite = true,
+        codec = "zstd")
+      graft.sources.Warc.readWarc(s, out).select(
+        regexp_extract(col("target_uri"), "/doc/(\\d+)$", 1)
+          .cast("long").as("doc_id"),
+        col("target_uri").as("uri"),
+        col("warc_type"),
+        col("http_status").as("status"),
+        col("payload").cast("string").as("body"),
+        col("content_length").as("clen"),
+        col("truncated"))
+    }),
     // WordPiece (BERT-family) tokenization: greedy longest-match-first
     // with ## continuation pieces, punctuation isolation, and the
     // published whole-word-to-[UNK] rule. The oracle pins hand-derived id
@@ -3250,6 +3277,17 @@ object SparkEntry {
         |  sum(length(text))::BIGINT AS total_chars
         |FROM documents
         |GROUP BY 1""".stripMargin,
+    // same Content-Length arithmetic as q88, zstd member framing
+    "q88c_warc_zst_roundtrip" ->
+      """SELECT doc_id,
+        |  'https://site' || (doc_id % 50) || '.com/doc/' || doc_id AS uri,
+        |  'response' AS warc_type,
+        |  200 AS status,
+        |  text AS body,
+        |  (77 + length(CAST(octet_length(encode(text)) AS VARCHAR))
+        |     + octet_length(encode(text)))::BIGINT AS clen,
+        |  false AS truncated
+        |FROM documents""".stripMargin,
     // greedy derivations (WordPieceSpec): hello→[1]; hello world→[1,2];
     // hellol→hello+##l; hello hell→[1,3]; hellolo→hello+##lo (longest
     // continuation); unaffable→un+##affable; helloz→[UNK] (all-or-

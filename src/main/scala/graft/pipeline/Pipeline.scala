@@ -175,17 +175,19 @@ object Pipeline {
       // task via Warc.writeWarcResponses (not a DataFrameWriter format)
       if (sm.get("format").exists(_.toString == "warc")) {
         val unsupported = sm.keySet --
-          Set("format", "path", "uri", "body", "mode")
+          Set("format", "path", "uri", "body", "mode", "codec", "contentType")
         if (unsupported.nonEmpty)
           throw new IllegalArgumentException(
-            s"warc sink supports format/path/uri/body/mode; remove: " +
-              unsupported.toSeq.sorted.mkString(", "))
+            s"warc sink supports format/path/uri/body/mode/codec/" +
+              s"contentType; remove: " + unsupported.toSeq.sorted.mkString(", "))
         graft.sources.Warc.writeWarcResponses(out,
           sm.getOrElse("path", throw new IllegalArgumentException(
             "warc sink needs a 'path'")).toString,
           uriCol = sm.getOrElse("uri", "uri").toString,
           bodyCol = sm.getOrElse("body", "body").toString,
-          overwrite = sm.getOrElse("mode", "overwrite").toString == "overwrite")
+          overwrite = sm.getOrElse("mode", "overwrite").toString == "overwrite",
+          contentTypeCol = sm.get("contentType").map(_.toString),
+          codec = sm.getOrElse("codec", "gzip").toString)
       } else {
       var w = out.write
         .format(sm.getOrElse("format", "parquet").toString)

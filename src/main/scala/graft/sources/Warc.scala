@@ -106,8 +106,10 @@ object Warc {
 
   /** Write each row as one WARC `response` record (the record type a
     * downstream curation pipeline reads back): an HTTP/1.1 200 message
-    * whose body is `bodyCol`, addressed by `uriCol`. `.warc.gz` layout,
-    * record-per-gzip-member per the spec's recommendation. Record IDs are
+    * whose body is `bodyCol`, addressed by `uriCol`. `.warc.gz` layout by
+    * default (record-per-gzip-member per the spec's recommendation);
+    * `codec = "zstd"` writes `.warc.zst` as plain concatenated zstd
+    * frames, one per record (no shared dictionary). Record IDs are
     * deterministic (`<urn:graft:<64-bit FNV of uri>>`) so a write→read
     * round-trip is value-stable end to end; `warcDate` is the mandatory
     * WARC-Date header for every record (a crawl timestamp column can be
@@ -124,9 +126,16 @@ object Warc {
       warcDate: String = "2026-01-01T00:00:00Z",
       maxRecordsPerShard: Int = 100000,
       overwrite: Boolean = false,
-      contentTypeCol: Option[String] = None
+      contentTypeCol: Option[String] = None,
+      codec: String = "gzip"
   ): Unit = {
     require(maxRecordsPerShard > 0, "maxRecordsPerShard must be positive")
+    require(codec == "gzip" || codec == "zstd",
+      s"codec must be gzip|zstd, got $codec")
+    // member-per-record framing in both codecs: gzip members per the WARC
+    // spec's recommendation, plain concatenated zstd frames for .warc.zst
+    // (no shared dictionary — the reader refuses dictionary archives)
+    val ext = if (codec == "zstd") ".warc.zst" else ".warc.gz"
     // per-record HTTP Content-Type when a column is given (a crawl body's
     // charset is per-page); rows with a null value fall back to the
     // constant default
@@ -163,12 +172,12 @@ object Warc {
         var tmpPath: Path = null
         def open(): Unit = {
           tmpPath = new Path(outDir,
-            f".inprogress-$attempt%d-part-$pid%05d-$shardNo%04d.warc.gz")
+            f".inprogress-$attempt%d-part-$pid%05d-$shardNo%04d$ext")
           out = fs.create(tmpPath, true)
         }
         def close(): Unit = if (out != null) {
           out.close(); out = null
-          val finalPath = new Path(outDir, f"part-$pid%05d-$shardNo%04d.warc.gz")
+          val finalPath = new Path(outDir, f"part-$pid%05d-$shardNo%04d$ext")
           if (!fs.rename(tmpPath, finalPath)) {
             // discard the temp ONLY for a lost speculative race (dest
             // already complete); a transient rename failure must FAIL the
@@ -207,19 +216,23 @@ object Warc {
               s"WARC-Target-URI: $uri\r\n" +
               "Content-Type: application/http; msgtype=response\r\n" +
               s"Content-Length: ${block.length}\r\n\r\n").getBytes("UTF-8")
-          // one gzip member per record: finish() flushes the member's
-          // trailer without closing the underlying shard stream
+          // one compressed member per record: the member stream closes
+          // over a wrapper whose close() is a no-op, so finishing a
+          // member never closes the underlying shard stream
           val shard = out
-          val gz = new GZIPOutputStream(new java.io.FilterOutputStream(shard) {
+          val noClose = new java.io.FilterOutputStream(shard) {
             override def write(b: Array[Byte], off: Int, len: Int): Unit =
               shard.write(b, off, len) // bulk passthrough (default is per-byte)
             override def close(): Unit = {} // member boundary, not file end
-          })
-          gz.write(header)
-          gz.write(block)
-          gz.write("\r\n\r\n".getBytes("UTF-8"))
-          gz.finish()
-          gz.close()
+          }
+          val member: java.io.OutputStream =
+            if (codec == "zstd")
+              new com.github.luben.zstd.ZstdOutputStreamNoFinalizer(noClose)
+            else new GZIPOutputStream(noClose)
+          member.write(header)
+          member.write(block)
+          member.write("\r\n\r\n".getBytes("UTF-8"))
+          member.close() // flushes the member/frame trailer; shard stays open
           inShard += 1
         }
         close()
@@ -252,7 +265,27 @@ object Warc {
     val in: InputStream =
       if (bytes.length >= 2 && (bytes(0) & 0xff) == 0x1f && (bytes(1) & 0xff) == 0x8b)
         new GZIPInputStream(raw, 1 << 16)
-      else raw
+      else if (bytes.length >= 4 && (bytes(0) & 0xff) == 0x28 &&
+          (bytes(1) & 0xff) == 0xb5 && (bytes(2) & 0xff) == 0x2f &&
+          (bytes(3) & 0xff) == 0xfd) {
+        // .warc.zst: concatenated zstd frames (member-per-record, the
+        // layout this library's writer emits and newer CommonCrawl
+        // segments ship); continuous mode reads across frame boundaries
+        val z = new com.github.luben.zstd.ZstdInputStreamNoFinalizer(raw)
+        z.setContinuous(true)
+        z
+      } else if (bytes.length >= 4 && (bytes(0) & 0xf0) == 0x50 &&
+          (bytes(0) & 0xff) >= 0x50 && (bytes(1) & 0xff) == 0x2a &&
+          (bytes(2) & 0xff) == 0x4d && (bytes(3) & 0xff) == 0x18) {
+        // zstd SKIPPABLE frame magic (0x184D2A50..5F little-endian): the
+        // iipc warc.zst convention stores a compression DICTIONARY there;
+        // records compressed against it cannot decode without dictionary
+        // support — refuse loudly instead of emitting decode garbage
+        throw new IllegalArgumentException(
+          s"$path: .warc.zst with a leading skippable frame (shared " +
+            "dictionary) is not supported — recompress without a " +
+            "dictionary (plain concatenated frames decode fine)")
+      } else raw
     var idx = -1
     Iterator.continually(parseRecord(path, in, maxPayloadBytes))
       .takeWhile(_.isDefined)

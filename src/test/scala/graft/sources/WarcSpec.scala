@@ -191,6 +191,59 @@ class WarcSpec extends SparkTestBase {
     }
   }
 
+  test("zstd shards: write → read roundtrip, mixed gz+zst directory") {
+    val dir = tmpDir()
+    val df = (1 to 23).map(i => (s"https://z/$i", s"zbody $i")).toDF("uri", "body")
+    Warc.writeWarcResponses(df.repartition(2), dir, "uri", "body", codec = "zstd")
+    val names = new java.io.File(dir).list().toSeq.filterNot(_.startsWith("."))
+    assert(names.nonEmpty && names.forall(_.endsWith(".warc.zst")), names.toString)
+    val back = Warc.readWarc(spark, dir)
+      .select(col("target_uri").as("uri"), col("payload").cast("string").as("body"))
+    assert(back.exceptAll(df).count() == 0 && df.exceptAll(back).count() == 0)
+    // mixed directory: add gzip shards alongside, one read sees both
+    val df2 = (100 to 110).map(i => (s"https://g/$i", s"gbody $i")).toDF("uri", "body")
+    val gzDir = tmpDir()
+    Warc.writeWarcResponses(df2, gzDir, "uri", "body")
+    new java.io.File(gzDir).listFiles()
+      .filterNot(_.getName.startsWith(".")).foreach { f =>
+        Files.copy(f.toPath, new java.io.File(dir, "gz-" + f.getName).toPath)
+      }
+    assert(Warc.readWarc(spark, dir).count() == 23 + 11)
+  }
+
+  test("zstd: concatenated frames parse as one stream; dictionary skippable frame refused") {
+    // two records compressed as two INDEPENDENT concatenated frames
+    val r1 = record(Seq("WARC-Type: resource", "WARC-Target-URI: u1"),
+      "abc".getBytes("UTF-8"))
+    val r2 = record(Seq("WARC-Type: resource", "WARC-Target-URI: u2"),
+      "defg".getBytes("UTF-8"))
+    val bytes = com.github.luben.zstd.Zstd.compress(r1) ++
+      com.github.luben.zstd.Zstd.compress(r2)
+    val rows = Warc.parseFile("t.warc.zst", bytes, 1 << 20).toSeq
+    assert(rows.map(_.target_uri) == Seq(Some("u1"), Some("u2")))
+    assert(rows.map(r => new String(r.payload, "UTF-8")) == Seq("abc", "defg"))
+    // leading skippable frame (the iipc dictionary convention) → loud refusal
+    val skippable = Array(0x50, 0x2a, 0x4d, 0x18, 4, 0, 0, 0, 1, 2, 3, 4)
+      .map(_.toByte) ++ com.github.luben.zstd.Zstd.compress(r1)
+    val e = intercept[IllegalArgumentException] {
+      Warc.parseFile("d.warc.zst", skippable, 1 << 20).toSeq
+    }
+    assert(e.getMessage.contains("dictionary"))
+  }
+
+  test("pipeline warc sink writes zst from YAML (codec option)") {
+    val dir = tmpDir() + "/out"
+    val docs = (1 to 5).map(i => (s"https://y/$i", s"yb$i")).toDF("uri", "body")
+    graft.pipeline.Pipeline.run(spark,
+      s"""source: docs
+         |sink: {format: warc, path: "$dir", uri: uri, body: body, codec: zstd}
+         |""".stripMargin,
+      name => docs)
+    assert(new java.io.File(dir).list().filterNot(_.startsWith("."))
+      .forall(_.endsWith(".warc.zst")))
+    assert(Warc.readWarc(spark, dir).count() == 5)
+  }
+
   test("pipeline warc source reads records and rejects unknown keys") {
     val dir = tmpDir()
     val df = (1 to 7).map(i => (s"https://p/$i", s"t$i")).toDF("uri", "body")
