@@ -224,6 +224,21 @@ object GraftExtensions {
     "payload_text" -> { es =>
       require(es.length == 2, "payload_text(payload, contentType)")
       PayloadTextExpr(es.head, es(1))
+    },
+    "wordpiece_pre_tokens" -> { es =>
+      es match {
+        case Seq(t)     => WordPiecePreTokensExpr(t, lowercase = false)
+        case Seq(t, lc) =>
+          if (!lc.foldable) throw new IllegalArgumentException(
+            "wordpiece_pre_tokens lowercase must be a literal boolean")
+          lc.eval() match {
+            case b: java.lang.Boolean => WordPiecePreTokensExpr(t, b)
+            case other => throw new IllegalArgumentException(
+              s"wordpiece_pre_tokens lowercase must be a literal boolean; got $other")
+          }
+        case _ => throw new IllegalArgumentException(
+          "wordpiece_pre_tokens(text[, lowercase])")
+      }
     })
 
   /** Install the same functions as temp functions on a live session. */

@@ -1263,6 +1263,33 @@ object SparkEntry {
                 else t(s, dir, name))
         .select(col("doc_id"), col("url"), col("robots_ok"))
     }),
+    // WORDPIECE TRAINER, word-table gate: the trainer's one corpus-scale
+    // pass under the ENCODER's word boundaries (whitespace split +
+    // punctuation isolation — not the BPE regex). The corpus text is pure
+    // alphanumeric, so punctuation is planted by construction; the oracle
+    // replays the boundary rule with the ASCII punctuation class.
+    "q95_wordpiece_wordcounts" -> ((s, dir) => {
+      val norm = t(s, dir, "documents").select(
+        concat(col("text"), lit(" it's #"), (col("doc_id") % 10).cast("string"),
+          lit("!")).as("t"))
+      graft.ops.WordPieceTrain.wordCounts(norm, "t")
+        .orderBy(col("n").desc, col("word").asc).limit(30)
+    }),
+    // WordPiece training, selection gate (the q67b pattern): ONE round —
+    // words split [c0, ##c1, …], winner = max freq(ab)/(freq(a)·freq(b))
+    // with ties to the smallest (left, right) — replays fully in SQL
+    // (exact integer counts; both engines compare the same IEEE
+    // quotients). Multi-merge training is spec-pinned on the published
+    // teaching fixture (WordPieceTrainSpec hand derivation).
+    "q95b_wordpiece_first_merge" -> ((s, dir) => {
+      import s.implicits._
+      val norm = t(s, dir, "documents").select(
+        concat(col("text"), lit(" it's #"), (col("doc_id") % 10).cast("string"),
+          lit("!")).as("t"))
+      val wc = graft.ops.WordPieceTrain.wordCounts(norm, "t")
+        .collect().map(r => (r.getString(0), r.getLong(1)))
+      graft.ops.WordPieceTrain.trainMerges(wc, numMerges = 1).toDF("merged")
+    }),
     // CHARSET-AWARE WARC DECODE GATE: plant pages in the legacy encodings
     // real crawls carry (~10% of CommonCrawl HTML is non-UTF-8) and
     // replay the whole sniffing chain — HTTP header charset param,
@@ -3313,6 +3340,41 @@ object SparkEntry {
         |  NOT ((doc_id % 4 = 0 AND doc_id % 5 = 1)
         |    OR (doc_id % 4 = 1 AND doc_id % 5 = 2)) AS robots_ok
         |FROM documents""".stripMargin,
+    // WordPiece word boundaries: single ASCII-punctuation chars isolated,
+    // word runs between whitespace/punctuation (corpus is ASCII by
+    // construction, so the ASCII class IS the full classifier here).
+    "q95_wordpiece_wordcounts" ->
+      """WITH norm AS (
+        |  SELECT text || ' it''s #' || (doc_id % 10) || '!' AS t FROM documents),
+        |words AS (SELECT unnest(regexp_extract_all(t,
+        |  '[!-/:-@\[-`{-~]|[^\s!-/:-@\[-`{-~]+')) AS word FROM norm)
+        |SELECT word, count(*) AS n FROM words
+        |GROUP BY word ORDER BY n DESC, word ASC LIMIT 30""".stripMargin,
+    // First-merge replay: [c0, ##c1, …] splits, per-occurrence piece
+    // freqs, adjacent-pair freqs, score = c/(f_l · f_r), max score with
+    // ties to the smallest (l, r), merged token = l || r-without-##.
+    "q95b_wordpiece_first_merge" ->
+      """WITH norm AS (
+        |  SELECT text || ' it''s #' || (doc_id % 10) || '!' AS t FROM documents),
+        |words AS (SELECT unnest(regexp_extract_all(t,
+        |  '[!-/:-@\[-`{-~]|[^\s!-/:-@\[-`{-~]+')) AS w FROM norm),
+        |wc AS (SELECT w, count(*) AS n FROM words GROUP BY w),
+        |syms AS (
+        |  SELECT w, n, i,
+        |    CASE WHEN i = 1 THEN substring(w, 1, 1)
+        |         ELSE '##' || substring(w, i, 1) END AS sym
+        |  FROM (SELECT w, n, unnest(generate_series(1, length(w))) AS i FROM wc)),
+        |pf AS (SELECT sym, sum(n) AS f FROM syms GROUP BY sym),
+        |pairs AS (
+        |  SELECT a.sym AS l, b.sym AS r, sum(a.n) AS c
+        |  FROM syms a JOIN syms b ON a.w = b.w AND b.i = a.i + 1
+        |  GROUP BY a.sym, b.sym)
+        |SELECT l || replace(r, '##', '') AS merged
+        |FROM pairs
+        |JOIN pf fl ON fl.sym = pairs.l
+        |JOIN pf fr ON fr.sym = pairs.r
+        |ORDER BY c::DOUBLE / (fl.f::DOUBLE * fr.f::DOUBLE) DESC, l ASC, r ASC
+        |LIMIT 1""".stripMargin,
     // The expected DECODED strings, literal: each page's bytes were
     // produced driver-side by encoding exactly these strings in the
     // charset the sniffing chain must pick (header param, meta prescan,

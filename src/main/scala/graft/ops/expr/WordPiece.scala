@@ -67,19 +67,7 @@ final class WordPieceModel private (
     if (v == null) -1 else v.intValue()
   }
 
-  /** The published punctuation classifier: ASCII 33–47, 58–64, 91–96,
-    * 123–126 (symbol ranges treated as punctuation even where Unicode
-    * disagrees, e.g. `$`, `+`) plus Unicode general category P.
-    */
-  private def isPunct(cp: Int): Boolean =
-    (cp >= 33 && cp <= 47) || (cp >= 58 && cp <= 64) ||
-      (cp >= 91 && cp <= 96) || (cp >= 123 && cp <= 126) || {
-        val t = Character.getType(cp)
-        t == Character.CONNECTOR_PUNCTUATION || t == Character.DASH_PUNCTUATION ||
-        t == Character.START_PUNCTUATION || t == Character.END_PUNCTUATION ||
-        t == Character.INITIAL_QUOTE_PUNCTUATION ||
-        t == Character.FINAL_QUOTE_PUNCTUATION || t == Character.OTHER_PUNCTUATION
-      }
+  private def isPunct(cp: Int): Boolean = WordPieceModel.isPunct(cp)
 
   /** Greedy longest-match segmentation of one word; appends ids to `out`.
     * Any unmatchable remainder (or an over-length word) → the whole word
@@ -178,6 +166,81 @@ object WordPieceModel {
       java.nio.charset.StandardCharsets.UTF_8).asScala,
       unkToken, lowercase, maxInputChars)
   }
+
+  /** The published punctuation classifier: ASCII 33–47, 58–64, 91–96,
+    * 123–126 (symbol ranges treated as punctuation even where Unicode
+    * disagrees, e.g. `$`, `+`) plus Unicode general category P.
+    */
+  private[expr] def isPunct(cp: Int): Boolean =
+    (cp >= 33 && cp <= 47) || (cp >= 58 && cp <= 64) ||
+      (cp >= 91 && cp <= 96) || (cp >= 123 && cp <= 126) || {
+        val t = Character.getType(cp)
+        t == Character.CONNECTOR_PUNCTUATION || t == Character.DASH_PUNCTUATION ||
+        t == Character.START_PUNCTUATION || t == Character.END_PUNCTUATION ||
+        t == Character.INITIAL_QUOTE_PUNCTUATION ||
+        t == Character.FINAL_QUOTE_PUNCTUATION || t == Character.OTHER_PUNCTUATION
+      }
+
+  /** The encoder's exact word boundaries, standalone: whitespace split +
+    * punctuation isolation + optional lowercase fold. The TRAINER's word
+    * table must be built on these boundaries (not the BPE regex — e.g.
+    * `it's` is `[it][']['s]` under BPE but `[it]['] [s]` here).
+    */
+  def preTokenize(raw: String, lowercase: Boolean): Array[String] = {
+    val str = if (lowercase) raw.toLowerCase(java.util.Locale.ROOT) else raw
+    val out = Array.newBuilder[String]
+    val word = new java.lang.StringBuilder(16)
+    def flush(): Unit = if (word.length > 0) {
+      out += word.toString
+      word.setLength(0)
+    }
+    var i = 0
+    while (i < str.length) {
+      val cp = str.codePointAt(i)
+      if (Character.isWhitespace(cp)) flush()
+      else if (isPunct(cp)) {
+        flush()
+        out += new String(Character.toChars(cp))
+      } else word.appendCodePoint(cp)
+      i += Character.charCount(cp)
+    }
+    flush()
+    out.result()
+  }
+
+  /** [[preTokenize]] boxed for codegen call sites. */
+  def preTokenizeArray(s: UTF8String, lowercase: Boolean)
+      : org.apache.spark.sql.catalyst.util.GenericArrayData =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      preTokenize(s.toString, lowercase)
+        .map(w => UTF8String.fromString(w): Any))
+}
+
+/** Codegen'd WordPiece pre-tokenization (`wordpiece_pre_tokens(text)`):
+  * the BasicTokenizer word boundaries as `array<string>` — the trainer's
+  * one corpus-scale pass builds its word table on exactly these.
+  */
+case class WordPiecePreTokensExpr(child: Expression, lowercase: Boolean)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other =>
+      TypeCheckResult.TypeCheckFailure(
+        s"wordpiece_pre_tokens needs a string column, got $other")
+  }
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "wordpiece_pre_tokens"
+
+  override protected def nullSafeEval(input: Any): Any =
+    WordPieceModel.preTokenizeArray(input.asInstanceOf[UTF8String], lowercase)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.ops.expr.WordPieceModel$$.MODULE$$.preTokenizeArray($c, $lowercase)")
+
+  override protected def withNewChildInternal(newChild: Expression): WordPiecePreTokensExpr =
+    copy(child = newChild)
 }
 
 /** Codegen'd WordPiece tokenization: `wordpiece_encode(text)` →

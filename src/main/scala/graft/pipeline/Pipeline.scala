@@ -64,6 +64,34 @@ object Pipeline {
   private def compileExpr(raw: Any, df: DataFrame): Column =
     Compiler.compile(DictParser.parse(raw), Some(df.schema))
 
+  /** Driver-side artifact write with the shard commit protocol: create a
+    * dot-prefixed temp, rename into place. Rename failure with the
+    * destination absent throws (transient fs fault — don't leave the
+    * caller believing a model was written); destination present means a
+    * concurrent writer won, and this content is discarded.
+    */
+  private def writeArtifact(
+      spark: SparkSession, out: String, lines: Seq[String]): Unit = {
+    import org.apache.hadoop.fs.Path
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(out), spark.sparkContext.hadoopConfiguration)
+    val dest = new Path(out)
+    val parent = dest.getParent
+    if (parent != null) fs.mkdirs(parent)
+    val tmp = new Path(parent,
+      "." + dest.getName + ".inprogress-" + java.util.UUID.randomUUID())
+    val os = fs.create(tmp, true)
+    try os.write(lines.mkString("", "\n", "\n")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally os.close()
+    if (!fs.rename(tmp, dest)) {
+      if (fs.exists(dest)) fs.delete(tmp, false)
+      else throw new java.io.IOException(
+        s"trainTokenizer: rename $tmp -> $dest failed and the destination " +
+          "does not exist; the artifact was NOT written")
+    }
+  }
+
   private def asMap(v: Any, what: String): Map[String, Any] = v match {
     case m: scala.collection.Map[_, _] =>
       m.map { case (k, value) => k.toString -> (value: Any) }.toMap
@@ -829,6 +857,56 @@ object Pipeline {
             }
             df.withColumn(out, graft.ops.TextStats.tokenizeBpe(text, model))
         }
+
+      case "trainTokenizer" =>
+        // {kind: bpe|unigram|wordpiece, text: col, out: path,
+        //  numMerges: N (bpe) | vocabSize: N (unigram/wordpiece),
+        //  maxWords?: 65536, lowercase?: false (wordpiece)} — train a
+        // tokenizer ON the pipeline's current frame and write the model
+        // artifact (merges.txt / .vocab / vocab.txt) that the `tokenize:`
+        // verb consumes, closing the config-only loop: a YAML user can
+        // now build the vocabulary AND apply it without touching Scala.
+        // EAGER (training is an action); the frame passes through
+        // unchanged so tokenize can follow in the same pipeline. The
+        // artifact commits via write-temp-then-rename (the tar-shard
+        // protocol): a transient rename failure throws rather than
+        // leaving a half-written model.
+        val tt = asMap(step("trainTokenizer"), "trainTokenizer")
+        val ttText = tt.getOrElse("text",
+          throw new IllegalArgumentException(
+            "trainTokenizer needs a 'text' column")).toString
+        val ttOut = tt.getOrElse("out",
+          throw new IllegalArgumentException(
+            "trainTokenizer needs an 'out' artifact path")).toString
+        val maxWords = tt.get("maxWords").map(_.toString.toInt).getOrElse(65536)
+        val lines: Seq[String] = tt.getOrElse("kind",
+          throw new IllegalArgumentException(
+            "trainTokenizer needs kind: bpe|unigram|wordpiece")).toString match {
+          case "bpe" =>
+            val (_, ls) = graft.ops.BpeTrain.trainFromCorpus(df, ttText,
+              numMerges = tt.getOrElse("numMerges",
+                throw new IllegalArgumentException(
+                  "trainTokenizer kind=bpe needs numMerges")).toString.toInt,
+              maxWords = maxWords)
+            ls
+          case "unigram" =>
+            graft.ops.UnigramTrain.trainFromCorpus(df, ttText,
+              vocabSize = tt.getOrElse("vocabSize",
+                throw new IllegalArgumentException(
+                  "trainTokenizer kind=unigram needs vocabSize")).toString.toInt,
+              maxWords = maxWords)._1.toVocabLines
+          case "wordpiece" =>
+            graft.ops.WordPieceTrain.trainFromCorpus(df, ttText,
+              vocabSize = tt.getOrElse("vocabSize",
+                throw new IllegalArgumentException(
+                  "trainTokenizer kind=wordpiece needs vocabSize")).toString.toInt,
+              maxWords = maxWords,
+              lowercase = tt.get("lowercase").exists(_ == true))._2
+          case other => throw new IllegalArgumentException(
+            s"trainTokenizer kind must be bpe|unigram|wordpiece, got $other")
+        }
+        writeArtifact(df.sparkSession, ttOut, lines)
+        df
 
       case "fixEncoding" =>
         // {text: col, as: out (default: rewrite in place), passes: 3} —
