@@ -295,6 +295,21 @@ case class JdkMediaDecoder(frameBytes: Int = 256) extends MediaDecoder {
   *   - stateless and trivially `Serializable`; one short-lived process
   *     per payload (ffmpeg startup is ~10 ms against decode work that is
   *     typically 10-100× that; the operators already batch per partition).
+  *
+  * VALIDATION SCOPE, stated explicitly: the development sandbox has no
+  * ffmpeg binary (and no media codecs at all), so the committed test
+  * surface drives the COMPLETE process path — temp-file handoff, argv
+  * construction, stdout streaming, watchdog kill, corrupt-payload
+  * degradation — through a deterministic shim binary
+  * (FfmpegDecoderSpec), while `FfmpegDecoderSpec`'s real-binary branch
+  * runs automatically wherever `ffmpeg` IS on PATH. The transcode flag
+  * sets themselves (`-f image2 -vcodec png` / `-f wav -acodec
+  * pcm_s16le` / `-f mjpeg` + fps filter) are standard published ffmpeg
+  * usage but have NOT been executed against a real binary from this
+  * sandbox — real-codec validation is out of sandbox scope by
+  * construction, and first deployment next to a real ffmpeg should run
+  * that spec (or any one MP3/MP4/WebP fixture) before trusting bulk
+  * decode.
   */
 case class FfmpegMediaDecoder(
     ffmpegPath: String = "ffmpeg",
