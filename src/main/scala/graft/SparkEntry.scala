@@ -1380,6 +1380,27 @@ object SparkEntry {
           when(col("hamming") === 6, lit("near")).otherwise(lit("star"))
             .as("kind"))
     }),
+    // AUTO-TUNED MinHash banding under the q20b recall-floor construction:
+    // minhashParamsFor picks (numHashes, bands) from the threshold via the
+    // S-curve 1-(1-s^r)^b — the MinHash counterpart of q19d's cosine auto
+    // path. The floor is parameter-independent: identical text ⇒ identical
+    // shingle set ⇒ identical minhash signature at ANY (h, b) ⇒ same band
+    // hash in every band, and jaccard = 1 passes any threshold — so the
+    // planted identical pairs MUST be reported whatever the tuner chose.
+    "q96_minhash_auto_props" -> ((s, dir) => {
+      val d0 = t(s, dir, "documents").select(col("doc_id"), col("text"))
+        .filter(size(graft.ops.Dedup.shingles(col("text"), 3)) > 0)
+      val dd = d0.unionByName(
+        d0.select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      val found = graft.ops.Dedup.nearDuplicatePairsAuto(dd, "doc_id", "text",
+          threshold = 0.8, targetRecall = 0.9, maxBucketSize = Int.MaxValue)
+        .select(col("id_a"), col("id_b"), lit(1).as("__f"))
+      dd.as("x").join(dd.as("y"),
+        col("x.text") === col("y.text") && col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
+        .join(found, Seq("id_a", "id_b"), "left")
+        .select(col("id_a"), col("id_b"), col("__f").isNotNull.as("ok"))
+    }),
     // Cross-corpus segment (line) dedup, keep-first mode: every document
     // wrapped in the SAME header/footer lines — corpus-wide line dedup
     // must keep each shared line exactly once (at its minimal
@@ -3403,6 +3424,20 @@ object SparkEntry {
         |UNION ALL
         |SELECT 5000000000 AS id_a, 5000000000 + x AS id_b, 'star' AS kind
         |FROM unnest(generate_series(1, 49999)) t(x)""".stripMargin,
+    // auto-tuned MinHash recall floor: identical-text pairs (original ×
+    // id-shifted copy) must all be found — ok is constructively TRUE.
+    // Docs with no shingles (blank text) are excluded on both sides.
+    "q96_minhash_auto_props" ->
+      s"""WITH $shingleCteSql, nz AS (
+         |  SELECT d.doc_id, d.text FROM documents d
+         |  JOIN sh ON sh.doc_id = d.doc_id WHERE len(sh.grams) > 0
+         |), dd AS (
+         |  SELECT doc_id, text FROM nz
+         |  UNION ALL
+         |  SELECT doc_id + 1000000, text FROM nz
+         |)
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b, TRUE AS ok
+         |FROM dd a JOIN dd b ON a.text = b.text AND a.doc_id < b.doc_id""".stripMargin,
     // keep-first segment dedup: the full window arithmetic — a segment
     // survives only at its minimal (doc_id, pos) corpus occurrence.
     "q89_segment_dedup" ->

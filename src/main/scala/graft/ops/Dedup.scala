@@ -23,6 +23,8 @@ import org.apache.spark.sql.types._
   */
 object Dedup {
 
+  private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
   /** CPU-dense per-row stages (signatures, shingling) need enough tasks even
     * when the input is a few fat row-groups — a 1-row-group parquet file
     * can't split, so a cluster would otherwise run the whole stage on one
@@ -619,6 +621,90 @@ object Dedup {
       // as jaccardPairs' expansion
       .select(graft.ops.expr.NativeSig.bucketJaccardPairs(col("ms"), threshold))
       .distinct()
+  }
+
+  /** Candidate probability of the MinHash banding S-curve: a pair with
+    * Jaccard `s` shares at least one of `bands` band hashes with
+    * probability 1 − (1 − s^r)^b (r = rows per band). Computed via
+    * log1p/expm1 so s^r underflow at high r degrades to 0.0, never NaN.
+    */
+  private[ops] def bandingRecall(s: Double, rowsPerBand: Int, bands: Int): Double = {
+    val p = math.pow(s, rowsPerBand.toDouble)
+    if (p >= 1.0) 1.0
+    else -math.expm1(bands.toDouble * math.log1p(-p))
+  }
+
+  /** (numHashes, bands) for [[nearDuplicatePairs]] chosen from the Jaccard
+    * threshold and a recall target via the banding S-curve — the MinHash
+    * counterpart of [[graft.ops.Similarity.lshParamsFor]] (the cosine side
+    * has had a configuration-free path since q19d; this closes the
+    * asymmetry). Model: P(candidate | J = s) = 1 − (1 − s^r)^b with
+    * r·b = numHashes (Broder '97 resemblance sketches; the S-curve
+    * derivation is standard — e.g. Leskovec/Rajaraman/Ullman, MMDS §3.4).
+    *
+    * Selection rule: among divisor splits r·b = h, the LARGEST r whose
+    * recall at `threshold` still meets `targetRecall` — larger r is a
+    * sharper curve, i.e. strictly fewer sub-threshold false-positive
+    * candidates for the same signature budget, and candidate expansion
+    * (not signature hashing) is the term that grows at 100 TB. If even
+    * r = 1 cannot reach the target at `numHashes`, the hash budget doubles
+    * (up to `maxHashes`) before degrading LOUDLY to the max-recall split
+    * (r = 1) — silent under-recall is the r10 banding-collapse lesson.
+    *
+    * The returned pair always satisfies bands | numHashes (the
+    * [[nearDuplicatePairs]] contract).
+    */
+  def minhashParamsFor(
+      threshold: Double,
+      targetRecall: Double = 0.9,
+      numHashes: Int = 64,
+      maxHashes: Int = 512
+  ): (Int, Int) = {
+    require(threshold > 0 && threshold <= 1, "threshold must be in (0, 1]")
+    require(targetRecall > 0 && targetRecall < 1, "targetRecall must be in (0, 1)")
+    require(numHashes >= 1 && maxHashes >= numHashes,
+      "need 1 <= numHashes <= maxHashes")
+    var h = numHashes
+    while (h <= maxHashes) {
+      val rs = (h to 1 by -1).filter(h % _ == 0)
+      rs.find(r => bandingRecall(threshold, r, h / r) >= targetRecall) match {
+        case Some(r) => return (h, h / r)
+        case None if h * 2 <= maxHashes => h *= 2
+        case None =>
+          // max-recall split at the largest budget; reachable only at tiny
+          // thresholds × extreme targets (e.g. J=0.01 at recall 0.999 needs
+          // >688 hashes). Loud, not silent: the caller asked for a recall
+          // the budget cannot express.
+          log.warn(
+            s"minhashParamsFor: targetRecall=$targetRecall at threshold=" +
+              s"$threshold unreachable within maxHashes=$maxHashes " +
+              s"(best ${bandingRecall(threshold, 1, h)} at r=1); using " +
+              s"(numHashes=$h, bands=$h)")
+          return (h, h)
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  /** [[nearDuplicatePairs]] with (numHashes, bands) derived from the
+    * threshold via [[minhashParamsFor]] — the configuration-free scale
+    * path. Unlike the cosine auto path this needs NO corpus count: band
+    * buckets live in the full 64-bit band-hash space, so bucket fan-in is
+    * set by content duplication (capped by `maxBucketSize`), not by
+    * corpus size.
+    */
+  def nearDuplicatePairsAuto(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double = 0.8,
+      targetRecall: Double = 0.9,
+      shingleN: Int = 3,
+      maxBucketSize: Int = 1000
+  ): DataFrame = {
+    val (h, b) = minhashParamsFor(threshold, targetRecall)
+    nearDuplicatePairs(df, idCol, textCol, threshold, shingleN,
+      numHashes = h, bands = b, maxBucketSize = maxBucketSize)
   }
 
   // ------------------------------------------------------------------
