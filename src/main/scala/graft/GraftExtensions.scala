@@ -122,6 +122,10 @@ object GraftExtensions {
       FixEncodingExpr(es.head,
         if (es.length == 2) intLit(es(1), "maxPasses") else 3)
     },
+    "redact_validated" -> { es =>
+      require(es.length == 1, "redact_validated(text)")
+      RedactValidatedExpr(es.head)
+    },
     "quantize_vec" -> { es =>
       require(es.length == 1, "quantize_vec(vec)")
       QuantizeVec(es.head)

@@ -1401,6 +1401,40 @@ object SparkEntry {
         .join(found, Seq("id_a", "id_b"), "left")
         .select(col("id_a"), col("id_b"), col("__f").isNotNull.as("ok"))
     }),
+    // CHECKSUM-VALIDATED PII, corpus-scale Luhn arithmetic: one synthetic
+    // 16-digit number per order (pure integer arithmetic, no hashes — both
+    // engines agree bit-for-bit), redacted only when Luhn mod-10 passes
+    // (~1 in 10 naturally). The oracle re-derives the ENTIRE decision —
+    // digit doubling, 9-subtraction, mod 10 — per row in DuckDB and
+    // reconstructs the expected text either way.
+    "q97_redact_card" -> ((s, dir) =>
+      t(s, dir, "lineitem").filter(col("l_linenumber") === 1)
+        .select(col("l_orderkey"),
+          concat(lit("pay card 4"),
+            lpad(((col("l_orderkey") % 100000000L) * 7919L + 11L)
+              .cast("string"), 15, "0"),
+            lit(" today")).as("text"))
+        .select(col("l_orderkey"),
+          graft.ops.Corpus.redactValidated(col("text")).as("text_redacted"))),
+    // Fixture matrix for the validated classes a corpus query can't plant:
+    // valid/corrupted IBAN (ISO 13616 mod-97), high-entropy secret vs
+    // low-entropy lookalike, hex-digest rule, separator-grouped card, and
+    // the validated→regex composition (card+IBAN+email+IP in one string).
+    // Every expected output is a DuckDB literal (the q94 pattern).
+    "q97b_redact_fixtures" -> ((s, dir) => {
+      import s.implicits._
+      Seq(
+        (1L, "iban GB82WEST12345698765432 ok"),
+        (2L, "iban GB82WEST12345698765433 ok"),
+        (3L, "key A1b2C3d4E5f6G7h8J9k0LmNoPqRs end"),
+        (4L, "low aaaaaaaaaaaaaaaaaaaaaaaaaaaaaa end"),
+        (5L, "sha e3b0c44298fc1c149afbf4c8996fb92427ae41e4649b934ca495991b7852b855 x"),
+        (6L, "mix 4111111111111111 GB82WEST12345698765432 a@b.co 10.1.2.3"),
+        (7L, "card 4111-1111-1111-1111 and bad 4111111111111112")
+      ).toDF("id", "text")
+        .select(col("id"),
+          graft.ops.Corpus.redactPiiAll(col("text")).as("text_redacted"))
+    }),
     // Cross-corpus segment (line) dedup, keep-first mode: every document
     // wrapped in the SAME header/footer lines — corpus-wide line dedup
     // must keep each shared line exactly once (at its minimal
@@ -3438,6 +3472,38 @@ object SparkEntry {
          |)
          |SELECT a.doc_id AS id_a, b.doc_id AS id_b, TRUE AS ok
          |FROM dd a JOIN dd b ON a.text = b.text AND a.doc_id < b.doc_id""".stripMargin,
+    // full Luhn replay: double every second digit from the right, subtract
+    // 9 when >9, sum mod 10 — redact exactly when it passes
+    "q97_redact_card" ->
+      """WITH c AS (
+        |  SELECT l_orderkey,
+        |    '4' || lpad(CAST((l_orderkey % 100000000) * 7919 + 11 AS VARCHAR),
+        |                15, '0') AS num
+        |  FROM lineitem WHERE l_linenumber = 1
+        |), v AS (
+        |  SELECT l_orderkey, num,
+        |    list_sum([CASE WHEN (16 - p) % 2 = 1 THEN
+        |        CASE WHEN 2 * CAST(num[p] AS INT) > 9
+        |             THEN 2 * CAST(num[p] AS INT) - 9
+        |             ELSE 2 * CAST(num[p] AS INT) END
+        |      ELSE CAST(num[p] AS INT) END
+        |      for p in generate_series(1, 16)]) % 10 = 0 AS ok
+        |  FROM c
+        |)
+        |SELECT l_orderkey,
+        |  CASE WHEN ok THEN 'pay card <CARD> today'
+        |       ELSE 'pay card ' || num || ' today' END AS text_redacted
+        |FROM v""".stripMargin,
+    "q97b_redact_fixtures" ->
+      """SELECT * FROM (VALUES
+        |  (1::BIGINT, 'iban <IBAN> ok'),
+        |  (2::BIGINT, 'iban GB82WEST12345698765433 ok'),
+        |  (3::BIGINT, 'key <SECRET> end'),
+        |  (4::BIGINT, 'low aaaaaaaaaaaaaaaaaaaaaaaaaaaaaa end'),
+        |  (5::BIGINT, 'sha <SECRET> x'),
+        |  (6::BIGINT, 'mix <CARD> <IBAN> <EMAIL> <IP>'),
+        |  (7::BIGINT, 'card <CARD> and bad 4111111111111112')
+        |) AS t(id, text_redacted)""".stripMargin,
     // keep-first segment dedup: the full window arithmetic — a segment
     // survives only at its minimal (doc_id, pos) corpus occurrence.
     "q89_segment_dedup" ->

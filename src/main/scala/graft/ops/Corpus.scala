@@ -365,6 +365,23 @@ object Corpus {
     df.withColumn(outCol, redactPii(col(textCol)))
   }
 
+  /** Checksum/entropy-VALIDATED redaction: Luhn payment cards, mod-97
+    * IBANs, high-entropy secrets — the classes a bare regex over-redacts
+    * (9 in 10 random 16-digit strings fail Luhn: ids and timestamps
+    * survive, real cards don't). Codegen'd single-pass scanners; see
+    * [[graft.ops.expr.PiiValidate]] for the exact detection rules.
+    */
+  def redactValidated(text: Column,
+      cards: Boolean = true, ibans: Boolean = true,
+      secrets: Boolean = true): Column =
+    graft.ops.expr.NativeSig.redactValidated(text, cards, ibans, secrets)
+
+  /** The full scrub: validated classes first (card/IBAN/secret — their
+    * replacement tokens contain no digits, so the regex classes can't
+    * partially eat a card), then the regex classes (email/IPv4/phone).
+    */
+  def redactPiiAll(text: Column): Column = redactPii(redactValidated(text))
+
   /** TF-IDF weights per (document, token): `tf · ln(N / df)` with raw term
     * counts and un-smoothed idf (idf = 0 for a token in every document).
     * Shape: one explode → (id, token) count aggregation → document

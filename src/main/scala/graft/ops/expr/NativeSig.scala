@@ -992,6 +992,14 @@ object NativeSig {
   def langId(text: Column): Column =
     ColumnBridge.column(LangIdExpr(ColumnBridge.expression(text)))
 
+  /** Column API for [[RedactValidatedExpr]] — checksum/entropy-validated
+    * PII redaction ([[PiiValidate]]).
+    */
+  def redactValidated(text: Column, cards: Boolean = true,
+      ibans: Boolean = true, secrets: Boolean = true): Column =
+    ColumnBridge.column(
+      RedactValidatedExpr(ColumnBridge.expression(text), cards, ibans, secrets))
+
   /** Column API for [[FixEncodingExpr]] — mojibake repair ([[Mojibake]]). */
   def fixEncoding(text: Column, maxPasses: Int = 3): Column =
     ColumnBridge.column(FixEncodingExpr(ColumnBridge.expression(text), maxPasses))

@@ -1011,10 +1011,19 @@ object Pipeline {
         }
 
       case "redact" =>
-        // {text: col, as: out (default 'redacted')} — PII → typed tokens
+        // {text: col, as: out (default 'redacted'), validated: bool
+        // (default false)} — PII → typed tokens; validated additionally
+        // runs the checksum/entropy classes (Luhn cards, mod-97 IBANs,
+        // high-entropy secrets) before the regex classes
         val r = asMap(step("redact"), "redact")
-        graft.ops.Corpus.redactPii(df, r("text").toString,
-          r.getOrElse("as", "redacted").toString)
+        val outCol = r.getOrElse("as", "redacted").toString
+        val textCol = r("text").toString
+        if (r.get("validated").exists(_.toString.toBoolean)) {
+          require(!df.columns.contains(outCol),
+            s"redact adds '$outCol' but the frame already has it")
+          df.withColumn(outCol,
+            graft.ops.Corpus.redactPiiAll(col(textCol)))
+        } else graft.ops.Corpus.redactPii(df, textCol, outCol)
 
       case "tokenBudget" =>
         // {text: col | tokens: expr, budget: N, orderBy: [...]} — longest
