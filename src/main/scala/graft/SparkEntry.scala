@@ -1548,6 +1548,26 @@ object SparkEntry {
     // projection) → rows, which must equal the parquet originals. Exercises
     // the full reader stack — codec detection, line splitting, schema'd
     // parse — against real corpus text (embedded quotes/newlines/unicode).
+    // CSV roundtrip with a planted type-torn shard: documents (newlines
+    // flattened — CSV stays line-splittable, the readCsv scale contract)
+    // → csv shards → schema'd read with badRecords=drop must recover
+    // EXACTLY the clean rows. The oracle is the source table with the
+    // same newline flattening.
+    "q98_csv_roundtrip" -> ((s, dir) => {
+      val fixture = s"${sys.props("java.io.tmpdir")}/graft_csv_" +
+        java.lang.Long.toHexString(dir.hashCode.toLong & 0xffffffffL) +
+        "_" + ProcessHandle.current().pid()
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          regexp_replace(col("text"), "[\\n\\r]", " ").as("text"))
+        .write.mode("overwrite").csv(fixture)
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(fixture, "zz-torn-shard.csv"),
+        "notanumber,torn row\n".getBytes("UTF-8"))
+      graft.sources.Readers.readCsv(s, fixture,
+        schema = "doc_id BIGINT, text STRING", badRecords = "drop")
+        .select(col("doc_id"), col("text"))
+    }),
     "q53_jsonl" -> ((s, dir) => {
       // keyed by data dir AND this JVM's pid: two concurrent Verify runs on
       // different checkouts of the same sfDir must not clobber each other's
@@ -3182,6 +3202,10 @@ object SparkEntry {
     // and byte, the result is exactly the source table's projection.
     "q53_jsonl" ->
       "SELECT doc_id, text FROM documents",
+    "q98_csv_roundtrip" ->
+      """SELECT doc_id,
+        |  regexp_replace(text, '[\n\r]', ' ', 'g') AS text
+        |FROM documents""".stripMargin,
     // Same roundtrip identity over the mixed gz+zst+corrupt directory: the
     // drop policy must recover exactly the clean rows regardless of codec.
     "q53b_jsonl_zst" ->

@@ -138,6 +138,33 @@ object Pipeline {
               schema = sm.get("schema").map(_.toString).orNull,
               badRecords = sm.getOrElse("badRecords", "drop").toString,
               options = opts)
+          // CSV/TSV tabular source: {format: csv|tsv, path: ...,
+          //   schema: "id BIGINT, url STRING", badRecords: keep|drop|fail,
+          //   header: false, sep: ",", options: {...}} — the jsonl
+          //   contract (explicit schema, authoritative bad-record policy)
+          //   for the sidecar-table shape. tsv = csv with a tab separator.
+          case f @ ("csv" | "tsv") =>
+            val opts = sm.get("options") match {
+              case Some(o) => asMap(o, "options").map {
+                case (k, v) => k -> v.toString
+              }.toMap
+              case None => Map.empty[String, String]
+            }
+            val unsupported = sm.keySet --
+              Set("format", "path", "schema", "badRecords", "header", "sep",
+                "options")
+            if (unsupported.nonEmpty)
+              throw new IllegalArgumentException(
+                s"$f source supports format/path/schema/badRecords/header/" +
+                  s"sep/options; remove: " +
+                  unsupported.toSeq.sorted.mkString(", "))
+            graft.sources.Readers.readCsv(spark, path,
+              schema = sm.get("schema").map(_.toString).orNull,
+              badRecords = sm.getOrElse("badRecords", "drop").toString,
+              sep = sm.get("sep").map(_.toString)
+                .getOrElse(if (f == "tsv") "\t" else ","),
+              header = sm.get("header").exists(_.toString.toBoolean),
+              options = opts)
           // WebDataset-style tar shards: {format: tar, path: ...} →
           // (shard, key, data map) sample rows. No reader options exist;
           // an options key is an error, not a silent no-op (the jsonl

@@ -83,6 +83,24 @@ object Readers {
     *                    `columnNameOfCorruptRecord` are applied after user
     *                    options so `badRecords` stays authoritative.
     */
+  /** Shared bad-record policy → (parser mode, effective schema). `keep`
+    * appends `_corrupt_record` to the schema (PERMISSIVE only materializes
+    * corrupt lines when the schema carries the column).
+    */
+  private def badRecordsPolicy(
+      badRecords: String,
+      base: Option[StructType]
+  ): (String, Option[StructType]) = badRecords match {
+    case "keep" =>
+      ("PERMISSIVE", base.map(st =>
+        if (st.fieldNames.contains("_corrupt_record")) st
+        else StructType(st.fields :+ StructField("_corrupt_record", StringType))))
+    case "drop" => ("DROPMALFORMED", base)
+    case "fail" => ("FAILFAST", base)
+    case other => throw new IllegalArgumentException(
+      s"badRecords must be keep|drop|fail, got $other")
+  }
+
   def readJsonl(
       s: SparkSession,
       path: String,
@@ -90,19 +108,8 @@ object Readers {
       badRecords: String = "drop",
       options: Map[String, String] = Map.empty
   ): DataFrame = {
-    val base = Option(schema).map(StructType.fromDDL)
-    val (mode, finalSchema) = badRecords match {
-      case "keep" =>
-        // PERMISSIVE only materializes corrupt lines if the schema carries
-        // the corrupt-record column — append it to the user's schema.
-        ("PERMISSIVE", base.map(st =>
-          if (st.fieldNames.contains("_corrupt_record")) st
-          else StructType(st.fields :+ StructField("_corrupt_record", StringType))))
-      case "drop" => ("DROPMALFORMED", base)
-      case "fail" => ("FAILFAST", base)
-      case other => throw new IllegalArgumentException(
-        s"badRecords must be keep|drop|fail, got $other")
-    }
+    val (mode, finalSchema) =
+      badRecordsPolicy(badRecords, Option(schema).map(StructType.fromDDL))
     // compression codec is picked per-file from the extension (.gz/.zst/…)
     // by Hadoop's codec factory — mixed plain+gz+zst directories just work
     val r = s.read
@@ -111,6 +118,51 @@ object Readers {
       .option("mode", mode)
       .option("columnNameOfCorruptRecord", "_corrupt_record")
     finalSchema.fold(r)(st => r.schema(st)).json(path)
+  }
+
+  /** CSV/TSV corpus ingestion with the same explicit-schema +
+    * bad-record contract as [[readJsonl]] — the tabular-dump shape
+    * (metadata sidecars, URL lists, label files) that rides along with
+    * every web-scale corpus.
+    *
+    * Scale contract:
+    *   - `schema` explicit for the same reason as jsonl: no inference
+    *     pass (CSV inference reads every byte TWICE — once for types,
+    *     once for real).
+    *   - `multiLine` stays FALSE by default: a quoted embedded newline
+    *     makes the file non-splittable (one task per file, however big).
+    *     Flat records keep the line-splittable scan; producers with
+    *     embedded newlines should escape them or accept
+    *     `options = Map("multiLine" -> "true")` and shard small.
+    *   - malformed rows (wrong column count, untypeable cells) follow
+    *     `badRecords`: keep → `_corrupt_record` audit column, drop, fail.
+    *     Policy options are applied AFTER user options so `badRecords`
+    *     stays authoritative (same rule as jsonl). CSV column-pruning
+    *     caveat: a plan that reads NO data columns (a bare `count()`)
+    *     parses nothing, so malformation goes undetected there — counts
+    *     run over raw lines; any real projection applies the policy.
+    *   - `.gz`/`.zst` shards decompress per-file via Hadoop's codec
+    *     factory, mixed directories included.
+    */
+  def readCsv(
+      s: SparkSession,
+      path: String,
+      schema: String = null,
+      badRecords: String = "drop",
+      sep: String = ",",
+      header: Boolean = false,
+      options: Map[String, String] = Map.empty
+  ): DataFrame = {
+    val (mode, finalSchema) =
+      badRecordsPolicy(badRecords, Option(schema).map(StructType.fromDDL))
+    val r = s.read
+      .option("sep", sep)
+      .option("header", header.toString)
+      .options(options)
+      .option("mode", mode)
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+    finalSchema.fold(r.option("inferSchema", "true"))(st => r.schema(st))
+      .csv(path)
   }
 
   /** Streaming variant of [[readJsonl]]: watch a directory for new
@@ -134,18 +186,10 @@ object Readers {
   ): DataFrame = {
     require(schema != null && schema.nonEmpty,
       "readJsonlStream requires an explicit schema")
-    val base = StructType.fromDDL(schema)
-    val (mode, finalSchema) = badRecords match {
-      case "keep" => ("PERMISSIVE",
-        if (base.fieldNames.contains("_corrupt_record")) base
-        else StructType(base.fields :+ StructField("_corrupt_record", StringType)))
-      case "drop" => ("DROPMALFORMED", base)
-      case "fail" => ("FAILFAST", base)
-      case other => throw new IllegalArgumentException(
-        s"badRecords must be keep|drop|fail, got $other")
-    }
+    val (mode, finalSchema) =
+      badRecordsPolicy(badRecords, Some(StructType.fromDDL(schema)))
     val r = s.readStream
-      .schema(finalSchema)
+      .schema(finalSchema.get)
       .option("mode", mode)
       .option("columnNameOfCorruptRecord", "_corrupt_record")
       .option("lineSep", "\n")
