@@ -274,23 +274,57 @@ object Warc {
         val z = new com.github.luben.zstd.ZstdInputStreamNoFinalizer(raw)
         z.setContinuous(true)
         z
-      } else if (bytes.length >= 4 && (bytes(0) & 0xf0) == 0x50 &&
-          (bytes(0) & 0xff) >= 0x50 && (bytes(1) & 0xff) == 0x2a &&
-          (bytes(2) & 0xff) == 0x4d && (bytes(3) & 0xff) == 0x18) {
-        // zstd SKIPPABLE frame magic (0x184D2A50..5F little-endian): the
-        // iipc warc.zst convention stores a compression DICTIONARY there;
-        // records compressed against it cannot decode without dictionary
-        // support — refuse loudly instead of emitting decode garbage
-        throw new IllegalArgumentException(
-          s"$path: .warc.zst with a leading skippable frame (shared " +
-            "dictionary) is not supported — recompress without a " +
-            "dictionary (plain concatenated frames decode fine)")
+      } else if (isZstSkippable(bytes, 0)) {
+        // zstd SKIPPABLE frame(s) (0x184D2A50..5F little-endian) before
+        // the records: the iipc warc.zst convention stores a shared
+        // compression DICTIONARY in magic 0x184D2A5D — itself possibly
+        // zstd-compressed (the spec allows both). Load it (zstd-jni
+        // auto-detects structured vs raw-content dictionaries), skip any
+        // OTHER leading skippable frames (that's what skippable means),
+        // and decode the member frames against it in continuous mode.
+        var off = 0
+        var dict: Array[Byte] = null
+        while (isZstSkippable(bytes, off)) {
+          val size = leU32(bytes, off + 4)
+          if (size < 0 || off + 8 + size > bytes.length)
+            throw new IllegalArgumentException(
+              s"$path: truncated zstd skippable frame at offset $off")
+          if ((bytes(off) & 0xff) == 0x5d && dict == null) {
+            val content = java.util.Arrays.copyOfRange(bytes, off + 8, off + 8 + size)
+            dict =
+              if (content.length >= 4 && (content(0) & 0xff) == 0x28 &&
+                  (content(1) & 0xff) == 0xb5 && (content(2) & 0xff) == 0x2f &&
+                  (content(3) & 0xff) == 0xfd) {
+                // compressed dictionary: one plain zstd frame around it
+                val zin = new com.github.luben.zstd.ZstdInputStreamNoFinalizer(
+                  new ByteArrayInputStream(content))
+                try zin.readAllBytes() finally zin.close()
+              } else content
+          }
+          off += 8 + size
+        }
+        val z = new com.github.luben.zstd.ZstdInputStreamNoFinalizer(
+          new ByteArrayInputStream(bytes, off, bytes.length - off))
+        if (dict != null) z.setDict(dict)
+        z.setContinuous(true)
+        z
       } else raw
     var idx = -1
     Iterator.continually(parseRecord(path, in, maxPayloadBytes))
       .takeWhile(_.isDefined)
       .map { r => idx += 1; r.get.copy(record_index = idx) }
   }
+
+  /** zstd skippable-frame magic 0x184D2A50..5F (little-endian) at `off`. */
+  private def isZstSkippable(bytes: Array[Byte], off: Int): Boolean =
+    off + 8 <= bytes.length && (bytes(off) & 0xf0) == 0x50 &&
+      (bytes(off + 1) & 0xff) == 0x2a && (bytes(off + 2) & 0xff) == 0x4d &&
+      (bytes(off + 3) & 0xff) == 0x18
+
+  /** Little-endian u32 as Int (negative on overflow — callers bound-check). */
+  private def leU32(bytes: Array[Byte], off: Int): Int =
+    (bytes(off) & 0xff) | ((bytes(off + 1) & 0xff) << 8) |
+      ((bytes(off + 2) & 0xff) << 16) | ((bytes(off + 3) & 0xff) << 24)
 
   /** Read one line up to CRLF (or LF — lenient); None at clean EOF. */
   private def readLine(in: InputStream): Option[String] = {

@@ -211,7 +211,7 @@ class WarcSpec extends SparkTestBase {
     assert(Warc.readWarc(spark, dir).count() == 23 + 11)
   }
 
-  test("zstd: concatenated frames parse as one stream; dictionary skippable frame refused") {
+  test("zstd: concatenated frames parse as one stream; non-dict skippable frame skipped") {
     // two records compressed as two INDEPENDENT concatenated frames
     val r1 = record(Seq("WARC-Type: resource", "WARC-Target-URI: u1"),
       "abc".getBytes("UTF-8"))
@@ -222,13 +222,50 @@ class WarcSpec extends SparkTestBase {
     val rows = Warc.parseFile("t.warc.zst", bytes, 1 << 20).toSeq
     assert(rows.map(_.target_uri) == Seq(Some("u1"), Some("u2")))
     assert(rows.map(r => new String(r.payload, "UTF-8")) == Seq("abc", "defg"))
-    // leading skippable frame (the iipc dictionary convention) → loud refusal
+    // a leading NON-dictionary skippable frame (magic 0x184D2A50) is
+    // simply skipped — that is what skippable means
     val skippable = Array(0x50, 0x2a, 0x4d, 0x18, 4, 0, 0, 0, 1, 2, 3, 4)
       .map(_.toByte) ++ com.github.luben.zstd.Zstd.compress(r1)
+    val skipped = Warc.parseFile("d.warc.zst", skippable, 1 << 20).toSeq
+    assert(skipped.map(_.target_uri) == Seq(Some("u1")))
+    // truncated skippable frame (declared size past EOF) → loud error
+    val torn = Array(0x50, 0x2a, 0x4d, 0x18, 99, 0, 0, 0, 1).map(_.toByte)
     val e = intercept[IllegalArgumentException] {
-      Warc.parseFile("d.warc.zst", skippable, 1 << 20).toSeq
+      Warc.parseFile("torn.warc.zst", torn, 1 << 20).toSeq
     }
-    assert(e.getMessage.contains("dictionary"))
+    assert(e.getMessage.contains("truncated"))
+  }
+
+  test("zstd shared-dictionary convention: 0x184D2A5D dict frame decodes members") {
+    def skipFrame(magic0: Int, content: Array[Byte]): Array[Byte] =
+      Array(magic0, 0x2a, 0x4d, 0x18,
+        content.length & 0xff, (content.length >> 8) & 0xff,
+        (content.length >> 16) & 0xff, (content.length >> 24) & 0xff)
+        .map(_.toByte) ++ content
+    val dict = ("warc dictionary sample content shared across members " * 20)
+      .getBytes("UTF-8") // raw-content dictionary (no trainer needed)
+    def withDict(data: Array[Byte]): Array[Byte] = {
+      val cctx = new com.github.luben.zstd.ZstdCompressCtx()
+      try { cctx.loadDict(dict); cctx.compress(data) } finally cctx.close()
+    }
+    val r1 = record(Seq("WARC-Type: resource", "WARC-Target-URI: d1"),
+      "dict payload one".getBytes("UTF-8"))
+    val r2 = record(Seq("WARC-Type: resource", "WARC-Target-URI: d2"),
+      "dict payload two".getBytes("UTF-8"))
+    // plain (uncompressed) dictionary in the 0x184D2A5D frame
+    val plainDict = skipFrame(0x5d, dict) ++ withDict(r1) ++ withDict(r2)
+    val got = Warc.parseFile("pd.warc.zst", plainDict, 1 << 20).toSeq
+    assert(got.map(_.target_uri) == Seq(Some("d1"), Some("d2")))
+    assert(got.map(r => new String(r.payload, "UTF-8")) ==
+      Seq("dict payload one", "dict payload two"))
+    // COMPRESSED dictionary (one plain zstd frame around the dict bytes),
+    // preceded by an unrelated skippable frame — both spec-allowed
+    val compDict = skipFrame(0x50, Array[Byte](9, 9)) ++
+      skipFrame(0x5d, com.github.luben.zstd.Zstd.compress(dict)) ++
+      withDict(r1)
+    val got2 = Warc.parseFile("cd.warc.zst", compDict, 1 << 20).toSeq
+    assert(got2.map(_.target_uri) == Seq(Some("d1")))
+    assert(new String(got2.head.payload, "UTF-8") == "dict payload one")
   }
 
   test("pipeline warc sink writes zst from YAML (codec option)") {
