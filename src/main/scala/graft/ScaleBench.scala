@@ -241,6 +241,18 @@ object ScaleBench {
     // synthesized around the corpus text (nav chrome + content paragraph
     // + link footer) so the extractor sees realistic block structure at
     // any scale. Map-only codegen'd kernel, ~linear, zero shuffle.
+    // Validated-PII scrub throughput (round 12): the full composed scrub
+    // (Luhn card scan + mod-97 IBAN scan + entropy-gated secrets + the
+    // three regex classes) over corpus text with a Luhn-valid card planted
+    // in every document. Map-only codegen'd kernels — the row exists to
+    // pin per-row scan cost ∝ bytes with zero shuffle at 10× data.
+    "x_redact_validated" -> ((s, dir) =>
+      s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"),
+          length(graft.ops.Corpus.redactPiiAll(
+            concat(col("text"), lit(" pay 4111111111111111 now"))))
+            .as("n_clean")),
+    ),
     "x_html_extract" -> ((s, dir) => {
       val page = concat(
         lit("<html><head><title>t</title></head><body>" +
