@@ -1075,6 +1075,24 @@ object Dedup {
     df.join(drops, df(idCol) === col("__drop_id"), "left_anti")
   }
 
+  /** [[dropNearDuplicates]] with (numHashes, bands) from
+    * [[minhashParamsFor]] — threshold + recall target instead of banding
+    * layout, the configuration-free drop path.
+    */
+  def dropNearDuplicatesAuto(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double = 0.8,
+      targetRecall: Double = 0.9,
+      shingleN: Int = 3,
+      maxBucketSize: Int = 1000
+  ): DataFrame = {
+    val (h, b) = minhashParamsFor(threshold, targetRecall)
+    dropNearDuplicates(df, idCol, textCol, threshold, shingleN,
+      numHashes = h, bands = b, maxBucketSize = maxBucketSize)
+  }
+
   /** Brute-force all-pairs n-gram Jaccard (reference implementation for
     * recall tests and small frames — O(n²), never for production scale).
     */

@@ -421,10 +421,20 @@ object Pipeline {
         graft.ops.TextStats.withTextStats(df, step("textStats").toString)
 
       case "dropNearDuplicates" =>
+        // {id, text, threshold?: 0.8, targetRecall?} — with targetRecall
+        // the banding layout is auto-tuned from the S-curve
+        // (minhashParamsFor) instead of the fixed 64/16 default
         val d = asMap(step("dropNearDuplicates"), "dropNearDuplicates")
-        Dedup.dropNearDuplicates(df,
-          d("id").toString, d("text").toString,
-          threshold = d.get("threshold").map(_.toString.toDouble).getOrElse(0.8))
+        val thr = d.get("threshold").map(_.toString.toDouble).getOrElse(0.8)
+        d.get("targetRecall").map(_.toString.toDouble) match {
+          case Some(rec) =>
+            Dedup.dropNearDuplicatesAuto(df,
+              d("id").toString, d("text").toString,
+              threshold = thr, targetRecall = rec)
+          case None =>
+            Dedup.dropNearDuplicates(df,
+              d("id").toString, d("text").toString, threshold = thr)
+        }
 
       case "dedupEmbeddings" =>
         // embedding-cosine near-dup removal: keep the smaller id of every

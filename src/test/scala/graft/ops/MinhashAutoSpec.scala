@@ -100,4 +100,20 @@ class MinhashAutoSpec extends SparkTestBase {
     assert(!got.exists(p => p._1 == 4L || p._2 == 4L),
       s"distant doc paired: $got")
   }
+
+  test("dropNearDuplicatesAuto and the pipeline targetRecall flag") {
+    val base = "the quick brown fox jumps over the lazy dog again and again"
+    val docs = Seq((1L, base), (2L, base), (3L, "something else entirely here"))
+      .toDF("id", "text")
+    val kept = Dedup.dropNearDuplicatesAuto(docs, "id", "text",
+      threshold = 0.8, targetRecall = 0.9)
+    assert(kept.select("id").as[Long].collect().sorted.toSeq == Seq(1L, 3L))
+    val out = graft.pipeline.Pipeline.run(spark,
+      """source: t
+        |steps:
+        |  - dropNearDuplicates: {id: id, text: text, threshold: 0.8,
+        |      targetRecall: 0.9}
+        |""".stripMargin, _ => docs)
+    assert(out.select("id").as[Long].collect().sorted.toSeq == Seq(1L, 3L))
+  }
 }
