@@ -165,6 +165,35 @@ object Readers {
       .csv(path)
   }
 
+  /** Streaming variant of [[readCsv]]: watch a directory for newly-landed
+    * CSV/TSV shards. Schema REQUIRED (no inference over files that don't
+    * exist yet); same bad-record policy and separator/header handling as
+    * batch; `maxFilesPerTrigger` bounds per-micro-batch ingestion.
+    */
+  def readCsvStream(
+      s: SparkSession,
+      path: String,
+      schema: String,
+      badRecords: String = "drop",
+      sep: String = ",",
+      header: Boolean = false,
+      maxFilesPerTrigger: Int = 0
+  ): DataFrame = {
+    require(schema != null && schema.nonEmpty,
+      "readCsvStream requires an explicit schema")
+    val (mode, finalSchema) =
+      badRecordsPolicy(badRecords, Some(StructType.fromDDL(schema)))
+    val r = s.readStream
+      .schema(finalSchema.get)
+      .option("sep", sep)
+      .option("header", header.toString)
+      .option("mode", mode)
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+    (if (maxFilesPerTrigger > 0)
+       r.option("maxFilesPerTrigger", maxFilesPerTrigger)
+     else r).csv(path)
+  }
+
   /** Streaming variant of [[readJsonl]]: watch a directory for new
     * `.jsonl(.gz)` shards and emit their rows as an unbounded stream — the
     * standard shape for a continuously-landing corpus drop. Schema is

@@ -65,6 +65,31 @@ class CsvSpec extends SparkTestBase {
     assert(df.collect().length == 1) // drop won; FAILFAST would have thrown
   }
 
+  test("readCsvStream: shards stream in as they land; torn rows dropped") {
+    val d = Files.createTempDirectory("graft_csv_stream").toFile
+    d.deleteOnExit()
+    Files.write(new java.io.File(d, "s0.csv").toPath,
+      "1,first shard\n".getBytes("UTF-8"))
+    val stream = Readers.readCsvStream(spark, d.getPath,
+      schema = "id BIGINT, t STRING", maxFilesPerTrigger = 1)
+    assert(stream.isStreaming)
+    val q = stream.writeStream.format("memory").queryName("csv_stream")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("csv_stream").count() == 1)
+      Files.write(new java.io.File(d, "s1.csv").toPath,
+        "2,second shard\nnotanumber,torn\n3,third\n".getBytes("UTF-8"))
+      q.processAllAvailable()
+      val rows = spark.table("csv_stream").as[(Long, String)].collect().toMap
+      assert(rows.keySet == Set(1L, 2L, 3L))
+      assert(rows(2L) == "second shard")
+    } finally q.stop()
+    intercept[IllegalArgumentException] {
+      Readers.readCsvStream(spark, d.getPath, schema = null)
+    }
+  }
+
   test("pipeline csv/tsv source branch with steps") {
     val p = writeLines(Seq("1,hello world", "2,tiny"))
     val out = graft.pipeline.Pipeline.run(spark,
