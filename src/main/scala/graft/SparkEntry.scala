@@ -1201,6 +1201,33 @@ object SparkEntry {
         col("content_length").as("clen"),
         col("truncated"))
     }),
+    // Same reader-field replay through the DICTIONARY-compressed layout:
+    // each shard leads with a trained per-shard dictionary in the iipc
+    // 0x184D2A5D skippable frame, members compress against it, and the
+    // reader must decode every field identically to the plain-frame path.
+    "q88d_warc_zst_dict_roundtrip" -> ((s, dir) => {
+      val fixture = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft_warc_" +
+          java.lang.Long.toHexString(dir.hashCode.toLong & 0xffffffffL) +
+          "_" + ProcessHandle.current().pid())
+      val out = new java.io.File(fixture, "zstdict").getPath
+      val src = t(s, dir, "documents").select(
+        concat(lit("https://site"), (col("doc_id") % 50).cast("string"),
+          lit(".com/doc/"), col("doc_id").cast("string")).as("uri"),
+        col("text").as("body"))
+      graft.sources.Warc.writeWarcResponses(
+        src.repartition(2), out, "uri", "body", overwrite = true,
+        codec = "zstd-dict")
+      graft.sources.Warc.readWarc(s, out).select(
+        regexp_extract(col("target_uri"), "/doc/(\\d+)$", 1)
+          .cast("long").as("doc_id"),
+        col("target_uri").as("uri"),
+        col("warc_type"),
+        col("http_status").as("status"),
+        col("payload").cast("string").as("body"),
+        col("content_length").as("clen"),
+        col("truncated"))
+    }),
     // WordPiece (BERT-family) tokenization: greedy longest-match-first
     // with ## continuation pieces, punctuation isolation, and the
     // published whole-word-to-[UNK] rule. The oracle pins hand-derived id
@@ -3384,6 +3411,16 @@ object SparkEntry {
         |FROM documents
         |GROUP BY 1""".stripMargin,
     // same Content-Length arithmetic as q88, zstd member framing
+    "q88d_warc_zst_dict_roundtrip" ->
+      """SELECT doc_id,
+        |  'https://site' || (doc_id % 50) || '.com/doc/' || doc_id AS uri,
+        |  'response' AS warc_type,
+        |  200 AS status,
+        |  text AS body,
+        |  (77 + length(CAST(octet_length(encode(text)) AS VARCHAR))
+        |     + octet_length(encode(text)))::BIGINT AS clen,
+        |  false AS truncated
+        |FROM documents""".stripMargin,
     "q88c_warc_zst_roundtrip" ->
       """SELECT doc_id,
         |  'https://site' || (doc_id % 50) || '.com/doc/' || doc_id AS uri,

@@ -130,12 +130,17 @@ object Warc {
       codec: String = "gzip"
   ): Unit = {
     require(maxRecordsPerShard > 0, "maxRecordsPerShard must be positive")
-    require(codec == "gzip" || codec == "zstd",
-      s"codec must be gzip|zstd, got $codec")
-    // member-per-record framing in both codecs: gzip members per the WARC
-    // spec's recommendation, plain concatenated zstd frames for .warc.zst
-    // (no shared dictionary — the reader refuses dictionary archives)
-    val ext = if (codec == "zstd") ".warc.zst" else ".warc.gz"
+    require(codec == "gzip" || codec == "zstd" || codec == "zstd-dict",
+      s"codec must be gzip|zstd|zstd-dict, got $codec")
+    // member-per-record framing in all codecs: gzip members per the WARC
+    // spec's recommendation, concatenated zstd frames for .warc.zst.
+    // `zstd-dict` additionally trains a PER-SHARD dictionary on the
+    // shard's first records and emits it in the iipc 0x184D2A5D skippable
+    // frame — member-per-record framing compresses each small record in
+    // isolation, which is exactly where a shared dictionary pays (the
+    // reason the convention exists); shards too small to train fall back
+    // to plain frames, which the reader handles transparently.
+    val ext = if (codec.startsWith("zstd")) ".warc.zst" else ".warc.gz"
     // per-record HTTP Content-Type when a column is given (a crawl body's
     // charset is per-page); rows with a null value fall back to the
     // constant default
@@ -191,10 +196,55 @@ object Warc {
           }
           tmpPath = null
         }
+        // zstd-dict per-shard state: the first `DictSampleRecords` records
+        // buffer in memory, a dictionary trains on them, the 0x184D2A5D
+        // frame and the buffered members flush, then the rest streams
+        // dict-compressed. null dict after resolution = training declined
+        // (shard too small / trainer failed) → plain frames.
+        val useDict = codec == "zstd-dict"
+        var pending: scala.collection.mutable.ArrayBuffer[Array[Byte]] =
+          if (useDict) new scala.collection.mutable.ArrayBuffer() else null
+        var dict: Array[Byte] = null
+        var dictDone = !useDict
+        def writeMember(bytes: Array[Byte]): Unit = {
+          // one compressed member per record: the member stream closes
+          // over a wrapper whose close() is a no-op, so finishing a
+          // member never closes the underlying shard stream
+          val shard = out
+          val noClose = new java.io.FilterOutputStream(shard) {
+            override def write(b: Array[Byte], off: Int, len: Int): Unit =
+              shard.write(b, off, len) // bulk passthrough (default is per-byte)
+            override def close(): Unit = {} // member boundary, not file end
+          }
+          val member: java.io.OutputStream =
+            if (codec.startsWith("zstd")) {
+              val z = new com.github.luben.zstd.ZstdOutputStreamNoFinalizer(noClose)
+              if (dict != null) z.setDict(dict)
+              z
+            } else new GZIPOutputStream(noClose)
+          member.write(bytes)
+          member.close() // flushes the member/frame trailer; shard stays open
+        }
+        def flushPending(): Unit = {
+          dict = trainDictionary(pending)
+          if (dict != null) {
+            // skippable frame, magic 0x184D2A5D little-endian + u32 size
+            out.write(Array(0x5d, 0x2a, 0x4d, 0x18,
+              dict.length & 0xff, (dict.length >> 8) & 0xff,
+              (dict.length >> 16) & 0xff, (dict.length >> 24) & 0xff)
+              .map(_.toByte))
+            out.write(dict)
+          }
+          pending.foreach(writeMember)
+          pending.clear()
+          dictDone = true
+        }
         open()
         rows.foreach { r =>
           if (inShard >= maxRecordsPerShard) {
+            if (!dictDone) flushPending()
             close(); shardNo += 1; inShard = 0; open()
+            if (useDict) { dict = null; dictDone = false }
           }
           val uri = r.getString(0)
           if (uri == null) throw new IllegalArgumentException(
@@ -216,27 +266,47 @@ object Warc {
               s"WARC-Target-URI: $uri\r\n" +
               "Content-Type: application/http; msgtype=response\r\n" +
               s"Content-Length: ${block.length}\r\n\r\n").getBytes("UTF-8")
-          // one compressed member per record: the member stream closes
-          // over a wrapper whose close() is a no-op, so finishing a
-          // member never closes the underlying shard stream
-          val shard = out
-          val noClose = new java.io.FilterOutputStream(shard) {
-            override def write(b: Array[Byte], off: Int, len: Int): Unit =
-              shard.write(b, off, len) // bulk passthrough (default is per-byte)
-            override def close(): Unit = {} // member boundary, not file end
-          }
-          val member: java.io.OutputStream =
-            if (codec == "zstd")
-              new com.github.luben.zstd.ZstdOutputStreamNoFinalizer(noClose)
-            else new GZIPOutputStream(noClose)
-          member.write(header)
-          member.write(block)
-          member.write("\r\n\r\n".getBytes("UTF-8"))
-          member.close() // flushes the member/frame trailer; shard stays open
+          val record = header ++ block ++ "\r\n\r\n".getBytes("UTF-8")
+          if (!dictDone) {
+            pending += record
+            if (pending.length >= DictSampleRecords) flushPending()
+          } else writeMember(record)
           inShard += 1
         }
+        if (!dictDone) flushPending()
         close()
       }
+    }
+  }
+
+  /** Records buffered per shard before dictionary training (`zstd-dict`).
+    * 256 typical web records ≈ a few MB of executor memory — enough sample
+    * mass for zstd's trainer; records past the sample still compress with
+    * the dictionary (crawl shards are homogeneous, the convention's bet).
+    */
+  private val DictSampleRecords = 256
+
+  /** Train a zstd dictionary on the buffered records; null when the shard
+    * is too small to train or the trainer declines (both are normal for
+    * tail shards — callers fall back to plain frames, which the reader
+    * handles). Dict size 16 KiB: zstd's guidance is ~1/100 of sample mass,
+    * and 256 × ~10 KiB records sit right around it.
+    */
+  private def trainDictionary(
+      samples: scala.collection.Seq[Array[Byte]]): Array[Byte] = {
+    val total = samples.iterator.map(_.length.toLong).sum
+    if (samples.length < 8 || total < 16384) return null
+    try {
+      // dict size scaled to sample mass (zstd wants dict ≪ samples;
+      // a fixed 16 KiB dict over a few-KiB sample set fails to train)
+      val dictSize = math.min(16L << 10, math.max(1024L, total / 10)).toInt
+      val trainer = new com.github.luben.zstd.ZstdDictTrainer(
+        math.min(total, 32L << 20).toInt, dictSize)
+      samples.foreach(trainer.addSample)
+      val d = trainer.trainSamples()
+      if (d == null || d.isEmpty) null else d
+    } catch {
+      case _: com.github.luben.zstd.ZstdException => null
     }
   }
 

@@ -268,6 +268,59 @@ class WarcSpec extends SparkTestBase {
     assert(new String(got2.head.payload, "UTF-8") == "dict payload one")
   }
 
+  test("zstd-dict codec: trains a per-shard dictionary, roundtrips, falls back when tiny") {
+    val dir = tmpDir()
+    // 60 records of repetitive-but-distinct content — enough sample mass
+    val page = "lorem ipsum dolor sit amet consectetur adipiscing elit " * 12
+    val df = (1 to 60).map(i =>
+      (s"https://d/$i",
+        s"shared boilerplate header; $page unique part $i; $page footer"))
+      .toDF("uri", "body")
+    Warc.writeWarcResponses(df.repartition(1), dir, "uri", "body",
+      codec = "zstd-dict")
+    val files = new java.io.File(dir).listFiles()
+      .filterNot(_.getName.startsWith(".")).sortBy(_.getName)
+    assert(files.nonEmpty && files.forall(_.getName.endsWith(".warc.zst")))
+    // every shard leads with the 0x184D2A5D dictionary skippable frame
+    for (f <- files) {
+      val head = Files.readAllBytes(f.toPath).take(4)
+      assert(head.sameElements(Array(0x5d, 0x2a, 0x4d, 0x18).map(_.toByte)),
+        s"${f.getName} does not start with the dict skippable frame")
+    }
+    val back = Warc.readWarc(spark, dir)
+      .select(col("target_uri").as("uri"), col("payload").cast("string").as("body"))
+    assert(back.exceptAll(df).count() == 0 && df.exceptAll(back).count() == 0)
+    // shard rolling keeps one dictionary per shard
+    val dir2 = tmpDir()
+    Warc.writeWarcResponses(df.repartition(1), dir2, "uri", "body",
+      codec = "zstd-dict", maxRecordsPerShard = 25)
+    val shards = new java.io.File(dir2).listFiles()
+      .filterNot(_.getName.startsWith("."))
+    assert(shards.length == 3)
+    val dictMagic = Array(0x5d, 0x2a, 0x4d, 0x18).map(_.toByte)
+    val plainMagic = Array(0x28, 0xb5, 0x2f, 0xfd).map(_.toByte)
+    // full 25-record shards train; the 10-record tail may fall under the
+    // training floor and legitimately fall back to plain frames
+    shards.sortBy(_.getName).take(2).foreach { f =>
+      val head = Files.readAllBytes(f.toPath).take(4)
+      assert(head.sameElements(dictMagic), s"${f.getName} missing dict frame")
+    }
+    val tail = Files.readAllBytes(shards.sortBy(_.getName).last.toPath).take(4)
+    assert(tail.sameElements(dictMagic) || tail.sameElements(plainMagic))
+    assert(Warc.readWarc(spark, dir2).count() == 60)
+    // a shard too small to train falls back to PLAIN frames and still reads
+    val tiny = tmpDir()
+    val df3 = (1 to 3).map(i => (s"https://t/$i", s"tb$i")).toDF("uri", "body")
+    Warc.writeWarcResponses(df3.repartition(1), tiny, "uri", "body",
+      codec = "zstd-dict")
+    val tf = new java.io.File(tiny).listFiles()
+      .filterNot(_.getName.startsWith(".")).head
+    val thead = Files.readAllBytes(tf.toPath).take(4)
+    assert(thead.sameElements(Array(0x28, 0xb5, 0x2f, 0xfd).map(_.toByte)),
+      "tiny shard should fall back to plain zstd frames")
+    assert(Warc.readWarc(spark, tiny).count() == 3)
+  }
+
   test("pipeline warc sink writes zst from YAML (codec option)") {
     val dir = tmpDir() + "/out"
     val docs = (1 to 5).map(i => (s"https://y/$i", s"yb$i")).toDF("uri", "body")
