@@ -382,6 +382,15 @@ object Corpus {
     */
   def redactPiiAll(text: Column): Column = redactPii(redactValidated(text))
 
+  /** [[redactPiiAll]] as a frame op — same collision contract as the
+    * regex-only frame op above (one source of truth for the check).
+    */
+  def redactPiiAll(df: DataFrame, textCol: String, outCol: String): DataFrame = {
+    require(!df.columns.contains(outCol),
+      s"redactPiiAll adds '$outCol' but df already has it")
+    df.withColumn(outCol, redactPiiAll(col(textCol)))
+  }
+
   /** TF-IDF weights per (document, token): `tf · ln(N / df)` with raw term
     * counts and un-smoothed idf (idf = 0 for a token in every document).
     * Shape: one explode → (id, token) count aggregation → document

@@ -669,7 +669,10 @@ object Dedup {
       val rs = (h to 1 by -1).filter(h % _ == 0)
       rs.find(r => bandingRecall(threshold, r, h / r) >= targetRecall) match {
         case Some(r) => return (h, h / r)
-        case None if h * 2 <= maxHashes => h *= 2
+        // doubling clamps to maxHashes so a non-power-of-two budget ratio
+        // still tries the full budget before degrading (96→192→384→512,
+        // not 96→192→384→warn)
+        case None if h < maxHashes => h = math.min(h * 2, maxHashes)
         case None =>
           // max-recall split at the largest budget; reachable only at tiny
           // thresholds × extreme targets (e.g. J=0.01 at recall 0.999 needs

@@ -119,6 +119,17 @@ object PiiValidate {
 
   /** Card pass: scan digit runs with an optional uniform single separator;
     * Luhn-validate; replace. Linear, no regex machinery.
+    *
+    * Boundary ambiguity is resolved group-prefix-wise: the walk records a
+    * candidate boundary at every separator-joined group edge, stops
+    * consuming groups once the digit total would exceed 19 (a card
+    * followed by an unrelated number — "4111111111111111 2023" — must not
+    * merge-and-fail), and when the full span fails Luhn, trailing GROUPS
+    * are trimmed while ≥ 13 digits remain, redacting the longest
+    * Luhn-passing group-aligned prefix ("4111 1111 1111 1111 22" redacts
+    * the 16-digit card and leaves " 22"). A single CONTIGUOUS run of more
+    * than 19 digits stays untouched — there is no group boundary to trim
+    * at, and sub-slicing an unbroken digit run redacts ids wholesale.
     */
   private[ops] def redactCards(s: String): String = {
     val n = s.length
@@ -127,10 +138,13 @@ object PiiValidate {
     var copied = 0 // s[0, copied) already appended when out != null
     while (i < n) {
       if (isDigit(s.charAt(i)) && (i == 0 || !isAlnum(s.charAt(i - 1)))) {
-        // walk the maximal grouped-digit span from i (start boundary is
-        // non-alphanumeric, matching the end boundary below: "ORD4111…"
-        // is an id, not a card)
-        val digits = new Array[Int](20)
+        // walk grouped digits from i (start boundary is non-alphanumeric,
+        // matching the end boundary below: "ORD4111…" is an id, not a
+        // card); group edges are candidate card ends
+        val digits = new Array[Int](19)
+        val groupEnds = new Array[Int](20) // string pos after each group
+        val groupCounts = new Array[Int](20) // digit total at that edge
+        var nGroups = 0
         var nd = 0
         var j = i
         var sep = '\u0000' // uniform separator once seen
@@ -140,19 +154,45 @@ object PiiValidate {
         while (!done && j < n) {
           val c = s.charAt(j)
           if (isDigit(c)) {
-            if (nd < 20) { digits(nd) = c - '0'; nd += 1 } else overflow = true
-            j += 1; end = j
+            if (nd < 19) { digits(nd) = c - '0'; nd += 1; j += 1; end = j }
+            else { overflow = true; done = true } // contiguous run past 19
           } else if ((c == ' ' || c == '-') && j + 1 < n &&
               isDigit(s.charAt(j + 1)) && (sep == '\u0000' || sep == c)) {
-            sep = c; j += 1
+            // group edge: record the candidate boundary; stop consuming
+            // further groups once the NEXT group would push past 19
+            if (nGroups < 20) {
+              groupEnds(nGroups) = end; groupCounts(nGroups) = nd; nGroups += 1
+            }
+            var k = j + 1
+            var nextLen = 0
+            while (k < n && isDigit(s.charAt(k))) { nextLen += 1; k += 1 }
+            if (nd + nextLen > 19) done = true
+            else { sep = c; j += 1 }
           } else done = true
         }
-        val valid = !overflow && nd >= 13 && nd <= 19 &&
-          (end == n || !isAlnum(s.charAt(end))) && luhnOk(digits, nd)
-        if (valid) {
-          if (out == null) out = new java.lang.StringBuilder(n)
-          out.append(s, copied, i).append(CardToken)
-          copied = end
+        if (nGroups < 20) { // the final group's edge
+          groupEnds(nGroups) = end; groupCounts(nGroups) = nd; nGroups += 1
+        }
+        // a contiguous (single-group) run that kept going past 19 digits
+        // is an id — skip the WHOLE run so no sub-slice ever matches
+        if (overflow && nGroups == 1) {
+          while (end < n && isDigit(s.charAt(end))) end += 1
+        } else {
+          // longest Luhn-passing group-aligned prefix with 13-19 digits
+          var g = nGroups - 1
+          var matched = false
+          while (!matched && g >= 0) {
+            val cnt = groupCounts(g)
+            val e = groupEnds(g)
+            if (cnt >= 13 && cnt <= 19 &&
+                (e == n || !isAlnum(s.charAt(e))) && luhnOk(digits, cnt)) {
+              if (out == null) out = new java.lang.StringBuilder(n)
+              out.append(s, copied, i).append(CardToken)
+              copied = e
+              end = e
+              matched = true
+            } else g -= 1
+          }
         }
         i = end
       } else i += 1

@@ -1055,12 +1055,9 @@ object Pipeline {
         val r = asMap(step("redact"), "redact")
         val outCol = r.getOrElse("as", "redacted").toString
         val textCol = r("text").toString
-        if (r.get("validated").exists(_.toString.toBoolean)) {
-          require(!df.columns.contains(outCol),
-            s"redact adds '$outCol' but the frame already has it")
-          df.withColumn(outCol,
-            graft.ops.Corpus.redactPiiAll(col(textCol)))
-        } else graft.ops.Corpus.redactPii(df, textCol, outCol)
+        if (r.get("validated").exists(_.toString.toBoolean))
+          graft.ops.Corpus.redactPiiAll(df, textCol, outCol)
+        else graft.ops.Corpus.redactPii(df, textCol, outCol)
 
       case "tokenBudget" =>
         // {text: col | tokens: expr, budget: N, orderBy: [...]} — longest

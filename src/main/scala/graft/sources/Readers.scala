@@ -153,14 +153,25 @@ object Readers {
       header: Boolean = false,
       options: Map[String, String] = Map.empty
   ): DataFrame = {
+    // keep without a schema would silently keep NOTHING: CSV only
+    // materializes _corrupt_record when the schema carries the column,
+    // so malformed rows would surface as indistinguishable all-null rows
+    require(schema != null || badRecords != "keep",
+      "readCsv: badRecords=keep requires an explicit schema (the " +
+        "_corrupt_record audit column must be part of the read schema)")
     val (mode, finalSchema) =
       badRecordsPolicy(badRecords, Option(schema).map(StructType.fromDDL))
+    // sep/header declared by the caller are authoritative — applied AFTER
+    // user options, same rule as the bad-record policy (an options
+    // {sep: ","} must not silently defeat a declared tsv format)
     val r = s.read
+      .options(options)
       .option("sep", sep)
       .option("header", header.toString)
-      .options(options)
       .option("mode", mode)
       .option("columnNameOfCorruptRecord", "_corrupt_record")
+    // null schema = inference, the documented small/interactive-only path
+    // (CSV inference is a second full read of every byte)
     finalSchema.fold(r.option("inferSchema", "true"))(st => r.schema(st))
       .csv(path)
   }

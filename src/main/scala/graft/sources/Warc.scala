@@ -205,6 +205,10 @@ object Warc {
         var pending: scala.collection.mutable.ArrayBuffer[Array[Byte]] =
           if (useDict) new scala.collection.mutable.ArrayBuffer() else null
         var dict: Array[Byte] = null
+        // digested once per shard: setDict(bytes) would re-run
+        // ZSTD_CCtx_loadDictionary per MEMBER — 100k redundant ~16 KiB
+        // dictionary digests per default shard on the hot write path
+        var dictC: com.github.luben.zstd.ZstdDictCompress = null
         var dictDone = !useDict
         def writeMember(bytes: Array[Byte]): Unit = {
           // one compressed member per record: the member stream closes
@@ -219,7 +223,7 @@ object Warc {
           val member: java.io.OutputStream =
             if (codec.startsWith("zstd")) {
               val z = new com.github.luben.zstd.ZstdOutputStreamNoFinalizer(noClose)
-              if (dict != null) z.setDict(dict)
+              if (dictC != null) z.setDict(dictC)
               z
             } else new GZIPOutputStream(noClose)
           member.write(bytes)
@@ -228,6 +232,7 @@ object Warc {
         def flushPending(): Unit = {
           dict = trainDictionary(pending)
           if (dict != null) {
+            dictC = new com.github.luben.zstd.ZstdDictCompress(dict, 3)
             // skippable frame, magic 0x184D2A5D little-endian + u32 size
             out.write(Array(0x5d, 0x2a, 0x4d, 0x18,
               dict.length & 0xff, (dict.length >> 8) & 0xff,
@@ -244,7 +249,10 @@ object Warc {
           if (inShard >= maxRecordsPerShard) {
             if (!dictDone) flushPending()
             close(); shardNo += 1; inShard = 0; open()
-            if (useDict) { dict = null; dictDone = false }
+            if (useDict) {
+              if (dictC != null) { dictC.close(); dictC = null }
+              dict = null; dictDone = false
+            }
           }
           val uri = r.getString(0)
           if (uri == null) throw new IllegalArgumentException(
@@ -275,6 +283,7 @@ object Warc {
         }
         if (!dictDone) flushPending()
         close()
+        if (dictC != null) { dictC.close(); dictC = null }
       }
     }
   }
@@ -355,10 +364,14 @@ object Warc {
         var off = 0
         var dict: Array[Byte] = null
         while (isZstSkippable(bytes, off)) {
-          val size = leU32(bytes, off + 4)
-          if (size < 0 || off + 8 + size > bytes.length)
+          // u32 size compared in Long: an adversarial size near 2^31 must
+          // hit the truncation error, not overflow past it into an opaque
+          // ArrayIndexOutOfBounds downstream
+          val sizeL = leU32(bytes, off + 4)
+          if (off + 8L + sizeL > bytes.length)
             throw new IllegalArgumentException(
               s"$path: truncated zstd skippable frame at offset $off")
+          val size = sizeL.toInt
           if ((bytes(off) & 0xff) == 0x5d && dict == null) {
             val content = java.util.Arrays.copyOfRange(bytes, off + 8, off + 8 + size)
             dict =
@@ -391,10 +404,10 @@ object Warc {
       (bytes(off + 1) & 0xff) == 0x2a && (bytes(off + 2) & 0xff) == 0x4d &&
       (bytes(off + 3) & 0xff) == 0x18
 
-  /** Little-endian u32 as Int (negative on overflow — callers bound-check). */
-  private def leU32(bytes: Array[Byte], off: Int): Int =
-    (bytes(off) & 0xff) | ((bytes(off + 1) & 0xff) << 8) |
-      ((bytes(off + 2) & 0xff) << 16) | ((bytes(off + 3) & 0xff) << 24)
+  /** Little-endian u32 as an unsigned Long (overflow-proof comparisons). */
+  private def leU32(bytes: Array[Byte], off: Int): Long =
+    ((bytes(off) & 0xffL) | ((bytes(off + 1) & 0xffL) << 8) |
+      ((bytes(off + 2) & 0xffL) << 16) | ((bytes(off + 3) & 0xffL) << 24))
 
   /** Read one line up to CRLF (or LF — lenient); None at clean EOF. */
   private def readLine(in: InputStream): Option[String] = {

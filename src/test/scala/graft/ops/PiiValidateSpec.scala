@@ -42,6 +42,17 @@ class PiiValidateSpec extends SparkTestBase {
       "card 4111 1111-1111 1111 ok")
   }
 
+  test("a valid card followed by an unrelated number still redacts") {
+    // merge-then-fail leak (review finding): the card must not escape
+    // because a following number pushed the merged span past 19 digits
+    assert(redactAll("pay 4111111111111111 2023 now") == "pay <CARD> 2023 now")
+    // grouped card + trailing small group: longest Luhn-passing
+    // group-aligned prefix redacts, the tail survives
+    assert(redactAll("card 4111 1111 1111 1111 22 x") == "card <CARD> 22 x")
+    // two adjacent cards both redact
+    assert(redactAll("a 4111111111111111 378282246310005 b") == "a <CARD> <CARD> b")
+  }
+
   test("length and boundary rules: 12/20-digit runs and embedded runs kept") {
     assert(redactAll("n 411111111111 x") == "n 411111111111 x") // 12 digits
     assert(redactAll("n 41111111111111111111 x") ==

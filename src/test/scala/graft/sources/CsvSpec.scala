@@ -65,6 +65,18 @@ class CsvSpec extends SparkTestBase {
     assert(df.collect().length == 1) // drop won; FAILFAST would have thrown
   }
 
+  test("declared sep/header beat user options; keep requires a schema") {
+    val p = writeLines(Seq("1\thello", "2\tworld"), ".tsv")
+    // an options sep must not silently defeat the declared tsv separator
+    val df = Readers.readCsv(spark, p, schema = "id BIGINT, t STRING",
+      sep = "\t", options = Map("sep" -> ","))
+    assert(df.as[(Long, String)].collect().sortBy(_._1).toSeq ==
+      Seq((1L, "hello"), (2L, "world")))
+    intercept[IllegalArgumentException] {
+      Readers.readCsv(spark, p, badRecords = "keep") // no schema
+    }
+  }
+
   test("readCsvStream: shards stream in as they land; torn rows dropped") {
     val d = Files.createTempDirectory("graft_csv_stream").toFile
     d.deleteOnExit()
