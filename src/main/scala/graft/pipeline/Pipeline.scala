@@ -158,12 +158,19 @@ object Pipeline {
                 s"$f source supports format/path/schema/badRecords/header/" +
                   s"sep/options; remove: " +
                   unsupported.toSeq.sorted.mkString(", "))
+            // precedence: dedicated YAML keys > options map > format
+            // default — readCsv's named args are authoritative (applied
+            // after options), so fold the options-map spellings in here
+            // to keep the legacy `options: {header: "true"}` shape working
             graft.sources.Readers.readCsv(spark, path,
               schema = sm.get("schema").map(_.toString).orNull,
               badRecords = sm.getOrElse("badRecords", "drop").toString,
               sep = sm.get("sep").map(_.toString)
+                .orElse(opts.get("sep"))
                 .getOrElse(if (f == "tsv") "\t" else ","),
-              header = sm.get("header").exists(_.toString.toBoolean),
+              header = sm.get("header").map(_.toString.toBoolean)
+                .orElse(opts.get("header").map(_.toBoolean))
+                .getOrElse(false),
               options = opts)
           // WebDataset-style tar shards: {format: tar, path: ...} →
           // (shard, key, data map) sample rows. No reader options exist;
