@@ -1120,6 +1120,57 @@ object SparkEntry {
     // the constant status/content-type the writer stamps, byte-exact body
     // text, and the WARC Content-Length arithmetic (77 bytes of fixed
     // HTTP chrome + the digits of the body length + the body itself).
+    // MULTILINGUAL jusText GATE (the r12 verdict's quality-ladder item):
+    // the same block classifier driven by rulesForLang — a German page
+    // under the German function-word table classifies good, a French one
+    // under fr likewise, and the ENGLISH paragraph under the GERMAN rules
+    // drops to bad (zero stopword hits) — the lang key changes the
+    // decision, not just a list. Every block's features and labels are
+    // hand-derived VALUES literals (the q86 pattern).
+    "q86c_justext_lang" -> ((s, dir) => {
+      import s.implicits._
+      val deRules = graft.ops.expr.HtmlContent.rulesForLang("de")
+      val frRules = graft.ops.expr.HtmlContent.rulesForLang("fr")
+      val de = Seq(
+        1L -> ("<html><body><nav><a href=\"/\">Start</a> " +
+          "<a href=\"/u\">Über uns</a></nav>" +
+          s"<p>$DeFixturePara</p>" +
+          "<footer><a href=\"/i\">Impressum</a></footer></body></html>"),
+        2L -> s"<p>$EnUnderDePara</p>")
+        .toDF("tid", "html")
+        .select(col("tid"),
+          explode(graft.ops.WebText.htmlBlocks(col("html"), deRules)).as("b"))
+      val fr = Seq(3L -> s"<p>$FrFixturePara</p>")
+        .toDF("tid", "html")
+        .select(col("tid"),
+          explode(graft.ops.WebText.htmlBlocks(col("html"), frRules)).as("b"))
+      de.unionByName(fr)
+        .select(col("tid"), col("b.idx").as("idx"), col("b.tag").as("tag"),
+          col("b.in_chrome").as("in_chrome"), col("b.text").as("text"),
+          col("b.n_chars").cast("long").as("n_chars"),
+          col("b.n_words").cast("long").as("n_words"),
+          col("b.link_density").as("link_density"),
+          col("b.stop_ratio").as("stop_ratio"),
+          col("b.label").as("label"), col("b.content").as("content"))
+    }),
+    // LANG-KEYED GOPHER GATE: a third of the corpus gets a German
+    // function-word suffix planted; the de ladder counts hits against the
+    // German table (en stays on the shipped list), and a stoplist-less
+    // lang (zh) DISABLES the ≥2 floor instead of rejecting everything.
+    // Full q65-style signal + keep_full replay per lang in DuckDB.
+    "q87b_gopher_lang" -> ((s, dir) => {
+      val planted = t(s, dir, "documents").select(col("doc_id"),
+        when(col("doc_id") % 3 === 0,
+          concat(col("text"), lit(" der die und das ist von mit den")))
+          .otherwise(col("text")).as("t2"))
+      def one(lang: String, sfx: String) =
+        graft.ops.Corpus.withRepetitionSignals(planted, "t2", lang = lang)
+          .select(col("doc_id"),
+            col("stopword_hits").cast("long").as(s"hits_$sfx"),
+            col("keep_full").as(s"keep_$sfx"))
+      one("de", "de").join(one("zh", "zh"), "doc_id")
+        .join(one("en", "en"), "doc_id")
+    }),
     "q88_warc_roundtrip" -> ((s, dir) => {
       val fixture = new java.io.File(sys.props("java.io.tmpdir"),
         "graft_warc_" +
@@ -1173,6 +1224,34 @@ object SparkEntry {
            |      total_chars: {sum: "len_chars($$body)"}
            |""".stripMargin,
         name => t(s, dir, name))
+    }),
+    // WET (conversion-record) gate: CommonCrawl's extracted-text sibling
+    // format — WARC-Type: conversion, record Content-Type text/plain,
+    // content block = the text itself (no HTTP envelope). The generic
+    // reader must surface these with null HTTP fields and the raw text
+    // payload; every reader field replayed arithmetically in DuckDB.
+    "q88e_wet_conversion" -> ((s, dir) => {
+      val fixture = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft_warc_" +
+          java.lang.Long.toHexString(dir.hashCode.toLong & 0xffffffffL) +
+          "_" + ProcessHandle.current().pid())
+      val out = new java.io.File(fixture, "wet").getPath
+      val src = t(s, dir, "documents").select(
+        concat(lit("https://site"), (col("doc_id") % 50).cast("string"),
+          lit(".com/doc/"), col("doc_id").cast("string")).as("uri"),
+        col("text"))
+      graft.sources.Warc.writeWetConversions(
+        src.repartition(4), out, "uri", "text", overwrite = true)
+      graft.sources.Warc.readWarc(s, out).select(
+        regexp_extract(col("target_uri"), "/doc/(\\d+)$", 1)
+          .cast("long").as("doc_id"),
+        col("target_uri").as("uri"),
+        col("warc_type"),
+        col("content_type").as("ctype"),
+        col("http_status").isNull.as("no_http"),
+        col("payload").cast("string").as("text"),
+        col("content_length").as("clen"),
+        col("truncated"))
     }),
     // .warc.zst roundtrip: the same reader-field replay as q88 over
     // ZSTD-compressed shards (newer CommonCrawl segments ship zstd;
@@ -1358,6 +1437,58 @@ object SparkEntry {
           "text/html"),
         ("https://enc.test/p8", b("fallback äßç", "UTF-8"),
           "text/html; charset=x-bogus-enc"))
+      graft.sources.Warc.writeWarcResponses(
+        pages.toDF("uri", "body", "ct"), out, "uri", "body",
+        overwrite = true, contentTypeCol = Some("ct"))
+      graft.pipeline.Pipeline.run(s,
+        s"""source: {format: warc, path: "$out"}
+           |steps:
+           |  - filter: "$$http_status == 200"
+           |""".stripMargin,
+        name => t(s, dir, name))
+        .select(
+          regexp_extract(col("target_uri"), "/p(\\d+)$", 1)
+            .cast("long").as("page"),
+          col("text"))
+    }),
+    // WHATWG LABEL-TABLE + PRESCAN-CONFINEMENT GATE (the r12 verdict's top
+    // item): the latin-1/ascii label family must decode as windows-1252
+    // (0x80–0x9F punctuation survives instead of becoming C1 controls),
+    // spec remaps (iso-8859-9→cp1254), the replacement-encoding firewall,
+    // decoy charset= in comments/scripts/other tags must NOT win the
+    // prescan, the http-equiv content form needs its pragma, and the two
+    // meta quirks (utf-16 label→utf-8, x-user-defined→cp1252). Expected
+    // DECODED strings pinned as DuckDB literals (the q94 pattern).
+    "q94b_whatwg_labels" -> ((s, dir) => {
+      import s.implicits._
+      val fixture = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft_warc_lbl_" +
+          java.lang.Long.toHexString(dir.hashCode.toLong & 0xffffffffL) +
+          "_" + ProcessHandle.current().pid())
+      val out = new java.io.File(fixture, "lbl").getPath
+      def b(text: String, cs: String) = text.getBytes(cs)
+      val decoyHtml = "<!-- charset=shift_jis --><script>var s='charset=big5';" +
+        "</script><a href=\"/x?charset=utf-16be\">x</a>" +
+        "<meta charset=windows-1252>quotes “–€”"
+      val pages: Seq[(String, Array[Byte], String)] = Seq(
+        ("https://lbl.test/p1", b("euro € smart “quotes” – dash", "windows-1252"),
+          "text/html; charset=iso-8859-1"),
+        ("https://lbl.test/p2", b("naïve café – €", "windows-1252"),
+          "text/html; charset=latin1"),
+        ("https://lbl.test/p3", b("price € — em", "windows-1252"),
+          "text/html; charset=us-ascii"),
+        ("https://lbl.test/p4", b(decoyHtml, "windows-1252"), "text/html"),
+        ("https://lbl.test/p5",
+          b("<meta name=\"description\" content=\"charset=big5 tutorial\">é ok",
+            "UTF-8"), "text/html"),
+        ("https://lbl.test/p6", b("<html>attack</html>", "UTF-8"),
+          "text/html; charset=iso-2022-kr"),
+        ("https://lbl.test/p7", b("<meta charset=utf-16le>tricky é", "UTF-8"),
+          "text/html"),
+        ("https://lbl.test/p8", b("<meta charset=x-user-defined>€–", "windows-1252"),
+          "text/html"),
+        ("https://lbl.test/p9", b("türkçe € “tr” şğ", "windows-1254"),
+          "text/html; charset=iso-8859-9"))
       graft.sources.Warc.writeWarcResponses(
         pages.toDF("uri", "body", "ct"), out, "uri", "body",
         overwrite = true, contentTypeCol = Some("ct"))
@@ -1705,7 +1836,7 @@ object SparkEntry {
         .select(col("event_id"),
           unix_micros(col("ts").cast("timestamp")).as("ts_us"),
           col("user_id"))
-      val maxUs = ev.agg(max(col("ts_us"))).head.getLong(0)
+      val maxUs = ev.agg(max(col("ts_us"))).head().getLong(0)
       // each event twice, ts-ordered shards (equal keys co-partition)
       val staging = new java.io.File(fixture, "_staging")
       ev.unionAll(ev).repartitionByRange(4, col("ts_us"))
@@ -2422,6 +2553,29 @@ object SparkEntry {
       "expected and the method is sound as far as we can tell today. " +
       "We will publish more soon."
 
+  /** q86c's multilingual jusText fixtures. Hand counts pinned in
+    * HtmlBlocksSpec and the q86c oracle: de = 238 chars / 45 words / 18
+    * function-word hits (ratio 0.4 ≥ 0.20 high, > 200 chars → good);
+    * fr = 229 / 40 / 16 (good); the English paragraph under the GERMAN
+    * rules = 189 chars / 21 words / 0 hits → bad (the lang key is
+    * load-bearing, not decorative). No apostrophes — the strings inline
+    * into DuckDB VALUES literals verbatim.
+    */
+  val DeFixturePara: String =
+    "Der Wanderer ging und ging durch das weite Tal und sah auf die " +
+      "alten Bäume die dort seit hundert Jahren standen und nicht eine " +
+      "einzige Frage nach dem Sinn von Zeit und Arbeit stellten denn sie " +
+      "waren mit sich im Reinen und blieben auch so."
+  val FrFixturePara: String =
+    "Le vieux jardinier marchait dans les allées du parc et regardait " +
+      "les arbres que son père avait plantés pour les enfants du village " +
+      "avec une patience que plus personne ne connaissait et ce depuis " +
+      "des années sans une seule plainte."
+  val EnUnderDePara: String =
+    "Quantum flux capacitors regulate temporal displacement vectors " +
+      "across multidimensional manifolds while harmonic resonance " +
+      "stabilizes chronon emission spectra during rapid phase transitions."
+
   val AnnQueryVec: Seq[Float] = (0 until 64).map(i => ((i % 7) - 3) / 10.0f)
 
   /** Three deterministic query vectors for the batched-retrieval query. */
@@ -2595,6 +2749,82 @@ object SparkEntry {
   private val shingleCteSql: String = shingleCteSqlN(3, "sh")
 
   /** DuckDB oracle per query (same parquet tables, same column names). */
+  /** One lang's full Gopher-signal + keep replay over the q87b planted
+    * corpus (q65's machinery, parameterized by stopword list and the
+    * min-hits floor — 0 = the disabled gate for stoplist-less langs).
+    * Emitted as a self-contained `(WITH … SELECT doc_id, hits, keep)`
+    * subquery so three instantiations join in one oracle without CTE
+    * name collisions.
+    */
+  private def gopherLangReplaySql(stopListSql: String, minHits: Int): String =
+    s"""(WITH base AS (
+       |  SELECT doc_id,
+       |    CASE WHEN doc_id % 3 = 0
+       |         THEN text || ' der die und das ist von mit den'
+       |         ELSE text END AS text
+       |  FROM documents),
+       |toks AS (SELECT doc_id, list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS tk,
+       |                list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') AS tkl
+       |         FROM base),
+       |lines AS (SELECT doc_id, list_filter(string_split(text, chr(10)), x -> x <> '') AS seg FROM base),
+       |paras AS (SELECT doc_id, list_filter(regexp_split_to_array(text, '\\n{2,}'), x -> x <> '') AS seg FROM base),
+       |lstat AS (
+       |  SELECT doc_id, count(*) AS cnt, sum(length(l)) AS chars,
+       |    count(*) FILTER (WHERE c >= 2) AS dupcnt,
+       |    coalesce(sum(length(l)) FILTER (WHERE c >= 2), 0) AS dupchars
+       |  FROM (SELECT doc_id, l, count(*) OVER (PARTITION BY doc_id, l) AS c
+       |        FROM (SELECT doc_id, unnest(seg) AS l FROM lines))
+       |  GROUP BY doc_id),
+       |pstat AS (
+       |  SELECT doc_id, count(*) AS cnt, sum(length(l)) AS chars,
+       |    count(*) FILTER (WHERE c >= 2) AS dupcnt,
+       |    coalesce(sum(length(l)) FILTER (WHERE c >= 2), 0) AS dupchars
+       |  FROM (SELECT doc_id, l, count(*) OVER (PARTITION BY doc_id, l) AS c
+       |        FROM (SELECT doc_id, unnest(seg) AS l FROM paras))
+       |  GROUP BY doc_id),
+       |gramrows AS (
+       |  SELECT doc_id,
+       |    unnest(generate_series(1, greatest(len(tk) - 4, 0))) AS gi,
+       |    unnest(list_transform(generate_series(1, greatest(len(tk) - 4, 0)),
+       |                          i -> array_to_string(tk[i : i + 4], ' '))) AS g
+       |  FROM toks),
+       |cov AS (
+       |  SELECT DISTINCT doc_id, unnest(generate_series(gi, gi + 4)) AS pos
+       |  FROM (SELECT doc_id, gi, count(*) OVER (PARTITION BY doc_id, g) AS c FROM gramrows)
+       |  WHERE c >= 2),
+       |covstat AS (SELECT doc_id, count(*) AS covered FROM cov GROUP BY doc_id),
+       |sig AS (
+       |  SELECT b.doc_id,
+       |    len(t.tk) AS token_count,
+       |    CASE WHEN len(t.tk) = 0 THEN 0.0
+       |         ELSE list_sum(list_transform(t.tk, x -> length(x)))::DOUBLE / len(t.tk) END AS mean_word_len,
+       |    CASE WHEN coalesce(ls.cnt, 0) = 0 THEN 0.0 ELSE ls.dupcnt::DOUBLE / ls.cnt END AS dup_line_frac,
+       |    CASE WHEN coalesce(ls.chars, 0) = 0 THEN 0.0 ELSE ls.dupchars::DOUBLE / ls.chars END AS dup_line_char_frac,
+       |    CASE WHEN coalesce(ps2.cnt, 0) = 0 THEN 0.0 ELSE ps2.dupcnt::DOUBLE / ps2.cnt END AS dup_para_frac,
+       |    CASE WHEN coalesce(ps2.chars, 0) = 0 THEN 0.0 ELSE ps2.dupchars::DOUBLE / ps2.chars END AS dup_para_char_frac,
+       |    CASE WHEN len(t.tk) < 5 THEN 0.0 ELSE coalesce(cs.covered, 0)::DOUBLE / len(t.tk) END AS dup_ngram_cov,
+       |    CASE WHEN coalesce(ls.cnt, 0) = 0 THEN 0.0
+       |         ELSE len(list_filter(ln.seg, x -> regexp_matches(x, '^\\s*[-*•‣▪]')))::DOUBLE / ls.cnt END AS bullet_frac,
+       |    CASE WHEN coalesce(ls.cnt, 0) = 0 THEN 0.0
+       |         ELSE len(list_filter(ln.seg, x -> regexp_matches(x, '(\\.\\.\\.|…)\\s*$$')))::DOUBLE / ls.cnt END AS ellipsis_frac,
+       |    CASE WHEN len(t.tk) = 0 THEN 0.0
+       |         ELSE len(list_filter(t.tk, x -> regexp_matches(x, '\\p{L}')))::DOUBLE / len(t.tk) END AS alpha_frac,
+       |    len(list_intersect(t.tkl, $stopListSql)) AS stopword_hits
+       |  FROM base b
+       |  JOIN toks t USING (doc_id)
+       |  JOIN lines ln USING (doc_id)
+       |  LEFT JOIN lstat ls USING (doc_id)
+       |  LEFT JOIN pstat ps2 USING (doc_id)
+       |  LEFT JOIN covstat cs USING (doc_id))
+       |SELECT doc_id, stopword_hits::BIGINT AS hits,
+       |  (token_count BETWEEN 20 AND 1000000 AND mean_word_len BETWEEN 3.0 AND 10.0
+       |   AND dup_line_frac <= 0.30 AND dup_line_char_frac <= 0.20
+       |   AND dup_para_frac <= 0.30 AND dup_para_char_frac <= 0.20
+       |   AND dup_ngram_cov <= 0.15 AND bullet_frac <= 0.90
+       |   AND ellipsis_frac <= 0.30 AND alpha_frac >= 0.80
+       |   AND stopword_hits >= $minHits) AS keep
+       |FROM sig)""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "q01_arith" ->
       """SELECT l_orderkey, l_linenumber,
@@ -3404,6 +3634,52 @@ object SparkEntry {
         |     + octet_length(encode(text)))::BIGINT AS clen,
         |  false AS truncated
         |FROM documents""".stripMargin,
+    // Multilingual jusText: feature + label rows hand-derived from the
+    // algorithm (same derivation style as q86). de: 45 words, 18 of them
+    // in the German function-word table (der×?/und/das/…) → ratio 0.4 ≥
+    // 0.20 and 238 chars > 200 → good; fr likewise (16/40); the English
+    // paragraph under GERMAN rules: 0 hits → bad.
+    "q86c_justext_lang" ->
+      s"""SELECT tid::BIGINT AS tid, idx::INT AS idx, tag, in_chrome, text,
+         |  n_chars::BIGINT AS n_chars, n_words::BIGINT AS n_words,
+         |  link_density::DOUBLE AS link_density,
+         |  stop_ratio::DOUBLE AS stop_ratio, label, content
+         |FROM (VALUES
+         |  (1, 0, 'nav', TRUE, 'Start Über uns', 14, 3, 1.0, 0.0, 'bad', FALSE),
+         |  (1, 1, 'p', FALSE, '$DeFixturePara', 238, 45, 0.0, 18.0/45.0, 'good', TRUE),
+         |  (1, 2, 'footer', TRUE, 'Impressum', 9, 1, 1.0, 0.0, 'bad', FALSE),
+         |  (2, 0, 'p', FALSE, '$EnUnderDePara', 189, 21, 0.0, 0.0, 'bad', FALSE),
+         |  (3, 0, 'p', FALSE, '$FrFixturePara', 229, 40, 0.0, 16.0/40.0, 'good', TRUE)
+         |) t(tid, idx, tag, in_chrome, text, n_chars, n_words,
+         |    link_density, stop_ratio, label, content)""".stripMargin,
+    // lang-keyed Gopher: three full signal+keep replays (de list / empty
+    // zh list with the floor disabled / the shipped en list) joined
+    "q87b_gopher_lang" -> {
+      val deList = "['der','die','und','das','ist','von','mit','den'," +
+        "'ein','nicht','im','dem','des','auf','für','eine','als','auch'," +
+        "'sich','werden']"
+      val enList = "['the','a','an','and','or','of','to','in','is','it'," +
+        "'that','for','on','with','as','at','by','be','this','are']"
+      s"""SELECT de.doc_id,
+         |  de.hits AS hits_de, de.keep AS keep_de,
+         |  zh.hits AS hits_zh, zh.keep AS keep_zh,
+         |  en.hits AS hits_en, en.keep AS keep_en
+         |FROM ${gopherLangReplaySql(deList, 2)} de
+         |JOIN ${gopherLangReplaySql("[]::VARCHAR[]", 0)} zh USING (doc_id)
+         |JOIN ${gopherLangReplaySql(enList, 2)} en USING (doc_id)""".stripMargin
+    },
+    // WET conversion records: no HTTP envelope, so content_length is the
+    // text's UTF-8 octet length exactly; HTTP fields are null
+    "q88e_wet_conversion" ->
+      """SELECT doc_id,
+        |  'https://site' || (doc_id % 50) || '.com/doc/' || doc_id AS uri,
+        |  'conversion' AS warc_type,
+        |  'text/plain' AS ctype,
+        |  true AS no_http,
+        |  text AS text,
+        |  octet_length(encode(text))::BIGINT AS clen,
+        |  false AS truncated
+        |FROM documents""".stripMargin,
     "q88b_warc_curation" ->
       """SELECT 'site' || (doc_id % 50) || '.com' AS domain,
         |  count(*) AS n_docs,
@@ -3505,6 +3781,29 @@ object SparkEntry {
         |  (6, 'utf16 page é'),
         |  (7, '<html><head><meta http-equiv="Content-Type" content="text/html; charset=windows-1252"></head><body>smart “quotes”</body></html>'),
         |  (8, 'fallback äßç')) t(page, text)""".stripMargin,
+    // WHATWG label table + prescan confinement: every byte sequence was
+    // authored driver-side by encoding EXACTLY these strings in the
+    // charset the spec's label table / prescan rules must pick. p1–p3:
+    // latin-1/ascii labels → cp1252 (the € / curly quotes / dashes only
+    // decode right under the remap); p4: decoys in a comment, a script
+    // body, and an <a> attribute lose to the real <meta>; p5: content=
+    // charset without the content-type pragma never wins (utf-8 wins);
+    // p6: replacement encoding → one U+FFFD; p7: meta utf-16 label reads
+    // as utf-8; p8: meta x-user-defined reads as cp1252; p9: iso-8859-9
+    // label → windows-1254.
+    "q94b_whatwg_labels" ->
+      ("""SELECT page::BIGINT AS page, text FROM (VALUES
+        |  (1, 'euro € smart “quotes” – dash'),
+        |  (2, 'naïve café – €'),
+        |  (3, 'price € — em'),
+        |  (4, '<!-- charset=shift_jis --><script>var s=''charset=big5'';""" +
+        """</script><a href="/x?charset=utf-16be">x</a>""" +
+        """<meta charset=windows-1252>quotes “–€”'),
+        |  (5, '<meta name="description" content="charset=big5 tutorial">é ok'),
+        |  (6, chr(65533)),
+        |  (7, '<meta charset=utf-16le>tricky é'),
+        |  (8, '<meta charset=x-user-defined>€–'),
+        |  (9, 'türkçe € “tr” şğ')) t(page, text)""").stripMargin,
     // Both q93 families are pure arithmetic: planted pairs are (id,
     // id + 1e9) for id % 97 = 0 (equal keys ⇒ sigs differing by exactly
     // the 6 planted bit flips; accidental pairs would also need ids

@@ -685,9 +685,17 @@ object Corpus {
   /** Every extended repetition/format signal in one projection (one scan at
     * any scale), plus the composite `keep_full` decision. `ngramN` is the
     * duplicate-coverage n (Gopher sweeps 5..10; one n keeps the row narrow —
-    * call [[dupNgramCoverage]] directly for more).
+    * call [[dupNgramCoverage]] directly for more). `lang` keys the
+    * stopword list ([[TextStats.stopwordsFor]] — the LangId function-word
+    * table for 28 languages, `en` = the shipped default); for languages
+    * with no whitespace function words (th/zh/ja/ko) the list is empty
+    * and the minimum-stopword-hits gate is DISABLED (a ≥2 floor against
+    * an empty list would reject every document) — the other nine Gopher
+    * gates still apply.
     */
-  def withRepetitionSignals(df: DataFrame, textCol: String, ngramN: Int = 5): DataFrame = {
+  def withRepetitionSignals(df: DataFrame, textCol: String, ngramN: Int = 5,
+      lang: String = "en"): DataFrame = {
+    val stopwords = TextStats.stopwordsFor(lang)
     val text = col(textCol)
     val lineStats = dupGroupStats(segments(text, "\n"))
     val paraStats = dupGroupStats(segments(text, "\n{2,}"))
@@ -705,7 +713,7 @@ object Corpus {
       .withColumn("ellipsis_line_frac", ellipsisLineFraction(text))
       .withColumn("alpha_word_frac", alphaWordFraction(text))
       .withColumn("stopword_hits",
-        size(array_intersect(TextStats.tokens(lower(text)), lit(TextStats.EnglishStopwords.toArray))))
+        size(array_intersect(TextStats.tokens(lower(text)), lit(stopwords.toArray))))
       .drop("__ls", "__ps")
     withSignals.withColumn("keep_full",
       gopherKeepFull(
@@ -714,7 +722,8 @@ object Corpus {
         col("dup_para_frac"), col("dup_para_char_frac"),
         col("dup_ngram_cov"), col("bullet_line_frac"),
         col("ellipsis_line_frac"), col("alpha_word_frac"),
-        col("stopword_hits")))
+        col("stopword_hits"),
+        minStopwordHits = if (stopwords.isEmpty) 0 else 2))
   }
 
   /** All repetition/quality signals in one staged pass (n-grams materialized

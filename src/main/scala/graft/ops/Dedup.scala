@@ -981,8 +981,11 @@ object Dedup {
       maxBucketSize)
     // identical-signature pairs, no probe join:
     //  (a) keeper-star join-back — EVERY group member pairs with the group
-    //      keeper (min id), linear in input, complete at any multiplicity
-    val star = sigs
+    //      keeper (min id), linear in input, complete at any multiplicity;
+    //      duplicate (id, sig) INPUT rows collapse first (the documented
+    //      output contract — one row per discovered pair), a balanced
+    //      (sig, id)-hashed exchange with no hot key
+    val star = sigs.dropDuplicates("sig", "id")
       .join(members.filter(col("__bsz") >= 2)
         .select(col("sig"), col("keeper")).hint("merge"), Seq("sig"))
       .filter(col("id") =!= col("keeper"))

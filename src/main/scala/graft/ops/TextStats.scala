@@ -128,6 +128,22 @@ object TextStats {
     "that", "for", "on", "with", "as", "at", "by", "be", "this", "are"
   )
 
+  /** Lang-keyed stopword list for the quality ladder: `en` keeps the
+    * shipped [[EnglishStopwords]] (exact behavior preservation for every
+    * existing default), any other code reuses
+    * [[graft.ops.expr.LangModel]]'s 28-language function-word table —
+    * real crawls are majority non-English, and an English stoplist
+    * silently fails every good non-English document at the stopword
+    * gates. Languages without whitespace-delimited function words
+    * (th/zh/ja/ko) and unknown codes return an EMPTY list; callers must
+    * disable their minimum-stopword gate in that case (the Gopher/jusText
+    * entry points here do so automatically).
+    */
+  def stopwordsFor(lang: String): Seq[String] = lang match {
+    case "en" => EnglishStopwords
+    case l => graft.ops.expr.LangModel.functionWords(l)
+  }
+
   /** Composite quality score in [0,1]: length saturation, stopword presence,
     * penalty for extreme punctuation density. Weights are fixed so the score
     * is deterministic and oracle-checkable.

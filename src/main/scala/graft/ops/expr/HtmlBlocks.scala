@@ -58,6 +58,27 @@ object HtmlContent {
       stopwords: Set[String] =
         graft.ops.TextStats.EnglishStopwords.toSet) extends Serializable
 
+  /** Lang-keyed rule defaults. `en` IS `ContentRules()` (behavior
+    * preserved); other languages with whitespace function words reuse
+    * [[graft.ops.TextStats.stopwordsFor]]'s 28-language table at the same
+    * 0.10/0.20 thresholds (both lists are compact ~20-word function-word
+    * lists, so the density scale matches); languages WITHOUT whitespace
+    * function words (th/zh/ja/ko — and unknown codes) run jusText's
+    * published no-stoplist mode: both stopword thresholds 0, so
+    * classification falls to length + link density (Pomikálek 2011 §5,
+    * the documented setting for stoplist-less languages).
+    */
+  def rulesForLang(lang: String): ContentRules = {
+    val base = ContentRules()
+    if (lang == "en") base
+    else {
+      val sw = graft.ops.TextStats.stopwordsFor(lang)
+      if (sw.isEmpty) base.copy(stopwordsLow = 0.0, stopwordsHigh = 0.0,
+        stopwords = Set.empty)
+      else base.copy(stopwords = sw.toSet)
+    }
+  }
+
   /** One scanned block with its features and labels.
     *
     * @param label context-free jusText label: good | near-good | short | bad

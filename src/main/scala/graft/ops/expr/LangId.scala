@@ -114,6 +114,17 @@ object LangModel {
   val TokenFeatures: Seq[(String, String, Int)] =
     for ((l, ws) <- tokenWords; w <- ws) yield (w, l, 1)
 
+  private val tokenWordMap: Map[String, Seq[String]] = tokenWords.toMap
+
+  /** The per-language function-word list (the classifier's token
+    * features), empty for languages carried only by script ranges
+    * (th/zh/ja/ko) and for unknown codes — the lang-keyed stopword
+    * surface the quality ladder ([[graft.ops.TextStats.stopwordsFor]],
+    * jusText, Gopher) reuses: one 28-language table, one source of truth.
+    */
+  def functionWords(lang: String): Seq[String] =
+    tokenWordMap.getOrElse(lang, Seq.empty)
+
   /** `(loCodepoint, hiCodepoint, lang, weightPerChar)` — entries are
     * independent (overlaps simply both fire), each replayable as
     * `len(regexp_extract_all(text, '[\x{lo}-\x{hi}]')) * w`. All BMP, so

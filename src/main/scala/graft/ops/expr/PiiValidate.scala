@@ -127,9 +127,15 @@ object PiiValidate {
     * merge-and-fail), and when the full span fails Luhn, trailing GROUPS
     * are trimmed while ≥ 13 digits remain, redacting the longest
     * Luhn-passing group-aligned prefix ("4111 1111 1111 1111 22" redacts
-    * the 16-digit card and leaves " 22"). A single CONTIGUOUS run of more
-    * than 19 digits stays untouched — there is no group boundary to trim
-    * at, and sub-slicing an unbroken digit run redacts ids wholesale.
+    * the 16-digit card and leaves " 22"). When NO group-aligned prefix
+    * passes, the scan restarts at the SECOND group's first digit rather
+    * than skipping the whole span — so a card preceded by a small
+    * uniformly-joined number ("invoice 12 4111111111111111",
+    * "2024 4111 1111 1111 1111") is still found from its own group
+    * boundary; every group-aligned window gets evaluated. A single
+    * CONTIGUOUS run of more than 19 digits stays untouched — there is no
+    * group boundary to trim at, and sub-slicing an unbroken digit run
+    * redacts ids wholesale.
     */
   private[ops] def redactCards(s: String): String = {
     val n = s.length
@@ -193,6 +199,11 @@ object PiiValidate {
               matched = true
             } else g -= 1
           }
+          // no group-aligned prefix passed: re-enter the scan at the
+          // second group's first digit (just past the recorded first
+          // edge's separator) so windows NOT starting at group 0 are
+          // evaluated too — strictly forward progress (end > i)
+          if (!matched && nGroups >= 2) end = groupEnds(0) + 1
         }
         i = end
       } else i += 1

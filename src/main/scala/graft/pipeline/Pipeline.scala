@@ -329,7 +329,7 @@ object Pipeline {
         val how = j.getOrElse("how", "inner").toString
         var right = resolve(j.getOrElse("table",
           throw new IllegalArgumentException("join needs a 'table'")).toString)
-        if (j.get("broadcast").exists(_ == true)) right = broadcast(right)
+        if (j.get("broadcast").exists(_.toString.toBoolean)) right = broadcast(right)
         // YAML 1.1 resolves a bare `on` key to boolean true — accept both.
         j.get("on").orElse(j.get("true")).getOrElse(
           throw new IllegalArgumentException("join needs 'on'")) match {
@@ -374,7 +374,7 @@ object Pipeline {
         var right = resolve(s("table").toString)
         s.get("cols").foreach(c =>
           right = right.select(asSeq(c).map(x => col(x.toString)): _*))
-        val all = s.get("all").exists(_ == true)
+        val all = s.get("all").exists(_.toString.toBoolean)
         (verb, all) match {
           case ("except", true)     => df.exceptAll(right)
           case ("except", false)    => df.except(right)
@@ -394,7 +394,7 @@ object Pipeline {
       case "union" =>
         val u = asMap(step("union"), "union")
         df.unionByName(resolve(u("table").toString),
-          allowMissingColumns = u.get("allowMissingColumns").exists(_ == true))
+          allowMissingColumns = u.get("allowMissingColumns").exists(_.toString.toBoolean))
 
       case "repartition" =>
         step("repartition") match {
@@ -556,13 +556,16 @@ object Pipeline {
         graft.ops.Corpus.withQualitySignals(df, step("qualitySignals").toString)
 
       // extended Gopher repetition/format signals + keep_full:
-      // {repetitionSignals: text} or {repetitionSignals: {text: ..., n: 5}}
+      // {repetitionSignals: text} or {repetitionSignals: {text: ...,
+      // n: 5, lang: en}} — lang keys the stopword-hits gate (LangId's
+      // 28-language table; stoplist-less languages disable the gate)
       case "repetitionSignals" =>
         step("repetitionSignals") match {
           case m: scala.collection.Map[_, _] =>
             val rm = asMap(m, "repetitionSignals")
             graft.ops.Corpus.withRepetitionSignals(df, rm("text").toString,
-              rm.get("n").map(_.toString.toInt).getOrElse(5))
+              rm.get("n").map(_.toString.toInt).getOrElse(5),
+              lang = rm.getOrElse("lang", "en").toString)
           case c => graft.ops.Corpus.withRepetitionSignals(df, c.toString)
         }
 
@@ -893,7 +896,7 @@ object Pipeline {
           case (_, _, Some(w)) =>
             df.withColumn(out, graft.ops.TextStats.tokenizeWordPiece(text,
               graft.ops.expr.WordPieceModel.fromVocabFile(w.toString,
-                lowercase = tk.get("lowercase").exists(_ == true))))
+                lowercase = tk.get("lowercase").exists(_.toString.toBoolean))))
           case (m, None, None) =>
             val model = m match {
               case Some(p) => graft.ops.expr.BpeModel.fromMergesFile(p.toString)
@@ -945,7 +948,7 @@ object Pipeline {
                 throw new IllegalArgumentException(
                   "trainTokenizer kind=wordpiece needs vocabSize")).toString.toInt,
               maxWords = maxWords,
-              lowercase = tt.get("lowercase").exists(_ == true))._2
+              lowercase = tt.get("lowercase").exists(_.toString.toBoolean))._2
           case other => throw new IllegalArgumentException(
             s"trainTokenizer kind must be bpe|unigram|wordpiece, got $other")
         }
@@ -972,14 +975,17 @@ object Pipeline {
           graft.ops.WebText.stripHtml(col(src)))
 
       case "extractContent" =>
-        // {html: col, as: out (default: rewrite in place), lengthLow?,
-        // lengthHigh?, maxLinkDensity?} — DOM-block main-content
-        // extraction (jusText-style block classification; see
-        // graft.ops.expr.HtmlContent): keeps content blocks, drops
-        // nav/header/footer/link-list/short-chrome boilerplate
+        // {html: col, as: out (default: rewrite in place), lang?: en,
+        // lengthLow?, lengthHigh?, maxLinkDensity?} — DOM-block
+        // main-content extraction (jusText-style block classification;
+        // see graft.ops.expr.HtmlContent): keeps content blocks, drops
+        // nav/header/footer/link-list/short-chrome boilerplate. `lang`
+        // keys the stopword list (the LangId 28-language table;
+        // stoplist-less languages run jusText's no-stoplist mode)
         val ec = asMap(step("extractContent"), "extractContent")
         val src = ec("html").toString
-        val base = graft.ops.expr.HtmlContent.ContentRules()
+        val base = graft.ops.expr.HtmlContent.rulesForLang(
+          ec.getOrElse("lang", "en").toString)
         val rules = base.copy(
           lengthLow = ec.get("lengthLow").map(_.toString.toInt)
             .getOrElse(base.lengthLow),

@@ -129,18 +129,6 @@ object Warc {
       contentTypeCol: Option[String] = None,
       codec: String = "gzip"
   ): Unit = {
-    require(maxRecordsPerShard > 0, "maxRecordsPerShard must be positive")
-    require(codec == "gzip" || codec == "zstd" || codec == "zstd-dict",
-      s"codec must be gzip|zstd|zstd-dict, got $codec")
-    // member-per-record framing in all codecs: gzip members per the WARC
-    // spec's recommendation, concatenated zstd frames for .warc.zst.
-    // `zstd-dict` additionally trains a PER-SHARD dictionary on the
-    // shard's first records and emits it in the iipc 0x184D2A5D skippable
-    // frame — member-per-record framing compresses each small record in
-    // isolation, which is exactly where a shared dictionary pays (the
-    // reason the convention exists); shards too small to train fall back
-    // to plain frames, which the reader handles transparently.
-    val ext = if (codec.startsWith("zstd")) ".warc.zst" else ".warc.gz"
     // per-record HTTP Content-Type when a column is given (a crawl body's
     // charset is per-page); rows with a null value fall back to the
     // constant default
@@ -151,8 +139,106 @@ object Warc {
         contentTypeCol.map(c => col(c).cast("string"))
           .getOrElse(lit(null).cast("string")),
         lit(httpContentType)).as("__ct"))
+    writeShardedRecords(projected, outDir, codec, maxRecordsPerShard,
+      overwrite, "writeWarcResponses") { r =>
+      val uri = r.getString(0)
+      if (uri == null) throw new IllegalArgumentException(
+        "writeWarcResponses: null uri — WARC-Target-URI is mandatory " +
+          "for response records; filter or coalesce the uri column first")
+      val body =
+        if (r.isNullAt(1)) Array.emptyByteArray
+        else r.get(1).asInstanceOf[Array[Byte]]
+      val ct = if (r.isNullAt(2)) httpContentType else r.getString(2)
+      val http =
+        (s"HTTP/1.1 200 OK\r\nContent-Type: $ct\r\n" +
+          s"Content-Length: ${body.length}\r\n\r\n").getBytes("UTF-8")
+      val block = http ++ body
+      val header =
+        ("WARC/1.0\r\n" +
+          "WARC-Type: response\r\n" +
+          f"WARC-Record-ID: <urn:graft:${fnv64(uri)}%016x>\r\n" +
+          s"WARC-Date: $warcDate\r\n" +
+          s"WARC-Target-URI: $uri\r\n" +
+          "Content-Type: application/http; msgtype=response\r\n" +
+          s"Content-Length: ${block.length}\r\n\r\n").getBytes("UTF-8")
+      header ++ block ++ "\r\n\r\n".getBytes("UTF-8")
+    }
+  }
+
+  /** Write each row as one WARC `conversion` record — the WET layout
+    * CommonCrawl ships extracted plain text in (`*.warc.wet.gz`): the
+    * record's Content-Type is `text/plain`, the content block IS the
+    * UTF-8 text (no HTTP envelope), and `WARC-Refers-To` points at the
+    * response record the text was converted from — deterministic urn of
+    * the uri matching [[writeWarcResponses]]'s record ids, so a response
+    * archive and its WET sibling written from the same frame
+    * cross-reference. Reader-side ([[readWarc]] parses every record type
+    * generically) these rows come back with `http_status`/
+    * `http_content_type` null and `payload` = the text bytes. Same shard
+    * layout, codecs and commit protocol as [[writeWarcResponses]].
+    */
+  def writeWetConversions(
+      df: DataFrame,
+      outDir: String,
+      uriCol: String,
+      textCol: String,
+      warcDate: String = "2026-01-01T00:00:00Z",
+      maxRecordsPerShard: Int = 100000,
+      overwrite: Boolean = false,
+      codec: String = "gzip"
+  ): Unit = {
+    val projected = df.select(
+      col(uriCol).cast("string").as("__uri"),
+      col(textCol).cast("string").as("__text"))
+    writeShardedRecords(projected, outDir, codec, maxRecordsPerShard,
+      overwrite, "writeWetConversions") { r =>
+      val uri = r.getString(0)
+      if (uri == null) throw new IllegalArgumentException(
+        "writeWetConversions: null uri — WARC-Target-URI is mandatory " +
+          "for conversion records; filter or coalesce the uri column first")
+      val body =
+        if (r.isNullAt(1)) Array.emptyByteArray
+        else r.getString(1).getBytes("UTF-8")
+      val header =
+        ("WARC/1.0\r\n" +
+          "WARC-Type: conversion\r\n" +
+          f"WARC-Record-ID: <urn:graft:wet:${fnv64(uri)}%016x>\r\n" +
+          f"WARC-Refers-To: <urn:graft:${fnv64(uri)}%016x>\r\n" +
+          s"WARC-Date: $warcDate\r\n" +
+          s"WARC-Target-URI: $uri\r\n" +
+          "Content-Type: text/plain\r\n" +
+          s"Content-Length: ${body.length}\r\n\r\n").getBytes("UTF-8")
+      header ++ body ++ "\r\n\r\n".getBytes("UTF-8")
+    }
+  }
+
+  /** The shared sharded-record writer behind [[writeWarcResponses]] /
+    * [[writeWetConversions]]: one `.warc.gz`/`.warc.zst` per task (rolled
+    * every `maxRecordsPerShard`), member-per-record framing in all codecs
+    * (gzip members per the WARC spec's recommendation, concatenated zstd
+    * frames for `.warc.zst`), attempt-unique-temp + rename-on-finish
+    * commit, non-empty-dir refusal. `zstd-dict` additionally trains a
+    * PER-SHARD dictionary on the shard's first records and emits it in
+    * the iipc 0x184D2A5D skippable frame — member-per-record framing
+    * compresses each small record in isolation, which is exactly where a
+    * shared dictionary pays; shards too small to train fall back to plain
+    * frames, which the reader handles transparently. `mkRecord` renders
+    * one row to complete record bytes (header + block + trailing CRLFs).
+    */
+  private def writeShardedRecords(
+      projected: DataFrame,
+      outDir: String,
+      codec: String,
+      maxRecordsPerShard: Int,
+      overwrite: Boolean,
+      errName: String
+  )(mkRecord: org.apache.spark.sql.Row => Array[Byte]): Unit = {
+    require(maxRecordsPerShard > 0, "maxRecordsPerShard must be positive")
+    require(codec == "gzip" || codec == "zstd" || codec == "zstd-dict",
+      s"codec must be gzip|zstd|zstd-dict, got $codec")
+    val ext = if (codec.startsWith("zstd")) ".warc.zst" else ".warc.gz"
     val conf = new SerializableConfiguration(
-      df.sparkSession.sparkContext.hadoopConfiguration)
+      projected.sparkSession.sparkContext.hadoopConfiguration)
     val driverFs = FileSystem.get(new java.net.URI(outDir), conf.value)
     val outPath = new Path(outDir)
     if (driverFs.exists(outPath)) {
@@ -160,7 +246,7 @@ object Warc {
       if (existing.nonEmpty) {
         if (overwrite) existing.foreach(st => driverFs.delete(st.getPath, true))
         else throw new IllegalArgumentException(
-          s"writeWarcResponses: output directory $outDir is not empty " +
+          s"$errName: output directory $outDir is not empty " +
             s"(${existing.length} entries, e.g. ${existing.head.getPath.getName}); " +
             "pass overwrite = true to clear it, or choose a fresh directory")
       }
@@ -190,7 +276,7 @@ object Warc {
             // to maxRecordsPerShard records with a green job status
             if (fs.exists(finalPath)) fs.delete(tmpPath, false)
             else throw new java.io.IOException(
-              s"writeWarcResponses: rename $tmpPath -> $finalPath failed " +
+              s"$errName: rename $tmpPath -> $finalPath failed " +
                 "and the destination does not exist; failing the task so " +
                 "it retries instead of dropping the shard")
           }
@@ -254,27 +340,7 @@ object Warc {
               dict = null; dictDone = false
             }
           }
-          val uri = r.getString(0)
-          if (uri == null) throw new IllegalArgumentException(
-            "writeWarcResponses: null uri — WARC-Target-URI is mandatory " +
-              "for response records; filter or coalesce the uri column first")
-          val body =
-            if (r.isNullAt(1)) Array.emptyByteArray
-            else r.get(1).asInstanceOf[Array[Byte]]
-          val ct = if (r.isNullAt(2)) httpContentType else r.getString(2)
-          val http =
-            (s"HTTP/1.1 200 OK\r\nContent-Type: $ct\r\n" +
-              s"Content-Length: ${body.length}\r\n\r\n").getBytes("UTF-8")
-          val block = http ++ body
-          val header =
-            ("WARC/1.0\r\n" +
-              "WARC-Type: response\r\n" +
-              f"WARC-Record-ID: <urn:graft:${fnv64(uri)}%016x>\r\n" +
-              s"WARC-Date: $warcDate\r\n" +
-              s"WARC-Target-URI: $uri\r\n" +
-              "Content-Type: application/http; msgtype=response\r\n" +
-              s"Content-Length: ${block.length}\r\n\r\n").getBytes("UTF-8")
-          val record = header ++ block ++ "\r\n\r\n".getBytes("UTF-8")
+          val record = mkRecord(r)
           if (!dictDone) {
             pending += record
             if (pending.length >= DictSampleRecords) flushPending()

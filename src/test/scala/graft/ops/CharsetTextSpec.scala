@@ -36,6 +36,95 @@ class CharsetTextSpec extends SparkTestBase {
     assert(CharsetText.decode(far, "text/html").contains('�'))
   }
 
+  test("WHATWG label table: latin-1/ascii family decodes as windows-1252") {
+    // 0x80–0x9F bytes — €, curly quotes, en-dash — are C1 controls in
+    // true latin-1; the spec maps the whole label family to cp1252
+    val cp = "€ “quoted” – dash".getBytes("windows-1252")
+    for (label <- Seq("iso-8859-1", "latin1", "us-ascii", "ascii",
+        "ISO_8859-1:1987", "l1", "ansi_x3.4-1968", "cp819"))
+      assert(CharsetText.decode(cp, s"text/html; charset=$label") ==
+        "€ “quoted” – dash", s"label $label")
+  }
+
+  test("WHATWG label table: spec remaps beyond latin-1") {
+    // iso-8859-9 family → windows-1254 (0x80-0x9F punctuation survives)
+    val tr = "€ “tr” şğ".getBytes("windows-1254")
+    assert(CharsetText.decode(tr, "text/html; charset=iso-8859-9") == "€ “tr” şğ")
+    // gb2312 label → full GBK repertoire
+    val gb = "你好€".getBytes("GBK")
+    assert(CharsetText.decode(gb, "text/html; charset=gb2312") == "你好€")
+    // euc-kr label → full UHC (windows-949)
+    val kr = "한국어".getBytes("x-windows-949")
+    assert(CharsetText.decode(kr, "text/html; charset=euc-kr") == "한국어")
+    // tis-620 / iso-8859-11 → windows-874
+    val th = "ไทย".getBytes("x-windows-874")
+    assert(CharsetText.decode(th, "text/html; charset=tis-620") == "ไทย")
+    // x-sjis / windows-31j aliases resolve to the shift_jis decoder
+    val sj = "日本".getBytes("Shift_JIS")
+    assert(CharsetText.decode(sj, "text/html; charset=x-sjis") == "日本")
+  }
+
+  test("replacement encoding: escape-sequence labels decode to one U+FFFD") {
+    // the spec's injection firewall: iso-2022-kr / hz-gb-2312 / utf-7-era
+    // escape encodings never decode content
+    val payload = "<html>attack</html>".getBytes("UTF-8")
+    for (label <- Seq("iso-2022-kr", "hz-gb-2312", "iso-2022-cn", "csiso2022kr"))
+      assert(CharsetText.decode(payload, s"text/html; charset=$label") ==
+        "�", s"label $label")
+    assert(CharsetText.decode(Array.empty[Byte],
+      "text/html; charset=iso-2022-kr") == "")
+  }
+
+  test("meta prescan is tag-confined: comments, scripts, other tags never win") {
+    // decoy charset= in a leading comment, a script BODY, and another
+    // tag's attribute — the real <meta> after them must win
+    val html = "<!-- charset=shift_jis --><script>var s='charset=big5';" +
+      "</script><a href=\"/x?charset=utf-16be\">x</a>" +
+      "<meta charset=windows-1252>–€"
+    val bytes = html.getBytes("windows-1252")
+    assert(CharsetText.decode(bytes, "text/html") == html)
+    // with NO real meta, the decoys must not fire either: utf-8 fallback
+    val noMeta = ("<!-- charset=shift_jis --><a href=\"?charset=big5\">é</a>")
+      .getBytes("UTF-8")
+    assert(CharsetText.decode(noMeta, "text/html") ==
+      "<!-- charset=shift_jis --><a href=\"?charset=big5\">é</a>")
+  }
+
+  test("http-equiv content form needs the content-type pragma on the SAME tag") {
+    // a description meta carrying charset= in its content must NOT win
+    val html = "<meta name=\"description\" content=\"charset=big5 tutorial\">é"
+    assert(CharsetText.decode(html.getBytes("UTF-8"), "text/html") == html)
+    // …and with the pragma present it does
+    val h2 = "<meta http-equiv=\"Content-Type\" " +
+      "content=\"text/html; charset=windows-1252\">–"
+    assert(CharsetText.decode(h2.getBytes("windows-1252"), null) == h2)
+  }
+
+  test("meta quirks: utf-16 label reads as utf-8; x-user-defined as cp1252") {
+    val u16 = "<meta charset=utf-16le>tricky é"
+    assert(CharsetText.decode(u16.getBytes("UTF-8"), "text/html") == u16)
+    val xud = "<meta charset=x-user-defined>€–"
+    assert(CharsetText.decode(xud.getBytes("windows-1252"), "text/html") == xud)
+    // header-declared x-user-defined is JDK-absent → falls through to meta/utf-8
+    assert(CharsetText.decode("plain é".getBytes("UTF-8"),
+      "text/html; charset=x-user-defined") == "plain é")
+  }
+
+  test("label resolution is table-only: JDK-known non-spec labels fall through") {
+    // ibm037 (EBCDIC) resolves in the JDK but is NOT a WHATWG label —
+    // spec behavior is failure → next step (utf-8 here)
+    assert(CharsetText.decode("plain".getBytes("UTF-8"),
+      "text/html; charset=ibm037") == "plain")
+  }
+
+  test("adversarial header: lowercase-expanding chars cannot misalign slices") {
+    // U+0130 lowercases to two chars; label slicing runs on the same
+    // lowercased copy, so this must neither throw nor mis-slice
+    val ct = "text/htmlİİİ; charset=windows-1252"
+    val cp = "café €".getBytes("windows-1252")
+    assert(CharsetText.decode(cp, ct) == "café €")
+  }
+
   test("BOM wins over a lying header; UTF-16 BOMs; BOM stripped") {
     val bom = Array(0xef.toByte, 0xbb.toByte, 0xbf.toByte) ++ "é".getBytes("UTF-8")
     assert(CharsetText.decode(bom, "text/html; charset=windows-1252") == "é")

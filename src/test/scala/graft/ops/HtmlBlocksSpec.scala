@@ -131,6 +131,36 @@ class HtmlBlocksSpec extends SparkTestBase {
     assert(!bs2.find(_.text == Para).get.inChrome)
   }
 
+  test("rulesForLang: en preserved, lang lists swap, stoplist-less langs drop the gate") {
+    // en IS the default rules — byte-identical behavior preservation
+    assert(HtmlContent.rulesForLang("en") == HtmlContent.ContentRules())
+    // de swaps only the stopword list (same thresholds)
+    val de = HtmlContent.rulesForLang("de")
+    assert(de.stopwords == graft.ops.TextStats.stopwordsFor("de").toSet)
+    assert(de.stopwordsLow == 0.10 && de.stopwordsHigh == 0.20)
+    assert(de.stopwords.contains("und") && !de.stopwords.contains("the"))
+    // a German paragraph: good under de rules, bad under the en default
+    val dePara = "Der Hund lief und lief durch das weite Feld und war mit " +
+      "sich im Reinen denn die Sonne stand hoch und der Tag war lang und " +
+      "die Arbeit auf dem Hof war getan und nicht eine Sorge blieb den " +
+      "Tieren auf der Weide am Abend."
+    assert(dePara.length > 200)
+    def label(rules: HtmlContent.ContentRules) =
+      HtmlContent.blocks(s"<p>$dePara</p>", rules).head.label
+    assert(label(de) == "good")
+    assert(label(HtmlContent.ContentRules()) == "bad")
+    // zh has no whitespace function words: no-stoplist mode — both
+    // thresholds 0, so a long CJK block classifies by length alone
+    val zh = HtmlContent.rulesForLang("zh")
+    assert(zh.stopwordsLow == 0.0 && zh.stopwordsHigh == 0.0 && zh.stopwords.isEmpty)
+    val cjk = "这是一个很长的中文段落" * 20 // 240 chars, zero stopwords
+    assert(HtmlContent.blocks(s"<p>$cjk</p>", zh).head.label == "good")
+    assert(HtmlContent.blocks(s"<p>$cjk</p>", HtmlContent.ContentRules())
+      .head.label == "bad")
+    // unknown code behaves like a stoplist-less lang, never throws
+    assert(HtmlContent.rulesForLang("xx").stopwords.isEmpty)
+  }
+
   test("column API: htmlBlocks explodes to scalars; extractMainContent") {
     val df = Seq((1L, s"<nav><a href='/'>x</a></nav><p>$Para</p>"))
       .toDF("id", "html")

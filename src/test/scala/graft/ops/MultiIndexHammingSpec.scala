@@ -57,6 +57,17 @@ class MultiIndexHammingSpec extends SparkTestBase {
     assert(got == expect, s"missed=${expect -- got} extra=${got -- expect}")
   }
 
+  test("duplicate (id, sig) input rows collapse: one output row per pair") {
+    // the documented output contract — replaying the same row (a re-read
+    // shard, an un-dedup'd union) must not duplicate keeper-star pairs
+    val base = Seq((1L, 0x1234L), (2L, 0x1234L), (3L, 0x1234L), (9L, 0x1234L ^ 3L))
+    val dup = (base ++ base ++ base).toDF("id", "sig")
+    val rows = Dedup.multiIndexHammingPairs(dup, "id", "sig", maxHamming = 4)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSeq
+    assert(rows.distinct.sorted == rows.sorted, s"duplicate pairs in $rows")
+    assert(rows.toSet == brute(base, 4))
+  }
+
   test("hamming verification: reported hamming matches, threshold respected") {
     val df = Seq(
       (1L, 0L), (2L, 255L), (3L, 0x0F0FL), (4L, 0x0F00L),

@@ -53,6 +53,20 @@ class PiiValidateSpec extends SparkTestBase {
     assert(redactAll("a 4111111111111111 378282246310005 b") == "a <CARD> <CARD> b")
   }
 
+  test("a valid card PRECEDED by a uniformly-joined number still redacts") {
+    // leading-group leak (advisor finding): every group-aligned window is
+    // evaluated — on prefix failure the scan restarts at the second group
+    assert(redactAll("invoice 12 4111111111111111 due") ==
+      "invoice 12 <CARD> due")
+    assert(redactAll("2024 4111 1111 1111 1111") == "2024 <CARD>")
+    // leading AND trailing unrelated numbers around the card
+    assert(redactAll("12 4111111111111111 2023") == "12 <CARD> 2023")
+    // several small leading groups before a grouped card
+    assert(redactAll("1 2 3 4111 1111 1111 1111 z") == "1 2 3 <CARD> z")
+    // no card anywhere: small uniformly-joined groups stay untouched
+    assert(redactAll("12 34 5678 90") == "12 34 5678 90")
+  }
+
   test("length and boundary rules: 12/20-digit runs and embedded runs kept") {
     assert(redactAll("n 411111111111 x") == "n 411111111111 x") // 12 digits
     assert(redactAll("n 41111111111111111111 x") ==

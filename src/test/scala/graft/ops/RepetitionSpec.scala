@@ -94,6 +94,34 @@ class RepetitionSpec extends SparkTestBase {
     assert(s.select(col("dup_ngram_cov")).as[Double].head() == 1.0)
   }
 
+  test("lang-keyed stopword gate: de counts German hits, zh disables the floor") {
+    // a clean German paragraph: every non-stopword signal passes, so the
+    // keep decision turns ONLY on the stopword gate
+    val dePara = "Der Hund lief schnell durch das weite grüne Feld und " +
+      "war dabei ganz mit sich im Reinen denn die warme Sonne stand hoch " +
+      "oben und der lange Tag war mild und die schwere Arbeit auf dem " +
+      "alten Hof war endlich getan worden"
+    val doc = one(dePara)
+    val de = Corpus.withRepetitionSignals(doc, "text", lang = "de")
+    val en = Corpus.withRepetitionSignals(doc, "text")
+    val zh = Corpus.withRepetitionSignals(doc, "text", lang = "zh")
+    // DISTINCT hits (array_intersect): der das und mit sich im die auf dem
+    assert(de.select(col("stopword_hits")).as[Int].head() == 9)
+    assert(de.filter(col("keep_full")).count() == 1, "German ladder keeps it")
+    assert(en.select(col("stopword_hits")).as[Int].head() == 0)
+    assert(en.filter(col("keep_full")).count() == 0,
+      "the English list fails a good German doc — the gap the lang key closes")
+    // stoplist-less lang: hits are 0 but the ≥2 floor is DISABLED, so
+    // the other nine gates decide (all pass here)
+    assert(zh.select(col("stopword_hits")).as[Int].head() == 0)
+    assert(zh.filter(col("keep_full")).count() == 1)
+    // en behavior preservation: default == explicit lang = en
+    val exp = Corpus.withRepetitionSignals(doc, "text", lang = "en")
+      .select(col("stopword_hits"), col("keep_full")).head()
+    val dft = en.select(col("stopword_hits"), col("keep_full")).head()
+    assert(exp == dft)
+  }
+
   test("repetition signals apply to a stream unchanged (pure per-row layer)") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     val input = MemoryStream[(Long, String)](spark)

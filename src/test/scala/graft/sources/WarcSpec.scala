@@ -70,6 +70,51 @@ class WarcSpec extends SparkTestBase {
     assert(i1.values.toSet.size == 2)
   }
 
+  test("WET conversion records: write → read, no HTTP fields, refers-to links") {
+    val dir = tmpDir()
+    val df = Seq(
+      ("https://a/x", "extracted text é one"),
+      ("https://a/y", "second doc\nwith lines")).toDF("uri", "text")
+    Warc.writeWetConversions(df.repartition(1), dir, "uri", "text")
+    val back = Warc.readWarc(spark, dir)
+      .select(col("target_uri"), col("warc_type"), col("content_type"),
+        col("http_status"), col("http_content_type"),
+        col("payload").cast("string"), col("content_length"))
+      .as[(String, String, Option[String], Option[Int], Option[String], String, Long)]
+      .collect().sortBy(_._1)
+    assert(back.map(_._2).toSeq == Seq("conversion", "conversion"))
+    assert(back.map(_._3).toSeq == Seq(Some("text/plain"), Some("text/plain")))
+    assert(back.forall(r => r._4.isEmpty && r._5.isEmpty), "no HTTP fields")
+    assert(back.map(_._6).toSeq == Seq("extracted text é one", "second doc\nwith lines"))
+    assert(back.map(_._7).toSeq ==
+      Seq("extracted text é one".getBytes("UTF-8").length.toLong,
+        "second doc\nwith lines".getBytes("UTF-8").length.toLong))
+    // WARC-Refers-To of the conversion record = the response record's id
+    // for the same uri (the WET↔WARC cross-reference)
+    val respDir = tmpDir()
+    Warc.writeWarcResponses(
+      df.withColumnRenamed("text", "body").repartition(1), respDir, "uri", "body")
+    val respIds = Warc.readWarc(spark, respDir)
+      .select(col("target_uri"), col("record_id")).as[(String, String)]
+      .collect().toMap
+    val wetIds = Warc.readWarc(spark, dir)
+      .select(col("target_uri"), col("record_id")).as[(String, String)]
+      .collect().toMap
+    assert(wetIds.values.toSet.intersect(respIds.values.toSet).isEmpty,
+      "conversion ids are distinct from response ids")
+    // a mixed directory (responses + conversions) reads both types
+    val mixed = tmpDir()
+    Warc.writeWarcResponses(
+      df.withColumnRenamed("text", "body").repartition(1), mixed, "uri", "body")
+    val wetShards = new java.io.File(dir).listFiles().filter(_.getName.endsWith(".warc.gz"))
+    wetShards.foreach { f =>
+      Files.copy(f.toPath, new java.io.File(mixed, "wet-" + f.getName).toPath)
+    }
+    val types = Warc.readWarc(spark, mixed).groupBy("warc_type").count()
+      .as[(String, Long)].collect().toMap
+    assert(types == Map("response" -> 2L, "conversion" -> 2L))
+  }
+
   test("parses record types, header folding and LF-only leniency") {
     val warcinfo = record(
       Seq("WARC-Type: warcinfo", "Content-Type: application/warc-fields"),
