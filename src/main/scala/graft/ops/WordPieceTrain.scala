@@ -24,12 +24,15 @@ import graft.ops.expr.{WordPieceModel, WordPiecePreTokensExpr}
   * ([[WordPiecePreTokensExpr]], codegen'd; NOT the BPE regex, whose word
   * boundaries differ) hash-aggregated map-side into a (word, n) table —
   * then a bounded `maxWords` collect and a driver-side merge loop over
-  * the TABLE, never the corpus. Per-round cost is one scan of the live
-  * word table (pair counts must be re-normalized every round because a
-  * merge changes its parts' standalone frequencies — the denominators are
-  * global, unlike BPE where [[BpeTrain.train]]'s incremental heap
-  * applies); total O(merges × table symbols), driver-side minutes at
-  * published vocab scales over the capped table.
+  * the TABLE, never the corpus. The loop maintains piece/pair counts
+  * incrementally through a pair→word inverted index and scans only the
+  * LIVE PAIR MAP per round for the argmax — the heap BPE uses is unsound
+  * here because the normalized score's denominators are global standalone
+  * frequencies (an unrelated merge can RAISE an untouched pair's score),
+  * so the exact per-round cost is O(distinct pairs), not O(table
+  * symbols). Measured at published scale ([[graft.tools.WordPieceProbe]],
+  * committed in BENCH_NOTES): 30k vocab over the 65,536-word capped table
+  * in seconds driver-side.
   *
   * Determinism: winner = max score, ties to the lexicographically
   * smallest (left, right) piece pair — a fixed total order, same vocab on
@@ -112,6 +115,22 @@ object WordPieceTrain {
   /** Up to `budget` NEW vocabulary entries by repeated best-pair merging;
     * `known` tracks already-present tokens (a merge product colliding with
     * one is applied but not re-emitted). Mutates `words` in place.
+    *
+    * Incremental (the r12 verdict's scale item): piece and pair counts
+    * are maintained exactly via subtract-rewrite-re-add of each AFFECTED
+    * word, found through a pair→word inverted index (the BpeTrain
+    * machinery). The per-round argmax is a full scan of the LIVE pair
+    * map — O(distinct pairs), far below the corpus table's total symbol
+    * count — rather than a lazy max-heap, deliberately: the normalized
+    * score's denominators are the parts' GLOBAL standalone frequencies,
+    * so a merge touching piece `a` raises the score of every untouched
+    * pair containing `a` (its denominator shrank) and a stale-top heap
+    * would return wrong winners; the map scan is exact under any update.
+    * Index buffers are append-only and verified on use (a stale id finds
+    * no adjacency and is skipped — never a wrong count). Output is
+    * bit-identical to the full-recount loop (same argmax total order,
+    * same left-to-right replacement): WordPieceTrainSpec's differential
+    * pins it against an independent sort-based reference.
     */
   private def mergeLoop(
       words: mutable.ArrayBuffer[(mutable.ArrayBuffer[String], Long)],
@@ -119,21 +138,32 @@ object WordPieceTrain {
       known: mutable.HashSet[String]
   ): Seq[String] = {
     val out = Seq.newBuilder[String]
-    var emitted = 0
-    while (emitted < budget && {
-      // one scan of the live table: standalone piece freqs + adjacent
-      // pair freqs (denominators are global, so both re-derive per round)
-      val pieceFreq = mutable.HashMap.empty[String, Long]
-      val pairFreq = mutable.HashMap.empty[(String, String), Long]
-      words.foreach { case (ps, n) =>
-        var i = 0
-        while (i < ps.length) {
-          pieceFreq.updateWith(ps(i))(v => Some(v.getOrElse(0L) + n))
-          if (i + 1 < ps.length)
-            pairFreq.updateWith((ps(i), ps(i + 1)))(v => Some(v.getOrElse(0L) + n))
-          i += 1
+    if (budget <= 0) return out.result()
+    val pieceFreq = mutable.HashMap.empty[String, Long]
+    val pairFreq = mutable.HashMap.empty[(String, String), Long]
+    val index = mutable.HashMap.empty[(String, String), mutable.ArrayBuffer[Int]]
+    def nz(v: Long): Option[Long] = if (v == 0L) None else Some(v)
+    def applyWord(wi: Int, sign: Long): Unit = {
+      val (ps, n) = words(wi)
+      var i = 0
+      while (i < ps.length) {
+        pieceFreq.updateWith(ps(i))(v => nz(v.getOrElse(0L) + sign * n))
+        if (i + 1 < ps.length) {
+          val p = (ps(i), ps(i + 1))
+          pairFreq.updateWith(p)(v => nz(v.getOrElse(0L) + sign * n))
+          if (sign > 0) {
+            val buf = index.getOrElseUpdate(p, mutable.ArrayBuffer.empty[Int])
+            if (buf.isEmpty || buf.last != wi) buf += wi
+          }
         }
+        i += 1
       }
+    }
+    var w0 = 0
+    while (w0 < words.length) { applyWord(w0, 1L); w0 += 1 }
+    var emitted = 0
+    var exhausted = false
+    while (emitted < budget && !exhausted) {
       var best: (String, String) = null
       var bestScore = -1.0
       pairFreq.foreach { case (p @ (a, b), c) =>
@@ -144,28 +174,46 @@ object WordPieceTrain {
         })
         if (better) { best = p; bestScore = score }
       }
-      if (best == null) false
+      if (best == null) exhausted = true
       else {
         val (a, b) = best
         val merged = a + b.stripPrefix("##")
-        // left-to-right non-overlapping replacement in affected words
-        words.foreach { case (ps, _) =>
+        // a merged pair can never re-form (its product is strictly longer
+        // than either part), so its index entry retires with it
+        val affected = index.remove(best)
+          .getOrElse(mutable.ArrayBuffer.empty[Int])
+        var k = 0
+        while (k < affected.length) {
+          val wi = affected(k)
+          val ps = words(wi)._1
+          var has = false
           var i = 0
-          while (i + 1 < ps.length) {
-            if (ps(i) == a && ps(i + 1) == b) {
-              ps(i) = merged
-              ps.remove(i + 1)
-            }
+          while (!has && i + 1 < ps.length) {
+            if (ps(i) == a && ps(i + 1) == b) has = true
             i += 1
           }
+          if (has) { // stale/duplicate index ids simply skip
+            applyWord(wi, -1L)
+            // left-to-right non-overlapping replacement (the original
+            // loop's exact traversal)
+            i = 0
+            while (i + 1 < ps.length) {
+              if (ps(i) == a && ps(i + 1) == b) {
+                ps(i) = merged
+                ps.remove(i + 1)
+              }
+              i += 1
+            }
+            applyWord(wi, 1L)
+          }
+          k += 1
         }
         if (known.add(merged)) {
           out += merged
           emitted += 1
         }
-        true
       }
-    }) {}
+    }
     out.result()
   }
 
