@@ -1225,6 +1225,92 @@ object SparkEntry {
            |""".stripMargin,
         name => t(s, dir, name))
     }),
+    // THE CRAWL-OPENING CAPSTONE (r12 verdict item 5): ONE YAML config
+    // chaining the full curation path — dictionary-zstd WARC read →
+    // charset decode (iso-8859-1-labeled cp1252 pages; the 0x85 marker
+    // byte makes a wrong decode shift every downstream token count) →
+    // jusText extractContent → langId gate (planted Cyrillic pages must
+    // drop; an a-z corpus can never classify ru, so the keep-set is
+    // constructive) → full-Gopher keep_full → exact dedup (planted
+    // whole-corpus copies at +1001000 ≡ 0 mod 5·7·11, so every plant
+    // aligns) → cross-corpus segment dedup (the promo paragraph on every
+    // page collapses to its keep-first winner) → 8-gram decontamination
+    // against an eval slice → checksum-validated redaction (grouped
+    // Luhn-valid card collapses 4 tokens to one; the invalid twin must
+    // not) → sequence packing. The oracle replays the ENTIRE keep-set
+    // and the exact packed-sequence arithmetic in DuckDB.
+    "q99_crawl_capstone" -> ((s, dir) => {
+      import s.implicits._
+      require(CapstonePromo.length > 200 && CapstoneRu.length > 200)
+      val fixture = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft_warc_cap_" +
+          java.lang.Long.toHexString(dir.hashCode.toLong & 0xffffffffL) +
+          "_" + ProcessHandle.current().pid())
+      val out = new java.io.File(fixture, "cap").getPath
+      val base0 = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val base = base0.unionByName(
+        base0.select((col("doc_id") + 1001000L).as("doc_id"), col("text")))
+      val pagePrefix = "<html><body><nav><a href=\"/\">Home</a> " +
+        "<a href=\"/a\">About</a></nav>"
+      val pageSuffix = "<footer><a href=\"/t\">Terms</a></footer></body></html>"
+      // %13==2: machine-repeated spam — dup 5-gram coverage blows the
+      // Gopher cap, so the keep_full gate must FIRE on this class (the
+      // promo paragraph makes every other signal healthy on every page;
+      // the copy shift 1001000 = 7·11·13·1000 keeps this class aligned
+      // between originals and copies too)
+      val inner = when(col("doc_id") % 13 === 2, lit(CapstoneSpam))
+        .otherwise(concat(col("text"),
+          when(col("doc_id") % 5 === 0, lit(" pay 4111 1111 1111 1111 now"))
+            .when(col("doc_id") % 5 === 1, lit(" ref 4111 1111 1111 1112 end"))
+            .otherwise(lit(""))))
+      // page bytes: ASCII chrome UTF-8-encoded, the marker as raw cp1252
+      // bytes (Spark's encode() cannot emit cp1252 for ’/…; a binary
+      // literal can) — the pipeline's charset step must reassemble it
+      val body = when(col("doc_id") % 11 === 0,
+          lit((pagePrefix + "<p>" + CapstoneRu + "</p>" + pageSuffix)
+            .getBytes("UTF-8")))
+        .otherwise(concat(
+          encode(concat(
+            lit(pagePrefix + "<p>" + CapstonePromo + "</p><p>"), inner),
+            "UTF-8"),
+          lit(CapstoneMarker.getBytes("windows-1252")),
+          encode(lit("</p>" + pageSuffix), "UTF-8")))
+      val src = base.select(
+        concat(lit("https://site"), (col("doc_id") % 50).cast("string"),
+          lit(".com/doc/"), col("doc_id").cast("string")).as("uri"),
+        body.as("body"),
+        when(col("doc_id") % 11 === 0, lit("text/html; charset=utf-8"))
+          .otherwise(lit("text/html; charset=iso-8859-1")).as("ct"))
+      graft.sources.Warc.writeWarcResponses(
+        src.repartition(4), out, "uri", "body", overwrite = true,
+        contentTypeCol = Some("ct"), codec = "zstd-dict")
+      graft.pipeline.Pipeline.run(s,
+        s"""source: {format: warc, path: "$out"}
+           |steps:
+           |  - filter: "$$http_status == 200"
+           |  - withColumns:
+           |      doc_id: "(extract group 1 of /([0-9]+)$$/ from $$target_uri)::int"
+           |  - extractContent: {html: text, as: main,
+           |      stopwordsLow: 0.0, stopwordsHigh: 0.0}
+           |  - filter: "len_chars($$main) > 0"
+           |  - langId: {text: main, as: lang}
+           |  - filter: "$$lang != 'ru'"
+           |  - repetitionSignals: {text: main}
+           |  - filter: "$$keep_full"
+           |  - dedupExact: {id: doc_id, keys: [main]}
+           |  - dedupSegments: {id: doc_id, text: main}
+           |  - decontaminate: {table: evalset, id: doc_id,
+           |      text: text_dedup, evalText: text, mode: remove}
+           |  - redact: {text: text_dedup, as: clean, validated: true}
+           |  - pack: {id: doc_id, text: clean, seqTokens: 256, orderBy: [doc_id]}
+           |""".stripMargin,
+        name =>
+          if (name == "evalset")
+            t(s, dir, "documents").filter(col("doc_id") % 7 === 0)
+          else t(s, dir, name))
+        .select(col("doc_id").cast("long").as("doc_id"), col("seq_id"),
+          col("seq_offset"), col("doc_offset"), col("n_tokens"))
+    }),
     // WET (conversion-record) gate: CommonCrawl's extracted-text sibling
     // format — WARC-Type: conversion, record Content-Type text/plain,
     // content block = the text itself (no HTTP envelope). The generic
@@ -2576,6 +2662,40 @@ object SparkEntry {
       "across multidimensional manifolds while harmonic resonance " +
       "stabilizes chronon emission spectra during rapid phase transitions."
 
+  /** q99's capstone fixtures. The promo paragraph (219 chars, digit-free,
+    * no single quotes — it inlines into both the YAML page construction
+    * and the DuckDB oracle) is jusText-good on every page and exists to
+    * be segment-dedup'd corpus-wide; the Russian text (272 chars, pure
+    * Cyrillic function words + ё/э/ы ru-discriminators) classifies `ru`
+    * constructively (an a–z corpus can never score ru — Cyrillic-range
+    * and ru-token features need Cyrillic input) and is what the langId
+    * filter must remove.
+    */
+  val CapstonePromo: String =
+    "this promo block appears on every page of the site and it repeats " +
+      "across the whole crawl so the segment dedup stage must keep exactly " +
+      "one copy of it and drop every other copy while the unique story " +
+      "below survives intact"
+  val CapstoneRu: String = {
+    val p = "и в не на я что он с это как по но его к у из за то все она " +
+      "мы были ёжик ушёл в эту зиму ы"
+    s"$p $p $p"
+  }
+  /** q99's cp1252 payload marker: ’ = 0x92 and … = 0x85. A wrong decode
+    * is NUMERICALLY loud, not just textually: latin-1 maps 0x85 to U+0085
+    * NEL, which IS whitespace — the marker token `o…k` would split into
+    * two tokens and every downstream token count (the gopher gates, the
+    * packed sequence arithmetic) shifts. The label-table remap is what
+    * keeps the oracle green.
+    */
+  val CapstoneMarker: String = " don’t o…k"
+
+  /** q99's machine-repetition plant (doc_id % 13 == 2): 15 copies of one
+    * 4-gram phrase — dup-5-gram coverage ≈ 1.0, far past Gopher's 0.15
+    * cap, so `keep_full` must fire on exactly this class.
+    */
+  val CapstoneSpam: String = Array.fill(15)("buy now cheap deals").mkString(" ")
+
   val AnnQueryVec: Seq[Float] = (0 until 64).map(i => ((i % 7) - 3) / 10.0f)
 
   /** Three deterministic query vectors for the batched-retrieval query. */
@@ -2749,20 +2869,23 @@ object SparkEntry {
   private val shingleCteSql: String = shingleCteSqlN(3, "sh")
 
   /** DuckDB oracle per query (same parquet tables, same column names). */
-  /** One lang's full Gopher-signal + keep replay over the q87b planted
-    * corpus (q65's machinery, parameterized by stopword list and the
-    * min-hits floor — 0 = the disabled gate for stoplist-less langs).
+  /** The shipped English stopword list as a DuckDB list literal. */
+  private val EnStopListSql: String =
+    "['the','a','an','and','or','of','to','in','is','it'," +
+      "'that','for','on','with','as','at','by','be','this','are']"
+
+  /** Full Gopher-signal + keep replay (q65's machinery) over an arbitrary
+    * `(doc_id, text)` base, parameterized by stopword list and the
+    * min-hits floor (0 = the disabled gate for stoplist-less langs).
     * Emitted as a self-contained `(WITH … SELECT doc_id, hits, keep)`
-    * subquery so three instantiations join in one oracle without CTE
-    * name collisions.
+    * subquery so several instantiations join in one oracle without CTE
+    * name collisions. `baseSql` must be a self-contained SELECT producing
+    * `doc_id, text` (no references to the outer query's CTEs).
     */
-  private def gopherLangReplaySql(stopListSql: String, minHits: Int): String =
+  private def gopherKeepReplaySql(
+      baseSql: String, stopListSql: String, minHits: Int): String =
     s"""(WITH base AS (
-       |  SELECT doc_id,
-       |    CASE WHEN doc_id % 3 = 0
-       |         THEN text || ' der die und das ist von mit den'
-       |         ELSE text END AS text
-       |  FROM documents),
+       |$baseSql),
        |toks AS (SELECT doc_id, list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS tk,
        |                list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') AS tkl
        |         FROM base),
@@ -3658,15 +3781,102 @@ object SparkEntry {
       val deList = "['der','die','und','das','ist','von','mit','den'," +
         "'ein','nicht','im','dem','des','auf','für','eine','als','auch'," +
         "'sich','werden']"
-      val enList = "['the','a','an','and','or','of','to','in','is','it'," +
-        "'that','for','on','with','as','at','by','be','this','are']"
+      val enList = EnStopListSql
+      val plantedBase =
+        """  SELECT doc_id,
+          |    CASE WHEN doc_id % 3 = 0
+          |         THEN text || ' der die und das ist von mit den'
+          |         ELSE text END AS text
+          |  FROM documents""".stripMargin
       s"""SELECT de.doc_id,
          |  de.hits AS hits_de, de.keep AS keep_de,
          |  zh.hits AS hits_zh, zh.keep AS keep_zh,
          |  en.hits AS hits_en, en.keep AS keep_en
-         |FROM ${gopherLangReplaySql(deList, 2)} de
-         |JOIN ${gopherLangReplaySql("[]::VARCHAR[]", 0)} zh USING (doc_id)
-         |JOIN ${gopherLangReplaySql(enList, 2)} en USING (doc_id)""".stripMargin
+         |FROM ${gopherKeepReplaySql(plantedBase, deList, 2)} de
+         |JOIN ${gopherKeepReplaySql(plantedBase, "[]::VARCHAR[]", 0)} zh USING (doc_id)
+         |JOIN ${gopherKeepReplaySql(plantedBase, enList, 2)} en USING (doc_id)""".stripMargin
+    },
+    // THE CAPSTONE ORACLE: DuckDB re-derives the whole keep-set — the
+    // jusText main (promo always good; the doc paragraph kept iff ≥ 70
+    // chars, near-good rescued by the good promo neighbor, short dropped
+    // against the bad footer), the langId exclusion (doc_id % 11), the
+    // full Gopher keep over the derived main, exact dedup (min doc_id
+    // per main), keep-first segment dedup (row_number over (doc_id,
+    // pos)), 8-gram decontamination against the % 7 eval slice, the
+    // Luhn-valid grouped-card redaction (and NOT the invalid twin) — and
+    // then replays the exact packed-sequence arithmetic (exclusive
+    // running sum, span explosion, per-sequence token splits).
+    "q99_crawl_capstone" -> {
+      val mainDerivation =
+        s"""  SELECT doc_id,
+           |    CASE WHEN length(docline) >= 70
+           |         THEN '$CapstonePromo' || chr(10) || docline
+           |         ELSE '$CapstonePromo' END AS text
+           |  FROM (
+           |    SELECT doc_id,
+           |      CASE WHEN doc_id % 13 = 2 THEN '$CapstoneSpam'
+           |           ELSE text ||
+           |             CASE WHEN doc_id % 5 = 0 THEN ' pay 4111 1111 1111 1111 now'
+           |                  WHEN doc_id % 5 = 1 THEN ' ref 4111 1111 1111 1112 end'
+           |                  ELSE '' END
+           |      END || '$CapstoneMarker' AS docline
+           |    FROM (SELECT doc_id, text FROM documents
+           |          UNION ALL SELECT doc_id + 1001000, text FROM documents)
+           |    WHERE doc_id % 11 <> 0)""".stripMargin
+      def grams8(fromSql: String, textCol: String): String =
+        s"""SELECT doc_id,
+           |  CASE WHEN len(toks) = 0 THEN []
+           |       WHEN len(toks) <= 8 THEN [array_to_string(toks, ' ')]
+           |       ELSE list_distinct([array_to_string(toks[i:i+7], ' ')
+           |                           for i in generate_series(1, len(toks)-7)])
+           |  END AS grams
+           |FROM (SELECT doc_id,
+           |        list_filter(string_split_regex($textCol, '$wsClassSql'), t -> t <> '') AS toks
+           |      FROM $fromSql)""".stripMargin
+      s"""WITH m1 AS (
+         |$mainDerivation),
+         |keep1 AS (
+         |  SELECT m1.doc_id, m1.text AS main
+         |  FROM m1 JOIN ${gopherKeepReplaySql(mainDerivation, EnStopListSql, 2)} g
+         |    USING (doc_id)
+         |  WHERE g.keep),
+         |d1 AS (SELECT min(doc_id) AS doc_id, main FROM keep1 GROUP BY main),
+         |segs AS (
+         |  SELECT doc_id, unnest(generate_series(1, len(lines))) AS pos,
+         |         unnest(lines) AS seg
+         |  FROM (SELECT doc_id, string_split(main, chr(10)) AS lines FROM d1)),
+         |marked AS (
+         |  SELECT doc_id, pos, seg,
+         |    row_number() OVER (PARTITION BY seg ORDER BY doc_id, pos) AS rn
+         |  FROM segs),
+         |d2 AS (
+         |  SELECT doc_id,
+         |    coalesce(string_agg(seg, chr(10) ORDER BY pos) FILTER (WHERE rn = 1), '') AS text_dedup
+         |  FROM marked GROUP BY doc_id),
+         |eg AS (SELECT DISTINCT unnest(grams) AS g
+         |       FROM (${grams8("(SELECT doc_id, text FROM documents WHERE doc_id % 7 = 0)", "text")})),
+         |tg AS (SELECT doc_id, unnest(grams) AS g
+         |       FROM (${grams8("(SELECT doc_id, text_dedup FROM d2)", "text_dedup")})),
+         |hits AS (SELECT DISTINCT tg.doc_id FROM tg JOIN eg USING (g)),
+         |p0 AS (
+         |  SELECT d2.doc_id,
+         |    len(list_filter(string_split_regex(
+         |      replace(d2.text_dedup, '4111 1111 1111 1111', '<CARD>'),
+         |      '$wsClassSql'), t -> t <> ''))::BIGINT AS n
+         |  FROM d2 LEFT JOIN hits ON d2.doc_id = hits.doc_id
+         |  WHERE hits.doc_id IS NULL),
+         |p1 AS (
+         |  SELECT doc_id, n,
+         |    coalesce(sum(n) OVER (ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS cum
+         |  FROM p0 WHERE n > 0)
+         |SELECT doc_id, s AS seq_id,
+         |  (greatest(cum, s * 256) - s * 256)::BIGINT AS seq_offset,
+         |  (greatest(cum, s * 256) - cum)::BIGINT AS doc_offset,
+         |  (least(cum + n, (s + 1) * 256) - greatest(cum, s * 256))::BIGINT AS n_tokens
+         |FROM (SELECT doc_id, n, cum,
+         |        unnest(generate_series(cum // 256, (cum + n - 1) // 256)) AS s
+         |      FROM p1)""".stripMargin
     },
     // WET conversion records: no HTTP envelope, so content_length is the
     // text's UTF-8 octet length exactly; HTTP fields are null

@@ -992,9 +992,21 @@ object Pipeline {
           lengthHigh = ec.get("lengthHigh").map(_.toString.toInt)
             .getOrElse(base.lengthHigh),
           maxLinkDensity = ec.get("maxLinkDensity").map(_.toString.toDouble)
-            .getOrElse(base.maxLinkDensity))
+            .getOrElse(base.maxLinkDensity),
+          stopwordsLow = ec.get("stopwordsLow").map(_.toString.toDouble)
+            .getOrElse(base.stopwordsLow),
+          stopwordsHigh = ec.get("stopwordsHigh").map(_.toString.toDouble)
+            .getOrElse(base.stopwordsHigh))
         df.withColumn(ec.getOrElse("as", src).toString,
           graft.ops.WebText.extractMainContent(col(src), rules))
+
+      case "langId" =>
+        // {text: col, as: out (default 'lang')} — the 28-language
+        // token+script classifier (graft.ops.expr.LangModel); codegen'd,
+        // map-only. Compose with `filter` for language gating.
+        val li = asMap(step("langId"), "langId")
+        df.withColumn(li.getOrElse("as", "lang").toString,
+          graft.ops.TextStats.langId(col(li("text").toString)))
 
       case "normalizeUnicode" =>
         // {text: col, form: NFC|NFD|NFKC|NFKD (default NFC), as: out

@@ -770,6 +770,44 @@ class PipelineSpec extends SparkTestBase {
     assert(strict.select("text").as[String].head() == "")
   }
 
+  test("langId verb + lang-keyed extractContent/repetitionSignals options") {
+    val out = Pipeline.run(spark,
+      """source: docs
+        |steps:
+        |  - langId: {text: text}
+        |  - filter: "$lang != 'ru'"
+        |""".stripMargin,
+      (_: String) => Seq(
+        (1L, "the data is in the table and it is good for the most part"),
+        (2L, "и в не на я что он с это как по но его к у из за то все она")
+      ).toDF("doc_id", "text"))
+    assert(out.select("doc_id").as[Long].collect().toSeq == Seq(1L))
+    // stopword thresholds flow through: 0/0 = the no-stoplist mode, a
+    // stopword-free long paragraph classifies good by length alone
+    val salad = Seq.tabulate(40)(i => s"w${('a' + i % 26).toChar}ord").mkString(" ")
+    assert(salad.length > 200)
+    def kept(opts: String) = Pipeline.run(spark,
+      s"""source: docs
+         |steps:
+         |  - extractContent: {html: html, as: text$opts}
+         |""".stripMargin,
+      (_: String) => Seq((1L, s"<p>$salad</p>")).toDF("doc_id", "html"))
+      .select("text").as[String].head()
+    assert(kept("") == "") // default en rules: zero stopwords -> bad
+    assert(kept(", stopwordsLow: 0.0, stopwordsHigh: 0.0") == salad)
+    // repetitionSignals lang option flows to the stopword gate
+    val de = Pipeline.run(spark,
+      """source: docs
+        |steps:
+        |  - repetitionSignals: {text: text, lang: de}
+        |""".stripMargin,
+      (_: String) => Seq((1L,
+        "der hund lief und lief durch das weite feld und war mit sich im " +
+          "reinen denn die sonne stand hoch und der tag war lang und gut"))
+        .toDF("doc_id", "text"))
+    assert(de.select("stopword_hits").as[Int].head() >= 5)
+  }
+
   test("repetitionSignals / approxDistinct / semanticDedup verbs match the direct ops") {
     val rep = Pipeline.runOnDir(spark,
       """source: documents
