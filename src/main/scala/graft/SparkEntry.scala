@@ -1227,8 +1227,9 @@ object SparkEntry {
     }),
     // THE CRAWL-OPENING CAPSTONE (r12 verdict item 5): ONE YAML config
     // chaining the full curation path — dictionary-zstd WARC read →
-    // charset decode (iso-8859-1-labeled cp1252 pages; the 0x85 marker
-    // byte makes a wrong decode shift every downstream token count) →
+    // charset decode (iso-8859-1-labeled cp1252 originals vs utf-8
+    // twins; any mis-decode breaks the twin collapse at the dedup leg
+    // and the whole keep-set goes red — see CapstoneMarker) →
     // jusText extractContent → langId gate (planted Cyrillic pages must
     // drop; an a-z corpus can never classify ru, so the keep-set is
     // constructive) → full-Gopher keep_full → exact dedup (planted
@@ -1263,12 +1264,21 @@ object SparkEntry {
           when(col("doc_id") % 5 === 0, lit(" pay 4111 1111 1111 1111 now"))
             .when(col("doc_id") % 5 === 1, lit(" ref 4111 1111 1111 1112 end"))
             .otherwise(lit(""))))
-      // page bytes: ASCII chrome UTF-8-encoded, the marker as raw cp1252
-      // bytes (Spark's encode() cannot emit cp1252 for ’/…; a binary
-      // literal can) — the pipeline's charset step must reassemble it
+      // ORIGINAL page bytes: ASCII chrome UTF-8-encoded, the marker as
+      // raw cp1252 bytes under an iso-8859-1 label (Spark's encode()
+      // cannot emit cp1252 for ’/…; a binary literal can). The +1001000
+      // COPY of the same page is UTF-8 bytes under a utf-8 label —
+      // byte-divergent, decode-CONVERGENT twins: only the WHATWG label
+      // remap makes them equal, so the exact-dedup collapse downstream
+      // is the charset detector (see CapstoneMarker's scaladoc).
+      val isCopy = col("doc_id") >= 1001000L
       val body = when(col("doc_id") % 11 === 0,
           lit((pagePrefix + "<p>" + CapstoneRu + "</p>" + pageSuffix)
             .getBytes("UTF-8")))
+        .when(isCopy,
+          encode(concat(
+            lit(pagePrefix + "<p>" + CapstonePromo + "</p><p>"), inner,
+            lit(CapstoneMarker + "</p>" + pageSuffix)), "UTF-8"))
         .otherwise(concat(
           encode(concat(
             lit(pagePrefix + "<p>" + CapstonePromo + "</p><p>"), inner),
@@ -1279,7 +1289,7 @@ object SparkEntry {
         concat(lit("https://site"), (col("doc_id") % 50).cast("string"),
           lit(".com/doc/"), col("doc_id").cast("string")).as("uri"),
         body.as("body"),
-        when(col("doc_id") % 11 === 0, lit("text/html; charset=utf-8"))
+        when(col("doc_id") % 11 === 0 || isCopy, lit("text/html; charset=utf-8"))
           .otherwise(lit("text/html; charset=iso-8859-1")).as("ct"))
       graft.sources.Warc.writeWarcResponses(
         src.repartition(4), out, "uri", "body", overwrite = true,
@@ -1574,7 +1584,12 @@ object SparkEntry {
         ("https://lbl.test/p8", b("<meta charset=x-user-defined>€–", "windows-1252"),
           "text/html"),
         ("https://lbl.test/p9", b("türkçe € “tr” şğ", "windows-1254"),
-          "text/html; charset=iso-8859-9"))
+          "text/html; charset=iso-8859-9"),
+        // header x-user-defined: the spec's byte→PUA decode (0x80+b →
+        // U+F780+b); the meta quirk (cp1252) applies only in meta position
+        ("https://lbl.test/p10",
+          "ab".getBytes("US-ASCII") ++ Array(0x80.toByte, 0xff.toByte),
+          "text/html; charset=x-user-defined"))
       graft.sources.Warc.writeWarcResponses(
         pages.toDF("uri", "body", "ct"), out, "uri", "body",
         overwrite = true, contentTypeCol = Some("ct"))
@@ -2681,12 +2696,18 @@ object SparkEntry {
       "мы были ёжик ушёл в эту зиму ы"
     s"$p $p $p"
   }
-  /** q99's cp1252 payload marker: ’ = 0x92 and … = 0x85. A wrong decode
-    * is NUMERICALLY loud, not just textually: latin-1 maps 0x85 to U+0085
-    * NEL, which IS whitespace — the marker token `o…k` would split into
-    * two tokens and every downstream token count (the gopher gates, the
-    * packed sequence arithmetic) shifts. The label-table remap is what
-    * keeps the oracle green.
+  /** q99's cp1252 payload marker: ’ = 0x92 and … = 0x85 — bytes that
+    * only decode to this string under the WHATWG label remap (a true
+    * latin-1 decode yields C1 controls, a UTF-8 fallthrough yields
+    * U+FFFD). A wrong decode is NUMERICALLY loud through the DEDUP leg:
+    * each original page carries the marker as cp1252 bytes under an
+    * `iso-8859-1` label while its +1001000 twin carries UTF-8 bytes
+    * under a `utf-8` label — only the remap makes the two decode to the
+    * SAME text, so any mis-decode leaves every twin pair distinct, the
+    * exact-dedup collapse fails corpus-wide, and the packed keep-set /
+    * sequence arithmetic goes red (single-byte mis-decodes are
+    * length-preserving, so a token-count plant alone could not catch
+    * this).
     */
   val CapstoneMarker: String = " don’t o…k"
 
@@ -4013,7 +4034,8 @@ object SparkEntry {
         |  (6, chr(65533)),
         |  (7, '<meta charset=utf-16le>tricky é'),
         |  (8, '<meta charset=x-user-defined>€–'),
-        |  (9, 'türkçe € “tr” şğ')) t(page, text)""").stripMargin,
+        |  (9, 'türkçe € “tr” şğ'),
+        |  (10, 'ab' || chr(63360) || chr(63487))) t(page, text)""").stripMargin,
     // Both q93 families are pure arithmetic: planted pairs are (id,
     // id + 1e9) for id % 97 = 0 (equal keys ⇒ sigs differing by exactly
     // the 6 planted bit flips; accidental pairs would also need ids

@@ -51,8 +51,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * is a failure and falls through to the next sniffing step — exactly
   * the browser behavior crawl content was authored against; no
   * `Charset.forName` leniency (that is what produced the latin-1 bug).
-  * Spec-table encodings the JDK cannot represent (iso-8859-10/14,
-  * `x-user-defined` outside the meta quirk) also fall through.
+  * Spec-table encodings the JDK cannot represent (iso-8859-10/14) also
+  * fall through; `x-user-defined` decodes through the spec's own
+  * byte→PUA mapping ([[CharsetText.XUserDefinedCharset]]) in the header
+  * position and remaps to windows-1252 in the meta position (quirk).
   *
   * Unknown/unsupported labels fall through to the next step; malformed
   * byte sequences decode to U+FFFD (REPLACE — never throw on crawl
@@ -79,8 +81,40 @@ object CharsetText {
   private[expr] final case class Known(cs: Charset) extends Resolved
   /** The spec's *replacement* encoding: non-empty input → one U+FFFD. */
   private[expr] case object ReplacementEnc extends Resolved
-  /** `x-user-defined`: JDK-absent; only the meta quirk can act on it. */
+  /** `x-user-defined`: decoded by [[XUserDefinedCharset]] in the header
+    * position; the meta prescan quirk remaps it to windows-1252 (spec
+    * step 2.c.8 — a page self-describing as byte-opaque is, in the meta
+    * position, overwhelmingly a mislabeled cp1252 page).
+    */
   private[expr] case object UserDefinedLabel extends Resolved
+
+  /** The spec's `x-user-defined` single-byte encoding
+    * (encoding.spec.whatwg.org/#x-user-defined): ASCII maps through,
+    * bytes 0x80–0xFF map to the Private Use Area at U+F780 + (byte −
+    * 0x80) — a reversible byte-preserving decode for content that labels
+    * itself byte-opaque (legacy font-hack pages). The JDK has no such
+    * charset, so this is a minimal decode-only implementation.
+    */
+  private[expr] object XUserDefinedCharset
+      extends Charset("x-graft-user-defined", Array.empty[String]) {
+    override def contains(cs: Charset): Boolean = cs eq this
+    override def newEncoder(): java.nio.charset.CharsetEncoder =
+      throw new UnsupportedOperationException(
+        "x-user-defined is decode-only here")
+    override def newDecoder(): java.nio.charset.CharsetDecoder =
+      new java.nio.charset.CharsetDecoder(this, 1.0f, 1.0f) {
+        override def decodeLoop(
+            in: java.nio.ByteBuffer,
+            out: java.nio.CharBuffer): java.nio.charset.CoderResult = {
+          while (in.hasRemaining) {
+            if (!out.hasRemaining) return java.nio.charset.CoderResult.OVERFLOW
+            val b = in.get() & 0xff
+            out.put(if (b < 0x80) b.toChar else (0xF780 + (b - 0x80)).toChar)
+          }
+          java.nio.charset.CoderResult.UNDERFLOW
+        }
+      }
+  }
 
   /** The WHATWG label table (encoding.spec.whatwg.org/#names-and-labels),
     * keyed by the spec's lowercased label, valued by the JDK charset name
@@ -210,7 +244,7 @@ object CharsetText {
       // a header-declared UTF-16 label is honored as the encoding it names
       // (the header is out-of-band — the meta UTF-16→UTF-8 quirk does not
       // apply); the BOM check already ran and outranks it
-      case UserDefinedLabel => null // JDK-absent; fall through
+      case UserDefinedLabel => Known(XUserDefinedCharset)
       case r => r
     }
   }

@@ -105,9 +105,33 @@ class CharsetTextSpec extends SparkTestBase {
     assert(CharsetText.decode(u16.getBytes("UTF-8"), "text/html") == u16)
     val xud = "<meta charset=x-user-defined>€–"
     assert(CharsetText.decode(xud.getBytes("windows-1252"), "text/html") == xud)
-    // header-declared x-user-defined is JDK-absent → falls through to meta/utf-8
-    assert(CharsetText.decode("plain é".getBytes("UTF-8"),
-      "text/html; charset=x-user-defined") == "plain é")
+  }
+
+  test("header x-user-defined: the spec's byte→PUA decode (ASCII through)") {
+    // encoding.spec.whatwg.org/#x-user-defined: 0x80+b → U+F780+b
+    val bytes = "abc".getBytes("US-ASCII") ++ Array(0x80.toByte, 0xFF.toByte)
+    val got = CharsetText.decode(bytes, "text/html; charset=x-user-defined")
+    assert(got == "abc\uF780\uF7FF")
+    // reversible: every PUA char maps back to its source byte
+    assert(got.drop(3).map(c => c - 0xF780 + 0x80).toSeq == Seq(0x80, 0xFF))
+  }
+
+  test("capstone twin contract: cp1252/iso-8859-1 and utf-8 spellings decode equal") {
+    // q99's charset detector: byte-divergent, decode-convergent twins.
+    // Only the label-table remap makes them equal — raw latin-1 (the old
+    // Charset.forName behavior) and a utf-8 fallthrough both diverge.
+    val marker = graft.SparkEntry.CapstoneMarker
+    val cpBytes = marker.getBytes("windows-1252")
+    val u8Bytes = marker.getBytes("UTF-8")
+    val viaLabel = CharsetText.decode(cpBytes, "text/html; charset=iso-8859-1")
+    val viaUtf8 = CharsetText.decode(u8Bytes, "text/html; charset=utf-8")
+    assert(viaLabel == marker && viaUtf8 == marker)
+    // the failure modes the capstone guards: both are length-preserving
+    // (so a token-count plant can't catch them) but text-divergent
+    val latin1 = new String(cpBytes, java.nio.charset.StandardCharsets.ISO_8859_1)
+    assert(latin1 != marker && latin1.length == marker.length)
+    val fallthrough = CharsetText.decode(cpBytes, "text/html")
+    assert(fallthrough != marker, "utf-8 fallthrough mangles cp1252 bytes")
   }
 
   test("label resolution is table-only: JDK-known non-spec labels fall through") {
