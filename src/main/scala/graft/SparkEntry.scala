@@ -2613,6 +2613,59 @@ object SparkEntry {
       graft.ops.Sampling.mixCorporaByFraction(
         srcs, Seq("even" -> 0.3, "odd" -> 0.6), keyCol = "doc_id", seed = 11L)
         .select(col("mix_source"), col("doc_id"))
+    }),
+    // Host-level link graph + PageRank (LinkGraph): 300 synthetic pages on
+    // hosts h0..h29 link by residue formulas to hosts h0..h39 (h30..h39
+    // receive links but host no pages — the dangling class), exercising
+    // double-quoted, single-quoted and protocol-relative hrefs; mailto /
+    // fragment / relative decoys must NOT produce cross-host edges (the
+    // relative link resolves to the page's own host and drops as a
+    // self-loop). Three exact power iterations with dangling-mass
+    // redistribution; the oracle re-derives the edge set from the residue
+    // arithmetic and unrolls the same three iterations as CTEs (damping
+    // factor written as 0.85::DOUBLE so both engines run the identical
+    // IEEE recurrence).
+    "q100_linkgraph_pagerank" -> ((s, dir) => {
+      val pages = s.range(0, 300).select(
+        concat(lit("https://h"), (col("id") % 30).cast("string"),
+          lit(".test/page/"), col("id").cast("string")).as("url"),
+        concat(
+          lit("<html><body><a href=\"http://h"),
+          ((col("id") * 3 + 1) % 40).cast("string"),
+          lit(".test/p\">x</a> <A HREF='https://h"),
+          ((col("id") * 7 + 2) % 40).cast("string"),
+          lit(".test/q?z'>y</A> <a href=\"//h"),
+          ((col("id") * 11 + 5) % 40).cast("string"),
+          lit(".test/r\">z</a> <a href=\"mailto:a@b.test\">m</a>" +
+            " <a href=\"/local\">l</a> <a href=\"#top\">t</a>" +
+            "</body></html>")).as("html"))
+      graft.ops.LinkGraph.rankHosts(pages, "url", "html", iterations = 3)
+        .select(col("host"), round(col("rank"), 6).as("rank"))
+    }),
+    // DSIR importance weights (Dsir.dsirLogWeights): raw = documents,
+    // target = the doc_id % 7 slice; hashed unigram+bigram bag models at
+    // 256 buckets (md5-prefix bucket keys — the engine-portable hash
+    // convention). The oracle replays the ENTIRE computation: token
+    // lists, bigram adjacency, bucket hashing, Laplace-smoothed log
+    // ratios and the per-document occurrence sum.
+    "q101_dsir_weights" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      graft.ops.Dsir.dsirLogWeights(
+          d, d.filter(col("doc_id") % 7 === 0), "doc_id", "text",
+          nibbles = 2, maxN = 2)
+        .select(col("doc_id"), round(col("log_weight"), 6).as("log_weight"))
+    }),
+    // DSIR Gumbel top-k selection (Dsir.dsirSample): the 100 largest
+    // log_weight + Gumbel(seed:id) keys — an exact softmax sample without
+    // replacement, md5-derived noise so the oracle re-ranks the identical
+    // keys (nibble-decoded uniform, double-log Gumbel transform) and must
+    // select the same 100 documents.
+    "q101b_dsir_sample" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      graft.ops.Dsir.dsirSample(
+          d, d.filter(col("doc_id") % 7 === 0), "doc_id", "text",
+          k = 100, nibbles = 2, maxN = 2, seed = 9L)
+        .select(col("doc_id"), round(col("log_weight"), 6).as("log_weight"))
     })
   )
 
@@ -2968,6 +3021,52 @@ object SparkEntry {
        |   AND ellipsis_frac <= 0.30 AND alpha_frac >= 0.80
        |   AND stopword_hits >= $minHits) AS keep
        |FROM sig)""".stripMargin
+
+  /** q101/q101b's shared DuckDB replay of the DSIR weight computation:
+    * tokens → unigram+bigram gram occurrences → 2-nibble md5 buckets →
+    * Laplace-smoothed log-ratio per bucket (target = the doc_id % 7
+    * slice of the same corpus) → per-document occurrence sum. Term order
+    * inside the ratio matches Dsir.withLogWeights exactly so both engines
+    * run the identical IEEE expression.
+    */
+  private def dsirWeightCtes: String =
+    """tok AS (SELECT doc_id,
+      |    list_filter(string_split_regex(lower(text), '\s+'),
+      |      x -> x <> '') AS l
+      |  FROM documents),
+      |uni AS (SELECT doc_id, unnest(l) AS g FROM tok),
+      |bi AS (SELECT doc_id, l[i] || ' ' || l[i + 1] AS g
+      |  FROM (SELECT doc_id, l,
+      |          unnest(generate_series(1, len(l) - 1)) AS i FROM tok)),
+      |gb AS (SELECT doc_id, substr(md5(g), 1, 2) AS bucket
+      |  FROM (SELECT doc_id, g FROM uni UNION ALL SELECT doc_id, g FROM bi)),
+      |rawc AS (SELECT bucket, CAST(COUNT(*) AS DOUBLE) AS rc
+      |  FROM gb GROUP BY bucket),
+      |tgtc AS (SELECT bucket, CAST(COUNT(*) AS DOUBLE) AS tc
+      |  FROM gb WHERE doc_id % 7 = 0 GROUP BY bucket),
+      |tot AS (SELECT (SELECT SUM(rc) FROM rawc) AS cr,
+      |               (SELECT COALESCE(SUM(tc), 0) FROM tgtc) AS ct),
+      |ratios AS (SELECT r.bucket,
+      |    ln(COALESCE(t.tc, 0) + 1) - ln((SELECT ct FROM tot) + 256.0)
+      |    - ln(r.rc + 1) + ln((SELECT cr FROM tot) + 256.0) AS lr
+      |  FROM rawc r LEFT JOIN tgtc t ON r.bucket = t.bucket),
+      |perdoc AS (SELECT gb.doc_id, SUM(rt.lr) AS w
+      |  FROM gb JOIN ratios rt USING (bucket) GROUP BY gb.doc_id),
+      |weights AS (SELECT d.doc_id, COALESCE(p.w, 0.0) AS w
+      |  FROM documents d LEFT JOIN perdoc p ON d.doc_id = p.doc_id)""".stripMargin
+
+  /** DuckDB replay of [[graft.ops.Dsir.gumbelNoise]] for q101b: the first
+    * 8 md5 nibbles of `seed:id` decoded digit-by-digit (no hex→int cast in
+    * either engine's contract), then the double-log Gumbel transform.
+    */
+  private def dsirGumbelSql(seed: Long): String = {
+    val h = s"substr(md5('$seed:' || CAST(doc_id AS VARCHAR)), 1, 8)"
+    val v = (1 to 8).map { j =>
+      val scale = java.lang.Math.pow(16.0, (8 - j).toDouble).toLong
+      s"(strpos('0123456789abcdef', substr($h, $j, 1)) - 1) * $scale.0"
+    }.mkString("(", " + ", ")")
+    s"-ln(-ln(($v + 0.5) / 4294967296.0))"
+  }
 
   def oracleSql: Map[String, String] = Map(
     "q01_arith" ->
@@ -4670,6 +4769,54 @@ object SparkEntry {
          |SELECT 'odd' AS mix_source, doc_id FROM documents
          |WHERE doc_id % 2 = 1
          |  AND substr(md5('11:odd:' || CAST(doc_id AS VARCHAR)), 1, 13)
-         |      < '${graft.ops.Sampling.thresholdHex(0.6)}'""".stripMargin
+         |      < '${graft.ops.Sampling.thresholdHex(0.6)}'""".stripMargin,
+    "q100_linkgraph_pagerank" -> {
+      // the exact recurrence LinkGraph.pageRank documents, unrolled: per
+      // iteration the dangling mass (rank on hosts with no out-edges), the
+      // per-dst contribution sum, and the damped update — every constant
+      // cast ::DOUBLE so DuckDB's decimal literals don't diverge from
+      // Spark's IEEE arithmetic
+      val iters = (0 until 3).map { k =>
+        s"""dm$k AS (SELECT COALESCE(SUM(r), 0) AS dm FROM r$k
+           |  WHERE host NOT IN (SELECT src FROM e)),
+           |c$k AS (SELECT e.dst AS host, SUM(r$k.r / dg.d) AS c
+           |  FROM e JOIN r$k ON e.src = r$k.host JOIN dg ON dg.src = e.src
+           |  GROUP BY e.dst),
+           |r${k + 1} AS (SELECT v.host,
+           |    (1.0::DOUBLE - 0.85::DOUBLE) / (SELECT n FROM nn)
+           |      + 0.85::DOUBLE * (COALESCE(c$k.c, 0) +
+           |        (SELECT dm FROM dm$k) / (SELECT n FROM nn)) AS r
+           |  FROM v LEFT JOIN c$k ON v.host = c$k.host)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH p AS (SELECT range AS i FROM range(0, 300)),
+         |e0 AS (
+         |  SELECT 'h' || CAST((i % 30) AS VARCHAR) || '.test' AS src,
+         |         'h' || CAST(((3 * i + 1) % 40) AS VARCHAR) || '.test' AS dst
+         |  FROM p WHERE (3 * i + 1) % 40 <> (i % 30)
+         |  UNION ALL
+         |  SELECT 'h' || CAST((i % 30) AS VARCHAR) || '.test',
+         |         'h' || CAST(((7 * i + 2) % 40) AS VARCHAR) || '.test'
+         |  FROM p WHERE (7 * i + 2) % 40 <> (i % 30)
+         |  UNION ALL
+         |  SELECT 'h' || CAST((i % 30) AS VARCHAR) || '.test',
+         |         'h' || CAST(((11 * i + 5) % 40) AS VARCHAR) || '.test'
+         |  FROM p WHERE (11 * i + 5) % 40 <> (i % 30)),
+         |e AS (SELECT DISTINCT src, dst FROM e0),
+         |v AS (SELECT src AS host FROM e UNION SELECT dst AS host FROM e),
+         |nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM v),
+         |dg AS (SELECT src, CAST(COUNT(*) AS DOUBLE) AS d FROM e GROUP BY src),
+         |r0 AS (SELECT host, 1.0::DOUBLE / (SELECT n FROM nn) AS r FROM v),
+         |$iters
+         |SELECT host, round(r3.r, 6) AS rank FROM r3""".stripMargin
+    },
+    "q101_dsir_weights" ->
+      s"""WITH $dsirWeightCtes
+         |SELECT doc_id, round(w, 6) AS log_weight FROM weights""".stripMargin,
+    "q101b_dsir_sample" ->
+      s"""WITH $dsirWeightCtes
+         |SELECT doc_id, round(w, 6) AS log_weight FROM (
+         |  SELECT doc_id, w, w + ${dsirGumbelSql(9L)} AS gkey
+         |  FROM weights
+         |  ORDER BY gkey DESC, doc_id LIMIT 100)""".stripMargin
   )
 }

@@ -695,6 +695,48 @@ object Pipeline {
           sp.get("seed").map(_.toString.toLong).getOrElse(42L),
           sp.get("saltBuckets").map(_.toString.toInt).getOrElse(32))
 
+      case "dsirSelect" =>
+        // DSIR data selection (ops/Dsir.scala): importance weights of each
+        // row against a TARGET exemplar table under hashed-n-gram bag
+        // models. {target: table, id:, text:, k?, nibbles: 3, maxN: 2,
+        // seed: 42} — with k the frame BECOMES the Gumbel top-k sample
+        // (softmax(log_weight) without replacement); without k it just
+        // gains log_weight for downstream thresholds/analysis.
+        val p = asMap(step("dsirSelect"), "dsirSelect")
+        val target = resolve(p.getOrElse("target",
+          throw new IllegalArgumentException("dsirSelect needs 'target'")).toString)
+        val id = p("id").toString
+        val text = p("text").toString
+        val nib = p.get("nibbles").map(_.toString.toInt).getOrElse(3)
+        val mN = p.get("maxN").map(_.toString.toInt).getOrElse(2)
+        p.get("k") match {
+          case Some(k) => graft.ops.Dsir.dsirSample(df, target, id, text,
+            k.toString.toInt, nib, mN,
+            p.get("seed").map(_.toString.toLong).getOrElse(42L))
+          case None =>
+            graft.ops.Dsir.dsirLogWeights(df, target, id, text, nib, mN)
+        }
+
+      case "hostRank" =>
+        // host-level PageRank attached per page (ops/LinkGraph.scala):
+        // build the cross-host link graph from (url, html), run the damped
+        // power iteration, join each page's host rank back as `as`. Hosts
+        // with no cross-host edge on either side stay null — the graph has
+        // no evidence about them; coalesce downstream if a floor is wanted.
+        val p = asMap(step("hostRank"), "hostRank")
+        val as = p.getOrElse("as", "host_rank").toString
+        require(!df.columns.contains(as),
+          s"hostRank adds '$as'; rename the existing column or set 'as'")
+        val ranks = graft.ops.LinkGraph.rankHosts(
+          df, p("url").toString, p("html").toString,
+          p.get("iterations").map(_.toString.toInt).getOrElse(10),
+          p.get("damping").map(_.toString.toDouble).getOrElse(0.85))
+        df.withColumn("__lg_host",
+            graft.ops.WebText.urlHost(col(p("url").toString)))
+          .join(ranks.withColumnRenamed("host", "__lg_host")
+            .withColumnRenamed("rank", as), Seq("__lg_host"), "left")
+          .drop("__lg_host")
+
       case "mix" =>
         // deterministic data mixture over named sources ('$self' = the
         // current frame); exact-count mode (total + weights) or the

@@ -1,0 +1,107 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.dftly.SparkTestBase
+
+/** Link-graph extraction + PageRank: hand-computed fixtures for every
+  * resolution rule, closed-form rank checks on canonical graphs, and the
+  * mass-conservation invariant.
+  */
+class LinkGraphSpec extends SparkTestBase {
+
+  private lazy val sq = spark
+  import sq.implicits._
+
+  test("linkHost resolution rules: every branch") {
+    val page = "https://src.test/dir/page.html"
+    val cases = Seq(
+      ("http://other.test/x", "other.test"),
+      ("HTTPS://UPPER.TEST/x", "upper.test"),
+      ("//proto.test/y", "proto.test"),
+      ("/rooted", "src.test"),
+      ("relative/path", "src.test"),
+      ("?query=1", "src.test"),
+      ("#frag", null),
+      ("", null),
+      ("mailto:a@b.test", null),
+      ("javascript:void(0)", null),
+      ("tel:+1555", null),
+      ("ftp://files.test/z", null),
+      ("data:text/plain,hi", null)
+    )
+    val df = cases.toDF("href", "expected")
+      .select(col("expected"), LinkGraph.linkHost(col("href"), lit(page)).as("got"))
+    df.collect().foreach { r =>
+      assert(Option(r.getString(1)) == Option(r.getString(0)),
+        s"href case expected ${r.getString(0)}, got ${r.getString(1)}")
+    }
+  }
+
+  test("hrefs: double/single/unquoted, case-insensitive, whitespace") {
+    val html = """<a href="http://a.test/1">x</a>
+      |<A HREF='http://b.test/2'>y</A>
+      |<a href = "http://c.test/3">z</a>
+      |<a href=http://d.test/4>w</a>
+      |<area href="/rel">""".stripMargin
+    val got = Seq(Tuple1(html)).toDF("h")
+      .select(LinkGraph.hrefs(col("h")).as("u"))
+      .as[Seq[String]].head().toSet
+    assert(got == Set("http://a.test/1", "http://b.test/2",
+      "http://c.test/3", "http://d.test/4", "/rel"))
+  }
+
+  test("hostEdges: decoys and self-loops drop, output distinct") {
+    val html =
+      """<a href="http://dst.test/a">1</a>
+        |<a href="http://dst.test/b">same host again</a>
+        |<a href="/self">self</a>
+        |<a href="mailto:x@y">m</a>
+        |<a href="https://src.test/other">self abs</a>""".stripMargin
+    val df = Seq(("https://src.test/p", html)).toDF("url", "html")
+    val edges = LinkGraph.hostEdges(df, "url", "html")
+      .as[(String, String)].collect().toSet
+    assert(edges == Set(("src.test", "dst.test")))
+  }
+
+  test("pageRank: 2-cycle is the uniform fixpoint exactly") {
+    val e = Seq(("a", "b"), ("b", "a")).toDF("src", "dst")
+    val r = LinkGraph.pageRank(e, iterations = 4).as[(String, Double)]
+      .collect().toMap
+    assert(r == Map("a" -> 0.5, "b" -> 0.5))
+  }
+
+  test("pageRank: dangling mass redistributes (hand-computed)") {
+    // a -> b, b dangling; N=2, d=0.85, one iteration from uniform:
+    // D0 = 0.5; r1(a) = 0.075 + 0.85*(0 + 0.25) = 0.2875
+    //           r1(b) = 0.075 + 0.85*(0.5 + 0.25) = 0.7125
+    val e = Seq(("a", "b")).toDF("src", "dst")
+    val r = LinkGraph.pageRank(e, iterations = 1).as[(String, Double)]
+      .collect().toMap
+    assert(math.abs(r("a") - 0.2875) < 1e-12)
+    assert(math.abs(r("b") - 0.7125) < 1e-12)
+  }
+
+  test("pageRank: mass conserved at 1.0 across iterations") {
+    val e = Seq(("a", "b"), ("a", "c"), ("b", "c"), ("c", "a"), ("d", "a"))
+      .toDF("src", "dst") // d is a source-only vertex; none dangling except none
+    val r = LinkGraph.pageRank(e, iterations = 7)
+    val total = r.agg(sum(col("rank"))).as[Double].head()
+    assert(math.abs(total - 1.0) < 1e-9)
+  }
+
+  test("pageRank: duplicate edge rows do not double-count") {
+    val e1 = Seq(("a", "b")).toDF("src", "dst")
+    val e3 = Seq(("a", "b"), ("a", "b"), ("a", "b")).toDF("src", "dst")
+    val r1 = LinkGraph.pageRank(e1, iterations = 2).as[(String, Double)].collect().toMap
+    val r3 = LinkGraph.pageRank(e3, iterations = 2).as[(String, Double)].collect().toMap
+    assert(r1 == r3)
+  }
+
+  test("degreeStats: hand-computed, sink and source vertices present") {
+    val e = Seq(("a", "b"), ("a", "c"), ("b", "c")).toDF("src", "dst")
+    val s = LinkGraph.degreeStats(e).as[(String, Long, Long)].collect()
+      .map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(s == Map("a" -> ((2L, 0L)), "b" -> ((1L, 1L)), "c" -> ((0L, 2L))))
+  }
+}

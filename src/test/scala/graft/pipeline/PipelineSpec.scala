@@ -900,4 +900,57 @@ class PipelineSpec extends SparkTestBase {
     assert(err.getMessage.contains("options"))
   }
 
+  test("dsirSelect verb: weights-only and top-k modes match the direct op") {
+    val raw = Seq(
+      1L -> "the quick brown fox", 2L -> "lorem ipsum dolor",
+      3L -> "the brown fox runs", 4L -> "spam spam spam buy")
+      .toDF("doc_id", "text")
+    val tgt = Seq("the brown fox", "fox runs fast").toDF("text")
+    val resolve: String => org.apache.spark.sql.DataFrame = {
+      case "raw" => raw; case "tgt" => tgt
+      case n => fail(s"unexpected table $n")
+    }
+    val weighted = Pipeline.run(spark,
+      """source: raw
+        |steps:
+        |  - dsirSelect: {target: tgt, id: doc_id, text: text, nibbles: 2}
+        |""".stripMargin, resolve)
+    val direct = graft.ops.Dsir.dsirLogWeights(raw, tgt, "doc_id", "text",
+      nibbles = 2)
+    assert(weighted.select("doc_id", "log_weight").as[(Long, Double)]
+      .collect().toMap ==
+      direct.select("doc_id", "log_weight").as[(Long, Double)].collect().toMap)
+    val sampled = Pipeline.run(spark,
+      """source: raw
+        |steps:
+        |  - dsirSelect: {target: tgt, id: doc_id, text: text, k: 2,
+        |      nibbles: 2, seed: 9}
+        |""".stripMargin, resolve)
+    val directK = graft.ops.Dsir.dsirSample(raw, tgt, "doc_id", "text",
+      k = 2, nibbles = 2, seed = 9L)
+    assert(sampled.select("doc_id").as[Long].collect().toSet ==
+      directK.select("doc_id").as[Long].collect().toSet)
+  }
+
+  test("hostRank verb: per-page host rank joined back, null off-graph") {
+    val pages = Seq(
+      ("https://a.test/1", "<a href=\"http://b.test/x\">l</a>"),
+      ("https://a.test/2", "<a href=\"/local\">self only</a>"),
+      ("https://b.test/1", "<a href=\"http://a.test/y\">l</a>"),
+      ("https://c.test/1", "no links at all"))
+      .toDF("url", "html")
+    val out = Pipeline.run(spark,
+      """source: pages
+        |steps:
+        |  - hostRank: {url: url, html: html, iterations: 4}
+        |""".stripMargin, { case "pages" => pages; case n => fail(s"unexpected $n") })
+    val ranks = out.select(col("url"), col("host_rank"))
+      .as[(String, Option[Double])].collect().toMap
+    // a<->b is a 2-cycle: both hosts at the 0.5 fixpoint; c is off-graph
+    assert(ranks("https://a.test/1").contains(0.5))
+    assert(ranks("https://a.test/2").contains(0.5))
+    assert(ranks("https://b.test/1").contains(0.5))
+    assert(ranks("https://c.test/1").isEmpty)
+  }
+
 }
