@@ -2642,6 +2642,28 @@ object SparkEntry {
       graft.ops.LinkGraph.rankHosts(pages, "url", "html", iterations = 3)
         .select(col("host"), round(col("rank"), 6).as("rank"))
     }),
+    // Anchor-text corpus (LinkGraph.anchorTexts): per-occurrence
+    // (src, dst, anchor) triples for CROSS-host links only; inner markup
+    // stripped and whitespace collapsed in the anchor. The fixture plants
+    // a formulaic anchor (with a <b> tag the extractor must strip), a
+    // relative nav link and a same-host absolute link (both must drop);
+    // the oracle re-derives every surviving triple, duplicates included
+    // (i and i+100 produce identical rows — occurrence semantics).
+    "q100b_anchor_texts" -> ((s, dir) => {
+      val pages = s.range(0, 200).select(
+        concat(lit("https://h"), (col("id") % 20).cast("string"),
+          lit(".test/p/"), col("id").cast("string")).as("url"),
+        concat(
+          lit("<html><body><a href=\"http://h"),
+          ((col("id") * 3 + 1) % 25).cast("string"),
+          lit(".test/x\">to <b>h"),
+          ((col("id") * 3 + 1) % 25).cast("string"),
+          lit("</b> site</a><a href='/local'>Home</a>" +
+            "<a href=\"https://h"),
+          (col("id") % 20).cast("string"),
+          lit(".test/self\">self</a></body></html>")).as("html"))
+      graft.ops.LinkGraph.anchorTexts(pages, "url", "html")
+    }),
     // DSIR importance weights (Dsir.dsirLogWeights): raw = documents,
     // target = the doc_id % 7 slice; hashed unigram+bigram bag models at
     // 256 buckets (md5-prefix bucket keys — the engine-portable hash
@@ -4809,6 +4831,12 @@ object SparkEntry {
          |$iters
          |SELECT host, round(r3.r, 6) AS rank FROM r3""".stripMargin
     },
+    "q100b_anchor_texts" ->
+      """WITH p AS (SELECT range AS i FROM range(0, 200))
+        |SELECT 'h' || CAST((i % 20) AS VARCHAR) || '.test' AS src,
+        |       'h' || CAST(((3 * i + 1) % 25) AS VARCHAR) || '.test' AS dst,
+        |       'to h' || CAST(((3 * i + 1) % 25) AS VARCHAR) || ' site' AS anchor
+        |FROM p WHERE (3 * i + 1) % 25 <> (i % 20)""".stripMargin,
     "q101_dsir_weights" ->
       s"""WITH $dsirWeightCtes
          |SELECT doc_id, round(w, 6) AS log_weight FROM weights""".stripMargin,

@@ -112,8 +112,13 @@ object Dsir {
     require(!df.columns.contains("log_weight"),
       "withLogWeights adds log_weight; rename the existing column first")
     val m = math.pow(16.0, nibbles.toDouble)
-    val totals = rawCounts.agg(sum(col("cnt")).cast("double").as("__cr"))
-      .crossJoin(targetCounts.agg(sum(col("cnt")).cast("double").as("__ct")))
+    // coalesce: an EMPTY count table (empty corpus) means a zero total —
+    // the model degrades to uniform-over-buckets — not a null that would
+    // silently zero every weight through null propagation
+    val totals = rawCounts
+      .agg(coalesce(sum(col("cnt")), lit(0L)).cast("double").as("__cr"))
+      .crossJoin(targetCounts
+        .agg(coalesce(sum(col("cnt")), lit(0L)).cast("double").as("__ct")))
     val ratios = rawCounts.withColumnRenamed("cnt", "__rc")
       .join(targetCounts.withColumnRenamed("cnt", "__tc"), Seq("bucket"), "full_outer")
       .crossJoin(broadcast(totals))

@@ -89,6 +89,45 @@ object LinkGraph {
       .otherwise(WebText.urlHost(pageUrl))
   }
 
+  /** `(href, anchor)` pairs from `<a …href=…>TEXT</a>` elements — the
+    * anchor-text corpus (anchor text describes the TARGET page; search and
+    * quality pipelines aggregate it per destination as an independent
+    * relevance signal). One alternation pattern matched twice with
+    * different group indices and zipped positionally (Spark's
+    * `regexp_extract_all` extracts one group per pass; identical pattern ⇒
+    * identical match positions ⇒ aligned arrays). Inner markup is
+    * stripped, whitespace collapsed, text trimmed.
+    */
+  def anchors(html: Column): Column = {
+    val pat = "(?is)<a\\b[^>]*?\\bhref\\s*=\\s*(?:\"([^\"]*)\"|'([^']*)')[^>]*>(.*?)</a>"
+    val dq = regexp_extract_all(html, lit(pat), lit(1))
+    val sq = regexp_extract_all(html, lit(pat), lit(2))
+    val tx = regexp_extract_all(html, lit(pat), lit(3))
+    zip_with(zip_with(dq, sq, (a, b) => when(a =!= "", a).otherwise(b)), tx,
+      (href, raw) => struct(
+        href.as("href"),
+        trim(regexp_replace(regexp_replace(raw, "<[^>]*>", " "), "\\s+", " "))
+          .as("anchor")))
+  }
+
+  /** Cross-host anchor-text table `(src, dst, anchor)`: one row per anchor
+    * occurrence whose link resolves to a DIFFERENT host (same-host
+    * navigation anchors — "Home", "About" — are chrome, not description),
+    * empty anchors dropped. NOT deduplicated: aggregation strategy (count
+    * weighting vs distinct) belongs to the consumer.
+    */
+  def anchorTexts(df: DataFrame, urlCol: String, htmlCol: String): DataFrame = {
+    val src = WebText.urlHost(col(urlCol))
+    Dedup.ensureParallelism(df)
+      .select(src.as("src"), explode(anchors(col(htmlCol))).as("__a"),
+        col(urlCol).as("__url"))
+      .select(col("src"),
+        linkHost(col("__a.href"), col("__url")).as("dst"),
+        col("__a.anchor").as("anchor"))
+      .where(col("src").isNotNull && col("dst").isNotNull &&
+        col("src") =!= col("dst") && col("anchor") =!= "")
+  }
+
   /** Distinct cross-host edge table `(src, dst)` from a page frame: src is
     * the page URL's host, dst each resolved link host; nulls (unparseable
     * page URL, non-web hrefs) and self-loops (intra-host links) drop.

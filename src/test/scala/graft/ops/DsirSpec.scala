@@ -113,6 +113,17 @@ class DsirSpec extends SparkTestBase {
     assert(math.abs(got - exp) < 1e-9)
   }
 
+  test("empty target corpus degrades to a uniform model, not silent zeros") {
+    val raw = Seq(1L -> "aa bb aa").toDF("doc_id", "text")
+    val got = Dsir.dsirLogWeights(raw,
+      Seq.empty[String].toDF("text"), "doc_id", "text", nibbles = 1, maxN = 1)
+      .select(col("log_weight")).as[Double].head()
+    val exp = refWeight("aa bb aa", refCounts(Seq("aa bb aa"), 1, 1),
+      Map.empty, 1, 1)
+    assert(math.abs(got - exp) < 1e-9)
+    assert(got != 0.0) // the uniform-target model is NOT a no-op
+  }
+
   test("token-less documents score exactly 0.0") {
     val raw = Seq(1L -> "some words here", 2L -> "  ")
     val got = Dsir.dsirLogWeights(

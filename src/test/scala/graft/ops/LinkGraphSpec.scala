@@ -64,6 +64,36 @@ class LinkGraphSpec extends SparkTestBase {
     assert(edges == Set(("src.test", "dst.test")))
   }
 
+  test("anchors: quote variants, inner markup stripped, whitespace collapsed") {
+    val html = "<a href=\"http://a.test/1\">First <b>bold</b>\n  link</a>" +
+      "<A HREF='http://b.test/2' class=x>second</A>" +
+      "<a href=\"/r\"></a>"
+    val got = Seq(Tuple1(html)).toDF("h")
+      .select(LinkGraph.anchors(col("h")).as("a"))
+      .selectExpr("inline(a)")
+      .as[(String, String)].collect().toSeq
+    assert(got == Seq(
+      ("http://a.test/1", "First bold link"),
+      ("http://b.test/2", "second"),
+      ("/r", "")))
+  }
+
+  test("anchorTexts: cross-host only, empty anchors drop, occurrences kept") {
+    val html =
+      """<a href="http://dst.test/a">go <i>there</i></a>
+        |<a href="http://dst.test/b">go there</a>
+        |<a href="/local">Home</a>
+        |<a href="https://src.test/other">self abs</a>
+        |<a href="http://dst.test/c"> </a>""".stripMargin
+    val df = Seq(("https://src.test/p", html)).toDF("url", "html")
+    val got = LinkGraph.anchorTexts(df, "url", "html")
+      .as[(String, String, String)].collect().toSeq.sorted
+    // two occurrences of the same normalized anchor are BOTH kept
+    assert(got == Seq(
+      ("src.test", "dst.test", "go there"),
+      ("src.test", "dst.test", "go there")))
+  }
+
   test("pageRank: 2-cycle is the uniform fixpoint exactly") {
     val e = Seq(("a", "b"), ("b", "a")).toDF("src", "dst")
     val r = LinkGraph.pageRank(e, iterations = 4).as[(String, Double)]
