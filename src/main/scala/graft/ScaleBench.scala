@@ -308,6 +308,35 @@ object ScaleBench {
       graft.ops.Pq.ivfTopKPqAdc(e, "vec_id", "embedding",
         fixedCentroids(16, 64), cb, SparkEntry.AnnQueryVec, 20,
         nProbe = 4, refine = 8)
+    }),
+    // PageRank over a synthetic host graph: scaleNodes edges over
+    // scaleNodes/100 hosts, with 10% of all links aimed at ONE host — the
+    // everyone-links-to-google hot dst key that must stay combiner-safe
+    // (map-side partial sums; a skewed reducer here would show as one
+    // straggling task per iteration). 5 power iterations: the per-round
+    // cost is what scales, the iteration count is a user constant.
+    "x_pagerank_scaled" -> ((s, _) => {
+      val hosts = math.max(scaleNodes / 100L, 100L)
+      val edges = s.range(scaleNodes).select(
+        concat(lit("h"), (col("id") % hosts).cast("string")).as("src"),
+        concat(lit("h"),
+          when(col("id") % 10 === 0, lit(0L))
+            .otherwise((col("id") * 131 + 7) % hosts)
+            .cast("string")).as("dst"))
+      graft.ops.LinkGraph.pageRank(edges, iterations = 5)
+    }),
+    // DSIR weighting over the corpus: two bounded bucket-count aggregates
+    // (≤ 4096 rows each at 3 nibbles), then a map-only gram explode +
+    // broadcast ratio join + per-doc sum. Shuffle should carry only the
+    // (doc_id, partial-sum) pairs — gram rows must die map-side in the
+    // partial aggregate.
+    "x_dsir_weights" -> ((s, dir) => {
+      val d = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("text"))
+      graft.ops.Dsir.dsirLogWeights(
+          d, d.filter(col("doc_id") % 7 === 0), "doc_id", "text",
+          nibbles = 3, maxN = 2)
+        .select(col("doc_id"), col("log_weight"))
     }))
 
   /** Exact-distinct A/B baseline for q66: the per-distinct-value exchange

@@ -2664,6 +2664,49 @@ object SparkEntry {
           lit(".test/self\">self</a></body></html>")).as("html"))
       graft.ops.LinkGraph.anchorTexts(pages, "url", "html")
     }),
+    // CDXJ index → byte-range fetch plan (sources/Cdx.scala): 1000
+    // formulaic captures over 7 WARC files are rendered as REAL cdxj
+    // lines (plus torn lines every 97th — they must parse to null payload
+    // and drop), written to disk, re-read through the parser, filtered to
+    // status 200, and coalesced into ranged GETs with a 150-byte gap
+    // tolerance. The oracle re-derives the surviving captures from the
+    // residue arithmetic and replays the island windowing (running-max
+    // previous end, not lag — containment-safe) in DuckDB.
+    "q102_cdxj_plan" -> ((s, dir) => {
+      val fixture = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft_cdxj_" +
+          java.lang.Long.toHexString(dir.hashCode.toLong & 0xffffffffL) +
+          "_" + ProcessHandle.current().pid())
+      val idx = new java.io.File(fixture, "idx").getPath
+      val lines = s.range(0, 1000).select(
+        when(col("id") % 97 === 0, lit("torn line without json payload"))
+          .otherwise(concat(
+            lit("test)/p/"), col("id").cast("string"),
+            lit(" 20240101000000 {\"url\":\"https://t/p\",\"status\":\""),
+            when(col("id") % 5 === 0, lit("404")).otherwise(lit("200")),
+            lit("\",\"offset\":\""),
+            (floor(col("id") / 7) * 1000).cast("long").cast("string"),
+            lit("\",\"length\":\""),
+            (lit(800) + (col("id") % 3) * 100).cast("string"),
+            lit("\",\"filename\":\"warc-"), (col("id") % 7).cast("string"),
+            lit(".warc.gz\"}"))).as("value"))
+      lines.coalesce(1).write.mode("overwrite").text(idx)
+      val caps = graft.sources.Cdx.readCdxj(s, idx)
+        .filter(col("status") === 200)
+      graft.sources.Cdx.fetchPlan(caps, gapBytes = 150L)
+    }),
+    // SURT key (Cdx.surt): formulaic mixed-case URLs with queries and
+    // fragments; every output key re-derived character-for-character from
+    // the residue arithmetic in DuckDB.
+    "q102b_surt" -> ((s, dir) =>
+      s.range(0, 300).select(
+        col("id").as("id"),
+        graft.sources.Cdx.surt(concat(
+          lit("https://W"), (col("id") % 5).cast("string"),
+          lit(".Ex"), (col("id") % 3).cast("string"),
+          lit(".COM/P/"), col("id").cast("string"),
+          lit("?q="), (col("id") % 4).cast("string"),
+          lit("#frag"))).as("surt_key"))),
     // DSIR importance weights (Dsir.dsirLogWeights): raw = documents,
     // target = the doc_id % 7 slice; hashed unigram+bigram bag models at
     // 256 buckets (md5-prefix bucket keys — the engine-portable hash
@@ -4837,6 +4880,31 @@ object SparkEntry {
         |       'h' || CAST(((3 * i + 1) % 25) AS VARCHAR) || '.test' AS dst,
         |       'to h' || CAST(((3 * i + 1) % 25) AS VARCHAR) || ' site' AS anchor
         |FROM p WHERE (3 * i + 1) % 25 <> (i % 20)""".stripMargin,
+    "q102_cdxj_plan" ->
+      """WITH i AS (SELECT range AS i FROM range(0, 1000)),
+        |cap AS (SELECT 'warc-' || CAST((i % 7) AS VARCHAR) || '.warc.gz' AS filename,
+        |               (i // 7) * 1000 AS o,
+        |               800 + (i % 3) * 100 AS len
+        |        FROM i WHERE i % 97 <> 0 AND i % 5 <> 0),
+        |f AS (SELECT filename, o, o + len AS e FROM cap),
+        |m AS (SELECT filename, o, e,
+        |        MAX(e) OVER (PARTITION BY filename ORDER BY o, e
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pme
+        |      FROM f),
+        |isl AS (SELECT filename, o, e,
+        |          SUM(CASE WHEN pme IS NULL OR o > pme + 150 THEN 1 ELSE 0 END)
+        |            OVER (PARTITION BY filename ORDER BY o, e
+        |              ROWS UNBOUNDED PRECEDING) AS island
+        |        FROM m)
+        |SELECT filename, MIN(o) AS range_start, MAX(e) AS range_end,
+        |       COUNT(*) AS n_captures, MAX(e) - MIN(o) AS bytes
+        |FROM isl GROUP BY filename, island""".stripMargin,
+    "q102b_surt" ->
+      """SELECT i AS id,
+        |  'com,ex' || CAST((i % 3) AS VARCHAR) || ',w' || CAST((i % 5) AS VARCHAR)
+        |    || ')/p/' || CAST(i AS VARCHAR) || '?q=' || CAST((i % 4) AS VARCHAR)
+        |    AS surt_key
+        |FROM (SELECT range AS i FROM range(0, 300))""".stripMargin,
     "q101_dsir_weights" ->
       s"""WITH $dsirWeightCtes
          |SELECT doc_id, round(w, 6) AS log_weight FROM weights""".stripMargin,

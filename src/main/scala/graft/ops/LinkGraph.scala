@@ -182,9 +182,20 @@ object LinkGraph {
       .persist(StorageLevel.MEMORY_AND_DISK)
     val n = vertices.count().toDouble
     // out-degree rides WITH the edge row so the in-loop contribution join
-    // needs no second join against a degree table
+    // needs no second join against a degree table; the cached relation is
+    // explicitly hash-partitioned on src so the per-iteration sort-merge
+    // join reuses that partitioning and only the VERTEX-sized rank side
+    // exchanges. When the build join is itself sort-merge the output is
+    // already src-partitioned and this exchange is a no-op-sized shuffle;
+    // the explicit repartition makes the invariant STRATEGY-INDEPENDENT —
+    // if Catalyst broadcast the degree table at build (vertex-sized, can
+    // read under the threshold while the in-loop rank estimate reads
+    // over), the cache would otherwise inherit the (src, dst) distinct
+    // partitioning and the edge table — the big side by orders of
+    // magnitude — would re-shuffle every iteration.
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("__deg"))
-    val ewd = e.join(deg, "src").persist(StorageLevel.MEMORY_AND_DISK)
+    val ewd = e.join(deg, "src").repartition(col("src"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     ewd.count()
     e.unpersist()
     val srcs = ewd.select(col("src")).distinct()

@@ -128,6 +128,61 @@ class LinkGraphSpec extends SparkTestBase {
     assert(r1 == r3)
   }
 
+  test("pageRank: the edge table exchanges ONCE, not once per iteration " +
+    "(the 100 TB contract, measured with broadcast joins disabled)") {
+    // At test scale the vertex-sized rank table broadcasts and hides the
+    // edge side's join distribution entirely. Disable broadcasting to get
+    // the cluster-scale sort-merge plan, then count total shuffle WRITE
+    // records across the whole call: the cached edge table is
+    // hash-partitioned on src at build, so each iteration's contribution
+    // join re-exchanges only the VERTEX-sized rank frame. If the edge side
+    // re-shuffled per iteration, the total would grow by ~|E| per
+    // iteration (5 × 60k here) and blow the budget.
+    val nEdges = 60000L
+    val hosts = 600L
+    val iters = 5
+    val e = spark.range(nEdges).select(
+      concat(lit("h"), (col("id") % hosts).cast("string")).as("src"),
+      concat(lit("h"), ((col("id") * 131 + 7) % hosts).cast("string")).as("dst"))
+    val written = new java.util.concurrent.atomic.AtomicLong
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val m = te.taskMetrics
+        if (m != null) written.addAndGet(m.shuffleWriteMetrics.recordsWritten)
+        ()
+      }
+    }
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val r = LinkGraph.pageRank(e, iterations = iters)
+      assert(r.count() == hosts)
+      var prev = -1L
+      var stable = written.get()
+      var waited = 0
+      while (stable != prev && waited < 100) {
+        prev = stable; Thread.sleep(100); waited += 1; stable = written.get()
+      }
+      // Budget: the one-time distinct/degree/repartition chain is a small
+      // multiple of |E| (distinct partials + join exchange + repartition
+      // ≤ ~4|E| worst case); per-iteration traffic is vertex-sized — the
+      // dominant term is the contribution partial-aggregate, up to
+      // #tasks × |V| records (32 × 600 here), plus a few |V|-sized
+      // exchanges. 40|V| per iteration covers that with slack while
+      // staying far under the no-reuse regime (an extra |E| per iteration
+      // ≈ +300k would overshoot this budget by ~2×).
+      val budget = 6L * nEdges + iters * 40L * hosts
+      assert(stable <= budget,
+        s"total shuffle records $stable exceed budget $budget — " +
+          "the edge table is re-exchanging inside the iteration loop")
+    } finally {
+      spark.sparkContext.removeSparkListener(listener)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+    }
+  }
+
   test("degreeStats: hand-computed, sink and source vertices present") {
     val e = Seq(("a", "b"), ("a", "c"), ("b", "c")).toDF("src", "dst")
     val s = LinkGraph.degreeStats(e).as[(String, Long, Long)].collect()

@@ -1,0 +1,102 @@
+package graft.sources
+
+import org.apache.spark.sql.functions._
+
+import graft.dftly.SparkTestBase
+
+/** CDXJ index support: SURT key rules, the line parser's field contract
+  * (torn lines → null payload, never a failed read), and the byte-range
+  * fetch planner's island arithmetic (containment-safe, gap-tolerant).
+  */
+class CdxSpec extends SparkTestBase {
+
+  private lazy val sq = spark
+  import sq.implicits._
+
+  test("surt: lowercase, reversed host, query kept, fragment dropped") {
+    val cases = Seq(
+      ("https://www.Example.COM/Path?Q=1#frag", "com,example,www)/path?q=1"),
+      ("http://a.b.c/", "c,b,a)/"),
+      ("https://x.io", "io,x)/"),
+      ("https://one.test/a/b?x=2&y=3", "test,one)/a/b?x=2&y=3"),
+      ("not a url", null))
+    val df = cases.toDF("url", "expected")
+      .select(col("expected"), Cdx.surt(col("url")).as("got"))
+    df.collect().foreach { r =>
+      assert(Option(r.getString(1)) == Option(r.getString(0)),
+        s"surt expected ${r.getString(0)}, got ${r.getString(1)}")
+    }
+  }
+
+  test("readCdxj: fields typed, torn lines survive as null payload") {
+    val tmp = java.nio.file.Files.createTempDirectory("cdx_").toFile
+    tmp.deleteOnExit()
+    val f = new java.io.File(tmp, "idx.cdxj")
+    java.nio.file.Files.writeString(f.toPath,
+      """com,example)/a 20240102030405 {"url":"https://example.com/a","mime":"text/html","status":"200","digest":"AAA","length":"1234","offset":"5678","filename":"crawl-1.warc.gz"}
+        |com,example)/b 20240102030406 {"url":"https://example.com/b","status":"301","length":"10","offset":"9999","filename":"crawl-1.warc.gz"}
+        |com,example)/c 20240102030407 {"url":"https://example.com/c","status":"200","length":"notanumber","offset":"1","filename":"crawl-2.warc.gz"}
+        |this line is torn and has no json
+        |""".stripMargin)
+    val got = Cdx.readCdxj(spark, f.getAbsolutePath)
+    val rows = got.orderBy(col("surt_key")).collect()
+    assert(rows.length == 4)
+    // malformed numeric: one null field, never a failed read (ANSI casts
+    // would throw task-wide)
+    val c = rows.filter(r => r.getAs[String]("surt_key") == "com,example)/c").head
+    assert(c.isNullAt(c.fieldIndex("length")) && c.getAs[Long]("offset") == 1L)
+    val a = rows.filter(r => r.getAs[String]("surt_key") == "com,example)/a").head
+    assert(a.getAs[String]("url") == "https://example.com/a")
+    assert(a.getAs[Int]("status") == 200)
+    assert(a.getAs[Long]("offset") == 5678L)
+    assert(a.getAs[Long]("length") == 1234L)
+    assert(a.getAs[String]("filename") == "crawl-1.warc.gz")
+    assert(a.getAs[java.sql.Timestamp]("ts").toInstant.toString
+      == "2024-01-02T03:04:05Z")
+    val torn = rows.filter(_.isNullAt(rows.head.fieldIndex("surt_key")))
+    assert(torn.length == 1 && torn.head.isNullAt(torn.head.fieldIndex("filename")))
+  }
+
+  test("fetchPlan: touching ranges merge at gap 0, separated ones do not") {
+    val caps = Seq(
+      ("f.warc.gz", 0L, 100L), ("f.warc.gz", 100L, 50L),
+      ("f.warc.gz", 200L, 10L), ("g.warc.gz", 0L, 10L))
+      .toDF("filename", "offset", "length")
+    val plan = Cdx.fetchPlan(caps, gapBytes = 0L)
+      .as[(String, Long, Long, Long, Long)].collect().toSet
+    assert(plan == Set(
+      ("f.warc.gz", 0L, 150L, 2L, 150L),
+      ("f.warc.gz", 200L, 210L, 1L, 10L),
+      ("g.warc.gz", 0L, 10L, 1L, 10L)))
+  }
+
+  test("fetchPlan: gap tolerance swallows small gaps, bytes include them") {
+    val caps = Seq(("f", 0L, 100L), ("f", 150L, 50L), ("f", 400L, 10L))
+      .toDF("filename", "offset", "length")
+    val plan = Cdx.fetchPlan(caps, gapBytes = 60L)
+      .as[(String, Long, Long, Long, Long)].collect().toSet
+    // 100→150 gap of 50 ≤ 60 merges; 200→400 gap of 200 splits
+    assert(plan == Set(("f", 0L, 200L, 2L, 200L), ("f", 400L, 410L, 1L, 10L)))
+  }
+
+  test("fetchPlan: containment-safe islands (running-max, not lag)") {
+    // the long first member CONTAINS the second; a lag-based gap test
+    // would see second.end=30 < third.offset=990 and wrongly split
+    val caps = Seq(("f", 0L, 1000L), ("f", 10L, 20L), ("f", 990L, 100L))
+      .toDF("filename", "offset", "length")
+    val plan = Cdx.fetchPlan(caps, gapBytes = 0L)
+      .as[(String, Long, Long, Long, Long)].collect().toSet
+    assert(plan == Set(("f", 0L, 1090L, 3L, 1090L)))
+  }
+
+  test("fetchPlan: null filename/offset/length rows drop") {
+    val caps = Seq(
+      (Some("f"), Some(0L), Some(10L)),
+      (None, Some(5L), Some(10L)),
+      (Some("f"), None, Some(10L)))
+      .toDF("filename", "offset", "length")
+    val plan = Cdx.fetchPlan(caps).as[(String, Long, Long, Long, Long)]
+      .collect().toSet
+    assert(plan == Set(("f", 0L, 10L, 1L, 10L)))
+  }
+}
