@@ -2695,6 +2695,37 @@ object SparkEntry {
         .filter(col("status") === 200)
       graft.sources.Cdx.fetchPlan(caps, gapBytes = 150L)
     }),
+    // The full CDX selective-access loop under one oracle (q103): write a
+    // REAL .warc.gz archive with its CDXJ sidecar index (member offsets
+    // measured by the writer), read the index back, keep only host-class
+    // s1's captures, coalesce them into byte ranges at gap 0 (so no
+    // interstitial record can ride along), decode ONLY those ranges, and
+    // emit the records' uri/body/status. The oracle re-derives the exact
+    // record set and payload text from the residue arithmetic — any wrong
+    // offset, length or dictionary handling breaks the gzip decode or the
+    // record set, and the gate goes red.
+    "q103_cdx_ranged_fetch" -> ((s, dir) => {
+      val fixture = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft_cdxwarc_" +
+          java.lang.Long.toHexString(dir.hashCode.toLong & 0xffffffffL) +
+          "_" + ProcessHandle.current().pid())
+      val out = new java.io.File(fixture, "arc").getPath
+      val src = s.range(0, 400).select(
+        concat(lit("https://s"), (col("id") % 5).cast("string"),
+          lit(".test/d/"), col("id").cast("string")).as("uri"),
+        concat(expr("repeat('x', 100 + CAST(id % 7 AS INT) * 10)"),
+          col("id").cast("string")).as("body"))
+      graft.sources.Warc.writeWarcResponses(
+        src.repartition(3), out, "uri", "body",
+        overwrite = true, index = true, maxRecordsPerShard = 60)
+      val idx = graft.sources.Cdx.readCdxj(s, out, glob = Some("*.cdxj"))
+        .filter(col("surt_key").startsWith("test,s1)"))
+      val plan = graft.sources.Cdx.fetchPlan(idx, gapBytes = 0L)
+      graft.sources.Warc.readWarcRanges(s, out, plan)
+        .select(col("target_uri"),
+          col("payload").cast("string").as("body"),
+          col("http_status"))
+    }),
     // SURT key (Cdx.surt): formulaic mixed-case URLs with queries and
     // fragments; every output key re-derived character-for-character from
     // the residue arithmetic in DuckDB.
@@ -4899,6 +4930,11 @@ object SparkEntry {
         |SELECT filename, MIN(o) AS range_start, MAX(e) AS range_end,
         |       COUNT(*) AS n_captures, MAX(e) - MIN(o) AS bytes
         |FROM isl GROUP BY filename, island""".stripMargin,
+    "q103_cdx_ranged_fetch" ->
+      """SELECT 'https://s1.test/d/' || CAST(i AS VARCHAR) AS target_uri,
+        |       repeat('x', 100 + (i % 7) * 10) || CAST(i AS VARCHAR) AS body,
+        |       200 AS http_status
+        |FROM (SELECT range AS i FROM range(0, 400)) WHERE i % 5 = 1""".stripMargin,
     "q102b_surt" ->
       """SELECT i AS id,
         |  'com,ex' || CAST((i % 3) AS VARCHAR) || ',w' || CAST((i % 5) AS VARCHAR)

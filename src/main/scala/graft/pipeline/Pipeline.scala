@@ -208,6 +208,17 @@ object Pipeline {
               raw.withColumn("text", graft.ops.WebText.payloadText(
                 col("payload"), col("http_content_type")))
             else raw
+          case "cdxj" =>
+            // capture index shards (sources/Cdx.readCdxj): typed capture
+            // rows; 'glob' restricts the listing (e.g. "*.cdxj" when the
+            // sidecars share a directory with the .warc.gz shards)
+            val unsupported = sm.keySet -- Set("format", "path", "glob")
+            if (unsupported.nonEmpty)
+              throw new IllegalArgumentException(
+                s"cdxj source supports 'format', 'path', 'glob'; remove: " +
+                  unsupported.toSeq.sorted.mkString(", "))
+            graft.sources.Cdx.readCdxj(spark, path,
+              glob = sm.get("glob").map(_.toString))
           case fmt =>
             val reader = spark.read.format(fmt)
             val withOpts = sm.get("options") match {

@@ -51,6 +51,32 @@ object Cdx {
       .otherwise(concat(rev, lit(")"), path))
   }
 
+  /** JVM-side [[surt]] with the identical rules — the WARC writer's index
+    * sidecar ([[Warc.writeWarcResponses]] `index = true`) runs per record
+    * inside the shard writer where no Column can. Parity with the column
+    * expression is spec-pinned (CdxSpec "surtString parity"); the trim
+    * strips only ASCII spaces to match Spark's `trim`.
+    */
+  def surtString(url: String): String = {
+    if (url == null) return null
+    val u = url.dropWhile(_ == ' ').reverse.dropWhile(_ == ' ')
+      .reverse.toLowerCase(java.util.Locale.ROOT)
+    val host = SchemeHostRe.findFirstMatchIn(u).map(_.group(1)).getOrElse("")
+    if (host.isEmpty) null
+    else {
+      val rev = host.split("\\.", -1).reverse.mkString(",")
+      val pq = PathQueryRe.findFirstMatchIn(u)
+        .flatMap(m => Option(m.group(1))).getOrElse("")
+      val path = if (pq.isEmpty || pq == "/") "/" else pq
+      rev + ")" + path
+    }
+  }
+
+  private val SchemeHostRe =
+    "^[a-z][a-z0-9+.\\-]*://(?:[^/@?#]*@)?([^/:?#]+)".r
+  private val PathQueryRe =
+    "^[a-z][a-z0-9+.\\-]*://[^/?#]*([^#]*)".r
+
   /** Payload schema of the CommonCrawl cc-index CDXJ JSON block. All
     * fields arrive as JSON strings (the published format quotes numbers);
     * [[readCdxj]] casts the numerics.
@@ -74,10 +100,18 @@ object Cdx {
     * (null when the capture has none, e.g. revisit records). Malformed
     * lines (no JSON block, bad JSON) yield null payload fields rather than
     * failing the read — index shards at this scale always carry a few torn
-    * lines; filter `filename IS NULL` to drop or inspect them.
+    * lines; filter `filename IS NULL` to drop or inspect them. `glob`
+    * restricts the listing (e.g. `Some("*.cdxj")` when reading the writer's
+    * sidecars out of a directory that also holds the `.warc.gz` shards).
     */
-  def readCdxj(spark: SparkSession, path: String): DataFrame = {
-    val lines = spark.read.text(path)
+  def readCdxj(
+      spark: SparkSession,
+      path: String,
+      glob: Option[String] = None
+  ): DataFrame = {
+    val reader = spark.read
+    val lines = glob.fold(reader)(g => reader.option("pathGlobFilter", g))
+      .text(path)
     // "<surt> <14-digit ts> <json>" — split on the first two single spaces
     val parsed = lines.select(
       regexp_extract(col("value"), "^(\\S+) (\\d{14}) (\\{.*)$", 1).as("surt_key"),

@@ -104,6 +104,85 @@ object Warc {
     }.toDF()
   }
 
+  /** Ranged WARC read — the selective-access half of the CDX loop: take a
+    * [[Cdx.fetchPlan]] frame (`filename`, `range_start`, `range_end`) and
+    * decode ONLY those byte ranges of `dir`'s archives. One task reads one
+    * or more ranges (seek + bounded read — at web scale this is the ranged
+    * GET against the archive store; nothing outside the plan is ever
+    * fetched), and the member-per-record framing (gzip members / zstd
+    * frames) makes any member-aligned range independently decodable. For
+    * `.warc.zst` archives with a leading skippable-frame DICTIONARY, the
+    * file head is re-read and prepended so mid-file members decode —
+    * index offsets never include the head because the writer's offsets
+    * bracket members only.
+    *
+    * `record_index` is the index WITHIN the decoded range, not the file.
+    * A range produced with a gap tolerance > 0 can contain interstitial
+    * records that were not in the filtered capture set — re-filter by
+    * `target_uri`/`record_id` after decode (the standard CDX-fetch
+    * discipline; [[Cdx.fetchPlan]]'s scaladoc says the same).
+    */
+  def readWarcRanges(
+      s: SparkSession,
+      dir: String,
+      plan: DataFrame,
+      maxPayloadBytes: Int = 64 << 20
+  ): DataFrame = {
+    import s.implicits._
+    val conf = new SerializableConfiguration(
+      s.sparkContext.hadoopConfiguration)
+    val ranges = plan.select(
+      col("filename").cast("string"),
+      col("range_start").cast("long"),
+      col("range_end").cast("long")).as[(String, Long, Long)]
+    ranges.mapPartitions { it =>
+      it.flatMap { case (fn, start, end) =>
+        require(fn != null && start >= 0 && end > start,
+          s"readWarcRanges: bad range ($fn, $start, $end)")
+        val p = new Path(dir, fn)
+        val fs = p.getFileSystem(conf.value)
+        val in = fs.open(p)
+        val bytes =
+          try {
+            val head =
+              if (fn.endsWith(".zst") && start > 0) readHeadSkippables(in)
+              else Array.emptyByteArray
+            val len = math.toIntExact(end - start)
+            val buf = new Array[Byte](len)
+            in.seek(start)
+            in.readFully(buf, 0, len)
+            if (head.isEmpty) buf else head ++ buf
+          } finally in.close()
+        parseFile(s"$p@$start", bytes, maxPayloadBytes)
+      }
+    }.toDF()
+  }
+
+  /** Leading zstd skippable frames of an open `.warc.zst` (the iipc
+    * dictionary convention) — re-read verbatim so a mid-file ranged decode
+    * can prepend them and [[parseFile]]'s dictionary branch applies.
+    */
+  private def readHeadSkippables(
+      in: org.apache.hadoop.fs.FSDataInputStream): Array[Byte] = {
+    val acc = new java.io.ByteArrayOutputStream()
+    var pos = 0L
+    var done = false
+    val hdr = new Array[Byte](8)
+    while (!done) {
+      in.seek(pos)
+      val got = in.read(hdr, 0, 8)
+      if (got < 8 || !isZstSkippable(hdr, 0)) done = true
+      else {
+        val size = math.toIntExact(leU32(hdr, 4))
+        val content = new Array[Byte](size)
+        in.readFully(content, 0, size)
+        acc.write(hdr); acc.write(content)
+        pos += 8L + size
+      }
+    }
+    acc.toByteArray
+  }
+
   /** Write each row as one WARC `response` record (the record type a
     * downstream curation pipeline reads back): an HTTP/1.1 200 message
     * whose body is `bodyCol`, addressed by `uriCol`. `.warc.gz` layout by
@@ -127,7 +206,8 @@ object Warc {
       maxRecordsPerShard: Int = 100000,
       overwrite: Boolean = false,
       contentTypeCol: Option[String] = None,
-      codec: String = "gzip"
+      codec: String = "gzip",
+      index: Boolean = false
   ): Unit = {
     // per-record HTTP Content-Type when a column is given (a crawl body's
     // charset is per-page); rows with a null value fall back to the
@@ -139,8 +219,39 @@ object Warc {
         contentTypeCol.map(c => col(c).cast("string"))
           .getOrElse(lit(null).cast("string")),
         lit(httpContentType)).as("__ct"))
+    // `index = true`: emit a per-shard CDXJ sidecar (part-….cdxj next to
+    // part-….warc.gz — outside the readers' "*.warc*" glob) with one line
+    // per record: SURT key, the write's 14-digit ts, url/mime/status/
+    // digest and the member's exact (offset, length, filename) — the
+    // capture-index convention that makes [[Cdx.fetchPlan]]-driven ranged
+    // reads possible without a separate indexing pass over the archive.
+    val ts14 = warcDate.replaceAll("[^0-9]", "").take(14)
+    require(!index || ts14.length == 14,
+      s"writeWarcResponses: index=true needs a full timestamp warcDate, got '$warcDate'")
+    def jsonEsc(s: String): String =
+      s.flatMap {
+        case '"' => "\\\""
+        case '\\' => "\\\\"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"
+        case c => c.toString
+      }
+    val indexFor: Option[org.apache.spark.sql.Row => (Long, Long, String) => String] =
+      if (!index) None
+      else Some { r =>
+        val uri = r.getString(0)
+        val ct = if (r.isNullAt(2)) httpContentType else r.getString(2)
+        val mime = ct.split(";")(0).trim
+        // unparseable uris keep the raw (lowercased) uri as the key: a
+        // capture must never vanish from its own archive's index
+        val key = Option(graft.sources.Cdx.surtString(uri))
+          .getOrElse(uri.toLowerCase(java.util.Locale.ROOT))
+        val prefix = s"""${key} $ts14 {"url":"${jsonEsc(uri)}","mime":"${jsonEsc(mime)}",""" +
+          f""""status":"200","digest":"${fnv64(uri)}%016x""""
+        (off: Long, len: Long, fn: String) =>
+          prefix + s""","offset":"$off","length":"$len","filename":"${jsonEsc(fn)}"}"""
+      }
     writeShardedRecords(projected, outDir, codec, maxRecordsPerShard,
-      overwrite, "writeWarcResponses") { r =>
+      overwrite, "writeWarcResponses", indexFor) { r =>
       val uri = r.getString(0)
       if (uri == null) throw new IllegalArgumentException(
         "writeWarcResponses: null uri — WARC-Target-URI is mandatory " +
@@ -231,7 +342,13 @@ object Warc {
       codec: String,
       maxRecordsPerShard: Int,
       overwrite: Boolean,
-      errName: String
+      errName: String,
+      // per-record CDXJ index line builder, called with the member's
+      // (offset, compressedLength, shardFileName) once both are known —
+      // offset/length at write time (FSDataOutputStream.getPos brackets
+      // the member, dictionary frames included in the arithmetic because
+      // they too go through `out`), the shard name at close time
+      indexFor: Option[org.apache.spark.sql.Row => (Long, Long, String) => String] = None
   )(mkRecord: org.apache.spark.sql.Row => Array[Byte]): Unit = {
     require(maxRecordsPerShard > 0, "maxRecordsPerShard must be positive")
     require(codec == "gzip" || codec == "zstd" || codec == "zstd-dict",
@@ -266,9 +383,13 @@ object Warc {
             f".inprogress-$attempt%d-part-$pid%05d-$shardNo%04d$ext")
           out = fs.create(tmpPath, true)
         }
+        val idxEntries: scala.collection.mutable.ArrayBuffer[String => String] =
+          if (indexFor.isDefined) new scala.collection.mutable.ArrayBuffer()
+          else null
         def close(): Unit = if (out != null) {
           out.close(); out = null
-          val finalPath = new Path(outDir, f"part-$pid%05d-$shardNo%04d$ext")
+          val finalName = f"part-$pid%05d-$shardNo%04d$ext"
+          val finalPath = new Path(outDir, finalName)
           if (!fs.rename(tmpPath, finalPath)) {
             // discard the temp ONLY for a lost speculative race (dest
             // already complete); a transient rename failure must FAIL the
@@ -281,6 +402,27 @@ object Warc {
                 "it retries instead of dropping the shard")
           }
           tmpPath = null
+          if (idxEntries != null && idxEntries.nonEmpty) {
+            // sidecar: same temp+rename commit; named part-…-….cdxj so the
+            // readers' "*.warc*" glob never sees it
+            val base = finalName.stripSuffix(ext)
+            val idxTmp = new Path(outDir,
+              f".inprogress-$attempt%d-$base%s.cdxj")
+            val os = fs.create(idxTmp, true)
+            try os.write(idxEntries.iterator.map(_(finalName))
+              .mkString("", "\n", "\n")
+              .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            finally os.close()
+            val idxFinal = new Path(outDir, base + ".cdxj")
+            if (!fs.rename(idxTmp, idxFinal)) {
+              if (fs.exists(idxFinal)) fs.delete(idxTmp, false)
+              else throw new java.io.IOException(
+                s"$errName: rename $idxTmp -> $idxFinal failed and the " +
+                  "destination does not exist; failing the task so the " +
+                  "shard (and its index) is retried, not silently unindexed")
+            }
+            idxEntries.clear()
+          }
         }
         // zstd-dict per-shard state: the first `DictSampleRecords` records
         // buffer in memory, a dictionary trains on them, the 0x184D2A5D
@@ -288,7 +430,8 @@ object Warc {
         // dict-compressed. null dict after resolution = training declined
         // (shard too small / trainer failed) → plain frames.
         val useDict = codec == "zstd-dict"
-        var pending: scala.collection.mutable.ArrayBuffer[Array[Byte]] =
+        var pending: scala.collection.mutable.ArrayBuffer[
+            (Array[Byte], (Long, Long, String) => String)] =
           if (useDict) new scala.collection.mutable.ArrayBuffer() else null
         var dict: Array[Byte] = null
         // digested once per shard: setDict(bytes) would re-run
@@ -296,10 +439,13 @@ object Warc {
         // dictionary digests per default shard on the hot write path
         var dictC: com.github.luben.zstd.ZstdDictCompress = null
         var dictDone = !useDict
-        def writeMember(bytes: Array[Byte]): Unit = {
+        def writeMember(
+            bytes: Array[Byte],
+            mkLine: (Long, Long, String) => String): Unit = {
           // one compressed member per record: the member stream closes
           // over a wrapper whose close() is a no-op, so finishing a
           // member never closes the underlying shard stream
+          val posBefore = out.getPos
           val shard = out
           val noClose = new java.io.FilterOutputStream(shard) {
             override def write(b: Array[Byte], off: Int, len: Int): Unit =
@@ -314,9 +460,13 @@ object Warc {
             } else new GZIPOutputStream(noClose)
           member.write(bytes)
           member.close() // flushes the member/frame trailer; shard stays open
+          if (mkLine != null && idxEntries != null) {
+            val len = out.getPos - posBefore
+            idxEntries += (fn => mkLine(posBefore, len, fn))
+          }
         }
         def flushPending(): Unit = {
-          dict = trainDictionary(pending)
+          dict = trainDictionary(pending.map(_._1))
           if (dict != null) {
             dictC = new com.github.luben.zstd.ZstdDictCompress(dict, 3)
             // skippable frame, magic 0x184D2A5D little-endian + u32 size
@@ -326,7 +476,7 @@ object Warc {
               .map(_.toByte))
             out.write(dict)
           }
-          pending.foreach(writeMember)
+          pending.foreach { case (b, mk) => writeMember(b, mk) }
           pending.clear()
           dictDone = true
         }
@@ -341,10 +491,12 @@ object Warc {
             }
           }
           val record = mkRecord(r)
+          val mkLine: (Long, Long, String) => String =
+            indexFor.map(f => f(r)).orNull
           if (!dictDone) {
-            pending += record
+            pending += ((record, mkLine))
             if (pending.length >= DictSampleRecords) flushPending()
-          } else writeMember(record)
+          } else writeMember(record, mkLine)
           inShard += 1
         }
         if (!dictDone) flushPending()

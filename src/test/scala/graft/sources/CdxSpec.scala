@@ -28,6 +28,18 @@ class CdxSpec extends SparkTestBase {
     }
   }
 
+  test("surtString: JVM parity with the column expression") {
+    val urls = Seq(
+      "https://www.Example.COM/Path?Q=1#frag", "http://a.b.c/",
+      "https://x.io", "HTTP://UPPER.test/A?b#c", "not a url", "",
+      "  https://padded.test/x  ", "https://u:p@auth.test/q",
+      "ftp://files.test/z", "https://one.two.three.four.test/deep/p?x=%2F")
+    val viaColumn = urls.toDF("u")
+      .select(Cdx.surt(col("u")).as("s")).as[Option[String]].collect().toSeq
+    val viaJvm = urls.map(u => Option(Cdx.surtString(u)))
+    assert(viaColumn == viaJvm)
+  }
+
   test("readCdxj: fields typed, torn lines survive as null payload") {
     val tmp = java.nio.file.Files.createTempDirectory("cdx_").toFile
     tmp.deleteOnExit()
@@ -87,6 +99,27 @@ class CdxSpec extends SparkTestBase {
     val plan = Cdx.fetchPlan(caps, gapBytes = 0L)
       .as[(String, Long, Long, Long, Long)].collect().toSet
     assert(plan == Set(("f", 0L, 1090L, 3L, 1090L)))
+  }
+
+  test("pipeline cdxj source reads captures; unknown keys rejected") {
+    val tmp = java.nio.file.Files.createTempDirectory("cdx_pipe_").toFile
+    tmp.deleteOnExit()
+    java.nio.file.Files.writeString(
+      new java.io.File(tmp, "i.cdxj").toPath,
+      """com,example)/a 20240102030405 {"url":"https://example.com/a","status":"200","length":"10","offset":"0","filename":"w.warc.gz"}
+        |""".stripMargin)
+    val out = graft.pipeline.Pipeline.run(spark,
+      s"""source: {format: cdxj, path: "${tmp.getAbsolutePath}", glob: "*.cdxj"}
+         |steps:
+         |  - filter: "$$status == 200"
+         |""".stripMargin, _ => fail("no table resolve expected"))
+    assert(out.select("url").as[String].collect().toSeq
+      == Seq("https://example.com/a"))
+    intercept[IllegalArgumentException] {
+      graft.pipeline.Pipeline.run(spark,
+        s"""source: {format: cdxj, path: "${tmp.getAbsolutePath}", bogus: 1}""",
+        _ => fail("no table resolve expected"))
+    }
   }
 
   test("fetchPlan: null filename/offset/length rows drop") {
