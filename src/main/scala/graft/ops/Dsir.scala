@@ -111,6 +111,12 @@ object Dsir {
   ): DataFrame = {
     require(!df.columns.contains("log_weight"),
       "withLogWeights adds log_weight; rename the existing column first")
+    // must MATCH the nibbles the count tables were built with: it fixes
+    // both the smoothing denominator m and the bucket keys this frame's
+    // grams are hashed to — a mismatch joins nothing and every weight is
+    // silently wrong. Same [1,4] domain as hashedGramCounts.
+    require(nibbles >= 1 && nibbles <= 4,
+      s"nibbles must be in [1,4], got $nibbles")
     val m = math.pow(16.0, nibbles.toDouble)
     // coalesce: an EMPTY count table (empty corpus) means a zero total —
     // the model degrades to uniform-over-buckets — not a null that would

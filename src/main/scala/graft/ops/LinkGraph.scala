@@ -99,11 +99,18 @@ object LinkGraph {
     * stripped, whitespace collapsed, text trimmed.
     */
   def anchors(html: Column): Column = {
-    val pat = "(?is)<a\\b[^>]*?\\bhref\\s*=\\s*(?:\"([^\"]*)\"|'([^']*)')[^>]*>(.*?)</a>"
+    // the same three quoting forms [[hrefs]] accepts (double/single/
+    // unquoted) — the two halves of the module must agree on which links
+    // exist, or a host can carry rank evidence with zero anchor rows from
+    // identical markup
+    val pat = "(?is)<a\\b[^>]*?\\bhref\\s*=\\s*" +
+      "(?:\"([^\"]*)\"|'([^']*)'|([^\\s\"'>][^\\s>]*))[^>]*>(.*?)</a>"
     val dq = regexp_extract_all(html, lit(pat), lit(1))
     val sq = regexp_extract_all(html, lit(pat), lit(2))
-    val tx = regexp_extract_all(html, lit(pat), lit(3))
-    zip_with(zip_with(dq, sq, (a, b) => when(a =!= "", a).otherwise(b)), tx,
+    val uq = regexp_extract_all(html, lit(pat), lit(3))
+    val tx = regexp_extract_all(html, lit(pat), lit(4))
+    val href0 = zip_with(dq, sq, (a, b) => when(a =!= "", a).otherwise(b))
+    zip_with(zip_with(href0, uq, (a, b) => when(a =!= "", a).otherwise(b)), tx,
       (href, raw) => struct(
         href.as("href"),
         trim(regexp_replace(regexp_replace(raw, "<[^>]*>", " "), "\\s+", " "))
@@ -198,27 +205,43 @@ object LinkGraph {
       .persist(StorageLevel.MEMORY_AND_DISK)
     ewd.count()
     e.unpersist()
-    val srcs = ewd.select(col("src")).distinct()
+    // the dangling-vertex SET is loop-invariant: materialize it once (a
+    // lazy anti-join here would re-scan the edge cache and re-run its
+    // distinct every iteration just to rediscover the same set)
+    val danglingVerts = vertices
+      .join(ewd.select(col("src").as("host")).distinct(),
+        Seq("host"), "left_anti")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    danglingVerts.count()
     val reliable =
       edges.sparkSession.sparkContext.getCheckpointDir.isDefined
     def cut(df: DataFrame): DataFrame =
       if (reliable) df.checkpoint() else df.localCheckpoint()
     var ranks = vertices.select(col("host"), lit(1.0 / n).as("rank"))
+    var prev: DataFrame = null
     for (_ <- 1 to iterations) {
-      val dangling = ranks.join(srcs.withColumnRenamed("src", "host"),
-          Seq("host"), "left_anti")
+      val dangling = ranks
+        .join(danglingVerts, Seq("host"), "left_semi")
         .agg(coalesce(sum(col("rank")), lit(0.0)).as("__dm"))
       val contribs = ewd
         .join(ranks.withColumnRenamed("host", "src"), "src")
         .groupBy(col("dst").as("host"))
         .agg(sum(col("rank") / col("__deg")).as("__c"))
-      ranks = cut(vertices.join(contribs, Seq("host"), "left")
+      val next = cut(vertices.join(contribs, Seq("host"), "left")
         .crossJoin(broadcast(dangling))
         .select(col("host"),
           (lit((1.0 - damping) / n) + lit(damping) *
             (coalesce(col("__c"), lit(0.0)) + col("__dm") / lit(n)))
             .as("rank")))
+      // cut() is EAGER, so the superseded snapshot can be dropped now —
+      // otherwise every iteration's vertex-sized rank copy stays resident
+      // for the whole run and evicts the edge cache the loop depends on
+      if (prev != null) prev.unpersist()
+      prev = ranks
+      ranks = next
     }
+    if (prev != null) prev.unpersist()
+    danglingVerts.unpersist()
     vertices.unpersist()
     ewd.unpersist()
     ranks

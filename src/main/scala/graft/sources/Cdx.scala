@@ -158,9 +158,13 @@ object Cdx {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("filename"))
       .orderBy(col("offset"), col("end"))
+    // length > 0: a malformed capture with "length":"0" (try_cast keeps
+    // it) would otherwise yield a degenerate range_end == range_start row
+    // that aborts the downstream ranged read — torn-index tolerance means
+    // dropping it here, same as the null fields
     val rows = captures
       .where(col("filename").isNotNull && col("offset").isNotNull &&
-        col("length").isNotNull)
+        col("length").isNotNull && col("offset") >= 0 && col("length") > 0)
       .select(col("filename"), col("offset").cast("long").as("offset"),
         (col("offset") + col("length")).cast("long").as("end"))
     val marked = rows

@@ -121,12 +121,20 @@ object Warc {
     * records that were not in the filtered capture set — re-filter by
     * `target_uri`/`record_id` after decode (the standard CDX-fetch
     * discipline; [[Cdx.fetchPlan]]'s scaladoc says the same).
+    *
+    * Each range buffers in one array, so ranges are capped at
+    * `maxRangeBytes` (default 1 GiB — the WARC sizing convention; the
+    * whole-file read path has the same class of bound via `binaryFile`'s
+    * 2 GiB limit). A plan exceeding it fails LOUDLY with the knob to turn
+    * (a smaller `gapBytes` at planning time) instead of an executor OOM
+    * or an opaque overflow mid-read.
     */
   def readWarcRanges(
       s: SparkSession,
       dir: String,
       plan: DataFrame,
-      maxPayloadBytes: Int = 64 << 20
+      maxPayloadBytes: Int = 64 << 20,
+      maxRangeBytes: Long = 1L << 30
   ): DataFrame = {
     import s.implicits._
     val conf = new SerializableConfiguration(
@@ -139,6 +147,11 @@ object Warc {
       it.flatMap { case (fn, start, end) =>
         require(fn != null && start >= 0 && end > start,
           s"readWarcRanges: bad range ($fn, $start, $end)")
+        require(end - start <= maxRangeBytes,
+          s"readWarcRanges: range ($fn, $start, $end) is ${end - start} " +
+            s"bytes, over maxRangeBytes=$maxRangeBytes — replan with a " +
+            "smaller fetchPlan gapBytes (or raise maxRangeBytes if the " +
+            "executors have the memory)")
         val p = new Path(dir, fn)
         val fs = p.getFileSystem(conf.value)
         val in = fs.open(p)
@@ -170,7 +183,16 @@ object Warc {
     val hdr = new Array[Byte](8)
     while (!done) {
       in.seek(pos)
-      val got = in.read(hdr, 0, 8)
+      // loop to 8 bytes: FSDataInputStream.read may legally return short
+      // mid-stream (object-store chunk boundaries) — a partial header read
+      // must not be mistaken for end-of-skippables, or the dictionary
+      // frame silently goes missing and every mid-file member fails
+      var got = 0
+      var eof = false
+      while (got < 8 && !eof) {
+        val n = in.read(hdr, got, 8 - got)
+        if (n < 0) eof = true else got += n
+      }
       if (got < 8 || !isZstSkippable(hdr, 0)) done = true
       else {
         val size = math.toIntExact(leU32(hdr, 4))
@@ -242,9 +264,20 @@ object Warc {
         val ct = if (r.isNullAt(2)) httpContentType else r.getString(2)
         val mime = ct.split(";")(0).trim
         // unparseable uris keep the raw (lowercased) uri as the key: a
-        // capture must never vanish from its own archive's index
-        val key = Option(graft.sources.Cdx.surtString(uri))
+        // capture must never vanish from its own archive's index. The key
+        // is the line's FIRST space-delimited token, so any whitespace a
+        // garbage uri smuggled in must be percent-encoded or the sidecar
+        // line itself becomes unparseable (and a newline would split it) —
+        // the exact silent-vanish this fallback exists to prevent.
+        val rawKey = Option(graft.sources.Cdx.surtString(uri))
           .getOrElse(uri.toLowerCase(java.util.Locale.ROOT))
+        val key = rawKey.flatMap {
+          case ' ' => "%20"
+          case '\t' => "%09"
+          case '\n' => "%0A"
+          case '\r' => "%0D"
+          case c => c.toString
+        }
         val prefix = s"""${key} $ts14 {"url":"${jsonEsc(uri)}","mime":"${jsonEsc(mime)}",""" +
           f""""status":"200","digest":"${fnv64(uri)}%016x""""
         (off: Long, len: Long, fn: String) =>

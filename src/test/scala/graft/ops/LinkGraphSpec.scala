@@ -78,6 +78,18 @@ class LinkGraphSpec extends SparkTestBase {
       ("/r", "")))
   }
 
+  test("anchors: unquoted legacy hrefs extract too (parity with hrefs())") {
+    val html = "<a href=http://u.test/legacy>unquoted target</a>"
+    val got = Seq(Tuple1(html)).toDF("h")
+      .select(LinkGraph.anchors(col("h")).as("a"))
+      .selectExpr("inline(a)").as[(String, String)].collect().toSeq
+    assert(got == Seq(("http://u.test/legacy", "unquoted target")))
+    // the same markup must produce BOTH the edge and the anchor row
+    val df = Seq(("https://src.test/p", html)).toDF("url", "html")
+    assert(LinkGraph.hostEdges(df, "url", "html").count() == 1)
+    assert(LinkGraph.anchorTexts(df, "url", "html").count() == 1)
+  }
+
   test("anchorTexts: cross-host only, empty anchors drop, occurrences kept") {
     val html =
       """<a href="http://dst.test/a">go <i>there</i></a>

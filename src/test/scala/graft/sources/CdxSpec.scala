@@ -132,4 +132,15 @@ class CdxSpec extends SparkTestBase {
       .collect().toSet
     assert(plan == Set(("f", 0L, 10L, 1L, 10L)))
   }
+
+  test("fetchPlan: zero/negative lengths and negative offsets drop " +
+    "(no degenerate range can reach the ranged reader)") {
+    val caps = Seq(
+      ("f", 0L, 10L), ("f", 50L, 0L), ("f", 60L, -5L), ("f", -1L, 10L))
+      .toDF("filename", "offset", "length")
+    val plan = Cdx.fetchPlan(caps).as[(String, Long, Long, Long, Long)]
+      .collect().toSet
+    assert(plan == Set(("f", 0L, 10L, 1L, 10L)))
+    plan.foreach { case (_, s, e, _, _) => assert(e > s) }
+  }
 }

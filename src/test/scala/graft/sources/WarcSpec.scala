@@ -448,6 +448,25 @@ class WarcSpec extends SparkTestBase {
     }
   }
 
+  test("index sidecar: whitespace in a garbage uri percent-encodes in the " +
+    "key — the capture stays findable instead of breaking its line") {
+    val dir = tmpDir()
+    val docs = Seq(
+      ("https://ok.test/fine", "good"),
+      ("https://bad.test/with space/and\ttab", "weird but archived"))
+      .toDF("uri", "body")
+    Warc.writeWarcResponses(docs, dir, "uri", "body",
+      overwrite = true, index = true)
+    val idx = Cdx.readCdxj(spark, dir, glob = Some("*.cdxj")).collect()
+    assert(idx.length == 2)
+    idx.foreach { r =>
+      assert(r.getAs[String]("surt_key") != null, "every line must parse")
+      assert(r.getAs[String]("filename") != null)
+    }
+    val weird = idx.filter(_.getAs[String]("url").contains("space")).head
+    assert(weird.getAs[String]("surt_key") == "test,bad)/with%20space/and%09tab")
+  }
+
   test("readWarcRanges: fetchPlan-driven selective decode, gz") {
     val dir = tmpDir()
     val docs = (0 until 40).map(i =>
