@@ -706,6 +706,25 @@ object Pipeline {
           sp.get("seed").map(_.toString.toLong).getOrElse(42L),
           sp.get("saltBuckets").map(_.toString.toInt).getOrElse(32))
 
+      case "cdxPlan" =>
+        // captures (the cdxj source's frame, filtered) → per-WARC-file
+        // coalesced byte ranges; {gapBytes: 0}
+        val p = asMap(step("cdxPlan"), "cdxPlan")
+        graft.sources.Cdx.fetchPlan(df,
+          p.get("gapBytes").map(_.toString.toLong).getOrElse(0L))
+
+      case "fetchWarc" =>
+        // the frame IS a fetch plan (filename/range_start/range_end) —
+        // replace it with the decoded records of exactly those byte
+        // ranges; {dir: archiveDir, maxPayloadBytes?, maxRangeBytes?}
+        val p = asMap(step("fetchWarc"), "fetchWarc")
+        graft.sources.Warc.readWarcRanges(df.sparkSession,
+          p.getOrElse("dir", throw new IllegalArgumentException(
+            "fetchWarc needs 'dir' (the archive directory)")).toString,
+          df,
+          p.get("maxPayloadBytes").map(_.toString.toInt).getOrElse(64 << 20),
+          p.get("maxRangeBytes").map(_.toString.toLong).getOrElse(1L << 30))
+
       case "dsirSelect" =>
         // DSIR data selection (ops/Dsir.scala): importance weights of each
         // row against a TARGET exemplar table under hashed-n-gram bag

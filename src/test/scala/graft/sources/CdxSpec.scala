@@ -133,6 +133,25 @@ class CdxSpec extends SparkTestBase {
     assert(plan == Set(("f", 0L, 10L, 1L, 10L)))
   }
 
+  test("config-only CDX loop: cdxj source -> filter -> cdxPlan -> fetchWarc") {
+    val dir = java.nio.file.Files.createTempDirectory("cdx_loop_").toFile
+    dir.deleteOnExit()
+    val docs = (0 until 30).map(i =>
+      (s"https://h${i % 3}.test/d/$i", s"payload $i")).toDF("uri", "body")
+    Warc.writeWarcResponses(docs, dir.getAbsolutePath, "uri", "body",
+      overwrite = true, index = true)
+    val out = graft.pipeline.Pipeline.run(spark,
+      s"""source: {format: cdxj, path: "${dir.getAbsolutePath}", glob: "*.cdxj"}
+         |steps:
+         |  - filter: "extract /^test,h1\\\\)/ from $$surt_key != null"
+         |  - cdxPlan: {gapBytes: 0}
+         |  - fetchWarc: {dir: "${dir.getAbsolutePath}"}
+         |""".stripMargin, _ => fail("no table resolve expected"))
+    val uris = out.select("target_uri").as[String].collect().toSet
+    assert(uris == (0 until 30).filter(_ % 3 == 1)
+      .map(i => s"https://h1.test/d/$i").toSet)
+  }
+
   test("fetchPlan: zero/negative lengths and negative offsets drop " +
     "(no degenerate range can reach the ranged reader)") {
     val caps = Seq(
