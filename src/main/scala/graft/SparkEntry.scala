@@ -2726,6 +2726,41 @@ object SparkEntry {
           col("payload").cast("string").as("body"),
           col("http_status"))
     }),
+    // Sitemap parsing (Sitemaps.parseSitemaps): 120 formulaic documents —
+    // urlsets with two entries each (entity-escaped query URLs, lastmod
+    // dates, changefreq, priority) and every 10th a sitemapindex with two
+    // children — exploded to one row per discovered URL. The oracle
+    // re-derives every loc / parsed lastmod / hint / kind from the
+    // residue arithmetic, including the &amp; decode.
+    "q104_sitemap_parse" -> ((s, dir) => {
+      val host = concat(lit("https://h"), (col("id") % 6).cast("string"),
+        lit(".test"))
+      def urlBlock(k: Int) = concat(
+        lit("<url><loc>"), host, lit(s"/p/"), col("id").cast("string"),
+        lit(s"/$k?a=1&amp;b=$k</loc><lastmod>2024-03-0"),
+        (col("id") % 9 + 1).cast("string"),
+        lit("</lastmod><changefreq>"),
+        when(col("id") % 3 === 0, lit("daily"))
+          .when(col("id") % 3 === 1, lit("weekly")).otherwise(lit("monthly")),
+        lit("</changefreq><priority>0."), (col("id") % 10).cast("string"),
+        lit("</priority></url>"))
+      def childBlock(k: Int) = concat(
+        lit("<sitemap><loc>"), host, lit("/sm/"), col("id").cast("string"),
+        lit(s"/$k.xml</loc><lastmod>2024-01-0"),
+        (col("id") % 5 + 1).cast("string"),
+        lit("</lastmod></sitemap>"))
+      val xml = when(col("id") % 10 === 9,
+        concat(lit("<sitemapindex>"), childBlock(0), childBlock(1),
+          lit("</sitemapindex>")))
+        .otherwise(concat(lit("<urlset>"), urlBlock(0), urlBlock(1),
+          lit("</urlset>")))
+      graft.ops.Sitemaps.parseSitemaps(
+          s.range(0, 120).select(col("id").as("doc_id"), xml.as("xml")),
+          "xml")
+        .select(col("doc_id"), col("loc"),
+          col("lastmod").cast("string").as("lastmod"),
+          col("changefreq"), col("priority"), col("kind"))
+    }),
     // SURT key (Cdx.surt): formulaic mixed-case URLs with queries and
     // fragments; every output key re-derived character-for-character from
     // the residue arithmetic in DuckDB.
@@ -4935,6 +4970,30 @@ object SparkEntry {
         |       repeat('x', 100 + (i % 7) * 10) || CAST(i AS VARCHAR) AS body,
         |       200 AS http_status
         |FROM (SELECT range AS i FROM range(0, 400)) WHERE i % 5 = 1""".stripMargin,
+    "q104_sitemap_parse" ->
+      """WITH i AS (SELECT range AS i FROM range(0, 120)),
+        |k AS (SELECT unnest([0, 1]) AS k),
+        |urls AS (
+        |  SELECT i.i AS doc_id,
+        |    'https://h' || CAST((i % 6) AS VARCHAR) || '.test/p/'
+        |      || CAST(i AS VARCHAR) || '/' || CAST(k AS VARCHAR)
+        |      || '?a=1&b=' || CAST(k AS VARCHAR) AS loc,
+        |    CAST(CAST(('2024-03-0' || CAST((i % 9 + 1) AS VARCHAR)) AS TIMESTAMP) AS VARCHAR) AS lastmod,
+        |    CASE i % 3 WHEN 0 THEN 'daily' WHEN 1 THEN 'weekly'
+        |      ELSE 'monthly' END AS changefreq,
+        |    CAST(('0.' || CAST((i % 10) AS VARCHAR)) AS DOUBLE) AS priority,
+        |    'url' AS kind
+        |  FROM i CROSS JOIN k WHERE i % 10 <> 9),
+        |kids AS (
+        |  SELECT i.i AS doc_id,
+        |    'https://h' || CAST((i % 6) AS VARCHAR) || '.test/sm/'
+        |      || CAST(i AS VARCHAR) || '/' || CAST(k AS VARCHAR) || '.xml' AS loc,
+        |    CAST(CAST(('2024-01-0' || CAST((i % 5 + 1) AS VARCHAR)) AS TIMESTAMP) AS VARCHAR) AS lastmod,
+        |    CAST(NULL AS VARCHAR) AS changefreq,
+        |    CAST(NULL AS DOUBLE) AS priority,
+        |    'sitemap' AS kind
+        |  FROM i CROSS JOIN k WHERE i % 10 = 9)
+        |SELECT * FROM urls UNION ALL SELECT * FROM kids""".stripMargin,
     "q102b_surt" ->
       """SELECT i AS id,
         |  'com,ex' || CAST((i % 3) AS VARCHAR) || ',w' || CAST((i % 5) AS VARCHAR)

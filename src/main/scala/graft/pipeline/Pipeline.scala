@@ -706,6 +706,12 @@ object Pipeline {
           sp.get("seed").map(_.toString.toLong).getOrElse(42L),
           sp.get("saltBuckets").map(_.toString.toInt).getOrElse(32))
 
+      case "sitemaps" =>
+        // explode sitemap XML documents into one row per discovered URL
+        // (urlset entries + sitemapindex children); {xml: column}
+        val p = asMap(step("sitemaps"), "sitemaps")
+        graft.ops.Sitemaps.parseSitemaps(df, p("xml").toString)
+
       case "cdxPlan" =>
         // captures (the cdxj source's frame, filtered) → per-WARC-file
         // coalesced byte ranges; {gapBytes: 0}
