@@ -255,18 +255,27 @@ object CharsetText {
     (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z')
 
   /** Position just past the '>' closing the tag whose body starts at
-    * `from`, quote-aware ('"'/'\'' spans may contain '>'); `n` if
-    * unterminated.
+    * `from`, quote-aware in ATTRIBUTE-VALUE POSITION ONLY — per the spec's
+    * get-an-attribute rules a quote opens a span only when it immediately
+    * follows '=' (plus optional whitespace); a stray apostrophe elsewhere
+    * in the tag (`<a title=don't>`) is a plain character, NOT a span
+    * opener that would swallow the rest of the window and hide a real
+    * `<meta charset>` after it. `n` if unterminated.
     */
   private def tagEnd(s: String, from: Int): Int = {
     var i = from
     val n = s.length
     while (i < n) {
       val c = s.charAt(i)
-      if (c == '"' || c == '\'') {
+      if (c == '=') {
         i += 1
-        while (i < n && s.charAt(i) != c) i += 1
-        if (i < n) i += 1
+        while (i < n && isAsciiWs(s.charAt(i))) i += 1
+        if (i < n && (s.charAt(i) == '"' || s.charAt(i) == '\'')) {
+          val q = s.charAt(i)
+          i += 1
+          while (i < n && s.charAt(i) != q) i += 1
+          if (i < n) i += 1
+        }
       } else if (c == '>') return i + 1
       else i += 1
     }
@@ -321,7 +330,10 @@ object CharsetText {
     while (i < n) {
       if (win.charAt(i) != '<') i += 1
       else if (win.startsWith("<!--", i)) {
-        val e = win.indexOf("-->", i + 4)
+        // search from i+2: the spec lets the opening "--" double as the
+        // closer, so "<!-->" and "<!--->" are complete (empty) comments —
+        // starting past them would miss the overlap and abort the prescan
+        val e = win.indexOf("-->", i + 2)
         if (e < 0) return null
         i = e + 3
       } else if (win.startsWith("<meta", i) && i + 5 < n &&

@@ -872,7 +872,9 @@ object Pipeline {
               asSeq(pm.getOrElse("cols",
                 throw new IllegalArgumentException("profile map needs 'cols'")))
                 .map(_.toString),
-              approx = !pm.get("approx").exists(_ == false),
+              // toString.toBoolean like every other boolean option here:
+              // a YAML STRING 'false' must behave like the bare boolean
+              approx = pm.get("approx").forall(_.toString.toBoolean),
               accuracy = pm.get("accuracy").map(_.toString.toInt).getOrElse(10000))
           case cols => graft.ops.Corpus.profile(df, asSeq(cols).map(_.toString))
         }

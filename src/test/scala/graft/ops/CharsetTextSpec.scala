@@ -100,6 +100,27 @@ class CharsetTextSpec extends SparkTestBase {
     assert(CharsetText.decode(h2.getBytes("windows-1252"), null) == h2)
   }
 
+  test("stray quote in an unquoted attribute value does not swallow the window") {
+    // per the get-an-attribute rules the apostrophe in don't is a plain
+    // character (quotes only open spans immediately after '='), so the
+    // following real meta declaration must still win
+    val html = "<a title=don't>x</a><meta charset=windows-1252>€–"
+    assert(CharsetText.decode(html.getBytes("windows-1252"), "text/html") == html)
+    // a quote in VALUE position still protects '>' inside it
+    val html2 = "<a title=\"a>b\">x</a><meta charset=windows-1252>€"
+    assert(CharsetText.decode(html2.getBytes("windows-1252"), "text/html") == html2)
+  }
+
+  test("empty comments <!--> and <!---> close at the overlapping dashes") {
+    val h1 = "<!--><meta charset=windows-1252>€“”"
+    assert(CharsetText.decode(h1.getBytes("windows-1252"), "text/html") == h1)
+    val h2 = "<!---><meta charset=windows-1252>–"
+    assert(CharsetText.decode(h2.getBytes("windows-1252"), "text/html") == h2)
+    // a real comment still hides its decoys
+    val h3 = "<!-- <meta charset=big5> --><meta charset=windows-1252>€"
+    assert(CharsetText.decode(h3.getBytes("windows-1252"), "text/html") == h3)
+  }
+
   test("meta quirks: utf-16 label reads as utf-8; x-user-defined as cp1252") {
     val u16 = "<meta charset=utf-16le>tricky é"
     assert(CharsetText.decode(u16.getBytes("UTF-8"), "text/html") == u16)

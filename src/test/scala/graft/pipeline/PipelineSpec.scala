@@ -633,6 +633,15 @@ class PipelineSpec extends SparkTestBase {
         |""".stripMargin, dir)
     assert(!exact.queryExecution.executedPlan.toString.contains("approx_percentile"),
       "approx: false must opt into the exact percentile")
+    // the YAML STRING 'false' must coerce like the bare boolean — the
+    // same contract as every other boolean option in the file
+    val exactStr = Pipeline.runOnDir(spark,
+      """source: lineitem
+        |steps:
+        |  - profile: {cols: [l_quantity], approx: 'false'}
+        |""".stripMargin, dir)
+    assert(!exactStr.queryExecution.executedPlan.toString.contains("approx_percentile"),
+      "approx: 'false' (string) must also opt into the exact percentile")
   }
 
   test("sampleDeterministic / takePerStratum / mix verbs") {
