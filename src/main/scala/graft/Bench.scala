@@ -166,19 +166,33 @@ object Bench {
     }
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(_.contains(n)))
-    // cold pass doubles as warm-up: JIT + codegen + parquet footer caches
-    val cold = names.map(n => n -> once(n))
-    // best-of-3 timed runs: this box shows ±20% (occasionally 2×) jitter on
-    // >1.5 s queries (GC/JIT in a single JVM); best-of-N is the standard
-    // low-noise estimator, and the reported per-query SPREAD (max−min over
-    // the timed runs) marks which numbers are trustworthy for regression
-    // calls — a delta smaller than the spread is noise, not signal. A
-    // System.gc() between queries keeps one query's garbage from being
-    // collected on the next query's clock.
-    val runs = names.map { n =>
+    // Per-query schedule (round 14): the gate-construction rows' fixtures
+    // (media renders, WARC archive writes, signature corpora) materialize
+    // via SparkEntry.prepare OUTSIDE the timed region, then the query runs
+    // cold + 3 timed back-to-back, then its fixtures release — so the
+    // committed number measures the OPERATOR, a bucket never carries every
+    // earlier query's fixture in executor memory, and the old
+    // fork-bucket-adjudication ritual for the fixture-bimodal rows is
+    // unnecessary. The cold run still doubles as warm-up (JIT + codegen +
+    // parquet footer caches); best-of-3 with the reported SPREAD (max−min)
+    // stays the estimator — a delta smaller than its spread is noise. A
+    // System.gc() between runs keeps one run's garbage off the next run's
+    // clock.
+    val perQuery = names.map { n =>
+      SparkEntry.prepare.get(n).foreach { f =>
+        try f(spark, sfDir)
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] prepare $n: $e") }
+      }
+      val c = once(n)
       val ts = Seq.fill(3) { System.gc(); once(n) }
-      n -> ts
+      try SparkEntry.releaseFixture(n, sfDir)
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] release $n: $e") }
+      (n, c, ts)
     }
+    val cold = perQuery.map { case (n, c, _) => n -> c }
+    val runs = perQuery.map { case (n, _, ts) => n -> ts }
     // min/spread over SUCCESSFUL runs only: a −1 sentinel mixed into min()
     // would both be reported as the query's time and vanish from the total.
     val results = runs.map { case (n, ts) =>

@@ -127,6 +127,265 @@ object SparkEntry {
     out.toByteArray
   }
 
+  // ------------------------------------------------------------- fixtures
+  //
+  // Bench fixture split (VERDICT r13 #6): the gate-construction queries
+  // synthesize worst-case corpora (PNG/WAV/MJPEG renders, WARC archive
+  // writes, 200k-signature tables) INSIDE the query, so their committed
+  // bench numbers measured fixture synthesis as much as the operator and
+  // needed a fork-bucket adjudication ritual every round. `prepare`
+  // materializes those fixtures OUTSIDE the timed region (Bench calls it
+  // per query before the cold run and `releaseFixture` after the last
+  // timed run); Verify never calls it — every query stays self-contained
+  // and falls back to inline synthesis when nothing is prepared.
+
+  private val fixtureFrames =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  private val preparedDirs =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  private def cachedFrame(key: String)(build: => DataFrame): DataFrame = {
+    val c = fixtureFrames.get(key)
+    if (c != null) c else build
+  }
+
+  private def materializeFrame(key: String, df: => DataFrame): Unit =
+    if (!fixtureFrames.containsKey(key)) {
+      val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      p.count()
+      fixtureFrames.put(key, p)
+      ()
+    }
+
+  /** Drop a query's prepared in-memory fixtures (Bench, after the last
+    * timed run of that query — a bucket of 12 queries must not carry
+    * every earlier query's fixture in executor memory). Disk-side
+    * fixtures (written archives) stay — they are tmp-dir files reused by
+    * later runs in the same JVM.
+    */
+  def releaseFixture(name: String, dir: String): Unit = {
+    val df = fixtureFrames.remove(s"$name:$dir")
+    if (df != null) df.unpersist(blocking = false)
+    ()
+  }
+
+  /** Media fixtures for the q76/q78/q79 near-dup gates (doubled documents
+    * rendered to real PNG/WAV/MJPEG payloads — the expensive half of those
+    * queries).
+    */
+  private def mediaFixture(s: SparkSession, dir: String, kind: String): DataFrame = {
+    import s.implicits._
+    val d0 = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val dd = d0.unionByName(
+      d0.select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+    kind match {
+      case "image" => dd.as[(Long, String)].map { case (id, text) =>
+        graft.ops.MediaRow(id,
+          graft.ops.MediaMeta("image", "png", 48, 32, 0, 0L),
+          renderTestPng(text, 48, 32))
+      }.toDF()
+      case "audio" => dd.as[(Long, String)].map { case (id, text) =>
+        graft.ops.MediaRow(id,
+          graft.ops.MediaMeta("audio", "wav", 0, 0, 8000, 256L),
+          renderTestWav(text, halfGain = id >= 1000000L))
+      }.toDF()
+      case "video" => dd.as[(Long, String)].map { case (id, text) =>
+        graft.ops.MediaRow(id,
+          graft.ops.MediaMeta("video", "mjpeg", 48, 32, 0, 3000L),
+          renderTestMjpeg(text))
+      }.toDF()
+    }
+  }
+
+  /** Signature corpora for the q82/q93 multi-index Hamming gates. */
+  private def sigFixture(s: SparkSession, dir: String, withHot: Boolean): DataFrame = {
+    val base = t(s, dir, "lineitem")
+      .filter(col("l_orderkey") % 3 === 0)
+      .select((col("l_orderkey") * 10 + col("l_linenumber")).as("id"),
+        xxhash64(col("l_orderkey"), col("l_linenumber")).as("sig"))
+      .distinct()
+    if (!withHot) {
+      val planted = base.filter(col("id") % 97 === 0)
+        .select((col("id") + 1000000000L).as("id"), col("sig"))
+      base.unionByName(planted)
+    } else {
+      val planted = base.filter(col("id") % 97 === 0)
+        .select((col("id") + 1000000000L).as("id"),
+          col("sig").bitwiseXOR(lit(0x111111L)).as("sig")) // 6 bit flips
+      val hot = s.range(50000)
+        .select((col("id") + 5000000000L).as("id"), lit(0x0BADCAFEL).as("sig"))
+      base.unionByName(planted).unionByName(hot)
+    }
+  }
+
+  /** q99's fixture archive location — deterministic per (sf dir, JVM), so
+    * a prepared write is found by every later run in the same process.
+    */
+  private def q99ArchiveDir(dir: String): String =
+    new java.io.File(new java.io.File(sys.props("java.io.tmpdir"),
+      "graft_warc_cap_" +
+        java.lang.Long.toHexString(dir.hashCode.toLong & 0xffffffffL) +
+        "_" + ProcessHandle.current().pid()), "cap").getPath
+
+  /** q99's fixture archive write (the capstone's planted corpus rendered
+    * to a zstd-dict WARC archive — the fixture half of the gate; the
+    * pipeline half is [[q99Pipeline]]). See the q99 entry's comments for
+    * the construction's intent.
+    */
+  private def q99WriteArchive(s: SparkSession, dir: String): Unit = {
+    require(CapstonePromo.length > 200 && CapstoneRu.length > 200)
+    val out = q99ArchiveDir(dir)
+    val base0 = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val base = base0.unionByName(
+      base0.select((col("doc_id") + 1001000L).as("doc_id"), col("text")))
+    val pagePrefix = "<html><body><nav><a href=\"/\">Home</a> " +
+      "<a href=\"/a\">About</a></nav>"
+    val pageSuffix = "<footer><a href=\"/t\">Terms</a></footer></body></html>"
+    // %13==2: machine-repeated spam — dup 5-gram coverage blows the
+    // Gopher cap, so the keep_full gate must FIRE on this class (the
+    // promo paragraph makes every other signal healthy on every page;
+    // the copy shift 1001000 = 7·11·13·1000 keeps this class aligned
+    // between originals and copies too)
+    val inner = when(col("doc_id") % 13 === 2, lit(CapstoneSpam))
+      .otherwise(concat(col("text"),
+        when(col("doc_id") % 5 === 0, lit(" pay 4111 1111 1111 1111 now"))
+          .when(col("doc_id") % 5 === 1, lit(" ref 4111 1111 1111 1112 end"))
+          .otherwise(lit(""))))
+    // ORIGINAL page bytes: ASCII chrome UTF-8-encoded, the marker as
+    // raw cp1252 bytes under an iso-8859-1 label (Spark's encode()
+    // cannot emit cp1252 for ’/…; a binary literal can). The +1001000
+    // COPY of the same page is UTF-8 bytes under a utf-8 label —
+    // byte-divergent, decode-CONVERGENT twins: only the WHATWG label
+    // remap makes them equal, so the exact-dedup collapse downstream
+    // is the charset detector (see CapstoneMarker's scaladoc).
+    val isCopy = col("doc_id") >= 1001000L
+    val body = when(col("doc_id") % 11 === 0,
+        lit((pagePrefix + "<p>" + CapstoneRu + "</p>" + pageSuffix)
+          .getBytes("UTF-8")))
+      .when(isCopy,
+        encode(concat(
+          lit(pagePrefix + "<p>" + CapstonePromo + "</p><p>"), inner,
+          lit(CapstoneMarker + "</p>" + pageSuffix)), "UTF-8"))
+      .otherwise(concat(
+        encode(concat(
+          lit(pagePrefix + "<p>" + CapstonePromo + "</p><p>"), inner),
+          "UTF-8"),
+        lit(CapstoneMarker.getBytes("windows-1252")),
+        encode(lit("</p>" + pageSuffix), "UTF-8")))
+    val src = base.select(
+      concat(lit("https://site"), (col("doc_id") % 50).cast("string"),
+        lit(".com/doc/"), col("doc_id").cast("string")).as("uri"),
+      body.as("body"),
+      when(col("doc_id") % 11 === 0 || isCopy, lit("text/html; charset=utf-8"))
+        .otherwise(lit("text/html; charset=iso-8859-1")).as("ct"))
+    graft.sources.Warc.writeWarcResponses(
+      src.repartition(4), out, "uri", "body", overwrite = true,
+      contentTypeCol = Some("ct"), codec = "zstd-dict")
+  }
+
+  /** q99's 13-leg pipeline over the fixture archive — the TIMED half. */
+  private def q99Pipeline(s: SparkSession, dir: String, out: String): DataFrame =
+    graft.pipeline.Pipeline.run(s,
+      s"""source: {format: warc, path: "$out"}
+         |steps:
+         |  - filter: "$$http_status == 200"
+         |  - withColumns:
+         |      doc_id: "(extract group 1 of /([0-9]+)$$/ from $$target_uri)::int"
+         |  - extractContent: {html: text, as: main,
+         |      stopwordsLow: 0.0, stopwordsHigh: 0.0}
+         |  - filter: "len_chars($$main) > 0"
+         |  - langId: {text: main, as: lang}
+         |  - filter: "$$lang != 'ru'"
+         |  - repetitionSignals: {text: main}
+         |  - filter: "$$keep_full"
+         |  - dedupExact: {id: doc_id, keys: [main]}
+         |  - dedupSegments: {id: doc_id, text: main}
+         |  - decontaminate: {table: evalset, id: doc_id,
+         |      text: text_dedup, evalText: text, mode: remove}
+         |  - redact: {text: text_dedup, as: clean, validated: true}
+         |  - pack: {id: doc_id, text: clean, seqTokens: 256, orderBy: [doc_id]}
+         |""".stripMargin,
+      name =>
+        if (name == "evalset")
+          t(s, dir, "documents").filter(col("doc_id") % 7 === 0)
+        else t(s, dir, name))
+      .select(col("doc_id").cast("long").as("doc_id"), col("seq_id"),
+        col("seq_offset"), col("doc_offset"), col("n_tokens"))
+
+  /** q80's fixture root — deterministic per (sf dir, JVM). */
+  private def q80FixtureDir(dir: String): java.io.File =
+    new java.io.File(sys.props("java.io.tmpdir"),
+      "graft_stream_media_" +
+        java.lang.Long.toHexString(dir.hashCode.toLong & 0xffffffffL) +
+        "_" + ProcessHandle.current().pid())
+
+  /** q80's fixture build: the doubled corpus rendered to PNGs and written
+    * as TS-RANGE-partitioned tar shards landing in event-time order (see
+    * the q80 entry's comments — the watermark advances with landing, so
+    * nothing is declared late; the +2 min copy offset still straddles
+    * shard boundaries, exercising cross-batch join state).
+    */
+  private def q80WriteShards(s: SparkSession, dir: String): Unit = {
+    import s.implicits._
+    val fixture = q80FixtureDir(dir)
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles.foreach(rm)
+      f.delete(); ()
+    }
+    rm(fixture); fixture.mkdirs()
+    val in = new java.io.File(fixture, "in"); in.mkdirs()
+    val staging = new java.io.File(fixture, "_staging")
+    val d0 = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val dd = d0.unionByName(
+      d0.select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+    // event time: doc_id%1e6 minutes; the planted copy lands 2 minutes
+    // later (inside the 10-minute horizon)
+    val evMin = (col("doc_id") % 1000000L) +
+      when(col("doc_id") >= 1000000L, 2L).otherwise(0L)
+    val media = dd
+      .withColumn("ev_min", evMin)
+      .as[(Long, String, Long)]
+      .map { case (id, text, m) => (id, renderTestPng(text, 48, 32), m) }
+      .toDF("doc_id", "png", "ev_min")
+    graft.sources.TarShards.writeTarShards(
+      media.repartitionByRange(4, col("ev_min"), col("doc_id"))
+        .sortWithinPartitions("ev_min", "doc_id"),
+      staging.getPath,
+      keyCol = "doc_id", parts = Seq("png" -> col("png")))
+    var i = 0
+    for (f <- staging.listFiles.sortBy(_.getName) if f.getName.endsWith(".tar")) {
+      val dst = new java.io.File(in, f"shard-$i%05d.tar")
+      java.nio.file.Files.move(f.toPath, dst.toPath)
+      dst.setLastModified(1000000L * (i + 1))
+      i += 1
+    }
+    rm(staging)
+  }
+
+  /** Per-query fixture materialization hooks — keys are the exact query
+    * names; Bench invokes them OUTSIDE the timed region.
+    */
+  def prepare: Map[String, (SparkSession, String) => Unit] = Map(
+    "q76_phash_neardup" -> ((s, dir) =>
+      materializeFrame(s"q76_phash_neardup:$dir", mediaFixture(s, dir, "image"))),
+    "q78_audio_neardup" -> ((s, dir) =>
+      materializeFrame(s"q78_audio_neardup:$dir", mediaFixture(s, dir, "audio"))),
+    "q79_video_neardup" -> ((s, dir) =>
+      materializeFrame(s"q79_video_neardup:$dir", mediaFixture(s, dir, "video"))),
+    "q82_mih_collapse_gate" -> ((s, dir) =>
+      materializeFrame(s"q82_mih_collapse_gate:$dir",
+        sigFixture(s, dir, withHot = false))),
+    "q93_mih_dupheavy_gate" -> ((s, dir) =>
+      materializeFrame(s"q93_mih_dupheavy_gate:$dir",
+        sigFixture(s, dir, withHot = true))),
+    "q99_crawl_capstone" -> ((s, dir) =>
+      if (preparedDirs.add(s"q99_crawl_capstone:$dir"))
+        q99WriteArchive(s, dir)),
+    "q80_stream_media_e2e" -> ((s, dir) =>
+      if (preparedDirs.add(s"q80_stream_media_e2e:$dir"))
+        q80WriteShards(s, dir))
+  )
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_arith" -> ((s, dir) =>
@@ -440,11 +699,8 @@ object SparkEntry {
       val d0 = t(s, dir, "documents").select(col("doc_id"), col("text"))
       val dd = d0.unionByName(
         d0.select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
-      val media = dd.as[(Long, String)].map { case (id, text) =>
-        graft.ops.MediaRow(id,
-          graft.ops.MediaMeta("image", "png", 48, 32, 0, 0L),
-          renderTestPng(text, 48, 32))
-      }
+      val media = cachedFrame(s"q76_phash_neardup:$dir")(
+        mediaFixture(s, dir, "image")).as[graft.ops.MediaRow]
       val found = graft.ops.Multimodal.imageNearDuplicatePairs(media,
           decoder = graft.ops.JdkMediaDecoder(), maxHamming = 10)
         .select(col("id_a"), col("id_b"), lit(1).as("__f"))
@@ -500,11 +756,8 @@ object SparkEntry {
       val d0 = t(s, dir, "documents").select(col("doc_id"), col("text"))
       val dd = d0.unionByName(
         d0.select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
-      val media = dd.as[(Long, String)].map { case (id, text) =>
-        graft.ops.MediaRow(id,
-          graft.ops.MediaMeta("audio", "wav", 0, 0, 8000, 256L),
-          renderTestWav(text, halfGain = id >= 1000000L))
-      }
+      val media = cachedFrame(s"q78_audio_neardup:$dir")(
+        mediaFixture(s, dir, "audio")).as[graft.ops.MediaRow]
       val found = graft.ops.Multimodal.audioNearDuplicatePairs(media,
           decoder = graft.ops.JdkMediaDecoder(), maxHamming = 8)
         .select(col("id_a"), col("id_b"), lit(1).as("__f"))
@@ -523,11 +776,8 @@ object SparkEntry {
       val d0 = t(s, dir, "documents").select(col("doc_id"), col("text"))
       val dd = d0.unionByName(
         d0.select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
-      val media = dd.as[(Long, String)].map { case (id, text) =>
-        graft.ops.MediaRow(id,
-          graft.ops.MediaMeta("video", "mjpeg", 48, 32, 0, 3000L),
-          renderTestMjpeg(text))
-      }
+      val media = cachedFrame(s"q79_video_neardup:$dir")(
+        mediaFixture(s, dir, "video")).as[graft.ops.MediaRow]
       val found = graft.ops.Multimodal.videoNearDuplicatePairs(media,
           decoder = graft.ops.JdkMediaDecoder(), maxHamming = 10)
         .select(col("id_a"), col("id_b"), lit(1).as("__f"))
@@ -951,17 +1201,12 @@ object SparkEntry {
     // hamming-0 pairs are exactly the planted copies (xxhash64 collisions
     // across ~2×10⁵ keys: P ≈ 1e-9).
     "q82_mih_collapse_gate" -> ((s, dir) => {
-      // distinct: the synthetic lineitem repeats (orderkey, linenumber)
-      // pairs, and a repeated key is a repeated id AND sig — one item
-      val base = t(s, dir, "lineitem")
-        .filter(col("l_orderkey") % 3 === 0)
-        .select((col("l_orderkey") * 10 + col("l_linenumber")).as("id"),
-          xxhash64(col("l_orderkey"), col("l_linenumber")).as("sig"))
-        .distinct()
-      val planted = base.filter(col("id") % 97 === 0)
-        .select((col("id") + 1000000000L).as("id"), col("sig"))
+      // sig corpus in sigFixture (distinct: the synthetic lineitem repeats
+      // (orderkey, linenumber) pairs, and a repeated key is a repeated id
+      // AND sig — one item)
       graft.ops.Dedup.hammingNearDuplicatePairs(
-          base.unionByName(planted), "id", "sig",
+          cachedFrame(s"q82_mih_collapse_gate:$dir")(
+            sigFixture(s, dir, withHot = false)), "id", "sig",
           maxHamming = 10, maxBucketSize = 1000)
         .filter(col("hamming") === 0)
         .select(col("id_a"), col("id_b"))
@@ -1241,85 +1486,12 @@ object SparkEntry {
     // not) → sequence packing. The oracle replays the ENTIRE keep-set
     // and the exact packed-sequence arithmetic in DuckDB.
     "q99_crawl_capstone" -> ((s, dir) => {
-      import s.implicits._
-      require(CapstonePromo.length > 200 && CapstoneRu.length > 200)
-      val fixture = new java.io.File(sys.props("java.io.tmpdir"),
-        "graft_warc_cap_" +
-          java.lang.Long.toHexString(dir.hashCode.toLong & 0xffffffffL) +
-          "_" + ProcessHandle.current().pid())
-      val out = new java.io.File(fixture, "cap").getPath
-      val base0 = t(s, dir, "documents").select(col("doc_id"), col("text"))
-      val base = base0.unionByName(
-        base0.select((col("doc_id") + 1001000L).as("doc_id"), col("text")))
-      val pagePrefix = "<html><body><nav><a href=\"/\">Home</a> " +
-        "<a href=\"/a\">About</a></nav>"
-      val pageSuffix = "<footer><a href=\"/t\">Terms</a></footer></body></html>"
-      // %13==2: machine-repeated spam — dup 5-gram coverage blows the
-      // Gopher cap, so the keep_full gate must FIRE on this class (the
-      // promo paragraph makes every other signal healthy on every page;
-      // the copy shift 1001000 = 7·11·13·1000 keeps this class aligned
-      // between originals and copies too)
-      val inner = when(col("doc_id") % 13 === 2, lit(CapstoneSpam))
-        .otherwise(concat(col("text"),
-          when(col("doc_id") % 5 === 0, lit(" pay 4111 1111 1111 1111 now"))
-            .when(col("doc_id") % 5 === 1, lit(" ref 4111 1111 1111 1112 end"))
-            .otherwise(lit(""))))
-      // ORIGINAL page bytes: ASCII chrome UTF-8-encoded, the marker as
-      // raw cp1252 bytes under an iso-8859-1 label (Spark's encode()
-      // cannot emit cp1252 for ’/…; a binary literal can). The +1001000
-      // COPY of the same page is UTF-8 bytes under a utf-8 label —
-      // byte-divergent, decode-CONVERGENT twins: only the WHATWG label
-      // remap makes them equal, so the exact-dedup collapse downstream
-      // is the charset detector (see CapstoneMarker's scaladoc).
-      val isCopy = col("doc_id") >= 1001000L
-      val body = when(col("doc_id") % 11 === 0,
-          lit((pagePrefix + "<p>" + CapstoneRu + "</p>" + pageSuffix)
-            .getBytes("UTF-8")))
-        .when(isCopy,
-          encode(concat(
-            lit(pagePrefix + "<p>" + CapstonePromo + "</p><p>"), inner,
-            lit(CapstoneMarker + "</p>" + pageSuffix)), "UTF-8"))
-        .otherwise(concat(
-          encode(concat(
-            lit(pagePrefix + "<p>" + CapstonePromo + "</p><p>"), inner),
-            "UTF-8"),
-          lit(CapstoneMarker.getBytes("windows-1252")),
-          encode(lit("</p>" + pageSuffix), "UTF-8")))
-      val src = base.select(
-        concat(lit("https://site"), (col("doc_id") % 50).cast("string"),
-          lit(".com/doc/"), col("doc_id").cast("string")).as("uri"),
-        body.as("body"),
-        when(col("doc_id") % 11 === 0 || isCopy, lit("text/html; charset=utf-8"))
-          .otherwise(lit("text/html; charset=iso-8859-1")).as("ct"))
-      graft.sources.Warc.writeWarcResponses(
-        src.repartition(4), out, "uri", "body", overwrite = true,
-        contentTypeCol = Some("ct"), codec = "zstd-dict")
-      graft.pipeline.Pipeline.run(s,
-        s"""source: {format: warc, path: "$out"}
-           |steps:
-           |  - filter: "$$http_status == 200"
-           |  - withColumns:
-           |      doc_id: "(extract group 1 of /([0-9]+)$$/ from $$target_uri)::int"
-           |  - extractContent: {html: text, as: main,
-           |      stopwordsLow: 0.0, stopwordsHigh: 0.0}
-           |  - filter: "len_chars($$main) > 0"
-           |  - langId: {text: main, as: lang}
-           |  - filter: "$$lang != 'ru'"
-           |  - repetitionSignals: {text: main}
-           |  - filter: "$$keep_full"
-           |  - dedupExact: {id: doc_id, keys: [main]}
-           |  - dedupSegments: {id: doc_id, text: main}
-           |  - decontaminate: {table: evalset, id: doc_id,
-           |      text: text_dedup, evalText: text, mode: remove}
-           |  - redact: {text: text_dedup, as: clean, validated: true}
-           |  - pack: {id: doc_id, text: clean, seqTokens: 256, orderBy: [doc_id]}
-           |""".stripMargin,
-        name =>
-          if (name == "evalset")
-            t(s, dir, "documents").filter(col("doc_id") % 7 === 0)
-          else t(s, dir, name))
-        .select(col("doc_id").cast("long").as("doc_id"), col("seq_id"),
-          col("seq_offset"), col("doc_offset"), col("n_tokens"))
+      val out = q99ArchiveDir(dir)
+      // bench-prepared: the archive is already on disk for this JVM — the
+      // timed region measures the 13-leg pipeline, not the fixture write
+      if (!preparedDirs.contains(s"q99_crawl_capstone:$dir"))
+        q99WriteArchive(s, dir)
+      q99Pipeline(s, dir, out)
     }),
     // WET (conversion-record) gate: CommonCrawl's extracted-text sibling
     // format — WARC-Type: conversion, record Content-Type text/plain,
@@ -1614,19 +1786,9 @@ object SparkEntry {
     // oracle-able, and nothing quadratic crosses an exchange
     // (MultiIndexHammingSpec pins the per-task shuffle bound at k=100k).
     "q93_mih_dupheavy_gate" -> ((s, dir) => {
-      val base = t(s, dir, "lineitem")
-        .filter(col("l_orderkey") % 3 === 0)
-        .select((col("l_orderkey") * 10 + col("l_linenumber")).as("id"),
-          xxhash64(col("l_orderkey"), col("l_linenumber")).as("sig"))
-        .distinct()
-      val planted = base.filter(col("id") % 97 === 0)
-        .select((col("id") + 1000000000L).as("id"),
-          col("sig").bitwiseXOR(lit(0x111111L)).as("sig")) // 6 bit flips
-      val hot = s.range(50000)
-        .select((col("id") + 5000000000L).as("id"),
-          lit(0x0BADCAFEL).as("sig"))
       graft.ops.Dedup.hammingNearDuplicatePairs(
-          base.unionByName(planted).unionByName(hot), "id", "sig",
+          cachedFrame(s"q93_mih_dupheavy_gate:$dir")(
+            sigFixture(s, dir, withHot = true)), "id", "sig",
           maxHamming = 10, maxBucketSize = 1000)
         // the two arithmetically-derivable families: planted near pairs
         // (ids differ by exactly 1e9, hamming = popcount(0x111111) = 6)
@@ -2003,51 +2165,21 @@ object SparkEntry {
     // needed. Oracle = the q76/q20b identity floor.
     "q80_stream_media_e2e" -> ((s, dir) => {
       import s.implicits._
-      val fixture = new java.io.File(sys.props("java.io.tmpdir"),
-        "graft_stream_media_" +
-          java.lang.Long.toHexString(dir.hashCode.toLong & 0xffffffffL) +
-          "_" + ProcessHandle.current().pid())
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles.foreach(rm)
-        f.delete(); ()
-      }
-      rm(fixture); fixture.mkdirs()
-      val in = new java.io.File(fixture, "in"); in.mkdirs()
-      val sink = new java.io.File(fixture, "sink").getPath
-      val ckpt = new java.io.File(fixture, "ckpt").getPath
-      val staging = new java.io.File(fixture, "_staging")
-
+      val fixture = q80FixtureDir(dir)
+      // bench-prepared: the rendered tar shards already landed for this
+      // JVM — the timed region measures the streaming dedup, not the
+      // PNG-render + shard write. Sink/checkpoint are fresh per
+      // invocation either way (input shards are reusable; streaming
+      // state is not).
+      if (!preparedDirs.contains(s"q80_stream_media_e2e:$dir"))
+        q80WriteShards(s, dir)
+      val in = new java.io.File(fixture, "in")
+      val runTag = java.lang.Long.toHexString(System.nanoTime())
+      val sink = new java.io.File(fixture, s"sink_$runTag").getPath
+      val ckpt = new java.io.File(fixture, s"ckpt_$runTag").getPath
       val d0 = t(s, dir, "documents").select(col("doc_id"), col("text"))
       val dd = d0.unionByName(
         d0.select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
-      // event time: doc_id%1e6 minutes; the planted copy lands 2 minutes
-      // later (inside the 10-minute horizon). Shards must be TS-RANGE
-      // partitioned and land in ts order: the watermark advances with
-      // landing, so nothing is declared late (the q56 rule — a first cut
-      // hash-partitioned shards and the watermark of batch 1's max ts
-      // dropped most of batch 2 as late). The +2 min offset still makes
-      // boundary pairs straddle shards, exercising cross-batch join state.
-      val evMin = (col("doc_id") % 1000000L) +
-        when(col("doc_id") >= 1000000L, 2L).otherwise(0L)
-      val media = dd
-        .withColumn("ev_min", evMin)
-        .as[(Long, String, Long)]
-        .map { case (id, text, m) => (id, renderTestPng(text, 48, 32), m) }
-        .toDF("doc_id", "png", "ev_min")
-      graft.sources.TarShards.writeTarShards(
-        media.repartitionByRange(4, col("ev_min"), col("doc_id"))
-          .sortWithinPartitions("ev_min", "doc_id"),
-        staging.getPath,
-        keyCol = "doc_id", parts = Seq("png" -> col("png")))
-      var i = 0
-      for (f <- staging.listFiles.sortBy(_.getName) if f.getName.endsWith(".tar")) {
-        val dst = new java.io.File(in, f"shard-$i%05d.tar")
-        java.nio.file.Files.move(f.toPath, dst.toPath)
-        dst.setLastModified(1000000L * (i + 1))
-        i += 1
-      }
-      rm(staging)
-
       val dec = graft.ops.JdkMediaDecoder()
       val baseUs = 1767225600000000L // 2026-01-01, fixed
       val sigs = graft.sources.TarShards
@@ -2642,6 +2774,50 @@ object SparkEntry {
       graft.ops.LinkGraph.rankHosts(pages, "url", "html", iterations = 3)
         .select(col("host"), round(col("rank"), 6).as("rank"))
     }),
+    // Domain-level rank (LinkGraph.pageRank + domainRank): hosts
+    // hK.d(K%4).co.uk — four registrable domains under a PSL two-level
+    // suffix — ranked 3 damped iterations, then the stationary mass
+    // aggregated per domain. The oracle unrolls the same recurrence (the
+    // q100 CTE pattern) and replays the domain rollup as a GROUP BY on
+    // the host-string suffix.
+    "q100d_domain_rank" -> ((s, dir) => {
+      val edges = s.range(0, 300).select(
+        concat(lit("h"), (col("id") % 30).cast("string"),
+          lit(".d"), ((col("id") % 30) % 4).cast("string"),
+          lit(".co.uk")).as("src"),
+        concat(lit("h"), ((col("id") * 3 + 1) % 40).cast("string"),
+          lit(".d"), (((col("id") * 3 + 1) % 40) % 4).cast("string"),
+          lit(".co.uk")).as("dst"))
+        .where(col("src") =!= col("dst"))
+      graft.ops.LinkGraph.domainRank(
+          graft.ops.LinkGraph.pageRank(edges, iterations = 3))
+        .select(col("domain"), round(col("rank"), 6).as("rank"))
+    }),
+    // <base href> edge attribution (LinkGraph.baseHost/hostEdges): pages
+    // in three classes — host-changing absolute base (relative AND rooted
+    // links must attribute to the base host), rooted base (host unchanged
+    // → relative links are self-loops and drop), and no base — plus a
+    // data-href decoy the extractor must NOT read as a link. The oracle
+    // re-derives the distinct edge set per class from the residue
+    // arithmetic.
+    "q100c_base_href" -> ((s, dir) => {
+      val pages = s.range(0, 240).select(
+        concat(lit("https://h"), (col("id") % 20).cast("string"),
+          lit(".test/p/"), col("id").cast("string")).as("url"),
+        concat(
+          when(col("id") % 3 === 0,
+            concat(lit("<base href=\"https://b"),
+              (col("id") % 7).cast("string"), lit(".test/dir/\">")))
+            .when(col("id") % 3 === 1, lit("<base href=\"/subroot/\">"))
+            .otherwise(lit("")),
+          lit("<a href=\"r/"), col("id").cast("string"), lit("\">rel</a>"),
+          lit("<a href=\"/x\">rooted</a>"),
+          lit("<a href=\"http://h"), ((col("id") * 3 + 1) % 25).cast("string"),
+          lit(".test/p\">abs</a>"),
+          lit("<a data-href=\"http://decoy"), (col("id") % 9).cast("string"),
+          lit(".test/d\">decoy</a>")).as("html"))
+      graft.ops.LinkGraph.hostEdges(pages, "url", "html")
+    }),
     // Anchor-text corpus (LinkGraph.anchorTexts): per-occurrence
     // (src, dst, anchor) triples for CROSS-host links only; inner markup
     // stripped and whitespace collapsed in the anchor. The fixture plants
@@ -2726,6 +2902,44 @@ object SparkEntry {
           col("payload").cast("string").as("body"),
           col("http_status"))
     }),
+    // WARC revisit records (Warc.writeWarcRevisits / resolveRevisits —
+    // the CommonCrawl multi-crawl dedup convention): crawl1 holds 50
+    // response records, crawl2 holds 150 revisit stubs whose
+    // WARC-Payload-Digest is the sha1-base32 of an ORIGINAL's body
+    // (content-keyed, under different urls), except every (i%10==7)th
+    // which digests content that exists in no crawl. Both archives are
+    // read as one frame and resolved: every linked stub must regain its
+    // original's payload (replayed from the residue arithmetic), every
+    // dangler must stay empty with a null resolved_from, and responses
+    // must pass through untouched.
+    "q105_warc_revisit" -> ((s, dir) => {
+      val fixture = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft_revisit_" +
+          java.lang.Long.toHexString(dir.hashCode.toLong & 0xffffffffL) +
+          "_" + ProcessHandle.current().pid())
+      val orig = new java.io.File(fixture, "crawl1").getPath
+      val rev = new java.io.File(fixture, "crawl2").getPath
+      val responses = s.range(0, 50).select(
+        concat(lit("https://o.test/d/"), col("id").cast("string")).as("uri"),
+        concat(lit("content "), col("id").cast("string")).as("body"))
+      graft.sources.Warc.writeWarcResponses(
+        responses, orig, "uri", "body", overwrite = true)
+      val revisits = s.range(0, 150).select(
+        concat(lit("https://r.test/m/"), col("id").cast("string")).as("uri"),
+        concat(lit("sha1:"), graft.sources.Warc.payloadDigest(
+          when(col("id") % 10 === 7,
+            concat(lit("missing "), col("id").cast("string")))
+            .otherwise(concat(lit("content "), (col("id") % 50).cast("string")))
+            .cast("binary"))).as("digest"))
+      graft.sources.Warc.writeWarcRevisits(
+        revisits, rev, "uri", "digest", overwrite = true)
+      graft.sources.Warc.resolveRevisits(
+          graft.sources.Warc.readWarc(s, fixture.getPath + "/*"))
+        .select(col("target_uri"),
+          col("payload").cast("string").as("body"),
+          col("warc_type"),
+          col("resolved_from").isNotNull.as("resolved"))
+    }),
     // Sitemap parsing (Sitemaps.parseSitemaps): 120 formulaic documents —
     // urlsets with two entries each (entity-escaped query URLs, lastmod
     // dates, changefreq, priority) and every 10th a sitemapindex with two
@@ -2735,10 +2949,18 @@ object SparkEntry {
     "q104_sitemap_parse" -> ((s, dir) => {
       val host = concat(lit("https://h"), (col("id") % 6).cast("string"),
         lit(".test"))
+      // lastmod cycles the W3C-datetime forms the protocol allows: date,
+      // full datetime, fractional seconds, minute precision — all must
+      // parse; loc carries BOTH escape families (&amp; and the numeric
+      // &#38;) the XML escaping table permits
+      val lmSuffix = when(col("id") % 4 === 0, lit(""))
+        .when(col("id") % 4 === 1, lit("T10:20:30Z"))
+        .when(col("id") % 4 === 2, lit("T10:20:30.125+00:00"))
+        .otherwise(lit("T10:20Z"))
       def urlBlock(k: Int) = concat(
         lit("<url><loc>"), host, lit(s"/p/"), col("id").cast("string"),
-        lit(s"/$k?a=1&amp;b=$k</loc><lastmod>2024-03-0"),
-        (col("id") % 9 + 1).cast("string"),
+        lit(s"/$k?a=1&amp;b=$k&#38;c=2</loc><lastmod>2024-03-0"),
+        (col("id") % 9 + 1).cast("string"), lmSuffix,
         lit("</lastmod><changefreq>"),
         when(col("id") % 3 === 0, lit("daily"))
           .when(col("id") % 3 === 1, lit("weekly")).otherwise(lit("monthly")),
@@ -2760,6 +2982,23 @@ object SparkEntry {
         .select(col("doc_id"), col("loc"),
           col("lastmod").cast("string").as("lastmod"),
           col("changefreq"), col("priority"), col("kind"))
+    }),
+    // Published-index SURT parity (Cdx.surt vs the IA canonicalization the
+    // real CommonCrawl cc-index keys go through): verbatim (url, key)
+    // pairs covering www/www<d> hosts, multi-param + bare + repeated query
+    // args, default and explicit ports, userinfo, session-id params (query
+    // and ASP.NET path forms), trailing slashes and fragments. The oracle
+    // carries the expected keys as literals — hand-derived from the surt
+    // library's DefaultIAURLCanonicalizer rules — so any canonicalization
+    // drift (e.g. keeping `www,` as a host label, or source-order query
+    // args, both of which silently empty a join against the published
+    // index) goes red here.
+    "q102c_surt_published" -> ((s, dir) => {
+      import s.implicits._
+      SurtPublishedPairs.zipWithIndex
+        .map { case ((u, _), i) => (i.toLong, u) }.toDF("id", "url")
+        .select(col("id"), col("url"),
+          graft.sources.Cdx.surt(col("url")).as("surt_key"))
     }),
     // SURT key (Cdx.surt): formulaic mixed-case URLs with queries and
     // fragments; every output key re-derived character-for-character from
@@ -2799,6 +3038,37 @@ object SparkEntry {
         .select(col("doc_id"), round(col("log_weight"), 6).as("log_weight"))
     })
   )
+
+  /** q102c's verbatim published-canonicalization pairs: each expected key
+    * hand-derived from the IA default canonicalizer rules the CommonCrawl
+    * cc-index uses (surt library `DefaultIAURLCanonicalizer`: www-strip,
+    * query alphabetization, session-id strips, default-port drop, trailing
+    * slash, lowercase everything). No apostrophes — the strings inline into
+    * DuckDB VALUES literals verbatim.
+    */
+  val SurtPublishedPairs: Seq[(String, String)] = Seq(
+    "https://www.example.com/p?b=2&a=1" -> "com,example)/p?a=1&b=2",
+    "http://archive.org/goo/?a=2&b&a=1" -> "org,archive)/goo?a=1&a=2&b",
+    "http://www2.Guardian.co.UK/World/2024/story" ->
+      "uk,co,guardian)/world/2024/story",
+    "http://user:pw@www.Site.org:8080/A/B/?z=9&y=8&x=7" ->
+      "org,site:8080)/a/b?x=7&y=8&z=9",
+    "https://www.nytimes.com:443/section/world/" ->
+      "com,nytimes)/section/world",
+    "http://blog.example.com:80/post/123?utm=x&id=5" ->
+      "com,example,blog)/post/123?id=5&utm=x",
+    "http://www9.host.net/p?jsessionid=0123456789abcdefghij0123456789ab&q=term" ->
+      "net,host)/p?q=term",
+    "https://shop.example.com/cart/(s(abcdefghij0123456789abcd))/checkout.aspx?item=2" ->
+      "com,example,shop)/cart/checkout.aspx?item=2",
+    "https://WWW.WIKIPEDIA.ORG/" -> "org,wikipedia)/",
+    "http://example.com/index.html#section" -> "com,example)/index.html",
+    "https://www.example.com/?phpsessid=0123456789abcdefghij0123456789ab" ->
+      "com,example)/",
+    "http://a.b.example.com/p?b&a" -> "com,example,b,a)/p?a&b",
+    "http://www.example.com:8443/x?m=2&m=1" -> "com,example:8443)/x?m=1&m=2",
+    "http://wwwx.example.com/keep" -> "com,example,wwwx)/keep",
+    "https://e.test/p?cfid=12&cftoken=abc-9&keep=1" -> "test,e)/p?keep=1")
 
   /** Fixed deterministic query vector for the ANN queries (inlined into the
     * DuckDB oracle below).
@@ -4940,6 +5210,45 @@ object SparkEntry {
          |$iters
          |SELECT host, round(r3.r, 6) AS rank FROM r3""".stripMargin
     },
+    "q100d_domain_rank" -> {
+      val iters = (0 until 3).map { k =>
+        s"""dm$k AS (SELECT COALESCE(SUM(r), 0) AS dm FROM r$k
+           |  WHERE host NOT IN (SELECT src FROM e)),
+           |c$k AS (SELECT e.dst AS host, SUM(r$k.r / dg.d) AS c
+           |  FROM e JOIN r$k ON e.src = r$k.host JOIN dg ON dg.src = e.src
+           |  GROUP BY e.dst),
+           |r${k + 1} AS (SELECT v.host,
+           |    (1.0::DOUBLE - 0.85::DOUBLE) / (SELECT n FROM nn)
+           |      + 0.85::DOUBLE * (COALESCE(c$k.c, 0) +
+           |        (SELECT dm FROM dm$k) / (SELECT n FROM nn)) AS r
+           |  FROM v LEFT JOIN c$k ON v.host = c$k.host)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH p AS (SELECT range AS i FROM range(0, 300)),
+         |e0 AS (
+         |  SELECT 'h' || CAST((i % 30) AS VARCHAR) || '.d' || CAST(((i % 30) % 4) AS VARCHAR) || '.co.uk' AS src,
+         |         'h' || CAST(((3 * i + 1) % 40) AS VARCHAR) || '.d' || CAST((((3 * i + 1) % 40) % 4) AS VARCHAR) || '.co.uk' AS dst
+         |  FROM p WHERE (3 * i + 1) % 40 <> (i % 30)),
+         |e AS (SELECT DISTINCT src, dst FROM e0),
+         |v AS (SELECT src AS host FROM e UNION SELECT dst AS host FROM e),
+         |nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM v),
+         |dg AS (SELECT src, CAST(COUNT(*) AS DOUBLE) AS d FROM e GROUP BY src),
+         |r0 AS (SELECT host, 1.0::DOUBLE / (SELECT n FROM nn) AS r FROM v),
+         |$iters
+         |SELECT substr(host, strpos(host, '.') + 1) AS domain,
+         |       round(SUM(r), 6) AS rank
+         |FROM r3 GROUP BY 1""".stripMargin
+    },
+    "q100c_base_href" ->
+      """WITH p AS (SELECT range AS i FROM range(0, 240)),
+        |e0 AS (
+        |  SELECT 'h' || CAST((i % 20) AS VARCHAR) || '.test' AS src,
+        |         'h' || CAST(((3 * i + 1) % 25) AS VARCHAR) || '.test' AS dst
+        |  FROM p WHERE (3 * i + 1) % 25 <> (i % 20)
+        |  UNION ALL
+        |  SELECT 'h' || CAST((i % 20) AS VARCHAR) || '.test',
+        |         'b' || CAST((i % 7) AS VARCHAR) || '.test'
+        |  FROM p WHERE i % 3 = 0)
+        |SELECT DISTINCT src, dst FROM e0""".stripMargin,
     "q100b_anchor_texts" ->
       """WITH p AS (SELECT range AS i FROM range(0, 200))
         |SELECT 'h' || CAST((i % 20) AS VARCHAR) || '.test' AS src,
@@ -4970,6 +5279,18 @@ object SparkEntry {
         |       repeat('x', 100 + (i % 7) * 10) || CAST(i AS VARCHAR) AS body,
         |       200 AS http_status
         |FROM (SELECT range AS i FROM range(0, 400)) WHERE i % 5 = 1""".stripMargin,
+    "q105_warc_revisit" ->
+      """WITH i AS (SELECT range AS i FROM range(0, 150))
+        |SELECT 'https://o.test/d/' || CAST(i AS VARCHAR) AS target_uri,
+        |       'content ' || CAST(i AS VARCHAR) AS body,
+        |       'response' AS warc_type, FALSE AS resolved
+        |FROM i WHERE i < 50
+        |UNION ALL
+        |SELECT 'https://r.test/m/' || CAST(i AS VARCHAR) AS target_uri,
+        |       CASE WHEN i % 10 = 7 THEN ''
+        |            ELSE 'content ' || CAST((i % 50) AS VARCHAR) END AS body,
+        |       'revisit' AS warc_type, i % 10 <> 7 AS resolved
+        |FROM i""".stripMargin,
     "q104_sitemap_parse" ->
       """WITH i AS (SELECT range AS i FROM range(0, 120)),
         |k AS (SELECT unnest([0, 1]) AS k),
@@ -4977,8 +5298,13 @@ object SparkEntry {
         |  SELECT i.i AS doc_id,
         |    'https://h' || CAST((i % 6) AS VARCHAR) || '.test/p/'
         |      || CAST(i AS VARCHAR) || '/' || CAST(k AS VARCHAR)
-        |      || '?a=1&b=' || CAST(k AS VARCHAR) AS loc,
-        |    CAST(CAST(('2024-03-0' || CAST((i % 9 + 1) AS VARCHAR)) AS TIMESTAMP) AS VARCHAR) AS lastmod,
+        |      || '?a=1&b=' || CAST(k AS VARCHAR) || '&c=2' AS loc,
+        |    CASE i % 4
+        |      WHEN 0 THEN CAST(CAST(('2024-03-0' || CAST((i % 9 + 1) AS VARCHAR)) AS TIMESTAMP) AS VARCHAR)
+        |      WHEN 1 THEN '2024-03-0' || CAST((i % 9 + 1) AS VARCHAR) || ' 10:20:30'
+        |      WHEN 2 THEN '2024-03-0' || CAST((i % 9 + 1) AS VARCHAR) || ' 10:20:30.125'
+        |      ELSE '2024-03-0' || CAST((i % 9 + 1) AS VARCHAR) || ' 10:20:00'
+        |    END AS lastmod,
         |    CASE i % 3 WHEN 0 THEN 'daily' WHEN 1 THEN 'weekly'
         |      ELSE 'monthly' END AS changefreq,
         |    CAST(('0.' || CAST((i % 10) AS VARCHAR)) AS DOUBLE) AS priority,
@@ -4994,6 +5320,15 @@ object SparkEntry {
         |    'sitemap' AS kind
         |  FROM i CROSS JOIN k WHERE i % 10 = 9)
         |SELECT * FROM urls UNION ALL SELECT * FROM kids""".stripMargin,
+    "q102c_surt_published" -> {
+      // literal expected keys — the gate IS the pair table; Spark's surt
+      // must reproduce every key character-for-character
+      val rows = SurtPublishedPairs.zipWithIndex.map { case ((u, k), i) =>
+        s"  ($i, '$u', '$k')"
+      }.mkString(",\n")
+      s"""SELECT CAST(id AS BIGINT) AS id, url, surt_key FROM (VALUES
+         |$rows) AS t(id, url, surt_key)""".stripMargin
+    },
     "q102b_surt" ->
       """SELECT i AS id,
         |  'com,ex' || CAST((i % 3) AS VARCHAR) || ',w' || CAST((i % 5) AS VARCHAR)

@@ -59,11 +59,53 @@ object LinkGraph {
     * whitespace or `>`.
     */
   def hrefs(html: Column): Column = {
-    val dq = regexp_extract_all(html, lit("(?i)\\bhref\\s*=\\s*\"([^\"]*)\""), lit(1))
-    val sq = regexp_extract_all(html, lit("(?i)\\bhref\\s*=\\s*'([^']*)'"), lit(1))
+    // (?<![\w-]): the real `href` attribute only — `\b` matches between
+    // `-` and `h`, so it would extract data-href=/ng-href= template
+    // attributes as links and inflate cross-host edges
+    val dq = regexp_extract_all(html,
+      lit("(?i)(?<![\\w-])href\\s*=\\s*\"([^\"]*)\""), lit(1))
+    val sq = regexp_extract_all(html,
+      lit("(?i)(?<![\\w-])href\\s*=\\s*'([^']*)'"), lit(1))
     val uq = regexp_extract_all(html,
-      lit("(?i)\\bhref\\s*=\\s*([^\\s\"'>][^\\s>]*)"), lit(1))
+      lit("(?i)(?<![\\w-])href\\s*=\\s*([^\\s\"'>][^\\s>]*)"), lit(1))
     concat(dq, sq, uq)
+  }
+
+  /** The first `<base href>` value of a document (the HTML spec: the FIRST
+    * `base` element with an `href` attribute wins; later ones are
+    * ignored), null when absent or empty. Same three quoting forms as
+    * [[hrefs]]; a `<base target="…">` without href never matches (the
+    * lazy `[^>]*?` cannot cross its `>`, so the scan moves to the next
+    * base tag).
+    */
+  def baseHref(html: Column): Column = {
+    val pat = "(?is)<base\\b[^>]*?(?<![\\w-])href\\s*=\\s*" +
+      "(?:\"([^\"]*)\"|'([^']*)'|([^\\s\"'>][^\\s>]*))"
+    val dq = regexp_extract(html, pat, 1)
+    val sq = regexp_extract(html, pat, 2)
+    val uq = regexp_extract(html, pat, 3)
+    val v = when(dq =!= "", dq).when(sq =!= "", sq).otherwise(uq)
+    when(v === "", lit(null).cast("string")).otherwise(trim(v))
+  }
+
+  /** The HOST that relative/rooted links of a page actually resolve
+    * against, when a `<base href>` changes it from the page's own host —
+    * null otherwise (caller coalesces with the page host). Boilerplate
+    * CMS pages use base tags routinely; ignoring them mis-attributes
+    * every relative link of such pages. Rules: absolute `http(s)` base →
+    * that host; protocol-relative `//host/…` base → that host; relative /
+    * rooted base (host unchanged by RFC 3986 resolution) and non-web
+    * schemes (invalid as a base for crawlable links) → null.
+    */
+  def baseHost(html: Column): Column = {
+    val b = baseHref(html)
+    val scheme = lower(regexp_extract(b, "^([a-zA-Z][a-zA-Z0-9+.\\-]*):", 1))
+    when(b.isNull, lit(null).cast("string"))
+      .when(scheme === "http" || scheme === "https", WebText.urlHost(lower(b)))
+      .when(scheme =!= "", lit(null).cast("string"))
+      .when(b.startsWith("//"),
+        WebText.urlHost(concat(lit("http:"), lower(b))))
+      .otherwise(lit(null).cast("string"))
   }
 
   /** Resolve one href against its page URL into a destination HOST (the
@@ -76,17 +118,25 @@ object LinkGraph {
     *     (not a crawlable web edge);
     *   - protocol-relative `//host/…` → that host;
     *   - everything else (rooted `/path`, relative `a/b`, `?query`) → the
-    *     PAGE's own host (an intra-host link; [[hostEdges]] drops it as a
-    *     self-loop).
+    *     BASE host: the page's own host, unless the document carries a
+    *     host-changing `<base href>` (pass [[baseHost]] as `base` — the
+    *     three-arg overload; RFC 3986 dot-segment math never changes the
+    *     host, so host granularity needs only this one base rule).
     */
-  def linkHost(href: Column, pageUrl: Column): Column = {
+  def linkHost(href: Column, pageUrl: Column): Column =
+    linkHost(href, pageUrl, lit(null).cast("string"))
+
+  /** [[linkHost]] with an explicit base host for relative/rooted links
+    * (null base = the page's own host).
+    */
+  def linkHost(href: Column, pageUrl: Column, base: Column): Column = {
     val h = trim(href)
     val scheme = lower(regexp_extract(h, "^([a-zA-Z][a-zA-Z0-9+.\\-]*):", 1))
     when(h === "" || h.startsWith("#"), lit(null).cast("string"))
       .when(scheme === "http" || scheme === "https", WebText.urlHost(h))
       .when(scheme =!= "", lit(null).cast("string"))
       .when(h.startsWith("//"), WebText.urlHost(concat(lit("http:"), h)))
-      .otherwise(WebText.urlHost(pageUrl))
+      .otherwise(coalesce(base, WebText.urlHost(pageUrl)))
   }
 
   /** `(href, anchor)` pairs from `<a …href=…>TEXT</a>` elements — the
@@ -103,7 +153,7 @@ object LinkGraph {
     // unquoted) — the two halves of the module must agree on which links
     // exist, or a host can carry rank evidence with zero anchor rows from
     // identical markup
-    val pat = "(?is)<a\\b[^>]*?\\bhref\\s*=\\s*" +
+    val pat = "(?is)<a\\b[^>]*?(?<![\\w-])href\\s*=\\s*" +
       "(?:\"([^\"]*)\"|'([^']*)'|([^\\s\"'>][^\\s>]*))[^>]*>(.*?)</a>"
     val dq = regexp_extract_all(html, lit(pat), lit(1))
     val sq = regexp_extract_all(html, lit(pat), lit(2))
@@ -127,9 +177,9 @@ object LinkGraph {
     val src = WebText.urlHost(col(urlCol))
     Dedup.ensureParallelism(df)
       .select(src.as("src"), explode(anchors(col(htmlCol))).as("__a"),
-        col(urlCol).as("__url"))
+        col(urlCol).as("__url"), baseHost(col(htmlCol)).as("__base"))
       .select(col("src"),
-        linkHost(col("__a.href"), col("__url")).as("dst"),
+        linkHost(col("__a.href"), col("__url"), col("__base")).as("dst"),
         col("__a.anchor").as("anchor"))
       .where(col("src").isNotNull && col("dst").isNotNull &&
         col("src") =!= col("dst") && col("anchor") =!= "")
@@ -147,8 +197,9 @@ object LinkGraph {
     val src = WebText.urlHost(col(urlCol))
     Dedup.ensureParallelism(df)
       .select(src.as("src"), explode(hrefs(col(htmlCol))).as("__href"),
-        col(urlCol).as("__url"))
-      .select(col("src"), linkHost(col("__href"), col("__url")).as("dst"))
+        col(urlCol).as("__url"), baseHost(col(htmlCol)).as("__base"))
+      .select(col("src"),
+        linkHost(col("__href"), col("__url"), col("__base")).as("dst"))
       .where(col("src").isNotNull && col("dst").isNotNull &&
         col("src") =!= col("dst"))
       .distinct()
@@ -235,17 +286,36 @@ object LinkGraph {
             .as("rank")))
       // cut() is EAGER, so the superseded snapshot can be dropped now —
       // otherwise every iteration's vertex-sized rank copy stays resident
-      // for the whole run and evicts the edge cache the loop depends on
-      if (prev != null) prev.unpersist()
+      // for the whole run and evicts the edge cache the loop depends on.
+      // Dropped via the CHECKPOINTED RDD, not Dataset.unpersist: the
+      // snapshot's blocks belong to the localCheckpoint'ed RDD behind the
+      // LogicalRDD leaf, which is not a CacheManager entry — unpersisting
+      // the Dataset would free nothing and leave reclamation to GC.
+      // (Safe because `next` is fully materialized before the drop; a
+      // localCheckpoint'ed RDD cannot be recomputed once unpersisted.)
+      if (prev != null) dropSnapshot(prev)
       prev = ranks
       ranks = next
     }
-    if (prev != null) prev.unpersist()
+    if (prev != null) dropSnapshot(prev)
     danglingVerts.unpersist()
     vertices.unpersist()
     ewd.unpersist()
     ranks
   }
+
+  /** Free a superseded checkpoint snapshot's storage NOW: the blocks live
+    * on the (local)checkpointed RDD behind the frame's LogicalRDD leaf —
+    * not in the CacheManager, so `Dataset.unpersist` cannot reach them and
+    * GC-driven ContextCleaner reclamation is the only (slow, async)
+    * alternative. No-op for non-checkpointed frames (no LogicalRDD leaf).
+    */
+  private def dropSnapshot(df: DataFrame): Unit =
+    df.queryExecution.analyzed.foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
 
   /** [[hostEdges]] + [[pageRank]] in one call — the "rank my crawl" verb.
     * Returns `(host, rank)`; hosts with no surviving cross-host edge on
@@ -259,6 +329,42 @@ object LinkGraph {
       damping: Double = 0.85
   ): DataFrame =
     pageRank(hostEdges(df, urlCol, htmlCol), iterations, damping)
+
+  /** Aggregate host-level ranks to REGISTRABLE DOMAINS (PSL eTLD+1) — the
+    * second artifact CommonCrawl publishes next to host ranks (site-level
+    * quotas, blocklists and quality priors key by domain, not host). The
+    * domain's rank is the SUM of its hosts' stationary mass — the
+    * probability the random surfer is anywhere on the domain — which keeps
+    * Σ rank = 1 and needs no second iteration run. This is deliberately
+    * NOT PageRank re-run on a domain-contracted graph: contraction turns
+    * intra-domain cross-host links into self-loops and changes the
+    * transition matrix, so the two notions genuinely differ; mass
+    * aggregation is the standard rank-rollup. One map-side-combined
+    * aggregation over the vertex-sized rank table (the PSL probe runs
+    * per row inside codegen — no join, no broadcast). `rules` defaults to
+    * the compact built-in subset; pass a parsed copy of the full published
+    * list ([[graft.ops.expr.PslRules.parse]]) for real-web keying.
+    */
+  def domainRank(
+      hostRanks: DataFrame,
+      rules: graft.ops.expr.PslRules = graft.ops.expr.PslRules.default
+  ): DataFrame =
+    hostRanks
+      .groupBy(WebText.registrableDomainPsl(col("host"), rules).as("domain"))
+      .agg(sum(col("rank")).as("rank"))
+
+  /** [[hostEdges]] + [[pageRank]] + [[domainRank]] — the domain-level
+    * "rank my crawl" verb.
+    */
+  def rankDomains(
+      df: DataFrame,
+      urlCol: String,
+      htmlCol: String,
+      iterations: Int = 10,
+      damping: Double = 0.85,
+      rules: graft.ops.expr.PslRules = graft.ops.expr.PslRules.default
+  ): DataFrame =
+    domainRank(rankHosts(df, urlCol, htmlCol, iterations, damping), rules)
 
   /** Degree summary of an edge table: per host, distinct out- and
     * in-degree — the cheap frontier signal (hub-ness / authority-ness)

@@ -20,16 +20,27 @@ import org.apache.spark.sql.functions._
   */
 object Sitemaps {
 
-  /** Decode the five predefined XML entities (the protocol REQUIRES
-    * escaping `&` in loc URLs, so `&amp;` is routine). `&amp;` last, so
-    * `&amp;lt;` decodes to the literal `&lt;` and not `<`.
+  /** Decode the five predefined XML entities plus numeric character
+    * references (the protocol REQUIRES escaping `&` in loc URLs, so
+    * `&amp;` is routine — and real generators emit the equally-legal
+    * `&#38;`/`&#x26;` and other numeric refs; the XML CharRef production
+    * is part of the escaping table). Numeric refs decode through the same
+    * [[graft.ops.expr.NumericCharRefDecode]] kernel `stripHtml` uses
+    * (one linear scan, codegen'd); every AMPERSAND form decodes LAST, so
+    * `&amp;lt;` yields the literal `&lt;` (not `<`) and `&#38;#60;` the
+    * literal `&#60;` — decode-once, the XML semantics.
     */
   def xmlUnescape(s: Column): Column = {
     val lt = regexp_replace(s, "&lt;", "<")
     val gt = regexp_replace(lt, "&gt;", ">")
     val ap = regexp_replace(gt, "&apos;", "'")
     val qt = regexp_replace(ap, "&quot;", "\"")
-    regexp_replace(qt, "&amp;", "&")
+    val numerics = {
+      import org.apache.spark.sql.graft.ColumnBridge
+      ColumnBridge.column(graft.ops.expr.NumericCharRefDecode(
+        ColumnBridge.expression(qt)))
+    }
+    regexp_replace(numerics, "&amp;|&#0{0,6}38;|&#[xX]0{0,6}26;", "&")
   }
 
   private def tagText(block: Column, tag: String): Column = {
@@ -103,14 +114,26 @@ object Sitemaps {
       lit(null).cast("string").as("changefreq"),
       lit(null).cast("double").as("priority"),
       lit("sitemap").as("kind")))
+    // the full W3C-datetime ladder the protocol allows: full datetime,
+    // fractional seconds (1–3 digits native; longer fractions truncate to
+    // millis first — a lastmod HINT loses nothing there), minute
+    // precision, date, month, year. Each try_-parse: a malformed hint
+    // yields null, never an ANSI error.
+    val lm = col("__e.lastmod")
+    val lmMillis = regexp_replace(lm, "(\\.\\d{3})\\d+", "$1")
     df.select(df.columns.map(col) :+
         explode(concat(urls, kids)).as("__e"): _*)
       .select(df.columns.map(col) :+
         col("__e.loc").as("loc") :+
         coalesce(
-          try_to_timestamp(col("__e.lastmod"),
-            lit("yyyy-MM-dd'T'HH:mm:ssXXX")),
-          try_to_timestamp(col("__e.lastmod"), lit("yyyy-MM-dd")))
+          try_to_timestamp(lm, lit("yyyy-MM-dd'T'HH:mm:ssXXX")),
+          try_to_timestamp(lmMillis, lit("yyyy-MM-dd'T'HH:mm:ss.SSSXXX")),
+          try_to_timestamp(lm, lit("yyyy-MM-dd'T'HH:mm:ss.SSXXX")),
+          try_to_timestamp(lm, lit("yyyy-MM-dd'T'HH:mm:ss.SXXX")),
+          try_to_timestamp(lm, lit("yyyy-MM-dd'T'HH:mmXXX")),
+          try_to_timestamp(lm, lit("yyyy-MM-dd")),
+          try_to_timestamp(lm, lit("yyyy-MM")),
+          try_to_timestamp(lm, lit("yyyy")))
           .as("lastmod") :+
         col("__e.changefreq").as("changefreq") :+
         col("__e.priority").as("priority") :+

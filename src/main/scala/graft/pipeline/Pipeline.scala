@@ -731,6 +731,14 @@ object Pipeline {
           p.get("maxPayloadBytes").map(_.toString.toInt).getOrElse(64 << 20),
           p.get("maxRangeBytes").map(_.toString.toLong).getOrElse(1L << 30))
 
+      case "resolveRevisits" =>
+        // the frame is a WARC record frame (warc source / fetchWarc):
+        // resolve revisit stubs to their originals' payloads by payload
+        // digest (the CommonCrawl multi-crawl dedup convention); adds
+        // `resolved_from`. No options: the linkage is entirely in the
+        // records' own headers.
+        graft.sources.Warc.resolveRevisits(df)
+
       case "dsirSelect" =>
         // DSIR data selection (ops/Dsir.scala): importance weights of each
         // row against a TARGET exemplar table under hashed-n-gram bag
@@ -772,6 +780,35 @@ object Pipeline {
           .join(ranks.withColumnRenamed("host", "__lg_host")
             .withColumnRenamed("rank", as), Seq("__lg_host"), "left")
           .drop("__lg_host")
+
+      case "domainRank" =>
+        // domain-level PageRank mass attached per page (LinkGraph
+        // .rankDomains): host ranks aggregated to registrable domains
+        // (PSL eTLD+1) and joined back as `as`. Same options as hostRank
+        // plus pslFile (full published Public Suffix List; default the
+        // compact built-in subset).
+        val p = asMap(step("domainRank"), "domainRank")
+        val as = p.getOrElse("as", "domain_rank").toString
+        require(!df.columns.contains(as),
+          s"domainRank adds '$as'; rename the existing column or set 'as'")
+        val rules = p.get("pslFile") match {
+          case Some(f) =>
+            graft.ops.expr.PslRules.parse(new String(
+              java.nio.file.Files.readAllBytes(
+                java.nio.file.Paths.get(f.toString)), "UTF-8"))
+          case None => graft.ops.expr.PslRules.default
+        }
+        val ranks = graft.ops.LinkGraph.rankDomains(
+          df, p("url").toString, p("html").toString,
+          p.get("iterations").map(_.toString.toInt).getOrElse(10),
+          p.get("damping").map(_.toString.toDouble).getOrElse(0.85),
+          rules)
+        df.withColumn("__lg_domain",
+            graft.ops.WebText.registrableDomainPsl(
+              graft.ops.WebText.urlHost(col(p("url").toString)), rules))
+          .join(ranks.withColumnRenamed("domain", "__lg_domain")
+            .withColumnRenamed("rank", as), Seq("__lg_domain"), "left")
+          .drop("__lg_domain")
 
       case "mix" =>
         // deterministic data mixture over named sources ('$self' = the

@@ -31,49 +31,165 @@ import org.apache.spark.sql.types._
   */
 object Cdx {
 
-  /** SURT form of a URL: lowercase, scheme dropped, host labels reversed
-    * and comma-joined, `)` before the path, query kept, fragment dropped.
-    * `com,example)/path?q=1` — string-sortable so one host's (and one
-    * registrable domain's) captures are contiguous, which is the entire
-    * point of the index key. Ports are dropped (the [[WebText.urlHost]]
-    * key granularity — the published cc-index keys carry no default ports
-    * either, and crawl corpora are overwhelmingly port-less). Null for
-    * unparseable URLs.
+  /** SURT form of a URL with the Internet Archive DEFAULT CANONICALIZATION
+    * — the key family the published CommonCrawl cc-index and the pywb/
+    * OpenWayback ecosystem actually use (the `surt` library's
+    * `DefaultIAURLCanonicalizer`; a verbatim-key SURT would silently match
+    * NOTHING when joined against the real index, because the published
+    * keys strip `www.` and alphabetize query args). Rules, in order:
+    *
+    *   1. tab/CR/LF removed anywhere, surrounding spaces trimmed, the
+    *      whole URL lowercased, fragment dropped;
+    *   2. userinfo (`user:pass@`) stripped; host dots tidied (runs
+    *      collapsed, leading/trailing dropped); ONE leading `www.` /
+    *      `www<digits>.` host label stripped (IA `massageHost`);
+    *   3. scheme-default ports dropped (`http:80`, `https:443`,
+    *      `ftp:21`); any other explicit port keys after the reversed
+    *      host — `com,example:8080)/`;
+    *   4. path: spaces percent-encode to `%20` (so the key can live in a
+    *      space-delimited CDXJ line); ASP.NET cookieless-session path
+    *      segments (`/(s(…24…))/…aspx`) stripped (the IA path-session
+    *      rules); ONE trailing slash dropped unless the path is just `/`
+    *      (`/goo/` keys as `/goo` — the surt library's README example);
+    *   5. query: spaces percent-encode; the IA session-id parameters
+    *      strip (`jsessionid`/`phpsessid`/`sid` 32-char values,
+    *      `aspsessionid*`, `cfid`+`cftoken` — session noise would
+    *      otherwise make every capture of a page key uniquely); args
+    *      split on `&` and ALPHABETIZED by (name, value) — python-tuple
+    *      order: a bare arg sorts before `name=` with a value; an empty
+    *      query (or one emptied by the session strip) drops its `?`.
+    *
+    * So `https://www.Example.com:443/goo/?b=2&a=1#f` keys as
+    * `com,example)/goo?a=1&b=2` — string-sortable, one registrable
+    * domain's captures contiguous, and JOINABLE against the published
+    * index. Null for unparseable URLs (no `scheme://host`). Out of scope
+    * (documented, not silent): the Google-canonicalizer percent-decode/
+    * re-encode cycles, IDN/punycode folding and IP normalization — keys
+    * for such URLs may diverge from the published index; everything else
+    * matches the IA rules.
     */
   def surt(url: Column): Column = {
-    val u = lower(trim(url))
-    val host = graft.ops.WebText.urlHost(u)
+    val u = lower(trim(regexp_replace(url, "[\\t\\n\\r]", "")))
+    val scheme = regexp_extract(u, "^([a-z][a-z0-9+.\\-]*)://", 1)
+    val rawHost = regexp_extract(u,
+      "^[a-z][a-z0-9+.\\-]*://(?:[^/@?#]*@)?([^/:?#]+)", 1)
+    val dotted = regexp_replace(
+      regexp_replace(rawHost, "\\.{2,}", "."), "^\\.|\\.$", "")
+    val host = regexp_replace(dotted, "^www[0-9]*\\.", "")
+    val port = regexp_extract(u,
+      "^[a-z][a-z0-9+.\\-]*://(?:[^/@?#]*@)?[^/:?#]+:([0-9]+)(?=[/?#]|$)", 1)
+    val keepPort = (port =!= "") &&
+      !((scheme === "http" && port === "80") ||
+        (scheme === "https" && port === "443") ||
+        (scheme === "ftp" && port === "21"))
     val rev = array_join(reverse(split(host, "\\.")), ",")
-    // path + query, fragment dropped; "" and "/" both normalize to "/"
+    val revPort = when(keepPort, concat(rev, lit(":"), port)).otherwise(rev)
+    // path + query, fragment dropped
     val pq = regexp_extract(u, "^[a-z][a-z0-9+.\\-]*://[^/?#]*([^#]*)", 1)
-    val path = when(pq === "" || pq === "/", lit("/")).otherwise(pq)
-    when(host.isNull, lit(null).cast("string"))
-      .otherwise(concat(rev, lit(")"), path))
+    val rawPath = regexp_extract(pq, "^([^?]*)", 1)
+    val hasQuery = instr(pq, "?") > 0
+    val rawQuery = regexp_extract(pq, "^[^?]*\\?(.*)$", 1)
+    val pEsc = regexp_replace(rawPath, " ", "%20")
+    val pSess1 = regexp_replace(pEsc,
+      "^(.*/)\\((?:[a-z]\\([0-9a-z]{24}\\))+\\)/([^?]+\\.aspx.*)$", "$1$2")
+    val pSess2 = regexp_replace(pSess1,
+      "^(.*/)\\([0-9a-z]{24}\\)/([^?]+\\.aspx.*)$", "$1$2")
+    val pSlash = regexp_replace(pSess2, "(.)/$", "$1")
+    val path = when(pSlash === "", lit("/")).otherwise(pSlash)
+    val qEsc = regexp_replace(rawQuery, " ", "%20")
+    val qStripped = QuerySessionPatterns.foldLeft(qEsc)(
+      (q, pat) => regexp_replace(q, pat, "$1$2"))
+    val qParts = split(qStripped, "&", -1)
+    val qStructs = transform(qParts, a => {
+      val i = instr(a, "=")
+      struct(
+        when(i > 0, a.substr(lit(1), i - lit(1))).otherwise(a).as("k"),
+        when(i > 0, lit(1)).otherwise(lit(0)).as("h"),
+        when(i > 0, a.substr(i + lit(1), length(a))).otherwise(lit("")).as("v"))
+    })
+    val qSorted = array_join(
+      transform(array_sort(qStructs), st =>
+        when(st.getField("h") === 1,
+          concat(st.getField("k"), lit("="), st.getField("v")))
+          .otherwise(st.getField("k"))), "&")
+    val query = when(!hasQuery, lit("")).otherwise(qSorted)
+    val tail = when(query === "", path)
+      .otherwise(concat(path, lit("?"), query))
+    when(host.isNull || host === "", lit(null).cast("string"))
+      .otherwise(concat(revPort, lit(")"), tail))
   }
+
+  /** The IA query-session-id strip patterns (applied in this order, each
+    * at most once, anchored over the whole query — the `surt` library's
+    * `stripQuerySessionID` rule set). `$1$2` replacement: Java substitutes
+    * the empty string for a non-participating group, matching the python
+    * `group(1) [+ group(2)]` join.
+    */
+  private val QuerySessionPatterns = Seq(
+    "^(.*)(?:jsessionid=[0-9a-z]{32})(?:&(.*))?$",
+    "^(.*)(?:phpsessid=[0-9a-z]{32})(?:&(.*))?$",
+    "^(.*)(?:sid=[0-9a-z]{32})(?:&(.*))?$",
+    "^(.*)(?:aspsessionid[a-z]{8}=[a-z]{24})(?:&(.*))?$",
+    "^(.*)(?:cfid=[^&]+&cftoken=[^&]+)(?:&(.*))?$")
 
   /** JVM-side [[surt]] with the identical rules — the WARC writer's index
     * sidecar ([[Warc.writeWarcResponses]] `index = true`) runs per record
     * inside the shard writer where no Column can. Parity with the column
     * expression is spec-pinned (CdxSpec "surtString parity"); the trim
-    * strips only ASCII spaces to match Spark's `trim`.
+    * strips only ASCII spaces to match Spark's `trim`. (Query sorting
+    * compares with `String.compareTo` here vs UTF8String byte order in the
+    * column — identical for BMP text, which is all a lowercased query can
+    * realistically hold; supplementary-plane query args are the one
+    * documented divergence.)
     */
   def surtString(url: String): String = {
     if (url == null) return null
-    val u = url.dropWhile(_ == ' ').reverse.dropWhile(_ == ' ')
+    val u = url.replaceAll("[\\t\\n\\r]", "")
+      .dropWhile(_ == ' ').reverse.dropWhile(_ == ' ')
       .reverse.toLowerCase(java.util.Locale.ROOT)
-    val host = SchemeHostRe.findFirstMatchIn(u).map(_.group(1)).getOrElse("")
+    val scheme = SchemeRe.findFirstMatchIn(u).map(_.group(1)).getOrElse("")
+    val rawHost = SchemeHostRe.findFirstMatchIn(u).map(_.group(1)).getOrElse("")
+    val host = rawHost.replaceAll("\\.{2,}", ".")
+      .replaceAll("^\\.|\\.$", "").replaceAll("^www[0-9]*\\.", "")
     if (host.isEmpty) null
     else {
+      val port = PortRe.findFirstMatchIn(u).map(_.group(1)).getOrElse("")
+      val keepPort = port.nonEmpty &&
+        !((scheme == "http" && port == "80") ||
+          (scheme == "https" && port == "443") ||
+          (scheme == "ftp" && port == "21"))
       val rev = host.split("\\.", -1).reverse.mkString(",")
+      val revPort = if (keepPort) rev + ":" + port else rev
       val pq = PathQueryRe.findFirstMatchIn(u)
         .flatMap(m => Option(m.group(1))).getOrElse("")
-      val path = if (pq.isEmpty || pq == "/") "/" else pq
-      rev + ")" + path
+      val qAt = pq.indexOf('?')
+      val rawPath = if (qAt >= 0) pq.substring(0, qAt) else pq
+      val pSlash = rawPath.replace(" ", "%20")
+        .replaceAll("^(.*/)\\((?:[a-z]\\([0-9a-z]{24}\\))+\\)/([^?]+\\.aspx.*)$", "$1$2")
+        .replaceAll("^(.*/)\\([0-9a-z]{24}\\)/([^?]+\\.aspx.*)$", "$1$2")
+        .replaceAll("(.)/$", "$1")
+      val path = if (pSlash.isEmpty) "/" else pSlash
+      val query =
+        if (qAt < 0) ""
+        else {
+          val stripped = QuerySessionPatterns.foldLeft(
+            pq.substring(qAt + 1).replace(" ", "%20"))(
+            (q, pat) => q.replaceAll(pat, "$1$2"))
+          stripped.split("&", -1).sortBy { a =>
+            val i = a.indexOf('=')
+            if (i >= 0) (a.substring(0, i), 1, a.substring(i + 1))
+            else (a, 0, "")
+          }.mkString("&")
+        }
+      revPort + ")" + path + (if (query.isEmpty) "" else "?" + query)
     }
   }
 
+  private val SchemeRe = "^([a-z][a-z0-9+.\\-]*)://".r
   private val SchemeHostRe =
     "^[a-z][a-z0-9+.\\-]*://(?:[^/@?#]*@)?([^/:?#]+)".r
+  private val PortRe =
+    "^[a-z][a-z0-9+.\\-]*://(?:[^/@?#]*@)?[^/:?#]+:([0-9]+)(?=[/?#]|$)".r
   private val PathQueryRe =
     "^[a-z][a-z0-9+.\\-]*://[^/?#]*([^#]*)".r
 

@@ -56,7 +56,15 @@ object Warc {
       http_status: Option[Int],
       http_content_type: Option[String],
       payload: Array[Byte],
-      truncated: Boolean)
+      truncated: Boolean,
+      // dedup/revisit linkage headers (WARC-1.1 §5.9/§5.11/§6.7.2):
+      // `payload_digest` (WARC-Payload-Digest, `sha1:BASE32` by crawl
+      // convention) identifies the CONTENT; `refers_to` (WARC-Refers-To)
+      // and `warc_profile` (WARC-Profile) carry a revisit's link to its
+      // original capture — see [[resolveRevisits]]
+      payload_digest: Option[String],
+      refers_to: Option[String],
+      warc_profile: Option[String])
 
   /** Read a directory of `.warc` / `.warc.gz` files as record rows.
     * `maxPayloadBytes` bounds per-record memory: longer payloads keep
@@ -261,6 +269,9 @@ object Warc {
       if (!index) None
       else Some { r =>
         val uri = r.getString(0)
+        val body =
+          if (r.isNullAt(1)) Array.emptyByteArray
+          else r.get(1).asInstanceOf[Array[Byte]]
         val ct = if (r.isNullAt(2)) httpContentType else r.getString(2)
         val mime = ct.split(";")(0).trim
         // unparseable uris keep the raw (lowercased) uri as the key: a
@@ -278,8 +289,12 @@ object Warc {
           case '\r' => "%0D"
           case c => c.toString
         }
+        // digest = base32 SHA-1 of the PAYLOAD (the pywb/cc-index
+        // convention: digest identifies content, so consumers can dedup by
+        // it and resolve revisit records across URLs — a URL-keyed hash
+        // here would silently collapse distinct contents of one URL)
         val prefix = s"""${key} $ts14 {"url":"${jsonEsc(uri)}","mime":"${jsonEsc(mime)}",""" +
-          f""""status":"200","digest":"${fnv64(uri)}%016x""""
+          s""""status":"200","digest":"${sha1Base32(body)}""""
         (off: Long, len: Long, fn: String) =>
           prefix + s""","offset":"$off","length":"$len","filename":"${jsonEsc(fn)}"}"""
       }
@@ -303,10 +318,197 @@ object Warc {
           f"WARC-Record-ID: <urn:graft:${fnv64(uri)}%016x>\r\n" +
           s"WARC-Date: $warcDate\r\n" +
           s"WARC-Target-URI: $uri\r\n" +
+          // content digest per crawl convention (`sha1:` + base32 SHA-1 of
+          // the payload) — what revisit records point back at, and what
+          // [[resolveRevisits]] joins on
+          s"WARC-Payload-Digest: sha1:${sha1Base32(body)}\r\n" +
           "Content-Type: application/http; msgtype=response\r\n" +
           s"Content-Length: ${block.length}\r\n\r\n").getBytes("UTF-8")
       header ++ block ++ "\r\n\r\n".getBytes("UTF-8")
     }
+  }
+
+  /** Write each row as one WARC `revisit` record — the CommonCrawl /
+    * wayback NATIVE dedup convention (WARC-1.1 §6.7.2, the
+    * `identical-payload-digest` profile): when a crawler re-fetches a URL
+    * and the payload hashes identically to a capture it already archived,
+    * it stores only this stub — target URI, the shared
+    * `WARC-Payload-Digest`, optionally `WARC-Refers-To` naming the
+    * original record — and the payload itself exactly once. Readers
+    * resolve stubs back to content with [[resolveRevisits]]. `digestCol`
+    * must carry the original's payload digest (`sha1:BASE32` — compute it
+    * with [[payloadDigest]] over the original body, or read it off the
+    * original's `payload_digest` column); `refersToCol` optionally carries
+    * the original's record id. The content block is empty (the profile
+    * permits it; the digest IS the linkage). Same shard layout, codecs and
+    * commit protocol as [[writeWarcResponses]]; `index = true` emits the
+    * CDXJ sidecar with mime `warc/revisit` and the REVISIT's digest, the
+    * cc-index convention that lets an index consumer resolve content
+    * without touching the archive.
+    */
+  def writeWarcRevisits(
+      df: DataFrame,
+      outDir: String,
+      uriCol: String,
+      digestCol: String,
+      refersToCol: Option[String] = None,
+      warcDate: String = "2026-01-01T00:00:00Z",
+      maxRecordsPerShard: Int = 100000,
+      overwrite: Boolean = false,
+      codec: String = "gzip",
+      index: Boolean = false
+  ): Unit = {
+    val projected = df.select(
+      col(uriCol).cast("string").as("__uri"),
+      col(digestCol).cast("string").as("__digest"),
+      refersToCol.map(c => col(c).cast("string"))
+        .getOrElse(lit(null).cast("string")).as("__refers"))
+    val ts14 = warcDate.replaceAll("[^0-9]", "").take(14)
+    require(!index || ts14.length == 14,
+      s"writeWarcRevisits: index=true needs a full timestamp warcDate, got '$warcDate'")
+    def jsonEsc(s: String): String =
+      s.flatMap {
+        case '"' => "\\\""
+        case '\\' => "\\\\"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"
+        case c => c.toString
+      }
+    val indexFor: Option[org.apache.spark.sql.Row => (Long, Long, String) => String] =
+      if (!index) None
+      else Some { r =>
+        val uri = r.getString(0)
+        val digest = if (r.isNullAt(1)) "" else r.getString(1)
+        val rawKey = Option(graft.sources.Cdx.surtString(uri))
+          .getOrElse(uri.toLowerCase(java.util.Locale.ROOT))
+        val key = rawKey.flatMap {
+          case ' ' => "%20"
+          case '\t' => "%09"
+          case '\n' => "%0A"
+          case '\r' => "%0D"
+          case c => c.toString
+        }
+        // bare-base32 digest in the index line (cc-index drops the sha1: prefix)
+        val bare = digest.replaceFirst("(?i)^sha1:", "")
+        val prefix = s"""${key} $ts14 {"url":"${jsonEsc(uri)}","mime":"warc/revisit",""" +
+          s""""digest":"${jsonEsc(bare)}""""
+        (off: Long, len: Long, fn: String) =>
+          prefix + s""","offset":"$off","length":"$len","filename":"${jsonEsc(fn)}"}"""
+      }
+    writeShardedRecords(projected, outDir, codec, maxRecordsPerShard,
+      overwrite, "writeWarcRevisits", indexFor) { r =>
+      val uri = r.getString(0)
+      if (uri == null) throw new IllegalArgumentException(
+        "writeWarcRevisits: null uri — WARC-Target-URI is mandatory " +
+          "for revisit records; filter or coalesce the uri column first")
+      if (r.isNullAt(1)) throw new IllegalArgumentException(
+        "writeWarcRevisits: null digest — a revisit without " +
+          "WARC-Payload-Digest can never be resolved; filter such rows " +
+          "or write them as full response records instead")
+      val digest = r.getString(1)
+      val refers =
+        if (r.isNullAt(2)) "" else s"WARC-Refers-To: ${r.getString(2)}\r\n"
+      val header =
+        ("WARC/1.0\r\n" +
+          "WARC-Type: revisit\r\n" +
+          f"WARC-Record-ID: <urn:graft:revisit:${fnv64(uri + "|" + digest)}%016x>\r\n" +
+          refers +
+          s"WARC-Date: $warcDate\r\n" +
+          s"WARC-Target-URI: $uri\r\n" +
+          "WARC-Profile: http://netpreserve.org/warc/1.0/revisit/identical-payload-digest\r\n" +
+          s"WARC-Payload-Digest: $digest\r\n" +
+          "Content-Length: 0\r\n\r\n").getBytes("UTF-8")
+      header ++ "\r\n\r\n".getBytes("UTF-8")
+    }
+  }
+
+  /** Resolve `revisit` records to their original captures' content — the
+    * join every consumer of multi-crawl WARC sets needs before any
+    * text-level processing (CommonCrawl stores a re-fetched unchanged page
+    * as a payload-less revisit stub; feeding stubs to an extraction
+    * pipeline silently drops every stable page). Input: a [[readWarc]] /
+    * [[readWarcRanges]] frame (or a union over crawls). Output: the same
+    * columns plus `resolved_from` — for each revisit row, `payload`,
+    * `http_status` and `http_content_type` are replaced by those of the
+    * response record sharing its payload digest (preferring, among
+    * responses with that digest, the one named by `WARC-Refers-To` when
+    * present), and `resolved_from` carries the original's record id;
+    * non-revisit rows pass through with `resolved_from` null, and a
+    * revisit whose digest matches no response in the frame keeps its empty
+    * payload with `resolved_from` null (filter `warc_type = 'revisit' AND
+    * resolved_from IS NULL` to find danglers — their originals live in a
+    * crawl you did not read).
+    *
+    * Scale shape: ONE shuffle keyed by the normalized digest. The
+    * originals side first collapses to one representative row per digest
+    * (`min_by` over (file, index) — deterministic, and partial-aggregates
+    * map-side so the duplicate-payload key never concentrates); the join
+    * output is revisit-count sized, never responses × revisits.
+    */
+  def resolveRevisits(warc: DataFrame): DataFrame = {
+    val norm = (c: Column) => upper(regexp_replace(c, "(?i)^sha1:", ""))
+    val originals = warc
+      .filter(col("warc_type") === "response" && col("payload_digest").isNotNull)
+      .groupBy(norm(col("payload_digest")).as("__digest"))
+      .agg(min_by(
+        struct(col("payload"), col("http_status"), col("http_content_type"),
+          col("record_id")),
+        struct(col("warc_file"), col("record_index"))).as("__o"))
+    val revisits = warc.filter(col("warc_type") === "revisit")
+    val passthrough = warc.filter(col("warc_type") =!= "revisit")
+      .withColumn("resolved_from", lit(null).cast("string"))
+    val resolved = revisits
+      .join(originals, norm(col("payload_digest")) === col("__digest"), "left")
+      .select(warc.columns.toIndexedSeq.map {
+        case "payload" =>
+          coalesce(col("__o.payload"), col("payload")).as("payload")
+        case "http_status" =>
+          coalesce(col("__o.http_status"), col("http_status")).as("http_status")
+        case "http_content_type" =>
+          coalesce(col("__o.http_content_type"), col("http_content_type"))
+            .as("http_content_type")
+        case c => col(c)
+      } :+ col("__o.record_id").as("resolved_from"): _*)
+    passthrough.unionByName(resolved)
+  }
+
+  /** `sha1:`-less base32 SHA-1 of a binary (or string) column — the crawl
+    * ecosystem's payload-digest value ([[WarcRow.payload_digest]] carries
+    * it WITH the `sha1:` prefix; cc-index JSON carries it bare). Pure
+    * column expression: Spark's codegen'd `sha1` (hex) regrouped to RFC
+    * 4648 base32 — 160 bits = 8 × 20-bit hex chunks = 8 × 4 base32 chars,
+    * no padding. Parity with the writer's JVM-side [[sha1Base32]] is
+    * spec-pinned (WarcSpec).
+    */
+  def payloadDigest(c: Column): Column = {
+    val alpha = "ABCDEFGHIJKLMNOPQRSTUVWXYZ234567"
+    val hex = sha1(c)
+    concat((0 until 8).map { i =>
+      val n = conv(substring(hex, i * 5 + 1, 5), 16, 10).cast("int")
+      concat((3 to 0 by -1).map { j =>
+        lit(alpha).substr(shiftright(n, j * 5).bitwiseAND(lit(31)) + lit(1), lit(1))
+      }: _*)
+    }: _*)
+  }
+
+  /** JVM-side RFC 4648 base32 of SHA-1 — the writer's digest (per record,
+    * inside the shard task where no Column can run). 20 bytes → exactly 32
+    * chars, padless.
+    */
+  private[sources] def sha1Base32(bytes: Array[Byte]): String = {
+    val d = java.security.MessageDigest.getInstance("SHA-1").digest(bytes)
+    val alpha = "ABCDEFGHIJKLMNOPQRSTUVWXYZ234567"
+    val sb = new java.lang.StringBuilder(32)
+    var buf = 0L
+    var bits = 0
+    d.foreach { b =>
+      buf = (buf << 8) | (b & 0xffL)
+      bits += 8
+      while (bits >= 5) {
+        bits -= 5
+        sb.append(alpha(((buf >> bits) & 31L).toInt))
+      }
+    }
+    sb.toString
   }
 
   /** Write each row as one WARC `conversion` record — the WET layout
@@ -766,7 +968,10 @@ object Warc {
       http_status = status,
       http_content_type = httpCt,
       payload = payload,
-      truncated = truncated))
+      truncated = truncated,
+      payload_digest = headers.get("warc-payload-digest"),
+      refers_to = headers.get("warc-refers-to"),
+      warc_profile = headers.get("warc-profile")))
   }
 
   /** Split an HTTP/1.x message block into (status, content-type, body).
@@ -803,3 +1008,4 @@ object Warc {
     (status, ct, java.util.Arrays.copyOfRange(block, bodyAt, block.length))
   }
 }
+

@@ -51,6 +51,108 @@ class LinkGraphSpec extends SparkTestBase {
       "http://c.test/3", "http://d.test/4", "/rel"))
   }
 
+  test("hrefs/anchors: data-href and ng-href are NOT links") {
+    val html = """<a data-href="http://tpl.test/x" href="http://real.test/1">r</a>
+      |<div ng-href='http://ng.test/2'>t</div>""".stripMargin
+    val got = Seq(Tuple1(html)).toDF("h")
+      .select(LinkGraph.hrefs(col("h")).as("u"))
+      .as[Seq[String]].head().toSet
+    assert(got == Set("http://real.test/1"))
+    val anchors = Seq(Tuple1(html)).toDF("h")
+      .select(LinkGraph.anchors(col("h")).as("a"))
+      .selectExpr("inline(a)").as[(String, String)].collect().toSeq
+    assert(anchors == Seq(("http://real.test/1", "r")))
+  }
+
+  test("baseHref: first base-with-href wins; quoting forms; no-href base " +
+    "skipped") {
+    val cases = Seq(
+      ("""<base href="https://b.test/dir/"><base href="https://c.test/">""",
+        "https://b.test/dir/"),
+      ("<BASE HREF='//proto.test/x'>", "//proto.test/x"),
+      ("<base href=/rooted/>", "/rooted/"),
+      ("""<base target="_blank"><base href="https://late.test/">""",
+        "https://late.test/"),
+      ("<base target=\"_blank\">", null),
+      ("no base at all", null),
+      ("<base href=\"\">", null))
+    cases.toDF("html", "expected")
+      .select(col("expected"), LinkGraph.baseHref(col("html")).as("got"))
+      .collect().foreach { r =>
+        assert(Option(r.getString(1)) == Option(r.getString(0)),
+          s"baseHref expected ${r.getString(0)}, got ${r.getString(1)}")
+      }
+  }
+
+  test("baseHost: absolute/protocol-relative bases change the host; " +
+    "rooted/relative/non-web bases do not") {
+    val cases = Seq(
+      ("""<base href="https://cdn.test/assets/">""", "cdn.test"),
+      ("<base href='//other.test/'>", "other.test"),
+      ("<base href=\"/subdir/\">", null),
+      ("<base href=\"sub/\">", null),
+      ("<base href=\"mailto:x@y\">", null),
+      ("none", null))
+    cases.toDF("html", "expected")
+      .select(col("expected"), LinkGraph.baseHost(col("html")).as("got"))
+      .collect().foreach { r =>
+        assert(Option(r.getString(1)) == Option(r.getString(0)),
+          s"baseHost expected ${r.getString(0)}, got ${r.getString(1)}")
+      }
+  }
+
+  test("hostEdges/anchorTexts honor <base href>: relative links attribute " +
+    "to the base host, absolute links unaffected") {
+    val html =
+      """<base href="https://based.test/root/">
+        |<a href="rel/p">rel anchor</a>
+        |<a href="/rooted">rooted</a>
+        |<a href="http://abs.test/q">abs</a>
+        |<a href="//pr.test/r">pr</a>""".stripMargin
+    val df = Seq(("https://src.test/p", html)).toDF("url", "html")
+    val edges = LinkGraph.hostEdges(df, "url", "html")
+      .as[(String, String)].collect().toSet
+    assert(edges == Set(
+      ("src.test", "based.test"), ("src.test", "abs.test"),
+      ("src.test", "pr.test")))
+    val anchors = LinkGraph.anchorTexts(df, "url", "html")
+      .as[(String, String, String)].collect().toSet
+    assert(anchors == Set(
+      ("src.test", "based.test", "rel anchor"),
+      ("src.test", "based.test", "rooted"),
+      ("src.test", "abs.test", "abs"),
+      ("src.test", "pr.test", "pr")))
+    // a same-host base turns relative links into self-loops (dropped);
+    // a rooted base leaves the page host in charge
+    val sameHost = Seq(("https://src.test/p",
+      """<base href="https://src.test/x/"><a href="rel">r</a>""" +
+        """<a href="http://abs.test/q">a</a>""")).toDF("url", "html")
+    assert(LinkGraph.hostEdges(sameHost, "url", "html")
+      .as[(String, String)].collect().toSet == Set(("src.test", "abs.test")))
+    val rootedBase = Seq(("https://src.test/p",
+      """<base href="/sub/"><a href="http://x.test/1">x</a>""" +
+        """<a href="rel">r</a>""")).toDF("url", "html")
+    assert(LinkGraph.hostEdges(rootedBase, "url", "html")
+      .as[(String, String)].collect().toSet == Set(("src.test", "x.test")))
+  }
+
+  test("domainRank: per-domain mass is the sum of its hosts; total mass " +
+    "conserved at 1") {
+    val edges = Seq(
+      ("a.x.co.uk", "b.y.co.uk"), ("b.y.co.uk", "c.x.co.uk"),
+      ("c.x.co.uk", "a.x.co.uk"), ("a.x.co.uk", "d.z.test"))
+      .toDF("src", "dst")
+    val hosts = LinkGraph.pageRank(edges, iterations = 3)
+    val hostMap = hosts.as[(String, Double)].collect().toMap
+    val doms = LinkGraph.domainRank(hosts).as[(String, Double)]
+      .collect().toMap
+    assert(doms.keySet == Set("x.co.uk", "y.co.uk", "z.test"))
+    assert(math.abs(doms("x.co.uk") -
+      (hostMap("a.x.co.uk") + hostMap("c.x.co.uk"))) < 1e-12)
+    assert(math.abs(doms("y.co.uk") - hostMap("b.y.co.uk")) < 1e-12)
+    assert(math.abs(doms.values.sum - 1.0) < 1e-9)
+  }
+
   test("hostEdges: decoys and self-loops drop, output distinct") {
     val html =
       """<a href="http://dst.test/a">1</a>

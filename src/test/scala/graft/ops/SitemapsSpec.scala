@@ -68,6 +68,56 @@ class SitemapsSpec extends SparkTestBase {
     assert(got == "a&lt;b <c> \"d' &e")
   }
 
+  test("xmlUnescape: numeric character references decode once — decimal, " +
+    "hex, and the ampersand forms last") {
+    val cases = Seq(
+      // &#38; / &#x26; are legal loc escapes and must decode to &
+      ("https://e.test/?a=1&#38;b=2", "https://e.test/?a=1&b=2"),
+      ("https://e.test/?a=1&#x26;b=2", "https://e.test/?a=1&b=2"),
+      // other refs: decimal, hex, zero-padded
+      ("d&#45;e &#x2F; f&#0045;g", "d-e / f-g"),
+      // decode-once: an escaped ref stays literal
+      ("x&amp;#60;y", "x&#60;y"),
+      ("x&#38;lt;y", "x&lt;y"),
+      // malformed refs stay literal text
+      ("no&#;semi &#999999999; &#xZZ;", "no&#;semi &#999999999; &#xZZ;"))
+    cases.toDF("s", "expected")
+      .select(col("expected"), Sitemaps.xmlUnescape(col("s")).as("got"))
+      .collect().foreach { r =>
+        assert(r.getString(1) == r.getString(0),
+          s"expected ${r.getString(0)}, got ${r.getString(1)}")
+      }
+  }
+
+  test("lastmod: the W3C-datetime ladder — fractional seconds (any length)," +
+    " minute precision, month and year forms all parse; garbage is null") {
+    val docs = Seq(
+      ("2024-03-01", "2024-03-01 00:00:00"),
+      ("2024-03-01T12:00:00Z", "2024-03-01 12:00:00"),
+      ("2024-03-01T12:00:00+02:00", "2024-03-01 10:00:00"),
+      ("2024-03-01T12:00:00.5Z", "2024-03-01 12:00:00.5"),
+      ("2024-03-01T12:00:00.25Z", "2024-03-01 12:00:00.25"),
+      ("2024-03-01T12:00:00.125Z", "2024-03-01 12:00:00.125"),
+      ("2024-03-01T12:00:00.123456789Z", "2024-03-01 12:00:00.123"),
+      ("2024-03-01T12:00Z", "2024-03-01 12:00:00"),
+      ("2024-03", "2024-03-01 00:00:00"),
+      ("2024", "2024-01-01 00:00:00"),
+      ("soon", null))
+      .zipWithIndex.map { case ((lm, want), i) =>
+        (i.toLong,
+          s"<urlset><url><loc>https://e.test/$i</loc>" +
+            s"<lastmod>$lm</lastmod></url></urlset>", want)
+      }.toDF("i", "xml", "want")
+    val got = Sitemaps.parseSitemaps(docs, "xml")
+      .select(col("want"), col("lastmod").cast("string").as("got"))
+      .collect()
+    assert(got.length == 11)
+    got.foreach { r =>
+      assert(Option(r.getString(1)) == Option(r.getString(0)),
+        s"lastmod expected ${r.getString(0)}, got ${r.getString(1)}")
+    }
+  }
+
   test("sitemapsFromRobots: case-insensitive field, order kept") {
     val robots =
       """User-agent: *

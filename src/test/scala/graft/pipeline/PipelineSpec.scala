@@ -962,4 +962,25 @@ class PipelineSpec extends SparkTestBase {
     assert(ranks("https://c.test/1").isEmpty)
   }
 
+  test("domainRank verb: domain-aggregated rank joined back per page") {
+    // a<->b 2-cycle of hosts under ONE registrable domain (x.co.uk):
+    // each host sits at the 0.5 fixpoint, the domain carries their SUM
+    val pages = Seq(
+      ("https://a.x.co.uk/1", "<a href=\"http://b.x.co.uk/p\">l</a>"),
+      ("https://b.x.co.uk/1", "<a href=\"http://a.x.co.uk/q\">l</a>"),
+      ("https://c.test/1", "no links"))
+      .toDF("url", "html")
+    val out = Pipeline.run(spark,
+      """source: pages
+        |steps:
+        |  - domainRank: {url: url, html: html, iterations: 4}
+        |""".stripMargin,
+      { case "pages" => pages; case n => fail(s"unexpected $n") })
+    val ranks = out.select(col("url"), col("domain_rank"))
+      .as[(String, Option[Double])].collect().toMap
+    assert(ranks("https://a.x.co.uk/1").exists(r => math.abs(r - 1.0) < 1e-12))
+    assert(ranks("https://b.x.co.uk/1").exists(r => math.abs(r - 1.0) < 1e-12))
+    assert(ranks("https://c.test/1").isEmpty)
+  }
+
 }

@@ -56,6 +56,132 @@ class WarcSpec extends SparkTestBase {
     assert(got.exceptAll(want).count() == 0 && want.exceptAll(got).count() == 0)
   }
 
+  test("payload digest: column/JVM parity and the canonical empty-payload " +
+    "vector") {
+    // sha1("") base32 — the digest every crawl consumer has seen on
+    // zero-length payloads
+    assert(Warc.sha1Base32(Array.emptyByteArray)
+      == "3I42H3S6NNFQ2MSVX7XZKYAYSCX5QBYJ")
+    val bodies = Seq("", "a", "hello world", "x" * 1000, "päge\n")
+    val viaColumn = bodies.toDF("b")
+      .select(Warc.payloadDigest(col("b").cast("binary")).as("d"))
+      .as[String].collect().toSeq
+    val viaJvm = bodies.map(b => Warc.sha1Base32(b.getBytes("UTF-8")))
+    assert(viaColumn == viaJvm)
+    viaColumn.foreach(d => assert(d.length == 32 && d.forall(
+      c => (c >= 'A' && c <= 'Z') || (c >= '2' && c <= '7'))))
+  }
+
+  test("response records carry WARC-Payload-Digest; sidecar digest is the " +
+    "payload's base32 sha1, not a URL key") {
+    val dir = tmpDir()
+    // two urls with IDENTICAL bodies and one distinct: content-keyed
+    // digests must collapse the twins and separate the loner
+    val df = Seq(
+      ("https://a.test/1", "same body"), ("https://b.test/2", "same body"),
+      ("https://c.test/3", "other body")).toDF("uri", "body")
+    Warc.writeWarcResponses(df, dir, "uri", "body",
+      overwrite = true, index = true)
+    val rows = Warc.readWarc(spark, dir)
+      .select(col("target_uri"), col("payload_digest")).collect()
+    assert(rows.length == 3)
+    rows.foreach { r =>
+      assert(r.getString(1) != null && r.getString(1).startsWith("sha1:"))
+    }
+    val byUri = rows.map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(byUri("https://a.test/1") == byUri("https://b.test/2"))
+    assert(byUri("https://a.test/1") != byUri("https://c.test/3"))
+    assert(byUri("https://a.test/1").stripPrefix("sha1:")
+      == Warc.sha1Base32("same body".getBytes("UTF-8")))
+    // the sidecar's digest field: bare base32 of the payload
+    val idx = Cdx.readCdxj(spark, dir, glob = Some("*.cdxj"))
+      .select(col("url"), col("digest")).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(idx("https://a.test/1")
+      == Warc.sha1Base32("same body".getBytes("UTF-8")))
+    assert(idx("https://a.test/1") == idx("https://b.test/2"))
+  }
+
+  test("revisit write → read → resolveRevisits: stubs regain the original " +
+    "payload; danglers stay null") {
+    val parent = tmpDir()
+    val origDir = new java.io.File(parent, "crawl1").getPath
+    val revDir = new java.io.File(parent, "crawl2").getPath
+    val originals = Seq(
+      ("https://o.test/a", "alpha content"),
+      ("https://o.test/b", "beta content")).toDF("uri", "body")
+    Warc.writeWarcResponses(originals, origDir, "uri", "body", index = true)
+    // revisit of /a under a DIFFERENT url (content-keyed resolution), a
+    // same-url revisit of /b, and a dangler whose original is not here
+    val revisits = Seq(
+      ("https://m.test/mirror-of-a",
+        "sha1:" + Warc.sha1Base32("alpha content".getBytes("UTF-8")),
+        Some("<urn:x:orig-a>")),
+      ("https://o.test/b",
+        "sha1:" + Warc.sha1Base32("beta content".getBytes("UTF-8")), None),
+      ("https://gone.test/x",
+        "sha1:" + Warc.sha1Base32("vanished".getBytes("UTF-8")), None))
+      .toDF("uri", "digest", "refers")
+    Warc.writeWarcRevisits(revisits, revDir, "uri", "digest",
+      refersToCol = Some("refers"), index = true)
+    // read BOTH crawls in one frame (glob over the parent)
+    val warc = Warc.readWarc(spark, parent + "/*")
+    assert(warc.count() == 5)
+    val rev = warc.filter(col("warc_type") === "revisit").collect()
+    assert(rev.length == 3)
+    rev.foreach { r =>
+      assert(r.getAs[String]("warc_profile")
+        == "http://netpreserve.org/warc/1.0/revisit/identical-payload-digest")
+      assert(r.getAs[Array[Byte]]("payload").isEmpty)
+    }
+    assert(rev.count(_.getAs[String]("refers_to") == "<urn:x:orig-a>") == 1)
+    val resolved = Warc.resolveRevisits(warc)
+    assert(resolved.count() == 5)
+    val byUri = resolved.filter(col("warc_type") === "revisit")
+      .select(col("target_uri"), col("payload").cast("string"),
+        col("resolved_from"), col("http_status")).collect()
+      .map(r => r.getString(0) -> ((r.getString(1), r.getString(2),
+        if (r.isNullAt(3)) -1 else r.getInt(3)))).toMap
+    assert(byUri("https://m.test/mirror-of-a")._1 == "alpha content")
+    assert(byUri("https://m.test/mirror-of-a")._2 != null)
+    assert(byUri("https://m.test/mirror-of-a")._3 == 200)
+    assert(byUri("https://o.test/b")._1 == "beta content")
+    assert(byUri("https://gone.test/x")._1 == "")
+    assert(byUri("https://gone.test/x")._2 == null)
+    // non-revisit rows pass through untouched, resolved_from null
+    assert(resolved.filter(col("warc_type") === "response" &&
+      col("resolved_from").isNotNull).count() == 0)
+    // the revisit sidecar indexes stubs with mime warc/revisit + bare digest
+    val idx = Cdx.readCdxj(spark, revDir, glob = Some("*.cdxj")).collect()
+    assert(idx.length == 3)
+    idx.foreach { r =>
+      assert(r.getAs[String]("mime") == "warc/revisit")
+      assert(r.getAs[String]("digest").length == 32)
+    }
+  }
+
+  test("pipeline resolveRevisits verb: config-only stub resolution") {
+    val parent = tmpDir()
+    Warc.writeWarcResponses(
+      Seq(("https://o.test/p", "the payload")).toDF("uri", "body"),
+      new java.io.File(parent, "c1").getPath, "uri", "body")
+    Warc.writeWarcRevisits(
+      Seq(("https://r.test/p",
+        "sha1:" + Warc.sha1Base32("the payload".getBytes("UTF-8"))))
+        .toDF("uri", "digest"),
+      new java.io.File(parent, "c2").getPath, "uri", "digest")
+    val out = graft.pipeline.Pipeline.run(spark,
+      s"""source: {format: warc, path: "$parent/*"}
+         |steps:
+         |  - resolveRevisits: {}
+         |  - filter: "$$warc_type == 'revisit'"
+         |""".stripMargin, _ => fail("no table resolve expected"))
+    val r = out.select(col("payload").cast("string"), col("resolved_from"))
+      .collect()
+    assert(r.length == 1 && r.head.getString(0) == "the payload" &&
+      r.head.getString(1) != null)
+  }
+
   test("record ids are deterministic and distinct per uri") {
     val dir1 = tmpDir(); val dir2 = tmpDir()
     val df = Seq("https://a/x", "https://a/y").toDF("uri")
@@ -464,7 +590,11 @@ class WarcSpec extends SparkTestBase {
       assert(r.getAs[String]("filename") != null)
     }
     val weird = idx.filter(_.getAs[String]("url").contains("space")).head
-    assert(weird.getAs[String]("surt_key") == "test,bad)/with%20space/and%09tab")
+    // the canonicalizer itself now owns the encoding: spaces → %20 (so the
+    // key survives the space-delimited line), tab/CR/LF removed outright
+    // (the IA pre-clean); the writer's extra percent-encode only guards the
+    // raw-uri fallback branch for uris surtString cannot parse at all
+    assert(weird.getAs[String]("surt_key") == "test,bad)/with%20space/andtab")
   }
 
   test("readWarcRanges: fetchPlan-driven selective decode, gz") {
