@@ -285,6 +285,34 @@ object ScaleBench {
           .cast("long").as("doc_id"),
         col("content_length").as("clen"))
     }),
+    // ZipNum index roundtrip (round 14): corpus-sized CDXJ lines
+    // range-sorted and clustered into gzip blocks + cluster.idx (one
+    // range exchange, then streaming block writes), then ONE host-prefix
+    // query answered entirely through the cluster-index block plan. The
+    // write half proves the sorted clustering scales; the query half's
+    // cost tracks the prefix's share of the index plus the cluster.idx
+    // scan, not the index size. rows_out = the prefix's capture count
+    // (1/1000 of the corpus by construction) — a wrong block plan loses
+    // rows at block edges and shows here.
+    "x_zipnum_roundtrip" -> ((s, dir) => {
+      val out = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft_scale_zipnum_" +
+          java.lang.Long.toHexString(dir.hashCode.toLong & 0xffffffffL) +
+          "_" + ProcessHandle.current().pid()).getPath
+      val lines = s.read.parquet(s"$dir/documents.parquet").select(concat(
+        lit("com,site"), (col("doc_id") % 1000).cast("string"),
+        lit(")/doc/"), col("doc_id").cast("string"),
+        lit(" 20240101000000 {\"url\":\"https://site"),
+        (col("doc_id") % 1000).cast("string"),
+        lit(".com/doc/"), col("doc_id").cast("string"),
+        lit("\",\"status\":\"200\",\"offset\":\""),
+        (col("doc_id") * 1000).cast("string"),
+        lit("\",\"length\":\"900\",\"filename\":\"w.warc.gz\"}"))
+        .as("value"))
+      graft.sources.Cdx.writeZipnum(lines, out, overwrite = true)
+      graft.sources.Cdx.queryZipnum(s, out, "com,site7)")
+        .select(col("surt_key"), col("offset"), col("length"))
+    }),
     // Cross-corpus segment dedup throughput (round 11): shared
     // header/footer lines wrapped around every document — the hot-segment
     // skew case the operator is designed for (the shared lines occur

@@ -2983,6 +2983,72 @@ object SparkEntry {
           col("lastmod").cast("string").as("lastmod"),
           col("changefreq"), col("priority"), col("kind"))
     }),
+    // The no-sidecar archive loop (Warc.indexWarc + Cdx.cdxjLines +
+    // zipnum): an archive written WITHOUT any index is walked at the gzip
+    // member level (real header parse + Inflater consumption counts →
+    // member offsets), the computed captures render to CDXJ lines,
+    // cluster into a ZipNum index, and one host's pages are then fetched
+    // by prefix query → byte-range plan → ranged decode. Every link in
+    // the chain is load-bearing: a wrong member offset or zipnum block
+    // boundary breaks the gzip decode or loses rows, and the oracle
+    // replays the final payload text arithmetically.
+    "q107_warc_index_zipnum" -> ((s, dir) => {
+      val fixture = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft_warcidx_" +
+          java.lang.Long.toHexString(dir.hashCode.toLong & 0xffffffffL) +
+          "_" + ProcessHandle.current().pid())
+      val arc = new java.io.File(fixture, "arc").getPath
+      val zp = new java.io.File(fixture, "zip").getPath
+      val src = s.range(0, 300).select(
+        concat(lit("https://s"), (col("id") % 5).cast("string"),
+          lit(".test/d/"), col("id").cast("string")).as("uri"),
+        concat(lit("body "), col("id").cast("string"),
+          expr("repeat('y', CAST(id % 11 AS INT))")).as("body"))
+      graft.sources.Warc.writeWarcResponses(
+        src.repartition(3), arc, "uri", "body",
+        overwrite = true, maxRecordsPerShard = 40)
+      graft.sources.Cdx.writeZipnum(
+        graft.sources.Cdx.cdxjLines(graft.sources.Warc.indexWarc(s, arc)),
+        zp, linesPerBlock = 10, overwrite = true)
+      val caps = graft.sources.Cdx.queryZipnum(s, zp, "test,s2)")
+      val plan = graft.sources.Cdx.fetchPlan(caps, gapBytes = 0L)
+      graft.sources.Warc.readWarcRanges(s, arc, plan)
+        .select(col("target_uri"),
+          col("payload").cast("string").as("body"),
+          col("http_status"))
+    }),
+    // ZipNum clustered index (Cdx.writeZipnum/queryZipnum): the published
+    // cc-index's two-level layout — sorted CDXJ lines packed into
+    // independently-gzipped blocks with a cluster.idx of block keys, so a
+    // prefix query touches only candidate blocks. 2000 formulaic capture
+    // lines over 7 hosts are written at 50 lines/block across 3 shards,
+    // then host h3's captures are answered ENTIRELY through the
+    // cluster-index plan (any wrong block offset breaks the gunzip; any
+    // wrong plan boundary loses rows at block edges). The oracle
+    // re-derives the full h3 capture set from residue arithmetic.
+    "q106_zipnum_query" -> ((s, dir) => {
+      val fixture = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft_zipnum_" +
+          java.lang.Long.toHexString(dir.hashCode.toLong & 0xffffffffL) +
+          "_" + ProcessHandle.current().pid())
+      val idx = new java.io.File(fixture, "idx").getPath
+      val lines = s.range(0, 2000).select(concat(
+        lit("test,h"), (col("id") % 7).cast("string"), lit(")/p/"),
+        col("id").cast("string"),
+        lit(" 20240101000000 {\"url\":\"https://h"),
+        (col("id") % 7).cast("string"),
+        lit(".test/p/"), col("id").cast("string"),
+        lit("\",\"status\":\"200\",\"offset\":\""),
+        (col("id") * 100).cast("string"),
+        lit("\",\"length\":\"90\",\"filename\":\"w-"),
+        (col("id") % 4).cast("string"),
+        lit(".warc.gz\"}")).as("value"))
+      graft.sources.Cdx.writeZipnum(lines, idx,
+        linesPerBlock = 50, numShards = 3, overwrite = true)
+      graft.sources.Cdx.queryZipnum(s, idx, "test,h3)")
+        .select(col("surt_key"), col("url"), col("offset"),
+          col("length"), col("filename"))
+    }),
     // Published-index SURT parity (Cdx.surt vs the IA canonicalization the
     // real CommonCrawl cc-index keys go through): verbatim (url, key)
     // pairs covering www/www<d> hosts, multi-param + bare + repeated query
@@ -5320,6 +5386,19 @@ object SparkEntry {
         |    'sitemap' AS kind
         |  FROM i CROSS JOIN k WHERE i % 10 = 9)
         |SELECT * FROM urls UNION ALL SELECT * FROM kids""".stripMargin,
+    "q107_warc_index_zipnum" ->
+      """SELECT 'https://s2.test/d/' || CAST(i AS VARCHAR) AS target_uri,
+        |       'body ' || CAST(i AS VARCHAR) || repeat('y', CAST(i % 11 AS INT)) AS body,
+        |       200 AS http_status
+        |FROM (SELECT range AS i FROM range(0, 300)) WHERE i % 5 = 2""".stripMargin,
+    "q106_zipnum_query" ->
+      """WITH i AS (SELECT range AS i FROM range(0, 2000))
+        |SELECT 'test,h3)/p/' || CAST(i AS VARCHAR) AS surt_key,
+        |       'https://h3.test/p/' || CAST(i AS VARCHAR) AS url,
+        |       i * 100 AS offset,
+        |       CAST(90 AS BIGINT) AS length,
+        |       'w-' || CAST((i % 4) AS VARCHAR) || '.warc.gz' AS filename
+        |FROM i WHERE i % 7 = 3""".stripMargin,
     "q102c_surt_published" -> {
       // literal expected keys — the gate IS the pair table; Spark's surt
       // must reproduce every key character-for-character

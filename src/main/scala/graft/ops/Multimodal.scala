@@ -626,7 +626,25 @@ object Multimodal {
       maxBucketSize: Int = 1000
   ): DataFrame =
     Dedup.hammingNearDuplicatePairs(
-      audioFingerprints(media, decoder), "media_id", "afp", maxHamming, maxBucketSize)
+      cachedFingerprints(audioFingerprints(media, decoder)),
+      "media_id", "afp", maxHamming, maxBucketSize)
+
+  /** Fingerprint tables are PERSISTED before the pair engine: the
+    * engine's plan references its input several times (member groups,
+    * keeper star, ball probes — [[Dedup.multiIndexHammingPairs]]), and
+    * each reference would otherwise re-run the upstream subtree,
+    * RE-DECODING every payload (measured: ~7 input evaluations per pair
+    * run). A fingerprint row is 16 bytes at any scale, so one cache pass
+    * is negligible next to a single decode pass — and the accurate
+    * (small) cache statistics let the engine's re-expansion joins
+    * broadcast the member table instead of sort-merging against a
+    * media-payload-sized estimate. As with `cacheShingles`
+    * ([[Dedup.nearDuplicatePairs]]): Spark has no safe point to
+    * unpersist a frame a lazy result still depends on, so the entry
+    * lives until LRU eviction — sized to be irrelevant.
+    */
+  private def cachedFingerprints(fp: DataFrame): DataFrame =
+    fp.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
   /** 64-bit video signature: per-frame [[PHash]] over the decoded frames,
     * folded by per-bit MAJORITY vote — the SimHash construction applied
@@ -685,7 +703,8 @@ object Multimodal {
       maxBucketSize: Int = 1000
   ): DataFrame =
     Dedup.hammingNearDuplicatePairs(
-      videoSignatures(media, decoder), "media_id", "vsig", maxHamming, maxBucketSize)
+      cachedFingerprints(videoSignatures(media, decoder)),
+      "media_id", "vsig", maxHamming, maxBucketSize)
 
   /** Image near-duplicate pairs: perceptual hash + the generic 64-bit
     * Hamming engine ([[Dedup.hammingNearDuplicatePairs]] — the SimHash
@@ -712,7 +731,8 @@ object Multimodal {
       maxBucketSize: Int = 1000
   ): DataFrame =
     Dedup.hammingNearDuplicatePairs(
-      imagePHashes(media, decoder), "media_id", "phash", maxHamming, maxBucketSize)
+      cachedFingerprints(imagePHashes(media, decoder)),
+      "media_id", "phash", maxHamming, maxBucketSize)
 
   /** Near-dup REMOVAL for media, the text-side
     * [[Dedup.dropNearDuplicates]] policy verbatim: every row appearing as

@@ -219,6 +219,25 @@ object Pipeline {
                   unsupported.toSeq.sorted.mkString(", "))
             graft.sources.Cdx.readCdxj(spark, path,
               glob = sm.get("glob").map(_.toString))
+          case "zipnum" =>
+            // ZipNum-clustered capture index (sources/Cdx.queryZipnum):
+            // the published cc-index two-level layout — a SURT-prefix
+            // query reads the cluster.idx sidecars plus only the matching
+            // compressed blocks. {format: zipnum, path, prefix,
+            // gapBytes?}; prefix is mandatory (an unprefixed query would
+            // fetch the whole index — use the cdxj source for full scans)
+            val unsupported =
+              sm.keySet -- Set("format", "path", "prefix", "gapBytes")
+            if (unsupported.nonEmpty)
+              throw new IllegalArgumentException(
+                s"zipnum source supports 'format', 'path', 'prefix', " +
+                  s"'gapBytes'; remove: " +
+                  unsupported.toSeq.sorted.mkString(", "))
+            graft.sources.Cdx.queryZipnum(spark, path,
+              sm.getOrElse("prefix", throw new IllegalArgumentException(
+                "zipnum source needs 'prefix' (a SURT range key, e.g. " +
+                  "from Cdx.surtHostPrefix)")).toString,
+              sm.get("gapBytes").map(_.toString.toLong).getOrElse(0L))
           case fmt =>
             val reader = spark.read.format(fmt)
             val withOpts = sm.get("options") match {

@@ -1,5 +1,9 @@
 package graft.sources
 
+import java.util.zip.GZIPOutputStream
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.TaskContext
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -228,6 +232,15 @@ object Cdx {
     val reader = spark.read
     val lines = glob.fold(reader)(g => reader.option("pathGlobFilter", g))
       .text(path)
+    parseCdxjLines(lines)
+  }
+
+  /** CDXJ line frame (one string column named `value`) → typed captures —
+    * the parsing half of [[readCdxj]], shared with the ZipNum ranged
+    * reader ([[readZipnumRanges]]) whose lines arrive from decompressed
+    * blocks rather than the text source.
+    */
+  def parseCdxjLines(lines: DataFrame): DataFrame = {
     // "<surt> <14-digit ts> <json>" — split on the first two single spaces
     val parsed = lines.select(
       regexp_extract(col("value"), "^(\\S+) (\\d{14}) (\\{.*)$", 1).as("surt_key"),
@@ -269,6 +282,289 @@ object Cdx {
     * ends (not a plain `lag`) makes containment-safe islands: a capture
     * fully inside an earlier long member must not split the island.
     */
+  // ------------------------------------------------------------- zipnum
+  //
+  // The published cc-index's TWO-LEVEL layout (the pywb "ZipNum" cluster
+  // format): index lines are sorted and packed into independently-gzipped
+  // BLOCKS of ~3000 lines concatenated into shard files, and a small
+  // plain-text `cluster.idx` holds one line per block —
+  //   `<surt> <ts>\t<shard file>\t<offset>\t<length>\t<seq>`
+  // — so a prefix query touches cluster.idx (1/3000 of the index, ~100 MB
+  // for a 300 GB index), binary-searches the block ranges, and fetches
+  // ONLY those compressed blocks. This is the entry a real 100 TB
+  // consumer uses: without it, "query the index" means scanning 300 GB.
+
+  /** Write a ZipNum-clustered index from a frame of CDXJ LINES: globally
+    * range-sorted by line text (CDX files sort lexicographically — the
+    * SURT key is the line prefix, so text order IS key order), packed
+    * into gzip blocks of `linesPerBlock` lines, one member per block,
+    * concatenated into `cdx-NNNNN.gz` shards with a `cdx-NNNNN.idx`
+    * cluster sidecar per shard (glob `*.idx` reads the full cluster
+    * index). One range exchange, then each task streams its shard —
+    * same temp+rename commit and non-empty-dir refusal as the WARC
+    * writer. `seq` in the sidecar is the block ordinal within its shard.
+    */
+  def writeZipnum(
+      lines: DataFrame,
+      outDir: String,
+      lineCol: String = "value",
+      linesPerBlock: Int = 3000,
+      numShards: Int = 0,
+      overwrite: Boolean = false
+  ): Unit = {
+    require(linesPerBlock > 0, "linesPerBlock must be positive")
+    val c = col(lineCol).cast("string")
+    val projected = lines.select(c.as("__line"))
+      .where(col("__line").isNotNull && col("__line") =!= "")
+    val sorted = (if (numShards > 0)
+                    projected.repartitionByRange(numShards, col("__line"))
+                  else projected.repartitionByRange(col("__line")))
+      .sortWithinPartitions(col("__line"))
+    val conf = new org.apache.spark.util.SerializableConfiguration(
+      lines.sparkSession.sparkContext.hadoopConfiguration)
+    val outPath = new Path(outDir)
+    val driverFs = FileSystem.get(new java.net.URI(outDir), conf.value)
+    if (driverFs.exists(outPath)) {
+      val existing = driverFs.listStatus(outPath)
+      if (existing.nonEmpty) {
+        if (overwrite) existing.foreach(st => driverFs.delete(st.getPath, true))
+        else throw new IllegalArgumentException(
+          s"writeZipnum: output directory $outDir is not empty " +
+            s"(${existing.length} entries); pass overwrite = true or " +
+            "choose a fresh directory")
+      }
+    }
+    sorted.foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
+      if (rows.nonEmpty) {
+        val tc = TaskContext.get()
+        val pid = tc.partitionId()
+        val attempt = tc.taskAttemptId()
+        val fs = FileSystem.get(new java.net.URI(outDir), conf.value)
+        val shardName = f"cdx-$pid%05d.gz"
+        val tmp = new Path(outDir, f".inprogress-$attempt%d-$shardName%s")
+        val out = fs.create(tmp, true)
+        val idx = new scala.collection.mutable.ArrayBuffer[String]()
+        var seq = 0
+        try {
+          val buf = new scala.collection.mutable.ArrayBuffer[String](
+            math.min(linesPerBlock, 4096))
+          def flush(): Unit = if (buf.nonEmpty) {
+            val first = buf.head
+            // the cluster key is the line's "<surt> <ts>" prefix (first
+            // two space-delimited tokens); a torn line without both
+            // tokens keys by what it has — it still locates its block
+            val sp1 = first.indexOf(' ')
+            val sp2 = if (sp1 < 0) -1 else first.indexOf(' ', sp1 + 1)
+            val key = if (sp2 > 0) first.substring(0, sp2) else first
+            val posBefore = out.getPos
+            val shard = out
+            val gz = new GZIPOutputStream(
+              new java.io.FilterOutputStream(shard) {
+                override def write(b: Array[Byte], off: Int, len: Int): Unit =
+                  shard.write(b, off, len) // bulk passthrough (default is per-byte)
+                override def close(): Unit = {} // block boundary, not file end
+              }, 1 << 16)
+            buf.foreach { l =>
+              gz.write(l.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+              gz.write('\n')
+            }
+            gz.close()
+            idx += s"$key\t$shardName\t$posBefore\t${out.getPos - posBefore}\t$seq"
+            seq += 1
+            buf.clear()
+          }
+          rows.foreach { r =>
+            buf += r.getString(0)
+            if (buf.length >= linesPerBlock) flush()
+          }
+          flush()
+        } finally out.close()
+        val finalPath = new Path(outDir, shardName)
+        if (!fs.rename(tmp, finalPath)) {
+          if (fs.exists(finalPath)) fs.delete(tmp, false)
+          else throw new java.io.IOException(
+            s"writeZipnum: rename $tmp -> $finalPath failed and the " +
+              "destination does not exist; failing the task so it retries")
+        }
+        val idxName = f"cdx-$pid%05d.idx"
+        val idxTmp = new Path(outDir, f".inprogress-$attempt%d-$idxName%s")
+        val os = fs.create(idxTmp, true)
+        try os.write(idx.mkString("", "\n", "\n")
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        finally os.close()
+        val idxFinal = new Path(outDir, idxName)
+        if (!fs.rename(idxTmp, idxFinal)) {
+          if (fs.exists(idxFinal)) fs.delete(idxTmp, false)
+          else throw new java.io.IOException(
+            s"writeZipnum: rename $idxTmp -> $idxFinal failed and the " +
+              "destination does not exist; failing the task so the shard " +
+              "is retried, not silently unindexed")
+        }
+        ()
+      }
+    }
+  }
+
+  /** Read the cluster index (`*.idx` next to the `cdx-*.gz` shards) into
+    * `(block_key, filename, offset, length, seq)` — one row per
+    * compressed block, `block_key` = the block's FIRST `<surt> <ts>` key.
+    * Torn lines yield null numeric fields (try_cast) and drop at
+    * planning.
+    */
+  def readClusterIdx(spark: SparkSession, path: String): DataFrame = {
+    val lines = spark.read.option("pathGlobFilter", "*.idx").text(path)
+    lines.select(
+      regexp_extract(col("value"), "^([^\\t]+)\\t", 1).as("block_key"),
+      regexp_extract(col("value"), "^[^\\t]+\\t([^\\t]+)\\t", 1).as("filename"),
+      expr("try_cast(regexp_extract(value, '^[^\\t]+\\t[^\\t]+\\t([0-9]+)\\t', 1) AS BIGINT)")
+        .as("offset"),
+      expr("try_cast(regexp_extract(value, '^[^\\t]+\\t[^\\t]+\\t[0-9]+\\t([0-9]+)\\t', 1) AS BIGINT)")
+        .as("length"),
+      expr("try_cast(regexp_extract(value, '\\t([0-9]+)$', 1) AS BIGINT)")
+        .as("seq"))
+      .where(col("block_key") =!= "")
+  }
+
+  /** Render a capture frame ([[readCdxj]]'s column shape — what
+    * [[Warc.indexWarc]] emits) back into CDXJ LINES (`value` string
+    * column), the input [[writeZipnum]] clusters. Numerics are quoted
+    * (the published format quotes them), null fields are omitted from
+    * the JSON (ditto), and rows without a key or timestamp drop — they
+    * cannot be index lines. `indexWarc → cdxjLines → writeZipnum →
+    * queryZipnum` is the complete "archives in, queryable index out"
+    * loop for archives written without sidecars.
+    */
+  def cdxjLines(captures: DataFrame): DataFrame = {
+    val cols = captures.columns.toSet
+    def strField(n: String): Column =
+      (if (cols.contains(n)) col(n).cast("string")
+       else lit(null).cast("string")).as(n)
+    val payload = to_json(struct(
+      strField("url"), strField("mime"), strField("status"),
+      strField("digest"), strField("length"), strField("offset"),
+      strField("filename"), strField("languages"), strField("charset")))
+    captures
+      .where(col("surt_key").isNotNull && col("ts").isNotNull)
+      .select(concat_ws(" ",
+        col("surt_key"),
+        date_format(col("ts"), "yyyyMMddHHmmss"),
+        payload).as("value"))
+  }
+
+  /** Candidate-block plan for a SURT-prefix query: each block covers the
+    * key range [its `block_key`, the NEXT block's key), so the blocks
+    * that can contain keys starting with `prefix` are those with
+    * `next_key > prefix` and `block_key < prefix+MAX`. One global-order
+    * window over the cluster index — deliberately unpartitioned: the
+    * cluster index is 1/`linesPerBlock` of the index by construction
+    * (~100 MB per 300 GB of index), the scale contract of the two-level
+    * layout itself. Candidates then coalesce per shard file through
+    * [[fetchPlan]] (adjacent blocks merge into one ranged GET).
+    */
+  def zipnumPlan(
+      clusterIdx: DataFrame,
+      prefix: String,
+      gapBytes: Long = 0L
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(prefix.nonEmpty, "zipnumPlan: empty prefix would fetch the world")
+    val prefixEnd = prefix + "\uFFFF"
+    val w = Window.orderBy(col("block_key"), col("filename"), col("seq"))
+    val marked = clusterIdx
+      .where(col("offset").isNotNull && col("length").isNotNull)
+      .withColumn("__next_key", lead(col("block_key"), 1).over(w))
+    val candidates = marked.where(
+      (col("__next_key").isNull || col("__next_key") > lit(prefix)) &&
+        col("block_key") < lit(prefixEnd))
+    fetchPlan(
+      candidates.select(col("filename"), col("offset"), col("length")),
+      gapBytes)
+  }
+
+  /** Decode ONLY a [[zipnumPlan]]'s byte ranges of the `cdx-*.gz` shards
+    * into typed captures — seek + bounded read per range (the ranged GET
+    * at web scale), each range a concatenation of independently-gzipped
+    * blocks (`GZIPInputStream` reads concatenated members natively).
+    * Same bounded-buffering contract as the WARC ranged reader.
+    */
+  def readZipnumRanges(
+      spark: SparkSession,
+      dir: String,
+      plan: DataFrame,
+      maxRangeBytes: Long = 1L << 30
+  ): DataFrame = {
+    import spark.implicits._
+    val conf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sparkContext.hadoopConfiguration)
+    val ranges = plan.select(
+      col("filename").cast("string"),
+      col("range_start").cast("long"),
+      col("range_end").cast("long")).as[(String, Long, Long)]
+    val lines = ranges.mapPartitions { it =>
+      it.flatMap { case (fn, start, end) =>
+        require(fn != null && start >= 0 && end > start,
+          s"readZipnumRanges: bad range ($fn, $start, $end)")
+        require(end - start <= maxRangeBytes,
+          s"readZipnumRanges: range ($fn, $start, $end) is ${end - start} " +
+            s"bytes, over maxRangeBytes=$maxRangeBytes — replan with a " +
+            "smaller zipnumPlan gapBytes (or raise maxRangeBytes)")
+        val p = new Path(dir, fn)
+        val fs = p.getFileSystem(conf.value)
+        val in = fs.open(p)
+        val bytes =
+          try {
+            val len = math.toIntExact(end - start)
+            val buf = new Array[Byte](len)
+            in.seek(start)
+            in.readFully(buf, 0, len)
+            buf
+          } finally in.close()
+        val gz = new java.util.zip.GZIPInputStream(
+          new java.io.ByteArrayInputStream(bytes), 1 << 16)
+        val out = scala.collection.mutable.ArrayBuffer.empty[String]
+        val br = new java.io.BufferedReader(
+          new java.io.InputStreamReader(gz,
+            java.nio.charset.StandardCharsets.UTF_8))
+        var l = br.readLine()
+        while (l != null) { out += l; l = br.readLine() }
+        br.close()
+        out
+      }
+    }.toDF("value")
+    parseCdxjLines(lines)
+  }
+
+  /** The one-call prefix query over a ZipNum index directory:
+    * cluster.idx → candidate blocks → ranged block decode → the exact
+    * `surt_key` prefix filter (block granularity over-fetches by up to
+    * one block on each side; the final filter is precise). This is the
+    * full published-index access path — a 300 GB index answers a
+    * host/domain query by reading ~100 MB of cluster index and only the
+    * matching compressed blocks.
+    */
+  def queryZipnum(
+      spark: SparkSession,
+      dir: String,
+      prefix: String,
+      gapBytes: Long = 0L
+  ): DataFrame = {
+    val plan = zipnumPlan(readClusterIdx(spark, dir), prefix, gapBytes)
+    readZipnumRanges(spark, dir, plan)
+      .where(col("surt_key").startsWith(prefix))
+  }
+
+  /** The canonical SURT prefix for a whole HOST (`example.com` →
+    * `com,example)/`) — the range key for host queries against the
+    * published index; inherits the full canonicalization (www-strip,
+    * dot tidying) so it matches the keys [[surt]] produces. Null for
+    * an unusable host. For a registrable-DOMAIN prefix (all hosts
+    * under it), strip the trailing `)/`: `com,example`.
+    */
+  def surtHostPrefix(host: String): String = {
+    if (host == null) return null
+    surtString("http://" + host + "/")
+  }
+
   def fetchPlan(captures: DataFrame, gapBytes: Long = 0L): DataFrame = {
     require(gapBytes >= 0L, s"gapBytes must be >= 0, got $gapBytes")
     import org.apache.spark.sql.expressions.Window

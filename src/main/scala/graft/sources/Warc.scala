@@ -558,6 +558,126 @@ object Warc {
     }
   }
 
+  /** Build a capture index from EXISTING `.warc.gz` archives that have no
+    * sidecars — the cdx-indexer pass (webarchive-commons/pywb ship the
+    * same tool): walk each shard's gzip MEMBERS tracking compressed
+    * offsets, parse the record(s) inside each member, and emit one row
+    * per response/revisit/conversion record in [[Cdx.readCdxj]]'s exact
+    * column shape — so the result feeds [[Cdx.fetchPlan]] →
+    * [[readWarcRanges]] directly, or renders through [[Cdx.cdxjLines]] →
+    * [[Cdx.writeZipnum]] into a queryable two-level index. The round trip
+    * "archives in, selective access out" needs no cooperation from
+    * whoever wrote the archives.
+    *
+    * Mechanics: one task per shard (`binaryFile`, the non-splittable-gzip
+    * parallelism contract); member boundaries come from a real gzip
+    * header walk + Inflater consumption count (FEXTRA/FNAME/FCOMMENT/
+    * FHCRC all handled, 8-byte CRC/ISIZE trailer) — no format guessing.
+    * A member holding several records (the spec recommends one-per-member
+    * but permits more) emits one row per record, all sharing the MEMBER's
+    * (offset, length) — a ranged fetch decodes the member and re-filters,
+    * the standard CDX discipline. `digest` is the payload's bare-base32
+    * SHA-1, null when the payload was truncated at `maxPayloadBytes`
+    * (a digest of a prefix would silently poison content-keyed dedup).
+    * Plain `.warc` / `.warc.zst` shards are rejected loudly — member
+    * offsets are a gzip-layout property; zstd-frame walking is a
+    * documented non-goal for now.
+    */
+  def indexWarc(
+      s: SparkSession,
+      path: String,
+      maxPayloadBytes: Int = 64 << 20
+  ): DataFrame = {
+    import s.implicits._
+    val bin = s.read.format("binaryFile")
+      .option("pathGlobFilter", "*.warc*").load(path)
+      .select(col("path"), col("content")).as[(String, Array[Byte])]
+    val rows = bin.mapPartitions { files =>
+      files.flatMap { case (p, bytes) =>
+        require(bytes.length >= 2 && (bytes(0) & 0xff) == 0x1f &&
+          (bytes(1) & 0xff) == 0x8b,
+          s"indexWarc: $p is not a .warc.gz archive (gzip member offsets " +
+            "are a gzip-layout property; write-side sidecars via " +
+            "writeWarcResponses(index = true) cover other codecs)")
+        val fn = p.substring(p.lastIndexOf('/') + 1)
+        gzipMembers(bytes, p).flatMap { case (off, len, member) =>
+          parseFile(s"$p@$off", member, maxPayloadBytes).map { r =>
+            val ts14 = Option(r.warc_date.orNull)
+              .map(_.replaceAll("[^0-9]", "").take(14)).filter(_.length == 14)
+            val mime = r.http_content_type.orElse(r.content_type)
+              .map(_.split(";")(0).trim)
+            (Option(Cdx.surtString(r.target_uri.orNull)),
+              ts14, r.target_uri, mime, r.http_status,
+              if (r.truncated) None else Some(sha1Base32(r.payload)),
+              fn, off, len, r.warc_type)
+          }
+        }
+      }
+    }.toDF("__surt", "__ts14", "url", "mime", "status", "digest",
+      "filename", "offset", "length", "warc_type")
+    rows.select(
+      col("__surt").as("surt_key"),
+      try_to_timestamp(col("__ts14"), lit("yyyyMMddHHmmss")).as("ts"),
+      col("url"), col("mime"), col("status"), col("digest"),
+      col("filename"), col("offset"), col("length"),
+      lit(null).cast("string").as("languages"),
+      lit(null).cast("string").as("charset"),
+      col("warc_type"))
+  }
+
+  /** Split a `.warc.gz` byte array into gzip members:
+    * `(offset, compressedLength, decompressedBytes)` per member. Real
+    * header walk (magic/CM check, FLG extras) + Inflater(nowrap)
+    * consumption count + the 8-byte CRC32/ISIZE trailer — the only way
+    * to recover member boundaries the writer did not record.
+    */
+  private[sources] def gzipMembers(
+      bytes: Array[Byte],
+      path: String
+  ): Iterator[(Long, Long, Array[Byte])] = new Iterator[(Long, Long, Array[Byte])] {
+    private var pos = 0
+    override def hasNext: Boolean = pos + 10 <= bytes.length
+    override def next(): (Long, Long, Array[Byte]) = {
+      val start = pos
+      require((bytes(pos) & 0xff) == 0x1f && (bytes(pos + 1) & 0xff) == 0x8b,
+        s"$path: expected a gzip member at offset $pos, found " +
+          f"0x${bytes(pos) & 0xff}%02x${bytes(pos + 1) & 0xff}%02x")
+      require((bytes(pos + 2) & 0xff) == 8,
+        s"$path: unsupported gzip compression method ${bytes(pos + 2) & 0xff}")
+      val flg = bytes(pos + 3) & 0xff
+      var p = pos + 10
+      if ((flg & 0x04) != 0) { // FEXTRA
+        val xlen = (bytes(p) & 0xff) | ((bytes(p + 1) & 0xff) << 8)
+        p += 2 + xlen
+      }
+      if ((flg & 0x08) != 0) { while (bytes(p) != 0) p += 1; p += 1 } // FNAME
+      if ((flg & 0x10) != 0) { while (bytes(p) != 0) p += 1; p += 1 } // FCOMMENT
+      if ((flg & 0x02) != 0) p += 2 // FHCRC
+      val inf = new java.util.zip.Inflater(true)
+      inf.setInput(bytes, p, bytes.length - p)
+      val out = new java.io.ByteArrayOutputStream(1 << 16)
+      val buf = new Array[Byte](1 << 16)
+      try {
+        while (!inf.finished()) {
+          val n = inf.inflate(buf)
+          if (n > 0) out.write(buf, 0, n)
+          else if (inf.needsInput()) throw new EOFException(
+            s"$path: truncated gzip member at offset $start")
+        }
+        val consumed = (bytes.length - p) - inf.getRemaining
+        val end = p + consumed + 8 // CRC32 + ISIZE trailer
+        require(end <= bytes.length,
+          s"$path: gzip member at offset $start is missing its trailer")
+        pos = end
+        (start.toLong, (end - start).toLong, out.toByteArray)
+      } catch {
+        case e: java.util.zip.DataFormatException =>
+          throw new java.io.IOException(
+            s"$path: corrupt gzip member at offset $start", e)
+      } finally inf.end()
+    }
+  }
+
   /** The shared sharded-record writer behind [[writeWarcResponses]] /
     * [[writeWetConversions]]: one `.warc.gz`/`.warc.zst` per task (rolled
     * every `maxRecordsPerShard`), member-per-record framing in all codecs

@@ -189,6 +189,101 @@ class CdxSpec extends SparkTestBase {
       .map(i => s"https://h1.test/d/$i").toSet)
   }
 
+  test("surtHostPrefix: canonical host range key (www-strip inherited)") {
+    assert(Cdx.surtHostPrefix("example.com") == "com,example)/")
+    assert(Cdx.surtHostPrefix("www.Example.COM") == "com,example)/")
+    assert(Cdx.surtHostPrefix("a.b.co.uk") == "uk,co,b,a)/")
+    assert(Cdx.surtHostPrefix(null) == null)
+  }
+
+  test("zipnum: write → cluster.idx → plan → ranged decode roundtrips, " +
+    "and a prefix query reads only candidate blocks") {
+    val dir = java.nio.file.Files.createTempDirectory("zipnum_").toFile
+    dir.deleteOnExit()
+    val out = new java.io.File(dir, "idx").getPath
+    val lines = (0 until 600).map { i =>
+      f"test,h${i % 5}%d)/p/$i%04d 20240101000000 " +
+        s"""{"url":"https://h${i % 5}.test/p/$i","status":"200",""" +
+        s""""offset":"${i * 10}","length":"9","filename":"w.warc.gz"}"""
+    }.toDF("value")
+    Cdx.writeZipnum(lines, out, linesPerBlock = 25, numShards = 2,
+      overwrite = true)
+    // shards + sidecars landed; blocks are independently-gzipped members
+    val files = new java.io.File(out).listFiles.map(_.getName).sorted
+    assert(files.count(_.endsWith(".gz")) == 2)
+    assert(files.count(_.endsWith(".idx")) == 2)
+    val idx = Cdx.readClusterIdx(spark, out)
+    val blocks = idx.collect()
+    // 600 lines / 25 per block ≈ 24 blocks across the two shards (the
+    // range partitioner's sampled split can leave one ragged tail block
+    // per shard)
+    assert(blocks.length >= 24 && blocks.length <= 26, s"${blocks.length}")
+    blocks.foreach { b =>
+      assert(b.getAs[Long]("length") > 0 && b.getAs[Long]("offset") >= 0)
+    }
+    // full-prefix query returns exactly the h3 capture set
+    val got = Cdx.queryZipnum(spark, out, "test,h3)")
+      .select(col("url")).as[String].collect().toSet
+    assert(got == (0 until 600).filter(_ % 5 == 3)
+      .map(i => s"https://h3.test/p/$i").toSet)
+    // the plan for a one-host prefix must NOT fetch every block: h3 keys
+    // are contiguous in the sorted order, so candidates are its span
+    // plus at most one boundary block per side
+    val planned = Cdx.zipnumPlan(idx, "test,h3)")
+      .agg(sum(col("n_captures"))).as[Long].head()
+    assert(planned < blocks.length,
+      s"prefix plan fetched all $planned blocks")
+    // block-level decode parses to the same rows the plain text parse
+    // gives (the parseCdxjLines refactor contract)
+    val all = Cdx.readZipnumRanges(spark, out,
+      Cdx.zipnumPlan(idx, "test,"))
+    assert(all.count() == 600)
+  }
+
+  test("zipnumPlan: boundary blocks included, unrelated blocks excluded") {
+    val idx = Seq(
+      ("a) 20240101000000", "f.gz", 0L, 10L, 0L),
+      ("b)/k 20240101000000", "f.gz", 10L, 10L, 1L),
+      ("b)/z 20240101000000", "f.gz", 20L, 10L, 2L),
+      ("d) 20240101000000", "f.gz", 30L, 10L, 3L))
+      .toDF("block_key", "filename", "offset", "length", "seq")
+    // prefix 'b)' — block 0 may hold keys in [a), b)/k) incl. early b)
+    // keys, blocks 1-2 are inside, block 3 starts past the prefix range
+    val got = Cdx.zipnumPlan(idx, "b)")
+      .as[(String, Long, Long, Long, Long)].collect().toSet
+    assert(got == Set(("f.gz", 0L, 30L, 3L, 30L)))
+    // prefix 'c' — only the straddling block 2 ([b)/z, d)) can hold it
+    val c = Cdx.zipnumPlan(idx, "c")
+      .as[(String, Long, Long, Long, Long)].collect().toSet
+    assert(c == Set(("f.gz", 20L, 30L, 1L, 10L)))
+    // the LAST block is open-ended: a prefix past every key still probes it
+    val z = Cdx.zipnumPlan(idx, "zzz")
+      .as[(String, Long, Long, Long, Long)].collect().toSet
+    assert(z == Set(("f.gz", 30L, 40L, 1L, 10L)))
+  }
+
+  test("pipeline zipnum source: config-only prefix query") {
+    val dir = java.nio.file.Files.createTempDirectory("zipnum_pipe_").toFile
+    dir.deleteOnExit()
+    val out = new java.io.File(dir, "idx").getPath
+    val lines = (0 until 100).map { i =>
+      s"test,h${i % 2})/p/$i 20240101000000 " +
+        s"""{"url":"https://h${i % 2}.test/p/$i","status":"200"}"""
+    }.toDF("value")
+    Cdx.writeZipnum(lines, out, linesPerBlock = 10, overwrite = true)
+    val got = graft.pipeline.Pipeline.run(spark,
+      s"""source: {format: zipnum, path: "$out", prefix: "test,h1)"}
+         |steps:
+         |  - filter: "$$status == 200"
+         |""".stripMargin, _ => fail("no table resolve expected"))
+    assert(got.count() == 50)
+    intercept[IllegalArgumentException] {
+      graft.pipeline.Pipeline.run(spark,
+        s"""source: {format: zipnum, path: "$out"}""",
+        _ => fail("no table resolve expected"))
+    }
+  }
+
   test("fetchPlan: zero/negative lengths and negative offsets drop " +
     "(no degenerate range can reach the ranged reader)") {
     val caps = Seq(

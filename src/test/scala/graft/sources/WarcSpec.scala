@@ -182,6 +182,92 @@ class WarcSpec extends SparkTestBase {
       r.head.getString(1) != null)
   }
 
+  test("gzipMembers: FEXTRA/FNAME/FHCRC headers walk correctly; offsets " +
+    "tile the file") {
+    def handGzip(
+        content: Array[Byte],
+        fname: Option[String] = None,
+        fextra: Option[Array[Byte]] = None): Array[Byte] = {
+      val out = new ByteArrayOutputStream()
+      var flg = 0
+      if (fextra.isDefined) flg |= 0x04
+      if (fname.isDefined) flg |= 0x08
+      out.write(Array(0x1f, 0x8b, 0x08, flg, 0, 0, 0, 0, 0, 0).map(_.toByte))
+      fextra.foreach { x =>
+        out.write(x.length & 0xff); out.write((x.length >> 8) & 0xff)
+        out.write(x)
+      }
+      fname.foreach { n => out.write(n.getBytes("ISO-8859-1")); out.write(0) }
+      val d = new java.util.zip.Deflater(
+        java.util.zip.Deflater.DEFAULT_COMPRESSION, true)
+      d.setInput(content); d.finish()
+      val buf = new Array[Byte](1 << 16)
+      while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+      d.end()
+      val crc = new java.util.zip.CRC32(); crc.update(content)
+      val v = crc.getValue
+      out.write(Array(v, v >> 8, v >> 16, v >> 24,
+        content.length, content.length >> 8, content.length >> 16,
+        content.length >> 24).map(x => (x & 0xff).toByte))
+      out.toByteArray
+    }
+    def plainGzip(content: Array[Byte]): Array[Byte] = {
+      val bos = new ByteArrayOutputStream()
+      val gz = new GZIPOutputStream(bos)
+      gz.write(content); gz.close()
+      bos.toByteArray
+    }
+    val c1 = "first member with headers".getBytes("UTF-8")
+    val c2 = "second plain member".getBytes("UTF-8")
+    val c3 = ("third " * 100).getBytes("UTF-8")
+    val m1 = handGzip(c1, fname = Some("orig.warc"),
+      fextra = Some(Array[Byte](1, 2, 3, 4)))
+    val m2 = plainGzip(c2)
+    val m3 = handGzip(c3)
+    val all = m1 ++ m2 ++ m3
+    val ms = Warc.gzipMembers(all, "test").toList
+    assert(ms.map(_._3.toSeq) == List(c1.toSeq, c2.toSeq, c3.toSeq))
+    assert(ms.map(m => (m._1, m._2)) == List(
+      (0L, m1.length.toLong), (m1.length.toLong, m2.length.toLong),
+      ((m1.length + m2.length).toLong, m3.length.toLong)))
+  }
+
+  test("indexWarc: computed member offsets equal the writer's own sidecar " +
+    "index, field for field") {
+    val dir = tmpDir()
+    val docs = (0 until 37).map(i =>
+      (s"https://h${i % 3}.test/d/$i", s"payload $i")).toDF("uri", "body")
+    Warc.writeWarcResponses(docs.repartition(2), dir, "uri", "body",
+      index = true, maxRecordsPerShard = 10)
+    def shape(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("surt_key"), col("ts").cast("string"), col("url"),
+        col("mime"), col("status"), col("digest"), col("filename"),
+        col("offset"), col("length"))
+      .as[(String, String, String, String, Int, String, String, Long, Long)]
+      .collect().toSet
+    val sidecar = shape(Cdx.readCdxj(spark, dir, glob = Some("*.cdxj")))
+    val computed = shape(Warc.indexWarc(spark, dir))
+    assert(computed == sidecar)
+    // renderer roundtrip: indexWarc → cdxjLines → parseCdxjLines gives
+    // back the same typed rows
+    val rendered = shape(Cdx.parseCdxjLines(
+      Cdx.cdxjLines(Warc.indexWarc(spark, dir))))
+    assert(rendered == sidecar)
+  }
+
+  test("indexWarc: zstd archives are rejected loudly (member offsets are " +
+    "a gzip-layout property)") {
+    val dir = tmpDir()
+    Warc.writeWarcResponses(
+      Seq(("https://z.test/1", "zstd body")).toDF("uri", "body"),
+      dir, "uri", "body", codec = "zstd")
+    val e = intercept[org.apache.spark.SparkException] {
+      Warc.indexWarc(spark, dir).collect()
+    }
+    assert(e.getMessage.contains("indexWarc") ||
+      Option(e.getCause).exists(_.getMessage.contains("indexWarc")))
+  }
+
   test("record ids are deterministic and distinct per uri") {
     val dir1 = tmpDir(); val dir2 = tmpDir()
     val df = Seq("https://a/x", "https://a/y").toDF("uri")
