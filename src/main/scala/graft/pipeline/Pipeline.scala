@@ -219,6 +219,22 @@ object Pipeline {
                   unsupported.toSeq.sorted.mkString(", "))
             graft.sources.Cdx.readCdxj(spark, path,
               glob = sm.get("glob").map(_.toString))
+          case "warcIndex" =>
+            // build a capture index from sidecar-less .warc.gz archives
+            // (Warc.indexWarc — gzip-member offset recovery); the frame
+            // is readCdxj-shaped and feeds cdxPlan/fetchWarc or the
+            // zipnum sink directly. {format: warcIndex, path,
+            // maxPayloadBytes?}
+            val unsupported =
+              sm.keySet -- Set("format", "path", "maxPayloadBytes")
+            if (unsupported.nonEmpty)
+              throw new IllegalArgumentException(
+                s"warcIndex source supports 'format', 'path', " +
+                  s"'maxPayloadBytes'; remove: " +
+                  unsupported.toSeq.sorted.mkString(", "))
+            graft.sources.Warc.indexWarc(spark, path,
+              maxPayloadBytes = sm.get("maxPayloadBytes")
+                .map(_.toString.toInt).getOrElse(64 << 20))
           case "zipnum" =>
             // ZipNum-clustered capture index (sources/Cdx.queryZipnum):
             // the published cc-index two-level layout — a SURT-prefix
@@ -280,6 +296,28 @@ object Pipeline {
           overwrite = sm.getOrElse("mode", "overwrite").toString == "overwrite",
           contentTypeCol = sm.get("contentType").map(_.toString),
           codec = sm.getOrElse("codec", "gzip").toString)
+      } else if (sm.get("format").exists(_.toString == "zipnum")) {
+        // ZipNum index sink (Cdx.writeZipnum): a capture frame (the
+        // warcIndex/cdxj sources' shape) renders to CDXJ lines first; a
+        // frame that already IS lines (single 'value' string column)
+        // clusters as-is. {format: zipnum, path, linesPerBlock?,
+        // numShards?, mode?}
+        val unsupported = sm.keySet --
+          Set("format", "path", "linesPerBlock", "numShards", "mode")
+        if (unsupported.nonEmpty)
+          throw new IllegalArgumentException(
+            s"zipnum sink supports format/path/linesPerBlock/numShards/" +
+              s"mode; remove: " + unsupported.toSeq.sorted.mkString(", "))
+        val lines =
+          if (out.columns.sameElements(Array("value"))) out
+          else graft.sources.Cdx.cdxjLines(out)
+        graft.sources.Cdx.writeZipnum(lines,
+          sm.getOrElse("path", throw new IllegalArgumentException(
+            "zipnum sink needs a 'path'")).toString,
+          linesPerBlock = sm.get("linesPerBlock")
+            .map(_.toString.toInt).getOrElse(3000),
+          numShards = sm.get("numShards").map(_.toString.toInt).getOrElse(0),
+          overwrite = sm.getOrElse("mode", "overwrite").toString == "overwrite")
       } else {
       var w = out.write
         .format(sm.getOrElse("format", "parquet").toString)

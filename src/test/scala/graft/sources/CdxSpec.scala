@@ -284,6 +284,31 @@ class CdxSpec extends SparkTestBase {
     }
   }
 
+  test("config-only sidecar-less loop: warcIndex source -> zipnum sink " +
+    "-> zipnum source -> cdxPlan -> fetchWarc") {
+    val dir = java.nio.file.Files.createTempDirectory("warcidx_pipe_").toFile
+    dir.deleteOnExit()
+    val arc = new java.io.File(dir, "arc").getPath
+    val zp = new java.io.File(dir, "zip").getPath
+    val docs = (0 until 30).map(i =>
+      (s"https://h${i % 3}.test/d/$i", s"payload $i")).toDF("uri", "body")
+    Warc.writeWarcResponses(docs, arc, "uri", "body") // NO sidecars
+    graft.pipeline.Pipeline.run(spark,
+      s"""source: {format: warcIndex, path: "$arc"}
+         |sink: {format: zipnum, path: "$zp", linesPerBlock: 5}
+         |""".stripMargin, _ => fail("no table resolve expected"))
+    val out = graft.pipeline.Pipeline.run(spark,
+      s"""source: {format: zipnum, path: "$zp", prefix: "test,h1)"}
+         |steps:
+         |  - cdxPlan: {gapBytes: 0}
+         |  - fetchWarc: {dir: "$arc"}
+         |""".stripMargin, _ => fail("no table resolve expected"))
+    val got = out.select(col("target_uri"), col("payload").cast("string"))
+      .as[(String, String)].collect().toSet
+    assert(got == (0 until 30).filter(_ % 3 == 1)
+      .map(i => (s"https://h1.test/d/$i", s"payload $i")).toSet)
+  }
+
   test("fetchPlan: zero/negative lengths and negative offsets drop " +
     "(no degenerate range can reach the ranged reader)") {
     val caps = Seq(
