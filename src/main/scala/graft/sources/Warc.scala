@@ -606,9 +606,18 @@ object Warc {
               .map(_.replaceAll("[^0-9]", "").take(14)).filter(_.length == 14)
             val mime = r.http_content_type.orElse(r.content_type)
               .map(_.split(";")(0).trim)
+            // digest: the record's own WARC-Payload-Digest when present
+            // (bare base32, the cc-index convention) — for a REVISIT stub
+            // that is the ORIGINAL's content digest, which a recomputed
+            // hash of the stub's empty payload would silently replace
+            // with the empty-payload digest and poison every
+            // content-keyed join; recompute only when the header is
+            // absent and the payload arrived whole
+            val digest = r.payload_digest
+              .map(_.replaceFirst("(?i)^sha1:", ""))
+              .orElse(if (r.truncated) None else Some(sha1Base32(r.payload)))
             (Option(Cdx.surtString(r.target_uri.orNull)),
-              ts14, r.target_uri, mime, r.http_status,
-              if (r.truncated) None else Some(sha1Base32(r.payload)),
+              ts14, r.target_uri, mime, r.http_status, digest,
               fn, off, len, r.warc_type)
           }
         }
@@ -646,13 +655,29 @@ object Warc {
         s"$path: unsupported gzip compression method ${bytes(pos + 2) & 0xff}")
       val flg = bytes(pos + 3) & 0xff
       var p = pos + 10
+      // every extra-field walk is bounds-checked: a corrupt FEXTRA length
+      // or an unterminated FNAME must fail with a locatable error, not an
+      // ArrayIndexOutOfBounds from deep inside the indexer
+      def truncated(): Nothing = throw new EOFException(
+        s"$path: truncated gzip member header at offset $start")
       if ((flg & 0x04) != 0) { // FEXTRA
+        if (p + 2 > bytes.length) truncated()
         val xlen = (bytes(p) & 0xff) | ((bytes(p + 1) & 0xff) << 8)
         p += 2 + xlen
+        if (p > bytes.length) truncated()
       }
-      if ((flg & 0x08) != 0) { while (bytes(p) != 0) p += 1; p += 1 } // FNAME
-      if ((flg & 0x10) != 0) { while (bytes(p) != 0) p += 1; p += 1 } // FCOMMENT
+      if ((flg & 0x08) != 0) { // FNAME
+        while (p < bytes.length && bytes(p) != 0) p += 1
+        if (p >= bytes.length) truncated()
+        p += 1
+      }
+      if ((flg & 0x10) != 0) { // FCOMMENT
+        while (p < bytes.length && bytes(p) != 0) p += 1
+        if (p >= bytes.length) truncated()
+        p += 1
+      }
       if ((flg & 0x02) != 0) p += 2 // FHCRC
+      if (p >= bytes.length) truncated()
       val inf = new java.util.zip.Inflater(true)
       inf.setInput(bytes, p, bytes.length - p)
       val out = new java.io.ByteArrayOutputStream(1 << 16)

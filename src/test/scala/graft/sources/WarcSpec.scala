@@ -255,6 +255,38 @@ class WarcSpec extends SparkTestBase {
     assert(rendered == sidecar)
   }
 
+  test("indexWarc: a revisit stub indexes under its HEADER digest (the " +
+    "original's content), never a recomputed empty-payload hash") {
+    val dir = tmpDir()
+    val origDigest = Warc.sha1Base32("the real content".getBytes("UTF-8"))
+    Warc.writeWarcRevisits(
+      Seq(("https://r.test/p", s"sha1:$origDigest")).toDF("uri", "digest"),
+      dir, "uri", "digest")
+    val idx = Warc.indexWarc(spark, dir).collect()
+    assert(idx.length == 1)
+    assert(idx.head.getAs[String]("digest") == origDigest)
+    assert(idx.head.getAs[String]("warc_type") == "revisit")
+    assert(idx.head.getAs[String]("digest")
+      != Warc.sha1Base32(Array.emptyByteArray))
+  }
+
+  test("gzipMembers: truncated headers fail loudly, not with an index " +
+    "error") {
+    // FNAME flag set but the name (and everything after) cut off
+    val truncated = Array(0x1f, 0x8b, 0x08, 0x08, 0, 0, 0, 0, 0, 0,
+      'a', 'b').map(_.toByte)
+    val e = intercept[java.io.EOFException] {
+      Warc.gzipMembers(truncated, "t").toList
+    }
+    assert(e.getMessage.contains("truncated gzip member header"))
+    // FEXTRA length pointing past the buffer
+    val badExtra = Array(0x1f, 0x8b, 0x08, 0x04, 0, 0, 0, 0, 0, 0,
+      0xff, 0x7f).map(_.toByte)
+    intercept[java.io.EOFException] {
+      Warc.gzipMembers(badExtra, "t").toList
+    }
+  }
+
   test("indexWarc: zstd archives are rejected loudly (member offsets are " +
     "a gzip-layout property)") {
     val dir = tmpDir()
