@@ -166,6 +166,9 @@ object SparkEntry {
   def releaseFixture(name: String, dir: String): Unit = {
     val df = fixtureFrames.remove(s"$name:$dir")
     if (df != null) df.unpersist(blocking = false)
+    // q80's per-run sink/checkpoint dirs are dead once the query's frame
+    // has been consumed — drop the last run's set with the fixture
+    if (name == "q80_stream_media_e2e") q80WipeRunDirs(q80FixtureDir(dir))
     ()
   }
 
@@ -318,6 +321,21 @@ object SparkEntry {
       "graft_stream_media_" +
         java.lang.Long.toHexString(dir.hashCode.toLong & 0xffffffffL) +
         "_" + ProcessHandle.current().pid())
+
+  /** Wipe prior q80 invocations' per-run `sink_*`/`ckpt_*` dirs (the
+    * reusable input shards under `in/` stay). Called at the start of each
+    * q80 run and from [[releaseFixture]].
+    */
+  private def q80WipeRunDirs(fixture: java.io.File): Unit = {
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles.foreach(rm)
+      f.delete(); ()
+    }
+    val entries = fixture.listFiles
+    if (entries != null)
+      entries.filter(f => f.getName.startsWith("sink_") ||
+        f.getName.startsWith("ckpt_")).foreach(rm)
+  }
 
   /** q80's fixture build: the doubled corpus rendered to PNGs and written
     * as TS-RANGE-partitioned tar shards landing in event-time order (see
@@ -2174,6 +2192,12 @@ object SparkEntry {
       if (!preparedDirs.contains(s"q80_stream_media_e2e:$dir"))
         q80WriteShards(s, dir)
       val in = new java.io.File(fixture, "in")
+      // sink/checkpoint dirs are nanoTime-tagged per invocation (streaming
+      // state is never reusable); PRIOR invocations' dirs are wiped here —
+      // their frames were consumed in their own run — so repeated
+      // Verify/Bench runs in one JVM hold at most one live set instead of
+      // accumulating unbounded tmp-dir state
+      q80WipeRunDirs(fixture)
       val runTag = java.lang.Long.toHexString(System.nanoTime())
       val sink = new java.io.File(fixture, s"sink_$runTag").getPath
       val ckpt = new java.io.File(fixture, s"ckpt_$runTag").getPath
@@ -3017,6 +3041,68 @@ object SparkEntry {
           col("payload").cast("string").as("body"),
           col("http_status"))
     }),
+    // The sidecar-less loop over a ZSTD archive (q107's chain with the
+    // codec flipped to zstd-dict): member boundaries now come from a real
+    // zstd FRAME walk — skippable dictionary frame captured, data-frame
+    // extents measured from block headers — and the ranged fetch must
+    // re-read the head dictionary to decode mid-file members. Any wrong
+    // frame boundary breaks the zstd decode; the oracle replays the
+    // fetched payload text arithmetically.
+    "q107b_warc_index_zstd" -> ((s, dir) => {
+      val fixture = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft_warcidxz_" +
+          java.lang.Long.toHexString(dir.hashCode.toLong & 0xffffffffL) +
+          "_" + ProcessHandle.current().pid())
+      val arc = new java.io.File(fixture, "arc").getPath
+      val zp = new java.io.File(fixture, "zip").getPath
+      val src = s.range(0, 300).select(
+        concat(lit("https://s"), (col("id") % 5).cast("string"),
+          lit(".test/d/"), col("id").cast("string")).as("uri"),
+        concat(lit("zbody "), col("id").cast("string"),
+          expr("repeat('q', CAST(id % 13 AS INT))")).as("body"))
+      graft.sources.Warc.writeWarcResponses(
+        src.repartition(3), arc, "uri", "body",
+        overwrite = true, maxRecordsPerShard = 40, codec = "zstd-dict")
+      graft.sources.Cdx.writeZipnum(
+        graft.sources.Cdx.cdxjLines(graft.sources.Warc.indexWarc(s, arc)),
+        zp, linesPerBlock = 10, overwrite = true)
+      val caps = graft.sources.Cdx.queryZipnum(s, zp, "test,s4)")
+      val plan = graft.sources.Cdx.fetchPlan(caps, gapBytes = 0L)
+      graft.sources.Warc.readWarcRanges(s, arc, plan)
+        .select(col("target_uri"),
+          col("payload").cast("string").as("body"),
+          col("http_status"))
+    }),
+    // indexWarc's languages/charset fields (the published cc-index
+    // populates both; consumers filter on them before fetching): three
+    // language classes rendered as HTML bodies under two charset labels —
+    // the WHATWG sniff must report what the decode DOES (iso-8859-1 label
+    // → windows-1252), and the langid must classify through the tag strip.
+    // Expected values are hand-derived literals in the oracle, q102c-style.
+    "q107c_warc_index_langs" -> ((s, dir) => {
+      val fixture = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft_warcidxl_" +
+          java.lang.Long.toHexString(dir.hashCode.toLong & 0xffffffffL) +
+          "_" + ProcessHandle.current().pid())
+      val arc = new java.io.File(fixture, "arc").getPath
+      val body = concat(lit("<html><body><p>"),
+        when(col("id") % 3 === 0, lit(LangGateEn))
+          .when(col("id") % 3 === 1, lit(LangGateFr))
+          .otherwise(lit(LangGateRu)),
+        lit(" "), col("id").cast("string"), lit("</p></body></html>"))
+      val ct = when(col("id") % 3 === 1,
+        lit("text/html; charset=iso-8859-1"))
+        .otherwise(lit("text/html; charset=utf-8"))
+      val src = s.range(0, 120).select(
+        concat(lit("https://l.test/d/"), col("id").cast("string")).as("uri"),
+        body.as("body"), ct.as("ct"))
+      graft.sources.Warc.writeWarcResponses(
+        src.repartition(2), arc, "uri", "body",
+        overwrite = true, contentTypeCol = Some("ct"))
+      graft.sources.Warc.indexWarc(s, arc)
+        .select(col("url"), col("languages"), col("charset"),
+          col("mime"), col("status"))
+    }),
     // ZipNum clustered index (Cdx.writeZipnum/queryZipnum): the published
     // cc-index's two-level layout — sorted CDXJ lines packed into
     // independently-gzipped blocks with a cluster.idx of block keys, so a
@@ -3104,6 +3190,18 @@ object SparkEntry {
         .select(col("doc_id"), round(col("log_weight"), 6).as("log_weight"))
     })
   )
+
+  /** q107c's language fixtures — one sentence per class, long enough for
+    * an unambiguous classify, no apostrophes (they inline into DuckDB
+    * VALUES literals verbatim), fr kept accent-free so the
+    * windows-1252-labeled decode is byte-identical to the UTF-8 source.
+    */
+  val LangGateEn: String = "the quick brown fox jumps over the lazy dog " +
+    "and then the fox sleeps while the dog watches the quiet house"
+  val LangGateFr: String = "le chat et le chien sont dans la maison avec " +
+    "une porte et les fenetres sont grandes mais la cour est petite"
+  val LangGateRu: String = "привет мир это тест русского текста " +
+    "который классификатор должен узнать по словам и буквам"
 
   /** q102c's verbatim published-canonicalization pairs: each expected key
     * hand-derived from the IA default canonicalizer rules the CommonCrawl
@@ -5391,6 +5489,17 @@ object SparkEntry {
         |       'body ' || CAST(i AS VARCHAR) || repeat('y', CAST(i % 11 AS INT)) AS body,
         |       200 AS http_status
         |FROM (SELECT range AS i FROM range(0, 300)) WHERE i % 5 = 2""".stripMargin,
+    "q107b_warc_index_zstd" ->
+      """SELECT 'https://s4.test/d/' || CAST(i AS VARCHAR) AS target_uri,
+        |       'zbody ' || CAST(i AS VARCHAR) || repeat('q', CAST(i % 13 AS INT)) AS body,
+        |       200 AS http_status
+        |FROM (SELECT range AS i FROM range(0, 300)) WHERE i % 5 = 4""".stripMargin,
+    "q107c_warc_index_langs" ->
+      """SELECT 'https://l.test/d/' || CAST(i AS VARCHAR) AS url,
+        |       CASE i % 3 WHEN 0 THEN 'en' WHEN 1 THEN 'fr' ELSE 'ru' END AS languages,
+        |       CASE i % 3 WHEN 1 THEN 'windows-1252' ELSE 'UTF-8' END AS charset,
+        |       'text/html' AS mime, 200 AS status
+        |FROM (SELECT range AS i FROM range(0, 120))""".stripMargin,
     "q106_zipnum_query" ->
       """WITH i AS (SELECT range AS i FROM range(0, 2000))
         |SELECT 'test,h3)/p/' || CAST(i AS VARCHAR) AS surt_key,

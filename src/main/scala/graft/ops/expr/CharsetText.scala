@@ -441,6 +441,37 @@ object CharsetText {
       case _ => null
     }
 
+  /** The charset NAME the precedence above would decode with — what a
+    * capture index's `charset` field carries (the cc-index populates it so
+    * consumers can filter before fetching). Returns the winning step's
+    * canonical JDK charset name ("UTF-8", "windows-1252", "GBK", …);
+    * "replacement" for the spec's replacement encoding; "x-user-defined"
+    * for a header-position x-user-defined label; "UTF-8" for the step-4
+    * fallback. Same resolution path as [[decode]] — the name names what
+    * the decode would actually do, not the raw label the page claimed.
+    */
+  def detectedName(payload: Array[Byte], contentType: String): String = {
+    val n = payload.length
+    if (n >= 3 && (payload(0) & 0xff) == 0xef && (payload(1) & 0xff) == 0xbb &&
+        (payload(2) & 0xff) == 0xbf) return "UTF-8"
+    if (n >= 2 && (payload(0) & 0xff) == 0xff && (payload(1) & 0xff) == 0xfe)
+      return "UTF-16LE"
+    if (n >= 2 && (payload(0) & 0xff) == 0xfe && (payload(1) & 0xff) == 0xff)
+      return "UTF-16BE"
+    headerCharset(contentType) match {
+      case Known(cs) =>
+        return if (cs eq XUserDefinedCharset) "x-user-defined" else cs.name()
+      case ReplacementEnc => return "replacement"
+      case _ => ()
+    }
+    metaCharset(payload) match {
+      case Known(cs) => return cs.name()
+      case ReplacementEnc => return "replacement"
+      case _ => ()
+    }
+    "UTF-8"
+  }
+
   /** Decode `payload` per the precedence above. Null payload → null
     * upstream (the expression handles it); null `contentType` just skips
     * step 2.

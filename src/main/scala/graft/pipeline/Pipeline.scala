@@ -220,21 +220,25 @@ object Pipeline {
             graft.sources.Cdx.readCdxj(spark, path,
               glob = sm.get("glob").map(_.toString))
           case "warcIndex" =>
-            // build a capture index from sidecar-less .warc.gz archives
-            // (Warc.indexWarc — gzip-member offset recovery); the frame
-            // is readCdxj-shaped and feeds cdxPlan/fetchWarc or the
-            // zipnum sink directly. {format: warcIndex, path,
-            // maxPayloadBytes?}
+            // build a capture index from sidecar-less .warc.gz/.warc.zst
+            // archives (Warc.indexWarc — streaming gzip-member/zstd-frame
+            // offset recovery); the frame is readCdxj-shaped and feeds
+            // cdxPlan/fetchWarc or the zipnum sink directly. {format:
+            // warcIndex, path, maxPayloadBytes?, detectText?} —
+            // detectText (default true) populates languages/charset the
+            // way the published cc-index does
             val unsupported =
-              sm.keySet -- Set("format", "path", "maxPayloadBytes")
+              sm.keySet -- Set("format", "path", "maxPayloadBytes", "detectText")
             if (unsupported.nonEmpty)
               throw new IllegalArgumentException(
                 s"warcIndex source supports 'format', 'path', " +
-                  s"'maxPayloadBytes'; remove: " +
+                  s"'maxPayloadBytes', 'detectText'; remove: " +
                   unsupported.toSeq.sorted.mkString(", "))
             graft.sources.Warc.indexWarc(spark, path,
               maxPayloadBytes = sm.get("maxPayloadBytes")
-                .map(_.toString.toInt).getOrElse(64 << 20))
+                .map(_.toString.toInt).getOrElse(64 << 20),
+              detectText = sm.get("detectText")
+                .forall(_.toString.toBoolean))
           case "zipnum" =>
             // ZipNum-clustered capture index (sources/Cdx.queryZipnum):
             // the published cc-index two-level layout — a SURT-prefix

@@ -454,11 +454,20 @@ object Cdx {
   /** Candidate-block plan for a SURT-prefix query: each block covers the
     * key range [its `block_key`, the NEXT block's key), so the blocks
     * that can contain keys starting with `prefix` are those with
-    * `next_key > prefix` and `block_key < prefix+MAX`. One global-order
-    * window over the cluster index — deliberately unpartitioned: the
-    * cluster index is 1/`linesPerBlock` of the index by construction
-    * (~100 MB per 300 GB of index), the scale contract of the two-level
-    * layout itself. Candidates then coalesce per shard file through
+    * `next_key > prefix` and `block_key < prefix+MAX` — with `next_key`
+    * computed PER SHARD FILE (a `lead` partitioned by filename; shards
+    * sort internally by construction). Per-shard coverage stays correct
+    * when shard key ranges OVERLAP: a cluster index unioned from several
+    * independently-written zipnum directories (N monthly crawls' `.idx`
+    * files read as one listing, or a [[mergeZipnum]] input) plans each
+    * shard against its own boundaries instead of silently excluding
+    * blocks whose interleaved global neighbor came from a different
+    * shard. For globally-sorted disjoint shards the cost over a global
+    * window is at most one extra post-filtered block per shard (the last
+    * block of each shard has no in-shard successor and stays a
+    * candidate). The window input is the cluster index,
+    * 1/`linesPerBlock` of the index by construction (~100 MB per 300 GB
+    * of index). Candidates then coalesce per shard file through
     * [[fetchPlan]] (adjacent blocks merge into one ranged GET).
     */
   def zipnumPlan(
@@ -469,7 +478,8 @@ object Cdx {
     import org.apache.spark.sql.expressions.Window
     require(prefix.nonEmpty, "zipnumPlan: empty prefix would fetch the world")
     val prefixEnd = prefix + "\uFFFF"
-    val w = Window.orderBy(col("block_key"), col("filename"), col("seq"))
+    val w = Window.partitionBy(col("filename"))
+      .orderBy(col("block_key"), col("seq"))
     val marked = clusterIdx
       .where(col("offset").isNotNull && col("length").isNotNull)
       .withColumn("__next_key", lead(col("block_key"), 1).over(w))
@@ -485,7 +495,11 @@ object Cdx {
     * into typed captures — seek + bounded read per range (the ranged GET
     * at web scale), each range a concatenation of independently-gzipped
     * blocks (`GZIPInputStream` reads concatenated members natively).
-    * Same bounded-buffering contract as the WARC ranged reader.
+    * Memory per task: the COMPRESSED range buffer (capped at
+    * `maxRangeBytes` — that is the GET) plus ONE decompressed line —
+    * lines stream out of the gunzip lazily, so a broad prefix whose plan
+    * coalesces a whole shard into one range (CDXJ text decompresses
+    * 3-5×) never materializes gigabytes of strings in a task.
     */
   def readZipnumRanges(
       spark: SparkSession,
@@ -521,14 +535,24 @@ object Cdx {
           } finally in.close()
         val gz = new java.util.zip.GZIPInputStream(
           new java.io.ByteArrayInputStream(bytes), 1 << 16)
-        val out = scala.collection.mutable.ArrayBuffer.empty[String]
         val br = new java.io.BufferedReader(
           new java.io.InputStreamReader(gz,
             java.nio.charset.StandardCharsets.UTF_8))
-        var l = br.readLine()
-        while (l != null) { out += l; l = br.readLine() }
-        br.close()
-        out
+        // lazy line emission: the iterator owns the reader and closes it
+        // on the null line — per-task decompressed state is ONE line, not
+        // the whole range's text
+        new Iterator[String] {
+          private var nextLine = advance()
+          private def advance(): String = {
+            val l = br.readLine()
+            if (l == null) br.close()
+            l
+          }
+          override def hasNext: Boolean = nextLine != null
+          override def next(): String = {
+            val l = nextLine; nextLine = advance(); l
+          }
+        }
       }
     }.toDF("value")
     parseCdxjLines(lines)

@@ -438,11 +438,17 @@ object Warc {
     * resolved_from IS NULL` to find danglers — their originals live in a
     * crawl you did not read).
     *
-    * Scale shape: ONE shuffle keyed by the normalized digest. The
-    * originals side first collapses to one representative row per digest
-    * (`min_by` over (file, index) — deterministic, and partial-aggregates
-    * map-side so the duplicate-payload key never concentrates); the join
-    * output is revisit-count sized, never responses × revisits.
+    * Scale shape: two digest-keyed shuffles, both revisit/original-sized.
+    * The refers-to preference joins revisits against responses keyed by
+    * (normalized digest, record id) — an at-most-one-row-per-key side, so
+    * a stub whose `WARC-Refers-To` names a specific same-digest original
+    * resolves to THAT record. Stubs without a refers-to match (header
+    * absent, or naming a record outside the frame) fall back to the
+    * digest REPRESENTATIVE: the originals side collapses to one row per
+    * digest (`min_by` over (file, index) — deterministic, and
+    * partial-aggregates map-side so the duplicate-payload key never
+    * concentrates). Join outputs are revisit-count sized, never
+    * responses × revisits.
     */
   def resolveRevisits(warc: DataFrame): DataFrame = {
     val norm = (c: Column) => upper(regexp_replace(c, "(?i)^sha1:", ""))
@@ -453,21 +459,38 @@ object Warc {
         struct(col("payload"), col("http_status"), col("http_content_type"),
           col("record_id")),
         struct(col("warc_file"), col("record_index"))).as("__o"))
+    // the refers-to side: one row per (digest, record id) — record ids are
+    // unique by spec, min_by just makes a malformed double-id deterministic
+    val byId = warc
+      .filter(col("warc_type") === "response" &&
+        col("payload_digest").isNotNull && col("record_id").isNotNull)
+      .groupBy(norm(col("payload_digest")).as("__rdigest"),
+        col("record_id").as("__rid"))
+      .agg(min_by(
+        struct(col("payload"), col("http_status"), col("http_content_type"),
+          col("record_id")),
+        struct(col("warc_file"), col("record_index"))).as("__r"))
     val revisits = warc.filter(col("warc_type") === "revisit")
     val passthrough = warc.filter(col("warc_type") =!= "revisit")
       .withColumn("resolved_from", lit(null).cast("string"))
     val resolved = revisits
+      .join(byId,
+        norm(col("payload_digest")) === col("__rdigest") &&
+          col("refers_to") === col("__rid"), "left")
       .join(originals, norm(col("payload_digest")) === col("__digest"), "left")
       .select(warc.columns.toIndexedSeq.map {
         case "payload" =>
-          coalesce(col("__o.payload"), col("payload")).as("payload")
+          coalesce(col("__r.payload"), col("__o.payload"), col("payload"))
+            .as("payload")
         case "http_status" =>
-          coalesce(col("__o.http_status"), col("http_status")).as("http_status")
+          coalesce(col("__r.http_status"), col("__o.http_status"),
+            col("http_status")).as("http_status")
         case "http_content_type" =>
-          coalesce(col("__o.http_content_type"), col("http_content_type"))
-            .as("http_content_type")
+          coalesce(col("__r.http_content_type"), col("__o.http_content_type"),
+            col("http_content_type")).as("http_content_type")
         case c => col(c)
-      } :+ col("__o.record_id").as("resolved_from"): _*)
+      } :+ coalesce(col("__r.record_id"), col("__o.record_id"))
+        .as("resolved_from"): _*)
     passthrough.unionByName(resolved)
   }
 
@@ -558,50 +581,107 @@ object Warc {
     }
   }
 
-  /** Build a capture index from EXISTING `.warc.gz` archives that have no
-    * sidecars — the cdx-indexer pass (webarchive-commons/pywb ship the
-    * same tool): walk each shard's gzip MEMBERS tracking compressed
-    * offsets, parse the record(s) inside each member, and emit one row
-    * per response/revisit/conversion record in [[Cdx.readCdxj]]'s exact
-    * column shape — so the result feeds [[Cdx.fetchPlan]] →
-    * [[readWarcRanges]] directly, or renders through [[Cdx.cdxjLines]] →
-    * [[Cdx.writeZipnum]] into a queryable two-level index. The round trip
-    * "archives in, selective access out" needs no cooperation from
-    * whoever wrote the archives.
+  /** Build a capture index from EXISTING `.warc.gz` / `.warc.zst` archives
+    * that have no sidecars — the cdx-indexer pass (webarchive-commons/pywb
+    * ship the same tool): walk each shard's compressed MEMBERS tracking
+    * compressed offsets, parse the record(s) inside each member, and emit
+    * one row per record in [[Cdx.readCdxj]]'s exact column shape — so the
+    * result feeds [[Cdx.fetchPlan]] → [[readWarcRanges]] directly, or
+    * renders through [[Cdx.cdxjLines]] → [[Cdx.writeZipnum]] into a
+    * queryable two-level index. The round trip "archives in, selective
+    * access out" needs no cooperation from whoever wrote the archives.
     *
-    * Mechanics: one task per shard (`binaryFile`, the non-splittable-gzip
-    * parallelism contract); member boundaries come from a real gzip
-    * header walk + Inflater consumption count (FEXTRA/FNAME/FCOMMENT/
-    * FHCRC all handled, 8-byte CRC/ISIZE trailer) — no format guessing.
+    * Mechanics: one task per shard (compressed members are not
+    * seekable-splittable without the very index this builds — file count
+    * IS the parallelism, the same contract as [[readWarc]]), but the
+    * shard STREAMS through the task: a seekable `FSDataInputStream`
+    * feeds the member walker directly, so per-task heap is one record's
+    * capped payload plus fixed buffers — no whole-file byte array and no
+    * `binaryFile` 2 GiB ceiling; a 10 GiB dump shard indexes in bounded
+    * memory. Member boundaries:
+    *   - `.warc.gz`: real gzip header walk (FEXTRA/FNAME/FCOMMENT/FHCRC)
+    *     + Inflater consumption count + the 8-byte CRC/ISIZE trailer;
+    *     records parse straight off the inflater (nothing buffers the
+    *     decompressed member).
+    *   - `.warc.zst`: real zstd frame walk — skippable frames
+    *     (0x184D2A5x) are skipped, a LEADING 0x184D2A5D dictionary frame
+    *     (the iipc convention; itself possibly zstd-compressed) is
+    *     captured and applied to every member decode, and data-frame
+    *     lengths come from walking the 3-byte block headers
+    *     (raw/RLE/compressed, last-block flag) + the frame-header size
+    *     fields + the optional checksum. One frame's COMPRESSED bytes
+    *     buffer for the decode (a frame is one record by this library's
+    *     and CommonCrawl's layout); dictionary offsets are excluded from
+    *     member ranges, matching [[readWarcRanges]]'s head re-read.
     * A member holding several records (the spec recommends one-per-member
     * but permits more) emits one row per record, all sharing the MEMBER's
     * (offset, length) — a ranged fetch decodes the member and re-filters,
     * the standard CDX discipline. `digest` is the payload's bare-base32
     * SHA-1, null when the payload was truncated at `maxPayloadBytes`
     * (a digest of a prefix would silently poison content-keyed dedup).
-    * Plain `.warc` / `.warc.zst` shards are rejected loudly — member
-    * offsets are a gzip-layout property; zstd-frame walking is a
-    * documented non-goal for now.
+    * Plain uncompressed `.warc` shards are rejected loudly (a documented
+    * non-goal — real archives ship compressed; the write-side sidecar
+    * covers anything else).
+    *
+    * `detectText = true` (default) also populates the published index's
+    * `languages` and `charset` fields for text-like records (mime
+    * `text/…` or html/xml/json/javascript), the way the real cc-index
+    * does — consumers filter on them before fetching. `charset` is the
+    * WHATWG sniff the decode would actually use
+    * ([[graft.ops.expr.CharsetText.detectedName]]: BOM > header label >
+    * meta prescan > UTF-8); `languages` is this library's
+    * [[graft.ops.expr.LangModel]] ISO 639-1 code over the first
+    * [[TextDetectSampleBytes]] of the decoded payload with tags
+    * stripped ("und" when nothing scores). Both run on a bounded sample
+    * per record — the indexing pass stays CPU-light.
     */
   def indexWarc(
       s: SparkSession,
       path: String,
-      maxPayloadBytes: Int = 64 << 20
+      maxPayloadBytes: Int = 64 << 20,
+      detectText: Boolean = true
   ): DataFrame = {
     import s.implicits._
-    val bin = s.read.format("binaryFile")
+    val conf = new SerializableConfiguration(
+      s.sparkContext.hadoopConfiguration)
+    // path-only projection: the binaryFile source builds rows lazily per
+    // requested field, so listing paths reads no content (and never hits
+    // the source's content-column 2 GiB ceiling)
+    val files = s.read.format("binaryFile")
       .option("pathGlobFilter", "*.warc*").load(path)
-      .select(col("path"), col("content")).as[(String, Array[Byte])]
-    val rows = bin.mapPartitions { files =>
-      files.flatMap { case (p, bytes) =>
-        require(bytes.length >= 2 && (bytes(0) & 0xff) == 0x1f &&
-          (bytes(1) & 0xff) == 0x8b,
-          s"indexWarc: $p is not a .warc.gz archive (gzip member offsets " +
-            "are a gzip-layout property; write-side sidecars via " +
-            "writeWarcResponses(index = true) cover other codecs)")
-        val fn = p.substring(p.lastIndexOf('/') + 1)
-        gzipMembers(bytes, p).flatMap { case (off, len, member) =>
-          parseFile(s"$p@$off", member, maxPayloadBytes).map { r =>
+      .select(col("path")).as[String]
+    val rows = files.mapPartitions { paths =>
+      paths.flatMap { pstr =>
+        val p = new Path(pstr)
+        val fs = p.getFileSystem(conf.value)
+        val in = fs.open(p)
+        val tc = TaskContext.get()
+        if (tc != null) tc.addTaskCompletionListener[Unit](_ => in.close())
+        val fn = p.getName
+        val src = new CountedIn(in)
+        val magic = new Array[Byte](4)
+        var got = 0
+        var eof = false
+        while (got < 4 && !eof) {
+          val k = src.read(magic, got, 4 - got)
+          if (k < 0) eof = true else got += k
+        }
+        src.unread(magic, 0, got)
+        val members: Iterator[(Long, Long, IndexedSeq[WarcRow])] =
+          if (got == 0) Iterator.empty
+          else if (got >= 2 && (magic(0) & 0xff) == 0x1f &&
+              (magic(1) & 0xff) == 0x8b)
+            gzipRecordMembers(src, pstr, maxPayloadBytes)
+          else if (got >= 4 && (isZstDataMagic(magic, 0) ||
+              isZstSkippableMagic(magic, 0)))
+            zstdRecordMembers(src, pstr, maxPayloadBytes)
+          else throw new IllegalArgumentException(
+            s"indexWarc: $pstr is neither a .warc.gz nor a .warc.zst " +
+              "archive (member offsets are a compressed-layout property; " +
+              "write-side sidecars via writeWarcResponses(index = true) " +
+              "cover plain .warc)")
+        members.flatMap { case (off, len, recs) =>
+          recs.map { r =>
             val ts14 = Option(r.warc_date.orNull)
               .map(_.replaceAll("[^0-9]", "").take(14)).filter(_.length == 14)
             val mime = r.http_content_type.orElse(r.content_type)
@@ -616,92 +696,434 @@ object Warc {
             val digest = r.payload_digest
               .map(_.replaceFirst("(?i)^sha1:", ""))
               .orElse(if (r.truncated) None else Some(sha1Base32(r.payload)))
+            val (langs, charset) = detectFields(r, mime, detectText)
             (Option(Cdx.surtString(r.target_uri.orNull)),
               ts14, r.target_uri, mime, r.http_status, digest,
-              fn, off, len, r.warc_type)
+              fn, off, len, langs, charset, r.warc_type)
           }
         }
       }
     }.toDF("__surt", "__ts14", "url", "mime", "status", "digest",
-      "filename", "offset", "length", "warc_type")
+      "filename", "offset", "length", "languages", "charset", "warc_type")
     rows.select(
       col("__surt").as("surt_key"),
       try_to_timestamp(col("__ts14"), lit("yyyyMMddHHmmss")).as("ts"),
       col("url"), col("mime"), col("status"), col("digest"),
       col("filename"), col("offset"), col("length"),
-      lit(null).cast("string").as("languages"),
-      lit(null).cast("string").as("charset"),
+      col("languages"), col("charset"),
       col("warc_type"))
   }
 
-  /** Split a `.warc.gz` byte array into gzip members:
-    * `(offset, compressedLength, decompressedBytes)` per member. Real
-    * header walk (magic/CM check, FLG extras) + Inflater(nowrap)
-    * consumption count + the 8-byte CRC32/ISIZE trailer — the only way
-    * to recover member boundaries the writer did not record.
+  /** Per-record payload bytes sampled for the index's `languages`/
+    * `charset` detection — covers the WHATWG meta-prescan window many
+    * times over and gives the n-gram classifier more text than it needs,
+    * while keeping the indexer's per-record CPU bounded on pathological
+    * payloads.
     */
-  private[sources] def gzipMembers(
-      bytes: Array[Byte],
-      path: String
-  ): Iterator[(Long, Long, Array[Byte])] = new Iterator[(Long, Long, Array[Byte])] {
-    private var pos = 0
-    override def hasNext: Boolean = pos + 10 <= bytes.length
-    override def next(): (Long, Long, Array[Byte]) = {
-      val start = pos
-      require((bytes(pos) & 0xff) == 0x1f && (bytes(pos + 1) & 0xff) == 0x8b,
-        s"$path: expected a gzip member at offset $pos, found " +
-          f"0x${bytes(pos) & 0xff}%02x${bytes(pos + 1) & 0xff}%02x")
-      require((bytes(pos + 2) & 0xff) == 8,
-        s"$path: unsupported gzip compression method ${bytes(pos + 2) & 0xff}")
-      val flg = bytes(pos + 3) & 0xff
-      var p = pos + 10
-      // every extra-field walk is bounds-checked: a corrupt FEXTRA length
-      // or an unterminated FNAME must fail with a locatable error, not an
-      // ArrayIndexOutOfBounds from deep inside the indexer
-      def truncated(): Nothing = throw new EOFException(
-        s"$path: truncated gzip member header at offset $start")
-      if ((flg & 0x04) != 0) { // FEXTRA
-        if (p + 2 > bytes.length) truncated()
-        val xlen = (bytes(p) & 0xff) | ((bytes(p + 1) & 0xff) << 8)
-        p += 2 + xlen
-        if (p > bytes.length) truncated()
+  val TextDetectSampleBytes: Int = 64 << 10
+
+  /** [[indexWarc]]'s `(languages, charset)` for one record: text-like
+    * mime + non-empty payload → WHATWG charset sniff + tag-stripped
+    * language-ID over a bounded decoded sample; anything else → nulls
+    * (the published index leaves them absent for binary captures too).
+    */
+  private def detectFields(
+      r: WarcRow,
+      mime: Option[String],
+      detectText: Boolean): (Option[String], Option[String]) = {
+    val textish = mime.exists(m => m.startsWith("text/") ||
+      m.contains("html") || m.contains("xml") || m.contains("json") ||
+      m.contains("javascript"))
+    if (!detectText || !textish || r.payload.isEmpty) (None, None)
+    else {
+      val ct = r.http_content_type.orElse(r.content_type).orNull
+      val sample =
+        if (r.payload.length <= TextDetectSampleBytes) r.payload
+        else java.util.Arrays.copyOf(r.payload, TextDetectSampleBytes)
+      val charset = graft.ops.expr.CharsetText.detectedName(sample, ct)
+      // tags out before language-ID: raw markup's ASCII token soup would
+      // otherwise dilute the classifier's signal on short pages (a
+      // truncated trailing multi-byte char decodes to one U+FFFD — inert)
+      val text = graft.ops.expr.CharsetText.decode(sample, ct)
+        .replaceAll("<[^>]*>", " ")
+      val lang = graft.ops.expr.LangModel.classify(
+        org.apache.spark.unsafe.types.UTF8String.fromString(text)).toString
+      (Some(lang), Some(charset))
+    }
+  }
+
+  /** Pull byte source over an InputStream with a consumed-byte count and
+    * pushback (the member walkers' overread recovery). Positions are
+    * LOGICAL: `unread` rewinds the count by what it re-queues.
+    */
+  private[sources] final class CountedIn(in: InputStream) {
+    private var carry: Array[Byte] = Array.emptyByteArray
+    private var carryPos = 0
+    private var count = 0L
+    def pos: Long = count
+    def read(): Int =
+      if (carryPos < carry.length) {
+        val b = carry(carryPos) & 0xff; carryPos += 1; count += 1; b
+      } else {
+        val b = in.read(); if (b >= 0) count += 1; b
       }
-      if ((flg & 0x08) != 0) { // FNAME
-        while (p < bytes.length && bytes(p) != 0) p += 1
-        if (p >= bytes.length) truncated()
-        p += 1
+    def read(buf: Array[Byte], off: Int, len: Int): Int =
+      if (len == 0) 0
+      else if (carryPos < carry.length) {
+        val n = math.min(len, carry.length - carryPos)
+        System.arraycopy(carry, carryPos, buf, off, n)
+        carryPos += n; count += n; n
+      } else {
+        val n = in.read(buf, off, len); if (n > 0) count += n; n
       }
-      if ((flg & 0x10) != 0) { // FCOMMENT
-        while (p < bytes.length && bytes(p) != 0) p += 1
-        if (p >= bytes.length) truncated()
-        p += 1
+    def readFully(buf: Array[Byte], off: Int, len: Int)(
+        onEof: => Nothing): Unit = {
+      var done = 0
+      while (done < len) {
+        val n = read(buf, off + done, len - done)
+        if (n < 0) onEof else done += n
       }
-      if ((flg & 0x02) != 0) p += 2 // FHCRC
-      if (p >= bytes.length) truncated()
-      val inf = new java.util.zip.Inflater(true)
-      inf.setInput(bytes, p, bytes.length - p)
-      val out = new java.io.ByteArrayOutputStream(1 << 16)
-      val buf = new Array[Byte](1 << 16)
+    }
+    def skipFully(n: Long)(onEof: => Nothing): Unit = {
+      val tmp = new Array[Byte](math.min(n, 8192L).toInt)
+      var left = n
+      while (left > 0) {
+        val k = read(tmp, 0, math.min(left, tmp.length.toLong).toInt)
+        if (k < 0) onEof else left -= k
+      }
+    }
+    /** Re-queue `len` bytes so the next reads see them again (prepends to
+      * any existing carry — safe to call with a partially-drained carry).
+      */
+    def unread(buf: Array[Byte], off: Int, len: Int): Unit = if (len > 0) {
+      val rem = carry.length - carryPos
+      val nb = new Array[Byte](len + rem)
+      System.arraycopy(buf, off, nb, 0, len)
+      if (rem > 0) System.arraycopy(carry, carryPos, nb, len, rem)
+      carry = nb; carryPos = 0; count -= len
+    }
+  }
+
+  /** InputStream view of ONE gzip member's deflate body: inflates chunk
+    * by chunk from the shared [[CountedIn]], and on [[finish]] pushes the
+    * inflater's overread back so the next member's header parse starts at
+    * the right byte. Records parse straight off this stream — the member
+    * is never materialized.
+    */
+  private final class InflaterBridge(
+      src: CountedIn, path: String, start: Long) extends InputStream {
+    val inf = new java.util.zip.Inflater(true)
+    private val inBuf = new Array[Byte](1 << 16)
+    private var chunkLen = 0
+    override def read(): Int = {
+      val b = new Array[Byte](1)
+      val n = read(b, 0, 1)
+      if (n < 0) -1 else b(0) & 0xff
+    }
+    override def read(b: Array[Byte], off: Int, len: Int): Int = {
+      if (len == 0) return 0
+      if (inf.finished()) return -1
       try {
-        while (!inf.finished()) {
-          val n = inf.inflate(buf)
-          if (n > 0) out.write(buf, 0, n)
-          else if (inf.needsInput()) throw new EOFException(
-            s"$path: truncated gzip member at offset $start")
+        var n = inf.inflate(b, off, len)
+        while (n == 0 && !inf.finished()) {
+          if (inf.needsDictionary()) throw new java.io.IOException(
+            s"$path: gzip member at offset $start needs a preset dictionary")
+          if (inf.needsInput()) {
+            chunkLen = src.read(inBuf, 0, inBuf.length)
+            if (chunkLen <= 0) throw new EOFException(
+              s"$path: truncated gzip member at offset $start")
+            inf.setInput(inBuf, 0, chunkLen)
+          }
+          n = inf.inflate(b, off, len)
         }
-        val consumed = (bytes.length - p) - inf.getRemaining
-        val end = p + consumed + 8 // CRC32 + ISIZE trailer
-        require(end <= bytes.length,
-          s"$path: gzip member at offset $start is missing its trailer")
-        pos = end
-        (start.toLong, (end - start).toLong, out.toByteArray)
+        if (n == 0 && inf.finished()) -1 else n
       } catch {
         case e: java.util.zip.DataFormatException =>
           throw new java.io.IOException(
             s"$path: corrupt gzip member at offset $start", e)
-      } finally inf.end()
+      }
+    }
+    /** Drain to member end, push back the overread, release the inflater.
+      * Returns only once the deflate stream is FINISHED (so the caller's
+      * next read is the member trailer).
+      */
+    def finish(): Unit = {
+      val sink = new Array[Byte](8192)
+      while (read(sink, 0, sink.length) >= 0) ()
+      val rem = inf.getRemaining
+      if (rem > 0) src.unread(inBuf, chunkLen - rem, rem)
+      inf.end()
     }
   }
+
+  /** Streaming gzip member walk: per member, the header fields are
+    * parsed (bounds-checked), the record(s) inside parse directly off
+    * the inflater, and `(memberOffset, memberCompressedLength, records)`
+    * is emitted. The only way to recover member boundaries the writer
+    * did not record — and it never holds more than one record's capped
+    * payload.
+    */
+  private[sources] def gzipRecordMembers(
+      src: CountedIn,
+      path: String,
+      maxPayloadBytes: Int
+  ): Iterator[(Long, Long, IndexedSeq[WarcRow])] =
+    new Iterator[(Long, Long, IndexedSeq[WarcRow])] {
+      private var lookahead = src.read()
+      override def hasNext: Boolean = lookahead >= 0
+      override def next(): (Long, Long, IndexedSeq[WarcRow]) = {
+        val start = src.pos - 1
+        def truncatedHeader(): Nothing = throw new EOFException(
+          s"$path: truncated gzip member header at offset $start")
+        val b0 = lookahead
+        val b1 = src.read()
+        require(b0 == 0x1f && b1 == 0x8b,
+          s"$path: expected a gzip member at offset $start, found " +
+            f"0x$b0%02x${b1 & 0xff}%02x")
+        val cm = src.read()
+        require(cm == 8,
+          s"$path: unsupported gzip compression method $cm")
+        val flg = src.read()
+        if (flg < 0) truncatedHeader()
+        src.skipFully(6)(truncatedHeader()) // MTIME, XFL, OS
+        if ((flg & 0x04) != 0) { // FEXTRA
+          val l0 = src.read(); val l1 = src.read()
+          if (l1 < 0) truncatedHeader()
+          src.skipFully((l0 & 0xff) | ((l1 & 0xff) << 8))(truncatedHeader())
+        }
+        if ((flg & 0x08) != 0) { // FNAME
+          var b = src.read()
+          while (b > 0) b = src.read()
+          if (b < 0) truncatedHeader()
+        }
+        if ((flg & 0x10) != 0) { // FCOMMENT
+          var b = src.read()
+          while (b > 0) b = src.read()
+          if (b < 0) truncatedHeader()
+        }
+        if ((flg & 0x02) != 0) src.skipFully(2)(truncatedHeader()) // FHCRC
+        val bridge = new InflaterBridge(src, path, start)
+        val recs =
+          try {
+            var idx = -1
+            Iterator.continually(
+              parseRecord(s"$path@$start", bridge, maxPayloadBytes))
+              .takeWhile(_.isDefined)
+              .map { r => idx += 1; r.get.copy(record_index = idx) }
+              .toIndexedSeq
+          } finally bridge.finish()
+        src.skipFully(8)(throw new EOFException( // CRC32 + ISIZE
+          s"$path: gzip member at offset $start is missing its trailer"))
+        val end = src.pos
+        lookahead = src.read()
+        (start, end - start, recs)
+      }
+    }
+
+  /** Streaming zstd frame walk (RFC 8878 frame format): leading skippable
+    * frames are consumed (a 0x184D2A5D one is the iipc DICTIONARY and is
+    * captured + applied to every member), then each data frame's
+    * compressed extent is measured by walking its block headers, buffered
+    * (one record's compressed bytes), decoded against the dictionary and
+    * parsed into records.
+    */
+  private[sources] def zstdRecordMembers(
+      src: CountedIn,
+      path: String,
+      maxPayloadBytes: Int
+  ): Iterator[(Long, Long, IndexedSeq[WarcRow])] =
+    new Iterator[(Long, Long, IndexedSeq[WarcRow])] {
+      private var dict: Array[Byte] = null
+      private val head = new Array[Byte](8)
+
+      /** Reads up to `n` bytes into `head`; returns bytes read (0 at
+        * clean EOF), leaving them CONSUMED (callers unread as needed).
+        */
+      private def readHead(n: Int): Int = {
+        var got = 0
+        var eof = false
+        while (got < n && !eof) {
+          val k = src.read(head, got, n - got)
+          if (k < 0) eof = true else got += k
+        }
+        got
+      }
+
+      /** Consume any skippable frames at the cursor; capture a leading
+        * 0x184D2A5D dictionary (first one wins, the iipc convention).
+        */
+      private def skipSkippables(capture: Boolean): Unit = {
+        var more = true
+        while (more) {
+          val got = readHead(8)
+          if (got < 8 || !isZstSkippable(head, 0)) {
+            src.unread(head, 0, got)
+            more = false
+          } else {
+            val sizeL = leU32(head, 4)
+            if (sizeL > Int.MaxValue - 8) throw new java.io.IOException(
+              s"$path: oversized zstd skippable frame at offset ${src.pos - 8}")
+            val isDict = (head(0) & 0xff) == 0x5d
+            val size = sizeL.toInt
+            if (capture && isDict && dict == null) {
+              val content = new Array[Byte](size)
+              src.readFully(content, 0, size)(throw new EOFException(
+                s"$path: truncated zstd skippable frame at offset ${src.pos}"))
+              dict = zstdDictOf(content)
+            } else src.skipFully(size)(throw new EOFException(
+              s"$path: truncated zstd skippable frame at offset ${src.pos}"))
+          }
+        }
+      }
+
+      skipSkippables(capture = true)
+      private var lookGot = readHead(4)
+
+      override def hasNext: Boolean = lookGot > 0
+      override def next(): (Long, Long, IndexedSeq[WarcRow]) = {
+        val start = src.pos - lookGot
+        def truncated(): Nothing = throw new EOFException(
+          s"$path: truncated zstd frame at offset $start")
+        if (lookGot < 4 || !isZstDataMagic(head, 0))
+          throw new java.io.IOException(
+            s"$path: expected a zstd frame at offset $start")
+        val acc = new java.io.ByteArrayOutputStream(1 << 16)
+        acc.write(head, 0, 4)
+        def copyFully(n: Int): Array[Byte] = {
+          val b = new Array[Byte](n)
+          src.readFully(b, 0, n)(truncated())
+          acc.write(b)
+          b
+        }
+        val fhd = copyFully(1)(0) & 0xff
+        if ((fhd & 0x08) != 0) throw new java.io.IOException(
+          s"$path: reserved zstd frame-header bit set at offset $start")
+        val singleSegment = (fhd & 0x20) != 0
+        val fcsBytes = ((fhd >>> 6) & 3) match {
+          case 0 => if (singleSegment) 1 else 0
+          case 1 => 2
+          case 2 => 4
+          case _ => 8
+        }
+        val dictIdBytes = Array(0, 1, 2, 4)((fhd & 3))
+        val windowBytes = if (singleSegment) 0 else 1
+        if (windowBytes + dictIdBytes + fcsBytes > 0)
+          copyFully(windowBytes + dictIdBytes + fcsBytes)
+        // blocks: 3-byte LE header — bit 0 last, bits 1-2 type, rest size
+        var last = false
+        while (!last) {
+          val bh = copyFully(3)
+          val v = (bh(0) & 0xff) | ((bh(1) & 0xff) << 8) | ((bh(2) & 0xff) << 16)
+          last = (v & 1) != 0
+          val btype = (v >>> 1) & 3
+          val bsize = v >>> 3
+          btype match {
+            case 0 | 2 => if (bsize > 0) { copyFully(bsize); () } // raw | compressed
+            case 1 => copyFully(1); () // RLE: one byte, regenerated bsize times
+            case _ => throw new java.io.IOException(
+              s"$path: reserved zstd block type at offset $start")
+          }
+        }
+        if ((fhd & 0x04) != 0) copyFully(4) // content checksum
+        val end = src.pos
+        // decode the buffered frame against the dictionary and parse
+        val z = new com.github.luben.zstd.ZstdInputStreamNoFinalizer(
+          new ByteArrayInputStream(acc.toByteArray))
+        if (dict != null) z.setDict(dict)
+        val recs =
+          try {
+            var idx = -1
+            Iterator.continually(
+              parseRecord(s"$path@$start", z, maxPayloadBytes))
+              .takeWhile(_.isDefined)
+              .map { r => idx += 1; r.get.copy(record_index = idx) }
+              .toIndexedSeq
+          } finally z.close()
+        skipSkippables(capture = false)
+        lookGot = readHead(4)
+        (start, end - start, recs)
+      }
+    }
+
+  /** zstd data-frame magic 0xFD2FB528 (little-endian) at `off`. */
+  private def isZstDataMagic(bytes: Array[Byte], off: Int): Boolean =
+    off + 4 <= bytes.length && (bytes(off) & 0xff) == 0x28 &&
+      (bytes(off + 1) & 0xff) == 0xb5 && (bytes(off + 2) & 0xff) == 0x2f &&
+      (bytes(off + 3) & 0xff) == 0xfd
+
+  /** An iipc dictionary skippable frame's CONTENT, decompressed when it
+    * is itself a zstd frame (the spec allows both).
+    */
+  private def zstdDictOf(content: Array[Byte]): Array[Byte] =
+    if (isZstDataMagic(content, 0)) {
+      val zin = new com.github.luben.zstd.ZstdInputStreamNoFinalizer(
+        new ByteArrayInputStream(content))
+      try zin.readAllBytes() finally zin.close()
+    } else content
+
+  /** Split a `.warc.gz` byte ARRAY into gzip members:
+    * `(offset, compressedLength, decompressedBytes)` per member — the
+    * in-memory convenience over [[gzipRecordMembers]]'s streaming walk
+    * (specs and small fixtures; [[indexWarc]] streams and never
+    * materializes members).
+    */
+  private[sources] def gzipMembers(
+      bytes: Array[Byte],
+      path: String
+  ): Iterator[(Long, Long, Array[Byte])] =
+    new Iterator[(Long, Long, Array[Byte])] {
+      private val src = new CountedIn(new ByteArrayInputStream(bytes))
+      private var lookahead = src.read()
+      override def hasNext: Boolean = lookahead >= 0
+      override def next(): (Long, Long, Array[Byte]) = {
+        val start = src.pos - 1
+        def truncatedHeader(): Nothing = throw new EOFException(
+          s"$path: truncated gzip member header at offset $start")
+        val b0 = lookahead
+        val b1 = src.read()
+        if (b1 < 0) truncatedHeader()
+        require(b0 == 0x1f && b1 == 0x8b,
+          s"$path: expected a gzip member at offset $start, found " +
+            f"0x$b0%02x$b1%02x")
+        val cm = src.read()
+        require(cm == 8,
+          s"$path: unsupported gzip compression method $cm")
+        val flg = src.read()
+        if (flg < 0) truncatedHeader()
+        src.skipFully(6)(truncatedHeader())
+        if ((flg & 0x04) != 0) {
+          val l0 = src.read(); val l1 = src.read()
+          if (l1 < 0) truncatedHeader()
+          src.skipFully((l0 & 0xff) | ((l1 & 0xff) << 8))(truncatedHeader())
+        }
+        if ((flg & 0x08) != 0) {
+          var b = src.read()
+          while (b > 0) b = src.read()
+          if (b < 0) truncatedHeader()
+        }
+        if ((flg & 0x10) != 0) {
+          var b = src.read()
+          while (b > 0) b = src.read()
+          if (b < 0) truncatedHeader()
+        }
+        if ((flg & 0x02) != 0) src.skipFully(2)(truncatedHeader())
+        val bridge = new InflaterBridge(src, path, start)
+        val out = new java.io.ByteArrayOutputStream(1 << 16)
+        val buf = new Array[Byte](1 << 16)
+        try {
+          var n = bridge.read(buf, 0, buf.length)
+          while (n >= 0) {
+            out.write(buf, 0, n)
+            n = bridge.read(buf, 0, buf.length)
+          }
+        } finally bridge.finish()
+        src.skipFully(8)(throw new EOFException(
+          s"$path: gzip member at offset $start is missing its trailer"))
+        val end = src.pos
+        lookahead = src.read()
+        (start, end - start, out.toByteArray)
+      }
+    }
 
   /** The shared sharded-record writer behind [[writeWarcResponses]] /
     * [[writeWetConversions]]: one `.warc.gz`/`.warc.zst` per task (rolled
@@ -996,11 +1418,18 @@ object Warc {
       .map { r => idx += 1; r.get.copy(record_index = idx) }
   }
 
-  /** zstd skippable-frame magic 0x184D2A50..5F (little-endian) at `off`. */
-  private def isZstSkippable(bytes: Array[Byte], off: Int): Boolean =
-    off + 8 <= bytes.length && (bytes(off) & 0xf0) == 0x50 &&
+  /** zstd skippable-frame magic 0x184D2A50..5F (little-endian) at `off`:
+    * the 4 magic bytes alone — size-field availability is the caller's
+    * concern (lookahead buffers are magic-sized).
+    */
+  private def isZstSkippableMagic(bytes: Array[Byte], off: Int): Boolean =
+    off + 4 <= bytes.length && (bytes(off) & 0xf0) == 0x50 &&
       (bytes(off + 1) & 0xff) == 0x2a && (bytes(off + 2) & 0xff) == 0x4d &&
       (bytes(off + 3) & 0xff) == 0x18
+
+  /** [[isZstSkippableMagic]] plus the 4-byte size field in bounds. */
+  private def isZstSkippable(bytes: Array[Byte], off: Int): Boolean =
+    off + 8 <= bytes.length && isZstSkippableMagic(bytes, off)
 
   /** Little-endian u32 as an unsigned Long (overflow-proof comparisons). */
   private def leU32(bytes: Array[Byte], off: Int): Long =

@@ -262,6 +262,36 @@ class CdxSpec extends SparkTestBase {
     assert(z == Set(("f.gz", 30L, 40L, 1L, 10L)))
   }
 
+  test("zipnumPlan: overlapping shard key ranges plan per shard — blocks " +
+    "straddling the prefix in EACH shard stay candidates") {
+    // two independently-sorted shards with interleaved key ranges (the
+    // N-crawls-in-one-listing shape): under a GLOBAL next-key the lead of
+    // s1's 'b)/a' block would be s2's 'b)/c' — wrongly capping s1's block
+    // before its real in-shard successor 'd)' and excluding keys like
+    // 'b)/x' that only s1 holds
+    val idx = Seq(
+      ("a) 20240101000000", "s1.gz", 0L, 10L, 0L),
+      ("b)/a 20240101000000", "s1.gz", 10L, 10L, 1L),
+      ("d) 20240101000000", "s1.gz", 20L, 10L, 2L),
+      ("b)/c 20240101000000", "s2.gz", 0L, 10L, 0L),
+      ("c) 20240101000000", "s2.gz", 10L, 10L, 1L))
+      .toDF("block_key", "filename", "offset", "length", "seq")
+    // prefix 'b)/x': in s1 it can only live in the [b)/a, d)) block; in
+    // s2 only in the [b)/c, c)) block — BOTH must be planned
+    val got = Cdx.zipnumPlan(idx, "b)/x")
+      .as[(String, Long, Long, Long, Long)].collect().toSet
+    assert(got == Set(("s1.gz", 10L, 20L, 1L, 10L),
+      ("s2.gz", 0L, 10L, 1L, 10L)))
+    // prefix 'c': s1's candidate is its straddling [b)/a, d)) block; in
+    // s2 both blocks qualify — [b)/c, c)) can hold the bare key 'c'
+    // itself ('c' < 'c)') and [c), ∞) is open-ended — and they touch, so
+    // they coalesce into one range
+    val c = Cdx.zipnumPlan(idx, "c")
+      .as[(String, Long, Long, Long, Long)].collect().toSet
+    assert(c == Set(("s1.gz", 10L, 20L, 1L, 10L),
+      ("s2.gz", 0L, 20L, 2L, 20L)))
+  }
+
   test("pipeline zipnum source: config-only prefix query") {
     val dir = java.nio.file.Files.createTempDirectory("zipnum_pipe_").toFile
     dir.deleteOnExit()

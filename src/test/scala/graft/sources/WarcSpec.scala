@@ -160,6 +160,42 @@ class WarcSpec extends SparkTestBase {
     }
   }
 
+  test("resolveRevisits prefers the WARC-Refers-To original among " +
+    "same-digest responses; absent/unknown refers-to falls back to the " +
+    "digest representative") {
+    val parent = tmpDir()
+    val origDir = new java.io.File(parent, "c1").getPath
+    val revDir = new java.io.File(parent, "c2").getPath
+    // three responses sharing one payload digest; the representative
+    // (min (file, index)) is the FIRST written — coalesce(1) pins order
+    val uris = Seq("https://o.test/first", "https://o.test/second",
+      "https://o.test/third")
+    Warc.writeWarcResponses(
+      uris.map(u => (u, "shared body")).toDF("uri", "body").coalesce(1),
+      origDir, "uri", "body")
+    val digest = "sha1:" + Warc.sha1Base32("shared body".getBytes("UTF-8"))
+    def rid(u: String): String = f"<urn:graft:${Warc.fnv64(u)}%016x>"
+    val revisits = Seq(
+      // names the THIRD original — must override the representative
+      ("https://r.test/a", digest, Some(rid("https://o.test/third"))),
+      // no refers-to — representative (the first)
+      ("https://r.test/b", digest, None),
+      // names a record outside the frame — fall back to representative
+      ("https://r.test/c", digest, Some("<urn:x:not-here>")))
+      .toDF("uri", "digest", "refers")
+    Warc.writeWarcRevisits(revisits, revDir, "uri", "digest",
+      refersToCol = Some("refers"))
+    val resolved = Warc.resolveRevisits(Warc.readWarc(spark, parent + "/*"))
+      .filter(col("warc_type") === "revisit")
+      .select(col("target_uri"), col("resolved_from"),
+        col("payload").cast("string")).collect()
+      .map(r => r.getString(0) -> ((r.getString(1), r.getString(2)))).toMap
+    assert(resolved("https://r.test/a")._1 == rid("https://o.test/third"))
+    assert(resolved("https://r.test/b")._1 == rid("https://o.test/first"))
+    assert(resolved("https://r.test/c")._1 == rid("https://o.test/first"))
+    resolved.values.foreach { case (_, body) => assert(body == "shared body") }
+  }
+
   test("pipeline resolveRevisits verb: config-only stub resolution") {
     val parent = tmpDir()
     Warc.writeWarcResponses(
@@ -287,17 +323,83 @@ class WarcSpec extends SparkTestBase {
     }
   }
 
-  test("indexWarc: zstd archives are rejected loudly (member offsets are " +
-    "a gzip-layout property)") {
+  test("indexWarc: zstd archives walk frame by frame — computed offsets " +
+    "drive a correct ranged decode (plain and dictionary layouts)") {
+    for (codec <- Seq("zstd", "zstd-dict")) {
+      val dir = tmpDir()
+      val docs = (0 until 300).map(i =>
+        (s"https://z.test/d/$i", s"zstd body $i " + ("pad " * (i % 7))))
+        .toDF("uri", "body")
+      Warc.writeWarcResponses(docs.repartition(2), dir, "uri", "body",
+        codec = codec, maxRecordsPerShard = 100)
+      val idx = Warc.indexWarc(spark, dir)
+      assert(idx.count() == 300, codec)
+      // digest is the payload sha1 (headers present in the records)
+      val one = idx.filter(col("url") === "https://z.test/d/7").collect().head
+      assert(one.getAs[String]("digest")
+        == Warc.sha1Base32("zstd body 7 ".getBytes("UTF-8")), codec)
+      // every computed (offset, length) must decode: a wrong frame
+      // boundary breaks the zstd decode or loses records
+      val plan = Cdx.fetchPlan(
+        idx.filter(col("url").endsWith("0")), gapBytes = 0L)
+      val back = Warc.readWarcRanges(spark, dir, plan)
+        .select(col("target_uri"), col("payload").cast("string"))
+        .as[(String, String)].collect().toMap
+      assert(back.size == 30, codec)
+      (0 until 300 by 10).foreach { i =>
+        assert(back(s"https://z.test/d/$i")
+          == s"zstd body $i " + ("pad " * (i % 7)), codec)
+      }
+    }
+  }
+
+  test("indexWarc: plain uncompressed .warc shards are rejected loudly") {
     val dir = tmpDir()
-    Warc.writeWarcResponses(
-      Seq(("https://z.test/1", "zstd body")).toDF("uri", "body"),
-      dir, "uri", "body", codec = "zstd")
+    val plain = record(
+      Seq("WARC-Type: response", "WARC-Target-URI: https://p.test/1"),
+      httpBlock("200 OK", "text/plain", "plain body"))
+    java.nio.file.Files.write(
+      new java.io.File(dir, "x.warc").toPath, plain)
     val e = intercept[org.apache.spark.SparkException] {
       Warc.indexWarc(spark, dir).collect()
     }
     assert(e.getMessage.contains("indexWarc") ||
       Option(e.getCause).exists(_.getMessage.contains("indexWarc")))
+  }
+
+  test("indexWarc: languages/charset populated for text records (WHATWG " +
+    "sniff + langid), null for binary mimes and under detectText=false") {
+    val dir = tmpDir()
+    val en = "the quick brown fox jumps over the lazy dog and then " +
+      "the fox sleeps while the dog watches the quiet house"
+    val fr = "le chat et le chien sont dans la maison avec une porte " +
+      "et les fenetres sont grandes mais la cour est petite"
+    val ru = "привет мир " +
+      "это тест русс" +
+      "кого текста"
+    val rows = Seq(
+      ("https://t.test/en", s"<html><body><p>$en</p></body></html>",
+        "text/html; charset=utf-8"),
+      ("https://t.test/fr", s"<html><body><p>$fr</p></body></html>",
+        "text/html; charset=iso-8859-1"),
+      ("https://t.test/ru", s"<html><body><p>$ru</p></body></html>",
+        "text/html; charset=utf-8"),
+      ("https://t.test/bin", "not text at all",
+        "application/octet-stream")).toDF("uri", "body", "ct")
+    Warc.writeWarcResponses(rows, dir, "uri", "body",
+      contentTypeCol = Some("ct"))
+    val idx = Warc.indexWarc(spark, dir)
+      .select(col("url"), col("languages"), col("charset")).collect()
+      .map(r => r.getString(0) -> ((r.getString(1), r.getString(2)))).toMap
+    assert(idx("https://t.test/en") == (("en", "UTF-8")))
+    // iso-8859-1 label → windows-1252 per the WHATWG label table (the
+    // name reports what the decode actually does)
+    assert(idx("https://t.test/fr") == (("fr", "windows-1252")))
+    assert(idx("https://t.test/ru") == (("ru", "UTF-8")))
+    assert(idx("https://t.test/bin") == ((null, null)))
+    val off = Warc.indexWarc(spark, dir, detectText = false)
+      .select(col("languages"), col("charset")).collect()
+    off.foreach(r => assert(r.isNullAt(0) && r.isNullAt(1)))
   }
 
   test("record ids are deterministic and distinct per uri") {
