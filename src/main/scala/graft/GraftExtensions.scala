@@ -117,6 +117,10 @@ object GraftExtensions {
       require(es.length == 1, "lang_id(text)")
       LangIdExpr(es.head)
     },
+    "surt_host_norm" -> { es =>
+      require(es.length == 1, "surt_host_norm(host)")
+      SurtHostNormExpr(es.head)
+    },
     "fix_encoding" -> { es =>
       require(es.length == 1 || es.length == 2, "fix_encoding(text[, maxPasses])")
       FixEncodingExpr(es.head,

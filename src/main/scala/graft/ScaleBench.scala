@@ -313,6 +313,35 @@ object ScaleBench {
       graft.sources.Cdx.queryZipnum(s, out, "com,site7)")
         .select(col("surt_key"), col("offset"), col("length"))
     }),
+    // Cross-crawl dedup write + streaming sidecar-less index (round 15):
+    // a third of the corpus's payloads act as the PRIOR crawl's digest
+    // index; the whole corpus arrives as the new batch. writeWarcDeduped
+    // splits it (one distinct-digest join + one min-uri-per-digest
+    // aggregation join — both digest-keyed, no window sort) and writes
+    // mixed response/revisit shards; indexWarc then walks the archive's
+    // gzip members STREAMING (languages/charset detectors on) — per-task
+    // heap stays one record, whatever the shard size. rows_out = corpus
+    // size (one index row per record; organic duplicate texts become
+    // in-batch revisits but still index).
+    "x_warc_dedup_index" -> ((s, dir) => {
+      val out = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft_scale_warcdedup_" +
+          java.lang.Long.toHexString(dir.hashCode.toLong & 0xffffffffL) +
+          "_" + ProcessHandle.current().pid()).getPath
+      val src = s.read.parquet(s"$dir/documents.parquet").select(
+        concat(lit("https://site"), (col("doc_id") % 1000).cast("string"),
+          lit(".com/doc/"), col("doc_id").cast("string")).as("uri"),
+        col("text").as("body"),
+        col("doc_id"))
+      val prior = src.filter(col("doc_id") % 3 === 0)
+        .select(graft.sources.Warc.payloadDigest(
+          col("body").cast("binary")).as("digest"))
+      graft.sources.Warc.writeWarcDeduped(
+        src, out, "uri", "body", prior, overwrite = true)
+      graft.sources.Warc.indexWarc(s, out)
+        .select(col("surt_key"), col("warc_type"), col("languages"),
+          col("digest"))
+    }),
     // Cross-corpus segment dedup throughput (round 11): shared
     // header/footer lines wrapped around every document — the hot-segment
     // skew case the operator is designed for (the shared lines occur

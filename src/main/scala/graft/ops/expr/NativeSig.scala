@@ -992,6 +992,12 @@ object NativeSig {
   def langId(text: Column): Column =
     ColumnBridge.column(LangIdExpr(ColumnBridge.expression(text)))
 
+  /** Column API for [[SurtHostNormExpr]] — IDN/IP host folding inside
+    * SURT keys.
+    */
+  def surtHostNorm(host: Column): Column =
+    ColumnBridge.column(SurtHostNormExpr(ColumnBridge.expression(host)))
+
   /** Column API for [[RedactValidatedExpr]] — checksum/entropy-validated
     * PII redaction ([[PiiValidate]]).
     */

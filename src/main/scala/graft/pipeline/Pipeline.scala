@@ -258,6 +258,17 @@ object Pipeline {
                 "zipnum source needs 'prefix' (a SURT range key, e.g. " +
                   "from Cdx.surtHostPrefix)")).toString,
               sm.get("gapBytes").map(_.toString.toLong).getOrElse(0L))
+          case "zipnumLines" =>
+            // raw CDXJ lines of a ZipNum directory (Cdx.readZipnumLines):
+            // the full-scan/merge entry — feed straight into a zipnum
+            // sink to merge N crawls' indexes (path may glob over several
+            // directories). {format: zipnumLines, path}
+            val unsupported = sm.keySet -- Set("format", "path")
+            if (unsupported.nonEmpty)
+              throw new IllegalArgumentException(
+                s"zipnumLines source supports 'format', 'path'; remove: " +
+                  unsupported.toSeq.sorted.mkString(", "))
+            graft.sources.Cdx.readZipnumLines(spark, path)
           case fmt =>
             val reader = spark.read.format(fmt)
             val withOpts = sm.get("options") match {
@@ -300,6 +311,36 @@ object Pipeline {
           overwrite = sm.getOrElse("mode", "overwrite").toString == "overwrite",
           contentTypeCol = sm.get("contentType").map(_.toString),
           codec = sm.getOrElse("codec", "gzip").toString)
+      } else if (sm.get("format").exists(_.toString == "warcDedup")) {
+        // cross-crawl deduplicating WARC sink (Warc.writeWarcDeduped):
+        // responses + revisit stubs interleaved, split against a prior
+        // crawl's digest index resolved as a TABLE (same hook as
+        // decontaminate's evalset). {format: warcDedup, path, uri, body,
+        // prior: <table>, priorDigestCol?, withinBatch?, mode?, codec?,
+        // contentType?, index?}
+        val unsupported = sm.keySet -- Set("format", "path", "uri", "body",
+          "prior", "priorDigestCol", "withinBatch", "mode", "codec",
+          "contentType", "index")
+        if (unsupported.nonEmpty)
+          throw new IllegalArgumentException(
+            s"warcDedup sink supports format/path/uri/body/prior/" +
+              s"priorDigestCol/withinBatch/mode/codec/contentType/index; " +
+              "remove: " + unsupported.toSeq.sorted.mkString(", "))
+        graft.sources.Warc.writeWarcDeduped(out,
+          sm.getOrElse("path", throw new IllegalArgumentException(
+            "warcDedup sink needs a 'path'")).toString,
+          uriCol = sm.getOrElse("uri", "uri").toString,
+          bodyCol = sm.getOrElse("body", "body").toString,
+          priorDigests = resolve(sm.getOrElse("prior",
+            throw new IllegalArgumentException(
+              "warcDedup sink needs 'prior' (a table with the prior " +
+                "crawl's digests — an indexWarc/cdxj frame)")).toString),
+          priorDigestCol = sm.getOrElse("priorDigestCol", "digest").toString,
+          withinBatch = sm.get("withinBatch").forall(_.toString.toBoolean),
+          overwrite = sm.getOrElse("mode", "overwrite").toString == "overwrite",
+          contentTypeCol = sm.get("contentType").map(_.toString),
+          codec = sm.getOrElse("codec", "gzip").toString,
+          index = sm.get("index").exists(_.toString.toBoolean))
       } else if (sm.get("format").exists(_.toString == "zipnum")) {
         // ZipNum index sink (Cdx.writeZipnum): a capture frame (the
         // warcIndex/cdxj sources' shape) renders to CDXJ lines first; a

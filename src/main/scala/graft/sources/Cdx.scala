@@ -66,11 +66,15 @@ object Cdx {
     * So `https://www.Example.com:443/goo/?b=2&a=1#f` keys as
     * `com,example)/goo?a=1&b=2` — string-sortable, one registrable
     * domain's captures contiguous, and JOINABLE against the published
-    * index. Null for unparseable URLs (no `scheme://host`). Out of scope
+    * index. Internationalized hosts fold to punycode and IP hosts
+    * normalize to canonical dotted-quad before reversal
+    * ([[graft.ops.expr.SurtHostNorm]] — a codegen'd static call inside
+    * the expression, identity fast path for ASCII non-IP hosts). Null
+    * for unparseable URLs (no `scheme://host`). Out of scope
     * (documented, not silent): the Google-canonicalizer percent-decode/
-    * re-encode cycles, IDN/punycode folding and IP normalization — keys
-    * for such URLs may diverge from the published index; everything else
-    * matches the IA rules.
+    * re-encode cycles, octal/hex IP component spellings and IPv6 hosts —
+    * keys for such URLs may diverge from the published index; everything
+    * else matches the IA rules.
     */
   def surt(url: Column): Column = {
     val u = lower(trim(regexp_replace(url, "[\\t\\n\\r]", "")))
@@ -79,7 +83,8 @@ object Cdx {
       "^[a-z][a-z0-9+.\\-]*://(?:[^/@?#]*@)?([^/:?#]+)", 1)
     val dotted = regexp_replace(
       regexp_replace(rawHost, "\\.{2,}", "."), "^\\.|\\.$", "")
-    val host = regexp_replace(dotted, "^www[0-9]*\\.", "")
+    val host = graft.ops.expr.NativeSig.surtHostNorm(
+      regexp_replace(dotted, "^www[0-9]*\\.", ""))
     val port = regexp_extract(u,
       "^[a-z][a-z0-9+.\\-]*://(?:[^/@?#]*@)?[^/:?#]+:([0-9]+)(?=[/?#]|$)", 1)
     val keepPort = (port =!= "") &&
@@ -153,8 +158,9 @@ object Cdx {
       .reverse.toLowerCase(java.util.Locale.ROOT)
     val scheme = SchemeRe.findFirstMatchIn(u).map(_.group(1)).getOrElse("")
     val rawHost = SchemeHostRe.findFirstMatchIn(u).map(_.group(1)).getOrElse("")
-    val host = rawHost.replaceAll("\\.{2,}", ".")
-      .replaceAll("^\\.|\\.$", "").replaceAll("^www[0-9]*\\.", "")
+    val host = graft.ops.expr.SurtHostNorm.normalizeString(
+      rawHost.replaceAll("\\.{2,}", ".")
+        .replaceAll("^\\.|\\.$", "").replaceAll("^www[0-9]*\\.", ""))
     if (host.isEmpty) null
     else {
       val port = PortRe.findFirstMatchIn(u).map(_.group(1)).getOrElse("")
@@ -556,6 +562,75 @@ object Cdx {
       }
     }.toDF("value")
     parseCdxjLines(lines)
+  }
+
+  /** Full scan of a ZipNum directory's CDXJ LINES (every block of every
+    * `cdx-*.gz` shard, in shard order): one task per shard, lines gunzip
+    * lazily off a seekable stream (`GZIPInputStream` reads the
+    * concatenated block members natively) — per-task memory is one line,
+    * whatever the shard size. The raw-lines counterpart of
+    * [[queryZipnum]]: feeds [[mergeZipnum]] and any whole-index pass
+    * (parse with [[parseCdxjLines]]). `dir` may glob over several index
+    * directories.
+    */
+  def readZipnumLines(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val conf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sparkContext.hadoopConfiguration)
+    // path-only projection: no content read, no binaryFile 2 GiB ceiling
+    val files = spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.gz").load(dir)
+      .select(col("path")).as[String]
+    files.mapPartitions { paths =>
+      paths.flatMap { pstr =>
+        val p = new Path(pstr)
+        val fs = p.getFileSystem(conf.value)
+        val in = fs.open(p)
+        val tc = TaskContext.get()
+        if (tc != null) tc.addTaskCompletionListener[Unit](_ => in.close())
+        val br = new java.io.BufferedReader(
+          new java.io.InputStreamReader(
+            new java.util.zip.GZIPInputStream(in, 1 << 16),
+            java.nio.charset.StandardCharsets.UTF_8))
+        new Iterator[String] {
+          private var nextLine = advance()
+          private def advance(): String = {
+            val l = br.readLine()
+            if (l == null) br.close()
+            l
+          }
+          override def hasNext: Boolean = nextLine != null
+          override def next(): String = {
+            val l = nextLine; nextLine = advance(); l
+          }
+        }
+      }
+    }.toDF("value")
+  }
+
+  /** Merge N ZipNum index directories into ONE globally-sorted index —
+    * the standard operation on the real artifact (each monthly crawl
+    * publishes its own sorted index; a consumer querying the union wants
+    * one): union-then-rewrite through [[writeZipnum]]'s single range
+    * exchange. Query-time alternative without a rewrite: read the dirs'
+    * shards + `.idx` files as one listing — [[zipnumPlan]] plans per
+    * shard file, so overlapping shard key ranges stay correct; the merge
+    * buys back the single-artifact layout, block-level locality and the
+    * smaller cluster index.
+    */
+  def mergeZipnum(
+      spark: SparkSession,
+      dirs: Seq[String],
+      outDir: String,
+      linesPerBlock: Int = 3000,
+      numShards: Int = 0,
+      overwrite: Boolean = false
+  ): Unit = {
+    require(dirs.nonEmpty, "mergeZipnum: no input directories")
+    writeZipnum(
+      dirs.map(readZipnumLines(spark, _)).reduce(_ unionByName _),
+      outDir, linesPerBlock = linesPerBlock, numShards = numShards,
+      overwrite = overwrite)
   }
 
   /** The one-call prefix query over a ZipNum index directory:

@@ -494,6 +494,196 @@ object Warc {
     passthrough.unionByName(resolved)
   }
 
+  /** Mark which rows of a NEW capture batch are revisits — the PRODUCER
+    * half of the crawl ecosystem's dedup convention ([[writeWarcRevisits]]
+    * writes stubs the caller already identified; THIS is the identifying
+    * step, the actual CommonCrawl multi-crawl workflow): given new
+    * captures and a prior crawl's digest index (any frame with a digest
+    * column — [[indexWarc]] output, [[Cdx.readCdxj]], or a [[readWarc]]
+    * frame's `payload_digest`), returns the input plus
+    *   - `payload_digest` — `sha1:BASE32` of `bodyCol` (the codegen'd
+    *     [[payloadDigest]] column, spec-pinned equal to the writer's JVM
+    *     digest), null for a null body;
+    *   - `is_revisit` — true when the payload already exists in the PRIOR
+    *     index, or (`withinBatch`, default true) when an earlier row of
+    *     THIS batch (the minimum `uriCol` per digest — deterministic)
+    *     already carries it. Null-digest rows are never revisits (nothing
+    *     to resolve against). Rows sharing BOTH uri and digest all count
+    *     as "first" — collapse exact duplicates upstream (`dedupExact`)
+    *     if that matters.
+    *
+    * Scale shape: the prior side collapses to DISTINCT normalized digests
+    * (map-side partial) before one digest-keyed join; the within-batch
+    * pass is one map-side-combined `min(uri)` aggregation per digest plus
+    * a second digest-keyed join — no window sort, so a hot digest (the
+    * empty page) costs a streamed hash-join probe, never a
+    * partition-sized sort buffer.
+    */
+  def markRevisits(
+      df: DataFrame,
+      uriCol: String,
+      bodyCol: String,
+      priorDigests: DataFrame,
+      priorDigestCol: String = "digest",
+      withinBatch: Boolean = true
+  ): DataFrame = {
+    val norm =
+      (c: Column) => upper(regexp_replace(c.cast("string"), "(?i)^sha1:", ""))
+    val withDigest = df.withColumn("payload_digest",
+      concat(lit("sha1:"), payloadDigest(col(bodyCol).cast("binary"))))
+    val dKey = norm(col("payload_digest"))
+    val prior = priorDigests
+      .select(norm(col(priorDigestCol)).as("__pd"))
+      .where(col("__pd").isNotNull && col("__pd") =!= "")
+      .distinct()
+    val inPrior = withDigest
+      .join(prior, dKey === col("__pd"), "left")
+      .withColumn("__in_prior", col("__pd").isNotNull)
+      .drop("__pd")
+    val marked =
+      if (!withinBatch)
+        inPrior.withColumn("is_revisit",
+          col("payload_digest").isNotNull && col("__in_prior"))
+      else {
+        val firsts = inPrior
+          .where(col("payload_digest").isNotNull)
+          .groupBy(dKey.as("__d"))
+          .agg(min(col(uriCol)).as("__first_uri"))
+        inPrior
+          .join(firsts, dKey === col("__d"), "left")
+          .withColumn("is_revisit",
+            col("payload_digest").isNotNull &&
+              (col("__in_prior") ||
+                coalesce(col(uriCol) =!= col("__first_uri"), lit(false))))
+          .drop("__d", "__first_uri")
+      }
+    marked.drop("__in_prior")
+  }
+
+  /** The cross-crawl DEDUPLICATING writer — [[markRevisits]] splits the
+    * batch against the prior crawl's digest index (and within itself),
+    * and ONE writer pass emits full `response` records for first-seen
+    * payloads and payload-less `revisit` stubs for the rest, INTERLEAVED
+    * in the same `.warc.gz`/`.warc.zst` shards exactly as a deduplicating
+    * crawler stores them. Readers resolve with [[resolveRevisits]] over
+    * this archive unioned with the prior crawl (within-batch stubs
+    * resolve against this archive's own responses). `index = true`
+    * writes the CDXJ sidecar with each record's true member offsets —
+    * responses under their mime, stubs under `warc/revisit` with the
+    * shared digest, so an index consumer resolves content without
+    * touching the archive. Stubs carry no `WARC-Refers-To`: the digest
+    * IS the linkage (content-addressed — exactly what
+    * [[resolveRevisits]] joins on); record shapes and commit protocol
+    * match [[writeWarcResponses]]/[[writeWarcRevisits]].
+    */
+  def writeWarcDeduped(
+      df: DataFrame,
+      outDir: String,
+      uriCol: String,
+      bodyCol: String,
+      priorDigests: DataFrame,
+      priorDigestCol: String = "digest",
+      withinBatch: Boolean = true,
+      httpContentType: String = "text/html; charset=UTF-8",
+      warcDate: String = "2026-01-01T00:00:00Z",
+      maxRecordsPerShard: Int = 100000,
+      overwrite: Boolean = false,
+      contentTypeCol: Option[String] = None,
+      codec: String = "gzip",
+      index: Boolean = false
+  ): Unit = {
+    val marked = markRevisits(df, uriCol, bodyCol, priorDigests,
+      priorDigestCol, withinBatch)
+    val projected = marked.select(
+      col(uriCol).cast("string").as("__uri"),
+      col(bodyCol).cast("binary").as("__body"),
+      coalesce(
+        contentTypeCol.map(c => col(c).cast("string"))
+          .getOrElse(lit(null).cast("string")),
+        lit(httpContentType)).as("__ct"),
+      // null body → the canonical empty-payload digest, matching what
+      // writeWarcResponses would have stamped on the record
+      coalesce(col("payload_digest"),
+        lit("sha1:" + sha1Base32(Array.emptyByteArray))).as("__digest"),
+      coalesce(col("is_revisit"), lit(false)).as("__rev"))
+    val ts14 = warcDate.replaceAll("[^0-9]", "").take(14)
+    require(!index || ts14.length == 14,
+      s"writeWarcDeduped: index=true needs a full timestamp warcDate, got '$warcDate'")
+    def jsonEsc(s: String): String =
+      s.flatMap {
+        case '"' => "\\\""
+        case '\\' => "\\\\"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"
+        case c => c.toString
+      }
+    val indexFor: Option[org.apache.spark.sql.Row => (Long, Long, String) => String] =
+      if (!index) None
+      else Some { r =>
+        val uri = r.getString(0)
+        val rawKey = Option(graft.sources.Cdx.surtString(uri))
+          .getOrElse(uri.toLowerCase(java.util.Locale.ROOT))
+        val key = rawKey.flatMap {
+          case ' ' => "%20"
+          case '\t' => "%09"
+          case '\n' => "%0A"
+          case '\r' => "%0D"
+          case c => c.toString
+        }
+        val bare = r.getString(3).replaceFirst("(?i)^sha1:", "")
+        val prefix =
+          if (r.getBoolean(4))
+            s"""${key} $ts14 {"url":"${jsonEsc(uri)}","mime":"warc/revisit",""" +
+              s""""digest":"${jsonEsc(bare)}""""
+          else {
+            val ct = if (r.isNullAt(2)) httpContentType else r.getString(2)
+            val mime = ct.split(";")(0).trim
+            s"""${key} $ts14 {"url":"${jsonEsc(uri)}","mime":"${jsonEsc(mime)}",""" +
+              s""""status":"200","digest":"${jsonEsc(bare)}""""
+          }
+        (off: Long, len: Long, fn: String) =>
+          prefix + s""","offset":"$off","length":"$len","filename":"${jsonEsc(fn)}"}"""
+      }
+    writeShardedRecords(projected, outDir, codec, maxRecordsPerShard,
+      overwrite, "writeWarcDeduped", indexFor) { r =>
+      val uri = r.getString(0)
+      if (uri == null) throw new IllegalArgumentException(
+        "writeWarcDeduped: null uri — WARC-Target-URI is mandatory; " +
+          "filter or coalesce the uri column first")
+      val digest = r.getString(3)
+      if (r.getBoolean(4)) {
+        val header =
+          ("WARC/1.0\r\n" +
+            "WARC-Type: revisit\r\n" +
+            f"WARC-Record-ID: <urn:graft:revisit:${fnv64(uri + "|" + digest)}%016x>\r\n" +
+            s"WARC-Date: $warcDate\r\n" +
+            s"WARC-Target-URI: $uri\r\n" +
+            "WARC-Profile: http://netpreserve.org/warc/1.0/revisit/identical-payload-digest\r\n" +
+            s"WARC-Payload-Digest: $digest\r\n" +
+            "Content-Length: 0\r\n\r\n").getBytes("UTF-8")
+        header ++ "\r\n\r\n".getBytes("UTF-8")
+      } else {
+        val body =
+          if (r.isNullAt(1)) Array.emptyByteArray
+          else r.get(1).asInstanceOf[Array[Byte]]
+        val ct = if (r.isNullAt(2)) httpContentType else r.getString(2)
+        val http =
+          (s"HTTP/1.1 200 OK\r\nContent-Type: $ct\r\n" +
+            s"Content-Length: ${body.length}\r\n\r\n").getBytes("UTF-8")
+        val block = http ++ body
+        val header =
+          ("WARC/1.0\r\n" +
+            "WARC-Type: response\r\n" +
+            f"WARC-Record-ID: <urn:graft:${fnv64(uri)}%016x>\r\n" +
+            s"WARC-Date: $warcDate\r\n" +
+            s"WARC-Target-URI: $uri\r\n" +
+            s"WARC-Payload-Digest: $digest\r\n" +
+            "Content-Type: application/http; msgtype=response\r\n" +
+            s"Content-Length: ${block.length}\r\n\r\n").getBytes("UTF-8")
+        header ++ block ++ "\r\n\r\n".getBytes("UTF-8")
+      }
+    }
+  }
+
   /** `sha1:`-less base32 SHA-1 of a binary (or string) column — the crawl
     * ecosystem's payload-digest value ([[WarcRow.payload_digest]] carries
     * it WITH the `sha1:` prefix; cc-index JSON carries it bare). Pure

@@ -56,6 +56,14 @@ class CdxSpec extends SparkTestBase {
       ("http://e.test/with space/p?q=a b", "test,e)/with%20space/p?q=a%20b"),
       // host dot tidying
       ("http://e.test./p", "test,e)/p"),
+      // IDN hosts fold to punycode; IP hosts normalize to dotted-quad
+      // (decimal interpretation); malformed ones pass through unchanged
+      ("https://www.MÜNCHEN.example/p", "example,xn--mnchen-3ya)/p"),
+      ("http://пример.рф/", "xn--p1ai,xn--e1afmkfd)/"),
+      ("http://3232235777/x", "1,1,168,192)/x"),
+      ("http://192.168.001.010/x", "10,1,168,192)/x"),
+      ("http://999.1.1.1/keep", "1,1,1,999)/keep"),
+      ("http://1.2.3.4.5/five", "5,4,3,2,1)/five"),
       ("not a url", null))
     val df = cases.toDF("url", "expected")
       .select(col("url"), col("expected"), Cdx.surt(col("url")).as("got"))
@@ -70,7 +78,10 @@ class CdxSpec extends SparkTestBase {
       "https://www.Example.COM/Path?Q=1#frag", "http://a.b.c/",
       "https://x.io", "HTTP://UPPER.test/A?b#c", "not a url", "",
       "  https://padded.test/x  ", "https://u:p@auth.test/q",
-      "ftp://files.test/z", "https://one.two.three.four.test/deep/p?x=%2F")
+      "ftp://files.test/z", "https://one.two.three.four.test/deep/p?x=%2F",
+      "https://www.MÜNCHEN.example/p", "http://例え.jp/path",
+      "http://пример.рф/", "http://3232235777/x",
+      "http://192.168.001.010/x", "http://999.1.1.1/keep")
     val viaColumn = urls.toDF("u")
       .select(Cdx.surt(col("u")).as("s")).as[Option[String]].collect().toSeq
     val viaJvm = urls.map(u => Option(Cdx.surtString(u)))
@@ -290,6 +301,52 @@ class CdxSpec extends SparkTestBase {
       .as[(String, Long, Long, Long, Long)].collect().toSet
     assert(c == Set(("s1.gz", 10L, 20L, 1L, 10L),
       ("s2.gz", 0L, 20L, 2L, 20L)))
+  }
+
+  test("mergeZipnum: overlapping monthly indexes rewrite into one sorted " +
+    "artifact; readZipnumLines streams every line") {
+    val dir = java.nio.file.Files.createTempDirectory("zipnum_merge_").toFile
+    dir.deleteOnExit()
+    val m1 = new java.io.File(dir, "m1").getPath
+    val m2 = new java.io.File(dir, "m2").getPath
+    val out = new java.io.File(dir, "merged").getPath
+    def lines(lo: Int, hi: Int) = (lo until hi).map { i =>
+      s"test,h${i % 3})/p/$i 20240101000000 " +
+        s"""{"url":"https://h${i % 3}.test/p/$i","status":"200"}"""
+    }.toDF("value")
+    Cdx.writeZipnum(lines(0, 90), m1, linesPerBlock = 10, overwrite = true)
+    Cdx.writeZipnum(lines(90, 180), m2, linesPerBlock = 10, overwrite = true)
+    assert(Cdx.readZipnumLines(spark, m1).count() == 90)
+    Cdx.mergeZipnum(spark, Seq(m1, m2), out, linesPerBlock = 15)
+    // one sorted artifact: every line present exactly once, globally
+    // ordered across blocks
+    val all = Cdx.readZipnumLines(spark, out).as[String].collect()
+    assert(all.length == 180)
+    assert(all.toSeq == all.toSeq.sorted)
+    // a host query over the merged index sees BOTH crawls' captures
+    val got = Cdx.queryZipnum(spark, out, "test,h1)")
+      .select(col("url")).as[String].collect().toSet
+    assert(got == (0 until 180).filter(_ % 3 == 1)
+      .map(i => s"https://h1.test/p/$i").toSet)
+  }
+
+  test("pipeline zipnumLines source: config-only merge via the zipnum sink") {
+    val dir = java.nio.file.Files.createTempDirectory("zipnum_cfg_merge_").toFile
+    dir.deleteOnExit()
+    val m1 = new java.io.File(dir, "in1").getPath
+    val m2 = new java.io.File(dir, "in2").getPath
+    val out = new java.io.File(dir, "merged").getPath
+    def lines(lo: Int, hi: Int) = (lo until hi).map { i =>
+      s"test,g)/p/$i 20240101000000 {\"url\":\"https://g.test/p/$i\"}"
+    }.toDF("value")
+    Cdx.writeZipnum(lines(0, 40), m1, linesPerBlock = 8, overwrite = true)
+    Cdx.writeZipnum(lines(40, 80), m2, linesPerBlock = 8, overwrite = true)
+    // the source path GLOBS over both index directories
+    graft.pipeline.Pipeline.run(spark,
+      s"""source: {format: zipnumLines, path: "${dir.getPath}/in*"}
+         |sink: {format: zipnum, path: "$out", linesPerBlock: 12}
+         |""".stripMargin, _ => fail("no table resolve expected"))
+    assert(Cdx.queryZipnum(spark, out, "test,g)").count() == 80)
   }
 
   test("pipeline zipnum source: config-only prefix query") {

@@ -196,6 +196,98 @@ class WarcSpec extends SparkTestBase {
     resolved.values.foreach { case (_, body) => assert(body == "shared body") }
   }
 
+  test("markRevisits: prior-index hits and within-batch seconds flag as " +
+    "revisits; batch-firsts, null bodies and unseen payloads do not") {
+    val prior = Seq(
+      Warc.sha1Base32("old content".getBytes("UTF-8")), // bare base32
+      "sha1:" + Warc.sha1Base32("also old".getBytes("UTF-8")), // prefixed
+      null).toDF("digest")
+    val batch = Seq(
+      ("u1", "old content"),   // in prior → revisit (even though first)
+      ("u2", "fresh stuff"),   // batch-first of a dup pair → response
+      ("u3", "fresh stuff"),   // second of the pair → revisit
+      ("u4", "unique thing"),  // nowhere else → response
+      ("u5", null)             // null body → never a revisit
+    ).toDF("uri", "body")
+    val marked = Warc.markRevisits(batch, "uri", "body", prior)
+      .select(col("uri"), col("is_revisit"), col("payload_digest"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getBoolean(1), r.getString(2)))).toMap
+    assert(marked("u1")._1 && marked("u2")._1 == false)
+    assert(marked("u3")._1 && !marked("u4")._1 && !marked("u5")._1)
+    assert(marked("u5")._2 == null)
+    assert(marked("u2")._2
+      == "sha1:" + Warc.sha1Base32("fresh stuff".getBytes("UTF-8")))
+    // withinBatch = false: only prior hits flag
+    val acrossOnly = Warc.markRevisits(batch, "uri", "body", prior,
+      withinBatch = false)
+      .select(col("uri"), col("is_revisit")).collect()
+      .map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    assert(acrossOnly("u1") && !acrossOnly("u3"))
+  }
+
+  test("writeWarcDeduped: responses and revisit stubs interleave in one " +
+    "archive, the sidecar indexes both, and resolution round-trips") {
+    val parent = tmpDir()
+    val prior = Seq(Warc.sha1Base32("known".getBytes("UTF-8"))).toDF("digest")
+    val batch = Seq(
+      ("https://d.test/1", "known"),   // prior hit → stub
+      ("https://d.test/2", "new one"), // first → response
+      ("https://d.test/3", "new one"), // within-batch second → stub
+      ("https://d.test/4", "lonely")   // response
+    ).toDF("uri", "body")
+    Warc.writeWarcDeduped(batch, parent, "uri", "body", prior, index = true)
+    val back = Warc.readWarc(spark, parent)
+    val types = back.select(col("target_uri"), col("warc_type"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(types == Map(
+      "https://d.test/1" -> "revisit", "https://d.test/2" -> "response",
+      "https://d.test/3" -> "revisit", "https://d.test/4" -> "response"))
+    // stubs carry the shared digest and the profile; responses their own
+    val stub = back.filter(col("target_uri") === "https://d.test/3").head()
+    assert(stub.getAs[String]("payload_digest")
+      == "sha1:" + Warc.sha1Base32("new one".getBytes("UTF-8")))
+    assert(stub.getAs[String]("warc_profile") != null)
+    assert(stub.getAs[Array[Byte]]("payload").isEmpty)
+    // the within-batch stub resolves against THIS archive's own response
+    val resolved = Warc.resolveRevisits(back)
+      .filter(col("target_uri") === "https://d.test/3").head()
+    assert(new String(resolved.getAs[Array[Byte]]("payload"), "UTF-8")
+      == "new one")
+    assert(resolved.getAs[String]("resolved_from") != null)
+    // sidecar: mixed mimes, stubs under warc/revisit with the digest
+    val idx = Cdx.readCdxj(spark, parent, glob = Some("*.cdxj"))
+      .select(col("url"), col("mime"), col("digest")).collect()
+      .map(r => r.getString(0) -> ((r.getString(1), r.getString(2)))).toMap
+    assert(idx("https://d.test/1")._1 == "warc/revisit")
+    assert(idx("https://d.test/2")._1 == "text/html")
+    assert(idx("https://d.test/3")._2
+      == Warc.sha1Base32("new one".getBytes("UTF-8")))
+  }
+
+  test("pipeline warcDedup sink: config-only deduplicating write") {
+    val parent = tmpDir()
+    val outDir = new java.io.File(parent, "out").getPath
+    val prior = Seq(Warc.sha1Base32("seen".getBytes("UTF-8"))).toDF("digest")
+    val batch = Seq(
+      ("https://p.test/1", "seen"), ("https://p.test/2", "novel"))
+      .toDF("uri", "body")
+    batch.createOrReplaceTempView("incoming_batch")
+    graft.pipeline.Pipeline.run(spark,
+      s"""source: incoming_batch
+         |sink: {format: warcDedup, path: "$outDir", uri: uri, body: body,
+         |  prior: prior_digests, index: true}
+         |""".stripMargin,
+      name =>
+        if (name == "prior_digests") prior
+        else spark.table(name))
+    val types = Warc.readWarc(spark, outDir)
+      .select(col("target_uri"), col("warc_type")).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(types == Map("https://p.test/1" -> "revisit",
+      "https://p.test/2" -> "response"))
+  }
+
   test("pipeline resolveRevisits verb: config-only stub resolution") {
     val parent = tmpDir()
     Warc.writeWarcResponses(
