@@ -239,6 +239,18 @@ object LinkGraph {
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
     val n = vertices.count().toDouble
+    // Loop-stage width sized to the GRAPH, not the session: a 300-vertex
+    // gate graph gains nothing from 32-way iteration stages — their fixed
+    // per-task/per-block cost (scheduling + checkpoint blocks × 3 stages ×
+    // K iterations) is pure overhead at toy scale. Width follows the
+    // LARGER of edge and vertex count (the contribution join's work is
+    // edge-sized — sizing by vertices alone would starve a 40-edges-per-
+    // host webgraph of parallelism), 50k rows per partition, capped at
+    // the session width, so at real scale this IS the session's shuffle
+    // parallelism and the plan is unchanged.
+    val loopParts = math.max(1L, math.min(
+      edges.sparkSession.sessionState.conf.numShufflePartitions.toLong,
+      math.max(e.count(), n.toLong) / 50000L + 1L)).toInt
     // out-degree rides WITH the edge row so the in-loop contribution join
     // needs no second join against a degree table; the cached relation is
     // explicitly hash-partitioned on src so the per-iteration sort-merge
@@ -252,7 +264,7 @@ object LinkGraph {
     // partitioning and the edge table — the big side by orders of
     // magnitude — would re-shuffle every iteration.
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("__deg"))
-    val ewd = e.join(deg, "src").repartition(col("src"))
+    val ewd = e.join(deg, "src").repartition(loopParts, col("src"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     ewd.count()
     e.unpersist()
@@ -283,7 +295,8 @@ object LinkGraph {
         .select(col("host"),
           (lit((1.0 - damping) / n) + lit(damping) *
             (coalesce(col("__c"), lit(0.0)) + col("__dm") / lit(n)))
-            .as("rank")))
+            .as("rank"))
+        .repartition(loopParts, col("host")))
       // cut() is EAGER, so the superseded snapshot can be dropped now —
       // otherwise every iteration's vertex-sized rank copy stays resident
       // for the whole run and evicts the edge cache the loop depends on.
