@@ -258,13 +258,6 @@ object Warc {
     val ts14 = warcDate.replaceAll("[^0-9]", "").take(14)
     require(!index || ts14.length == 14,
       s"writeWarcResponses: index=true needs a full timestamp warcDate, got '$warcDate'")
-    def jsonEsc(s: String): String =
-      s.flatMap {
-        case '"' => "\\\""
-        case '\\' => "\\\\"
-        case c if c < ' ' => f"\\u${c.toInt}%04x"
-        case c => c.toString
-      }
     val indexFor: Option[org.apache.spark.sql.Row => (Long, Long, String) => String] =
       if (!index) None
       else Some { r =>
@@ -274,26 +267,11 @@ object Warc {
           else r.get(1).asInstanceOf[Array[Byte]]
         val ct = if (r.isNullAt(2)) httpContentType else r.getString(2)
         val mime = ct.split(";")(0).trim
-        // unparseable uris keep the raw (lowercased) uri as the key: a
-        // capture must never vanish from its own archive's index. The key
-        // is the line's FIRST space-delimited token, so any whitespace a
-        // garbage uri smuggled in must be percent-encoded or the sidecar
-        // line itself becomes unparseable (and a newline would split it) —
-        // the exact silent-vanish this fallback exists to prevent.
-        val rawKey = Option(graft.sources.Cdx.surtString(uri))
-          .getOrElse(uri.toLowerCase(java.util.Locale.ROOT))
-        val key = rawKey.flatMap {
-          case ' ' => "%20"
-          case '\t' => "%09"
-          case '\n' => "%0A"
-          case '\r' => "%0D"
-          case c => c.toString
-        }
         // digest = base32 SHA-1 of the PAYLOAD (the pywb/cc-index
         // convention: digest identifies content, so consumers can dedup by
         // it and resolve revisit records across URLs — a URL-keyed hash
         // here would silently collapse distinct contents of one URL)
-        val prefix = s"""${key} $ts14 {"url":"${jsonEsc(uri)}","mime":"${jsonEsc(mime)}",""" +
+        val prefix = s"""${cdxjKeyOf(uri)} $ts14 {"url":"${jsonEsc(uri)}","mime":"${jsonEsc(mime)}",""" +
           s""""status":"200","digest":"${sha1Base32(body)}""""
         (off: Long, len: Long, fn: String) =>
           prefix + s""","offset":"$off","length":"$len","filename":"${jsonEsc(fn)}"}"""
@@ -308,23 +286,10 @@ object Warc {
         if (r.isNullAt(1)) Array.emptyByteArray
         else r.get(1).asInstanceOf[Array[Byte]]
       val ct = if (r.isNullAt(2)) httpContentType else r.getString(2)
-      val http =
-        (s"HTTP/1.1 200 OK\r\nContent-Type: $ct\r\n" +
-          s"Content-Length: ${body.length}\r\n\r\n").getBytes("UTF-8")
-      val block = http ++ body
-      val header =
-        ("WARC/1.0\r\n" +
-          "WARC-Type: response\r\n" +
-          f"WARC-Record-ID: <urn:graft:${fnv64(uri)}%016x>\r\n" +
-          s"WARC-Date: $warcDate\r\n" +
-          s"WARC-Target-URI: $uri\r\n" +
-          // content digest per crawl convention (`sha1:` + base32 SHA-1 of
-          // the payload) — what revisit records point back at, and what
-          // [[resolveRevisits]] joins on
-          s"WARC-Payload-Digest: sha1:${sha1Base32(body)}\r\n" +
-          "Content-Type: application/http; msgtype=response\r\n" +
-          s"Content-Length: ${block.length}\r\n\r\n").getBytes("UTF-8")
-      header ++ block ++ "\r\n\r\n".getBytes("UTF-8")
+      // content digest per crawl convention (`sha1:` + base32 SHA-1 of
+      // the payload) — what revisit records point back at, and what
+      // [[resolveRevisits]] joins on
+      responseRecordBytes(uri, body, ct, "sha1:" + sha1Base32(body), warcDate)
     }
   }
 
@@ -366,30 +331,14 @@ object Warc {
     val ts14 = warcDate.replaceAll("[^0-9]", "").take(14)
     require(!index || ts14.length == 14,
       s"writeWarcRevisits: index=true needs a full timestamp warcDate, got '$warcDate'")
-    def jsonEsc(s: String): String =
-      s.flatMap {
-        case '"' => "\\\""
-        case '\\' => "\\\\"
-        case c if c < ' ' => f"\\u${c.toInt}%04x"
-        case c => c.toString
-      }
     val indexFor: Option[org.apache.spark.sql.Row => (Long, Long, String) => String] =
       if (!index) None
       else Some { r =>
         val uri = r.getString(0)
         val digest = if (r.isNullAt(1)) "" else r.getString(1)
-        val rawKey = Option(graft.sources.Cdx.surtString(uri))
-          .getOrElse(uri.toLowerCase(java.util.Locale.ROOT))
-        val key = rawKey.flatMap {
-          case ' ' => "%20"
-          case '\t' => "%09"
-          case '\n' => "%0A"
-          case '\r' => "%0D"
-          case c => c.toString
-        }
         // bare-base32 digest in the index line (cc-index drops the sha1: prefix)
         val bare = digest.replaceFirst("(?i)^sha1:", "")
-        val prefix = s"""${key} $ts14 {"url":"${jsonEsc(uri)}","mime":"warc/revisit",""" +
+        val prefix = s"""${cdxjKeyOf(uri)} $ts14 {"url":"${jsonEsc(uri)}","mime":"warc/revisit",""" +
           s""""digest":"${jsonEsc(bare)}""""
         (off: Long, len: Long, fn: String) =>
           prefix + s""","offset":"$off","length":"$len","filename":"${jsonEsc(fn)}"}"""
@@ -404,20 +353,8 @@ object Warc {
         "writeWarcRevisits: null digest — a revisit without " +
           "WARC-Payload-Digest can never be resolved; filter such rows " +
           "or write them as full response records instead")
-      val digest = r.getString(1)
-      val refers =
-        if (r.isNullAt(2)) "" else s"WARC-Refers-To: ${r.getString(2)}\r\n"
-      val header =
-        ("WARC/1.0\r\n" +
-          "WARC-Type: revisit\r\n" +
-          f"WARC-Record-ID: <urn:graft:revisit:${fnv64(uri + "|" + digest)}%016x>\r\n" +
-          refers +
-          s"WARC-Date: $warcDate\r\n" +
-          s"WARC-Target-URI: $uri\r\n" +
-          "WARC-Profile: http://netpreserve.org/warc/1.0/revisit/identical-payload-digest\r\n" +
-          s"WARC-Payload-Digest: $digest\r\n" +
-          "Content-Length: 0\r\n\r\n").getBytes("UTF-8")
-      header ++ "\r\n\r\n".getBytes("UTF-8")
+      revisitRecordBytes(uri, r.getString(1),
+        if (r.isNullAt(2)) None else Some(r.getString(2)), warcDate)
     }
   }
 
@@ -574,7 +511,16 @@ object Warc {
     * touching the archive. Stubs carry no `WARC-Refers-To`: the digest
     * IS the linkage (content-addressed — exactly what
     * [[resolveRevisits]] joins on); record shapes and commit protocol
-    * match [[writeWarcResponses]]/[[writeWarcRevisits]].
+    * match [[writeWarcResponses]]/[[writeWarcRevisits]] byte for byte
+    * (the shared renderers), so mixed and pure archives interoperate.
+    *
+    * Scale note: when the prior digest set is too big to broadcast, the
+    * batch — payloads included — crosses ONE digest-keyed exchange for
+    * the split (the second, firsts-join exchange reuses that
+    * partitioning); that single payload shuffle is the irreducible cost
+    * of splitting against a distributed index. At broadcastable prior
+    * sizes AQE keeps the whole split exchange-free (the SF1 scale row
+    * measures 3 MB of shuffle for a 50k-record batch).
     */
   def writeWarcDeduped(
       df: DataFrame,
@@ -609,35 +555,19 @@ object Warc {
     val ts14 = warcDate.replaceAll("[^0-9]", "").take(14)
     require(!index || ts14.length == 14,
       s"writeWarcDeduped: index=true needs a full timestamp warcDate, got '$warcDate'")
-    def jsonEsc(s: String): String =
-      s.flatMap {
-        case '"' => "\\\""
-        case '\\' => "\\\\"
-        case c if c < ' ' => f"\\u${c.toInt}%04x"
-        case c => c.toString
-      }
     val indexFor: Option[org.apache.spark.sql.Row => (Long, Long, String) => String] =
       if (!index) None
       else Some { r =>
         val uri = r.getString(0)
-        val rawKey = Option(graft.sources.Cdx.surtString(uri))
-          .getOrElse(uri.toLowerCase(java.util.Locale.ROOT))
-        val key = rawKey.flatMap {
-          case ' ' => "%20"
-          case '\t' => "%09"
-          case '\n' => "%0A"
-          case '\r' => "%0D"
-          case c => c.toString
-        }
         val bare = r.getString(3).replaceFirst("(?i)^sha1:", "")
         val prefix =
           if (r.getBoolean(4))
-            s"""${key} $ts14 {"url":"${jsonEsc(uri)}","mime":"warc/revisit",""" +
+            s"""${cdxjKeyOf(uri)} $ts14 {"url":"${jsonEsc(uri)}","mime":"warc/revisit",""" +
               s""""digest":"${jsonEsc(bare)}""""
           else {
             val ct = if (r.isNullAt(2)) httpContentType else r.getString(2)
             val mime = ct.split(";")(0).trim
-            s"""${key} $ts14 {"url":"${jsonEsc(uri)}","mime":"${jsonEsc(mime)}",""" +
+            s"""${cdxjKeyOf(uri)} $ts14 {"url":"${jsonEsc(uri)}","mime":"${jsonEsc(mime)}",""" +
               s""""status":"200","digest":"${jsonEsc(bare)}""""
           }
         (off: Long, len: Long, fn: String) =>
@@ -650,36 +580,13 @@ object Warc {
         "writeWarcDeduped: null uri — WARC-Target-URI is mandatory; " +
           "filter or coalesce the uri column first")
       val digest = r.getString(3)
-      if (r.getBoolean(4)) {
-        val header =
-          ("WARC/1.0\r\n" +
-            "WARC-Type: revisit\r\n" +
-            f"WARC-Record-ID: <urn:graft:revisit:${fnv64(uri + "|" + digest)}%016x>\r\n" +
-            s"WARC-Date: $warcDate\r\n" +
-            s"WARC-Target-URI: $uri\r\n" +
-            "WARC-Profile: http://netpreserve.org/warc/1.0/revisit/identical-payload-digest\r\n" +
-            s"WARC-Payload-Digest: $digest\r\n" +
-            "Content-Length: 0\r\n\r\n").getBytes("UTF-8")
-        header ++ "\r\n\r\n".getBytes("UTF-8")
-      } else {
+      if (r.getBoolean(4)) revisitRecordBytes(uri, digest, None, warcDate)
+      else {
         val body =
           if (r.isNullAt(1)) Array.emptyByteArray
           else r.get(1).asInstanceOf[Array[Byte]]
         val ct = if (r.isNullAt(2)) httpContentType else r.getString(2)
-        val http =
-          (s"HTTP/1.1 200 OK\r\nContent-Type: $ct\r\n" +
-            s"Content-Length: ${body.length}\r\n\r\n").getBytes("UTF-8")
-        val block = http ++ body
-        val header =
-          ("WARC/1.0\r\n" +
-            "WARC-Type: response\r\n" +
-            f"WARC-Record-ID: <urn:graft:${fnv64(uri)}%016x>\r\n" +
-            s"WARC-Date: $warcDate\r\n" +
-            s"WARC-Target-URI: $uri\r\n" +
-            s"WARC-Payload-Digest: $digest\r\n" +
-            "Content-Type: application/http; msgtype=response\r\n" +
-            s"Content-Length: ${block.length}\r\n\r\n").getBytes("UTF-8")
-        header ++ block ++ "\r\n\r\n".getBytes("UTF-8")
+        responseRecordBytes(uri, body, ct, digest, warcDate)
       }
     }
   }
@@ -1526,6 +1433,83 @@ object Warc {
       if (d == null || d.isEmpty) null else d
     } catch {
       case _: com.github.luben.zstd.ZstdException => null
+    }
+  }
+
+  /** Render one `response` record's bytes — the ONE shape
+    * [[writeWarcResponses]] and [[writeWarcDeduped]] both emit
+    * (byte-identical so mixed archives and pure ones interoperate).
+    */
+  private def responseRecordBytes(
+      uri: String,
+      body: Array[Byte],
+      ct: String,
+      digest: String,
+      warcDate: String): Array[Byte] = {
+    val http =
+      (s"HTTP/1.1 200 OK\r\nContent-Type: $ct\r\n" +
+        s"Content-Length: ${body.length}\r\n\r\n").getBytes("UTF-8")
+    val block = http ++ body
+    val header =
+      ("WARC/1.0\r\n" +
+        "WARC-Type: response\r\n" +
+        f"WARC-Record-ID: <urn:graft:${fnv64(uri)}%016x>\r\n" +
+        s"WARC-Date: $warcDate\r\n" +
+        s"WARC-Target-URI: $uri\r\n" +
+        s"WARC-Payload-Digest: $digest\r\n" +
+        "Content-Type: application/http; msgtype=response\r\n" +
+        s"Content-Length: ${block.length}\r\n\r\n").getBytes("UTF-8")
+    header ++ block ++ "\r\n\r\n".getBytes("UTF-8")
+  }
+
+  /** Render one `revisit` stub's bytes ([[writeWarcRevisits]] /
+    * [[writeWarcDeduped]]) — identical-payload-digest profile, empty
+    * content block, optional refers-to.
+    */
+  private def revisitRecordBytes(
+      uri: String,
+      digest: String,
+      refersTo: Option[String],
+      warcDate: String): Array[Byte] = {
+    val refers = refersTo.fold("")(r => s"WARC-Refers-To: $r\r\n")
+    val header =
+      ("WARC/1.0\r\n" +
+        "WARC-Type: revisit\r\n" +
+        f"WARC-Record-ID: <urn:graft:revisit:${fnv64(uri + "|" + digest)}%016x>\r\n" +
+        refers +
+        s"WARC-Date: $warcDate\r\n" +
+        s"WARC-Target-URI: $uri\r\n" +
+        "WARC-Profile: http://netpreserve.org/warc/1.0/revisit/identical-payload-digest\r\n" +
+        s"WARC-Payload-Digest: $digest\r\n" +
+        "Content-Length: 0\r\n\r\n").getBytes("UTF-8")
+    header ++ "\r\n\r\n".getBytes("UTF-8")
+  }
+
+  /** JSON string-value escaping for CDXJ sidecar lines. */
+  private def jsonEsc(s: String): String =
+    s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
+
+  /** The sidecar line's SURT key for a uri: canonical when parseable,
+    * the raw lowercased uri otherwise (a capture must never vanish from
+    * its own archive's index), with whitespace percent-encoded — the key
+    * is the line's first space-delimited token, so smuggled whitespace
+    * would make the sidecar line itself unparseable (a newline would
+    * split it), the exact silent-vanish the fallback exists to prevent.
+    */
+  private def cdxjKeyOf(uri: String): String = {
+    val rawKey = Option(graft.sources.Cdx.surtString(uri))
+      .getOrElse(uri.toLowerCase(java.util.Locale.ROOT))
+    rawKey.flatMap {
+      case ' ' => "%20"
+      case '\t' => "%09"
+      case '\n' => "%0A"
+      case '\r' => "%0D"
+      case c => c.toString
     }
   }
 
