@@ -208,7 +208,85 @@ object LangModel {
     * (over the raw text — scripts are case-closed); argmax as documented.
     */
   def classify(text: UTF8String): UTF8String = {
+    val scores = scoreAll(text.toString, -1)
+    var best = 0
+    var bi = -1
+    var k = 0
+    while (k < scores.length) {
+      if (scores(k) > best) { best = scores(k); bi = k }
+      k += 1
+    }
+    UTF8String.fromString(if (bi < 0) "und" else Langs(bi))
+  }
+
+  /** Up to `maxLangs` detected languages as a comma-joined string, primary
+    * first — the published cc-index's `languages` field shape (it lists up
+    * to three codes for genuinely mixed pages). A secondary is listed when
+    *   1. its total score is at least HALF the primary's (a 50/50
+    *      bilingual page reports both; incidental shared function words —
+    *      `de`/`la` live in four Romance lists — never reach half), AND
+    *   2. it shows EXCLUSIVE evidence of at least
+    *      `min(10, max(1, best/8))` — proportional on short texts, capped
+    *      at two-discriminator mass on long ones. Exclusive evidence is
+    *      the per-feature-site MARGIN over the primary: each token/char
+    *      contributes `max(0, w_secondary − w_primary)`, so a shared
+    *      Cyrillic char (both langs +1) contributes nothing, a uk
+    *      discriminator letter contributes its extra weight over the
+    *      shared block, and a language-unique function word contributes
+    *      fully. This kills shared-script shadows: on pure-Russian text
+    *      `uk` rides every shared char to over half of `ru`'s score but
+    *      has ZERO margin anywhere, while a genuinely Russian+Ukrainian
+    *      page carries і/ї/є and uk function words in proportion to its
+    *      Ukrainian mass — and a single OCR-noise discriminator char
+    *      (margin 5) stays under the floor.
+    * Order: total score descending, [[Langs]] order on ties;
+    * `classifyTop(text, 1)` equals [[classify]] by construction.
+    * All-zero scores → `"und"`.
+    */
+  def classifyTop(text: UTF8String, maxLangs: Int): UTF8String = {
     val raw = text.toString
+    val totals = scoreAll(raw, -1)
+    var best = 0
+    var primary = -1
+    var k = 0
+    while (k < totals.length) {
+      if (totals(k) > best) { best = totals(k); primary = k }
+      k += 1
+    }
+    if (primary < 0) return UTF8String.fromString("und")
+    if (maxLangs <= 1) return UTF8String.fromString(Langs(primary))
+    val excl = scoreAll(raw, primary)
+    val floor = math.max(1, best / 2)
+    val exclFloor = math.min(10, math.max(1, best / 8))
+    val sb = new java.lang.StringBuilder(16)
+    sb.append(Langs(primary))
+    var taken = 1
+    // selection by descending total without sorting: walk score levels
+    // from best down to floor, keeping Langs order inside a level (the
+    // documented tie-break); levels are small ints over a 28-slot array
+    var threshold = best
+    while (threshold >= floor && taken < maxLangs) {
+      var i = 0
+      while (i < totals.length && taken < maxLangs) {
+        if (i != primary && totals(i) == threshold && excl(i) >= exclFloor) {
+          sb.append(',')
+          sb.append(Langs(i))
+          taken += 1
+        }
+        i += 1
+      }
+      threshold -= 1
+    }
+    UTF8String.fromString(sb.toString)
+  }
+
+  /** The shared scoring pass behind [[classify]]/[[classifyTop]].
+    * `excludeSharedWith >= 0` switches to the exclusive-evidence (margin)
+    * pass: each feature SITE (one token occurrence, one character)
+    * contributes `max(0, w_lang − w_excluded)` per language instead of
+    * `w_lang` — shared evidence cancels, language-unique evidence stays.
+    */
+  private def scoreAll(raw: String, excludeSharedWith: Int): Array[Int] = {
     val lower = raw.toLowerCase(java.util.Locale.ROOT)
     val n = Langs.length
     val scores = new Array[Int](n)
@@ -221,33 +299,74 @@ object LangModel {
         while (i < len && !isWs(lower.charAt(i))) i += 1
         val hit = tokenMap.get(lower.substring(st, i))
         if (hit != null) {
-          var j = 0
-          while (j < hit.length) { scores(hit(j)) += hit(j + 1); j += 2 }
+          if (excludeSharedWith < 0) {
+            var j = 0
+            while (j < hit.length) { scores(hit(j)) += hit(j + 1); j += 2 }
+          } else {
+            // margin pass: this token site contributes
+            // max(0, w_lang − w_excluded) per language
+            var wP = 0
+            var j = 0
+            while (j < hit.length) {
+              if (hit(j) == excludeSharedWith) wP = hit(j + 1)
+              j += 2
+            }
+            j = 0
+            while (j < hit.length) {
+              if (hit(j) != excludeSharedWith) {
+                val m = hit(j + 1) - wP
+                if (m > 0) scores(hit(j)) += m
+              }
+              j += 2
+            }
+          }
         }
       }
     }
     val rn = rLo.length
     val rlen = raw.length
+    // margin pass scratch: per-char per-lang weight accumulator, reset via
+    // the touched list (no per-char allocation)
+    val tmp = if (excludeSharedWith >= 0) new Array[Int](n) else null
+    val touched = if (excludeSharedWith >= 0) new Array[Int](rn) else null
     var c = 0
     while (c < rlen) {
       val ch = raw.charAt(c).toInt
       if (ch >= minCharFeature) {
-        var j = 0
-        while (j < rn) {
-          if (ch >= rLo(j) && ch <= rHi(j)) scores(rLang(j)) += rW(j)
-          j += 1
+        if (excludeSharedWith < 0) {
+          var j = 0
+          while (j < rn) {
+            if (ch >= rLo(j) && ch <= rHi(j)) scores(rLang(j)) += rW(j)
+            j += 1
+          }
+        } else {
+          var wP = 0
+          var tCount = 0
+          var j = 0
+          while (j < rn) {
+            if (ch >= rLo(j) && ch <= rHi(j)) {
+              val l = rLang(j)
+              if (l == excludeSharedWith) wP += rW(j)
+              else {
+                if (tmp(l) == 0) { touched(tCount) = l; tCount += 1 }
+                tmp(l) += rW(j)
+              }
+            }
+            j += 1
+          }
+          var t = 0
+          while (t < tCount) {
+            val l = touched(t)
+            val m = tmp(l) - wP
+            if (m > 0) scores(l) += m
+            tmp(l) = 0
+            t += 1
+          }
         }
       }
       c += 1
     }
-    var best = 0
-    var bi = -1
-    var k = 0
-    while (k < n) {
-      if (scores(k) > best) { best = scores(k); bi = k }
-      k += 1
-    }
-    UTF8String.fromString(if (bi < 0) "und" else Langs(bi))
+    scores
   }
 }
 

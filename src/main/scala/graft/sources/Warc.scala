@@ -726,8 +726,10 @@ object Warc {
     * does — consumers filter on them before fetching. `charset` is the
     * WHATWG sniff the decode would actually use
     * ([[graft.ops.expr.CharsetText.detectedName]]: BOM > header label >
-    * meta prescan > UTF-8); `languages` is this library's
-    * [[graft.ops.expr.LangModel]] ISO 639-1 code over the first
+    * meta prescan > UTF-8); `languages` is up to THREE comma-joined
+    * [[graft.ops.expr.LangModel]] ISO 639-1 codes (primary first, a
+    * secondary listed only at ≥ half the primary's score — the published
+    * field's multi-code shape for genuinely mixed pages) over the first
     * [[TextDetectSampleBytes]] of the decoded payload with tags
     * stripped ("und" when nothing scores). Both run on a bounded sample
     * per record — the indexing pass stays CPU-light.
@@ -840,11 +842,13 @@ object Warc {
       val charset = graft.ops.expr.CharsetText.detectedName(sample, ct)
       // tags out before language-ID: raw markup's ASCII token soup would
       // otherwise dilute the classifier's signal on short pages (a
-      // truncated trailing multi-byte char decodes to one U+FFFD — inert)
+      // truncated trailing multi-byte char decodes to one U+FFFD — inert).
+      // Up to three comma-joined codes, primary first — the published
+      // cc-index's languages shape for genuinely mixed pages
       val text = graft.ops.expr.CharsetText.decode(sample, ct)
         .replaceAll("<[^>]*>", " ")
-      val lang = graft.ops.expr.LangModel.classify(
-        org.apache.spark.unsafe.types.UTF8String.fromString(text)).toString
+      val lang = graft.ops.expr.LangModel.classifyTop(
+        org.apache.spark.unsafe.types.UTF8String.fromString(text), 3).toString
       (Some(lang), Some(charset))
     }
   }

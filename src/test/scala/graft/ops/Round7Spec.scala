@@ -101,6 +101,40 @@ class Round7Spec extends SparkTestBase {
     assert(got(2) == "hi")
   }
 
+  test("classifyTop: mixed pages list secondaries at >= half the primary " +
+    "score; single-language text stays one code; top-1 equals classify") {
+    import org.apache.spark.unsafe.types.UTF8String
+    def top(s: String, k: Int = 3): String =
+      graft.ops.expr.LangModel.classifyTop(UTF8String.fromString(s), k).toString
+    def one(s: String): String =
+      graft.ops.expr.LangModel.classify(UTF8String.fromString(s)).toString
+    // a genuinely bilingual page: balanced en + fr function-word mass
+    val mixed = "the cat and the dog with it was on the mat " +
+      "le chat et le chien dans la maison avec les fenetres"
+    val m = top(mixed)
+    assert(m.split(",").toSet == Set("en", "fr"), m)
+    // dominant language with an incidental shared token: one code only
+    val en = "the cat and the dog with it was on the mat and that is it"
+    assert(top(en) == "en")
+    // single-language fixtures used by the q107c gate stay single codes —
+    // in particular pure Russian must NOT drag in uk off the shared
+    // Cyrillic block (uk rides every shared char to > half of ru's score
+    // but has zero uk-exclusive evidence)
+    assert(top(graft.SparkEntry.LangGateFr) == "fr")
+    assert(top(graft.SparkEntry.LangGateRu) == "ru")
+    // a genuinely Russian+Ukrainian page carries uk-exclusive evidence
+    // (і/ї/є discriminators + uk function words) in proportion to its
+    // Ukrainian mass — both codes list
+    val ruUk = graft.SparkEntry.LangGateRu +
+      " це тест української мови і він має її букви є і ще багато слів"
+    assert(top(ruUk).split(",").toSet == Set("ru", "uk"), top(ruUk))
+    // top-1 == classify on every probe (shared scoring, same tie-break)
+    for (s <- Seq(mixed, en, "", "12345", graft.SparkEntry.LangGateEn))
+      assert(top(s, 1) == one(s), s)
+    // nothing scores → und
+    assert(top("12345 67890") == "und")
+  }
+
   // ------------------------------------------------------------------
   // Substring-level dedup
   // ------------------------------------------------------------------
