@@ -3075,10 +3075,14 @@ object SparkEntry {
     }),
     // indexWarc's languages/charset fields (the published cc-index
     // populates both; consumers filter on them before fetching): three
-    // language classes rendered as HTML bodies under two charset labels —
-    // the WHATWG sniff must report what the decode DOES (iso-8859-1 label
-    // → windows-1252), and the langid must classify through the tag strip.
-    // Expected values are hand-derived literals in the oracle, q102c-style.
+    // single-language classes plus one genuinely BILINGUAL class rendered
+    // as HTML bodies under two charset labels — the WHATWG sniff must
+    // report what the decode DOES (iso-8859-1 label → windows-1252), the
+    // langid must classify through the tag strip, singles must stay
+    // single codes (the shared-script/shared-token shadows stay out) and
+    // the mixed page must list BOTH codes primary-first ("fr,en" — the
+    // multi-code published shape). Expected values are hand-derived
+    // literals in the oracle, q102c-style.
     "q107c_warc_index_langs" -> ((s, dir) => {
       val fixture = new java.io.File(sys.props("java.io.tmpdir"),
         "graft_warcidxl_" +
@@ -3086,11 +3090,12 @@ object SparkEntry {
           "_" + ProcessHandle.current().pid())
       val arc = new java.io.File(fixture, "arc").getPath
       val body = concat(lit("<html><body><p>"),
-        when(col("id") % 3 === 0, lit(LangGateEn))
-          .when(col("id") % 3 === 1, lit(LangGateFr))
-          .otherwise(lit(LangGateRu)),
+        when(col("id") % 4 === 0, lit(LangGateEn))
+          .when(col("id") % 4 === 1, lit(LangGateFr))
+          .when(col("id") % 4 === 2, lit(LangGateRu))
+          .otherwise(lit(LangGateEn + " " + LangGateFr)),
         lit(" "), col("id").cast("string"), lit("</p></body></html>"))
-      val ct = when(col("id") % 3 === 1,
+      val ct = when(col("id") % 4 === 1,
         lit("text/html; charset=iso-8859-1"))
         .otherwise(lit("text/html; charset=utf-8"))
       val src = s.range(0, 120).select(
@@ -5598,8 +5603,9 @@ object SparkEntry {
         |FROM (SELECT range AS i FROM range(0, 300)) WHERE i % 5 = 4""".stripMargin,
     "q107c_warc_index_langs" ->
       """SELECT 'https://l.test/d/' || CAST(i AS VARCHAR) AS url,
-        |       CASE i % 3 WHEN 0 THEN 'en' WHEN 1 THEN 'fr' ELSE 'ru' END AS languages,
-        |       CASE i % 3 WHEN 1 THEN 'windows-1252' ELSE 'UTF-8' END AS charset,
+        |       CASE i % 4 WHEN 0 THEN 'en' WHEN 1 THEN 'fr' WHEN 2 THEN 'ru'
+        |            ELSE 'fr,en' END AS languages,
+        |       CASE i % 4 WHEN 1 THEN 'windows-1252' ELSE 'UTF-8' END AS charset,
         |       'text/html' AS mime, 200 AS status
         |FROM (SELECT range AS i FROM range(0, 120))""".stripMargin,
     "q106_zipnum_query" ->
