@@ -3108,6 +3108,36 @@ object SparkEntry {
         .select(col("url"), col("languages"), col("charset"),
           col("mime"), col("status"))
     }),
+    // WAT metadata records (Wat.writeWat / parseWat — the metadata member
+    // of CommonCrawl's WARC/WAT/WET artifact trio): formulaic HTML pages
+    // with a title and two double-quoted links each render to metadata
+    // records whose JSON envelope carries Head.Title + Links; reading the
+    // archive back and parsing the envelope must reproduce every (page,
+    // link, title) triple — the oracle replays them from the residue
+    // arithmetic (a wrong envelope path or a dropped link goes red).
+    "q110_wat_roundtrip" -> ((s, dir) => {
+      val fixture = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft_wat_" +
+          java.lang.Long.toHexString(dir.hashCode.toLong & 0xffffffffL) +
+          "_" + ProcessHandle.current().pid())
+      val watDir = new java.io.File(fixture, "wat").getPath
+      val html = concat(
+        lit("<html><head><title>Page "), col("id").cast("string"),
+        lit("</title></head><body><a href=\"https://t"),
+        (col("id") % 7).cast("string"), lit(".test/a/"),
+        col("id").cast("string"),
+        lit("\">one</a><p>x</p><a href=\"/rel/"),
+        (col("id") % 3).cast("string"),
+        lit("\">two</a></body></html>"))
+      val src = s.range(0, 200).select(
+        concat(lit("https://w.test/p/"), col("id").cast("string")).as("uri"),
+        html.as("html"))
+      graft.sources.Wat.writeWat(src.repartition(2), watDir, "uri", "html",
+        overwrite = true)
+      graft.sources.Wat.parseWat(graft.sources.Warc.readWarc(s, watDir))
+        .select(col("target_uri"), col("title"),
+          explode(col("links")).as("link"))
+    }),
     // Cross-crawl deduplicating WRITE (Warc.writeWarcDeduped /
     // markRevisits — the producer half of the revisit convention): crawl
     // A archives 40 pages; batch B re-captures every A payload under new
@@ -5577,6 +5607,15 @@ object SparkEntry {
         |       'body ' || CAST(i AS VARCHAR) || repeat('y', CAST(i % 11 AS INT)) AS body,
         |       200 AS http_status
         |FROM (SELECT range AS i FROM range(0, 300)) WHERE i % 5 = 2""".stripMargin,
+    "q110_wat_roundtrip" ->
+      """WITH i AS (SELECT range AS i FROM range(0, 200)),
+        |k AS (SELECT unnest([0, 1]) AS k)
+        |SELECT 'https://w.test/p/' || CAST(i AS VARCHAR) AS target_uri,
+        |       'Page ' || CAST(i AS VARCHAR) AS title,
+        |       CASE k WHEN 0 THEN 'https://t' || CAST((i % 7) AS VARCHAR)
+        |                        || '.test/a/' || CAST(i AS VARCHAR)
+        |              ELSE '/rel/' || CAST((i % 3) AS VARCHAR) END AS link
+        |FROM i CROSS JOIN k""".stripMargin,
     "q108_warc_dedup_write" ->
       """SELECT 'https://a.test/d/' || CAST(i AS VARCHAR) AS target_uri,
         |       'pay ' || CAST(i AS VARCHAR) AS body,

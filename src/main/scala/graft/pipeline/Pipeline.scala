@@ -311,6 +311,24 @@ object Pipeline {
           overwrite = sm.getOrElse("mode", "overwrite").toString == "overwrite",
           contentTypeCol = sm.get("contentType").map(_.toString),
           codec = sm.getOrElse("codec", "gzip").toString)
+      } else if (sm.get("format").exists(_.toString == "wat")) {
+        // WAT metadata sink (Wat.writeWat): one metadata record per row
+        // with the links/title envelope JSON — the link-graph artifact
+        // next to a warc sink. {format: wat, path, uri, html, mode?,
+        // codec?}
+        val unsupported = sm.keySet --
+          Set("format", "path", "uri", "html", "mode", "codec")
+        if (unsupported.nonEmpty)
+          throw new IllegalArgumentException(
+            s"wat sink supports format/path/uri/html/mode/codec; remove: " +
+              unsupported.toSeq.sorted.mkString(", "))
+        graft.sources.Wat.writeWat(out,
+          sm.getOrElse("path", throw new IllegalArgumentException(
+            "wat sink needs a 'path'")).toString,
+          uriCol = sm.getOrElse("uri", "uri").toString,
+          htmlCol = sm.getOrElse("html", "html").toString,
+          overwrite = sm.getOrElse("mode", "overwrite").toString == "overwrite",
+          codec = sm.getOrElse("codec", "gzip").toString)
       } else if (sm.get("format").exists(_.toString == "warcDedup")) {
         // cross-crawl deduplicating WARC sink (Warc.writeWarcDeduped):
         // responses + revisit stubs interleaved, split against a prior

@@ -678,6 +678,52 @@ object Warc {
     }
   }
 
+  /** Write each row as one WARC `metadata` record — the record type the
+    * WAT convention ships page metadata in: the content block is the
+    * row's JSON column verbatim (UTF-8), record Content-Type
+    * `application/json`, and `WARC-Refers-To` names the response record
+    * the metadata describes (deterministic urn of the uri, matching
+    * [[writeWarcResponses]]' record ids — a WAT archive written from the
+    * same frame as its WARC sibling cross-references). [[Wat]] builds
+    * the standard envelope JSON as a pure column expression; this writer
+    * is envelope-agnostic (any JSON column works). Same shard layout,
+    * codecs and commit protocol as the other writers.
+    */
+  def writeWarcMetadata(
+      df: DataFrame,
+      outDir: String,
+      uriCol: String,
+      jsonCol: String,
+      warcDate: String = "2026-01-01T00:00:00Z",
+      maxRecordsPerShard: Int = 100000,
+      overwrite: Boolean = false,
+      codec: String = "gzip"
+  ): Unit = {
+    val projected = df.select(
+      col(uriCol).cast("string").as("__uri"),
+      col(jsonCol).cast("string").as("__json"))
+    writeShardedRecords(projected, outDir, codec, maxRecordsPerShard,
+      overwrite, "writeWarcMetadata") { r =>
+      val uri = r.getString(0)
+      if (uri == null) throw new IllegalArgumentException(
+        "writeWarcMetadata: null uri — WARC-Target-URI is mandatory " +
+          "for metadata records; filter or coalesce the uri column first")
+      val body =
+        if (r.isNullAt(1)) Array.emptyByteArray
+        else r.getString(1).getBytes("UTF-8")
+      val header =
+        ("WARC/1.0\r\n" +
+          "WARC-Type: metadata\r\n" +
+          f"WARC-Record-ID: <urn:graft:wat:${fnv64(uri)}%016x>\r\n" +
+          f"WARC-Refers-To: <urn:graft:${fnv64(uri)}%016x>\r\n" +
+          s"WARC-Date: $warcDate\r\n" +
+          s"WARC-Target-URI: $uri\r\n" +
+          "Content-Type: application/json\r\n" +
+          s"Content-Length: ${body.length}\r\n\r\n").getBytes("UTF-8")
+      header ++ body ++ "\r\n\r\n".getBytes("UTF-8")
+    }
+  }
+
   /** Build a capture index from EXISTING `.warc.gz` / `.warc.zst` archives
     * that have no sidecars — the cdx-indexer pass (webarchive-commons/pywb
     * ship the same tool): walk each shard's compressed MEMBERS tracking
