@@ -377,8 +377,12 @@ object Warc {
     *
     * Scale shape: two digest-keyed shuffles, both revisit/original-sized.
     * The refers-to preference joins revisits against responses keyed by
-    * (normalized digest, record id) — an at-most-one-row-per-key side, so
-    * a stub whose `WARC-Refers-To` names a specific same-digest original
+    * (normalized digest, record id) — an at-most-one-row-per-key side
+    * built only from responses a stub actually NAMES (a semi-join against
+    * the revisits' distinct non-null refers-to values, revisit-count
+    * sized, prunes the build before any payload moves; with zero
+    * refers-to stubs the branch is empty and costs nothing) — so a stub
+    * whose `WARC-Refers-To` names a specific same-digest original
     * resolves to THAT record. Stubs without a refers-to match (header
     * absent, or naming a record outside the frame) fall back to the
     * digest REPRESENTATIVE: the originals side collapses to one row per
@@ -397,10 +401,20 @@ object Warc {
           col("record_id")),
         struct(col("warc_file"), col("record_index"))).as("__o"))
     // the refers-to side: one row per (digest, record id) — record ids are
-    // unique by spec, min_by just makes a malformed double-id deterministic
+    // unique by spec, min_by just makes a malformed double-id deterministic.
+    // Semi-join against the revisits' DISTINCT non-null refers-to values
+    // first (a revisit-count-sized, usually broadcastable set) so the
+    // build only shuffles the responses actually named by a stub — and
+    // when NO stub carries WARC-Refers-To the semi-join side is empty and
+    // AQE collapses the whole byId branch, leaving the original
+    // single-exchange digest-representative path
+    val refKeys = warc
+      .filter(col("warc_type") === "revisit" && col("refers_to").isNotNull)
+      .select(col("refers_to").as("__rk")).distinct()
     val byId = warc
       .filter(col("warc_type") === "response" &&
         col("payload_digest").isNotNull && col("record_id").isNotNull)
+      .join(refKeys, col("record_id") === col("__rk"), "left_semi")
       .groupBy(norm(col("payload_digest")).as("__rdigest"),
         col("record_id").as("__rid"))
       .agg(min_by(
@@ -447,7 +461,11 @@ object Warc {
     *     already carries it. Null-digest rows are never revisits (nothing
     *     to resolve against). Rows sharing BOTH uri and digest all count
     *     as "first" — collapse exact duplicates upstream (`dedupExact`)
-    *     if that matters.
+    *     if that matters. The input must not already carry a
+    *     `payload_digest` or `is_revisit` column (fails loudly — this
+    *     function recomputes the digest from `bodyCol`, and silently
+    *     replacing an archive-recorded digest would poison downstream
+    *     content-keyed joins).
     *
     * Scale shape: the prior side collapses to DISTINCT normalized digests
     * (map-side partial) before one digest-keyed join; the within-batch
@@ -464,6 +482,19 @@ object Warc {
       priorDigestCol: String = "digest",
       withinBatch: Boolean = true
   ): DataFrame = {
+    // column contract: this function OWNS payload_digest/is_revisit — it
+    // recomputes the digest from bodyCol. Passing a frame that already
+    // carries either (e.g. a readWarc frame, whose archive-recorded digest
+    // would be silently replaced) fails loudly, same as the writers do for
+    // null uris; rename or drop the column to assert the recompute.
+    Seq("payload_digest", "is_revisit").foreach { c =>
+      require(!df.columns.contains(c),
+        s"markRevisits: input already has a '$c' column, which this " +
+          "function computes from the body column — drop or rename it " +
+          "first (a readWarc frame's archive-recorded digest would " +
+          "otherwise be silently overwritten by one recomputed from " +
+          s"'$bodyCol')")
+    }
     val norm =
       (c: Column) => upper(regexp_replace(c.cast("string"), "(?i)^sha1:", ""))
     val withDigest = df.withColumn("payload_digest",
@@ -513,6 +544,15 @@ object Warc {
     * [[resolveRevisits]] joins on); record shapes and commit protocol
     * match [[writeWarcResponses]]/[[writeWarcRevisits]] byte for byte
     * (the shared renderers), so mixed and pure archives interoperate.
+    *
+    * Null-body vs empty-body contract: [[markRevisits]] treats a NULL
+    * body as never-revisit (digest null — nothing to resolve against),
+    * but the written record stamps the canonical empty-payload digest
+    * (matching what [[writeWarcResponses]] would stamp on the same
+    * record) — so a null-body and an empty-body capture of one URL carry
+    * the SAME written digest yet only the empty-body one can be flagged a
+    * revisit of an earlier empty payload. Normalize nulls upstream
+    * (`coalesce(body, '')`) if they should dedup like empties.
     *
     * Scale note: when the prior digest set is too big to broadcast, the
     * batch — payloads included — crosses ONE digest-keyed exchange for
@@ -800,8 +840,13 @@ object Warc {
         val p = new Path(pstr)
         val fs = p.getFileSystem(conf.value)
         val in = fs.open(p)
+        // close at iterator exhaustion (a partition listing many small
+        // shards must not hold every file handle for the task's lifetime);
+        // the task-completion listener stays as the error-path backstop
+        var closed = false
+        def closeOnce(): Unit = if (!closed) { closed = true; in.close() }
         val tc = TaskContext.get()
-        if (tc != null) tc.addTaskCompletionListener[Unit](_ => in.close())
+        if (tc != null) tc.addTaskCompletionListener[Unit](_ => closeOnce())
         val fn = p.getName
         val src = new CountedIn(in)
         val magic = new Array[Byte](4)
@@ -825,7 +870,7 @@ object Warc {
               "archive (member offsets are a compressed-layout property; " +
               "write-side sidecars via writeWarcResponses(index = true) " +
               "cover plain .warc)")
-        members.flatMap { case (off, len, recs) =>
+        val recRows = members.flatMap { case (off, len, recs) =>
           recs.map { r =>
             val ts14 = Option(r.warc_date.orNull)
               .map(_.replaceAll("[^0-9]", "").take(14)).filter(_.length == 14)
@@ -846,6 +891,16 @@ object Warc {
               ts14, r.target_uri, mime, r.http_status, digest,
               fn, off, len, langs, charset, r.warc_type)
           }
+        }
+        new Iterator[(Option[String], Option[String], Option[String],
+            Option[String], Option[Int], Option[String], String, Long, Long,
+            Option[String], Option[String], String)] {
+          override def hasNext: Boolean = {
+            val h = recRows.hasNext
+            if (!h) closeOnce()
+            h
+          }
+          override def next() = recRows.next()
         }
       }
     }.toDF("__surt", "__ts14", "url", "mime", "status", "digest",

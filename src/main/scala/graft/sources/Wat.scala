@@ -107,7 +107,10 @@ object Wat {
 
   /** Parse the WAT (`metadata`) records of a [[Warc.readWarc]] frame into
     * `(target_uri, refers_to, title, links)` — `links` an array of url
-    * strings in document order. Torn JSON yields null fields, never a
+    * strings in extraction order (double-, single-, then un-quoted href
+    * groups, document order within each group — the
+    * [[graft.ops.LinkGraph.hrefs]] order the envelope was built in).
+    * Torn JSON yields null fields, never a
     * failed read (crawl-scale tolerance, same as [[Cdx.readCdxj]]).
     */
   def parseWat(warc: DataFrame): DataFrame =

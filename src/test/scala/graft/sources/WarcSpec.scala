@@ -226,6 +226,22 @@ class WarcSpec extends SparkTestBase {
     assert(acrossOnly("u1") && !acrossOnly("u3"))
   }
 
+  test("markRevisits: refuses an input that already carries the columns " +
+    "it computes (payload_digest / is_revisit)") {
+    val prior = Seq("ABC").toDF("digest")
+    val withDigest = Seq(("u1", "body", "sha1:XYZ"))
+      .toDF("uri", "body", "payload_digest")
+    val e1 = intercept[IllegalArgumentException] {
+      Warc.markRevisits(withDigest, "uri", "body", prior)
+    }
+    assert(e1.getMessage.contains("payload_digest"))
+    val withFlag = Seq(("u1", "body", false)).toDF("uri", "body", "is_revisit")
+    val e2 = intercept[IllegalArgumentException] {
+      Warc.markRevisits(withFlag, "uri", "body", prior)
+    }
+    assert(e2.getMessage.contains("is_revisit"))
+  }
+
   test("writeWarcDeduped: responses and revisit stubs interleave in one " +
     "archive, the sidecar indexes both, and resolution round-trips") {
     val parent = tmpDir()
