@@ -113,9 +113,21 @@ object GraftExtensions {
       require(es.length == 3, "mask_repeated_windows(text, positions, w)")
       MaskRepeatedWindows(es.head, es(1), intLit(es(2), "w"))
     },
+    // lang_id(text) → one code; lang_id(text, maxLangs) → up to maxLangs
+    // comma-joined codes, primary first (the cc-index `languages` shape
+    // indexWarc emits — exposed so config-only SQL curation can produce
+    // the identical column). maxLangs is a plan-time literal, same
+    // foldability contract as every registered parameter.
     "lang_id" -> { es =>
-      require(es.length == 1, "lang_id(text)")
-      LangIdExpr(es.head)
+      es match {
+        case Seq(t)    => LangIdExpr(t)
+        case Seq(t, k) =>
+          val kk = intLit(k, "lang_id maxLangs")
+          require(kk >= 1, s"lang_id maxLangs must be >= 1, got $kk")
+          LangIdTopExpr(t, kk)
+        case _ => throw new IllegalArgumentException(
+          "lang_id(text[, maxLangs])")
+      }
     },
     "surt_host_norm" -> { es =>
       require(es.length == 1, "surt_host_norm(host)")

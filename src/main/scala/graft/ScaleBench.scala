@@ -342,6 +342,29 @@ object ScaleBench {
         .select(col("surt_key"), col("warc_type"), col("languages"),
           col("digest"))
     }),
+    // WAT metadata roundtrip (round 16 — the one new r15 surface with no
+    // scale row): the corpus's documents render as HTML-ish pages, write
+    // as a WAT archive (ONE codegen'd to_json projection into the sharded
+    // record writer — map-only, no shuffle), read back and envelope-parse
+    // (explicit-schema from_json, map-only). rows_out = corpus size; a
+    // torn envelope or dropped record shows as a lost row.
+    "x_wat_roundtrip" -> ((s, dir) => {
+      val out = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft_scale_wat_" +
+          java.lang.Long.toHexString(dir.hashCode.toLong & 0xffffffffL) +
+          "_" + ProcessHandle.current().pid()).getPath
+      val src = s.read.parquet(s"$dir/documents.parquet").select(
+        concat(lit("https://site"), (col("doc_id") % 1000).cast("string"),
+          lit(".com/doc/"), col("doc_id").cast("string")).as("uri"),
+        concat(lit("<html><head><title>Doc "), col("doc_id").cast("string"),
+          lit("</title></head><body><a href=\"/d/"),
+          (col("doc_id") % 97).cast("string"), lit("\">n</a><p>"),
+          substring(col("text"), 1, 2000), lit("</p></body></html>"))
+          .as("html"))
+      graft.sources.Wat.writeWat(src, out, "uri", "html", overwrite = true)
+      graft.sources.Wat.parseWat(graft.sources.Warc.readWarc(s, out))
+        .select(col("target_uri"), col("title"), size(col("links")).as("nl"))
+    }),
     // Cross-corpus segment dedup throughput (round 11): shared
     // header/footer lines wrapped around every document — the hot-segment
     // skew case the operator is designed for (the shared lines occur

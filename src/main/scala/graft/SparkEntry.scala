@@ -3073,6 +3073,38 @@ object SparkEntry {
           col("payload").cast("string").as("body"),
           col("http_status"))
     }),
+    // The sidecar-less loop over a PLAIN uncompressed archive (q107's
+    // chain with codec = "none"): no member layer exists, so indexWarc's
+    // offsets are raw record byte offsets and the ranged fetch decodes
+    // with no decompression at all — the r15 VERDICT gap #4 (local/test
+    // dumps ship uncompressed; the indexer must not refuse them). Wrong
+    // record framing (a mis-bracketed trailing CRLF) would desync every
+    // subsequent offset; the oracle replays the fetched payloads.
+    "q107e_warc_index_plain" -> ((s, dir) => {
+      val fixture = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft_warcidxp_" +
+          java.lang.Long.toHexString(dir.hashCode.toLong & 0xffffffffL) +
+          "_" + ProcessHandle.current().pid())
+      val arc = new java.io.File(fixture, "arc").getPath
+      val zp = new java.io.File(fixture, "zip").getPath
+      val src = s.range(0, 300).select(
+        concat(lit("https://s"), (col("id") % 5).cast("string"),
+          lit(".test/d/"), col("id").cast("string")).as("uri"),
+        concat(lit("pbody "), col("id").cast("string"),
+          expr("repeat('w', CAST(id % 9 AS INT))")).as("body"))
+      graft.sources.Warc.writeWarcResponses(
+        src.repartition(3), arc, "uri", "body",
+        overwrite = true, maxRecordsPerShard = 40, codec = "none")
+      graft.sources.Cdx.writeZipnum(
+        graft.sources.Cdx.cdxjLines(graft.sources.Warc.indexWarc(s, arc)),
+        zp, linesPerBlock = 10, overwrite = true)
+      val caps = graft.sources.Cdx.queryZipnum(s, zp, "test,s1)")
+      val plan = graft.sources.Cdx.fetchPlan(caps, gapBytes = 0L)
+      graft.sources.Warc.readWarcRanges(s, arc, plan)
+        .select(col("target_uri"),
+          col("payload").cast("string").as("body"),
+          col("http_status"))
+    }),
     // indexWarc's languages/charset fields (the published cc-index
     // populates both; consumers filter on them before fetching): three
     // single-language classes plus one genuinely BILINGUAL class rendered
@@ -3108,6 +3140,23 @@ object SparkEntry {
         .select(col("url"), col("languages"), col("charset"),
           col("mime"), col("status"))
     }),
+    // Multi-code lang_id through the SQL registration (GraftExtensions
+    // `lang_id(text[, maxLangs])` → LangIdTopExpr): the same classifier
+    // classes as q107c driven PURELY through selectExpr over registered
+    // temp functions — config-only SQL curation must produce the exact
+    // cc-index languages shape indexWarc emits, at k = 1, 2 and 3
+    // (k=1 equals the single-code form by construction; the bilingual
+    // class lists both codes at k >= 2).
+    "q107d_langid_sql" -> ((s, dir) => {
+      graft.ops.expr.NativeSig.register(s)
+      val body = when(col("id") % 4 === 0, lit(LangGateEn))
+        .when(col("id") % 4 === 1, lit(LangGateFr))
+        .when(col("id") % 4 === 2, lit(LangGateRu))
+        .otherwise(lit(LangGateEn + " " + LangGateFr))
+      s.range(0, 200).select(col("id"), body.as("text"))
+        .selectExpr("id", "lang_id(text) AS lang1",
+          "lang_id(text, 2) AS lang2", "lang_id(text, 3) AS lang3")
+    }),
     // WAT metadata records (Wat.writeWat / parseWat — the metadata member
     // of CommonCrawl's WARC/WAT/WET artifact trio): formulaic HTML pages
     // with a title and two double-quoted links each render to metadata
@@ -3136,7 +3185,131 @@ object SparkEntry {
         overwrite = true)
       graft.sources.Wat.parseWat(graft.sources.Warc.readWarc(s, watDir))
         .select(col("target_uri"), col("title"),
-          explode(col("links")).as("link"))
+          explode(col("links")).as("__l"))
+        .select(col("target_uri"), col("title"),
+          col("__l.url").as("link"), col("__l.path").as("link_path"))
+    }),
+    // WAT envelope completion (r15 VERDICT item #2): the HTTP Headers
+    // map and the top-level Container both survive write → read →
+    // parse — and the Container is PROVEN REAL by fetching exactly its
+    // (filename, offset, length) from the response archive and getting
+    // the described page back. A wrong sidecar join or a stale offset
+    // returns the wrong body; the oracle replays every field.
+    "q110b_wat_container" -> ((s, dir) => {
+      val fixture = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft_watc_" +
+          java.lang.Long.toHexString(dir.hashCode.toLong & 0xffffffffL) +
+          "_" + ProcessHandle.current().pid())
+      val warcDir = new java.io.File(fixture, "warc").getPath
+      val watDir = new java.io.File(fixture, "wat").getPath
+      val html = concat(
+        lit("<html><head><title>Page "), col("id").cast("string"),
+        lit("</title></head><body><a href=\"/n/"),
+        (col("id") % 5).cast("string"), lit("\">n</a></body></html>"))
+      val src = s.range(0, 150).select(
+        concat(lit("https://wc.test/p/"), col("id").cast("string")).as("uri"),
+        html.as("html"),
+        map(lit("Content-Type"), lit("text/html"),
+          lit("X-Crawl"), concat(lit("c"), (col("id") % 4).cast("string")))
+          .as("hdrs"))
+      graft.sources.Wat.writeWarcWithWat(src.repartition(2), warcDir, watDir,
+        "uri", "html", overwrite = true, headersCol = Some("hdrs"),
+        container = true)
+      val parsed = graft.sources.Wat.parseWat(
+        graft.sources.Warc.readWarc(s, watDir))
+      val plan = parsed.select(
+        col("container_filename").as("filename"),
+        col("container_offset").as("range_start"),
+        (col("container_offset") + col("container_length")).as("range_end"))
+      val fetched = graft.sources.Warc.readWarcRanges(s, warcDir, plan)
+        .select(col("target_uri"), col("payload").cast("string").as("body"))
+      parsed.select(col("target_uri"), col("title"),
+          element_at(col("http_headers"), "X-Crawl").as("x_crawl"))
+        .join(fetched, "target_uri")
+        .select(col("target_uri"), col("title"), col("x_crawl"), col("body"))
+    }),
+    // REAL-ARTIFACT interop anchors (r15 VERDICT top item): every other
+    // format gate validates against this repo's own understanding of the
+    // conventions (self-roundtrips, hand-derived rules). These three read
+    // verbatim-LAYOUT published samples (graft.PublishedSamples — the
+    // pywb/cc-index CDXJ docs shape, the WARC spec annex record shapes,
+    // the iipc WAT envelope layout) through the REAL readers, and the
+    // oracle rows are hand-transcribed literals — the class of check that
+    // catches convention drift (the r13 FNV-digest miss) which
+    // self-roundtrips structurally cannot.
+    //
+    // Published CDXJ lines through readCdxj: spaces after JSON colons,
+    // quoted numerics, keys outside the subset schema (mime-detected,
+    // redirect), charset/languages (ISO 639-3 in the wild — surfaced
+    // verbatim), crawl-data/... filenames — plus SURT PARITY: this
+    // library's surt(url) must equal each line's published key.
+    "q111_cdxj_published" -> ((s, dir) => {
+      val fixture = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft_cdxjpub_" +
+          java.lang.Long.toHexString(dir.hashCode.toLong & 0xffffffffL) +
+          "_" + ProcessHandle.current().pid())
+      fixture.mkdirs()
+      val f = new java.io.File(fixture, "published.cdxj")
+      java.nio.file.Files.write(f.toPath,
+        (PublishedSamples.CdxjLines.mkString("\n") + "\n").getBytes("UTF-8"))
+      graft.sources.Cdx.readCdxj(s, f.getAbsolutePath)
+        .select(col("surt_key"), col("ts").cast("string").as("ts"),
+          col("url"), col("mime"), col("status"), col("digest"),
+          col("filename"), col("offset"), col("length"),
+          col("languages"), col("charset"),
+          (graft.sources.Cdx.surt(col("url")) === col("surt_key"))
+            .as("surt_parity"))
+    }),
+    // WARC spec annex record shapes through readWarc + resolveRevisits:
+    // a Heritrix-style warcinfo (application/warc-fields — NOT an http
+    // block), the archive.org robots.txt response, and a WARC-1.1
+    // identical-payload-digest revisit whose WARC-Refers-To names the
+    // response — resolution must hand the revisit the response's payload.
+    "q111b_warc_spec" -> ((s, dir) => {
+      val fixture = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft_warcpub_" +
+          java.lang.Long.toHexString(dir.hashCode.toLong & 0xffffffffL) +
+          "_" + ProcessHandle.current().pid())
+      fixture.mkdirs()
+      java.nio.file.Files.write(
+        new java.io.File(fixture, "spec.warc").toPath,
+        PublishedSamples.WarcSpecFile)
+      graft.sources.Warc.resolveRevisits(
+          graft.sources.Warc.readWarc(s, fixture.getPath))
+        .select(col("warc_type"), col("target_uri"), col("record_id"),
+          col("warc_date"), col("http_status"), col("http_content_type"),
+          col("payload").cast("string").as("body"),
+          col("payload_digest"), col("refers_to"), col("warc_profile"),
+          col("resolved_from"))
+    }),
+    // Published WAT envelope layout through a real metadata record:
+    // top-level Container, bookkeeping keys the subset schema must
+    // IGNORE (Format, *-Length, Response-Message, Metas, alt), the
+    // Headers map, and Links entries carrying path/text/title beside
+    // url — all surfaced field-for-field.
+    "q111c_wat_published" -> ((s, dir) => {
+      val fixture = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft_watpub_" +
+          java.lang.Long.toHexString(dir.hashCode.toLong & 0xffffffffL) +
+          "_" + ProcessHandle.current().pid())
+      val out = new java.io.File(fixture, "wat").getPath
+      import s.implicits._
+      val df = Seq(("http://r.example/", PublishedSamples.WatEnvelope))
+        .toDF("uri", "env")
+      graft.sources.Warc.writeWarcMetadata(df, out, "uri", "env",
+        overwrite = true)
+      graft.sources.Wat.parseWat(graft.sources.Warc.readWarc(s, out))
+        .select(col("target_uri"), col("title"),
+          col("container_filename"), col("container_offset"),
+          col("container_length"),
+          element_at(col("http_headers"), "Server").as("server"),
+          explode(col("links")).as("__l"))
+        .select(col("target_uri"), col("title"),
+          col("container_filename"), col("container_offset"),
+          col("container_length"), col("server"),
+          col("__l.url").as("link_url"), col("__l.path").as("link_path"),
+          col("__l.text").as("link_text"),
+          col("__l.title").as("link_title"))
     }),
     // Cross-crawl deduplicating WRITE (Warc.writeWarcDeduped /
     // markRevisits — the producer half of the revisit convention): crawl
@@ -3349,8 +3522,21 @@ object SparkEntry {
     "http://例え.jp/path" -> "jp,xn--r8jz45g)/path",
     "http://пример.рф/" -> "xn--p1ai,xn--e1afmkfd)/",
     "http://3232235777/x" -> "1,1,168,192)/x",
-    "http://192.168.001.010/x?q=1" -> "10,1,168,192)/x?q=1",
-    "http://999.1.1.1/keep" -> "1,1,1,999)/keep")
+    // IPv4 spellings follow the WHATWG/inet_aton parser (r15 VERDICT
+    // gap #5): leading-zero parts are OCTAL (001→1, 010→8 — the r15
+    // decimal reading diverged from inet_aton and is corrected here),
+    // 0x parts are hex, the last part fills the remaining bytes, and
+    // out-of-range spellings pass through as opaque hosts
+    "http://192.168.001.010/x?q=1" -> "8,1,168,192)/x?q=1",
+    "http://0x7f.1/h" -> "1,0,0,127)/h",
+    "http://017700000001/o?b=2&a=1" -> "1,0,0,127)/o?a=1&b=2",
+    "http://999.1.1.1/keep" -> "1,1,1,999)/keep",
+    // bracketed IPv6 canonicalizes per RFC 5952 and stays atomic — no
+    // comma reversal (v4-mapped tails render in pure hex groups, one
+    // canonical spelling per address); malformed literals pass through
+    "http://[::1]/p" -> "[::1])/p",
+    "https://[2001:0DB8:0:0:0:0:2:1]:8443/x" -> "[2001:db8::2:1]:8443)/x",
+    "http://[::FFFF:1.2.3.4]/y?b&a" -> "[::ffff:102:304])/y?a&b")
 
   /** Fixed deterministic query vector for the ANN queries (inlined into the
     * DuckDB oracle below).
@@ -5607,6 +5793,15 @@ object SparkEntry {
         |       'body ' || CAST(i AS VARCHAR) || repeat('y', CAST(i % 11 AS INT)) AS body,
         |       200 AS http_status
         |FROM (SELECT range AS i FROM range(0, 300)) WHERE i % 5 = 2""".stripMargin,
+    "q107d_langid_sql" ->
+      """SELECT i AS id,
+        |  CASE i % 4 WHEN 0 THEN 'en' WHEN 1 THEN 'fr' WHEN 2 THEN 'ru'
+        |       ELSE 'fr' END AS lang1,
+        |  CASE i % 4 WHEN 0 THEN 'en' WHEN 1 THEN 'fr' WHEN 2 THEN 'ru'
+        |       ELSE 'fr,en' END AS lang2,
+        |  CASE i % 4 WHEN 0 THEN 'en' WHEN 1 THEN 'fr' WHEN 2 THEN 'ru'
+        |       ELSE 'fr,en' END AS lang3
+        |FROM (SELECT range AS i FROM range(0, 200))""".stripMargin,
     "q110_wat_roundtrip" ->
       """WITH i AS (SELECT range AS i FROM range(0, 200)),
         |k AS (SELECT unnest([0, 1]) AS k)
@@ -5614,8 +5809,86 @@ object SparkEntry {
         |       'Page ' || CAST(i AS VARCHAR) AS title,
         |       CASE k WHEN 0 THEN 'https://t' || CAST((i % 7) AS VARCHAR)
         |                        || '.test/a/' || CAST(i AS VARCHAR)
-        |              ELSE '/rel/' || CAST((i % 3) AS VARCHAR) END AS link
+        |              ELSE '/rel/' || CAST((i % 3) AS VARCHAR) END AS link,
+        |       'A@/href' AS link_path
         |FROM i CROSS JOIN k""".stripMargin,
+    "q110b_wat_container" ->
+      """SELECT 'https://wc.test/p/' || CAST(i AS VARCHAR) AS target_uri,
+        |       'Page ' || CAST(i AS VARCHAR) AS title,
+        |       'c' || CAST((i % 4) AS VARCHAR) AS x_crawl,
+        |       '<html><head><title>Page ' || CAST(i AS VARCHAR)
+        |         || '</title></head><body><a href="/n/'
+        |         || CAST((i % 5) AS VARCHAR) || '">n</a></body></html>' AS body
+        |FROM (SELECT range AS i FROM range(0, 150))""".stripMargin,
+    // q111 family: every expected value is a hand-transcribed literal
+    // from the published sample — never computed by the code under test
+    "q111_cdxj_published" ->
+      """SELECT surt_key, ts, url, mime, CAST(status AS INT) AS status,
+        |       digest, filename, CAST("offset" AS BIGINT) AS offset,
+        |       CAST(length AS BIGINT) AS length, languages, charset,
+        |       surt_parity
+        |FROM (VALUES
+        |  ('com,example)/', '2017-07-30 22:38:50', 'http://example.com',
+        |   'text/html', 200, 'G7HRM7BGOKSKMSXZAHMUQTTV53QOFSMK',
+        |   'example.warc.gz', 771, 1219, NULL, NULL, TRUE),
+        |  ('org,commoncrawl)/faq', '2024-07-14 03:11:34',
+        |   'https://commoncrawl.org/faq', 'text/html', 200,
+        |   'UYXVCD72DAPCRXBBKFE6KIZWCY5F3OAY',
+        |   'crawl-data/CC-MAIN-2024-30/segments/1720763514759.39/warc/CC-MAIN-20240714031134-20240714061134-00000.warc.gz',
+        |   754067, 9754, 'eng', 'UTF-8', TRUE),
+        |  ('org,commoncrawl)/', '2024-07-22 12:07:56',
+        |   'https://commoncrawl.org/', 'warc/revisit', 200,
+        |   '3I42H3S6NNFQ2MSVX7XZKYAYSCX5QBYJ',
+        |   'crawl-data/CC-MAIN-2024-30/segments/1720763514759.39/crawldiagnostics/CC-MAIN-20240722115029-20240722145029-00434.warc.gz',
+        |   130171, 545, NULL, NULL, TRUE),
+        |  ('com,example)/path?a=1&b=2', '2023-06-01 00:00:00',
+        |   'https://www.example.com/path?b=2&a=1', 'text/html', 301,
+        |   'AAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAA', 'redirect.warc.gz',
+        |   0, 412, NULL, NULL, TRUE)
+        |) AS t(surt_key, ts, url, mime, status, digest, filename,
+        |       "offset", length, languages, charset, surt_parity)""".stripMargin,
+    "q111b_warc_spec" ->
+      """SELECT warc_type, target_uri, record_id, warc_date,
+        |       CAST(http_status AS INT) AS http_status, http_content_type,
+        |       body, payload_digest, refers_to, warc_profile, resolved_from
+        |FROM (VALUES
+        |  ('warcinfo', NULL, '<urn:uuid:d7ae5c10-e6b3-4d27-967d-34780c58ba39>',
+        |   '2006-09-19T17:20:14Z', NULL, NULL,
+        |   e'software: Heritrix 1.12.0 http://crawler.archive.org\r\nhostname: crawling017.archive.org\r\nip: 207.241.227.234\r\nisPartOf: testcrawl-20050708\r\ndescription: testcrawl with WARC output\r\noperator: IA_Admin\r\nformat: WARC file version 1.0\r\n',
+        |   NULL, NULL, NULL, NULL),
+        |  ('response', 'http://www.archive.org/robots.txt',
+        |   '<urn:uuid:92283950-ef2f-4d72-b224-f54c6ec90bb0>',
+        |   '2006-09-19T17:20:24Z', 200, 'text/plain; charset=UTF-8',
+        |   e'User-agent: *\nDisallow: /cgi-bin/\n',
+        |   'sha1:COG3DOA5RTNLK7TES7YYMA3RQV6RVV45', NULL, NULL, NULL),
+        |  ('revisit', 'http://www.archive.org/robots.txt',
+        |   '<urn:uuid:16da6da0-bcdc-49c3-927e-57494593b943>',
+        |   '2007-03-06T00:43:35Z', 200, 'text/plain; charset=UTF-8',
+        |   e'User-agent: *\nDisallow: /cgi-bin/\n',
+        |   'sha1:COG3DOA5RTNLK7TES7YYMA3RQV6RVV45',
+        |   '<urn:uuid:92283950-ef2f-4d72-b224-f54c6ec90bb0>',
+        |   'http://netpreserve.org/warc/1.1/revisit/identical-payload-digest',
+        |   '<urn:uuid:92283950-ef2f-4d72-b224-f54c6ec90bb0>')
+        |) AS t(warc_type, target_uri, record_id, warc_date, http_status,
+        |       http_content_type, body, payload_digest, refers_to,
+        |       warc_profile, resolved_from)""".stripMargin,
+    "q111c_wat_published" ->
+      """SELECT * FROM (VALUES
+        |  ('http://r.example/', 'Real Page',
+        |   'CC-MAIN-20240722115029-20240722145029-00434.warc.gz',
+        |   CAST(593 AS BIGINT), CAST(2012 AS BIGINT), 'Apache',
+        |   'http://t.example/a', 'A@/href', 'anchor text', NULL),
+        |  ('http://r.example/', 'Real Page',
+        |   'CC-MAIN-20240722115029-20240722145029-00434.warc.gz',
+        |   CAST(593 AS BIGINT), CAST(2012 AS BIGINT), 'Apache',
+        |   '/img/logo.png', 'IMG@/src', NULL, NULL),
+        |  ('http://r.example/', 'Real Page',
+        |   'CC-MAIN-20240722115029-20240722145029-00434.warc.gz',
+        |   CAST(593 AS BIGINT), CAST(2012 AS BIGINT), 'Apache',
+        |   '/style.css', 'LINK@/href', NULL, 'css title')
+        |) AS t(target_uri, title, container_filename, container_offset,
+        |       container_length, server, link_url, link_path, link_text,
+        |       link_title)""".stripMargin,
     "q108_warc_dedup_write" ->
       """SELECT 'https://a.test/d/' || CAST(i AS VARCHAR) AS target_uri,
         |       'pay ' || CAST(i AS VARCHAR) AS body,
@@ -5640,6 +5913,11 @@ object SparkEntry {
         |       'zbody ' || CAST(i AS VARCHAR) || repeat('q', CAST(i % 13 AS INT)) AS body,
         |       200 AS http_status
         |FROM (SELECT range AS i FROM range(0, 300)) WHERE i % 5 = 4""".stripMargin,
+    "q107e_warc_index_plain" ->
+      """SELECT 'https://s1.test/d/' || CAST(i AS VARCHAR) AS target_uri,
+        |       'pbody ' || CAST(i AS VARCHAR) || repeat('w', CAST(i % 9 AS INT)) AS body,
+        |       200 AS http_status
+        |FROM (SELECT range AS i FROM range(0, 300)) WHERE i % 5 = 1""".stripMargin,
     "q107c_warc_index_langs" ->
       """SELECT 'https://l.test/d/' || CAST(i AS VARCHAR) AS url,
         |       CASE i % 4 WHEN 0 THEN 'en' WHEN 1 THEN 'fr' WHEN 2 THEN 'ru'

@@ -163,6 +163,16 @@ object TextStats {
     */
   def langId(text: Column): Column = graft.ops.expr.NativeSig.langId(text)
 
+  /** Multi-code language ID: up to `maxLangs` comma-joined codes,
+    * primary first — the published cc-index `languages` field shape for
+    * genuinely mixed pages (a secondary needs ≥ half the primary's score
+    * AND exclusive evidence — see
+    * [[graft.ops.expr.LangModel.classifyTop]] for the margin gate).
+    * `langId(c, 1)` equals `langId(c)`.
+    */
+  def langId(text: Column, maxLangs: Int): Column =
+    graft.ops.expr.NativeSig.langId(text, maxLangs)
+
   /** Mojibake repair: undo cp1252/latin-1-misdecoded UTF-8 (including
     * double-encoding, up to `maxPasses` layers) — see
     * [[graft.ops.expr.Mojibake]] for the repair-if-roundtrips contract.

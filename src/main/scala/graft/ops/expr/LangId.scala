@@ -408,3 +408,33 @@ case class LangIdExpr(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(newChild: Expression): LangIdExpr =
     copy(child = newChild)
 }
+
+/** `lang_id(text, maxLangs)` — [[LangModel.classifyTop]] as a codegen'd
+  * expression: up to `maxLangs` comma-joined ISO 639-1 codes, primary
+  * first (the cc-index `languages` field shape — the same classifier
+  * [[graft.sources.Warc.indexWarc]] runs, exposed so config-only corpus
+  * curation can produce the identical multi-code column).
+  * `LangIdTopExpr(c, 1)` equals [[LangIdExpr]] by construction.
+  */
+case class LangIdTopExpr(child: Expression, maxLangs: Int)
+    extends UnaryExpression {
+  require(maxLangs >= 1, s"lang_id maxLangs must be >= 1, got $maxLangs")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other =>
+      TypeCheckResult.TypeCheckFailure(s"lang_id needs a string column, got $other")
+  }
+  override def dataType: DataType = StringType
+  override def prettyName: String = "lang_id"
+
+  override protected def nullSafeEval(input: Any): Any =
+    LangModel.classifyTop(input.asInstanceOf[UTF8String], maxLangs)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.ops.expr.LangModel.classifyTop($c, $maxLangs)")
+
+  override protected def withNewChildInternal(newChild: Expression): LangIdTopExpr =
+    copy(child = newChild)
+}

@@ -992,6 +992,12 @@ object NativeSig {
   def langId(text: Column): Column =
     ColumnBridge.column(LangIdExpr(ColumnBridge.expression(text)))
 
+  /** Column API for [[LangIdTopExpr]] — up to `maxLangs` comma-joined
+    * codes, primary first (the cc-index `languages` shape).
+    */
+  def langId(text: Column, maxLangs: Int): Column =
+    ColumnBridge.column(LangIdTopExpr(ColumnBridge.expression(text), maxLangs))
+
   /** Column API for [[SurtHostNormExpr]] — IDN/IP host folding inside
     * SURT keys.
     */

@@ -315,20 +315,22 @@ object Pipeline {
         // WAT metadata sink (Wat.writeWat): one metadata record per row
         // with the links/title envelope JSON — the link-graph artifact
         // next to a warc sink. {format: wat, path, uri, html, mode?,
-        // codec?}
+        // codec?, headers?} — `headers` names a map<string,string>
+        // column rendered as the envelope's HTTP Headers.
         val unsupported = sm.keySet --
-          Set("format", "path", "uri", "html", "mode", "codec")
+          Set("format", "path", "uri", "html", "mode", "codec", "headers")
         if (unsupported.nonEmpty)
           throw new IllegalArgumentException(
-            s"wat sink supports format/path/uri/html/mode/codec; remove: " +
-              unsupported.toSeq.sorted.mkString(", "))
+            s"wat sink supports format/path/uri/html/mode/codec/headers; " +
+              "remove: " + unsupported.toSeq.sorted.mkString(", "))
         graft.sources.Wat.writeWat(out,
           sm.getOrElse("path", throw new IllegalArgumentException(
             "wat sink needs a 'path'")).toString,
           uriCol = sm.getOrElse("uri", "uri").toString,
           htmlCol = sm.getOrElse("html", "html").toString,
           overwrite = sm.getOrElse("mode", "overwrite").toString == "overwrite",
-          codec = sm.getOrElse("codec", "gzip").toString)
+          codec = sm.getOrElse("codec", "gzip").toString,
+          headersCol = sm.get("headers").map(_.toString))
       } else if (sm.get("format").exists(_.toString == "warcDedup")) {
         // cross-crawl deduplicating WARC sink (Warc.writeWarcDeduped):
         // responses + revisit stubs interleaved, split against a prior
@@ -1238,12 +1240,17 @@ object Pipeline {
           graft.ops.WebText.extractMainContent(col(src), rules))
 
       case "langId" =>
-        // {text: col, as: out (default 'lang')} — the 28-language
-        // token+script classifier (graft.ops.expr.LangModel); codegen'd,
-        // map-only. Compose with `filter` for language gating.
+        // {text: col, as: out (default 'lang'), maxLangs: k?} — the
+        // 28-language token+script classifier (graft.ops.expr.LangModel);
+        // codegen'd, map-only. maxLangs > 1 emits up to k comma-joined
+        // codes, primary first — the cc-index `languages` shape indexWarc
+        // writes, so config-only curation matches the indexer's column.
+        // Compose with `filter` for language gating.
         val li = asMap(step("langId"), "langId")
+        val kLangs = li.get("maxLangs").map(_.toString.toInt).getOrElse(1)
         df.withColumn(li.getOrElse("as", "lang").toString,
-          graft.ops.TextStats.langId(col(li("text").toString)))
+          if (kLangs == 1) graft.ops.TextStats.langId(col(li("text").toString))
+          else graft.ops.TextStats.langId(col(li("text").toString), kLangs))
 
       case "normalizeUnicode" =>
         // {text: col, form: NFC|NFD|NFKC|NFKD (default NFC), as: out

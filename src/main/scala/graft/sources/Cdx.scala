@@ -66,32 +66,41 @@ object Cdx {
     * So `https://www.Example.com:443/goo/?b=2&a=1#f` keys as
     * `com,example)/goo?a=1&b=2` — string-sortable, one registrable
     * domain's captures contiguous, and JOINABLE against the published
-    * index. Internationalized hosts fold to punycode and IP hosts
-    * normalize to canonical dotted-quad before reversal
-    * ([[graft.ops.expr.SurtHostNorm]] — a codegen'd static call inside
-    * the expression, identity fast path for ASCII non-IP hosts). Null
-    * for unparseable URLs (no `scheme://host`). Out of scope
-    * (documented, not silent): the Google-canonicalizer percent-decode/
-    * re-encode cycles, octal/hex IP component spellings and IPv6 hosts —
-    * keys for such URLs may diverge from the published index; everything
-    * else matches the IA rules.
+    * index. Internationalized hosts fold to punycode; IPv4 hosts
+    * (decimal/octal/`0x`-hex spellings, the WHATWG `inet_aton`
+    * convention) normalize to canonical dotted-quad before reversal; and
+    * bracketed IPv6 literals canonicalize per RFC 5952 and stay ATOMIC —
+    * `http://[2001:0DB8::2:1]:8080/x` keys as `[2001:db8::2:1]:8080)/x`,
+    * no comma reversal (their dots are a v4-mapped tail, not domain
+    * labels). All via [[graft.ops.expr.SurtHostNorm]] — a codegen'd
+    * static call inside the expression, identity fast path for ASCII
+    * non-IP hosts. Null for unparseable URLs (no `scheme://host`). Out
+    * of scope (documented, not silent): the Google-canonicalizer
+    * percent-decode/re-encode cycles and IPv6 zone ids — keys for such
+    * URLs may diverge from the published index; everything else matches
+    * the IA rules.
     */
   def surt(url: Column): Column = {
     val u = lower(trim(regexp_replace(url, "[\\t\\n\\r]", "")))
     val scheme = regexp_extract(u, "^([a-z][a-z0-9+.\\-]*)://", 1)
+    // host: a bracketed IPv6 literal (colons inside must not read as a
+    // port separator) or anything up to :/?#
     val rawHost = regexp_extract(u,
-      "^[a-z][a-z0-9+.\\-]*://(?:[^/@?#]*@)?([^/:?#]+)", 1)
+      "^[a-z][a-z0-9+.\\-]*://(?:[^/@?#]*@)?(\\[[^\\]/?#]*\\]|[^/:?#]+)", 1)
     val dotted = regexp_replace(
       regexp_replace(rawHost, "\\.{2,}", "."), "^\\.|\\.$", "")
     val host = graft.ops.expr.NativeSig.surtHostNorm(
       regexp_replace(dotted, "^www[0-9]*\\.", ""))
     val port = regexp_extract(u,
-      "^[a-z][a-z0-9+.\\-]*://(?:[^/@?#]*@)?[^/:?#]+:([0-9]+)(?=[/?#]|$)", 1)
+      "^[a-z][a-z0-9+.\\-]*://(?:[^/@?#]*@)?(?:\\[[^\\]/?#]*\\]|[^/:?#]+):([0-9]+)(?=[/?#]|$)", 1)
     val keepPort = (port =!= "") &&
       !((scheme === "http" && port === "80") ||
         (scheme === "https" && port === "443") ||
         (scheme === "ftp" && port === "21"))
-    val rev = array_join(reverse(split(host, "\\.")), ",")
+    // a bracketed IPv6 host is atomic — no label reversal (its dots, if
+    // any, are a v4-mapped tail, not registrable-domain labels)
+    val rev = when(host.startsWith("["), host)
+      .otherwise(array_join(reverse(split(host, "\\.")), ","))
     val revPort = when(keepPort, concat(rev, lit(":"), port)).otherwise(rev)
     // path + query, fragment dropped
     val pq = regexp_extract(u, "^[a-z][a-z0-9+.\\-]*://[^/?#]*([^#]*)", 1)
@@ -168,7 +177,9 @@ object Cdx {
         !((scheme == "http" && port == "80") ||
           (scheme == "https" && port == "443") ||
           (scheme == "ftp" && port == "21"))
-      val rev = host.split("\\.", -1).reverse.mkString(",")
+      val rev =
+        if (host.startsWith("[")) host
+        else host.split("\\.", -1).reverse.mkString(",")
       val revPort = if (keepPort) rev + ":" + port else rev
       val pq = PathQueryRe.findFirstMatchIn(u)
         .flatMap(m => Option(m.group(1))).getOrElse("")
@@ -197,9 +208,9 @@ object Cdx {
 
   private val SchemeRe = "^([a-z][a-z0-9+.\\-]*)://".r
   private val SchemeHostRe =
-    "^[a-z][a-z0-9+.\\-]*://(?:[^/@?#]*@)?([^/:?#]+)".r
+    "^[a-z][a-z0-9+.\\-]*://(?:[^/@?#]*@)?(\\[[^\\]/?#]*\\]|[^/:?#]+)".r
   private val PortRe =
-    "^[a-z][a-z0-9+.\\-]*://(?:[^/@?#]*@)?[^/:?#]+:([0-9]+)(?=[/?#]|$)".r
+    "^[a-z][a-z0-9+.\\-]*://(?:[^/@?#]*@)?(?:\\[[^\\]/?#]*\\]|[^/:?#]+):([0-9]+)(?=[/?#]|$)".r
   private val PathQueryRe =
     "^[a-z][a-z0-9+.\\-]*://[^/?#]*([^#]*)".r
 

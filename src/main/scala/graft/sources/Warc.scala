@@ -218,7 +218,10 @@ object Warc {
     * whose body is `bodyCol`, addressed by `uriCol`. `.warc.gz` layout by
     * default (record-per-gzip-member per the spec's recommendation);
     * `codec = "zstd"` writes `.warc.zst` as plain concatenated zstd
-    * frames, one per record (no shared dictionary). Record IDs are
+    * frames, one per record (no shared dictionary); `codec = "none"`
+    * writes plain uncompressed `.warc` (record offsets are then raw
+    * byte offsets — local/debug dumps, or stores that compress at
+    * rest). Record IDs are
     * deterministic (`<urn:graft:<64-bit FNV of uri>>`) so a write→read
     * round-trip is value-stable end to end; `warcDate` is the mandatory
     * WARC-Date header for every record (a crawl timestamp column can be
@@ -796,15 +799,17 @@ object Warc {
     *     buffer for the decode (a frame is one record by this library's
     *     and CommonCrawl's layout); dictionary offsets are excluded from
     *     member ranges, matching [[readWarcRanges]]'s head re-read.
+    *   - plain `.warc` (uncompressed — local/test dumps routinely ship
+    *     this way): no member layer, so each RECORD is its own member and
+    *     (offset, length) are raw byte offsets in the file — valid for
+    *     ranged fetch with no decompression at all
+    *     ([[plainRecordMembers]]).
     * A member holding several records (the spec recommends one-per-member
     * but permits more) emits one row per record, all sharing the MEMBER's
     * (offset, length) — a ranged fetch decodes the member and re-filters,
     * the standard CDX discipline. `digest` is the payload's bare-base32
     * SHA-1, null when the payload was truncated at `maxPayloadBytes`
     * (a digest of a prefix would silently poison content-keyed dedup).
-    * Plain uncompressed `.warc` shards are rejected loudly (a documented
-    * non-goal — real archives ship compressed; the write-side sidecar
-    * covers anything else).
     *
     * `detectText = true` (default) also populates the published index's
     * `languages` and `charset` fields for text-like records (mime
@@ -817,8 +822,13 @@ object Warc {
     * secondary listed only at ≥ half the primary's score — the published
     * field's multi-code shape for genuinely mixed pages) over the first
     * [[TextDetectSampleBytes]] of the decoded payload with tags
-    * stripped ("und" when nothing scores). Both run on a bounded sample
-    * per record — the indexing pass stays CPU-light.
+    * stripped ("und" when nothing scores). NOTE the real cc-index spells
+    * languages ISO 639-3 (`eng`, `rus,ukr`) where this library emits
+    * 639-1 (`en`) — a documented divergence
+    * ([[graft.PublishedSamples]] pins the published spelling); map at
+    * the edge when joining against the published artifact. Both
+    * detectors run on a bounded sample per record — the indexing pass
+    * stays CPU-light.
     */
   def indexWarc(
       s: SparkSession,
@@ -865,11 +875,12 @@ object Warc {
           else if (got >= 4 && (isZstDataMagic(magic, 0) ||
               isZstSkippableMagic(magic, 0)))
             zstdRecordMembers(src, pstr, maxPayloadBytes)
+          else if (got >= 4 && magic(0) == 'W' && magic(1) == 'A' &&
+              magic(2) == 'R' && magic(3) == 'C')
+            plainRecordMembers(src, pstr, maxPayloadBytes)
           else throw new IllegalArgumentException(
-            s"indexWarc: $pstr is neither a .warc.gz nor a .warc.zst " +
-              "archive (member offsets are a compressed-layout property; " +
-              "write-side sidecars via writeWarcResponses(index = true) " +
-              "cover plain .warc)")
+            s"indexWarc: $pstr is not a .warc.gz, .warc.zst or plain " +
+              ".warc archive (unrecognized leading bytes)")
         val recRows = members.flatMap { case (off, len, recs) =>
           recs.map { r =>
             val ts14 = Option(r.warc_date.orNull)
@@ -1122,6 +1133,65 @@ object Warc {
       }
     }
 
+  /** Streaming record walk over a PLAIN uncompressed `.warc`: no member
+    * layer exists, so each record IS its own "member" — `(offset, length)`
+    * bracket the record's bytes (version line through the trailing CRLFs)
+    * directly in the file, which is exactly what a ranged GET needs (no
+    * decompression to seek through; [[readWarcRanges]]'s plain-bytes
+    * branch decodes any record-aligned range). Local and test dumps are
+    * routinely uncompressed; real crawls compress, but an index pass must
+    * not refuse the format the spec itself ships examples in.
+    */
+  private[sources] def plainRecordMembers(
+      src: CountedIn,
+      path: String,
+      maxPayloadBytes: Int
+  ): Iterator[(Long, Long, IndexedSeq[WarcRow])] =
+    new Iterator[(Long, Long, IndexedSeq[WarcRow])] {
+      private val in: InputStream = new InputStream {
+        override def read(): Int = src.read()
+        override def read(b: Array[Byte], off: Int, len: Int): Int =
+          src.read(b, off, len)
+      }
+      private val one = new Array[Byte](1)
+      private var idx = 0
+      private var pending: (Long, Long, IndexedSeq[WarcRow]) = null
+
+      /** Consume CR/LF padding; unread the first non-CRLF byte. False at
+        * clean EOF.
+        */
+      private def skipCrlf(): Boolean = {
+        var b = src.read()
+        while (b == '\r' || b == '\n') b = src.read()
+        if (b < 0) false
+        else { one(0) = b.toByte; src.unread(one, 0, 1); true }
+      }
+
+      private def advance(): Unit = {
+        pending = null
+        if (skipCrlf()) {
+          val start = src.pos
+          parseRecord(path, in, maxPayloadBytes) match {
+            case Some(r) =>
+              // the record's trailing two CRLFs belong to its extent (the
+              // same framing the compressed members carry them in)
+              skipCrlf()
+              val row = r.copy(record_index = idx)
+              idx += 1
+              pending = (start, src.pos - start, IndexedSeq(row))
+            case None => ()
+          }
+        }
+      }
+      advance()
+      override def hasNext: Boolean = pending != null
+      override def next(): (Long, Long, IndexedSeq[WarcRow]) = {
+        val p = pending
+        advance()
+        p
+      }
+    }
+
   /** Streaming zstd frame walk (RFC 8878 frame format): leading skippable
     * frames are consumed (a 0x184D2A5D one is the iipc DICTIONARY and is
     * captured + applied to every member), then each data frame's
@@ -1355,9 +1425,13 @@ object Warc {
       indexFor: Option[org.apache.spark.sql.Row => (Long, Long, String) => String] = None
   )(mkRecord: org.apache.spark.sql.Row => Array[Byte]): Unit = {
     require(maxRecordsPerShard > 0, "maxRecordsPerShard must be positive")
-    require(codec == "gzip" || codec == "zstd" || codec == "zstd-dict",
-      s"codec must be gzip|zstd|zstd-dict, got $codec")
-    val ext = if (codec.startsWith("zstd")) ".warc.zst" else ".warc.gz"
+    require(codec == "gzip" || codec == "zstd" || codec == "zstd-dict" ||
+      codec == "none",
+      s"codec must be gzip|zstd|zstd-dict|none, got $codec")
+    val ext =
+      if (codec.startsWith("zstd")) ".warc.zst"
+      else if (codec == "none") ".warc"
+      else ".warc.gz"
     val conf = new SerializableConfiguration(
       projected.sparkSession.sparkContext.hadoopConfiguration)
     val driverFs = FileSystem.get(new java.net.URI(outDir), conf.value)
@@ -1448,22 +1522,27 @@ object Warc {
             mkLine: (Long, Long, String) => String): Unit = {
           // one compressed member per record: the member stream closes
           // over a wrapper whose close() is a no-op, so finishing a
-          // member never closes the underlying shard stream
+          // member never closes the underlying shard stream. codec
+          // "none": the record bytes ARE the member (plain .warc —
+          // offsets then bracket raw record extents).
           val posBefore = out.getPos
           val shard = out
-          val noClose = new java.io.FilterOutputStream(shard) {
-            override def write(b: Array[Byte], off: Int, len: Int): Unit =
-              shard.write(b, off, len) // bulk passthrough (default is per-byte)
-            override def close(): Unit = {} // member boundary, not file end
+          if (codec == "none") shard.write(bytes)
+          else {
+            val noClose = new java.io.FilterOutputStream(shard) {
+              override def write(b: Array[Byte], off: Int, len: Int): Unit =
+                shard.write(b, off, len) // bulk passthrough (default is per-byte)
+              override def close(): Unit = {} // member boundary, not file end
+            }
+            val member: java.io.OutputStream =
+              if (codec.startsWith("zstd")) {
+                val z = new com.github.luben.zstd.ZstdOutputStreamNoFinalizer(noClose)
+                if (dictC != null) z.setDict(dictC)
+                z
+              } else new GZIPOutputStream(noClose)
+            member.write(bytes)
+            member.close() // flushes the member/frame trailer; shard stays open
           }
-          val member: java.io.OutputStream =
-            if (codec.startsWith("zstd")) {
-              val z = new com.github.luben.zstd.ZstdOutputStreamNoFinalizer(noClose)
-              if (dictC != null) z.setDict(dictC)
-              z
-            } else new GZIPOutputStream(noClose)
-          member.write(bytes)
-          member.close() // flushes the member/frame trailer; shard stays open
           if (mkLine != null && idxEntries != null) {
             val len = out.getPos - posBefore
             idxEntries += (fn => mkLine(posBefore, len, fn))

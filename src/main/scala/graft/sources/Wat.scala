@@ -17,60 +17,91 @@ import org.apache.spark.sql.types._
   * as pure column expressions (codegen'd — the render is one projection):
   *
   * {{{
-  * {"Envelope": {
+  * {"Container": {"Filename": …, "Offset": "…", "Length": "…"},   // optional
+  *  "Envelope": {
   *    "WARC-Header-Metadata": {"WARC-Target-URI": …, "WARC-Date": …,
   *                             "WARC-Type": "response"},
-  *    "Payload-Metadata": {"HTTP-Response-Metadata": {"HTML-Metadata": {
-  *        "Head": {"Title": …},
-  *        "Links": [{"url": …}, …]}}}}}
+  *    "Payload-Metadata": {"HTTP-Response-Metadata": {
+  *        "Headers": {"Content-Type": …, …},                       // optional
+  *        "HTML-Metadata": {
+  *          "Head": {"Title": …},
+  *          "Links": [{"url": …, "path": "A@/href"}, …]}}}}}
   * }}}
   *
   * Links come from [[graft.ops.LinkGraph.hrefs]] (double-, single- and
-  * un-quoted href attributes, in that order of extraction); `Title` is
-  * the first `<title>` element's raw text (entity decoding is the
-  * downstream [[graft.ops.Sitemaps.xmlUnescape]]'s job, same as the rest
-  * of the html layer), omitted when absent. The full iipc envelope also
-  * carries HTTP header maps and container offsets — documented scope-out;
-  * the [[Cdx]] layer owns offsets here.
+  * un-quoted href attributes, in that order of extraction), each entry
+  * carrying the published convention's `path` key (`A@/href` — an anchor
+  * element's href attribute; the published format also emits `title`/
+  * `text` for some link kinds, which [[parseWat]]'s schema tolerates and
+  * surfaces). `Title` is the first `<title>` element's raw text (entity
+  * decoding is the downstream [[graft.ops.Sitemaps.xmlUnescape]]'s job,
+  * same as the rest of the html layer), omitted when absent. `Headers`
+  * renders a caller-supplied map column (the server's HTTP response
+  * headers — what server-header analyses read WAT for); `Container`
+  * names the response record's location in its archive
+  * (filename/offset/length as STRINGS, the published quoting
+  * convention) — [[writeWarcWithWat]] with `container = true` fills it
+  * from the response write's own index sidecar.
   *
   * Scale shape: [[writeWat]] is one map-only projection into the sharded
-  * record writer (no shuffle); [[parseWat]] is `from_json` with an
-  * explicit schema over the metadata records — no sampling pass, splits
-  * like any [[Warc.readWarc]] consumer.
+  * record writer (no shuffle; the container variant adds one url-keyed
+  * join against the write's sidecar index, response-count sized);
+  * [[parseWat]] is `from_json` with an explicit schema over the metadata
+  * records — no sampling pass, splits like any [[Warc.readWarc]]
+  * consumer.
   */
 object Wat {
 
   /** The WAT envelope JSON for one page, as a column ([[writeWat]]'s
     * payload; `to_json` omits null fields, so a title-less page simply
-    * has no `Title` key).
+    * has no `Title` key, a null `headers` map no `Headers`, a null
+    * `container` struct no `Container`).
+    *
+    * @param headers   optional `map<string,string>` of HTTP response
+    *                  headers to render under
+    *                  `HTTP-Response-Metadata.Headers`
+    * @param container optional `struct<Filename,Offset,Length>` (strings)
+    *                  locating the described response record in its
+    *                  archive, rendered as the top-level `Container`
     */
-  def watEnvelope(uri: Column, html: Column, warcDate: String): Column = {
+  def watEnvelope(
+      uri: Column,
+      html: Column,
+      warcDate: String,
+      headers: Option[Column] = None,
+      container: Option[Column] = None
+  ): Column = {
     val rawTitle = regexp_extract(html, "(?is)<title[^>]*>(.*?)</title>", 1)
     val title = when(rawTitle === "", lit(null).cast("string"))
       .otherwise(rawTitle)
-    to_json(struct(
+    val htmlMeta = struct(
+      struct(title.as("Title")).as("Head"),
+      transform(graft.ops.LinkGraph.hrefs(html),
+        u => struct(u.as("url"), lit("A@/href").as("path"))).as("Links"))
+    val respFields =
+      headers.map(_.as("Headers")).toSeq :+ htmlMeta.as("HTML-Metadata")
+    val envelope = struct(
       struct(
-        struct(
-          uri.as("WARC-Target-URI"),
-          lit(warcDate).as("WARC-Date"),
-          lit("response").as("WARC-Type")).as("WARC-Header-Metadata"),
-        struct(
-          struct(
-            struct(
-              struct(title.as("Title")).as("Head"),
-              transform(graft.ops.LinkGraph.hrefs(html),
-                u => struct(u.as("url"))).as("Links")
-            ).as("HTML-Metadata")
-          ).as("HTTP-Response-Metadata")
-        ).as("Payload-Metadata")
-      ).as("Envelope")))
+        uri.as("WARC-Target-URI"),
+        lit(warcDate).as("WARC-Date"),
+        lit("response").as("WARC-Type")).as("WARC-Header-Metadata"),
+      struct(
+        struct(respFields: _*).as("HTTP-Response-Metadata")
+      ).as("Payload-Metadata"))
+    val top =
+      container.map(_.as("Container")).toSeq :+ envelope.as("Envelope")
+    to_json(struct(top: _*))
   }
 
   /** Write a WAT archive from pages: one `metadata` record per row, the
     * [[watEnvelope]] JSON as the content block, `WARC-Refers-To` linking
     * to the response record [[Warc.writeWarcResponses]] would write for
-    * the same uri. Same shard layout, codecs and commit protocol as the
-    * WARC writers.
+    * the same uri. `headersCol` optionally names a `map<string,string>`
+    * column rendered as the envelope's HTTP `Headers`; `containerCol` a
+    * prepared `struct<Filename,Offset,Length>` column rendered as the
+    * top-level `Container` ([[writeWarcWithWat]] builds it from the
+    * response write's sidecar). Same shard layout, codecs and commit
+    * protocol as the WARC writers.
     */
   def writeWat(
       df: DataFrame,
@@ -80,18 +111,27 @@ object Wat {
       warcDate: String = "2026-01-01T00:00:00Z",
       maxRecordsPerShard: Int = 100000,
       overwrite: Boolean = false,
-      codec: String = "gzip"
+      codec: String = "gzip",
+      headersCol: Option[String] = None,
+      containerCol: Option[String] = None
   ): Unit =
     Warc.writeWarcMetadata(
       df.withColumn("__wat",
         watEnvelope(col(uriCol).cast("string"), col(htmlCol).cast("string"),
-          warcDate)),
+          warcDate, headersCol.map(col), containerCol.map(col))),
       outDir, uriCol, "__wat", warcDate, maxRecordsPerShard, overwrite, codec)
 
   /** The envelope schema [[parseWat]] reads with (explicit — no sampling
-    * pass over a 100 TB crawl's WAT shards).
+    * pass over a 100 TB crawl's WAT shards). A SUBSET of the published
+    * envelope: unknown keys are ignored by `from_json`, and the published
+    * `Links` entries' `path`/`title`/`text` keys (present in real WAT
+    * next to `url`) are tolerated AND surfaced.
     */
   val WatEnvelopeSchema: StructType = StructType(Seq(
+    StructField("Container", StructType(Seq(
+      StructField("Filename", StringType),
+      StructField("Offset", StringType),
+      StructField("Length", StringType)))),
     StructField("Envelope", StructType(Seq(
       StructField("WARC-Header-Metadata", StructType(Seq(
         StructField("WARC-Target-URI", StringType),
@@ -99,19 +139,28 @@ object Wat {
         StructField("WARC-Type", StringType)))),
       StructField("Payload-Metadata", StructType(Seq(
         StructField("HTTP-Response-Metadata", StructType(Seq(
+          StructField("Headers", MapType(StringType, StringType)),
           StructField("HTML-Metadata", StructType(Seq(
             StructField("Head", StructType(Seq(
               StructField("Title", StringType)))),
             StructField("Links", ArrayType(StructType(Seq(
-              StructField("url", StringType)))))))))))))))))))
+              StructField("url", StringType),
+              StructField("path", StringType),
+              StructField("title", StringType),
+              StructField("text", StringType)))))))))))))))))))
 
   /** Parse the WAT (`metadata`) records of a [[Warc.readWarc]] frame into
-    * `(target_uri, refers_to, title, links)` — `links` an array of url
-    * strings in extraction order (double-, single-, then un-quoted href
-    * groups, document order within each group — the
-    * [[graft.ops.LinkGraph.hrefs]] order the envelope was built in).
-    * Torn JSON yields null fields, never a
-    * failed read (crawl-scale tolerance, same as [[Cdx.readCdxj]]).
+    * `(target_uri, refers_to, title, links, http_headers,
+    * container_filename, container_offset, container_length)` — `links`
+    * an array of `struct<url, path, title, text>` in extraction order
+    * (double-, single-, then un-quoted href groups, document order within
+    * each group — the [[graft.ops.LinkGraph.hrefs]] order the envelope
+    * was built in; real WAT producers emit their own order),
+    * `http_headers` the envelope's HTTP header map (null when absent),
+    * and the `container_*` columns the described record's archive
+    * location (offset/length cast to long, null when absent or torn).
+    * Torn JSON yields null fields, never a failed read (crawl-scale
+    * tolerance, same as [[Cdx.readCdxj]]).
     */
   def parseWat(warc: DataFrame): DataFrame =
     warc.filter(col("warc_type") === "metadata")
@@ -125,13 +174,26 @@ object Wat {
         col("refers_to"),
         col("__env.Envelope.Payload-Metadata.HTTP-Response-Metadata.HTML-Metadata.Head.Title")
           .as("title"),
-        transform(
-          col("__env.Envelope.Payload-Metadata.HTTP-Response-Metadata.HTML-Metadata.Links"),
-          l => l.getField("url")).as("links"))
+        col("__env.Envelope.Payload-Metadata.HTTP-Response-Metadata.HTML-Metadata.Links")
+          .as("links"),
+        col("__env.Envelope.Payload-Metadata.HTTP-Response-Metadata.Headers")
+          .as("http_headers"),
+        col("__env.Container.Filename").as("container_filename"),
+        expr("try_cast(__env.Container.Offset AS BIGINT)")
+          .as("container_offset"),
+        expr("try_cast(__env.Container.Length AS BIGINT)")
+          .as("container_length"))
 
   /** [[writeWat]] + [[Warc.writeWarcResponses]] side by side — the
     * response archive and its WAT sibling from one frame, into sibling
-    * directories, cross-referenced by record id.
+    * directories, cross-referenced by record id. `container = true`
+    * additionally writes the response archive WITH its CDXJ index
+    * sidecar, reads the sidecar back, and fills each WAT envelope's
+    * top-level `Container` with the response record's true
+    * (filename, offset, length) — one url-keyed join, response-count
+    * sized (rows whose uri repeats would fan out through that join;
+    * dedup upstream if uris are not unique). `headersCol` forwards to
+    * [[writeWat]].
     */
   def writeWarcWithWat(
       df: DataFrame,
@@ -141,11 +203,29 @@ object Wat {
       htmlCol: String,
       warcDate: String = "2026-01-01T00:00:00Z",
       overwrite: Boolean = false,
-      codec: String = "gzip"
+      codec: String = "gzip",
+      headersCol: Option[String] = None,
+      container: Boolean = false
   ): Unit = {
     Warc.writeWarcResponses(df, warcDir, uriCol, htmlCol,
-      warcDate = warcDate, overwrite = overwrite, codec = codec)
-    writeWat(df, watDir, uriCol, htmlCol,
-      warcDate = warcDate, overwrite = overwrite, codec = codec)
+      warcDate = warcDate, overwrite = overwrite, codec = codec,
+      index = container)
+    val watSrc =
+      if (!container) df
+      else {
+        val side = Cdx.readCdxj(df.sparkSession, warcDir,
+          glob = Some("*.cdxj"))
+          .select(col("url").as("__c_url"),
+            struct(
+              col("filename").as("Filename"),
+              col("offset").cast("string").as("Offset"),
+              col("length").cast("string").as("Length")).as("__container"))
+        df.join(side, col(uriCol).cast("string") === col("__c_url"), "left")
+          .drop("__c_url")
+      }
+    writeWat(watSrc, watDir, uriCol, htmlCol,
+      warcDate = warcDate, overwrite = overwrite, codec = codec,
+      headersCol = headersCol,
+      containerCol = if (container) Some("__container") else None)
   }
 }

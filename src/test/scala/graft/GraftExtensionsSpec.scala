@@ -97,6 +97,26 @@ class GraftExtensionsSpec extends SparkTestBase {
     assert(typ.getMessage.contains("literal integer"))
   }
 
+  test("lang_id: two-arity multi-code form, k=1 equals single-code, " +
+    "non-literal / bad k fail loudly") {
+    graft.ops.expr.NativeSig.register(spark)
+    val ruUk = "привет мир это тест і ще є українські слова як їжак та " +
+      "багато інших слів що мають значення"
+    val row = spark.sql(
+      s"SELECT lang_id('$ruUk', 3), lang_id('$ruUk', 1), lang_id('$ruUk')")
+      .head()
+    assert(row.getString(0).split(",").length >= 1)
+    assert(row.getString(1) == row.getString(2)) // k=1 == single-code form
+    val nonLit = intercept[Exception] {
+      spark.sql("SELECT lang_id(t, length(t)) FROM VALUES ('x') AS v(t)").head()
+    }
+    assert(nonLit.getMessage.contains("literal integer"))
+    val badK = intercept[Exception] {
+      spark.sql("SELECT lang_id('x', 0)").head()
+    }
+    assert(badK.getMessage.contains(">= 1"))
+  }
+
   test("numeric_charref_decode registered as a SQL function") {
     graft.ops.expr.NativeSig.register(spark)
     val got = spark.sql(

@@ -56,14 +56,28 @@ class CdxSpec extends SparkTestBase {
       ("http://e.test/with space/p?q=a b", "test,e)/with%20space/p?q=a%20b"),
       // host dot tidying
       ("http://e.test./p", "test,e)/p"),
-      // IDN hosts fold to punycode; IP hosts normalize to dotted-quad
-      // (decimal interpretation); malformed ones pass through unchanged
+      // IDN hosts fold to punycode; IPv4 hosts normalize to dotted-quad
+      // per the WHATWG/inet_aton parser (hex 0x parts, octal leading-0
+      // parts, last part fills); malformed ones pass through unchanged
       ("https://www.MÜNCHEN.example/p", "example,xn--mnchen-3ya)/p"),
       ("http://пример.рф/", "xn--p1ai,xn--e1afmkfd)/"),
       ("http://3232235777/x", "1,1,168,192)/x"),
-      ("http://192.168.001.010/x", "10,1,168,192)/x"),
+      // leading-zero parts are OCTAL (inet_aton): 001→1, 010→8
+      ("http://192.168.001.010/x", "8,1,168,192)/x"),
+      ("http://0x7f.1/h", "1,0,0,127)/h"),
+      ("http://017700000001/o", "1,0,0,127)/o"),
+      ("http://0x7f.0x0.0x0.0x1/z", "1,0,0,127)/z"),
       ("http://999.1.1.1/keep", "1,1,1,999)/keep"),
       ("http://1.2.3.4.5/five", "5,4,3,2,1)/five"),
+      // bracketed IPv6: RFC 5952 canonical form, host stays atomic (no
+      // comma reversal); v4-mapped tails render in pure hex groups;
+      // malformed literals pass through
+      ("http://[::1]/p", "[::1])/p"),
+      ("https://[2001:0DB8:0:0:0:0:2:1]/x", "[2001:db8::2:1])/x"),
+      ("http://[::FFFF:1.2.3.4]:8080/y", "[::ffff:102:304]:8080)/y"),
+      ("https://[::1]:443/d", "[::1])/d"),
+      ("http://[1:2:3:4:5:6:7:8]/f", "[1:2:3:4:5:6:7:8])/f"),
+      ("http://[not:a::lit:eral::]/g", "[not:a::lit:eral::])/g"),
       ("not a url", null))
     val df = cases.toDF("url", "expected")
       .select(col("url"), col("expected"), Cdx.surt(col("url")).as("got"))
@@ -81,7 +95,10 @@ class CdxSpec extends SparkTestBase {
       "ftp://files.test/z", "https://one.two.three.four.test/deep/p?x=%2F",
       "https://www.MÜNCHEN.example/p", "http://例え.jp/path",
       "http://пример.рф/", "http://3232235777/x",
-      "http://192.168.001.010/x", "http://999.1.1.1/keep")
+      "http://192.168.001.010/x", "http://999.1.1.1/keep",
+      "http://0x7f.1/h", "http://017700000001/o",
+      "http://[::1]/p", "https://[2001:0DB8:0:0:0:0:2:1]:8443/x",
+      "http://[::ffff:1.2.3.4]/y", "http://[bad::lit::]/g")
     val viaColumn = urls.toDF("u")
       .select(Cdx.surt(col("u")).as("s")).as[Option[String]].collect().toSeq
     val viaJvm = urls.map(u => Option(Cdx.surtString(u)))

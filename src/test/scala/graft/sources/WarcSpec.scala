@@ -461,15 +461,51 @@ class WarcSpec extends SparkTestBase {
     }
   }
 
-  test("indexWarc: plain uncompressed .warc shards are rejected loudly") {
+  test("indexWarc: plain uncompressed .warc indexes with raw record byte " +
+    "offsets that drive a correct ranged decode (codec = none roundtrip)") {
     val dir = tmpDir()
-    val plain = record(
-      Seq("WARC-Type: response", "WARC-Target-URI: https://p.test/1"),
-      httpBlock("200 OK", "text/plain", "plain body"))
+    val docs = (0 until 120).map(i =>
+      (s"https://p.test/d/$i", s"plain body $i " + ("pad " * (i % 5))))
+      .toDF("uri", "body")
+    Warc.writeWarcResponses(docs.repartition(2), dir, "uri", "body",
+      codec = "none", maxRecordsPerShard = 50)
+    // the writer produced plain .warc shards (no compression extension)
+    val files = new java.io.File(dir).listFiles().map(_.getName)
+      .filterNot(_.startsWith(".")) // local-FS .crc sidecars
+    assert(files.nonEmpty && files.forall(_.endsWith(".warc")))
+    val idx = Warc.indexWarc(spark, dir)
+    assert(idx.count() == 120)
+    val one = idx.filter(col("url") === "https://p.test/d/7").collect().head
+    assert(one.getAs[String]("digest")
+      == Warc.sha1Base32(("plain body 7 " + "pad " * 2).getBytes("UTF-8")))
+    // offsets are raw byte offsets: the record bytes AT that offset start
+    // with the version line
+    val conf = spark.sparkContext.hadoopConfiguration
+    val row0 = idx.orderBy(col("offset")).collect().head
+    val p = new org.apache.hadoop.fs.Path(dir, row0.getAs[String]("filename"))
+    val in = p.getFileSystem(conf).open(p)
+    val head = new Array[Byte](5)
+    try { in.seek(row0.getAs[Long]("offset")); in.readFully(head, 0, 5) }
+    finally in.close()
+    assert(new String(head, "UTF-8") == "WARC/")
+    // and every computed (offset, length) decodes through the ranged path
+    val plan = Cdx.fetchPlan(
+      idx.filter(col("url").endsWith("0")), gapBytes = 0L)
+    val back = Warc.readWarcRanges(spark, dir, plan)
+      .select(col("target_uri"), col("payload").cast("string"))
+      .as[(String, String)].collect().toMap
+    assert(back.size == 12)
+    (0 until 120 by 10).foreach { i =>
+      assert(back(s"https://p.test/d/$i")
+        == s"plain body $i " + ("pad " * (i % 5)))
+    }
+    // genuinely unrecognizable bytes still fail loudly
+    val junkDir = tmpDir()
     java.nio.file.Files.write(
-      new java.io.File(dir, "x.warc").toPath, plain)
+      new java.io.File(junkDir, "x.warc").toPath,
+      "this is not an archive".getBytes("UTF-8"))
     val e = intercept[org.apache.spark.SparkException] {
-      Warc.indexWarc(spark, dir).collect()
+      Warc.indexWarc(spark, junkDir).collect()
     }
     assert(e.getMessage.contains("indexWarc") ||
       Option(e.getCause).exists(_.getMessage.contains("indexWarc")))

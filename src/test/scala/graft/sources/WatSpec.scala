@@ -38,13 +38,19 @@ class WatSpec extends SparkTestBase {
       assert(r.getAs[String]("content_type") == "application/json")
       assert(r.getAs[String]("refers_to") != null)
     }
-    val parsed = Wat.parseWat(raw).collect()
-      .map(r => r.getString(0) -> ((r.getString(2),
-        r.getSeq[String](3).toList))).toMap
-    // hrefs extracts double-quoted, then single-quoted, then unquoted
+    val parsed = Wat.parseWat(raw)
+      .select(col("target_uri"), col("title"),
+        expr("transform(links, l -> l.url)").as("urls"),
+        expr("transform(links, l -> l.path)").as("paths"))
+      .collect()
+      .map(r => r.getString(0) -> ((r.getString(1),
+        r.getSeq[String](2).toList, r.getSeq[String](3).toList))).toMap
+    // hrefs extracts double-quoted, then single-quoted, then unquoted;
+    // each written entry carries the published path convention A@/href
     assert(parsed("https://a.test/1") ==
-      (("One", List("https://x.test/p", "/rel", "//proto.test/q"))))
-    assert(parsed("https://a.test/2") == ((null, Nil)))
+      (("One", List("https://x.test/p", "/rel", "//proto.test/q"),
+        List("A@/href", "A@/href", "A@/href"))))
+    assert(parsed("https://a.test/2") == ((null, Nil, Nil)))
     // torn JSON payload: null fields, never a failed parse
     val torn = Seq(("f", 0, "metadata", Some("id"), Some("https://t/1"),
       None: Option[String], Some("application/json"), 3L,
@@ -87,7 +93,92 @@ class WatSpec extends SparkTestBase {
       s"""source: wat_pages
          |sink: {format: wat, path: "$out", uri: uri, html: html}
          |""".stripMargin, name => spark.table(name))
-    val got = Wat.parseWat(Warc.readWarc(spark, out)).collect().head
-    assert(got.getSeq[String](3) == Seq("https://d.test/x"))
+    val got = Wat.parseWat(Warc.readWarc(spark, out))
+      .select(expr("transform(links, l -> l.url)")).collect().head
+    assert(got.getSeq[String](0) == Seq("https://d.test/x"))
+  }
+
+  test("writeWarcWithWat container + headers: the envelope locates the " +
+    "response record (the range decodes to it) and carries the header map") {
+    val parent = tmpDir()
+    val warcDir = new java.io.File(parent, "warc").getPath
+    val watDir = new java.io.File(parent, "wat").getPath
+    val pages = Seq(
+      ("https://c.test/1",
+        "<html><head><title>C1</title></head><body>" +
+          "<a href=\"https://o.test/a\">a</a></body></html>",
+        Map("Content-Type" -> "text/html", "Server" -> "srv/1.0")),
+      ("https://c.test/2", "<html><body>plain</body></html>",
+        Map("Content-Type" -> "text/plain")))
+      .toDF("uri", "html", "hdrs")
+    Wat.writeWarcWithWat(pages, warcDir, watDir, "uri", "html",
+      headersCol = Some("hdrs"), container = true)
+    val parsed = Wat.parseWat(Warc.readWarc(spark, watDir))
+    val rows = parsed.collect()
+      .map(r => r.getAs[String]("target_uri") -> r).toMap
+    val r1 = rows("https://c.test/1")
+    assert(r1.getAs[Map[String, String]]("http_headers")
+      == Map("Content-Type" -> "text/html", "Server" -> "srv/1.0"))
+    assert(r1.getAs[String]("container_filename").endsWith(".warc.gz"))
+    assert(r1.getAs[Long]("container_offset") >= 0L)
+    assert(r1.getAs[Long]("container_length") > 0L)
+    // the Container range is REAL: fetching exactly those bytes from the
+    // response archive decodes to the described record
+    val plan = parsed
+      .select(col("container_filename").as("filename"),
+        col("container_offset").as("range_start"),
+        (col("container_offset") + col("container_length")).as("range_end"),
+        col("target_uri"))
+    val back = Warc.readWarcRanges(spark, warcDir, plan)
+      .select(col("target_uri"), col("payload").cast("string"))
+      .as[(String, String)].collect().toMap
+    assert(back("https://c.test/2") == "<html><body>plain</body></html>")
+    assert(back("https://c.test/1").contains("<title>C1</title>"))
+  }
+
+  test("parseWat tolerates and surfaces a REAL-shaped published envelope: " +
+    "Container, Headers, Links with path/title/text keys") {
+    // hand-written in the published iipc WAT layout (keys beyond the
+    // subset schema are ignored; path/title/text surface per link)
+    val env =
+      """{"Container":{"Filename":"CC-MAIN-x.warc.gz","Compressed":true,
+        |"Offset":"593","Length":"2012"},
+        |"Envelope":{"Format":"WARC","WARC-Header-Length":"254",
+        |"WARC-Header-Metadata":{"WARC-Target-URI":"http://r.example/",
+        |"WARC-Date":"2024-01-01T00:00:00Z","WARC-Type":"response"},
+        |"Payload-Metadata":{"Actual-Content-Type":"application/http",
+        |"HTTP-Response-Metadata":{
+        |"Headers":{"Content-Type":"text/html","Server":"Apache"},
+        |"Headers-Length":"315",
+        |"HTML-Metadata":{
+        |"Head":{"Title":"Real Page","Metas":[{"name":"x","content":"y"}]},
+        |"Links":[
+        |{"path":"A@/href","url":"http://t.example/a","text":"anchor text"},
+        |{"path":"IMG@/src","url":"/img/logo.png","alt":"logo"},
+        |{"path":"LINK@/href","url":"/style.css","title":"css title"}
+        |]}}}}}""".stripMargin.replace("\n", "")
+    val frame = Seq(("f", 0, "metadata", Some("<urn:w>"),
+      Some("http://r.example/"), None: Option[String],
+      Some("application/json"), env.length.toLong, None: Option[Int],
+      None: Option[String], env.getBytes("UTF-8"), false,
+      None: Option[String], Some("<urn:x>"), None: Option[String]))
+      .toDF("warc_file", "record_index", "warc_type", "record_id",
+        "target_uri", "warc_date", "content_type", "content_length",
+        "http_status", "http_content_type", "payload", "truncated",
+        "payload_digest", "refers_to", "warc_profile")
+    val got = Wat.parseWat(frame).collect().head
+    assert(got.getAs[String]("title") == "Real Page")
+    assert(got.getAs[String]("container_filename") == "CC-MAIN-x.warc.gz")
+    assert(got.getAs[Long]("container_offset") == 593L)
+    assert(got.getAs[Long]("container_length") == 2012L)
+    assert(got.getAs[Map[String, String]]("http_headers")("Server") == "Apache")
+    val links = got.getSeq[org.apache.spark.sql.Row](
+      got.fieldIndex("links"))
+    assert(links.map(_.getAs[String]("url"))
+      == Seq("http://t.example/a", "/img/logo.png", "/style.css"))
+    assert(links.map(_.getAs[String]("path"))
+      == Seq("A@/href", "IMG@/src", "LINK@/href"))
+    assert(links.head.getAs[String]("text") == "anchor text")
+    assert(links(2).getAs[String]("title") == "css title")
   }
 }
