@@ -133,6 +133,12 @@ object GraftExtensions {
       require(es.length == 1, "surt_host_norm(host)")
       SurtHostNormExpr(es.head)
     },
+    // lang_id codes (single or comma-joined) re-spelled as ISO 639-3 —
+    // the published cc-index `languages` spelling
+    "iso639_3" -> { es =>
+      require(es.length == 1, "iso639_3(langCodes)")
+      Iso6393Expr(es.head)
+    },
     "fix_encoding" -> { es =>
       require(es.length == 1 || es.length == 2, "fix_encoding(text[, maxPasses])")
       FixEncodingExpr(es.head,

@@ -3157,6 +3157,26 @@ object SparkEntry {
         .selectExpr("id", "lang_id(text) AS lang1",
           "lang_id(text, 2) AS lang2", "lang_id(text, 3) AS lang3")
     }),
+    // ISO 639-3 edge mapping (TextStats.toIso639_3 / SQL iso639_3): the
+    // published cc-index spells `languages` in 639-3 (`eng`, `fra,eng`)
+    // where this library's classifier emits 639-1 — this is the
+    // documented bridge for joining against the published artifact.
+    // Driven through BOTH surfaces (the SQL registration composing
+    // iso639_3(lang_id(text)) and the Scala column API over the
+    // multi-code form); unknown codes and `und` pass through.
+    "q107f_langid_iso3" -> ((s, dir) => {
+      graft.ops.expr.NativeSig.register(s)
+      val body = when(col("id") % 4 === 0, lit(LangGateEn))
+        .when(col("id") % 4 === 1, lit(LangGateFr))
+        .when(col("id") % 4 === 2, lit(LangGateRu))
+        .otherwise(lit(LangGateEn + " " + LangGateFr))
+      s.range(0, 200).select(col("id"), body.as("text"))
+        .withColumn("lang1", expr("iso639_3(lang_id(text))"))
+        .withColumn("lang3", graft.ops.TextStats.toIso639_3(
+          graft.ops.TextStats.langId(col("text"), 3)))
+        .withColumn("passthrough", expr("iso639_3('und,xx')"))
+        .select(col("id"), col("lang1"), col("lang3"), col("passthrough"))
+    }),
     // WAT metadata records (Wat.writeWat / parseWat — the metadata member
     // of CommonCrawl's WARC/WAT/WET artifact trio): formulaic HTML pages
     // with a title and two double-quoted links each render to metadata
@@ -5801,6 +5821,14 @@ object SparkEntry {
         |       ELSE 'fr,en' END AS lang2,
         |  CASE i % 4 WHEN 0 THEN 'en' WHEN 1 THEN 'fr' WHEN 2 THEN 'ru'
         |       ELSE 'fr,en' END AS lang3
+        |FROM (SELECT range AS i FROM range(0, 200))""".stripMargin,
+    "q107f_langid_iso3" ->
+      """SELECT i AS id,
+        |  CASE i % 4 WHEN 0 THEN 'eng' WHEN 1 THEN 'fra' WHEN 2 THEN 'rus'
+        |       ELSE 'fra' END AS lang1,
+        |  CASE i % 4 WHEN 0 THEN 'eng' WHEN 1 THEN 'fra' WHEN 2 THEN 'rus'
+        |       ELSE 'fra,eng' END AS lang3,
+        |  'und,xx' AS passthrough
         |FROM (SELECT range AS i FROM range(0, 200))""".stripMargin,
     "q110_wat_roundtrip" ->
       """WITH i AS (SELECT range AS i FROM range(0, 200)),

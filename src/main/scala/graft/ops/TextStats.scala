@@ -173,6 +173,18 @@ object TextStats {
   def langId(text: Column, maxLangs: Int): Column =
     graft.ops.expr.NativeSig.langId(text, maxLangs)
 
+  /** Re-spell a [[langId]] code column — single (`en`) or comma-joined
+    * multi-code (`fr,en`) — as ISO 639-3 (`eng`, `fra,eng`), the spelling
+    * the PUBLISHED cc-index `languages` field uses: the documented edge
+    * mapping for joining this library's language columns against the
+    * published artifact ([[graft.sources.Warc.indexWarc]] scaladoc).
+    * Unknown codes (incl. `und`) pass through unchanged — a join key must
+    * never vanish. Codegen'd ([[graft.ops.expr.Iso6393Expr]], also the
+    * SQL function `iso639_3`); null in, null out.
+    */
+  def toIso639_3(codes: Column): Column =
+    graft.ops.expr.NativeSig.iso6393(codes)
+
   /** Mojibake repair: undo cp1252/latin-1-misdecoded UTF-8 (including
     * double-encoding, up to `maxPasses` layers) — see
     * [[graft.ops.expr.Mojibake]] for the repair-if-roundtrips contract.

@@ -438,3 +438,51 @@ case class LangIdTopExpr(child: Expression, maxLangs: Int)
   override protected def withNewChildInternal(newChild: Expression): LangIdTopExpr =
     copy(child = newChild)
 }
+
+/** ISO 639-1 → 639-3 re-speller for [[LangModel]] code strings, single
+  * (`en` → `eng`) or comma-joined (`fr,en` → `fra,eng`) — the published
+  * cc-index `languages` spelling. Unknown codes (incl. `und`) pass
+  * through unchanged: a join key must never vanish.
+  */
+object LangIso639 {
+  /** [[LangModel.Langs]]' ISO 639-1 codes mapped to ISO 639-2/3 T codes. */
+  val Mapping: Map[String, String] = Map(
+    "en" -> "eng", "es" -> "spa", "de" -> "deu", "fr" -> "fra",
+    "pt" -> "por", "it" -> "ita", "nl" -> "nld", "sv" -> "swe",
+    "da" -> "dan", "no" -> "nor", "fi" -> "fin", "pl" -> "pol",
+    "cs" -> "ces", "ro" -> "ron", "hu" -> "hun", "tr" -> "tur",
+    "id" -> "ind", "vi" -> "vie", "ru" -> "rus", "uk" -> "ukr",
+    "el" -> "ell", "ar" -> "ara", "he" -> "heb", "hi" -> "hin",
+    "th" -> "tha", "zh" -> "zho", "ja" -> "jpn", "ko" -> "kor")
+
+  def convert(codes: UTF8String): UTF8String = {
+    if (codes == null) return null
+    val s = codes.toString
+    val parts = s.split(",", -1)
+    val sb = new java.lang.StringBuilder(s.length + parts.length)
+    var i = 0
+    while (i < parts.length) {
+      if (i > 0) sb.append(',')
+      sb.append(Mapping.getOrElse(parts(i), parts(i)))
+      i += 1
+    }
+    UTF8String.fromString(sb.toString)
+  }
+}
+
+/** `iso639_3(codes)` — [[LangIso639.convert]] as a codegen'd expression. */
+case class Iso6393Expr(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other =>
+      TypeCheckResult.TypeCheckFailure(s"iso639_3 needs a string column, got $other")
+  }
+  override def dataType: DataType = StringType
+  override def prettyName: String = "iso639_3"
+  override protected def nullSafeEval(input: Any): Any =
+    LangIso639.convert(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.ops.expr.LangIso639.convert($c)")
+  override protected def withNewChildInternal(newChild: Expression): Iso6393Expr =
+    copy(child = newChild)
+}

@@ -1004,6 +1004,12 @@ object NativeSig {
   def surtHostNorm(host: Column): Column =
     ColumnBridge.column(SurtHostNormExpr(ColumnBridge.expression(host)))
 
+  /** Column API for [[Iso6393Expr]] — lang codes re-spelled as ISO 639-3
+    * (the published cc-index `languages` spelling).
+    */
+  def iso6393(codes: Column): Column =
+    ColumnBridge.column(Iso6393Expr(ColumnBridge.expression(codes)))
+
   /** Column API for [[RedactValidatedExpr]] — checksum/entropy-validated
     * PII redaction ([[PiiValidate]]).
     */
