@@ -47,13 +47,15 @@ object SurtHostNorm {
     if (h == null) return null
     val n = h.numBytes()
     if (n == 0) return h
-    // fast-path scan: a host that could be an IPv4 spelling contains only
-    // [0-9a-fx.] bytes (hex digits, the 0x marker, dots); IPv6 literals
-    // start with '['. Anything else ASCII is returned as-is untouched.
+    // fast-path scan: a host that could be an IPv4 spelling STARTS with a
+    // digit (every valid part form — decimal, 0-octal, 0x-hex — does) and
+    // contains only [0-9a-fx.] bytes; IPv6 literals start with '['.
+    // Anything else ASCII is returned as-is untouched (letter-led
+    // hex-alphabet domains like cafe.be never leave the fast path).
     val bracket = h.getByte(0) == '['
     var i = 0
     var ascii = true
-    var ipish = true
+    var ipish = h.getByte(0) >= '0' && h.getByte(0) <= '9'
     while (i < n && (ascii || ipish)) {
       val b = h.getByte(i) & 0xff
       if (b >= 0x80) ascii = false
@@ -91,8 +93,9 @@ object SurtHostNorm {
     * (or not one that parser accepts — such hosts pass through).
     */
   private def ipv4Normalize(h: String): Option[String] = {
-    if (h.isEmpty || !h.forall(c => (c >= '0' && c <= '9') ||
-        (c >= 'a' && c <= 'f') || c == 'x' || c == '.'))
+    if (h.isEmpty || h.charAt(0) < '0' || h.charAt(0) > '9' ||
+        !h.forall(c => (c >= '0' && c <= '9') ||
+          (c >= 'a' && c <= 'f') || c == 'x' || c == '.'))
       return None
     val parts = h.split("\\.", -1)
     if (parts.length > 4 || parts.exists(_.isEmpty)) return None

@@ -57,4 +57,26 @@ class LangModelSpec extends SparkTestBase {
     assert(math.abs(got(1).getDouble(2) - math.log(1.0 / 5.0)) < 2e-6)
     assert(math.abs(got(1).getDouble(3) - 5.0) < 2e-3)
   }
+
+  test("iso639_3 bridge: single + multi-code re-spell, unknown/und/null " +
+    "pass through; every Langs code has a mapping") {
+    import graft.ops.expr.{LangIso639, LangModel}
+    import org.apache.spark.unsafe.types.UTF8String
+    def c(s: String) = LangIso639.convert(UTF8String.fromString(s)).toString
+    assert(c("en") == "eng")
+    assert(c("fr,en") == "fra,eng")
+    assert(c("ru,uk,xx") == "rus,ukr,xx")
+    assert(c("und") == "und")
+    assert(c("") == "")
+    assert(LangIso639.convert(null) == null)
+    // the mapping covers exactly the classifier's alphabet
+    assert(LangModel.Langs.toSet == LangIso639.Mapping.keySet)
+    assert(LangIso639.Mapping.values.forall(_.length == 3))
+    // column path agrees
+    val sq2 = spark
+    import sq2.implicits._
+    val viaCol = Seq("fr,en").toDF("l")
+      .select(graft.ops.TextStats.toIso639_3(col("l"))).as[String].head()
+    assert(viaCol == "fra,eng")
+  }
 }

@@ -69,6 +69,10 @@ class CdxSpec extends SparkTestBase {
       ("http://0x7f.0x0.0x0.0x1/z", "1,0,0,127)/z"),
       ("http://999.1.1.1/keep", "1,1,1,999)/keep"),
       ("http://1.2.3.4.5/five", "5,4,3,2,1)/five"),
+      // letter-led hex-alphabet domains are DOMAINS (IPv4 spellings all
+      // start with a digit) — fast path, untouched
+      ("http://cafe.be/x", "be,cafe)/x"),
+      ("http://0xdead.beef.example/x", "example,beef,0xdead)/x"),
       // bracketed IPv6: RFC 5952 canonical form, host stays atomic (no
       // comma reversal); v4-mapped tails render in pure hex groups;
       // malformed literals pass through

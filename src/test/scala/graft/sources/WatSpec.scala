@@ -83,19 +83,23 @@ class WatSpec extends SparkTestBase {
     assert(env.getString(2) == "T")
   }
 
-  test("pipeline wat sink: config-only WAT write") {
+  test("pipeline wat sink: config-only WAT write, incl. the headers map") {
     val dir = tmpDir()
     val out = new java.io.File(dir, "wat").getPath
     Seq(("https://c.test/1",
-      "<html><body><a href=\"https://d.test/x\">d</a></body></html>"))
-      .toDF("uri", "html").createOrReplaceTempView("wat_pages")
+      "<html><body><a href=\"https://d.test/x\">d</a></body></html>",
+      Map("Server" -> "cfg/1")))
+      .toDF("uri", "html", "hdrs").createOrReplaceTempView("wat_pages")
     graft.pipeline.Pipeline.run(spark,
       s"""source: wat_pages
-         |sink: {format: wat, path: "$out", uri: uri, html: html}
+         |sink: {format: wat, path: "$out", uri: uri, html: html,
+         |  headers: hdrs}
          |""".stripMargin, name => spark.table(name))
     val got = Wat.parseWat(Warc.readWarc(spark, out))
-      .select(expr("transform(links, l -> l.url)")).collect().head
+      .select(expr("transform(links, l -> l.url)"),
+        expr("http_headers['Server']")).collect().head
     assert(got.getSeq[String](0) == Seq("https://d.test/x"))
+    assert(got.getString(1) == "cfg/1")
   }
 
   test("writeWarcWithWat container + headers: the envelope locates the " +
