@@ -3331,6 +3331,38 @@ object SparkEntry {
           col("__l.text").as("link_text"),
           col("__l.title").as("link_title"))
     }),
+    // WAT from a REAL crawl's headers (readWarc → writeWat): the archive
+    // is read back, and the envelope's HTTP Headers come from the
+    // reader's full http_headers map — the original server headers ride
+    // into the WAT without any payload re-parse. The oracle replays the
+    // per-row Content-Type the response writer stamped.
+    "q110c_wat_headers_from_warc" -> ((s, dir) => {
+      val fixture = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft_wathdr_" +
+          java.lang.Long.toHexString(dir.hashCode.toLong & 0xffffffffL) +
+          "_" + ProcessHandle.current().pid())
+      val warcDir = new java.io.File(fixture, "warc").getPath
+      val watDir = new java.io.File(fixture, "wat").getPath
+      val src = s.range(0, 150).select(
+        concat(lit("https://wh.test/p/"), col("id").cast("string")).as("uri"),
+        concat(lit("<html><head><title>H"), col("id").cast("string"),
+          lit("</title></head><body><a href=\"/x/"),
+          (col("id") % 3).cast("string"),
+          lit("\">x</a></body></html>")).as("html"),
+        concat(lit("text/html; charset=cs"), (col("id") % 4).cast("string"))
+          .as("ct"))
+      graft.sources.Warc.writeWarcResponses(src.repartition(2), warcDir,
+        "uri", "html", overwrite = true, contentTypeCol = Some("ct"))
+      val back = graft.sources.Warc.readWarc(s, warcDir)
+        .select(col("target_uri").as("uri"),
+          col("payload").cast("string").as("html"),
+          col("http_headers"))
+      graft.sources.Wat.writeWat(back, watDir, "uri", "html",
+        overwrite = true, headersCol = Some("http_headers"))
+      graft.sources.Wat.parseWat(graft.sources.Warc.readWarc(s, watDir))
+        .select(col("target_uri"), col("title"),
+          element_at(col("http_headers"), "Content-Type").as("ct"))
+    }),
     // Cross-crawl deduplicating WRITE (Warc.writeWarcDeduped /
     // markRevisits — the producer half of the revisit convention): crawl
     // A archives 40 pages; batch B re-captures every A payload under new
@@ -5847,6 +5879,11 @@ object SparkEntry {
         |       '<html><head><title>Page ' || CAST(i AS VARCHAR)
         |         || '</title></head><body><a href="/n/'
         |         || CAST((i % 5) AS VARCHAR) || '">n</a></body></html>' AS body
+        |FROM (SELECT range AS i FROM range(0, 150))""".stripMargin,
+    "q110c_wat_headers_from_warc" ->
+      """SELECT 'https://wh.test/p/' || CAST(i AS VARCHAR) AS target_uri,
+        |       'H' || CAST(i AS VARCHAR) AS title,
+        |       'text/html; charset=cs' || CAST((i % 4) AS VARCHAR) AS ct
         |FROM (SELECT range AS i FROM range(0, 150))""".stripMargin,
     // q111 family: every expected value is a hand-transcribed literal
     // from the published sample — never computed by the code under test

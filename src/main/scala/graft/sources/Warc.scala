@@ -64,7 +64,13 @@ object Warc {
       // original capture — see [[resolveRevisits]]
       payload_digest: Option[String],
       refers_to: Option[String],
-      warc_profile: Option[String])
+      warc_profile: Option[String],
+      // the FULL HTTP response header map (original field-name casing;
+      // repeated fields comma-joined per RFC 9110 §5.2) for
+      // `application/http` records, None otherwise — what server-header
+      // analyses and [[Wat]]'s `Headers` envelope consume without
+      // re-parsing payloads
+      http_headers: Option[Map[String, String]] = None)
 
   /** Read a directory of `.warc` / `.warc.gz` files as record rows.
     * `maxPayloadBytes` bounds per-record memory: longer payloads keep
@@ -221,7 +227,10 @@ object Warc {
     * frames, one per record (no shared dictionary); `codec = "none"`
     * writes plain uncompressed `.warc` (record offsets are then raw
     * byte offsets — local/debug dumps, or stores that compress at
-    * rest). Record IDs are
+    * rest). `warcinfo = true` opens every shard with a `warcinfo`
+    * record (the crawl convention; [[warcinfoRecordBytes]] — readers
+    * see it as a `warc_type = 'warcinfo'` row, cdx sidecars skip it).
+    * Record IDs are
     * deterministic (`<urn:graft:<64-bit FNV of uri>>`) so a write→read
     * round-trip is value-stable end to end; `warcDate` is the mandatory
     * WARC-Date header for every record (a crawl timestamp column can be
@@ -240,7 +249,8 @@ object Warc {
       overwrite: Boolean = false,
       contentTypeCol: Option[String] = None,
       codec: String = "gzip",
-      index: Boolean = false
+      index: Boolean = false,
+      warcinfo: Boolean = false
   ): Unit = {
     // per-record HTTP Content-Type when a column is given (a crawl body's
     // charset is per-page); rows with a null value fall back to the
@@ -280,7 +290,11 @@ object Warc {
           prefix + s""","offset":"$off","length":"$len","filename":"${jsonEsc(fn)}"}"""
       }
     writeShardedRecords(projected, outDir, codec, maxRecordsPerShard,
-      overwrite, "writeWarcResponses", indexFor) { r =>
+      overwrite, "writeWarcResponses", indexFor,
+      leadRecord =
+        if (warcinfo) Some((pid, shard) =>
+          warcinfoRecordBytes(warcDate, pid, shard))
+        else None) { r =>
       val uri = r.getString(0)
       if (uri == null) throw new IllegalArgumentException(
         "writeWarcResponses: null uri — WARC-Target-URI is mandatory " +
@@ -632,6 +646,26 @@ object Warc {
         responseRecordBytes(uri, body, ct, digest, warcDate)
       }
     }
+  }
+
+  /** One `warcinfo` record's bytes — the shard-head record the crawl
+    * convention opens every archive file with (`application/warc-fields`
+    * content, WARC-1.0 annex shape). Deterministic record id from
+    * (partition, shard); `WARC-Filename` is omitted (only known at
+    * commit rename — an optional header).
+    */
+  private[sources] def warcinfoRecordBytes(
+      warcDate: String, pid: Int, shard: Int): Array[Byte] = {
+    val fields = ("software: graft\r\n" +
+      "format: WARC file version 1.0\r\n").getBytes("UTF-8")
+    val header =
+      ("WARC/1.0\r\n" +
+        "WARC-Type: warcinfo\r\n" +
+        f"WARC-Record-ID: <urn:graft:warcinfo:p$pid%05d-$shard%04d>\r\n" +
+        s"WARC-Date: $warcDate\r\n" +
+        "Content-Type: application/warc-fields\r\n" +
+        s"Content-Length: ${fields.length}\r\n\r\n").getBytes("UTF-8")
+    header ++ fields ++ "\r\n\r\n".getBytes("UTF-8")
   }
 
   /** `sha1:`-less base32 SHA-1 of a binary (or string) column — the crawl
@@ -1422,7 +1456,14 @@ object Warc {
       // offset/length at write time (FSDataOutputStream.getPos brackets
       // the member, dictionary frames included in the arithmetic because
       // they too go through `out`), the shard name at close time
-      indexFor: Option[org.apache.spark.sql.Row => (Long, Long, String) => String] = None
+      indexFor: Option[org.apache.spark.sql.Row => (Long, Long, String) => String] = None,
+      // optional per-shard LEAD record (the warcinfo convention — real
+      // crawls open every shard with one): called with (partitionId,
+      // shardNo), written as the shard's first member (for zstd-dict it
+      // joins the dictionary-training buffer, so the dictionary frame
+      // stays LEADING as the readers require). Not counted against
+      // maxRecordsPerShard; no sidecar line (cdx indexers skip warcinfo)
+      leadRecord: Option[(Int, Int) => Array[Byte]] = None
   )(mkRecord: org.apache.spark.sql.Row => Array[Byte]): Unit = {
     require(maxRecordsPerShard > 0, "maxRecordsPerShard must be positive")
     require(codec == "gzip" || codec == "zstd" || codec == "zstd-dict" ||
@@ -1563,7 +1604,16 @@ object Warc {
           pending.clear()
           dictDone = true
         }
+        // the shard's lead (warcinfo) member: immediate for plain codecs,
+        // into the training buffer under zstd-dict so the dictionary
+        // frame stays leading
+        def lead(): Unit = leadRecord.foreach { f =>
+          val bytes = f(pid, shardNo)
+          if (!dictDone) pending += ((bytes, null))
+          else writeMember(bytes, null)
+        }
         open()
+        lead()
         rows.foreach { r =>
           if (inShard >= maxRecordsPerShard) {
             if (!dictDone) flushPending()
@@ -1572,6 +1622,7 @@ object Warc {
               if (dictC != null) { dictC.close(); dictC = null }
               dict = null; dictDone = false
             }
+            lead()
           }
           val record = mkRecord(r)
           val mkLine: (Long, Long, String) => String =
@@ -1886,8 +1937,8 @@ object Warc {
     val recCt = headers.get("content-type")
     val isHttp = recCt.exists(_.toLowerCase(java.util.Locale.ROOT)
       .startsWith("application/http"))
-    val (status, httpCt, payload) =
-      if (isHttp) parseHttp(block) else (None, None, block)
+    val (status, httpCt, payload, httpHeaders) =
+      if (isHttp) parseHttp(block) else (None, None, block, None)
     Some(WarcRow(
       warc_file = path,
       record_index = 0, // filled by parseFile
@@ -1903,15 +1954,21 @@ object Warc {
       truncated = truncated,
       payload_digest = headers.get("warc-payload-digest"),
       refers_to = headers.get("warc-refers-to"),
-      warc_profile = headers.get("warc-profile")))
+      warc_profile = headers.get("warc-profile"),
+      http_headers = httpHeaders))
   }
 
-  /** Split an HTTP/1.x message block into (status, content-type, body).
-    * Lenient: a block that does not look like HTTP comes back whole as the
-    * body (a truncated-capture guard — CommonCrawl contains such records).
+  /** Split an HTTP/1.x message block into (status, content-type, body,
+    * full header map). Lenient: a block that does not look like HTTP
+    * comes back whole as the body with no header map (a
+    * truncated-capture guard — CommonCrawl contains such records).
+    * Header names keep their original casing (first occurrence wins the
+    * spelling); repeated fields comma-join their values per RFC 9110
+    * §5.2; continuation lines (obs-fold) append to the previous field.
     */
   private[sources] def parseHttp(
-      block: Array[Byte]): (Option[Int], Option[String], Array[Byte]) = {
+      block: Array[Byte]): (Option[Int], Option[String], Array[Byte],
+        Option[Map[String, String]]) = {
     // find the CRLFCRLF (or LFLF) header/body boundary
     var i = 0
     var bodyAt = -1
@@ -1924,20 +1981,41 @@ object Warc {
       }
       i += 1
     }
-    if (bodyAt < 0) return (None, None, block)
+    if (bodyAt < 0) return (None, None, block, None)
     val head = new String(block, 0, bodyAt, "UTF-8")
     val lines = head.split("\r?\n")
-    if (lines.isEmpty || !lines(0).startsWith("HTTP/")) return (None, None, block)
+    if (lines.isEmpty || !lines(0).startsWith("HTTP/"))
+      return (None, None, block, None)
     val status = lines(0).split(" ", 3) match {
       case parts if parts.length >= 2 && parts(1).forall(_.isDigit) &&
         parts(1).nonEmpty => Some(parts(1).toInt)
       case _ => None
     }
-    val ct = lines.drop(1).collectFirst {
-      case l if l.toLowerCase(java.util.Locale.ROOT).startsWith("content-type:") =>
-        l.substring("content-type:".length).trim
+    // full header map: first-seen casing, repeats comma-joined (RFC 9110
+    // §5.2), obs-fold continuations appended; keyed case-insensitively
+    val byLower = scala.collection.mutable.LinkedHashMap.empty[String, (String, String)]
+    var lastLower: String = null
+    lines.iterator.drop(1).filter(_.nonEmpty).foreach { l =>
+      if ((l.charAt(0) == ' ' || l.charAt(0) == '\t') && lastLower != null) {
+        val (n, v) = byLower(lastLower)
+        byLower(lastLower) = (n, v + " " + l.trim)
+      } else {
+        val at = l.indexOf(':')
+        if (at > 0) {
+          val name = l.substring(0, at).trim
+          val value = l.substring(at + 1).trim
+          val lower = name.toLowerCase(java.util.Locale.ROOT)
+          byLower.get(lower) match {
+            case Some((n, v)) => byLower(lower) = (n, v + ", " + value)
+            case None         => byLower(lower) = (name, value)
+          }
+          lastLower = lower
+        }
+      }
     }
-    (status, ct, java.util.Arrays.copyOfRange(block, bodyAt, block.length))
+    val ct = byLower.get("content-type").map(_._2)
+    (status, ct, java.util.Arrays.copyOfRange(block, bodyAt, block.length),
+      Some(byLower.valuesIterator.map { case (n, v) => n -> v }.toMap))
   }
 }
 

@@ -97,7 +97,10 @@ object Wat {
     * [[watEnvelope]] JSON as the content block, `WARC-Refers-To` linking
     * to the response record [[Warc.writeWarcResponses]] would write for
     * the same uri. `headersCol` optionally names a `map<string,string>`
-    * column rendered as the envelope's HTTP `Headers`; `containerCol` a
+    * column rendered as the envelope's HTTP `Headers` — a
+    * [[Warc.readWarc]] frame's `http_headers` column feeds it directly,
+    * so WAT generation from a real crawl replays the ORIGINAL server
+    * headers without re-parsing payloads; `containerCol` a
     * prepared `struct<Filename,Offset,Length>` column rendered as the
     * top-level `Container` ([[writeWarcWithWat]] builds it from the
     * response write's sidecar). Same shard layout, codecs and commit

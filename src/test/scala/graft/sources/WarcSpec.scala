@@ -414,6 +414,48 @@ class WarcSpec extends SparkTestBase {
       != Warc.sha1Base32(Array.emptyByteArray))
   }
 
+  test("warcinfo = true opens every shard with a warcinfo record (gzip " +
+    "and zstd-dict — the dictionary frame stays leading for ranged reads)") {
+    for (codec <- Seq("gzip", "zstd-dict")) {
+      val dir = tmpDir()
+      val docs = (0 until 80).map(i =>
+        (s"https://wi.test/d/$i", s"wi body $i " + ("pad " * (i % 5))))
+        .toDF("uri", "body")
+      Warc.writeWarcResponses(docs.repartition(2), dir, "uri", "body",
+        codec = codec, maxRecordsPerShard = 25, warcinfo = true,
+        index = true)
+      val back = Warc.readWarc(spark, dir)
+      val infos = back.filter(col("warc_type") === "warcinfo")
+      // one per shard; shards = per-partition ceil(rows/25) >= 4 total
+      val nShards = new java.io.File(dir).listFiles()
+        .count(f => f.getName.startsWith("part-") &&
+          f.getName.contains(".warc"))
+      assert(infos.count() == nShards, codec)
+      // first record of every file, warc-fields content
+      val firsts = back.filter(col("record_index") === 0).collect()
+      assert(firsts.forall(_.getAs[String]("warc_type") == "warcinfo"), codec)
+      val one = infos.collect().head
+      assert(one.getAs[String]("content_type") == "application/warc-fields")
+      assert(new String(one.getAs[Array[Byte]]("payload"), "UTF-8")
+        .contains("format: WARC file version 1.0"), codec)
+      assert(back.filter(col("warc_type") === "response").count() == 80, codec)
+      // sidecar skips warcinfo, and ranged fetch through the sidecar
+      // still decodes mid-file members (dict frame must lead the shard)
+      val side = Cdx.readCdxj(spark, dir, glob = Some("*.cdxj"))
+      assert(side.count() == 80, codec)
+      val plan = Cdx.fetchPlan(side.filter(col("url").endsWith("7")),
+        gapBytes = 0L)
+      val got = Warc.readWarcRanges(spark, dir, plan)
+        .filter(col("warc_type") === "response")
+        .select(col("target_uri"), col("payload").cast("string"))
+        .as[(String, String)].collect().toMap
+      (7 until 80 by 10).foreach { i =>
+        assert(got(s"https://wi.test/d/$i")
+          == s"wi body $i " + ("pad " * (i % 5)), codec)
+      }
+    }
+  }
+
   test("gzipMembers: truncated headers fail loudly, not with an index " +
     "error") {
     // FNAME flag set but the name (and everything after) cut off
@@ -661,9 +703,36 @@ class WarcSpec extends SparkTestBase {
   }
 
   test("http block without a header/body boundary comes back whole") {
-    val (st, ct, body) = Warc.parseHttp("not an http message".getBytes("UTF-8"))
-    assert(st.isEmpty && ct.isEmpty)
+    val (st, ct, body, hdrs) =
+      Warc.parseHttp("not an http message".getBytes("UTF-8"))
+    assert(st.isEmpty && ct.isEmpty && hdrs.isEmpty)
     assert(new String(body, "UTF-8") == "not an http message")
+  }
+
+  test("parseHttp full header map: original casing, repeats comma-joined, " +
+    "obs-fold continuations appended; readWarc surfaces it") {
+    val msg = ("HTTP/1.1 200 OK\r\n" +
+      "Content-Type: text/html\r\n" +
+      "Set-Cookie: a=1\r\n" +
+      "Set-Cookie: b=2\r\n" +
+      "X-Folded: start\r\n continued\r\n" +
+      "\r\nBODY").getBytes("UTF-8")
+    val (st, ct, body, hdrs) = Warc.parseHttp(msg)
+    assert(st.contains(200) && ct.contains("text/html"))
+    assert(new String(body, "UTF-8") == "BODY")
+    val h = hdrs.get
+    assert(h("Content-Type") == "text/html")
+    assert(h("Set-Cookie") == "a=1, b=2")
+    assert(h("X-Folded") == "start continued")
+    // end to end: the map rides the readWarc frame
+    val dir = tmpDir()
+    Warc.writeWarcResponses(
+      Seq(("https://h.test/p", "pay")).toDF("uri", "body"),
+      dir, "uri", "body", httpContentType = "text/plain; charset=UTF-8")
+    val row = Warc.readWarc(spark, dir).collect().head
+    val m = row.getAs[Map[String, String]]("http_headers")
+    assert(m("Content-Type") == "text/plain; charset=UTF-8")
+    assert(m.contains("Content-Length"))
   }
 
   test("garbage between records fails loudly, missing Content-Length too") {
