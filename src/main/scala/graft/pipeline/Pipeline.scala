@@ -294,15 +294,20 @@ object Pipeline {
     cfg.get("sink").foreach { s =>
       val sm = asMap(s, "sink")
       // WARC response-record sink: {format: warc, path, uri: col,
-      // body: col, mode?: overwrite|errorifexists} — one .warc.gz per
-      // task via Warc.writeWarcResponses (not a DataFrameWriter format)
+      // body: col, mode?: overwrite|errorifexists, codec?:
+      // gzip|zstd|zstd-dict|none, warcinfo?: true} — one shard per task
+      // via Warc.writeWarcResponses (not a DataFrameWriter format);
+      // warcinfo: true opens every shard with the conventional
+      // warcinfo record
       if (sm.get("format").exists(_.toString == "warc")) {
         val unsupported = sm.keySet --
-          Set("format", "path", "uri", "body", "mode", "codec", "contentType")
+          Set("format", "path", "uri", "body", "mode", "codec",
+            "contentType", "warcinfo")
         if (unsupported.nonEmpty)
           throw new IllegalArgumentException(
             s"warc sink supports format/path/uri/body/mode/codec/" +
-              s"contentType; remove: " + unsupported.toSeq.sorted.mkString(", "))
+              s"contentType/warcinfo; remove: " +
+              unsupported.toSeq.sorted.mkString(", "))
         graft.sources.Warc.writeWarcResponses(out,
           sm.getOrElse("path", throw new IllegalArgumentException(
             "warc sink needs a 'path'")).toString,
@@ -310,7 +315,8 @@ object Pipeline {
           bodyCol = sm.getOrElse("body", "body").toString,
           overwrite = sm.getOrElse("mode", "overwrite").toString == "overwrite",
           contentTypeCol = sm.get("contentType").map(_.toString),
-          codec = sm.getOrElse("codec", "gzip").toString)
+          codec = sm.getOrElse("codec", "gzip").toString,
+          warcinfo = sm.get("warcinfo").exists(_.toString.toBoolean))
       } else if (sm.get("format").exists(_.toString == "wat")) {
         // WAT metadata sink (Wat.writeWat): one metadata record per row
         // with the links/title envelope JSON — the link-graph artifact
@@ -1240,17 +1246,23 @@ object Pipeline {
           graft.ops.WebText.extractMainContent(col(src), rules))
 
       case "langId" =>
-        // {text: col, as: out (default 'lang'), maxLangs: k?} — the
-        // 28-language token+script classifier (graft.ops.expr.LangModel);
-        // codegen'd, map-only. maxLangs > 1 emits up to k comma-joined
-        // codes, primary first — the cc-index `languages` shape indexWarc
-        // writes, so config-only curation matches the indexer's column.
-        // Compose with `filter` for language gating.
+        // {text: col, as: out (default 'lang'), maxLangs: k?, iso3: bool?}
+        // — the 28-language token+script classifier
+        // (graft.ops.expr.LangModel); codegen'd, map-only. maxLangs > 1
+        // emits up to k comma-joined codes, primary first — the cc-index
+        // `languages` shape indexWarc writes, so config-only curation
+        // matches the indexer's column; iso3: true re-spells the codes as
+        // ISO 639-3 (the PUBLISHED index's spelling — join-ready against
+        // the real artifact). Compose with `filter` for language gating.
         val li = asMap(step("langId"), "langId")
         val kLangs = li.get("maxLangs").map(_.toString.toInt).getOrElse(1)
-        df.withColumn(li.getOrElse("as", "lang").toString,
+        val raw =
           if (kLangs == 1) graft.ops.TextStats.langId(col(li("text").toString))
-          else graft.ops.TextStats.langId(col(li("text").toString), kLangs))
+          else graft.ops.TextStats.langId(col(li("text").toString), kLangs)
+        df.withColumn(li.getOrElse("as", "lang").toString,
+          if (li.get("iso3").exists(_.toString.toBoolean))
+            graft.ops.TextStats.toIso639_3(raw)
+          else raw)
 
       case "normalizeUnicode" =>
         // {text: col, form: NFC|NFD|NFKC|NFKD (default NFC), as: out

@@ -791,6 +791,17 @@ class PipelineSpec extends SparkTestBase {
         (2L, "и в не на я что он с это как по но его к у из за то все она")
       ).toDF("doc_id", "text"))
     assert(out.select("doc_id").as[Long].collect().toSeq == Seq(1L))
+    // maxLangs + iso3 keys: the multi-code form, re-spelled as the
+    // published cc-index 639-3 codes
+    val iso = Pipeline.run(spark,
+      """source: docs
+        |steps:
+        |  - langId: {text: text, as: langs, maxLangs: 3, iso3: true}
+        |""".stripMargin,
+      (_: String) => Seq(
+        (1L, "the data is in the table and it is good for the most part"))
+        .toDF("doc_id", "text"))
+    assert(iso.select("langs").as[String].head() == "eng")
     // stopword thresholds flow through: 0/0 = the no-stoplist mode, a
     // stopword-free long paragraph classifies good by length alone
     val salad = Seq.tabulate(40)(i => s"w${('a' + i % 26).toChar}ord").mkString(" ")

@@ -786,6 +786,21 @@ class WarcSpec extends SparkTestBase {
       .select(col("target_uri"), col("payload").cast("string"))
       .as[(String, String)].collect().toSet
     assert(back == Set(("https://x/1", "alpha"), ("https://x/2", "beta")))
+    // warcinfo: true flows through the sink to the shard-head record
+    graft.pipeline.Pipeline.run(spark,
+      s"""source: docs
+         |steps:
+         |  - select:
+         |      uri: "f'https://x/{$$doc_id}'"
+         |      body: $$text
+         |sink: {format: warc, path: "$dir/wi", uri: uri, body: body,
+         |  warcinfo: true}
+         |""".stripMargin,
+      name => docs)
+    val types = Warc.readWarc(spark, s"$dir/wi")
+      .select(col("warc_type")).as[String].collect()
+    assert(types.count(_ == "warcinfo") >= 1 &&
+      types.count(_ == "response") == 2)
     intercept[IllegalArgumentException] {
       graft.pipeline.Pipeline.run(spark,
         s"""source: docs
