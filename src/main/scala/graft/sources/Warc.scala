@@ -75,19 +75,24 @@ object Warc {
   /** Read a directory of `.warc` / `.warc.gz` files as record rows.
     * `maxPayloadBytes` bounds per-record memory: longer payloads keep
     * their prefix and set `truncated` (64 MiB default — far above any
-    * honest HTML page, below a pathological dump).
+    * honest HTML page, below a pathological dump). `parseHeaders = false`
+    * skips building the full `http_headers` map (the column reads null) —
+    * the knob for hot read paths that only consume payload/status, where
+    * a per-record map is pure allocation.
     */
   def readWarc(
       s: SparkSession,
       path: String,
-      maxPayloadBytes: Int = 64 << 20
+      maxPayloadBytes: Int = 64 << 20,
+      parseHeaders: Boolean = true
   ): DataFrame = {
     import s.implicits._
     val bin = s.read.format("binaryFile")
       .option("pathGlobFilter", "*.warc*").load(path)
       .select(col("path"), col("content")).as[(String, Array[Byte])]
     bin.mapPartitions { files =>
-      files.flatMap { case (p, bytes) => parseFile(p, bytes, maxPayloadBytes) }
+      files.flatMap { case (p, bytes) =>
+        parseFile(p, bytes, maxPayloadBytes, parseHeaders) }
     }.toDF()
   }
 
@@ -99,7 +104,8 @@ object Warc {
       s: SparkSession,
       path: String,
       maxPayloadBytes: Int = 64 << 20,
-      maxFilesPerTrigger: Int = 0
+      maxFilesPerTrigger: Int = 0,
+      parseHeaders: Boolean = true
   ): DataFrame = {
     import s.implicits._
     val r = s.readStream.format("binaryFile")
@@ -114,7 +120,8 @@ object Warc {
                else r).load(path)
       .select(col("path"), col("content")).as[(String, Array[Byte])]
     bin.mapPartitions { files =>
-      files.flatMap { case (p, bytes) => parseFile(p, bytes, maxPayloadBytes) }
+      files.flatMap { case (p, bytes) =>
+        parseFile(p, bytes, maxPayloadBytes, parseHeaders) }
     }.toDF()
   }
 
@@ -148,7 +155,8 @@ object Warc {
       dir: String,
       plan: DataFrame,
       maxPayloadBytes: Int = 64 << 20,
-      maxRangeBytes: Long = 1L << 30
+      maxRangeBytes: Long = 1L << 30,
+      parseHeaders: Boolean = true
   ): DataFrame = {
     import s.implicits._
     val conf = new SerializableConfiguration(
@@ -180,7 +188,7 @@ object Warc {
             in.readFully(buf, 0, len)
             if (head.isEmpty) buf else head ++ buf
           } finally in.close()
-        parseFile(s"$p@$start", bytes, maxPayloadBytes)
+        parseFile(s"$p@$start", bytes, maxPayloadBytes, parseHeaders)
       }
     }.toDF()
   }
@@ -398,9 +406,14 @@ object Warc {
     * built only from responses a stub actually NAMES (a semi-join against
     * the revisits' distinct non-null refers-to values, revisit-count
     * sized, prunes the build before any payload moves; with zero
-    * refers-to stubs the branch is empty and costs nothing) — so a stub
-    * whose `WARC-Refers-To` names a specific same-digest original
-    * resolves to THAT record. Stubs without a refers-to match (header
+    * refers-to stubs AQE collapses the branch to empty, so no payload
+    * ever crosses an exchange for it) — so a stub whose `WARC-Refers-To`
+    * names a specific same-digest original resolves to THAT record.
+    * NOTE the resolution graph references the INPUT frame five times
+    * (originals, refers-to keys, the named-response build, revisits,
+    * passthrough); columnar sources prune each branch to its columns,
+    * but a [[readWarc]]-backed frame re-parses the archive per branch —
+    * cache or checkpoint it first when the archive is large. Stubs without a refers-to match (header
     * absent, or naming a record outside the frame) fall back to the
     * digest REPRESENTATIVE: the originals side collapses to one row per
     * digest (`min_by` over (file, index) — deterministic, and
@@ -1153,8 +1166,10 @@ object Warc {
         val recs =
           try {
             var idx = -1
+            // parseHeaders = false: the index pass never reads the map
             Iterator.continually(
-              parseRecord(s"$path@$start", bridge, maxPayloadBytes))
+              parseRecord(s"$path@$start", bridge, maxPayloadBytes,
+                parseHeaders = false))
               .takeWhile(_.isDefined)
               .map { r => idx += 1; r.get.copy(record_index = idx) }
               .toIndexedSeq
@@ -1205,7 +1220,8 @@ object Warc {
         pending = null
         if (skipCrlf()) {
           val start = src.pos
-          parseRecord(path, in, maxPayloadBytes) match {
+          // parseHeaders = false: the index pass never reads the map
+          parseRecord(path, in, maxPayloadBytes, parseHeaders = false) match {
             case Some(r) =>
               // the record's trailing two CRLFs belong to its extent (the
               // same framing the compressed members carry them in)
@@ -1339,8 +1355,10 @@ object Warc {
         val recs =
           try {
             var idx = -1
+            // parseHeaders = false: the index pass never reads the map
             Iterator.continually(
-              parseRecord(s"$path@$start", z, maxPayloadBytes))
+              parseRecord(s"$path@$start", z, maxPayloadBytes,
+                parseHeaders = false))
               .takeWhile(_.isDefined)
               .map { r => idx += 1; r.get.copy(record_index = idx) }
               .toIndexedSeq
@@ -1767,7 +1785,8 @@ object Warc {
   private[sources] def parseFile(
       path: String,
       bytes: Array[Byte],
-      maxPayloadBytes: Int
+      maxPayloadBytes: Int,
+      parseHeaders: Boolean = true
   ): Iterator[WarcRow] = {
     val raw = new ByteArrayInputStream(bytes)
     val in: InputStream =
@@ -1822,7 +1841,7 @@ object Warc {
         z
       } else raw
     var idx = -1
-    Iterator.continually(parseRecord(path, in, maxPayloadBytes))
+    Iterator.continually(parseRecord(path, in, maxPayloadBytes, parseHeaders))
       .takeWhile(_.isDefined)
       .map { r => idx += 1; r.get.copy(record_index = idx) }
   }
@@ -1885,7 +1904,8 @@ object Warc {
   private def parseRecord(
       path: String,
       in: InputStream,
-      maxPayloadBytes: Int
+      maxPayloadBytes: Int,
+      parseHeaders: Boolean = true
   ): Option[WarcRow] = {
     // seek the version line across inter-record padding
     var version: Option[String] = None
@@ -1938,7 +1958,7 @@ object Warc {
     val isHttp = recCt.exists(_.toLowerCase(java.util.Locale.ROOT)
       .startsWith("application/http"))
     val (status, httpCt, payload, httpHeaders) =
-      if (isHttp) parseHttp(block) else (None, None, block, None)
+      if (isHttp) parseHttp(block, parseHeaders) else (None, None, block, None)
     Some(WarcRow(
       warc_file = path,
       record_index = 0, // filled by parseFile
@@ -1967,8 +1987,9 @@ object Warc {
     * §5.2; continuation lines (obs-fold) append to the previous field.
     */
   private[sources] def parseHttp(
-      block: Array[Byte]): (Option[Int], Option[String], Array[Byte],
-        Option[Map[String, String]]) = {
+      block: Array[Byte],
+      wantHeaders: Boolean = true): (Option[Int], Option[String],
+        Array[Byte], Option[Map[String, String]]) = {
     // find the CRLFCRLF (or LFLF) header/body boundary
     var i = 0
     var bodyAt = -1
@@ -1991,31 +2012,50 @@ object Warc {
         parts(1).nonEmpty => Some(parts(1).toInt)
       case _ => None
     }
-    // full header map: first-seen casing, repeats comma-joined (RFC 9110
-    // §5.2), obs-fold continuations appended; keyed case-insensitively
-    val byLower = scala.collection.mutable.LinkedHashMap.empty[String, (String, String)]
+    // http_content_type is the FIRST Content-Type value — duplicated
+    // headers are common in real crawls, and a joined value would corrupt
+    // every derived mime field (indexWarc's `mime`, charset sniffs)
+    var firstCt: String = null
+    var ctOpen = false // last field line was the first Content-Type
+    val byLower =
+      if (wantHeaders)
+        scala.collection.mutable.LinkedHashMap.empty[String, (String, String)]
+      else null
     var lastLower: String = null
     lines.iterator.drop(1).filter(_.nonEmpty).foreach { l =>
       if ((l.charAt(0) == ' ' || l.charAt(0) == '\t') && lastLower != null) {
-        val (n, v) = byLower(lastLower)
-        byLower(lastLower) = (n, v + " " + l.trim)
+        if (ctOpen) firstCt = firstCt + " " + l.trim
+        if (byLower != null) {
+          val (n, v) = byLower(lastLower)
+          byLower(lastLower) = (n, v + " " + l.trim)
+        }
       } else {
         val at = l.indexOf(':')
         if (at > 0) {
           val name = l.substring(0, at).trim
           val value = l.substring(at + 1).trim
           val lower = name.toLowerCase(java.util.Locale.ROOT)
-          byLower.get(lower) match {
-            case Some((n, v)) => byLower(lower) = (n, v + ", " + value)
-            case None         => byLower(lower) = (name, value)
+          ctOpen = lower == "content-type" && firstCt == null
+          if (ctOpen) firstCt = value
+          if (byLower != null) byLower.get(lower) match {
+            case Some((n, v)) =>
+              // repeats: comma-joined per RFC 9110 §5.2 — EXCEPT
+              // Set-Cookie, which RFC 6265 §3 forbids folding (its values
+              // legally contain commas); newline-joined instead, a byte
+              // that cannot appear inside a header value, so consumers
+              // split losslessly
+              val sep = if (lower == "set-cookie") "\n" else ", "
+              byLower(lower) = (n, v + sep + value)
+            case None => byLower(lower) = (name, value)
           }
           lastLower = lower
-        }
+        } else ctOpen = false
       }
     }
-    val ct = byLower.get("content-type").map(_._2)
-    (status, ct, java.util.Arrays.copyOfRange(block, bodyAt, block.length),
-      Some(byLower.valuesIterator.map { case (n, v) => n -> v }.toMap))
+    (status, Option(firstCt),
+      java.util.Arrays.copyOfRange(block, bodyAt, block.length),
+      if (byLower == null) None
+      else Some(byLower.valuesIterator.map { case (n, v) => n -> v }.toMap))
   }
 }
 

@@ -713,17 +713,29 @@ class WarcSpec extends SparkTestBase {
     "obs-fold continuations appended; readWarc surfaces it") {
     val msg = ("HTTP/1.1 200 OK\r\n" +
       "Content-Type: text/html\r\n" +
-      "Set-Cookie: a=1\r\n" +
+      "Content-Type: text/plain\r\n" + // duplicated CT: first value wins
+      "Set-Cookie: a=1; Expires=Wed, 21 Oct 2026 07:28:00 GMT\r\n" +
       "Set-Cookie: b=2\r\n" +
+      "X-Repeat: u\r\n" +
+      "X-Repeat: v\r\n" +
       "X-Folded: start\r\n continued\r\n" +
       "\r\nBODY").getBytes("UTF-8")
     val (st, ct, body, hdrs) = Warc.parseHttp(msg)
+    // http_content_type is the FIRST Content-Type — a joined value would
+    // corrupt every derived mime field
     assert(st.contains(200) && ct.contains("text/html"))
     assert(new String(body, "UTF-8") == "BODY")
     val h = hdrs.get
-    assert(h("Content-Type") == "text/html")
-    assert(h("Set-Cookie") == "a=1, b=2")
+    assert(h("Content-Type") == "text/html, text/plain") // map keeps both
+    // Set-Cookie never comma-joins (RFC 6265 — its values hold commas);
+    // newline-joined so consumers split losslessly
+    assert(h("Set-Cookie")
+      == "a=1; Expires=Wed, 21 Oct 2026 07:28:00 GMT\nb=2")
+    assert(h("X-Repeat") == "u, v")
     assert(h("X-Folded") == "start continued")
+    // parseHeaders = false: same scalars, no map
+    val (st2, ct2, _, none) = Warc.parseHttp(msg, wantHeaders = false)
+    assert(st2 == st && ct2 == ct && none.isEmpty)
     // end to end: the map rides the readWarc frame
     val dir = tmpDir()
     Warc.writeWarcResponses(
