@@ -3331,6 +3331,29 @@ object SparkEntry {
           col("__l.text").as("link_text"),
           col("__l.title").as("link_title"))
     }),
+    // warcinfo shard-head records (writeWarcResponses(warcinfo = true)):
+    // one partition, 100 records at 40/shard → exactly 3 shards, each
+    // opening with a warcinfo record (application/warc-fields content,
+    // readers surface warc_type = 'warcinfo'); responses unaffected. The
+    // oracle states the per-type counts and the info records' shape.
+    "q88f_warcinfo" -> ((s, dir) => {
+      val fixture = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft_warcinfo_" +
+          java.lang.Long.toHexString(dir.hashCode.toLong & 0xffffffffL) +
+          "_" + ProcessHandle.current().pid())
+      val arc = new java.io.File(fixture, "arc").getPath
+      val src = s.range(0, 100).select(
+        concat(lit("https://wi.test/p/"), col("id").cast("string")).as("uri"),
+        concat(lit("body "), col("id").cast("string")).as("body"))
+      graft.sources.Warc.writeWarcResponses(
+        src.coalesce(1), arc, "uri", "body",
+        overwrite = true, maxRecordsPerShard = 40, warcinfo = true)
+      graft.sources.Warc.readWarc(s, arc)
+        .groupBy(col("warc_type"), col("content_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("record_index") === 0, 1).otherwise(0))
+            .as("shard_heads"))
+    }),
     // WAT from a REAL crawl's headers (readWarc → writeWat): the archive
     // is read back, and the envelope's HTTP Headers come from the
     // reader's full http_headers map — the original server headers ride
@@ -5880,6 +5903,13 @@ object SparkEntry {
         |         || '</title></head><body><a href="/n/'
         |         || CAST((i % 5) AS VARCHAR) || '">n</a></body></html>' AS body
         |FROM (SELECT range AS i FROM range(0, 150))""".stripMargin,
+    "q88f_warcinfo" ->
+      """SELECT * FROM (VALUES
+        |  ('warcinfo', 'application/warc-fields',
+        |   CAST(3 AS BIGINT), CAST(3 AS BIGINT)),
+        |  ('response', 'application/http; msgtype=response',
+        |   CAST(100 AS BIGINT), CAST(0 AS BIGINT))
+        |) AS t(warc_type, content_type, n, shard_heads)""".stripMargin,
     "q110c_wat_headers_from_warc" ->
       """SELECT 'https://wh.test/p/' || CAST(i AS VARCHAR) AS target_uri,
         |       'H' || CAST(i AS VARCHAR) AS title,

@@ -195,15 +195,22 @@ object Pipeline {
           //   legacy-encoded, and a blind UTF-8 cast mojibakes it).
           //   Column-pruned away when no step reads it.
           case "warc" =>
+            // parseHeaders (default true): false skips the per-record
+            // http_headers map for hot pipelines that only read
+            // payload/status
             val unsupported =
-              sm.keySet -- Set("format", "path", "maxPayloadBytes", "text")
+              sm.keySet -- Set("format", "path", "maxPayloadBytes", "text",
+                "parseHeaders")
             if (unsupported.nonEmpty)
               throw new IllegalArgumentException(
                 s"warc source supports 'format', 'path', 'maxPayloadBytes', " +
-                  s"'text'; remove: " + unsupported.toSeq.sorted.mkString(", "))
+                  s"'text', 'parseHeaders'; remove: " +
+                  unsupported.toSeq.sorted.mkString(", "))
             val raw = graft.sources.Warc.readWarc(spark, path,
               maxPayloadBytes = sm.get("maxPayloadBytes")
-                .map(_.toString.toInt).getOrElse(64 << 20))
+                .map(_.toString.toInt).getOrElse(64 << 20),
+              parseHeaders = sm.get("parseHeaders")
+                .forall(_.toString.toBoolean))
             if (sm.get("text").forall(_.toString.toBoolean))
               raw.withColumn("text", graft.ops.WebText.payloadText(
                 col("payload"), col("http_content_type")))

@@ -324,6 +324,16 @@ class WarcSpec extends SparkTestBase {
       .collect()
     assert(r.length == 1 && r.head.getString(0) == "the payload" &&
       r.head.getString(1) != null)
+    // parseHeaders: false flows through the source — http_headers null
+    val noHdr = graft.pipeline.Pipeline.run(spark,
+      s"""source: {format: warc, path: "$parent/c1", parseHeaders: false}
+         |""".stripMargin, _ => fail("no table resolve expected"))
+    assert(noHdr.select("http_headers").collect().forall(_.isNullAt(0)))
+    val withHdr = graft.pipeline.Pipeline.run(spark,
+      s"""source: {format: warc, path: "$parent/c1"}
+         |""".stripMargin, _ => fail("no table resolve expected"))
+    assert(withHdr.select("http_headers").collect()
+      .forall(!_.isNullAt(0)))
   }
 
   test("gzipMembers: FEXTRA/FNAME/FHCRC headers walk correctly; offsets " +
