@@ -115,6 +115,149 @@ object PublishedSamples {
       "Content-Type" -> "application/http; msgtype=response"),
       httpRevisitBlock)
 
+  // ---------------------------------------------------------------------
+  // Coded-payload records (HTTP transfer/content coding): real WARC
+  // response records store the RAW captured message — chunked framing and
+  // gzip content coding included (warcio/pywb undo both before handing
+  // out payload). These four records pin that contract: every STORED byte
+  // is fixed here (the gzip streams are byte literals generated once
+  // outside this library, like the digests), so both the stored-block
+  // digests and the decoded texts are hand-pasted oracle literals.
+
+  /** The chunked transfer-coding example body in the published HTTP spec
+    * lineage's layout (hex chunk sizes, data chunks carrying CRLFs,
+    * last-chunk, blank trailer section). Decodes to [[ChunkedDecoded]].
+    */
+  val ChunkedBody: Array[Byte] =
+    "4\r\nWiki\r\n6\r\npedia \r\nE\r\nin \r\n\r\nchunks.\r\n0\r\n\r\n"
+      .getBytes("ISO-8859-1")
+
+  val ChunkedDecoded: String = "Wikipedia in \r\n\r\nchunks."
+
+  /** base32(SHA-1(ChunkedBody)) — computed once outside this library:
+    * the STORED payload block's digest (the crawl convention), not the
+    * decoded entity's.
+    */
+  val ChunkedStoredDigest: String = "YXT4BYEXT6EGMF5Q3QLCBN52E64SFXS4"
+
+  /** The gzip-coded entity's decoded text (oracle literal). */
+  val GzipText: String =
+    "The quick brown fox jumps over the lazy dog. Plain English prose, " +
+      "stored gzip-coded in the archive, exactly as real captures arrive " +
+      "from the server.\n"
+
+  /** gzip(GzipText) as fixed bytes — generated once outside this library
+    * (mtime 0) and pasted, so the stored block and its digest are
+    * constants, not re-derived by the code under test.
+    */
+  val GzipBodyBytes: Array[Byte] = hexBytes(
+    "1f8b08000000000002ff1dcdc115c2300c03d03b536800e816dc39b08049dd2690c6" +
+      "c14e4adbe931dcf49ebe9eee91f1ee29bcf050f9144cb2e1d9976a909515cdeb4c" +
+      "c78e51e601b74ca9e05ae69c2ca2aa189f614d9447cc47aa9720a34737bf1d6988" +
+      "6975c11b8596779041993202d5d695cd853ac0a4b2fc17c6eaa7c3e90b82f4d361" +
+      "95000000")
+
+  val GzipStoredDigest: String = "2WLFLN4DXAGJKV4HDP2QXUKGZP2YSDY6"
+
+  /** The chunked+gzipped entity's decoded text (oracle literal). */
+  val ChunkedGzipText: String =
+    "Chunked and gzipped together: the transfer coding frames the wire " +
+      "bytes while the content coding compresses the entity, and a " +
+      "reader must undo both in order.\n"
+
+  private val ChunkedGzipInner: Array[Byte] = hexBytes(
+    "1f8b08000000000002ff358dd10dc3200c44ff3bc50d507580fe7612020ea0141b" +
+      "19a3289dbe166a7f4ebe7bb6ef55261f941038217f6aef3e9b64b242fa842b4c03" +
+      "8f9d145152e58c5d43a3b1d05995b05de6f62cf54d2b8cc2466cfff528ad2b8df1" +
+      "3b7152edbaafbe00a590fc739bc330390936b182ca10f5fc71fb02d6e6ebf69e00" +
+      "0000")
+
+  /** The chunked framing AROUND the gzip stream (two data chunks split
+    * at byte 60, then last-chunk) — `Transfer-Encoding: chunked` +
+    * `Content-Encoding: gzip` on one message, the decode-both-in-order
+    * case.
+    */
+  val ChunkedGzipBody: Array[Byte] = {
+    val c1 = ChunkedGzipInner.take(60)
+    val c2 = ChunkedGzipInner.drop(60)
+    s"${c1.length.toHexString.toUpperCase}\r\n".getBytes("ISO-8859-1") ++
+      c1 ++ "\r\n".getBytes("ISO-8859-1") ++
+      s"${c2.length.toHexString.toUpperCase}\r\n".getBytes("ISO-8859-1") ++
+      c2 ++ "\r\n0\r\n\r\n".getBytes("ISO-8859-1")
+  }
+
+  val ChunkedGzipStoredDigest: String = "UPBERXOYSZH3SZMKW5YOABA7LVBDSXNZ"
+
+  /** A body claiming `Content-Encoding: br` — no JDK brotli decoder
+    * exists, so readers must keep the stored bytes verbatim and say so
+    * (`payload_decoded = false`). Deliberately NOT valid brotli.
+    */
+  val BrBody: Array[Byte] =
+    Array[Byte](0x8b.toByte, 0x02, 0x80.toByte) ++
+      "not really brotli".getBytes("ISO-8859-1") ++ Array[Byte](0x03)
+
+  /** base32(SHA-1(BrBody)) — outside-computed; the br record carries NO
+    * WARC-Payload-Digest header, so an indexer must RECOMPUTE over the
+    * stored block and land exactly here.
+    */
+  val BrStoredDigest: String = "XYNO4TIWTAPFNQLBSEEG3AKGT7ZFMVKY"
+
+  private def codedHttpBlock(
+      headers: Seq[String], body: Array[Byte]): Array[Byte] =
+    (("HTTP/1.1 200 OK" +: headers).mkString("", "\r\n", "\r\n") + "\r\n")
+      .getBytes("ISO-8859-1") ++ body
+
+  /** Four response records exercising the captured-coding matrix:
+    * chunked, gzip, chunked+gzip, and unsupported br — one plain `.warc`
+    * file's bytes, every stored byte fixed.
+    */
+  lazy val CodedWarcFile: Array[Byte] =
+    rec("1.0", Seq(
+      "WARC-Type" -> "response",
+      "WARC-Target-URI" -> "http://coded.example/chunked",
+      "WARC-Date" -> "2024-01-02T03:04:05Z",
+      "WARC-Record-ID" -> "<urn:uuid:0a314b11-17c8-4bb5-a2a6-a407e1011001>",
+      "WARC-Payload-Digest" -> s"sha1:$ChunkedStoredDigest",
+      "Content-Type" -> "application/http; msgtype=response"),
+      codedHttpBlock(Seq(
+        "Content-Type: text/plain; charset=UTF-8",
+        "Transfer-Encoding: chunked"), ChunkedBody)) ++
+    rec("1.0", Seq(
+      "WARC-Type" -> "response",
+      "WARC-Target-URI" -> "http://coded.example/gzipped",
+      "WARC-Date" -> "2024-01-02T03:04:05Z",
+      "WARC-Record-ID" -> "<urn:uuid:0a314b11-17c8-4bb5-a2a6-a407e1011002>",
+      "WARC-Payload-Digest" -> s"sha1:$GzipStoredDigest",
+      "Content-Type" -> "application/http; msgtype=response"),
+      codedHttpBlock(Seq(
+        "Content-Type: text/html; charset=UTF-8",
+        "Content-Encoding: gzip"), GzipBodyBytes)) ++
+    rec("1.0", Seq(
+      "WARC-Type" -> "response",
+      "WARC-Target-URI" -> "http://coded.example/both",
+      "WARC-Date" -> "2024-01-02T03:04:05Z",
+      "WARC-Record-ID" -> "<urn:uuid:0a314b11-17c8-4bb5-a2a6-a407e1011003>",
+      "WARC-Payload-Digest" -> s"sha1:$ChunkedGzipStoredDigest",
+      "Content-Type" -> "application/http; msgtype=response"),
+      codedHttpBlock(Seq(
+        "Content-Type: text/html; charset=UTF-8",
+        "Content-Encoding: gzip",
+        "Transfer-Encoding: chunked"), ChunkedGzipBody)) ++
+    rec("1.0", Seq(
+      "WARC-Type" -> "response",
+      "WARC-Target-URI" -> "http://coded.example/brotli",
+      "WARC-Date" -> "2024-01-02T03:04:05Z",
+      "WARC-Record-ID" -> "<urn:uuid:0a314b11-17c8-4bb5-a2a6-a407e1011004>",
+      // no WARC-Payload-Digest: the indexer must recompute over the
+      // STORED block (BrStoredDigest)
+      "Content-Type" -> "application/http; msgtype=response"),
+      codedHttpBlock(Seq(
+        "Content-Type: text/plain",
+        "Content-Encoding: br"), BrBody))
+
+  private def hexBytes(hex: String): Array[Byte] =
+    hex.grouped(2).map(h => Integer.parseInt(h, 16).toByte).toArray
+
   /** Published-layout CDXJ lines (pywb docs sample shape; cc-index server
     * output shape with its extra keys and long crawl-data filenames).
     */
@@ -123,6 +266,25 @@ object PublishedSamples {
     """org,commoncrawl)/faq 20240714031134 {"url": "https://commoncrawl.org/faq", "mime": "text/html", "mime-detected": "text/html", "status": "200", "digest": "UYXVCD72DAPCRXBBKFE6KIZWCY5F3OAY", "length": "9754", "offset": "754067", "filename": "crawl-data/CC-MAIN-2024-30/segments/1720763514759.39/warc/CC-MAIN-20240714031134-20240714061134-00000.warc.gz", "charset": "UTF-8", "languages": "eng"}""",
     """org,commoncrawl)/ 20240722120756 {"url": "https://commoncrawl.org/", "mime": "warc/revisit", "status": "200", "digest": "3I42H3S6NNFQ2MSVX7XZKYAYSCX5QBYJ", "length": "545", "offset": "130171", "filename": "crawl-data/CC-MAIN-2024-30/segments/1720763514759.39/crawldiagnostics/CC-MAIN-20240722115029-20240722145029-00434.warc.gz"}""",
     """com,example)/path?a=1&b=2 20230601000000 {"url": "https://www.example.com/path?b=2&a=1", "mime": "text/html", "status": "301", "redirect": "https://example.com/new", "digest": "AAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAA", "length": "412", "offset": "0", "filename": "redirect.warc.gz"}""")
+
+  /** Cluster-index lines in the published pywb ZipNum layout (the
+    * two-level cc-index entry: a plain-text `cluster.idx` holding one
+    * line per compressed CDXJ block —
+    * `<surt key> <14-digit ts>\t<shard file>\t<offset>\t<length>\t<seq>`
+    * — tab-separated, the block key being the block's FIRST line's
+    * space-joined `<surt> <ts>` prefix, `seq` 1-BASED per the published
+    * convention, consecutive blocks' offsets contiguous within a shard).
+    * Two shard files so per-shard boundary planning is exercised; the
+    * q113 gates pin both the parsed field surface and the hand-computed
+    * candidate-block plan for a prefix query.
+    */
+  val ClusterIdxLines: Seq[String] = Seq(
+    "0,100,22,165)/ 20170417004624\tcdx-00000.gz\t0\t195191\t1",
+    "com,example)/ 20200101000000\tcdx-00000.gz\t195191\t180000\t2",
+    "com,example)/path 20200601120000\tcdx-00000.gz\t375191\t170500\t3",
+    "net,example)/ 20210101000000\tcdx-00000.gz\t545691\t160000\t4",
+    "org,commoncrawl)/ 20240101000000\tcdx-00001.gz\t0\t150000\t1",
+    "org,wikipedia)/ 20240201000000\tcdx-00001.gz\t150000\t140000\t2")
 
   /** A WAT envelope in the published iipc layout (Container first,
     * bookkeeping keys, Headers map, rich Links entries).

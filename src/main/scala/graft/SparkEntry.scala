@@ -3331,6 +3331,189 @@ object SparkEntry {
           col("__l.text").as("link_text"),
           col("__l.title").as("link_title"))
     }),
+    // HTTP payload transfer/content decoding (r16 VERDICT top item):
+    // real WARC response records store the RAW captured message —
+    // `Transfer-Encoding: chunked` framing and `Content-Encoding: gzip`
+    // included — and readers must undo both before any text consumer
+    // sees the bytes. The PublishedSamples coded records fix every
+    // STORED byte (the gzip streams were generated once outside this
+    // library and pasted as hex, like the digests), so the decoded
+    // texts, the coding columns, the stored-block digests and the
+    // unsupported-br passthrough are all hand-written oracle literals.
+    "q112_http_decode" -> ((s, dir) => {
+      val fixture = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft_coded_" +
+          java.lang.Long.toHexString(dir.hashCode.toLong & 0xffffffffL) +
+          "_" + ProcessHandle.current().pid())
+      fixture.mkdirs()
+      java.nio.file.Files.write(
+        new java.io.File(fixture, "coded.warc").toPath,
+        PublishedSamples.CodedWarcFile)
+      graft.sources.Warc.readWarc(s, fixture.getPath)
+        .select(col("target_uri"),
+          // decoded rows show their text; the br row keeps STORED bytes
+          // (not valid UTF-8 — surfaced as byte length, not a string)
+          when(col("payload_decoded"), col("payload").cast("string"))
+            .as("body"),
+          length(col("payload")).cast("long").as("payload_len"),
+          col("payload_decoded"),
+          col("http_transfer_encoding").as("te"),
+          col("http_content_encoding").as("ce"),
+          col("payload_digest"), col("truncated"))
+    }),
+    // indexWarc over the same coded captures: `digest` keys the STORED
+    // payload block (the crawl convention — the br record carries no
+    // digest header, so the indexer must RECOMPUTE over stored bytes
+    // and land on the outside-computed constant), while charset and
+    // languages sniff the DECODED sample (gzip bytes would classify as
+    // garbage; the unsupported br coding falls back to stored bytes
+    // and honestly reads 'und').
+    "q112b_warc_index_coded" -> ((s, dir) => {
+      val fixture = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft_codedidx_" +
+          java.lang.Long.toHexString(dir.hashCode.toLong & 0xffffffffL) +
+          "_" + ProcessHandle.current().pid())
+      fixture.mkdirs()
+      java.nio.file.Files.write(
+        new java.io.File(fixture, "coded.warc").toPath,
+        PublishedSamples.CodedWarcFile)
+      graft.sources.Warc.indexWarc(s, fixture.getPath)
+        .select(col("surt_key"), col("ts").cast("string").as("ts"),
+          col("url"), col("mime"), col("status"), col("digest"),
+          col("charset"), col("languages"))
+    }),
+    // indexWarc(languageCodes = "iso639_3"): the published cc-index
+    // spells `languages` in ISO 639-3 — the indexer emits that spelling
+    // natively over the same fixture classes as q107c (three singles +
+    // the bilingual page), so an index produced here key-matches the
+    // published field with no caller-side rewrite.
+    "q112c_warc_index_iso3" -> ((s, dir) => {
+      val fixture = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft_warcidx3_" +
+          java.lang.Long.toHexString(dir.hashCode.toLong & 0xffffffffL) +
+          "_" + ProcessHandle.current().pid())
+      val arc = new java.io.File(fixture, "arc").getPath
+      val body = concat(lit("<html><body><p>"),
+        when(col("id") % 4 === 0, lit(LangGateEn))
+          .when(col("id") % 4 === 1, lit(LangGateFr))
+          .when(col("id") % 4 === 2, lit(LangGateRu))
+          .otherwise(lit(LangGateEn + " " + LangGateFr)),
+        lit(" "), col("id").cast("string"), lit("</p></body></html>"))
+      val ct = when(col("id") % 4 === 1,
+        lit("text/html; charset=iso-8859-1"))
+        .otherwise(lit("text/html; charset=utf-8"))
+      val src = s.range(0, 120).select(
+        concat(lit("https://l3.test/d/"), col("id").cast("string")).as("uri"),
+        body.as("body"), ct.as("ct"))
+      graft.sources.Warc.writeWarcResponses(
+        src.repartition(2), arc, "uri", "body",
+        overwrite = true, contentTypeCol = Some("ct"))
+      graft.sources.Warc.indexWarc(s, arc, languageCodes = "iso639_3")
+        .select(col("url"), col("languages"), col("charset"),
+          col("mime"), col("status"))
+    }),
+    // Coded-body WRITER (writeWarcResponses(contentEncoding = "gzip")):
+    // archives store each HTTP entity content-coded — the shape real
+    // crawls ship and a storage saving independent of the member codec.
+    // The write → read loop must hand back the ORIGINAL entity bytes
+    // (readers decode by default), with the coding surfaced on every
+    // row; digest-keys-the-coded-block is spec-pinned (WarcSpec) since
+    // gzip output bytes are not oracle-stable across environments.
+    "q112d_warc_coded_write" -> ((s, dir) => {
+      val fixture = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft_cew_" +
+          java.lang.Long.toHexString(dir.hashCode.toLong & 0xffffffffL) +
+          "_" + ProcessHandle.current().pid())
+      val arc = new java.io.File(fixture, "arc").getPath
+      val src = s.range(0, 200).select(
+        concat(lit("https://ce.test/p/"), col("id").cast("string")).as("uri"),
+        concat(lit("<html><p>entity "), col("id").cast("string"),
+          lit("</p></html>"),
+          expr("repeat('pad', CAST(id % 5 AS INT))")).as("body"))
+      graft.sources.Warc.writeWarcResponses(
+        src.repartition(2), arc, "uri", "body",
+        overwrite = true, contentEncoding = "gzip")
+      graft.sources.Warc.readWarc(s, arc)
+        .select(col("target_uri"),
+          col("payload").cast("string").as("body"),
+          col("http_content_encoding").as("ce"),
+          col("payload_decoded"), col("truncated"))
+    }),
+    // ZipNum published-layout anchor (r16 VERDICT item #2): the
+    // two-level index's cluster.idx in the published pywb layout
+    // (tab-separated `<surt> <ts>  <shard>  <offset>  <length>  <seq>`,
+    // seq 1-based, two shard files) through the REAL readClusterIdx —
+    // every parsed field a hand-transcribed literal. Closes the last
+    // self-roundtrip-only format family (q106/q109 validate against
+    // this library's own writer).
+    "q113_zipnum_published" -> ((s, dir) => {
+      val fixture = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft_zippub_" +
+          java.lang.Long.toHexString(dir.hashCode.toLong & 0xffffffffL) +
+          "_" + ProcessHandle.current().pid())
+      fixture.mkdirs()
+      java.nio.file.Files.write(
+        new java.io.File(fixture, "cluster.idx").toPath,
+        (PublishedSamples.ClusterIdxLines.mkString("\n") + "\n")
+          .getBytes("UTF-8"))
+      graft.sources.Cdx.readClusterIdx(s, fixture.getPath)
+        .select(col("block_key"), col("filename"), col("offset"),
+          col("length"), col("seq"))
+    }),
+    // ...and the candidate-block PLAN over those published lines for a
+    // `com,example)/` prefix query: blocks 1-3 of cdx-00000.gz are the
+    // candidates (block 1 because keys <= the next block's key can live
+    // in it, block 4 and shard 2 excluded by key range / per-shard
+    // lead), and their contiguous offsets coalesce into ONE ranged GET
+    // — start/end/count all hand-computed from the sample's numbers.
+    "q113b_zipnum_plan_published" -> ((s, dir) => {
+      val fixture = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft_zipplan_" +
+          java.lang.Long.toHexString(dir.hashCode.toLong & 0xffffffffL) +
+          "_" + ProcessHandle.current().pid())
+      fixture.mkdirs()
+      java.nio.file.Files.write(
+        new java.io.File(fixture, "cluster.idx").toPath,
+        (PublishedSamples.ClusterIdxLines.mkString("\n") + "\n")
+          .getBytes("UTF-8"))
+      graft.sources.Cdx.zipnumPlan(
+          graft.sources.Cdx.readClusterIdx(s, fixture.getPath),
+          "com,example)/")
+        .select(col("filename"), col("range_start"), col("range_end"),
+          col("n_captures"), col("bytes"))
+    }),
+    // Columnar cc-index loop (r16 VERDICT item #4): archives → indexWarc
+    // → parquet index in the PUBLISHED cc-index-table column shape →
+    // read back through the adapter → surt-prefix filter → fetchPlan →
+    // ranged decode. The published-columns table is the index format
+    // most Spark users reach for first; the adapter makes it a drop-in
+    // start for the same selective-access loop the CDXJ/ZipNum paths
+    // drive.
+    "q114_ccindex_parquet" -> ((s, dir) => {
+      val fixture = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft_ccidx_" +
+          java.lang.Long.toHexString(dir.hashCode.toLong & 0xffffffffL) +
+          "_" + ProcessHandle.current().pid())
+      val arc = new java.io.File(fixture, "arc").getPath
+      val tab = new java.io.File(fixture, "ccindex").getPath
+      val src = s.range(0, 300).select(
+        concat(lit("https://c"), (col("id") % 5).cast("string"),
+          lit(".test/d/"), col("id").cast("string")).as("uri"),
+        concat(lit("cbody "), col("id").cast("string"),
+          expr("repeat('z', CAST(id % 7 AS INT))")).as("body"))
+      graft.sources.Warc.writeWarcResponses(
+        src.repartition(3), arc, "uri", "body",
+        overwrite = true, maxRecordsPerShard = 40)
+      graft.sources.Cdx.writeCcIndexTable(
+        graft.sources.Warc.indexWarc(s, arc), tab, overwrite = true)
+      val caps = graft.sources.Cdx.readCcIndexTable(s, tab)
+        .where(col("surt_key").startsWith("test,c2)"))
+      val plan = graft.sources.Cdx.fetchPlan(caps, gapBytes = 0L)
+      graft.sources.Warc.readWarcRanges(s, arc, plan)
+        .where(col("target_uri").startsWith("https://c2."))
+        .select(col("target_uri"),
+          col("payload").cast("string").as("body"), col("http_status"))
+    }),
     // warcinfo shard-head records (writeWarcResponses(warcinfo = true)):
     // one partition, 100 records at 40/shard → exactly 3 shards, each
     // opening with a warcinfo record (application/warc-fields content,
@@ -5984,6 +6167,85 @@ object SparkEntry {
         |) AS t(target_uri, title, container_filename, container_offset,
         |       container_length, server, link_url, link_path, link_text,
         |       link_title)""".stripMargin,
+    // q112 family: the coded-capture fixture's stored bytes are fixed
+    // constants, so decoded texts, coding columns, digests and the br
+    // passthrough are hand-written literals (br's stored body is not
+    // valid UTF-8 — surfaced as its 21-byte length, body NULL)
+    "q112_http_decode" ->
+      """SELECT target_uri, body,
+        |  CAST(CASE WHEN body IS NULL THEN 21 ELSE length(body) END
+        |       AS BIGINT) AS payload_len,
+        |  payload_decoded, te, ce, payload_digest, truncated
+        |FROM (VALUES
+        |  ('http://coded.example/chunked', e'Wikipedia in \r\n\r\nchunks.',
+        |   TRUE, 'chunked', NULL,
+        |   'sha1:YXT4BYEXT6EGMF5Q3QLCBN52E64SFXS4', FALSE),
+        |  ('http://coded.example/gzipped',
+        |   e'The quick brown fox jumps over the lazy dog. Plain English prose, stored gzip-coded in the archive, exactly as real captures arrive from the server.\n',
+        |   TRUE, NULL, 'gzip',
+        |   'sha1:2WLFLN4DXAGJKV4HDP2QXUKGZP2YSDY6', FALSE),
+        |  ('http://coded.example/both',
+        |   e'Chunked and gzipped together: the transfer coding frames the wire bytes while the content coding compresses the entity, and a reader must undo both in order.\n',
+        |   TRUE, 'chunked', 'gzip',
+        |   'sha1:UPBERXOYSZH3SZMKW5YOABA7LVBDSXNZ', FALSE),
+        |  ('http://coded.example/brotli', NULL, FALSE, NULL, 'br',
+        |   NULL, FALSE)
+        |) AS t(target_uri, body, payload_decoded, te, ce, payload_digest,
+        |       truncated)""".stripMargin,
+    "q112b_warc_index_coded" ->
+      """SELECT surt_key, ts, url, mime, CAST(status AS INT) AS status,
+        |       digest, charset, languages
+        |FROM (VALUES
+        |  ('example,coded)/chunked', '2024-01-02 03:04:05',
+        |   'http://coded.example/chunked', 'text/plain', 200,
+        |   'YXT4BYEXT6EGMF5Q3QLCBN52E64SFXS4', 'UTF-8', 'en'),
+        |  ('example,coded)/gzipped', '2024-01-02 03:04:05',
+        |   'http://coded.example/gzipped', 'text/html', 200,
+        |   '2WLFLN4DXAGJKV4HDP2QXUKGZP2YSDY6', 'UTF-8', 'en'),
+        |  ('example,coded)/both', '2024-01-02 03:04:05',
+        |   'http://coded.example/both', 'text/html', 200,
+        |   'UPBERXOYSZH3SZMKW5YOABA7LVBDSXNZ', 'UTF-8', 'en'),
+        |  ('example,coded)/brotli', '2024-01-02 03:04:05',
+        |   'http://coded.example/brotli', 'text/plain', 200,
+        |   'XYNO4TIWTAPFNQLBSEEG3AKGT7ZFMVKY', 'UTF-8', 'und')
+        |) AS t(surt_key, ts, url, mime, status, digest, charset,
+        |       languages)""".stripMargin,
+    "q112c_warc_index_iso3" ->
+      """SELECT 'https://l3.test/d/' || CAST(i AS VARCHAR) AS url,
+        |       CASE i % 4 WHEN 0 THEN 'eng' WHEN 1 THEN 'fra'
+        |            WHEN 2 THEN 'rus' ELSE 'fra,eng' END AS languages,
+        |       CASE i % 4 WHEN 1 THEN 'windows-1252' ELSE 'UTF-8' END AS charset,
+        |       'text/html' AS mime, 200 AS status
+        |FROM (SELECT range AS i FROM range(0, 120))""".stripMargin,
+    "q112d_warc_coded_write" ->
+      """SELECT 'https://ce.test/p/' || CAST(i AS VARCHAR) AS target_uri,
+        |       '<html><p>entity ' || CAST(i AS VARCHAR) || '</p></html>'
+        |         || repeat('pad', CAST(i % 5 AS INT)) AS body,
+        |       'gzip' AS ce, TRUE AS payload_decoded, FALSE AS truncated
+        |FROM (SELECT range AS i FROM range(0, 200))""".stripMargin,
+    // q113 family: published ZipNum cluster.idx layout — parsed fields
+    // and the hand-computed candidate plan are literal tables
+    "q113_zipnum_published" ->
+      """SELECT block_key, filename, CAST("offset" AS BIGINT) AS offset,
+        |       CAST(length AS BIGINT) AS length, CAST(seq AS BIGINT) AS seq
+        |FROM (VALUES
+        |  ('0,100,22,165)/ 20170417004624', 'cdx-00000.gz', 0, 195191, 1),
+        |  ('com,example)/ 20200101000000', 'cdx-00000.gz', 195191, 180000, 2),
+        |  ('com,example)/path 20200601120000', 'cdx-00000.gz', 375191, 170500, 3),
+        |  ('net,example)/ 20210101000000', 'cdx-00000.gz', 545691, 160000, 4),
+        |  ('org,commoncrawl)/ 20240101000000', 'cdx-00001.gz', 0, 150000, 1),
+        |  ('org,wikipedia)/ 20240201000000', 'cdx-00001.gz', 150000, 140000, 2)
+        |) AS t(block_key, filename, "offset", length, seq)""".stripMargin,
+    "q113b_zipnum_plan_published" ->
+      """SELECT 'cdx-00000.gz' AS filename, CAST(0 AS BIGINT) AS range_start,
+        |       CAST(545691 AS BIGINT) AS range_end,
+        |       CAST(3 AS BIGINT) AS n_captures,
+        |       CAST(545691 AS BIGINT) AS bytes""".stripMargin,
+    "q114_ccindex_parquet" ->
+      """SELECT 'https://c2.test/d/' || CAST(i AS VARCHAR) AS target_uri,
+        |       'cbody ' || CAST(i AS VARCHAR) || repeat('z', CAST(i % 7 AS INT)) AS body,
+        |       200 AS http_status
+        |FROM (SELECT range AS i FROM range(0, 300)) WHERE i % 5 = 2""".stripMargin,
     "q108_warc_dedup_write" ->
       """SELECT 'https://a.test/d/' || CAST(i AS VARCHAR) AS target_uri,
         |       'pay ' || CAST(i AS VARCHAR) AS body,

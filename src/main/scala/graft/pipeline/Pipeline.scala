@@ -197,19 +197,23 @@ object Pipeline {
           case "warc" =>
             // parseHeaders (default true): false skips the per-record
             // http_headers map for hot pipelines that only read
-            // payload/status
+            // payload/status. decodePayloads (default true): false is
+            // the raw_stream split — stored block bodies verbatim,
+            // chunked/gzip codings left in place
             val unsupported =
               sm.keySet -- Set("format", "path", "maxPayloadBytes", "text",
-                "parseHeaders")
+                "parseHeaders", "decodePayloads")
             if (unsupported.nonEmpty)
               throw new IllegalArgumentException(
                 s"warc source supports 'format', 'path', 'maxPayloadBytes', " +
-                  s"'text', 'parseHeaders'; remove: " +
+                  s"'text', 'parseHeaders', 'decodePayloads'; remove: " +
                   unsupported.toSeq.sorted.mkString(", "))
             val raw = graft.sources.Warc.readWarc(spark, path,
               maxPayloadBytes = sm.get("maxPayloadBytes")
                 .map(_.toString.toInt).getOrElse(64 << 20),
               parseHeaders = sm.get("parseHeaders")
+                .forall(_.toString.toBoolean),
+              decodePayloads = sm.get("decodePayloads")
                 .forall(_.toString.toBoolean))
             if (sm.get("text").forall(_.toString.toBoolean))
               raw.withColumn("text", graft.ops.WebText.payloadText(
@@ -234,18 +238,23 @@ object Pipeline {
             // warcIndex, path, maxPayloadBytes?, detectText?} —
             // detectText (default true) populates languages/charset the
             // way the published cc-index does
+            // languageCodes (default iso639_1): "iso639_3" emits the
+            // published cc-index spelling natively
             val unsupported =
-              sm.keySet -- Set("format", "path", "maxPayloadBytes", "detectText")
+              sm.keySet -- Set("format", "path", "maxPayloadBytes",
+                "detectText", "languageCodes")
             if (unsupported.nonEmpty)
               throw new IllegalArgumentException(
                 s"warcIndex source supports 'format', 'path', " +
-                  s"'maxPayloadBytes', 'detectText'; remove: " +
-                  unsupported.toSeq.sorted.mkString(", "))
+                  s"'maxPayloadBytes', 'detectText', 'languageCodes'; " +
+                  s"remove: " + unsupported.toSeq.sorted.mkString(", "))
             graft.sources.Warc.indexWarc(spark, path,
               maxPayloadBytes = sm.get("maxPayloadBytes")
                 .map(_.toString.toInt).getOrElse(64 << 20),
               detectText = sm.get("detectText")
-                .forall(_.toString.toBoolean))
+                .forall(_.toString.toBoolean),
+              languageCodes = sm.get("languageCodes")
+                .map(_.toString).getOrElse("iso639_1"))
           case "zipnum" =>
             // ZipNum-clustered capture index (sources/Cdx.queryZipnum):
             // the published cc-index two-level layout — a SURT-prefix
@@ -307,13 +316,15 @@ object Pipeline {
       // warcinfo: true opens every shard with the conventional
       // warcinfo record
       if (sm.get("format").exists(_.toString == "warc")) {
+        // contentEncoding?: gzip stores each HTTP entity content-coded
+        // (the real-crawl shape; readers decode by default)
         val unsupported = sm.keySet --
           Set("format", "path", "uri", "body", "mode", "codec",
-            "contentType", "warcinfo")
+            "contentType", "warcinfo", "contentEncoding")
         if (unsupported.nonEmpty)
           throw new IllegalArgumentException(
             s"warc sink supports format/path/uri/body/mode/codec/" +
-              s"contentType/warcinfo; remove: " +
+              s"contentType/warcinfo/contentEncoding; remove: " +
               unsupported.toSeq.sorted.mkString(", "))
         graft.sources.Warc.writeWarcResponses(out,
           sm.getOrElse("path", throw new IllegalArgumentException(
@@ -323,7 +334,9 @@ object Pipeline {
           overwrite = sm.getOrElse("mode", "overwrite").toString == "overwrite",
           contentTypeCol = sm.get("contentType").map(_.toString),
           codec = sm.getOrElse("codec", "gzip").toString,
-          warcinfo = sm.get("warcinfo").exists(_.toString.toBoolean))
+          warcinfo = sm.get("warcinfo").exists(_.toString.toBoolean),
+          contentEncoding = sm.get("contentEncoding")
+            .map(_.toString).getOrElse("identity"))
       } else if (sm.get("format").exists(_.toString == "wat")) {
         // WAT metadata sink (Wat.writeWat): one metadata record per row
         // with the links/title envelope JSON — the link-graph artifact

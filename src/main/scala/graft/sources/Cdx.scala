@@ -663,6 +663,80 @@ object Cdx {
       .where(col("surt_key").startsWith(prefix))
   }
 
+  // ------------------------------------------------- columnar cc-index
+  //
+  // CommonCrawl publishes the SAME capture index a second time as a
+  // columnar parquet table (the cc-index-table layout: flat
+  // `url_*`/`fetch_*`/`content_*`/`warc_*` columns, partitioned by
+  // crawl/subset) — the format most Spark users reach for first. These
+  // adapters map between that published column shape and this library's
+  // capture shape ([[readCdxj]]'s columns, what [[Warc.indexWarc]]
+  // emits), so the selective-access loop (filter → [[fetchPlan]] →
+  // [[Warc.readWarcRanges]]) can start from the parquet index directly.
+
+  /** Read a parquet index in the published cc-index-table column shape
+    * into the [[readCdxj]] capture shape. Missing published columns
+    * surface as nulls (the table grew columns over crawls); extra
+    * columns are ignored — and because this is a plain projection over
+    * the parquet source, column pruning and predicate pushdown reach
+    * the scan (a `surt_key` prefix filter prunes row groups via
+    * min/max; `crawl=`/`subset=` partition dirs prune at listing).
+    */
+  def readCcIndexTable(spark: SparkSession, path: String): DataFrame = {
+    val df = spark.read.parquet(path)
+    val have = df.columns.toSet
+    def c(n: String, t: String): Column =
+      if (have.contains(n)) col(n).cast(t) else lit(null).cast(t)
+    df.select(
+      c("url_surtkey", "string").as("surt_key"),
+      c("fetch_time", "timestamp").as("ts"),
+      c("url", "string").as("url"),
+      c("content_mime_type", "string").as("mime"),
+      c("fetch_status", "int").as("status"),
+      c("content_digest", "string").as("digest"),
+      c("warc_filename", "string").as("filename"),
+      c("warc_record_offset", "bigint").as("offset"),
+      c("warc_record_length", "bigint").as("length"),
+      c("content_languages", "string").as("languages"),
+      c("content_charset", "string").as("charset"))
+  }
+
+  /** The reverse projection: a capture frame ([[Warc.indexWarc]] /
+    * [[readCdxj]] shape) in the published cc-index-table column names
+    * and types (`warc_record_offset`/`_length` are INTEGER and
+    * `fetch_status` SMALLINT in the published table — safe: the WARC
+    * sizing convention keeps shards around 1 GiB, far under 2^31).
+    */
+  def ccIndexTableColumns(captures: DataFrame): DataFrame =
+    captures.select(
+      col("surt_key").as("url_surtkey"),
+      col("ts").cast("timestamp").as("fetch_time"),
+      col("url"),
+      col("mime").as("content_mime_type"),
+      col("status").cast("smallint").as("fetch_status"),
+      col("digest").as("content_digest"),
+      col("filename").as("warc_filename"),
+      col("offset").cast("int").as("warc_record_offset"),
+      col("length").cast("int").as("warc_record_length"),
+      col("languages").as("content_languages"),
+      col("charset").as("content_charset"))
+
+  /** Write a capture frame as a parquet index in the published
+    * cc-index-table column shape — sorted within partitions by the SURT
+    * key so parquet row-group min/max statistics make later prefix
+    * queries skip row groups (the columnar analogue of the ZipNum
+    * cluster's block pruning).
+    */
+  def writeCcIndexTable(
+      captures: DataFrame,
+      outDir: String,
+      overwrite: Boolean = false
+  ): Unit =
+    ccIndexTableColumns(captures)
+      .sortWithinPartitions(col("url_surtkey"))
+      .write.mode(if (overwrite) "overwrite" else "errorifexists")
+      .parquet(outDir)
+
   /** The canonical SURT prefix for a whole HOST (`example.com` →
     * `com,example)/`) — the range key for host queries against the
     * published index; inherits the full canonicalization (www-strip,

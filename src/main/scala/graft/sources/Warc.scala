@@ -70,7 +70,25 @@ object Warc {
       // `application/http` records, None otherwise — what server-header
       // analyses and [[Wat]]'s `Headers` envelope consume without
       // re-parsing payloads
-      http_headers: Option[Map[String, String]] = None)
+      http_headers: Option[Map[String, String]] = None,
+      // HTTP payload coding surface (RFC 9112 §7.1 chunked framing /
+      // RFC 9110 §8.4 content codings): real crawl captures store the
+      // RAW message — chunked framing and gzip/deflate content coding
+      // included — so these carry the message's Transfer-Encoding /
+      // Content-Encoding values verbatim (populated for
+      // `application/http` records whatever the knobs), and
+      // `payload_decoded` says what state `payload` is in: true means
+      // EVERY listed coding was undone and `payload` holds the decoded
+      // entity bytes; false means `payload` is the STORED block body
+      // verbatim (identity messages, `decodePayloads = false`, or a
+      // torn/unsupported coding — decode failures revert whole, never
+      // half-decoded). NOTE `payload_digest` (WARC-Payload-Digest) keys
+      // the STORED payload block by crawl convention — for a coded
+      // record it will not match a digest recomputed over the decoded
+      // `payload`.
+      http_transfer_encoding: Option[String] = None,
+      http_content_encoding: Option[String] = None,
+      payload_decoded: Boolean = false)
 
   /** Read a directory of `.warc` / `.warc.gz` files as record rows.
     * `maxPayloadBytes` bounds per-record memory: longer payloads keep
@@ -79,12 +97,25 @@ object Warc {
     * skips building the full `http_headers` map (the column reads null) —
     * the knob for hot read paths that only consume payload/status, where
     * a per-record map is pure allocation.
+    *
+    * `decodePayloads = true` (default) undoes HTTP transfer/content
+    * codings on `payload`: real WARC response records store the raw
+    * captured message — `Transfer-Encoding: chunked` framing and
+    * `Content-Encoding: gzip/deflate` included — and every downstream
+    * text consumer (charset sniff, language-ID, extraction) needs the
+    * DECODED entity bytes (the warcio `content_stream()` behavior).
+    * Identity messages cost nothing (two null checks); a torn or
+    * unsupported coding (`br` has no JDK decoder) keeps the stored bytes
+    * and `payload_decoded = false` says so. `decodePayloads = false` is
+    * the warcio `raw_stream` split: stored block bodies verbatim, the
+    * coding headers still surfaced so callers can decode selectively.
     */
   def readWarc(
       s: SparkSession,
       path: String,
       maxPayloadBytes: Int = 64 << 20,
-      parseHeaders: Boolean = true
+      parseHeaders: Boolean = true,
+      decodePayloads: Boolean = true
   ): DataFrame = {
     import s.implicits._
     val bin = s.read.format("binaryFile")
@@ -92,7 +123,7 @@ object Warc {
       .select(col("path"), col("content")).as[(String, Array[Byte])]
     bin.mapPartitions { files =>
       files.flatMap { case (p, bytes) =>
-        parseFile(p, bytes, maxPayloadBytes, parseHeaders) }
+        parseFile(p, bytes, maxPayloadBytes, parseHeaders, decodePayloads) }
     }.toDF()
   }
 
@@ -105,7 +136,8 @@ object Warc {
       path: String,
       maxPayloadBytes: Int = 64 << 20,
       maxFilesPerTrigger: Int = 0,
-      parseHeaders: Boolean = true
+      parseHeaders: Boolean = true,
+      decodePayloads: Boolean = true
   ): DataFrame = {
     import s.implicits._
     val r = s.readStream.format("binaryFile")
@@ -121,7 +153,7 @@ object Warc {
       .select(col("path"), col("content")).as[(String, Array[Byte])]
     bin.mapPartitions { files =>
       files.flatMap { case (p, bytes) =>
-        parseFile(p, bytes, maxPayloadBytes, parseHeaders) }
+        parseFile(p, bytes, maxPayloadBytes, parseHeaders, decodePayloads) }
     }.toDF()
   }
 
@@ -156,7 +188,8 @@ object Warc {
       plan: DataFrame,
       maxPayloadBytes: Int = 64 << 20,
       maxRangeBytes: Long = 1L << 30,
-      parseHeaders: Boolean = true
+      parseHeaders: Boolean = true,
+      decodePayloads: Boolean = true
   ): DataFrame = {
     import s.implicits._
     val conf = new SerializableConfiguration(
@@ -188,7 +221,8 @@ object Warc {
             in.readFully(buf, 0, len)
             if (head.isEmpty) buf else head ++ buf
           } finally in.close()
-        parseFile(s"$p@$start", bytes, maxPayloadBytes, parseHeaders)
+        parseFile(s"$p@$start", bytes, maxPayloadBytes, parseHeaders,
+          decodePayloads)
       }
     }.toDF()
   }
@@ -235,7 +269,11 @@ object Warc {
     * frames, one per record (no shared dictionary); `codec = "none"`
     * writes plain uncompressed `.warc` (record offsets are then raw
     * byte offsets — local/debug dumps, or stores that compress at
-    * rest). `warcinfo = true` opens every shard with a `warcinfo`
+    * rest). `contentEncoding = "gzip"` stores each HTTP entity
+    * CONTENT-CODED (gzipped body + `Content-Encoding: gzip` header —
+    * the shape real crawls archive; digests then key the coded block
+    * and [[readWarc]] decodes by default). `warcinfo = true` opens
+    * every shard with a `warcinfo`
     * record (the crawl convention; [[warcinfoRecordBytes]] — readers
     * see it as a `warc_type = 'warcinfo'` row, cdx sidecars skip it).
     * Record IDs are
@@ -258,8 +296,20 @@ object Warc {
       contentTypeCol: Option[String] = None,
       codec: String = "gzip",
       index: Boolean = false,
-      warcinfo: Boolean = false
+      warcinfo: Boolean = false,
+      contentEncoding: String = "identity"
   ): Unit = {
+    // `contentEncoding = "gzip"`: store the HTTP entity CONTENT-CODED
+    // (`Content-Encoding: gzip` + gzipped body bytes) — the shape real
+    // crawls archive (the server's coded answer, stored verbatim) and a
+    // storage saving independent of the member codec. Digests (record
+    // header AND index sidecar) then key the CODED payload block, the
+    // crawl convention readWarc's decode contract documents; readers
+    // decode by default.
+    require(contentEncoding == "identity" || contentEncoding == "gzip",
+      s"writeWarcResponses: contentEncoding must be 'identity' or " +
+        s"'gzip', got '$contentEncoding'")
+    val codeBodies = contentEncoding == "gzip"
     // per-record HTTP Content-Type when a column is given (a crawl body's
     // charset is per-page); rows with a null value fall back to the
     // constant default
@@ -279,21 +329,34 @@ object Warc {
     val ts14 = warcDate.replaceAll("[^0-9]", "").take(14)
     require(!index || ts14.length == 14,
       s"writeWarcResponses: index=true needs a full timestamp warcDate, got '$warcDate'")
+    // per-row handoff from the record builder to the index-line builder
+    // (writeShardedRecords invokes mkRecord BEFORE indexFor for each row
+    // — its documented contract): under contentEncoding the digest keys
+    // the CODED bytes, and compressing the body a second time just to
+    // re-digest it in the index closure would double the write's CPU
+    val lastDigest = new Array[String](1)
     val indexFor: Option[org.apache.spark.sql.Row => (Long, Long, String) => String] =
       if (!index) None
       else Some { r =>
         val uri = r.getString(0)
-        val body =
-          if (r.isNullAt(1)) Array.emptyByteArray
-          else r.get(1).asInstanceOf[Array[Byte]]
         val ct = if (r.isNullAt(2)) httpContentType else r.getString(2)
         val mime = ct.split(";")(0).trim
         // digest = base32 SHA-1 of the PAYLOAD (the pywb/cc-index
         // convention: digest identifies content, so consumers can dedup by
         // it and resolve revisit records across URLs — a URL-keyed hash
-        // here would silently collapse distinct contents of one URL)
+        // here would silently collapse distinct contents of one URL);
+        // under contentEncoding it is the STORED (coded) payload's digest,
+        // computed once by the record builder
+        val digest =
+          if (codeBodies) lastDigest(0)
+          else {
+            val body =
+              if (r.isNullAt(1)) Array.emptyByteArray
+              else r.get(1).asInstanceOf[Array[Byte]]
+            sha1Base32(body)
+          }
         val prefix = s"""${cdxjKeyOf(uri)} $ts14 {"url":"${jsonEsc(uri)}","mime":"${jsonEsc(mime)}",""" +
-          s""""status":"200","digest":"${sha1Base32(body)}""""
+          s""""status":"200","digest":"$digest""""
         (off: Long, len: Long, fn: String) =>
           prefix + s""","offset":"$off","length":"$len","filename":"${jsonEsc(fn)}"}"""
       }
@@ -307,14 +370,18 @@ object Warc {
       if (uri == null) throw new IllegalArgumentException(
         "writeWarcResponses: null uri — WARC-Target-URI is mandatory " +
           "for response records; filter or coalesce the uri column first")
-      val body =
+      val raw =
         if (r.isNullAt(1)) Array.emptyByteArray
         else r.get(1).asInstanceOf[Array[Byte]]
+      val body = if (codeBodies) gzipBytes(raw) else raw
       val ct = if (r.isNullAt(2)) httpContentType else r.getString(2)
       // content digest per crawl convention (`sha1:` + base32 SHA-1 of
-      // the payload) — what revisit records point back at, and what
-      // [[resolveRevisits]] joins on
-      responseRecordBytes(uri, body, ct, "sha1:" + sha1Base32(body), warcDate)
+      // the STORED payload) — what revisit records point back at, and
+      // what [[resolveRevisits]] joins on
+      val digest = sha1Base32(body)
+      if (codeBodies) lastDigest(0) = digest
+      responseRecordBytes(uri, body, ct, "sha1:" + digest, warcDate,
+        contentEncoding = if (codeBodies) Some("gzip") else None)
     }
   }
 
@@ -869,20 +936,29 @@ object Warc {
     * secondary listed only at ≥ half the primary's score — the published
     * field's multi-code shape for genuinely mixed pages) over the first
     * [[TextDetectSampleBytes]] of the decoded payload with tags
-    * stripped ("und" when nothing scores). NOTE the real cc-index spells
-    * languages ISO 639-3 (`eng`, `rus,ukr`) where this library emits
-    * 639-1 (`en`) — a documented divergence
-    * ([[graft.PublishedSamples]] pins the published spelling); map at
-    * the edge when joining against the published artifact. Both
-    * detectors run on a bounded sample per record — the indexing pass
-    * stays CPU-light.
+    * stripped ("und" when nothing scores). The real cc-index spells
+    * languages ISO 639-3 (`eng`, `rus,ukr`): `languageCodes =
+    * "iso639_3"` emits that published spelling natively (the
+    * [[graft.ops.expr.LangIso639]] bridge — unknown/`und` pass
+    * through); the default stays `"iso639_1"` (`en`), the library's
+    * own code family ([[graft.PublishedSamples]] pins the published
+    * spelling). Both detectors run on a bounded sample per record — the
+    * indexing pass stays CPU-light. Coded captures (chunked /
+    * gzip-deflate content coding) sniff over the DECODED sample (the
+    * decode stops at the sample cap); `digest` stays the STORED payload
+    * block's digest, the crawl convention.
     */
   def indexWarc(
       s: SparkSession,
       path: String,
       maxPayloadBytes: Int = 64 << 20,
-      detectText: Boolean = true
+      detectText: Boolean = true,
+      languageCodes: String = "iso639_1"
   ): DataFrame = {
+    require(languageCodes == "iso639_1" || languageCodes == "iso639_3",
+      s"indexWarc: languageCodes must be 'iso639_1' or 'iso639_3', " +
+        s"got '$languageCodes'")
+    val iso3 = languageCodes == "iso639_3"
     import s.implicits._
     val conf = new SerializableConfiguration(
       s.sparkContext.hadoopConfiguration)
@@ -944,7 +1020,7 @@ object Warc {
             val digest = r.payload_digest
               .map(_.replaceFirst("(?i)^sha1:", ""))
               .orElse(if (r.truncated) None else Some(sha1Base32(r.payload)))
-            val (langs, charset) = detectFields(r, mime, detectText)
+            val (langs, charset) = detectFields(r, mime, detectText, iso3)
             (Option(Cdx.surtString(r.target_uri.orNull)),
               ts14, r.target_uri, mime, r.http_status, digest,
               fn, off, len, langs, charset, r.warc_type)
@@ -988,16 +1064,27 @@ object Warc {
   private def detectFields(
       r: WarcRow,
       mime: Option[String],
-      detectText: Boolean): (Option[String], Option[String]) = {
+      detectText: Boolean,
+      iso3: Boolean = false): (Option[String], Option[String]) = {
     val textish = mime.exists(m => m.startsWith("text/") ||
       m.contains("html") || m.contains("xml") || m.contains("json") ||
       m.contains("javascript"))
     if (!detectText || !textish || r.payload.isEmpty) (None, None)
     else {
       val ct = r.http_content_type.orElse(r.content_type).orNull
+      // coded captures (the index pass parses with decodeHttp = false so
+      // digests key the stored block): undo chunked/gzip/deflate on a
+      // BOUNDED sample — the decode stops at the sample cap, so per-
+      // record CPU stays bounded; a failed decode (unsupported coding,
+      // mislabeled header) falls back to the stored bytes
+      val base =
+        if (r.http_transfer_encoding.isEmpty &&
+          r.http_content_encoding.isEmpty) r.payload
+        else decodeHttpBody(r.payload, r.http_transfer_encoding,
+          r.http_content_encoding, TextDetectSampleBytes)._1
       val sample =
-        if (r.payload.length <= TextDetectSampleBytes) r.payload
-        else java.util.Arrays.copyOf(r.payload, TextDetectSampleBytes)
+        if (base.length <= TextDetectSampleBytes) base
+        else java.util.Arrays.copyOf(base, TextDetectSampleBytes)
       val charset = graft.ops.expr.CharsetText.detectedName(sample, ct)
       // tags out before language-ID: raw markup's ASCII token soup would
       // otherwise dilute the classifier's signal on short pages (a
@@ -1006,8 +1093,11 @@ object Warc {
       // cc-index's languages shape for genuinely mixed pages
       val text = graft.ops.expr.CharsetText.decode(sample, ct)
         .replaceAll("<[^>]*>", " ")
-      val lang = graft.ops.expr.LangModel.classifyTop(
-        org.apache.spark.unsafe.types.UTF8String.fromString(text), 3).toString
+      val lang1 = graft.ops.expr.LangModel.classifyTop(
+        org.apache.spark.unsafe.types.UTF8String.fromString(text), 3)
+      val lang =
+        if (iso3) graft.ops.expr.LangIso639.convert(lang1).toString
+        else lang1.toString
       (Some(lang), Some(charset))
     }
   }
@@ -1166,10 +1256,12 @@ object Warc {
         val recs =
           try {
             var idx = -1
-            // parseHeaders = false: the index pass never reads the map
+            // parseHeaders = false: the index pass never reads the map.
+            // decodeHttp = false: the digest convention keys the STORED
+            // payload block — detectFields decodes its own bounded sample
             Iterator.continually(
               parseRecord(s"$path@$start", bridge, maxPayloadBytes,
-                parseHeaders = false))
+                parseHeaders = false, decodeHttp = false))
               .takeWhile(_.isDefined)
               .map { r => idx += 1; r.get.copy(record_index = idx) }
               .toIndexedSeq
@@ -1220,8 +1312,10 @@ object Warc {
         pending = null
         if (skipCrlf()) {
           val start = src.pos
-          // parseHeaders = false: the index pass never reads the map
-          parseRecord(path, in, maxPayloadBytes, parseHeaders = false) match {
+          // parseHeaders = false: the index pass never reads the map;
+          // decodeHttp = false: digests key the STORED payload block
+          parseRecord(path, in, maxPayloadBytes, parseHeaders = false,
+            decodeHttp = false) match {
             case Some(r) =>
               // the record's trailing two CRLFs belong to its extent (the
               // same framing the compressed members carry them in)
@@ -1355,10 +1449,11 @@ object Warc {
         val recs =
           try {
             var idx = -1
-            // parseHeaders = false: the index pass never reads the map
+            // parseHeaders = false: the index pass never reads the map;
+            // decodeHttp = false: digests key the STORED payload block
             Iterator.continually(
               parseRecord(s"$path@$start", z, maxPayloadBytes,
-                parseHeaders = false))
+                parseHeaders = false, decodeHttp = false))
               .takeWhile(_.isDefined)
               .map { r => idx += 1; r.get.copy(record_index = idx) }
               .toIndexedSeq
@@ -1461,6 +1556,12 @@ object Warc {
     * shared dictionary pays; shards too small to train fall back to plain
     * frames, which the reader handles transparently. `mkRecord` renders
     * one row to complete record bytes (header + block + trailing CRLFs).
+    *
+    * CONTRACT: for each row, `mkRecord(r)` is invoked BEFORE
+    * `indexFor(r)` — record builders may hand per-row derived values
+    * (e.g. the coded-payload digest under `contentEncoding`) to the
+    * index-line builder through task-local state instead of recomputing
+    * them.
     */
   private def writeShardedRecords(
       projected: DataFrame,
@@ -1698,9 +1799,11 @@ object Warc {
       body: Array[Byte],
       ct: String,
       digest: String,
-      warcDate: String): Array[Byte] = {
+      warcDate: String,
+      contentEncoding: Option[String] = None): Array[Byte] = {
+    val ceHeader = contentEncoding.fold("")(c => s"Content-Encoding: $c\r\n")
     val http =
-      (s"HTTP/1.1 200 OK\r\nContent-Type: $ct\r\n" +
+      (s"HTTP/1.1 200 OK\r\nContent-Type: $ct\r\n" + ceHeader +
         s"Content-Length: ${body.length}\r\n\r\n").getBytes("UTF-8")
     val block = http ++ body
     val header =
@@ -1713,6 +1816,17 @@ object Warc {
         "Content-Type: application/http; msgtype=response\r\n" +
         s"Content-Length: ${block.length}\r\n\r\n").getBytes("UTF-8")
     header ++ block ++ "\r\n\r\n".getBytes("UTF-8")
+  }
+
+  /** One gzip member of `bytes` (the `Content-Encoding: gzip` entity
+    * coding [[writeWarcResponses]] can store bodies under).
+    */
+  private def gzipBytes(bytes: Array[Byte]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream(
+      math.max(64, bytes.length / 3))
+    val gz = new GZIPOutputStream(bos, 1 << 13)
+    gz.write(bytes); gz.close()
+    bos.toByteArray
   }
 
   /** Render one `revisit` stub's bytes ([[writeWarcRevisits]] /
@@ -1786,7 +1900,8 @@ object Warc {
       path: String,
       bytes: Array[Byte],
       maxPayloadBytes: Int,
-      parseHeaders: Boolean = true
+      parseHeaders: Boolean = true,
+      decodePayloads: Boolean = true
   ): Iterator[WarcRow] = {
     val raw = new ByteArrayInputStream(bytes)
     val in: InputStream =
@@ -1841,7 +1956,8 @@ object Warc {
         z
       } else raw
     var idx = -1
-    Iterator.continually(parseRecord(path, in, maxPayloadBytes, parseHeaders))
+    Iterator.continually(
+        parseRecord(path, in, maxPayloadBytes, parseHeaders, decodePayloads))
       .takeWhile(_.isDefined)
       .map { r => idx += 1; r.get.copy(record_index = idx) }
   }
@@ -1905,7 +2021,8 @@ object Warc {
       path: String,
       in: InputStream,
       maxPayloadBytes: Int,
-      parseHeaders: Boolean = true
+      parseHeaders: Boolean = true,
+      decodeHttp: Boolean = true
   ): Option[WarcRow] = {
     // seek the version line across inter-record padding
     var version: Option[String] = None
@@ -1957,8 +2074,17 @@ object Warc {
     val recCt = headers.get("content-type")
     val isHttp = recCt.exists(_.toLowerCase(java.util.Locale.ROOT)
       .startsWith("application/http"))
-    val (status, httpCt, payload, httpHeaders) =
-      if (isHttp) parseHttp(block, parseHeaders) else (None, None, block, None)
+    val msg =
+      if (isHttp) parseHttp(block, parseHeaders)
+      else HttpMsg(None, None, block, None, None, None)
+    // undo transfer/content codings (identity messages: two null checks);
+    // a capped decode is a truncation — same flag, same contract
+    val (payload, decoded, capped) =
+      if (decodeHttp && (msg.transferEncoding.isDefined ||
+          msg.contentEncoding.isDefined))
+        decodeHttpBody(msg.body, msg.transferEncoding, msg.contentEncoding,
+          maxPayloadBytes)
+      else (msg.body, false, false)
     Some(WarcRow(
       warc_file = path,
       record_index = 0, // filled by parseFile
@@ -1968,28 +2094,47 @@ object Warc {
       warc_date = headers.get("warc-date"),
       content_type = recCt,
       content_length = contentLength,
-      http_status = status,
-      http_content_type = httpCt,
+      http_status = msg.status,
+      http_content_type = msg.contentType,
       payload = payload,
-      truncated = truncated,
+      truncated = truncated || capped,
       payload_digest = headers.get("warc-payload-digest"),
       refers_to = headers.get("warc-refers-to"),
       warc_profile = headers.get("warc-profile"),
-      http_headers = httpHeaders))
+      http_headers = msg.headers,
+      http_transfer_encoding = msg.transferEncoding,
+      http_content_encoding = msg.contentEncoding,
+      payload_decoded = decoded))
   }
 
-  /** Split an HTTP/1.x message block into (status, content-type, body,
-    * full header map). Lenient: a block that does not look like HTTP
-    * comes back whole as the body with no header map (a
-    * truncated-capture guard — CommonCrawl contains such records).
-    * Header names keep their original casing (first occurrence wins the
-    * spelling); repeated fields comma-join their values per RFC 9110
-    * §5.2; continuation lines (obs-fold) append to the previous field.
+  /** One split HTTP/1.x message: status, first Content-Type, the body
+    * bytes AS STORED (no coding undone — [[decodeHttpBody]] is the
+    * decode step), the full header map (when asked for), and the
+    * message's Transfer-Encoding / Content-Encoding values (always
+    * captured — the decode and the [[WarcRow]] coding columns key off
+    * them even on `parseHeaders = false` paths).
+    */
+  private[sources] final case class HttpMsg(
+      status: Option[Int],
+      contentType: Option[String],
+      body: Array[Byte],
+      headers: Option[Map[String, String]],
+      transferEncoding: Option[String],
+      contentEncoding: Option[String])
+
+  /** Split an HTTP/1.x message block into an [[HttpMsg]]. Lenient: a
+    * block that does not look like HTTP comes back whole as the body
+    * with no header map (a truncated-capture guard — CommonCrawl
+    * contains such records). Header names keep their original casing
+    * (first occurrence wins the spelling); repeated fields comma-join
+    * their values per RFC 9110 §5.2; continuation lines (obs-fold)
+    * append to the previous field — a colon-less garbage line between
+    * them RESETS the fold target (a continuation after garbage is
+    * itself garbage, not the previous field's tail).
     */
   private[sources] def parseHttp(
       block: Array[Byte],
-      wantHeaders: Boolean = true): (Option[Int], Option[String],
-        Array[Byte], Option[Map[String, String]]) = {
+      wantHeaders: Boolean = true): HttpMsg = {
     // find the CRLFCRLF (or LFLF) header/body boundary
     var i = 0
     var bodyAt = -1
@@ -2002,11 +2147,11 @@ object Warc {
       }
       i += 1
     }
-    if (bodyAt < 0) return (None, None, block, None)
+    if (bodyAt < 0) return HttpMsg(None, None, block, None, None, None)
     val head = new String(block, 0, bodyAt, "UTF-8")
     val lines = head.split("\r?\n")
     if (lines.isEmpty || !lines(0).startsWith("HTTP/"))
-      return (None, None, block, None)
+      return HttpMsg(None, None, block, None, None, None)
     val status = lines(0).split(" ", 3) match {
       case parts if parts.length >= 2 && parts(1).forall(_.isDigit) &&
         parts(1).nonEmpty => Some(parts(1).toInt)
@@ -2014,9 +2159,14 @@ object Warc {
     }
     // http_content_type is the FIRST Content-Type value — duplicated
     // headers are common in real crawls, and a joined value would corrupt
-    // every derived mime field (indexWarc's `mime`, charset sniffs)
+    // every derived mime field (indexWarc's `mime`, charset sniffs).
+    // Transfer-Encoding / Content-Encoding are tracked inline (comma-
+    // joined on repeats) so the payload decode never needs the full map.
     var firstCt: String = null
-    var ctOpen = false // last field line was the first Content-Type
+    var te: String = null
+    var ce: String = null
+    var lastTracked = 0 // which tracked value the last field line fed:
+                        // 0 none, 1 first Content-Type, 2 TE, 3 CE
     val byLower =
       if (wantHeaders)
         scala.collection.mutable.LinkedHashMap.empty[String, (String, String)]
@@ -2024,7 +2174,12 @@ object Warc {
     var lastLower: String = null
     lines.iterator.drop(1).filter(_.nonEmpty).foreach { l =>
       if ((l.charAt(0) == ' ' || l.charAt(0) == '\t') && lastLower != null) {
-        if (ctOpen) firstCt = firstCt + " " + l.trim
+        lastTracked match {
+          case 1 => firstCt = firstCt + " " + l.trim
+          case 2 => te = te + " " + l.trim
+          case 3 => ce = ce + " " + l.trim
+          case _ => ()
+        }
         if (byLower != null) {
           val (n, v) = byLower(lastLower)
           byLower(lastLower) = (n, v + " " + l.trim)
@@ -2035,8 +2190,15 @@ object Warc {
           val name = l.substring(0, at).trim
           val value = l.substring(at + 1).trim
           val lower = name.toLowerCase(java.util.Locale.ROOT)
-          ctOpen = lower == "content-type" && firstCt == null
-          if (ctOpen) firstCt = value
+          lastTracked = lower match {
+            case "content-type" =>
+              if (firstCt == null) { firstCt = value; 1 } else 0
+            case "transfer-encoding" =>
+              te = if (te == null) value else te + ", " + value; 2
+            case "content-encoding" =>
+              ce = if (ce == null) value else ce + ", " + value; 3
+            case _ => 0
+          }
           if (byLower != null) byLower.get(lower) match {
             case Some((n, v)) =>
               // repeats: comma-joined per RFC 9110 §5.2 — EXCEPT
@@ -2049,13 +2211,208 @@ object Warc {
             case None => byLower(lower) = (name, value)
           }
           lastLower = lower
-        } else ctOpen = false
+        } else { lastTracked = 0; lastLower = null }
       }
     }
-    (status, Option(firstCt),
+    HttpMsg(status, Option(firstCt),
       java.util.Arrays.copyOfRange(block, bodyAt, block.length),
       if (byLower == null) None
-      else Some(byLower.valuesIterator.map { case (n, v) => n -> v }.toMap))
+      else Some(byLower.valuesIterator.map { case (n, v) => n -> v }.toMap),
+      Option(te), Option(ce))
+  }
+
+  // ------------------------------------------- HTTP payload decoding
+  //
+  // Real WARC response records store the RAW captured HTTP message:
+  // `Transfer-Encoding: chunked` framing and `Content-Encoding:
+  // gzip/deflate` arrive intact (warcio/pywb undo both before handing
+  // out payload — `content_stream()`), so every text consumer here
+  // (payload_text's WHATWG decode, indexWarc's charset/languages sniff,
+  // extraction) must see the DECODED entity bytes or it processes
+  // compressed garbage. Decoding is lenient where capture truncation is
+  // the cause (a cut-off chunked or gzip stream yields what decoded) and
+  // reverting where the coding itself is unsupported or the bytes are
+  // not what the header claims — never half-decoded output.
+
+  /** Undo a captured HTTP message body's transfer + content codings.
+    * Transfer codings first (outermost on the wire: the entity was
+    * content-coded, then transfer-coded for the connection), each list
+    * applied in reverse declaration order. Supported codings: `chunked`
+    * (RFC 9112 §7.1), `gzip`/`x-gzip`, `deflate`/`x-deflate` (RFC 9110
+    * §8.4.1 — deflate tolerating both the correct zlib wrapping and the
+    * bare-DEFLATE servers that famously mislabel it), `identity`.
+    * `br` and anything else has no JDK decoder — unsupported.
+    *
+    * Returns `(bytes, decoded, capped)`:
+    *   - full success → the decoded entity bytes, `decoded = true` iff
+    *     any non-identity coding was undone;
+    *   - any step unsupported or not matching its header (first bytes
+    *     not gzip, first chunk-size line unparsable) → the ORIGINAL
+    *     stored body, `decoded = false` — consumers get a well-defined
+    *     state, never a half-decoded middle;
+    *   - `capped = true` when decoded output hit `maxOut` (decompression
+    *     -bomb guard — the caller flags the row truncated).
+    */
+  private[sources] def decodeHttpBody(
+      body: Array[Byte],
+      transferEncoding: Option[String],
+      contentEncoding: Option[String],
+      maxOut: Int): (Array[Byte], Boolean, Boolean) = {
+    var bytes = body
+    var ok = true
+    var changed = false
+    var capped = false
+    def take(r: Option[(Array[Byte], Boolean)]): Unit = r match {
+      case Some((b, cp)) => bytes = b; changed = true; capped ||= cp
+      case None => ok = false
+    }
+    def applyCoding(c: String): Unit = c match {
+      case "identity" | "" => ()
+      case "chunked" => take(dechunk(bytes, maxOut))
+      case "gzip" | "x-gzip" => take(gunzipLenient(bytes, maxOut))
+      case "deflate" | "x-deflate" => take(inflateLenient(bytes, maxOut))
+      case _ => ok = false // br and friends: no JDK decoder
+    }
+    def codings(v: String): Array[String] =
+      v.split(",").map(_.trim.toLowerCase(java.util.Locale.ROOT))
+        .filter(_.nonEmpty)
+    transferEncoding.foreach(te =>
+      codings(te).reverseIterator.foreach(c => if (ok) applyCoding(c)))
+    contentEncoding.foreach(ce =>
+      codings(ce).reverseIterator.foreach(c => if (ok) applyCoding(c)))
+    if (ok) (bytes, changed, capped) else (body, false, false)
+  }
+
+  /** Undo RFC 9112 §7.1 chunked framing. None when the FIRST chunk-size
+    * line is unparsable (the body is not chunked, whatever the header
+    * said — fall back to stored bytes); a stream that ends mid-chunk
+    * (capture truncation) yields what decoded; chunk extensions and
+    * trailer fields are dropped. Second element: output capped at
+    * `maxOut`.
+    */
+  private[sources] def dechunk(
+      body: Array[Byte], maxOut: Int): Option[(Array[Byte], Boolean)] = {
+    val n = body.length
+    var i = 0
+    def readLine(): String =
+      if (i >= n) null
+      else {
+        val start = i
+        while (i < n && body(i) != '\n') i += 1
+        val endEx = if (i > start && body(i - 1) == '\r') i - 1 else i
+        val s = new String(body, start, endEx - start,
+          java.nio.charset.StandardCharsets.ISO_8859_1)
+        if (i < n) i += 1 // the '\n'
+        s
+      }
+    val out = new java.io.ByteArrayOutputStream(math.min(n, 1 << 16))
+    var capped = false
+    var first = true
+    var done = false
+    while (!done) {
+      val l = readLine()
+      if (l == null) done = true // truncated capture: keep what decoded
+      else {
+        val semi = l.indexOf(';') // chunk extensions dropped
+        val sizeTok = (if (semi >= 0) l.substring(0, semi) else l).trim
+        val size =
+          try java.lang.Long.parseLong(sizeTok, 16)
+          catch { case _: NumberFormatException => -1L }
+        if (size < 0) {
+          if (first) return None // not chunked framing at all
+          done = true // junk after valid chunks: end of stream
+        } else if (size == 0) {
+          done = true // last-chunk; trailers dropped
+        } else {
+          val avail = math.min(size, (n - i).toLong).toInt
+          val room = math.min(avail.toLong, (maxOut - out.size).toLong).toInt
+          out.write(body, i, room)
+          if (room < avail) capped = true
+          i += avail
+          if (avail < size || capped) done = true // truncated / capped
+          else {
+            if (i < n && body(i) == '\r') i += 1
+            if (i < n && body(i) == '\n') i += 1
+          }
+        }
+        first = false
+      }
+    }
+    Some((out.toByteArray, capped))
+  }
+
+  /** Lenient gunzip: None when the bytes do not start with the gzip
+    * magic (mislabeled coding — fall back); a stream torn mid-member
+    * (capture truncation, trailing garbage) yields what inflated.
+    * Concatenated members read through (`GZIPInputStream` native).
+    */
+  private[sources] def gunzipLenient(
+      bytes: Array[Byte], maxOut: Int): Option[(Array[Byte], Boolean)] = {
+    if (bytes.length < 2 || (bytes(0) & 0xff) != 0x1f ||
+      (bytes(1) & 0xff) != 0x8b) return None
+    val out = new java.io.ByteArrayOutputStream(
+      math.min(maxOut.toLong, math.max(64L, bytes.length * 4L)).toInt)
+    try {
+      val gz = new GZIPInputStream(new ByteArrayInputStream(bytes), 1 << 16)
+      val buf = new Array[Byte](8192)
+      var capped = false
+      var stop = false
+      while (!stop) {
+        val k = try gz.read(buf) catch { case _: java.io.IOException => -1 }
+        if (k < 0) stop = true
+        else {
+          val room = math.min(k, maxOut - out.size)
+          out.write(buf, 0, room)
+          if (room < k || out.size >= maxOut) { capped = true; stop = true }
+        }
+      }
+      Some((out.toByteArray, capped))
+    } catch {
+      // the constructor itself reads the member header — torn there with
+      // nothing inflated means nothing decodable
+      case _: java.io.IOException =>
+        if (out.size > 0) Some((out.toByteArray, false)) else None
+    }
+  }
+
+  /** Lenient DEFLATE: zlib-wrapped first (the correct `deflate` coding),
+    * raw-DEFLATE second (the widespread server mislabel). None when
+    * neither inflates a byte; a torn stream yields what inflated.
+    */
+  private[sources] def inflateLenient(
+      bytes: Array[Byte], maxOut: Int): Option[(Array[Byte], Boolean)] =
+    inflateWith(bytes, nowrap = false, maxOut)
+      .orElse(inflateWith(bytes, nowrap = true, maxOut))
+
+  private def inflateWith(
+      bytes: Array[Byte], nowrap: Boolean,
+      maxOut: Int): Option[(Array[Byte], Boolean)] = {
+    val inf = new java.util.zip.Inflater(nowrap)
+    try {
+      inf.setInput(bytes)
+      val out = new java.io.ByteArrayOutputStream(
+        math.min(maxOut.toLong, math.max(64L, bytes.length * 4L)).toInt)
+      val buf = new Array[Byte](8192)
+      var capped = false
+      var stop = false
+      var corrupt = false
+      while (!stop && !inf.finished()) {
+        val k =
+          try inf.inflate(buf)
+          catch { case _: java.util.zip.DataFormatException =>
+            corrupt = true; stop = true; 0 }
+        if (k > 0) {
+          val room = math.min(k, maxOut - out.size)
+          out.write(buf, 0, room)
+          if (room < k || out.size >= maxOut) { capped = true; stop = true }
+        } else if (!stop && !inf.finished() &&
+          (inf.needsInput() || inf.needsDictionary()))
+          stop = true // truncated input (or a preset-dictionary stream)
+      }
+      if (out.size == 0 && !inf.finished()) None
+      else if (corrupt && out.size == 0) None
+      else Some((out.toByteArray, capped))
+    } finally inf.end()
   }
 }
 

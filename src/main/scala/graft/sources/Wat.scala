@@ -57,6 +57,14 @@ object Wat {
     * has no `Title` key, a null `headers` map no `Headers`, a null
     * `container` struct no `Container`).
     *
+    * SCOPE: envelopes are rendered for `response` records only. Published
+    * WAT files also carry envelopes for `request` and `metadata` records
+    * (`HTTP-Request-Metadata` / `WARC-Metadata` payload branches); those
+    * consumers are a small minority and this writer has no request or
+    * metadata records to describe — a deliberate scope choice, not an
+    * oversight. [[parseWat]] still READS real WAT files containing such
+    * envelopes (their records simply surface null response fields).
+    *
     * @param headers   optional `map<string,string>` of HTTP response
     *                  headers to render under
     *                  `HTTP-Response-Metadata.Headers`
@@ -194,9 +202,12 @@ object Wat {
     * sidecar, reads the sidecar back, and fills each WAT envelope's
     * top-level `Container` with the response record's true
     * (filename, offset, length) — one url-keyed join, response-count
-    * sized (rows whose uri repeats would fan out through that join;
-    * dedup upstream if uris are not unique). `headersCol` forwards to
-    * [[writeWat]].
+    * sized. The sidecar side is aggregated to ONE row per url before
+    * the join, and a duplicated url FAILS LOUDLY (`raise_error` inside
+    * the aggregate — real crawl batches carry same-URL recaptures, and
+    * a silent url-keyed join would cross-match their containers and fan
+    * out; dedup upstream, or write recaptures in separate frames).
+    * `headersCol` forwards to [[writeWat]].
     */
   def writeWarcWithWat(
       df: DataFrame,
@@ -216,15 +227,29 @@ object Wat {
     val watSrc =
       if (!container) df
       else {
+        // one row per url, duplicates failing loudly at execution: a
+        // url-keyed join against a sidecar with same-URL recaptures would
+        // cross-match containers AND fan the join out — the aggregate
+        // both dedups the build side and carries the guard, no extra pass
         val side = Cdx.readCdxj(df.sparkSession, warcDir,
           glob = Some("*.cdxj"))
           .select(col("url").as("__c_url"),
             struct(
               col("filename").as("Filename"),
               col("offset").cast("string").as("Offset"),
-              col("length").cast("string").as("Length")).as("__container"))
+              col("length").cast("string").as("Length")).as("__c"))
+          .groupBy(col("__c_url"))
+          .agg(count(lit(1)).as("__n"), first(col("__c")).as("__c"))
+          .select(col("__c_url"),
+            when(col("__n") > 1, raise_error(concat(
+              lit("writeWarcWithWat(container = true): duplicate capture " +
+                "url in the response archive's index sidecar: '"),
+              col("__c_url"),
+              lit("' — containers are keyed by url; dedup the input " +
+                "frame or write recaptures in separate frames"))))
+              .otherwise(col("__c")).as("__container"))
         df.join(side, col(uriCol).cast("string") === col("__c_url"), "left")
-          .drop("__c_url")
+          .drop("__c_url", "__n")
       }
     writeWat(watSrc, watDir, uriCol, htmlCol,
       warcDate = warcDate, overwrite = overwrite, codec = codec,

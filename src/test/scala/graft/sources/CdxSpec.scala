@@ -417,6 +417,44 @@ class CdxSpec extends SparkTestBase {
       .map(i => (s"https://h1.test/d/$i", s"payload $i")).toSet)
   }
 
+  test("cc-index table adapter: published column names/types on disk, " +
+    "capture shape back, missing published columns tolerated as nulls") {
+    val dir = new java.io.File(
+      java.nio.file.Files.createTempDirectory("ccidx_").toFile, "tab").getPath
+    val caps = Seq(
+      ("com,example)/a", java.sql.Timestamp.valueOf("2024-07-14 03:11:34"),
+        "http://example.com/a", "text/html", 200, "DIGA",
+        "w-0.warc.gz", 100L, 50L, "eng", "UTF-8"),
+      ("com,example)/b", java.sql.Timestamp.valueOf("2024-07-14 03:12:00"),
+        "http://example.com/b", "text/plain", 404, "DIGB",
+        "w-1.warc.gz", 0L, 90L, null, null))
+      .toDF("surt_key", "ts", "url", "mime", "status", "digest",
+        "filename", "offset", "length", "languages", "charset")
+    Cdx.writeCcIndexTable(caps, dir)
+    // on disk: the PUBLISHED column names and narrow types
+    val raw = spark.read.parquet(dir)
+    assert(raw.columns.toSet == Set("url_surtkey", "fetch_time", "url",
+      "content_mime_type", "fetch_status", "content_digest",
+      "warc_filename", "warc_record_offset", "warc_record_length",
+      "content_languages", "content_charset"))
+    assert(raw.schema("fetch_status").dataType.simpleString == "smallint")
+    assert(raw.schema("warc_record_offset").dataType.simpleString == "int")
+    // back through the adapter: the capture shape, value-identical
+    val back = Cdx.readCcIndexTable(spark, dir)
+    assert(back.columns.toSeq == caps.columns.toSeq)
+    assert(back.exceptAll(caps).count() == 0 &&
+      caps.exceptAll(back).count() == 0)
+    // a published table missing optional columns still reads (nulls)
+    val thin = new java.io.File(
+      java.nio.file.Files.createTempDirectory("ccidx_").toFile, "thin").getPath
+    raw.select("url_surtkey", "url", "warc_filename",
+      "warc_record_offset", "warc_record_length").write.parquet(thin)
+    val thinBack = Cdx.readCcIndexTable(spark, thin)
+    assert(thinBack.columns.toSeq == caps.columns.toSeq)
+    assert(thinBack.where(col("mime").isNull).count() == 2)
+    assert(thinBack.where(col("offset") === 100L).count() == 1)
+  }
+
   test("fetchPlan: zero/negative lengths and negative offsets drop " +
     "(no degenerate range can reach the ranged reader)") {
     val caps = Seq(

@@ -336,6 +336,42 @@ class WarcSpec extends SparkTestBase {
       .forall(!_.isNullAt(0)))
   }
 
+  test("pipeline knobs: warc sink contentEncoding, warc source " +
+    "decodePayloads, warcIndex languageCodes — all config-only") {
+    val parent = tmpDir()
+    Seq(("https://pk.test/1",
+      "<html><p>" + graft.PublishedSamples.GzipText + "</p></html>"))
+      .toDF("uri", "body").createOrReplaceTempView("pk_pages")
+    graft.pipeline.Pipeline.run(spark,
+      s"""source: pk_pages
+         |sink: {format: warc, path: "$parent/coded", uri: uri, body: body,
+         |  contentEncoding: gzip}
+         |""".stripMargin, name => spark.table(name))
+    // default source decodes; decodePayloads: false keeps stored bytes
+    val dec = graft.pipeline.Pipeline.run(spark,
+      s"""source: {format: warc, path: "$parent/coded"}
+         |""".stripMargin, _ => fail("no table"))
+    assert(dec.select("payload_decoded").collect().forall(_.getBoolean(0)))
+    assert(dec.select(col("payload").cast("string")).collect()
+      .head.getString(0).startsWith("<html><p>The quick"))
+    val raw = graft.pipeline.Pipeline.run(spark,
+      s"""source: {format: warc, path: "$parent/coded", decodePayloads: false}
+         |""".stripMargin, _ => fail("no table"))
+    val stored = raw.select("payload").collect().head.getAs[Array[Byte]](0)
+    assert((stored(0) & 0xff) == 0x1f && (stored(1) & 0xff) == 0x8b)
+    // warcIndex languageCodes: iso639_3 spells the published field
+    val idx = graft.pipeline.Pipeline.run(spark,
+      s"""source: {format: warcIndex, path: "$parent/coded",
+         |  languageCodes: iso639_3}
+         |""".stripMargin, _ => fail("no table"))
+    assert(idx.select("languages").collect().head.getString(0) == "eng")
+    intercept[IllegalArgumentException] {
+      graft.pipeline.Pipeline.run(spark,
+        s"""source: {format: warc, path: "$parent/coded", decodeBodies: true}
+           |""".stripMargin, _ => fail("no table"))
+    }
+  }
+
   test("gzipMembers: FEXTRA/FNAME/FHCRC headers walk correctly; offsets " +
     "tile the file") {
     def handGzip(
@@ -713,10 +749,9 @@ class WarcSpec extends SparkTestBase {
   }
 
   test("http block without a header/body boundary comes back whole") {
-    val (st, ct, body, hdrs) =
-      Warc.parseHttp("not an http message".getBytes("UTF-8"))
-    assert(st.isEmpty && ct.isEmpty && hdrs.isEmpty)
-    assert(new String(body, "UTF-8") == "not an http message")
+    val m = Warc.parseHttp("not an http message".getBytes("UTF-8"))
+    assert(m.status.isEmpty && m.contentType.isEmpty && m.headers.isEmpty)
+    assert(new String(m.body, "UTF-8") == "not an http message")
   }
 
   test("parseHttp full header map: original casing, repeats comma-joined, " +
@@ -730,12 +765,13 @@ class WarcSpec extends SparkTestBase {
       "X-Repeat: v\r\n" +
       "X-Folded: start\r\n continued\r\n" +
       "\r\nBODY").getBytes("UTF-8")
-    val (st, ct, body, hdrs) = Warc.parseHttp(msg)
+    val parsed = Warc.parseHttp(msg)
     // http_content_type is the FIRST Content-Type — a joined value would
     // corrupt every derived mime field
-    assert(st.contains(200) && ct.contains("text/html"))
-    assert(new String(body, "UTF-8") == "BODY")
-    val h = hdrs.get
+    assert(parsed.status.contains(200) &&
+      parsed.contentType.contains("text/html"))
+    assert(new String(parsed.body, "UTF-8") == "BODY")
+    val h = parsed.headers.get
     assert(h("Content-Type") == "text/html, text/plain") // map keeps both
     // Set-Cookie never comma-joins (RFC 6265 — its values hold commas);
     // newline-joined so consumers split losslessly
@@ -744,8 +780,9 @@ class WarcSpec extends SparkTestBase {
     assert(h("X-Repeat") == "u, v")
     assert(h("X-Folded") == "start continued")
     // parseHeaders = false: same scalars, no map
-    val (st2, ct2, _, none) = Warc.parseHttp(msg, wantHeaders = false)
-    assert(st2 == st && ct2 == ct && none.isEmpty)
+    val bare = Warc.parseHttp(msg, wantHeaders = false)
+    assert(bare.status == parsed.status &&
+      bare.contentType == parsed.contentType && bare.headers.isEmpty)
     // end to end: the map rides the readWarc frame
     val dir = tmpDir()
     Warc.writeWarcResponses(
@@ -755,6 +792,221 @@ class WarcSpec extends SparkTestBase {
     val m = row.getAs[Map[String, String]]("http_headers")
     assert(m("Content-Type") == "text/plain; charset=UTF-8")
     assert(m.contains("Content-Length"))
+  }
+
+  test("dechunk: published chunked-framing example, extensions and " +
+    "trailers dropped, truncation and non-chunked fallback") {
+    import graft.PublishedSamples
+    // the published example decodes exactly (data chunks carry CRLFs)
+    val Some((d, capped)) = Warc.dechunk(PublishedSamples.ChunkedBody, 1 << 20)
+    assert(new String(d, "ISO-8859-1") == PublishedSamples.ChunkedDecoded)
+    assert(!capped)
+    // chunk extensions after ';' and trailer fields drop
+    val ext = ("5;ext=\"v\"\r\nhello\r\n0\r\nX-Trailer: t\r\n\r\n")
+      .getBytes("ISO-8859-1")
+    assert(new String(Warc.dechunk(ext, 1 << 20).get._1, "UTF-8") == "hello")
+    // truncated mid-chunk: what decoded survives (capture truncation)
+    val torn = "4\r\nWiki\r\nA\r\npedi".getBytes("ISO-8859-1")
+    assert(new String(Warc.dechunk(torn, 1 << 20).get._1, "UTF-8")
+      == "Wikipedi")
+    // first size line unparsable: not chunked at all — None, caller
+    // falls back to the stored bytes
+    assert(Warc.dechunk("<html>hi</html>".getBytes("UTF-8"), 1 << 20).isEmpty)
+    // output cap flags
+    val Some((cappedOut, wasCapped)) =
+      Warc.dechunk(PublishedSamples.ChunkedBody, 5)
+    assert(cappedOut.length == 5 && wasCapped)
+  }
+
+  test("gunzip/inflate leniency: roundtrip, wrong-magic fallback, torn " +
+    "tail, zlib and raw deflate both accepted") {
+    val text = ("decode me " * 50).getBytes("UTF-8")
+    val bos = new ByteArrayOutputStream()
+    val gz = new GZIPOutputStream(bos); gz.write(text); gz.close()
+    val gzBytes = bos.toByteArray
+    assert(java.util.Arrays.equals(
+      Warc.gunzipLenient(gzBytes, 1 << 20).get._1, text))
+    // not gzip → None (mislabeled coding falls back)
+    assert(Warc.gunzipLenient(text, 1 << 20).isEmpty)
+    // torn tail: most of the stream inflates
+    val torn = java.util.Arrays.copyOf(gzBytes, gzBytes.length - 12)
+    val got = Warc.gunzipLenient(torn, 1 << 20).get._1
+    assert(got.length > 0 && got.length <= text.length)
+    assert(new String(got, "UTF-8").startsWith("decode me "))
+    // deflate: zlib-wrapped (the correct coding) and raw (the mislabel)
+    val zlibBytes = {
+      val d = new java.util.zip.Deflater()
+      d.setInput(text); d.finish()
+      val out = new ByteArrayOutputStream(); val b = new Array[Byte](512)
+      while (!d.finished()) out.write(b, 0, d.deflate(b))
+      d.end(); out.toByteArray
+    }
+    val rawBytes = {
+      val d = new java.util.zip.Deflater(-1, true)
+      d.setInput(text); d.finish()
+      val out = new ByteArrayOutputStream(); val b = new Array[Byte](512)
+      while (!d.finished()) out.write(b, 0, d.deflate(b))
+      d.end(); out.toByteArray
+    }
+    assert(java.util.Arrays.equals(
+      Warc.inflateLenient(zlibBytes, 1 << 20).get._1, text))
+    assert(java.util.Arrays.equals(
+      Warc.inflateLenient(rawBytes, 1 << 20).get._1, text))
+  }
+
+  test("decodeHttpBody: chunked+gzip chain decodes in order; unsupported " +
+    "br reverts whole; identity is a no-op") {
+    import graft.PublishedSamples
+    val (b3, dec3, cap3) = Warc.decodeHttpBody(
+      PublishedSamples.ChunkedGzipBody,
+      Some("chunked"), Some("gzip"), 1 << 20)
+    assert(dec3 && !cap3)
+    assert(new String(b3, "UTF-8") == PublishedSamples.ChunkedGzipText)
+    // br: no JDK decoder — the ORIGINAL stored bytes come back whole
+    val (bBr, decBr, _) = Warc.decodeHttpBody(
+      PublishedSamples.BrBody, None, Some("br"), 1 << 20)
+    assert(!decBr &&
+      java.util.Arrays.equals(bBr, PublishedSamples.BrBody))
+    // a failed step anywhere reverts the WHOLE chain (never half-decoded)
+    val (bHalf, decHalf, _) = Warc.decodeHttpBody(
+      PublishedSamples.ChunkedGzipBody, Some("chunked"), Some("br"), 1 << 20)
+    assert(!decHalf &&
+      java.util.Arrays.equals(bHalf, PublishedSamples.ChunkedGzipBody))
+    val (bId, decId, _) = Warc.decodeHttpBody(
+      "x".getBytes("UTF-8"), Some("identity"), None, 1 << 20)
+    assert(!decId && new String(bId, "UTF-8") == "x")
+  }
+
+  test("readWarc decodes captured codings end to end; decodePayloads = " +
+    "false keeps stored bytes; coding columns always surface") {
+    import graft.PublishedSamples
+    val dir = tmpDir()
+    Files.write(new java.io.File(dir, "coded.warc").toPath,
+      PublishedSamples.CodedWarcFile)
+    val rows = Warc.readWarc(spark, dir)
+      .select(col("target_uri"), col("payload"), col("payload_decoded"),
+        col("http_transfer_encoding"), col("http_content_encoding"),
+        col("truncated"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    val chunked = rows("http://coded.example/chunked")
+    assert(new String(chunked.getAs[Array[Byte]]("payload"), "UTF-8")
+      == PublishedSamples.ChunkedDecoded)
+    assert(chunked.getAs[Boolean]("payload_decoded"))
+    assert(chunked.getAs[String]("http_transfer_encoding") == "chunked")
+    val gzr = rows("http://coded.example/gzipped")
+    assert(new String(gzr.getAs[Array[Byte]]("payload"), "UTF-8")
+      == PublishedSamples.GzipText)
+    assert(gzr.getAs[String]("http_content_encoding") == "gzip")
+    val both = rows("http://coded.example/both")
+    assert(new String(both.getAs[Array[Byte]]("payload"), "UTF-8")
+      == PublishedSamples.ChunkedGzipText)
+    val br = rows("http://coded.example/brotli")
+    assert(!br.getAs[Boolean]("payload_decoded"))
+    assert(java.util.Arrays.equals(
+      br.getAs[Array[Byte]]("payload"), PublishedSamples.BrBody))
+    assert(br.getAs[String]("http_content_encoding") == "br")
+    // raw split (warcio raw_stream): stored block bodies verbatim, the
+    // coding headers still there so callers can decode selectively
+    val raw = Warc.readWarc(spark, dir, decodePayloads = false)
+      .select(col("target_uri"), col("payload"), col("payload_decoded"),
+        col("http_transfer_encoding"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(java.util.Arrays.equals(
+      raw("http://coded.example/chunked").getAs[Array[Byte]]("payload"),
+      PublishedSamples.ChunkedBody))
+    assert(!raw("http://coded.example/chunked")
+      .getAs[Boolean]("payload_decoded"))
+    assert(raw("http://coded.example/chunked")
+      .getAs[String]("http_transfer_encoding") == "chunked")
+  }
+
+  test("indexWarc over coded captures: digest keys the STORED block, " +
+    "charset/languages sniff the DECODED sample, iso639_3 re-spells") {
+    import graft.PublishedSamples
+    val dir = tmpDir()
+    Files.write(new java.io.File(dir, "coded.warc").toPath,
+      PublishedSamples.CodedWarcFile)
+    val idx = Warc.indexWarc(spark, dir)
+      .select(col("url"), col("digest"), col("charset"), col("languages"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    // headers present → surfaced verbatim (stored-block digests)
+    assert(idx("http://coded.example/gzipped").getString(1)
+      == PublishedSamples.GzipStoredDigest)
+    assert(idx("http://coded.example/both").getString(1)
+      == PublishedSamples.ChunkedGzipStoredDigest)
+    // header ABSENT → recomputed over the stored block, landing on the
+    // outside-computed constant (decoded bytes would land elsewhere)
+    assert(idx("http://coded.example/brotli").getString(1)
+      == PublishedSamples.BrStoredDigest)
+    // the sniffs saw decoded text, not gzip bytes
+    assert(idx("http://coded.example/gzipped").getString(2) == "UTF-8")
+    assert(idx("http://coded.example/gzipped").getString(3) == "en")
+    assert(idx("http://coded.example/both").getString(3) == "en")
+    val idx3 = Warc.indexWarc(spark, dir, languageCodes = "iso639_3")
+      .select(col("url"), col("languages"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(idx3("http://coded.example/gzipped") == "eng")
+    intercept[IllegalArgumentException] {
+      Warc.indexWarc(spark, dir, languageCodes = "nope")
+    }
+  }
+
+  test("writeWarcResponses(contentEncoding = gzip): stored bodies are " +
+    "coded, digests key the coded block, readers decode by default") {
+    val dir = tmpDir()
+    val df = (1 to 30)
+      .map(i => (s"https://ce.test/d/$i", s"<html><p>entity $i</p></html>" +
+        ("pad" * (i % 5))))
+      .toDF("uri", "body")
+    Warc.writeWarcResponses(df.repartition(2), dir, "uri", "body",
+      contentEncoding = "gzip", index = true)
+    // decoded read (default): original bodies, coding surfaced
+    val back = Warc.readWarc(spark, dir)
+      .select(col("target_uri"), col("payload").cast("string").as("body"),
+        col("http_content_encoding"), col("payload_decoded"),
+        col("payload_digest"))
+    assert(back.count() == 30)
+    assert(back.filter(col("http_content_encoding") =!= "gzip").count() == 0)
+    assert(back.filter(!col("payload_decoded")).count() == 0)
+    val got = back.select(col("target_uri").as("uri"), col("body"))
+    assert(got.exceptAll(df).count() == 0 && df.exceptAll(got).count() == 0)
+    // raw read: stored bytes are genuinely gzip, and BOTH digests (record
+    // header + index sidecar) key exactly those coded bytes
+    val raw = Warc.readWarc(spark, dir, decodePayloads = false)
+      .select(col("target_uri"), col("payload"), col("payload_digest"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    raw.values.foreach { r =>
+      val stored = r.getAs[Array[Byte]]("payload")
+      assert((stored(0) & 0xff) == 0x1f && (stored(1) & 0xff) == 0x8b)
+      assert(r.getString(2) == "sha1:" + Warc.sha1Base32(stored))
+    }
+    val side = Cdx.readCdxj(spark, dir, glob = Some("*.cdxj"))
+      .select(col("url"), col("digest")).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(side.size == 30)
+    side.foreach { case (url, d) =>
+      assert("sha1:" + d == raw(url).getString(2),
+        s"sidecar digest for $url must equal the record header's")
+    }
+    // bad value fails loudly
+    intercept[IllegalArgumentException] {
+      Warc.writeWarcResponses(df, tmpDir(), "uri", "body",
+        contentEncoding = "zstd")
+    }
+  }
+
+  test("parseHttp obs-fold reset: a continuation after a colon-less " +
+    "garbage line does not append to the previous field") {
+    val msg = ("HTTP/1.1 200 OK\r\n" +
+      "X-First: alpha\r\n" +
+      "garbage line without a colon\r\n" +
+      " looks-like-a-continuation\r\n" +
+      "X-Second: beta\r\n" +
+      "\r\nBODY").getBytes("UTF-8")
+    val m = Warc.parseHttp(msg)
+    val h = m.headers.get
+    assert(h("X-First") == "alpha") // NOT "alpha looks-like-a-continuation"
+    assert(h("X-Second") == "beta")
   }
 
   test("garbage between records fails loudly, missing Content-Length too") {

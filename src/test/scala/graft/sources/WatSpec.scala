@@ -140,6 +140,26 @@ class WatSpec extends SparkTestBase {
     assert(back("https://c.test/1").contains("<title>C1</title>"))
   }
 
+  test("writeWarcWithWat container: a same-URL recapture frame FAILS " +
+    "loudly instead of cross-matching containers through the url join") {
+    val parent = tmpDir()
+    val warcDir = new java.io.File(parent, "warc").getPath
+    val watDir = new java.io.File(parent, "wat").getPath
+    // two captures of the SAME url — the real-crawl recapture shape
+    val pages = Seq(
+      ("https://dup.test/page", "<html><body>first capture</body></html>"),
+      ("https://dup.test/page", "<html><body>second capture</body></html>"),
+      ("https://dup.test/other", "<html><body>fine</body></html>"))
+      .toDF("uri", "html")
+    val e = intercept[Exception] { // raise_error → SparkRuntimeException
+      Wat.writeWarcWithWat(pages, warcDir, watDir, "uri", "html",
+        container = true)
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("duplicate capture url")))
+  }
+
   test("parseWat tolerates and surfaces a REAL-shaped published envelope: " +
     "Container, Headers, Links with path/title/text keys") {
     // hand-written in the published iipc WAT layout (keys beyond the
