@@ -918,9 +918,11 @@ object Dedup {
     *      table, capped per side.
     *
     * Costs, explicitly: the probe exchange carries
-    * `numChunks × Σ_{k≤radius} C(chunkBits, k)` rows per DISTINCT signature
-    * (548 at the image/video default h=10; 16-byte payload each) versus
-    * banding's h+1 = 11 — the price of a key space that doesn't collapse.
+    * `Σ_j Σ_{k≤r_j} C(chunkBits, k)` rows per DISTINCT signature — with the
+    * asymmetric per-chunk radii r_j = ⌊(h−j)/m⌋ that is 428 at the
+    * image/video default h=10 and 188 at the audio default h=8 (16-byte
+    * payload each) versus banding's h+1 = 11 — the price of a key space
+    * that doesn't collapse.
     * Per-task bounds: the hot (chunk, value) key sees one probe row per
     * distinct signature in its ball × ≤cap anchor signatures; a verified
     * signature pair re-expands to ≤cap×cap id pairs streamed by the nested
@@ -956,10 +958,21 @@ object Dedup {
     require(numChunks > 0 && 64 % numChunks == 0,
       s"numChunks must divide 64, got $numChunks")
     val chunkBits = 64 / numChunks
-    val radius = maxHamming / numChunks
-    val masks = ballMasks(chunkBits, radius)
-    require(masks.length.toLong * numChunks <= 100000,
-      s"multi-index ball is ${masks.length} masks × $numChunks chunks per " +
+    // ASYMMETRIC per-chunk probe radii, r_j = ⌊(maxHamming − j) / numChunks⌋:
+    // Σ_j (r_j + 1) = maxHamming + 1 exactly (Hermite's identity), so the
+    // pigeonhole guarantee holds — if every chunk distance exceeded its
+    // radius the total would be ≥ Σ(r_j+1) > maxHamming — with the MINIMAL
+    // total ball volume (ball sizes grow combinatorially in the radius, and
+    // this is the most-equal distribution of the required Σ r_j). At the
+    // media default (h=10, m=4) the radii are (2,2,2,1): 428 probe rows per
+    // distinct signature instead of the uniform ⌊h/m⌋ ball's 548; at h=8
+    // (audio) they are (2,1,1,1): 188 instead of 548. Verified pairs are
+    // unchanged — candidate generation still finds every pair within
+    // maxHamming, and verification still drops everything beyond it.
+    val radii = (0 until numChunks).map(j => math.max(0, (maxHamming - j) / numChunks))
+    val maskSeqs = radii.map(r => ballMasks(chunkBits, r))
+    require(maskSeqs.map(_.length.toLong).sum <= 100000,
+      s"multi-index ball is ${maskSeqs.map(_.length).sum} probe masks per " +
         "item — raise numChunks or lower maxHamming (the probe exchange " +
         "would dwarf the corpus)")
     val sigs = ensureParallelism(df)
@@ -968,6 +981,19 @@ object Dedup {
     // one row per DISTINCT signature: keeper + capped member sample. The
     // groupBy partial-aggregates, so a million-copy hot signature reaches
     // the exchange as ≤ one capped partial row per map partition.
+    //
+    // PERSISTED: the engine's plan references this table six times (keeper
+    // star, in-group pairs, anchor buckets, ball probes, and the two
+    // re-expansion joins) — unpersisted, each reference re-ran the whole
+    // input scan + groupBy subtree (measured: ~6 executions per run, a
+    // third of q93's wall time at the gate). A member row is a signature,
+    // a keeper id and a capped id sample — distinct-signature-sized at any
+    // scale, far smaller than the six input rescans it replaces; same
+    // LRU-eviction trade as [[Multimodal]]'s fingerprint cache (Spark has
+    // no safe unpersist point for a frame a lazy result still references).
+    // (persist sits UNDER the observation: a CollectMetrics node absorbed
+    // into the cached subtree never reaches the outer query's observed
+    // metrics — the observation must live in the consuming plan)
     val members = observeBucketStats(
       sigs
         .groupBy(col("sig"))
@@ -977,7 +1003,8 @@ object Dedup {
             col("id"), maxBucketSize).as("__ml"))
         .select(col("sig"), col("keeper"),
           array_distinct(col("__ml.items")).as("mids"),
-          col("__ml.cnt").as("__bsz")),
+          col("__ml.cnt").as("__bsz"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
       maxBucketSize)
     // identical-signature pairs, no probe join:
     //  (a) keeper-star join-back — EVERY group member pairs with the group
@@ -1004,39 +1031,69 @@ object Dedup {
       .select(least(col("__ida"), col("__idb")).as("id_a"),
         greatest(col("__ida"), col("__idb")).as("id_b"),
         lit(0).as("hamming"))
-    // cross-signature candidates: ball probes ONCE per distinct signature
-    val dsigs = members.select(col("sig"))
+    // cross-signature candidates: ball probes ONCE per distinct signature.
+    //
+    // REPARTITIONED before the fan-out: the explode multiplies each row
+    // ~Σ|ball_j| times (428 at the media default), so the stage's OUTPUT is
+    // two to three orders of magnitude bigger than its input — AQE sizes
+    // post-shuffle partitions on INPUT bytes and coalesced the tiny
+    // distinct-signature exchange to 2 partitions at the gate, serializing
+    // an 800 MB probe shuffle write onto 2 tasks (measured 17 s of q93's
+    // 25). The explicit width (which AQE respects) restores the session's
+    // parallelism; at real scale the distinct-signature table is big enough
+    // that max(defaultParallelism, shuffle.partitions) never SHRINKS the
+    // stage below its natural width by more than the config the operator
+    // already runs under.
+    val fanoutParts = math.max(
+      df.sparkSession.sparkContext.defaultParallelism,
+      try df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+      catch { case _: NumberFormatException => 0 })
+    // (chunk, value) packed into ONE long join key — value in the low
+    // chunkBits bits, chunk index above them: half the key bytes on the
+    // probe exchange and a single-column hash join key. Ball masks only
+    // touch the low chunkBits bits, so XOR-probing preserves the tag.
+    val dsigs = members.select(col("sig")).repartition(fanoutParts)
     val chunks = dsigs.select(
       col("sig"),
       explode(array((0 until numChunks).map { c =>
-        struct(
-          lit(c).as("chunk"),
-          shiftrightunsigned(col("sig"), c * chunkBits)
-            .bitwiseAND(lit(chunkMask(chunkBits))).as("chunk_val"))
-      }: _*)).as("cc"))
-      .select(col("sig"), col("cc.chunk"), col("cc.chunk_val"))
+        shiftrightunsigned(col("sig"), c * chunkBits)
+          .bitwiseAND(lit(chunkMask(chunkBits)))
+          .bitwiseOR(lit(c.toLong << chunkBits))
+      }: _*)).as("key"))
     val anchors = observeBucketStats(
       chunks
-        .groupBy(col("chunk"), col("chunk_val"))
+        .groupBy(col("key"))
         .agg(graft.ops.expr.NativeSig.boundedCollectList(
           col("sig"), maxBucketSize).as("__bl"))
-        .select(col("chunk"), col("chunk_val"),
+        .select(col("key"),
           col("__bl.items").as("ss"), col("__bl.cnt").as("__bsz")),
       maxBucketSize)
-      .select(col("chunk"), col("chunk_val"), col("ss"))
+      .select(col("key"), col("ss"))
+    // per-chunk mask sets (asymmetric radii) looked up by the key's tag
+    val masks2d = typedLit(maskSeqs.map(_.toSeq))
     val probes = chunks.select(
-      col("sig"), col("chunk"), col("chunk_val"),
-      explode(typedLit(masks.toSeq)).as("__mask"))
-      .select(col("sig"), col("chunk"),
-        col("chunk_val").bitwiseXOR(col("__mask")).as("probe_val"))
+      col("sig"), col("key"),
+      explode(element_at(masks2d,
+        shiftrightunsigned(col("key"), chunkBits).cast(IntegerType) + lit(1)))
+        .as("__mask"))
+      .select(col("sig"), col("key").bitwiseXOR(col("__mask")).as("key"))
     // BOTH discovery directions kept (least/greatest, not `p < a`): under
     // anchor truncation the signature pair whose larger member was
     // truncated out of its bucket is still found by the larger signature
     // PROBING the smaller one's retained anchor.
+    //
+    // hint("shuffle_hash") on the ANCHOR side: the probe side is the ~400×
+    // fan-out and a sort-merge join SORTED it (85M rows at the gate — the
+    // single biggest stage). A shuffled hash join streams the probes
+    // unsorted and builds the hash table from the anchor partition, whose
+    // size is bounded: numChunks rows per distinct signature × ≤cap sig
+    // entries each, divided across the shuffle partitions that scale with
+    // the corpus — the per-partition build is MBs when partitioning is
+    // sized to the data, exactly the "moderately small per partition"
+    // shuffled-hash case. (Broadcast stays wrong: anchors are
+    // distinct-signature-sized, i.e. corpus-sized, at scale.)
     val sigPairs = probes.as("p")
-      .join(anchors.as("a").hint("merge"),
-        col("p.chunk") === col("a.chunk") &&
-          col("p.probe_val") === col("a.chunk_val"))
+      .join(anchors.as("a").hint("shuffle_hash"), col("p.key") === col("a.key"))
       .select(col("p.sig").as("psig"), explode(col("a.ss")).as("asig"))
       .filter(col("psig") =!= col("asig"))
       .select(

@@ -130,9 +130,11 @@ case class StubDecoder(frameBytes: Int = 256) extends MediaDecoder {
   */
 case class JdkMediaDecoder(frameBytes: Int = 256) extends MediaDecoder {
 
-  private def readImage(payload: Array[Byte]): java.awt.image.BufferedImage =
+  private def readImage(payload: Array[Byte]): java.awt.image.BufferedImage = {
+    JdkMediaDecoder.imageIoMemoryCache
     try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
     catch { case _: Exception => null } // ImageIO returns null OR throws on garbage
+  }
 
   def decodeImage(payload: Array[Byte]): (Int, Int, Int, Iterator[Int]) = {
     val img = readImage(payload)
@@ -152,17 +154,17 @@ case class JdkMediaDecoder(frameBytes: Int = 256) extends MediaDecoder {
   }
 
   def decodeAudio(payload: Array[Byte]): Iterator[Double] = {
-    import javax.sound.sampled.{AudioFormat, AudioSystem}
+    import javax.sound.sampled.AudioFormat
     val pcmBytes =
       try {
-        val in = AudioSystem.getAudioInputStream(new java.io.ByteArrayInputStream(payload))
+        val in = JdkMediaDecoder.readAudioStream(payload)
         val base = in.getFormat
         // normalize every source encoding to signed 16-bit little-endian PCM
         val target = new AudioFormat(
           AudioFormat.Encoding.PCM_SIGNED,
           base.getSampleRate, 16, base.getChannels,
           base.getChannels * 2, base.getSampleRate, false)
-        AudioSystem.getAudioInputStream(target, in).readAllBytes()
+        JdkMediaDecoder.convertAudioStream(target, in).readAllBytes()
       } catch { case _: Exception => Array.emptyByteArray }
     Iterator.range(0, pcmBytes.length / 2).map { i =>
       (((pcmBytes(2 * i + 1).toInt << 8) | (pcmBytes(2 * i) & 0xFF)) / 32768.0)
@@ -222,12 +224,13 @@ case class JdkMediaDecoder(frameBytes: Int = 256) extends MediaDecoder {
     */
   private def gifFrames(payload: Array[Byte]): Iterator[Array[Byte]] =
     try {
+      JdkMediaDecoder.imageIoMemoryCache
       val iis = javax.imageio.ImageIO.createImageInputStream(
         new java.io.ByteArrayInputStream(payload))
-      // iis must be closed on EVERY exit: with ImageIO's default
-      // useCache=true it is a FileCacheImageInputStream backed by a disk
-      // temp file, and leaking one per decoded payload accumulates fds and
-      // temp files across a corpus-scale executor lifetime.
+      // iis must be closed on EVERY exit: under ImageIO's default
+      // useCache=true it would be a FileCacheImageInputStream backed by a
+      // disk temp file (we switch to the memory cache JVM-wide, but close
+      // unconditionally so a foreign useCache flip cannot leak fds).
       try {
         val readers = javax.imageio.ImageIO.getImageReaders(iis)
         if (!readers.hasNext) Iterator.empty
@@ -267,6 +270,86 @@ case class JdkMediaDecoder(frameBytes: Int = 256) extends MediaDecoder {
       } else i += 1
     }
     out.iterator
+  }
+}
+
+/** JVM-wide decode plumbing shared by every [[JdkMediaDecoder]] instance.
+  *
+  * Why this exists (measured on the q78 gate): `AudioSystem.getAudioInput
+  * Stream` walks the sound SPI registry under a JVM-global lock on EVERY
+  * call, so 32 concurrent decode tasks serialize — a 456 µs single-thread
+  * decode read 13.6 ms of executor time per row under contention, turning
+  * an embarrassingly parallel stage into a single-threaded one. The
+  * providers are immutable JDK services; loading them ONCE through the
+  * public `ServiceLoader` API and dispatching directly gives the same
+  * codecs, the same bytes, and no global lock. Same story for ImageIO's
+  * default disk-backed stream cache: a temp-file create/delete per decoded
+  * payload (useCache = true is the JDK default), pure overhead for
+  * byte-array inputs.
+  */
+object JdkMediaDecoder {
+  import javax.sound.sampled.{AudioFormat, AudioInputStream, UnsupportedAudioFileException}
+  import javax.sound.sampled.spi.{AudioFileReader, FormatConversionProvider}
+  import scala.jdk.CollectionConverters._
+
+  // MIDI readers sorted LAST and additionally gated on the SMF magic: the
+  // JDK's SoftMidiAudioFileReader re-enters MidiSystem.getProviders (the
+  // same JVM-global JSSecurityManager class lock) on EVERY payload offered
+  // to it — thread dumps of the contended decode stage showed all 32 tasks
+  // queued on that lock with WAV payloads that the MIDI reader would
+  // reject anyway. Standard MIDI files must begin with "MThd" (the only
+  // magic the JDK MIDI reader accepts), so the gate loses nothing.
+  private lazy val audioFileReaders: List[AudioFileReader] = {
+    val all = java.util.ServiceLoader.load(classOf[AudioFileReader]).asScala.toList
+    val (midi, other) = all.partition(isMidiReader)
+    other ::: midi
+  }
+
+  private def isMidiReader(r: AudioFileReader): Boolean =
+    r.getClass.getName.toLowerCase(java.util.Locale.ROOT).contains("midi")
+
+  private def looksLikeMidi(p: Array[Byte]): Boolean =
+    p.length >= 4 && p(0) == 'M' && p(1) == 'T' && p(2) == 'h' && p(3) == 'd'
+
+  private lazy val conversionProviders: List[FormatConversionProvider] =
+    java.util.ServiceLoader.load(classOf[FormatConversionProvider]).asScala.toList
+
+  /** ImageIO with the in-memory stream cache (one-time, idempotent, safe:
+    * byte-array inputs never need the disk spill the file cache exists for).
+    */
+  private[ops] lazy val imageIoMemoryCache: Unit =
+    javax.imageio.ImageIO.setUseCache(false)
+
+  /** `AudioSystem.getAudioInputStream(stream)` without the per-call SPI
+    * walk: first cached reader that accepts the payload wins — the same
+    * first-match contract as the JDK dispatch.
+    */
+  private[ops] def readAudioStream(payload: Array[Byte]): AudioInputStream = {
+    val it = audioFileReaders.iterator
+    while (it.hasNext) {
+      val r = it.next()
+      if (!isMidiReader(r) || looksLikeMidi(payload)) {
+        try return r.getAudioInputStream(new java.io.ByteArrayInputStream(payload))
+        catch { case _: UnsupportedAudioFileException => /* next provider */ }
+      }
+    }
+    throw new UnsupportedAudioFileException("no cached AudioFileReader accepts the payload")
+  }
+
+  /** `AudioSystem.getAudioInputStream(target, in)` without the per-call SPI
+    * walk; identity conversions pass through, matching the JDK dispatch.
+    */
+  private[ops] def convertAudioStream(
+      target: AudioFormat, in: AudioInputStream): AudioInputStream = {
+    if (in.getFormat.matches(target)) return in
+    val it = conversionProviders.iterator
+    while (it.hasNext) {
+      val p = it.next()
+      if (p.isConversionSupported(target, in.getFormat))
+        return p.getAudioInputStream(target, in)
+    }
+    throw new IllegalArgumentException(
+      s"unsupported audio conversion: ${in.getFormat} -> $target")
   }
 }
 
