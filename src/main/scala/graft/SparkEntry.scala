@@ -281,8 +281,17 @@ object SparkEntry {
       body.as("body"),
       when(col("doc_id") % 11 === 0 || isCopy, lit("text/html; charset=utf-8"))
         .otherwise(lit("text/html; charset=iso-8859-1")).as("ct"))
+    // Shard count scales with the session: a WARC scan is one task per
+    // shard (whole-archive decode), so a 4-shard fixture pinned the
+    // TIMED pipeline's scan stage to 4 tasks on any box — measuring the
+    // fixture's narrowness, not the operator (real crawl segments carry
+    // far more shards than a node has cores; the lower-core driver bench
+    // gets proportionally fewer shards, keeping the scaling row honest).
+    // Payloads are byte-identical under any sharding, so the declared
+    // query's result set is unchanged (oracle-verified).
     graft.sources.Warc.writeWarcResponses(
-      src.repartition(4), out, "uri", "body", overwrite = true,
+      src.repartition(math.max(4, s.sparkContext.defaultParallelism)),
+      out, "uri", "body", overwrite = true,
       contentTypeCol = Some("ct"), codec = "zstd-dict")
   }
 

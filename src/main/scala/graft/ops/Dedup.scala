@@ -32,15 +32,32 @@ object Dedup {
     * at corpus scale — public because source readers want the same guard:
     * a driver-regenerated single-row-group testdata table serialized every
     * scan-bound query to one task, measured at 1.5–4× wall inflation).
+    *
+    * SCAN-ROOTED FRAMES ONLY, by construction: when the plan already
+    * contains an exchange (or a subquery), Spark wraps it in
+    * AdaptiveSparkPlanExec, and probing `toRdd.getNumPartitions` there
+    * EXECUTES every upstream query stage to resolve the final plan — a
+    * full phantom run of the caller's pipeline per call (measured: one
+    * extra scan → extract → langId pass per crawl-capstone invocation,
+    * ~40% of its wall time). Downstream of any exchange the stage width is
+    * governed by `spark.sql.shuffle.partitions` / AQE coalescing, exactly
+    * the knobs the narrow-scan guard exists to bypass — so the guard is
+    * both unsafe and unnecessary there, and the adaptive case returns the
+    * frame untouched.
     */
   def ensureParallelism(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
+    val planned = df.queryExecution.executedPlan
+    val adaptive = planned.exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec])
+    if (adaptive) df
     // The probe must see Spark's actual split count (file-size heuristics
     // undercount exactly the case this guards: unsplittable row groups).
     // `queryExecution.toRdd` plans the query once on the driver without the
-    // external-Row conversion layer of `df.rdd` and without running a job —
-    // milliseconds, vs the CPU-dense stage it protects.
-    if (df.queryExecution.toRdd.getNumPartitions < target) df.repartition(target)
+    // external-Row conversion layer of `df.rdd` and — on a non-adaptive,
+    // exchange-free plan — without running a job: milliseconds, vs the
+    // CPU-dense stage it protects.
+    else if (df.queryExecution.toRdd.getNumPartitions < target) df.repartition(target)
     else df
   }
 
@@ -266,7 +283,20 @@ object Dedup {
       !df.columns.contains("n_segments_removed"),
       "dedupSegmentsAcrossCorpus adds text_dedup/n_segments_removed; " +
         "rename the existing columns first")
-    val segs = ensureParallelism(df)
+    // PERSISTED: the plan references `df` three times — the keeper
+    // aggregation and the instance-mark join each re-derive the segment
+    // explode from it, and the final reassembly joins back to it. Without
+    // the persist each reference re-executes the caller's WHOLE upstream
+    // subtree (measured on the crawl-capstone gate: 3 full re-runs of the
+    // scan → HTML-extract → langId pipeline per invocation, the dominant
+    // cost). One materialization of the input is strictly cheaper than
+    // re-running a CPU-dense upstream twice more at any scale; same
+    // LRU-eviction trade as the [[multiIndexHammingPairs]] members persist
+    // (no safe unpersist point while a lazy result references the frame —
+    // eviction degrades to recompute, not failure).
+    val input = ensureParallelism(df)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val segs = input
       .select(col(idCol).as("__id"),
         posexplode(split(col(textCol),
           java.util.regex.Pattern.quote(sep), -1)).as(Seq("__pos", "__seg")))
@@ -295,7 +325,7 @@ object Dedup {
               struct(col("__pos"), col("__seg"))))),
             s => s.getField("__seg"))).as("text_dedup"),
         sum(when(!col("__keep"), 1L).otherwise(0L)).as("n_segments_removed"))
-    df.join(reassembled.withColumnRenamed("__id", idCol), Seq(idCol), "left")
+    input.join(reassembled.withColumnRenamed("__id", idCol), Seq(idCol), "left")
   }
 
   // ------------------------------------------------------------------
