@@ -69,13 +69,30 @@ object Cluster {
     // One explode, NOT union(pairs, pairs.swapped): a union makes two plan
     // branches that each recompute the whole upstream pair pipeline (LSH /
     // prefix-filter joins — plan branches share no work).
+    //
+    // CACHE LAYOUT = the loop's join requirement (hash(v), sorted by v):
+    // every shuffle-regime round joins `edges` on `v`, and a cached frame's
+    // partitioning/ordering survive into each round's plan (exchange reuse
+    // does NOT cross jobs, a cached layout does) — so the per-round
+    // full-edge exchange AND the per-round SMJ sort of the edge side both
+    // vanish; only the label-sized side moves per round. The layout is
+    // free: dedup needs ClusteredDistribution(u,v) and hash(v) is a valid
+    // clustering for it (equal (u,v) ⇒ equal v ⇒ same partition), so the
+    // explicit repartition REPLACES distinct's exchange instead of adding
+    // one. Partition count = the session's shuffle partitions so the
+    // labels-side exchange each round matches it exactly (AQE cannot
+    // coalesce a side that must co-partition with a fixed cached layout).
+    val loopParts = pairs.sparkSession.conf
+      .get("spark.sql.shuffle.partitions", "200").toInt
     val edges = pairs
       .select(explode(array(
         struct(col(idACol).as("u"), col(idBCol).as("v")),
         struct(col(idBCol).as("u"), col(idACol).as("v")))).as("e"))
       .select(col("e.u").as("u"), col("e.v").as("v"))
       .filter(col("u").isNotNull && col("v").isNotNull && col("u") =!= col("v"))
-      .distinct()
+      .repartition(loopParts, col("v"))
+      .dropDuplicates("u", "v")
+      .sortWithinPartitions("v")
       .persist(StorageLevel.MEMORY_AND_DISK)
     // this count doubles as the cache materialization for whichever
     // regime runs next

@@ -231,4 +231,43 @@ class AqePlanShapeSpec extends SparkTestBase {
       .exists(_.boundGenerator.isInstanceOf[graft.ops.expr.BucketCosinePairs]),
       "AQE re-plan must keep the survivor-only generator")
   }
+
+  test("AQE: connectedComponents' edge-cache layout joins on v with no edge-side exchange or sort") {
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    // The shuffle regime of Cluster.connectedComponents relies on this
+    // Spark contract: a frame PERSISTED as repartition(P, v) →
+    // dropDuplicates(u, v) → sortWithinPartitions(v) keeps that
+    // partitioning AND ordering through the cache, so each round's join on
+    // v plans with zero exchange and zero sort above the edge-side cache
+    // scan — the per-round cost is the label-sized side only. If a Spark
+    // upgrade stops propagating cached layout, every round silently
+    // re-shuffles and re-sorts the full edge table; this pins the contract.
+    val p = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val edges = (1L to 200L).flatMap(i => Seq((i, i + 1), (i + 1, i)))
+      .toDF("u", "v")
+      .repartition(p, col("v"))
+      .dropDuplicates("u", "v")
+      .sortWithinPartitions("v")
+      .persist()
+    val bcBefore = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      edges.count()
+      val labels = (1L to 201L).map(i => (i, i)).toDF("v", "nl")
+      val nodes = aqeFinal(edges.join(labels, "v"))
+      // exactly one exchange (the labels side) and no sort above the cache
+      val shuffled = shuffleChildren(nodes)
+      assert(shuffled.size == 1, s"expected ONE exchange (labels side), got ${shuffled.size}")
+      assert(!shuffled.exists(_.collectLeaves().exists(_.isInstanceOf[InMemoryTableScanExec])),
+        "the cached edge side must not be re-exchanged")
+      def above(n: SparkPlan): Boolean = n match {
+        case _: SortExec => n.collectLeaves().exists(_.isInstanceOf[InMemoryTableScanExec])
+        case _ => false
+      }
+      assert(!nodes.exists(above), "the cached edge side must not be re-sorted")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bcBefore)
+      edges.unpersist(); ()
+    }
+  }
 }
