@@ -193,12 +193,17 @@ object Dedup {
     val perDoc = wins.join(rep.hint("merge"), "h")
       .groupBy(col("id"))
       .agg(collect_list(col("pos")).as("__rpos"), count(lit(1)).as("__nrep"))
-    val cols = df.columns.toIndexedSeq
-    df.join(perDoc.hint("merge"), df(idCol) === perDoc("id"), "left")
+    // The join-back's left side hash-exchanges on id immediately, so an
+    // inherited narrow-scan repartition(n) under it would move the full
+    // (id, text) rows TWICE — strip it (the window branch above keeps its
+    // own widened copy, where the CPU-dense hashing actually needs it).
+    val base = org.apache.spark.sql.graft.ColumnBridge.stripTopRoundRobin(df)
+    val cols = base.columns.toIndexedSeq
+    base.join(perDoc.hint("merge"), base(idCol) === perDoc("id"), "left")
       .withColumn("__mask", graft.ops.expr.NativeSig.maskRepeatedWindows(
         col(textCol),
         coalesce(col("__rpos"), lit(Array.empty[Int])), windowTokens))
-      .select(cols.map(df(_)) ++ Seq(
+      .select(cols.map(base(_)) ++ Seq(
         col("__mask").getField("clean").as("text_clean"),
         coalesce(col("__nrep"), lit(0L)).as("n_repeated_windows"),
         coalesce(col("__mask").getField("removed").cast("long"), lit(0L))

@@ -143,7 +143,10 @@ object Dsir {
       .crossJoin(broadcast(totals))
       .groupBy(col("__id"))
       .agg(sum(coalesce(col("__lr"), absent)).as("log_weight"))
-    df.join(perDoc.withColumnRenamed("__id", idCol), Seq(idCol), "left")
+    // the join-back hash-exchanges on id immediately — strip any inherited
+    // narrow-scan repartition so the full rows move once, not twice
+    org.apache.spark.sql.graft.ColumnBridge.stripTopRoundRobin(df)
+      .join(perDoc.withColumnRenamed("__id", idCol), Seq(idCol), "left")
       .withColumn("log_weight", coalesce(col("log_weight"), lit(0.0)))
   }
 

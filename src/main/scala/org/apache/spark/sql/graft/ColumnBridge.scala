@@ -61,6 +61,46 @@ object ColumnBridge {
     spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .internalCreateDataFrame(rdd, schema, isStreaming = false)
 
+  /** `df` minus a TOP-LEVEL round-robin `repartition(n)`, if one is there.
+    *
+    * For an operator branch whose very next step is a hash exchange (a
+    * join-back / groupBy on a key), an inherited `repartition(n)` — e.g.
+    * [[graft.ops.Dedup.ensureParallelism]]'s narrow-scan guard on the
+    * CALLER's frame — is a pure waste: the round-robin exchange moves the
+    * full rows (text included) once, only for the hash exchange above it
+    * to move them again. Stripping a round-robin changes distribution
+    * only, never content, and the consumer re-distributes immediately, so
+    * this is always sound where applied. Only the exact top node is
+    * stripped, and only the keyless `Repartition(shuffle = true)` form —
+    * a keyed `repartitionByExpression` may carry caller intent and is
+    * left alone.
+    */
+  def stripTopRoundRobin(df: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.catalyst.plans.logical.{
+      LogicalPlan, Project, Repartition, SubqueryAlias}
+    // Descends through row-local wrappers only (Project/SubqueryAlias —
+    // running those at scan width costs nothing; the hash exchange above
+    // re-widens anyway). `Repartition` preserves its child's output
+    // attributes, so removal never breaks resolution.
+    def hasRR(p: LogicalPlan): Boolean = p match {
+      case pr: Project                 => hasRR(pr.child)
+      case sa: SubqueryAlias           => hasRR(sa.child)
+      case Repartition(_, true, _)     => true
+      case _                           => false
+    }
+    def strip(p: LogicalPlan): LogicalPlan = p match {
+      case pr: Project                 => pr.copy(child = strip(pr.child))
+      case sa: SubqueryAlias           => sa.copy(child = strip(sa.child))
+      case Repartition(_, true, child) => child
+      case other                       => other
+    }
+    val ds = df.asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
+    val before = ds.queryExecution.logical
+    if (!hasRR(before)) df
+    else org.apache.spark.sql.classic.Dataset.ofRows(ds.sparkSession, strip(before))
+  }
+
   /** All `CollectMetrics` observations in `df`'s EXECUTED plan, including
     * those buried under AQE — `AdaptiveSparkPlanExec` is a leaf to plan
     * traversals, so the stock `QueryExecution.observedMetrics` returns {}
