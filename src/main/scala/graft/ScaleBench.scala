@@ -5,6 +5,7 @@ import java.util.concurrent.atomic.AtomicLong
 import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import scala.util.chaining._
 
 /** Scale rehearsal: runs the heavy-operator subset at TWO scale factors in
   * one JVM and reports, per query and per scale, wall time plus the
@@ -451,6 +452,7 @@ object ScaleBench {
       .config("spark.sql.shuffle.partitions", shufflePartitions)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .pipe(SessionTuning.apply)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val metrics = new Metrics

@@ -1,6 +1,7 @@
 package graft.tools
 
 import org.apache.spark.sql.SparkSession
+import scala.util.chaining._
 
 /** Dumps `.explain("formatted")` for named SparkEntry queries to files —
   * the optimization rounds' plan-evidence artifact
@@ -15,6 +16,13 @@ import org.apache.spark.sql.SparkSession
   */
 object PlanDump {
   def main(args: Array[String]): Unit = {
+    if (args.length != 3) {
+      System.err.println(
+        "usage: runMain graft.tools.PlanDump <outDir> <label> <q1,q2,...|all>\n" +
+          "env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1), " +
+          "SPARK_GRAFT_CPUS (default 32)")
+      sys.exit(2)
+    }
     val Array(outDir, label, qlist) = args
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -23,6 +31,7 @@ object PlanDump {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .pipe(graft.SessionTuning.apply)
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val names =

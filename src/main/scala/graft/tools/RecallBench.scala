@@ -4,6 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
 import graft.ops.Similarity
+import scala.util.chaining._
 
 /** ANN recall measurement: turns the IVF `nProbe` and hyperplane-LSH
   * `(planesPerTable, numTables)` tuning knobs from folklore into numbers.
@@ -31,6 +32,7 @@ object RecallBench {
       .config("spark.sql.shuffle.partitions", 32)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .pipe(graft.SessionTuning.apply)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._

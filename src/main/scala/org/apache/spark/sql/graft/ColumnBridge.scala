@@ -70,33 +70,57 @@ object ColumnBridge {
     * full rows (text included) once, only for the hash exchange above it
     * to move them again. Stripping a round-robin changes distribution
     * only, never content, and the consumer re-distributes immediately, so
-    * this is always sound where applied. Only the exact top node is
-    * stripped, and only the keyless `Repartition(shuffle = true)` form —
-    * a keyed `repartitionByExpression` may carry caller intent and is
-    * left alone.
+    * this is sound wherever the values themselves are partition-independent.
+    * Only the exact top node is stripped, and only the keyless
+    * `Repartition(shuffle = true)` form — a keyed
+    * `repartitionByExpression` may carry caller intent and is left alone.
+    *
+    * Partition-SENSITIVE projections block the strip: an expression such as
+    * `monotonically_increasing_id()`, `spark_partition_id()`,
+    * `input_file_name()` or `rand()` evaluated above the round-robin mints
+    * different values once the exchange is removed — and a caller that
+    * joins this branch back against an unstripped sibling on such an id
+    * would silently mismatch. Any non-deterministic expression in a
+    * traversed Project therefore disables both detection and removal.
     */
   def stripTopRoundRobin(df: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{
+      InputFileName, MonotonicallyIncreasingID, SparkPartitionID}
     import org.apache.spark.sql.catalyst.plans.logical.{
       LogicalPlan, Project, Repartition, SubqueryAlias}
+    def partitionSensitive(pr: Project): Boolean =
+      pr.projectList.exists(_.exists {
+        case e if !e.deterministic        => true
+        case _: MonotonicallyIncreasingID => true
+        case _: SparkPartitionID          => true
+        case _: InputFileName             => true
+        case _                            => false
+      })
     // Descends through row-local wrappers only (Project/SubqueryAlias —
     // running those at scan width costs nothing; the hash exchange above
     // re-widens anyway). `Repartition` preserves its child's output
     // attributes, so removal never breaks resolution.
     def hasRR(p: LogicalPlan): Boolean = p match {
+      case pr: Project if partitionSensitive(pr) => false
       case pr: Project                 => hasRR(pr.child)
       case sa: SubqueryAlias           => hasRR(sa.child)
       case Repartition(_, true, _)     => true
       case _                           => false
     }
     def strip(p: LogicalPlan): LogicalPlan = p match {
+      case pr: Project if partitionSensitive(pr) => pr
       case pr: Project                 => pr.copy(child = strip(pr.child))
       case sa: SubqueryAlias           => sa.copy(child = strip(sa.child))
       case Repartition(_, true, child) => child
       case other                       => other
     }
     val ds = df.asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
-    val before = ds.queryExecution.logical
+    // ANALYZED plan: DataFrame-API expressions reach the raw logical plan
+    // as UnresolvedFunction nodes, whose default `deterministic` is true —
+    // the partition-sensitivity bail above can only see the real
+    // expression classes after resolution.
+    val before = ds.queryExecution.analyzed
     if (!hasRR(before)) df
     else org.apache.spark.sql.classic.Dataset.ofRows(ds.sparkSession, strip(before))
   }

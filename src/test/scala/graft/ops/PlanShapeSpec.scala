@@ -227,4 +227,31 @@ class PlanShapeSpec extends SparkTestBase {
     assert(gens.exists(_.boundGenerator.isInstanceOf[graft.ops.expr.BucketCosinePairs]),
       "in-cell pairs must go through the fused survivor-only generator")
   }
+
+  test("stripTopRoundRobin: strips a plain round-robin, bails when a " +
+    "Project above it mints partition-sensitive values") {
+    import org.apache.spark.sql.catalyst.plans.logical.Repartition
+    import org.apache.spark.sql.graft.ColumnBridge
+    def hasRR(df: DataFrame): Boolean =
+      df.queryExecution.logical.collect { case r: Repartition => r }.nonEmpty
+
+    val base = (1 to 10).toDF("v")
+    // positive control: deterministic projection above the round-robin
+    val plain = base.repartition(4).select((col("v") * 2).as("w"))
+    assert(!hasRR(ColumnBridge.stripTopRoundRobin(plain)),
+      "deterministic Project over repartition(n) must strip")
+    // ids minted ABOVE the repartition depend on the exchange's row
+    // placement — removing it would change their values (ADVICE r17)
+    val minted = base.repartition(4)
+      .select(col("v"), monotonically_increasing_id().as("id"))
+    assert(hasRR(ColumnBridge.stripTopRoundRobin(minted)),
+      "monotonically_increasing_id above the round-robin must block the strip")
+    val sprand = base.repartition(4)
+      .select(col("v"), spark_partition_id().as("p"))
+    assert(hasRR(ColumnBridge.stripTopRoundRobin(sprand)),
+      "spark_partition_id above the round-robin must block the strip")
+    val rnd = base.repartition(4).select(col("v"), rand(7).as("r"))
+    assert(hasRR(ColumnBridge.stripTopRoundRobin(rnd)),
+      "rand() above the round-robin must block the strip")
+  }
 }
